@@ -1,0 +1,17 @@
+"""giraph_spark — a PySpark-native graph/analytics engine with the query
+and data-processing capabilities of apache/giraph, re-expressed Spark-first
+(DataFrame Pregel loop over Catalyst/Tungsten instead of a BSP runtime;
+see SURVEY.md for the full mapping)."""
+
+from .graph import Graph, GraphSchemaError
+from .pregel import PregelContext, PregelMetrics, pregel
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Graph",
+    "GraphSchemaError",
+    "PregelContext",
+    "PregelMetrics",
+    "pregel",
+]

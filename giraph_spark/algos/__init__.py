@@ -1,0 +1,1 @@
+"""Algorithm library — the reference's "queries" (SURVEY §2.11)."""

@@ -1,0 +1,107 @@
+"""Shortest-path family: SSSP (weighted) and BFS (levels).
+
+Reference semantics:
+- SSSP: ``giraph-examples/.../examples/SimpleShortestPathsComputation.java:39,60-85``
+  — vertex value starts at ∞ (source 0), each superstep takes the min of
+  inbound distances, and *only on improvement* relaxes its out-edges with
+  ``dist + edge_weight``; every vertex votes to halt every superstep, so the
+  computation terminates when no distance improves (min-combiner =
+  ``MinimumDoubleMessageCombiner``).
+- BFS: ``giraph-block-app-8/.../library/algo/BreadthFirstSearch.java:72,123``
+  — identical with unit weights / integer levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..pregel import MSG, PregelMetrics, pregel
+
+INF = float("inf")
+
+
+def sssp(
+    graph: Graph,
+    source,
+    weight_col: str | None = "weight",
+    max_supersteps: int = 100,
+    metrics: PregelMetrics | None = None,
+    dist_col: str = "distance",
+) -> DataFrame:
+    """Single-source shortest paths. Returns ``(id, ..., distance)`` with
+    ``distance = ∞`` for unreachable vertices (matching Giraph, which
+    leaves unreached vertex values at Double.MAX_VALUE).
+
+    Scale notes: one shuffle per superstep for the ``groupBy(dst).min``
+    inbox (map-side partial min = Giraph's message combiner, free from
+    Catalyst) plus the triplet join keyed on vertex id. The active set
+    shrinks monotonically once the frontier passes, so late supersteps are
+    cheap; AQE coalesces their shuffle partitions.
+    """
+    id_col = graph.id_col
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+
+    return pregel(
+        graph,
+        initial={
+            dist_col: F.when(F.col(id_col) == F.lit(source), 0.0).otherwise(
+                F.lit(INF)
+            )
+        },
+        # compute: min(old, min inbound); flag improvement (superstep 0:
+        # the source "improves" from nothing to 0 and must send).
+        update=lambda ctx: {
+            dist_col: F.least(F.col(dist_col), F.col(MSG)),
+            "_improved": (
+                F.lit(ctx.superstep == 0) & (F.col(dist_col) < F.lit(INF))
+            )
+            | (F.coalesce(F.col(MSG), F.lit(INF)) < F.col(dist_col)),
+        },
+        combine=F.min,
+        msg_type="double",
+        # relax out-edges only on improvement (null ⇒ dropped by kernel)
+        send_msg=F.when(F.col("_improved"), F.col(dist_col) + w),
+        vote_to_halt=F.lit(True),
+        max_supersteps=max_supersteps,
+        metrics=metrics,
+    ).drop("_improved")
+
+
+def bfs(
+    graph: Graph,
+    source,
+    max_supersteps: int = 100,
+    metrics: PregelMetrics | None = None,
+    level_col: str = "level",
+) -> DataFrame:
+    """BFS level per vertex; -1 for unreachable (matching
+    ``BreadthFirstSearch.java`` which initializes to NOT_VISITED)."""
+    id_col = graph.id_col
+    big = F.lit(2**62)
+
+    out = pregel(
+        graph,
+        initial={
+            level_col: F.when(F.col(id_col) == F.lit(source), F.lit(0)).otherwise(
+                big
+            ).cast("long")
+        },
+        update=lambda ctx: {
+            level_col: F.least(F.col(level_col), F.col(MSG)),
+            "_improved": (
+                F.lit(ctx.superstep == 0) & (F.col(level_col) < big)
+            )
+            | (F.coalesce(F.col(MSG), big) < F.col(level_col)),
+        },
+        combine=F.min,
+        msg_type="long",
+        send_msg=F.when(F.col("_improved"), F.col(level_col) + F.lit(1)),
+        vote_to_halt=F.lit(True),
+        max_supersteps=max_supersteps,
+        metrics=metrics,
+    ).drop("_improved")
+    return out.withColumn(
+        level_col, F.when(F.col(level_col) >= big, F.lit(-1)).otherwise(F.col(level_col))
+    )

@@ -1,0 +1,151 @@
+"""Property-graph container for the DataFrame-native Pregel engine.
+
+Mirrors apache/giraph's data model (reference:
+``giraph-core/src/main/java/org/apache/giraph/graph/Vertex.java:34-36`` —
+vertex = (id, value, out-edges); ``edge/DefaultEdge.java:30`` — edge =
+(targetId, value), source implicit in ownership) re-expressed relationally:
+
+- ``vertices``: one row per vertex, an id column plus arbitrary typed state
+  columns (strictly richer than Hadoop Writables).
+- ``edges``: one row per directed out-edge ``(src, dst, ...attrs)``.
+  Multigraph is the default — duplicate ``(src, dst)`` rows are allowed,
+  matching Giraph's ``OutEdges`` multigraph family
+  (``graph/Vertex.java:145-156``); use
+  :func:`giraph_spark.algos.prepare.dedup_edges` for strict-graph semantics.
+
+No adjacency-list physical encoding is kept: normalized edges win for joins
+and Tungsten handles the physical layout (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+RESERVED_PREFIX = "_gs_"
+
+
+class GraphSchemaError(ValueError):
+    """Raised when vertex/edge DataFrames do not satisfy the Graph contract.
+
+    Analog of Giraph's type verification at job setup
+    (``master/SuperstepClasses.java`` ``verifyTypesMatch``, used at
+    ``master/BspServiceMaster.java:1709-1712``).
+    """
+
+
+@dataclass
+class Graph:
+    """A distributed directed property multigraph.
+
+    Parameters
+    ----------
+    vertices : DataFrame with column ``id_col`` (unique vertex id) plus any
+        state columns.
+    edges : DataFrame with columns ``src_col``, ``dst_col`` plus any edge
+        attribute columns.
+    """
+
+    vertices: DataFrame
+    edges: DataFrame
+    id_col: str = "id"
+    src_col: str = "src"
+    dst_col: str = "dst"
+    _validated: bool = field(default=False, repr=False)
+
+    def __post_init__(self) -> None:
+        vcols = set(self.vertices.columns)
+        ecols = set(self.edges.columns)
+        if self.id_col not in vcols:
+            raise GraphSchemaError(
+                f"vertices missing id column {self.id_col!r}; has {sorted(vcols)}"
+            )
+        for c in (self.src_col, self.dst_col):
+            if c not in ecols:
+                raise GraphSchemaError(
+                    f"edges missing column {c!r}; has {sorted(ecols)}"
+                )
+        # The pregel kernel joins vertex state onto edges; overlapping names
+        # would be ambiguous. Vertex id may equal src/dst names only if
+        # distinct strings.
+        overlap = (vcols & ecols) - set()
+        if overlap:
+            raise GraphSchemaError(
+                f"vertex and edge column names must be disjoint, overlap: {sorted(overlap)}"
+            )
+        for c in vcols | ecols:
+            if c.startswith(RESERVED_PREFIX) or c in ("_msg", "_has_msg", "_halted"):
+                raise GraphSchemaError(f"column name {c!r} is reserved by the engine")
+
+    # -- convenience structural queries (reference:
+    #    examples/SimpleOutDegreeCountComputation.java:34,
+    #    examples/SimpleInDegreeCountComputation.java:35) ----------------
+
+    def out_degrees(self) -> DataFrame:
+        """Per-vertex out-degree: ``(id, out_degree)``; vertices with no
+        out-edges get 0 via left join (Giraph computes 0 implicitly since
+        the vertex owns its — empty — edge list)."""
+        from pyspark.sql import functions as F
+
+        deg = self.edges.groupBy(F.col(self.src_col).alias(self.id_col)).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+        return (
+            self.vertices.select(self.id_col)
+            .join(deg, self.id_col, "left")
+            .select(
+                self.id_col,
+                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            )
+        )
+
+    def in_degrees(self) -> DataFrame:
+        """Per-vertex in-degree (Giraph needs a message round for this —
+        ``SimpleInDegreeCountComputation.java:35``; relationally it is one
+        aggregation)."""
+        from pyspark.sql import functions as F
+
+        deg = self.edges.groupBy(F.col(self.dst_col).alias(self.id_col)).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+        return (
+            self.vertices.select(self.id_col)
+            .join(deg, self.id_col, "left")
+            .select(
+                self.id_col,
+                F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            )
+        )
+
+    def num_vertices(self) -> int:
+        return self.vertices.count()
+
+    def num_edges(self) -> int:
+        return self.edges.count()
+
+    def persist(self, storage_level=None) -> "Graph":
+        """Persist both DataFrames (Giraph ``STATIC_GRAPH`` analog,
+        ``conf/GiraphConstants.java:1138`` — immutable edges are loaded once
+        and reused every superstep)."""
+        from pyspark import StorageLevel
+
+        level = storage_level or StorageLevel.MEMORY_AND_DISK
+        self.vertices = self.vertices.persist(level)
+        self.edges = self.edges.persist(level)
+        return self
+
+    def unpersist(self) -> "Graph":
+        self.vertices = self.vertices.unpersist()
+        self.edges = self.edges.unpersist()
+        return self
+
+    def reversed(self) -> "Graph":
+        """Transpose: swap src/dst (used by SCC's TRANSPOSE phase,
+        ``giraph-examples/.../scc/SccComputation.java``)."""
+        from pyspark.sql import functions as F
+
+        swapped = self.edges.withColumnsRenamed(
+            {self.src_col: self.dst_col, self.dst_col: self.src_col}
+        )
+        return Graph(self.vertices, swapped, self.id_col, self.src_col, self.dst_col)

@@ -1,0 +1,320 @@
+"""The BSP superstep kernel — a DataFrame Pregel loop.
+
+Semantics mirror apache/giraph's compute loop exactly:
+
+- per-superstep compute over the *active set* — a vertex computes iff it is
+  not halted OR it received a message (wake-on-message,
+  ``graph/ComputeCallable.java:335-338``);
+- messages produced in superstep S are grouped by destination and delivered
+  in S+1 (``comm/messages/MessageStore.java:35-108``), optionally combined
+  with a commutative/associative combiner
+  (``combiner/MessageCombiner.java:32-56`` — here: any Spark aggregate
+  expression, Catalyst does map-side partial aggregation = Giraph's
+  send-side combining for free);
+- global termination = all vertices halted AND zero messages in flight
+  (``master/BspServiceMaster.java:1681-1685``);
+- a master hook runs on the driver between supersteps and may read global
+  aggregates, publish broadcast values, or halt the computation
+  (``master/MasterCompute.java:112,224-260``).
+
+Physical notes for scale (SURVEY §4.7): each superstep is
+``shuffle(groupBy dst) + shuffle-or-broadcast join`` — exactly Giraph's
+Netty message exchange expressed as Spark shuffles. The kernel materializes
+the per-superstep state with one action and truncates its lineage EVERY
+superstep via ``localCheckpoint`` (single-reference conditional update, so
+per-superstep plan size is constant; a filter+union formulation grows as
+3^superstep and OOMs the driver around superstep 6 — observed empirically).
+With ``checkpoint_dir`` set, every ``checkpoint_every``-th superstep uses a
+reliable ``checkpoint()`` instead, which both survives executor loss and
+lets long jobs resume (Giraph's CHECKPOINT_FREQUENCY,
+``conf/GiraphConstants.java:927``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .graph import Graph
+
+MSG = "_msg"
+HAS_MSG = "_has_msg"
+HALTED = "_halted"
+ACTIVE = "_gs_active"
+
+# A kernel parameter may be a Column / dict of Columns, or a callable
+# receiving the PregelContext (for superstep- or broadcast-dependent
+# expressions — the analog of MasterCompute switching computation per
+# superstep, ``master/MasterCompute.java:148-174``).
+Expr = Column | Callable[["PregelContext"], Column]
+
+
+@dataclass
+class PregelContext:
+    """Driver-visible state passed to callable expressions and master_fn."""
+
+    superstep: int = 0
+    broadcasts: dict[str, Any] = field(default_factory=dict)
+    aggregates: dict[str, Any] = field(default_factory=dict)
+    num_messages: int = 0
+    num_vertices: int = 0
+    _halt: bool = field(default=False, repr=False)
+
+    def halt(self) -> None:
+        """Master-initiated halt (``MasterCompute.haltComputation``,
+        ``master/MasterCompute.java:112``)."""
+        self._halt = True
+
+
+@dataclass
+class PregelMetrics:
+    """Per-superstep counters — analog of ``counters/GiraphStats.java:39-51``
+    (supersteps, sent messages, vertices) + ``GiraphTimers``."""
+
+    supersteps: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def num_supersteps(self) -> int:
+        return len(self.supersteps)
+
+    @property
+    def total_messages(self) -> int:
+        return sum(s["messages"] for s in self.supersteps)
+
+
+def _resolve(expr: Any, ctx: PregelContext) -> Any:
+    return expr(ctx) if callable(expr) and not isinstance(expr, Column) else expr
+
+
+def pregel(
+    graph: Graph,
+    *,
+    update: dict[str, Expr] | Callable[[PregelContext], dict[str, Column]],
+    send_msg: Expr | None = None,
+    send_msg_to_src: Expr | None = None,
+    combine: Callable[[Column], Column] | None = None,
+    messages_fn: Callable[[DataFrame, DataFrame, PregelContext], DataFrame] | None = None,
+    initial: dict[str, Expr] | None = None,
+    vote_to_halt: Expr | None = None,
+    msg_type: str | None = None,
+    aggregates: dict[str, Expr] | None = None,
+    master_fn: Callable[[PregelContext], None] | None = None,
+    max_supersteps: int = 100,
+    checkpoint_every: int = 6,
+    checkpoint_dir: str | None = None,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    metrics: PregelMetrics | None = None,
+) -> DataFrame:
+    """Run a Pregel computation; returns the final vertices DataFrame
+    (engine columns dropped).
+
+    Parameters
+    ----------
+    update:
+        dict of ``{column: expression}`` evaluated simultaneously over the
+        active vertices (all expressions see the *pre-update* values, i.e.
+        one ``withColumns`` batch). Available columns: every vertex column,
+        ``_msg`` (combined inbound message, NULL if none — including all of
+        superstep 0), ``_has_msg``. This is ``Computation.compute``
+        (``graph/Computation.java:70``) restricted to Catalyst expressions;
+        arbitrary Python goes through ``messages_fn`` / pandas UDFs.
+    send_msg / send_msg_to_src:
+        message expression evaluated over the triplet
+        (updated-vertex columns ⨝ edge columns, join on id==src); the
+        message goes to the edge's dst (resp. src). A NULL message is
+        dropped — this is the declarative form of Giraph's *conditional*
+        ``sendMessage`` calls (``graph/Computation.java:129-145``).
+        Only vertices that computed this superstep send (as in Giraph —
+        only ``compute()`` sends).
+    combine:
+        aggregate over the message column, e.g. ``F.sum`` / ``F.min``
+        (``combiner/SumMessageCombiner`` family). ``None`` ⇒
+        ``F.collect_list`` — the unordered message iterable of
+        ``Computation.java:66-68``.
+    messages_fn:
+        escape hatch ``(computed_vertices, edges, ctx) -> DataFrame(_dst, _m)``
+        for arbitrary send patterns (``sendMessageToMultipleEdges`` etc.).
+    initial:
+        column expressions applied to the vertices before superstep 0.
+    vote_to_halt:
+        boolean expression evaluated *after* ``update`` (sees new values);
+        true ⇒ vertex halts (``Vertex.voteToHalt``, re-activated by any
+        inbound message).
+    aggregates:
+        named global aggregate expressions computed over the updated
+        vertices each superstep, collected to the driver into
+        ``ctx.aggregates`` (the Aggregator/Reducer surface, SURVEY §2.4).
+    master_fn:
+        driver callback after each superstep; may read ``ctx.aggregates``,
+        mutate ``ctx.broadcasts`` (visible to callable expressions next
+        superstep) or call ``ctx.halt()``.
+    """
+    ctx = PregelContext()
+    metrics = metrics if metrics is not None else PregelMetrics()
+
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+
+    vertices = graph.vertices
+    if initial:
+        vertices = vertices.withColumns(
+            {k: _resolve(v, ctx) for k, v in initial.items()}
+        )
+    if HALTED not in vertices.columns:
+        vertices = vertices.withColumn(HALTED, F.lit(False))
+
+    edges = graph.edges
+    spark = vertices.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    vertices = vertices.persist(storage_level)
+    messages: DataFrame | None = None
+    prev_vertices: DataFrame | None = None
+    prev_messages: DataFrame | None = None
+
+    null_msg = F.lit(None).cast(msg_type) if msg_type else F.lit(None)
+
+    for superstep in range(max_supersteps):
+        ctx.superstep = superstep
+        t0 = time.monotonic()
+
+        # 1. Deliver: group inbox by destination, combine. (The previous
+        #    superstep's engine columns are replaced, not duplicated.)
+        base = vertices.drop(MSG, HAS_MSG, ACTIVE)
+        if messages is None:
+            joined = base.withColumns({MSG: null_msg, HAS_MSG: F.lit(False)})
+        else:
+            agg = (combine(F.col("_m")) if combine else F.collect_list("_m")).alias(MSG)
+            inbox = (
+                messages.groupBy(F.col("_dst").alias(id_col))
+                .agg(agg)
+                .withColumn(HAS_MSG, F.lit(True))
+            )
+            joined = base.join(inbox, on=id_col, how="left").withColumn(
+                HAS_MSG, F.coalesce(F.col(HAS_MSG), F.lit(False))
+            )
+
+        # 2. Active set: not-halted ∪ woken-by-message
+        #    (ComputeCallable.java:335-338). The update is applied as
+        #    conditional expressions over ALL rows (single pass, single
+        #    reference to `joined`) rather than filter+union — a union
+        #    would embed the previous superstep's plan multiple times and
+        #    make the logical plan grow as 3^superstep.
+        active = ~F.col(HALTED) | F.col(HAS_MSG)
+        joined = joined.withColumn(ACTIVE, active)
+        upd = _resolve(update, ctx)
+        upd = {k: _resolve(v, ctx) for k, v in upd.items()}
+        existing = set(joined.columns)
+        cond_upd = {
+            k: F.when(F.col(ACTIVE), v).otherwise(
+                F.col(k) if k in existing else F.lit(None)
+            )
+            for k, v in upd.items()
+        }
+        state = joined.withColumns(cond_upd)
+        halt_expr = (
+            _resolve(vote_to_halt, ctx) if vote_to_halt is not None else F.lit(False)
+        )
+        # vote_to_halt is evaluated after the update batch (sees new values,
+        # as Giraph's voteToHalt inside compute() does).
+        state = state.withColumn(
+            HALTED, F.when(F.col(ACTIVE), halt_expr).otherwise(F.col(HALTED))
+        )
+
+        # 3. Materialize + truncate lineage EVERY superstep. Truncation is
+        #    correctness-of-operation, not an optimization: every other
+        #    frame (messages, inbox, next join) derives from this leaf, so
+        #    per-superstep plan size stays constant (SURVEY §4.5/§7.3).
+        if checkpoint_dir and checkpoint_every and (superstep + 1) % checkpoint_every == 0:
+            state = state.checkpoint(eager=False)  # reliable, for resume at scale
+        else:
+            state = state.localCheckpoint(eager=False)
+        ctx.num_vertices = state.count()
+        new_vertices = state
+
+        # 4. Send phase (triplet join: updated vertex ⨝ out-edges); only
+        #    vertices that computed this superstep send.
+        computed = state.filter(F.col(ACTIVE))
+        new_messages: DataFrame | None = None
+        if messages_fn is not None:
+            new_messages = messages_fn(computed, edges, ctx)
+        else:
+            parts = []
+            if send_msg is not None:
+                triplet = computed.join(edges, computed[id_col] == edges[src_col])
+                parts.append(
+                    triplet.select(
+                        F.col(dst_col).alias("_dst"),
+                        _resolve(send_msg, ctx).alias("_m"),
+                    )
+                )
+            if send_msg_to_src is not None:
+                triplet = computed.join(edges, computed[id_col] == edges[dst_col])
+                parts.append(
+                    triplet.select(
+                        F.col(src_col).alias("_dst"),
+                        _resolve(send_msg_to_src, ctx).alias("_m"),
+                    )
+                )
+            if parts:
+                new_messages = parts[0]
+                for p in parts[1:]:
+                    new_messages = new_messages.unionByName(p)
+        if new_messages is not None:
+            new_messages = new_messages.filter(F.col("_m").isNotNull())
+            new_messages = new_messages.persist(storage_level)
+            ctx.num_messages = new_messages.count()
+        else:
+            ctx.num_messages = 0
+
+        # 5. Global aggregates → driver (partial-per-worker + merge is
+        #    Spark's partial aggregation; ≡ WorkerAggregatorHandler).
+        if aggregates:
+            row = new_vertices.agg(
+                *[
+                    _resolve(expr, ctx).alias(name)
+                    for name, expr in aggregates.items()
+                ]
+            ).collect()[0]
+            ctx.aggregates = row.asDict()
+
+        # 6. Master compute (driver).
+        if master_fn is not None:
+            master_fn(ctx)
+
+        metrics.supersteps.append(
+            {
+                "superstep": superstep,
+                "vertices": ctx.num_vertices,
+                "messages": ctx.num_messages,
+                "seconds": time.monotonic() - t0,
+            }
+        )
+
+        # 7. Release previous superstep state. Checkpointed frames are
+        #    released by the ContextCleaner once their RDDs are GC'd; the
+        #    explicit unpersist covers the persisted message frames and the
+        #    initial vertices persist.
+        for old in (prev_vertices, prev_messages):
+            if old is not None:
+                old.unpersist()
+        prev_vertices, vertices = vertices, new_vertices
+        prev_messages, messages = messages, new_messages
+
+        # 8. Termination: master halt, or all-halted ∧ no messages
+        #    (BspServiceMaster.java:1681-1685).
+        if ctx._halt:
+            break
+        if ctx.num_messages == 0:
+            any_active = (
+                vertices.filter(~F.col(HALTED)).limit(1).count() > 0
+            )
+            if not any_active:
+                break
+
+    return vertices.drop(MSG, HAS_MSG, HALTED, ACTIVE)

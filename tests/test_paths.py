@@ -1,0 +1,62 @@
+"""Golden tests from the reference's own fixtures.
+
+SSSP toy graph and expected output copied from
+``giraph-examples/src/test/.../SimpleShortestPathsComputationTest.java:121-150``:
+graph [1,0,[[2,1],[3,3]]], [2,0,[[3,1],[4,10]]], [3,0,[[4,2]]], [4,0,[]]
+→ distances from 1: {1:0, 2:1, 3:2, 4:4}.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark import Graph, PregelMetrics
+from giraph_spark.algos.paths import bfs, sssp
+
+
+@pytest.fixture(scope="module")
+def sssp_toy(spark):
+    vertices = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 3.0), (2, 3, 1.0), (2, 4, 10.0), (3, 4, 2.0)],
+        "src long, dst long, weight double",
+    )
+    return Graph(vertices, edges)
+
+
+def test_sssp_golden(sssp_toy):
+    metrics = PregelMetrics()
+    out = sssp(sssp_toy, source=1, metrics=metrics)
+    got = {r["id"]: r["distance"] for r in out.collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 4.0}
+    # terminates on its own well before the cap
+    assert metrics.num_supersteps < 10
+
+
+def test_sssp_unreachable(spark):
+    vertices = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    edges = spark.createDataFrame([(1, 2, 5.0)], "src long, dst long, weight double")
+    out = sssp(Graph(vertices, edges), source=1)
+    got = {r["id"]: r["distance"] for r in out.collect()}
+    assert got[1] == 0.0 and got[2] == 5.0
+    assert math.isinf(got[9])
+
+
+def test_sssp_unit_weights(sssp_toy):
+    out = sssp(sssp_toy, source=1, weight_col=None)
+    got = {r["id"]: r["distance"] for r in out.collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 1.0, 4: 2.0}
+
+
+def test_bfs_golden(sssp_toy):
+    out = bfs(sssp_toy, source=2)
+    got = {r["id"]: r["level"] for r in out.collect()}
+    assert got == {1: -1, 2: 0, 3: 1, 4: 1}
+
+
+def test_degrees(sssp_toy):
+    outd = {r["id"]: r["out_degree"] for r in sssp_toy.out_degrees().collect()}
+    ind = {r["id"]: r["in_degree"] for r in sssp_toy.in_degrees().collect()}
+    assert outd == {1: 2, 2: 2, 3: 1, 4: 0}
+    assert ind == {1: 0, 2: 1, 3: 2, 4: 2}
