@@ -1,38 +1,409 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (weighted PageRank on the sf0.001 trade
+graph). ``queries()`` — one entry per implemented operator (SURVEY.md §2);
+each callable takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL producing identical results on
+the same parquet tables; iterative algorithms are expressed as unrolled
+fixed-point CTE chains (both sides converge, so fixed K ≥ diameter matches
+the Spark side's run-to-convergence).
+
+Column names and rounding are aligned on BOTH sides because the driver's
+compare hashes values after sorting columns by name.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giraph_spark import Graph
+from giraph_spark.algos.components import max_propagation, wcc
+from giraph_spark.algos.pagerank import pagerank
+from giraph_spark.algos.paths import bfs, sssp
+from giraph_spark.algos.prepare import (
+    dedup_edges,
+    normalize_weights,
+    remove_asym_edges,
+    symmetrize,
+)
+from giraph_spark.algos.stats import graph_stats
+from giraph_spark.algos.triangles import (
+    triangle_closing_topk,
+    triangle_count,
+    triangles_per_vertex,
+)
+from giraph_spark.plans.fixtures import (
+    NATION_GRAPH_SQL,
+    TRADE_GRAPH_DIRECTED_SQL,
+    TRADE_GRAPH_SQL,
+    nation_graph,
+    trade_graph,
+)
+
+SSSP_SOURCE = 1  # min customer key in every sf
+PR_ITERS = 10
+UNROLL_K = 16  # oracle fixed-point unroll depth (≥ graph diameter)
+
+
+# ---------------------------------------------------------------- entry --
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: weighted PageRank over the sf0.001 trade graph."""
+    g = trade_graph(spark, "/root/testdata/sf0.001")
+    n = g.vertices.count()
+    # ranks normalized to mean 1 (×N): keeps float noise ≪ the rounding
+    # increment so the driver's value-hash compare is stable
+    return pagerank(g, iterations=PR_ITERS, weighted=True).select(
+        "id", F.round(F.col("rank") * n, 6).alias("rank")
+    )
+
+
+# ------------------------------------------------------- spark queries --
+
+
+def _q_pagerank(weighted: bool, dangling: bool):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        g = trade_graph(spark, sf_dir)
+        n = g.vertices.count()
+        out = pagerank(g, iterations=PR_ITERS, weighted=weighted, dangling=dangling)
+        return out.select(
+            F.col("id").cast("long").alias("id"),
+            F.round(F.col("rank") * n, 6).alias("rank"),
+        )
+
+    return q
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = trade_graph(spark, sf_dir)
+    out = sssp(g, source=SSSP_SOURCE, max_supersteps=50)
+    return out.where(F.col("distance") < float("inf")).select(
+        F.col("id").cast("long").alias("id"),
+        F.round("distance", 2).alias("distance"),
+    )
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = trade_graph(spark, sf_dir)
+    out = bfs(g, source=SSSP_SOURCE, max_supersteps=50)
+    return out.where(F.col("level") >= 0).select(
+        F.col("id").cast("long").alias("id"), F.col("level").cast("long").alias("level")
+    )
+
+
+def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = trade_graph(spark, sf_dir)  # already symmetric; wcc re-symmetrizes
+    out = wcc(g, max_supersteps=50)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def _q_max_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = trade_graph(spark, sf_dir)
+    out = max_propagation(g, max_supersteps=50)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("max_value").cast("long").alias("max_value"),
+    )
+
+
+def _q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = trade_graph(spark, sf_dir, directed=True)
+    d = g.out_degrees()
+    return d.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("out_degree").cast("long").alias("out_degree"),
+    )
+
+
+def _q_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = trade_graph(spark, sf_dir, directed=True)
+    d = g.in_degrees()
+    return d.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    )
+
+
+def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_stats(trade_graph(spark, sf_dir, directed=True))
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(nation_graph(spark, sf_dir))
+
+
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangles_per_vertex(nation_graph(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id"), "triangles"
+    )
+
+
+def _q_triangle_closing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_closing_topk(nation_graph(spark, sf_dir), k=5).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("candidate").cast("long").alias("candidate"),
+        "common_neighbors",
+        "rnk",
+    )
+
+
+def _q_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = symmetrize(nation_graph(spark, sf_dir))
+    return g.edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+
+
+def _q_remove_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = remove_asym_edges(nation_graph(spark, sf_dir))
+    return g.edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+
+
+def _q_normalize_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = normalize_weights(dedup_edges(trade_graph(spark, sf_dir, directed=True)))
+    return g.edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.round("weight", 7).alias("weight"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pagerank": _q_pagerank(weighted=False, dangling=False),
+        "pagerank_weighted": _q_pagerank(weighted=True, dangling=False),
+        "pagerank_dangling": _q_pagerank(weighted=False, dangling=True),
+        "sssp": _q_sssp,
+        "bfs": _q_bfs,
+        "wcc": _q_wcc,
+        "max_propagation": _q_max_prop,
+        "out_degrees": _q_out_degrees,
+        "in_degrees": _q_in_degrees,
+        "graph_stats": _q_graph_stats,
+        "triangle_count": _q_triangle_count,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "triangle_closing_topk": _q_triangle_closing,
+        "symmetrize_edges": _q_symmetrize,
+        "remove_asym_edges": _q_remove_asym,
+        "normalize_weights": _q_normalize_weights,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------- oracle SQL --
+
+
+def _pagerank_oracle(iters: int, weighted: bool, dangling: bool) -> str:
+    scatter = "e.weight / d.wsum" if weighted else "1.0 / d.deg"
+    parts = [
+        TRADE_GRAPH_SQL.strip(),
+        """, deg AS (
+    SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg, SUM(weight) AS wsum
+    FROM edges GROUP BY src
+), nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices)
+, r0 AS MATERIALIZED (SELECT id, (SELECT 1.0 / n FROM nv) AS val FROM vertices)""",
+    ]
+    for t in range(iters):
+        dang = ""
+        if dangling:
+            parts.append(
+                f""", dang{t} AS MATERIALIZED (
+    SELECT COALESCE(SUM(val), 0) AS dm FROM r{t}
+    WHERE id NOT IN (SELECT src FROM deg)
+)"""
+            )
+            dang = f" + (SELECT dm FROM dang{t}) / (SELECT n FROM nv)"
+        parts.append(
+            f""", r{t + 1} AS MATERIALIZED (
+    SELECT v.id,
+           (SELECT 0.15 / n FROM nv)
+           + 0.85 * (COALESCE(m.s, 0){dang}) AS val
+    FROM r{t} v
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.val * {scatter}) AS s
+        FROM edges e
+        JOIN r{t} r ON r.id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)"""
+        )
+    parts.append(
+        f"SELECT CAST(id AS BIGINT) AS id,"
+        f" ROUND(val * (SELECT n FROM nv), 6) AS rank FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
+def _relax_oracle(
+    k: int,
+    init_case: str,
+    msg: str,
+    merge: str,
+    final_select: str,
+    graph_sql: str = TRADE_GRAPH_SQL,
+    agg: str = "MIN",
+) -> str:
+    """Generic unrolled fixed-point: x0 = init; x_{t+1} = merge(x_t, agg(msg))."""
+    parts = [graph_sql.strip(), f", x0 AS MATERIALIZED (SELECT id, {init_case} AS val FROM vertices)"]
+    for t in range(k):
+        parts.append(
+            f""", x{t + 1} AS MATERIALIZED (
+    SELECT v.id, {merge} AS val
+    FROM x{t} v
+    LEFT JOIN (
+        SELECT e.dst AS id, {agg}({msg}) AS mv
+        FROM edges e JOIN x{t} s ON s.id = e.src
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)"""
+        )
+    parts.append(final_select.format(last=f"x{k}"))
+    return "\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    inf = "'infinity'::DOUBLE"
+    sssp_sql = _relax_oracle(
+        UNROLL_K,
+        f"CASE WHEN id = {SSSP_SOURCE} THEN 0.0 ELSE {inf} END",
+        "s.val + e.weight",
+        f"LEAST(v.val, COALESCE(m.mv, {inf}))",
+        "SELECT CAST(id AS BIGINT) AS id, ROUND(val, 2) AS distance "
+        f"FROM {{last}} WHERE val < {inf}",
+    )
+    bfs_sql = _relax_oracle(
+        UNROLL_K,
+        f"CASE WHEN id = {SSSP_SOURCE} THEN 0 ELSE 4611686018427387904 END",
+        "s.val + 1",
+        "LEAST(v.val, COALESCE(m.mv, v.val))",
+        "SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS level "
+        "FROM {last} WHERE val < 4611686018427387904",
+    )
+    wcc_sql = _relax_oracle(
+        UNROLL_K,
+        "id",
+        "s.val",
+        "LEAST(v.val, COALESCE(m.mv, v.val))",
+        "SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS component FROM {last}",
+    )
+    maxp_sql = _relax_oracle(
+        UNROLL_K,
+        "id",
+        "s.val",
+        "GREATEST(v.val, COALESCE(m.mv, v.val))",
+        "SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS max_value FROM {last}",
+        agg="MAX",
+    )
+
+    deg_sql = (
+        TRADE_GRAPH_DIRECTED_SQL.strip()
+        + """
+SELECT CAST(v.id AS BIGINT) AS id, CAST(COALESCE(d.c, 0) AS BIGINT) AS {col}
+FROM vertices v
+LEFT JOIN (SELECT {key}, COUNT(*) AS c FROM edges GROUP BY {key}) d
+  ON d.{key} = v.id"""
+    )
+
+    stats_sql = (
+        TRADE_GRAPH_DIRECTED_SQL.strip()
+        + """
+, degs AS (
+    SELECT v.id, COALESCE(o.c, 0) AS od, COALESCE(i.c, 0) AS idg
+    FROM vertices v
+    LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON o.src = v.id
+    LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON i.dst = v.id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(od) AS BIGINT) AS n_edges,
+       CAST(MAX(od) AS BIGINT) AS max_out_degree,
+       CAST(MAX(idg) AS BIGINT) AS max_in_degree,
+       ROUND(AVG(od), 6) AS avg_out_degree,
+       CAST(SUM(CASE WHEN od = 0 AND idg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated
+FROM degs"""
+    )
+
+    sym_sql = (
+        NATION_GRAPH_SQL.strip()
+        + """
+, sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges)
+"""
+    )
+    tri_sql = (
+        sym_sql
+        + """, o AS (SELECT src, dst FROM sym WHERE src < dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM o e1 JOIN o e2 ON e1.dst = e2.src
+JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+    )
+    tri_pv_sql = (
+        sym_sql
+        + """, o AS (SELECT src, dst FROM sym WHERE src < dst)
+, tris AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM o e1 JOIN o e2 ON e1.dst = e2.src
+    JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), corners AS (
+    SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+)
+SELECT CAST(v.id AS BIGINT) AS id, CAST(COALESCE(t.c, 0) AS BIGINT) AS triangles
+FROM vertices v
+LEFT JOIN (SELECT id, COUNT(*) AS c FROM corners GROUP BY id) t ON t.id = v.id"""
+    )
+    tri_close_sql = (
+        sym_sql
+        + """, pairs AS (
+    SELECT a.src AS id, b.dst AS candidate, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+    FROM sym a JOIN sym b ON a.dst = b.src
+    WHERE a.src <> b.dst
+      AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = a.src AND s.dst = b.dst)
+    GROUP BY a.src, b.dst
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(candidate AS BIGINT) AS candidate,
+       common_neighbors,
+       CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY common_neighbors DESC, candidate ASC) AS BIGINT) AS rnk
+FROM pairs QUALIFY rnk <= 5"""
+    )
+
+    norm_sql = (
+        TRADE_GRAPH_DIRECTED_SQL.strip()
+        + """
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       ROUND(weight / SUM(weight) OVER (PARTITION BY src), 7) AS weight
+FROM edges"""
+    )
+
+    return {
+        "pagerank": _pagerank_oracle(PR_ITERS, False, False),
+        "pagerank_weighted": _pagerank_oracle(PR_ITERS, True, False),
+        "pagerank_dangling": _pagerank_oracle(PR_ITERS, False, True),
+        "sssp": sssp_sql,
+        "bfs": bfs_sql,
+        "wcc": wcc_sql,
+        "max_propagation": maxp_sql,
+        "out_degrees": deg_sql.format(col="out_degree", key="src"),
+        "in_degrees": deg_sql.format(col="in_degree", key="dst"),
+        "graph_stats": stats_sql,
+        "triangle_count": tri_sql,
+        "triangles_per_vertex": tri_pv_sql,
+        "triangle_closing_topk": tri_close_sql,
+        "symmetrize_edges": sym_sql + "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM sym",
+        "remove_asym_edges": NATION_GRAPH_SQL.strip()
+        + """
+SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst
+FROM edges e
+WHERE EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)""",
+        "normalize_weights": norm_sql,
+    }

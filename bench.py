@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness — mirrors the reference's GiraphBenchmark drivers
+(``giraph-core/.../benchmark/PageRankBenchmark.java``,
+``ShortestPathsBenchmark.java``, etc.: synthetic/derived graph, fixed
+supersteps, wall-clock + message counters) on the driver's testdata.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import giraph_spark as gs
+    from giraph_spark.algos.components import wcc
+    from giraph_spark.algos.pagerank import pagerank
+    from giraph_spark.algos.paths import bfs, sssp
+    from giraph_spark.algos.triangles import triangle_count
+    from giraph_spark.plans.fixtures import nation_graph, trade_graph
+
+    g = trade_graph(spark, SF_DIR).persist()
+    g.num_vertices(), g.num_edges()  # materialize outside the timers
+
+    def run(fn):
+        t0 = time.monotonic()
+        n = fn()
+        return round(time.monotonic() - t0, 3), n
+
+    timings: dict[str, float] = {}
+
+    timings["pagerank10"], _ = run(
+        lambda: pagerank(g, iterations=10).agg(F.sum("rank")).collect()
+    )
+    timings["pagerank10_weighted"], _ = run(
+        lambda: pagerank(g, iterations=10, weighted=True).agg(F.sum("rank")).collect()
+    )
+    timings["sssp"], _ = run(
+        lambda: sssp(g, source=1, max_supersteps=50)
+        .where(F.col("distance") < float("inf"))
+        .count()
+    )
+    timings["bfs"], _ = run(
+        lambda: bfs(g, source=1, max_supersteps=50).where("level >= 0").count()
+    )
+    timings["wcc"], _ = run(
+        lambda: wcc(g, max_supersteps=50).select("component").distinct().count()
+    )
+    timings["triangle_count"], _ = run(
+        lambda: triangle_count(nation_graph(spark, SF_DIR)).collect()
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

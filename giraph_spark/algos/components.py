@@ -1,0 +1,114 @@
+"""Connected components and label propagation.
+
+Reference semantics:
+- CC (label propagation): ``examples/ConnectedComponentsComputation.java:49,60-101``
+  — vertex value starts as own id; first superstep sends id to neighbors;
+  afterwards a vertex adopts the minimum inbound id and propagates *only on
+  change* (min message combiner), voting to halt each superstep. Assumes the
+  edge relation is symmetric for true undirected components — use
+  ``prepare.symmetrize`` first (the block-framework version does this
+  itself: ``prepare_graph/UndirectedConnectedComponents.java:279``).
+- Max-value propagation: ``examples/MaxComputation.java:30-33`` — identical
+  with max instead of min.
+
+Scale note: label propagation converges in O(diameter) supersteps — fine for
+small-world graphs (social/trade graphs: ≤ ~10 rounds at any scale since
+each round is a full shuffle regardless of data size). For high-diameter
+graphs the alternating big-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) halves rounds;
+planned as an optional strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..pregel import MSG, PregelMetrics, pregel
+
+
+def _label_propagation(
+    graph: Graph,
+    combine,
+    better,  # better(new, old) -> bool Column: strict improvement
+    init_expr,
+    out_col: str,
+    max_supersteps: int,
+    metrics: PregelMetrics | None,
+) -> DataFrame:
+    return pregel(
+        graph,
+        initial={out_col: init_expr},
+        update=lambda ctx: {
+            out_col: _merge(combine, out_col),
+            "_changed": F.lit(ctx.superstep == 0)
+            | better(_merge(combine, out_col), F.col(out_col)),
+        },
+        combine=combine,
+        msg_type="long",
+        send_msg=F.when(F.col("_changed"), F.col(out_col)),
+        vote_to_halt=F.lit(True),
+        max_supersteps=max_supersteps,
+        metrics=metrics,
+    ).drop("_changed")
+
+
+def _merge(combine, out_col):
+    if combine is F.min:
+        return F.least(F.col(out_col), F.col(MSG))
+    return F.greatest(F.col(out_col), F.col(MSG))
+
+
+def connected_components(
+    graph: Graph,
+    max_supersteps: int = 200,
+    metrics: PregelMetrics | None = None,
+    component_col: str = "component",
+) -> DataFrame:
+    """Min-id label propagation over the edges AS GIVEN (caller symmetrizes
+    for undirected semantics, matching the reference's contract)."""
+    return _label_propagation(
+        graph,
+        F.min,
+        lambda new, old: new < old,
+        F.col(graph.id_col).cast("long"),
+        component_col,
+        max_supersteps,
+        metrics,
+    )
+
+
+def wcc(
+    graph: Graph,
+    max_supersteps: int = 200,
+    metrics: PregelMetrics | None = None,
+    component_col: str = "component",
+) -> DataFrame:
+    """Weakly connected components: symmetrize then propagate
+    (``prepare_graph/WeaklyConnectedComponents.java``)."""
+    from .prepare import symmetrize
+
+    return connected_components(
+        symmetrize(graph), max_supersteps, metrics, component_col
+    )
+
+
+def max_propagation(
+    graph: Graph,
+    max_supersteps: int = 200,
+    metrics: PregelMetrics | None = None,
+    out_col: str = "max_value",
+) -> DataFrame:
+    """Flood-max (``examples/MaxComputation.java:30-33``): every vertex
+    converges to the maximum vertex id reachable backwards; on a symmetric
+    graph, the max id of its component."""
+    return _label_propagation(
+        graph,
+        F.max,
+        lambda new, old: new > old,
+        F.col(graph.id_col).cast("long"),
+        out_col,
+        max_supersteps,
+        metrics,
+    )

@@ -1,0 +1,111 @@
+"""PageRank family.
+
+Reference semantics:
+- Simple: ``giraph-examples/.../examples/SimplePageRankComputation.java:67-93``
+  — from superstep 1 on, ``value = 0.15/N + 0.85·Σ(inbound)``; each superstep
+  the vertex sends ``value / out_degree`` along every out-edge
+  (``sendMessageToAllEdges``); runs a fixed number of supersteps then votes
+  to halt. Mass leaks at sink vertices — that *is* the reference behavior.
+- Dangling-aware: ``giraph-examples/.../examples/PageRankComputation.java:32-57``
+  + ``RandomWalkComputation.java:114`` — dangling vertices' mass is summed by
+  an aggregator each superstep and redistributed uniformly next superstep:
+  ``value = teleport/N + (1−teleport)·(Σ inbound + dangling/N)``.
+- Weighted: ``benchmark/WeightedPageRankComputation.java:72`` — messages
+  proportional to normalized edge weight instead of 1/out_degree.
+
+Spark realization: out-degree (or per-src weight normalization) is computed
+ONCE and joined into the vertex state before the loop — it is static, so it
+rides along the per-superstep state instead of being recomputed (Giraph gets
+this implicitly since each vertex owns its edge list). Each superstep is one
+``groupBy(dst).sum`` shuffle + one state join; Catalyst's partial
+aggregation is the message combiner (``SumMessageCombiner``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..pregel import MSG, PregelContext, PregelMetrics, pregel
+
+
+def pagerank(
+    graph: Graph,
+    iterations: int = 30,
+    damping: float = 0.85,
+    weighted: bool = False,
+    dangling: bool = False,
+    metrics: PregelMetrics | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fixed-iteration PageRank; returns ``(id, ..., rank)``.
+
+    ``iterations`` counts *update rounds* (superstep 0 only scatters the
+    initial 1/N mass, matching the reference which skips the update at
+    superstep 0).
+    """
+    id_col, src_col = graph.id_col, graph.src_col
+    n = graph.vertices.count()
+
+    # Static per-vertex scatter weight, computed once:
+    #   unweighted: 1/out_degree;  weighted: handled per-edge below.
+    degrees = graph.edges.groupBy(F.col(src_col).alias(id_col)).agg(
+        F.count(F.lit(1)).alias("_deg"),
+        F.sum(F.col("weight") if weighted else F.lit(1.0)).alias("_wsum"),
+    )
+    vertices = graph.vertices.join(degrees, on=id_col, how="left").withColumns(
+        {
+            "_deg": F.coalesce("_deg", F.lit(0)),
+            "_wsum": F.coalesce("_wsum", F.lit(0.0)),
+        }
+    )
+    g = Graph(vertices, graph.edges, id_col, src_col, graph.dst_col)
+
+    base = (1.0 - damping) / n
+
+    def update(ctx: PregelContext):
+        if ctx.superstep == 0:
+            return {rank_col: F.lit(1.0 / n)}
+        inbound = F.coalesce(F.col(MSG), F.lit(0.0))
+        if dangling:
+            d = ctx.broadcasts.get("dangling", 0.0)
+            inbound = inbound + F.lit(d / n)
+        return {rank_col: F.lit(base) + F.lit(damping) * inbound}
+
+    # scatter: rank · w/Σw (≡ rank/out_degree when unweighted). try_divide:
+    # sinks have _wsum=0 and never match the triplet join, but Catalyst may
+    # push this projection below the join where ANSI division would throw.
+    per_edge = F.try_divide(
+        F.col("weight") if weighted else F.lit(1.0), F.col("_wsum")
+    )
+    send = lambda ctx: (
+        F.when(F.lit(ctx.superstep < iterations), F.col(rank_col) * per_edge)
+    )
+
+    aggregates = None
+    master_fn = None
+    if dangling:
+        aggregates = {
+            "dangling_sum": F.sum(
+                F.when(F.col("_deg") == 0, F.col(rank_col)).otherwise(0.0)
+            )
+        }
+
+        def master_fn(ctx: PregelContext) -> None:
+            ctx.broadcasts["dangling"] = ctx.aggregates["dangling_sum"] or 0.0
+
+    out = pregel(
+        g,
+        initial={rank_col: F.lit(1.0 / n)},
+        update=update,
+        combine=F.sum,
+        msg_type="double",
+        send_msg=send,
+        vote_to_halt=lambda ctx: F.lit(ctx.superstep >= iterations),
+        aggregates=aggregates,
+        master_fn=master_fn,
+        max_supersteps=iterations + 1,
+        metrics=metrics,
+    )
+    return out.drop("_deg", "_wsum")

@@ -1,0 +1,113 @@
+"""Structural graph-preparation passes.
+
+Reference: ``giraph-block-app-8/.../library/prepare_graph/PrepareGraphPieces.java``
+(removeDuplicateEdges :139, removeAsymEdges :107, makeSymmetricUnweighted
+:166, makeSymmetricWeighted :202, removeStandAloneVertices :279, normalize
+edge weights :328, isSymmetric check :412). Giraph runs each as one or two
+message supersteps; relationally each is a single set-algebra expression —
+dropDuplicates / semi- and anti-joins / union-with-swap / a window — which
+Catalyst executes with one shuffle (or zero, when the needed partitioning
+is already in place).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def _swap(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    # select-based swap: withColumnsRenamed applies renames sequentially and
+    # would collide on the intermediate duplicate name
+    return edges.select(
+        *[
+            F.col(dst).alias(src)
+            if c == src
+            else (F.col(src).alias(dst) if c == dst else F.col(c))
+            for c in edges.columns
+        ]
+    )
+
+
+def dedup_edges(graph: Graph) -> Graph:
+    """Strict-graph semantics: at most one edge per (src, dst); among
+    duplicates the edge value kept is arbitrary-but-deterministic (first by
+    natural order — Giraph's set-based ``OutEdges`` keep one arbitrarily)."""
+    e = graph.edges.dropDuplicates([graph.src_col, graph.dst_col])
+    return Graph(graph.vertices, e, graph.id_col, graph.src_col, graph.dst_col)
+
+
+def symmetrize(graph: Graph, dedup: bool = True) -> Graph:
+    """Make the edge relation symmetric: E ∪ swap(E)
+    (``makeSymmetricUnweighted``; with edge attrs this is
+    ``makeSymmetricWeighted`` — attributes ride along both directions)."""
+    e = graph.edges.unionByName(_swap(graph.edges, graph.src_col, graph.dst_col))
+    if dedup:
+        e = e.dropDuplicates([graph.src_col, graph.dst_col])
+    return Graph(graph.vertices, e, graph.id_col, graph.src_col, graph.dst_col)
+
+
+def remove_asym_edges(graph: Graph) -> Graph:
+    """Keep only edges whose reverse also exists (``removeAsymEdges`` —
+    a self semi-join on the swapped relation)."""
+    src, dst = graph.src_col, graph.dst_col
+    rev = graph.edges.select(
+        F.col(dst).alias(src), F.col(src).alias(dst)
+    ).dropDuplicates()
+    e = graph.edges.join(rev, on=[src, dst], how="left_semi")
+    return Graph(graph.vertices, e, graph.id_col, src, dst)
+
+
+def remove_isolated_vertices(graph: Graph) -> Graph:
+    """Drop vertices with no in- or out-edges (``removeStandAloneVertices``
+    — an anti-join against the endpoint set)."""
+    src, dst = graph.src_col, graph.dst_col
+    endpoints = (
+        graph.edges.select(F.col(src).alias(graph.id_col))
+        .unionByName(graph.edges.select(F.col(dst).alias(graph.id_col)))
+        .dropDuplicates()
+    )
+    v = graph.vertices.join(endpoints, on=graph.id_col, how="left_semi")
+    return Graph(v, graph.edges, graph.id_col, src, dst)
+
+
+def normalize_weights(graph: Graph, weight_col: str = "weight") -> Graph:
+    """Per-source weight normalization ``w / Σ w over (partition by src)``
+    (``NormalizingLongDoubleDoubleTextInputFormat`` on read;
+    ``PrepareGraphPieces.java:328``). Single window, no join."""
+    w = Window.partitionBy(graph.src_col)
+    e = graph.edges.withColumn(
+        weight_col, F.col(weight_col) / F.sum(weight_col).over(w)
+    )
+    return Graph(graph.vertices, e, graph.id_col, graph.src_col, graph.dst_col)
+
+
+def is_symmetric(graph: Graph) -> bool:
+    """True iff every edge's reverse exists (``PrepareGraphPieces.java:412``):
+    one anti-join existence check, short-circuited with limit(1)."""
+    src, dst = graph.src_col, graph.dst_col
+    fwd = graph.edges.select(src, dst).dropDuplicates()
+    rev = _swap(fwd, src, dst)
+    return fwd.join(rev, on=[src, dst], how="left_anti").limit(1).count() == 0
+
+
+def create_missing_vertices(graph: Graph, defaults: dict | None = None) -> Graph:
+    """Create vertices referenced by edges but absent from the vertex set
+    (``edge/DefaultCreateSourceVertexCallback.java:32`` +
+    ``DefaultVertexResolver`` message-induced creation): endpoint-set
+    anti-join, missing state columns filled from ``defaults`` (else NULL)."""
+    id_col = graph.id_col
+    endpoints = (
+        graph.edges.select(F.col(graph.src_col).alias(id_col))
+        .unionByName(graph.edges.select(F.col(graph.dst_col).alias(id_col)))
+        .dropDuplicates()
+    )
+    missing = endpoints.join(graph.vertices, on=id_col, how="left_anti")
+    defaults = defaults or {}
+    for c in graph.vertices.columns:
+        if c != id_col:
+            missing = missing.withColumn(c, F.lit(defaults.get(c)))
+    v = graph.vertices.unionByName(missing.select(graph.vertices.columns))
+    return Graph(v, graph.edges, id_col, graph.src_col, graph.dst_col)

@@ -1,0 +1,130 @@
+"""Strongly connected components — forward-backward coloring.
+
+Reference: ``giraph-examples/.../scc/SccComputation.java:41,67`` +
+``scc/SccPhaseMasterCompute.java:34,54-116`` — a master-driven phase
+machine TRANSPOSE → TRIM → FORWARD-TRAVERSAL → BACKWARD-TRAVERSAL repeated
+until all vertices are assigned. The same FW-BW/coloring structure is
+realized here as a driver loop over two pregel passes per round:
+
+1. *Forward coloring*: every unassigned vertex's color converges to the
+   max unassigned id that reaches it (max-propagation along edges) — the
+   FORWARD_TRAVERSAL phase.
+2. *Backward membership*: roots (color == own id) flood their color along
+   REVERSED edges, but only vertices with the same color accept — the
+   BACKWARD_TRAVERSAL phase restricted to the color class. Everything
+   reached is exactly SCC(root) and gets assigned scc = color (the max
+   member id, matching the coloring invariant).
+3. Assigned vertices are removed (the reference "deactivates" them:
+   ``SccVertexValue`` trimming) and the round repeats on the rest.
+
+Rounds needed = number of "SCC layers" hit by the largest colors — small in
+practice (the reference makes the identical trade-off). Each round's
+DataFrames are checkpoint-truncated, so the driver plan stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..pregel import MSG, pregel
+
+
+def scc(
+    graph: Graph,
+    max_rounds: int = 30,
+    max_supersteps: int = 100,
+    scc_col: str = "scc",
+) -> DataFrame:
+    """Returns ``(id, scc)`` where ``scc`` = max vertex id of the strongly
+    connected component."""
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+
+    remaining = graph.vertices.select(id_col)
+    assigned: DataFrame | None = None
+    edges_all = graph.edges.select(src, dst).persist()
+    edges_all.count()
+
+    for _ in range(max_rounds):
+        if remaining.limit(1).count() == 0:
+            break
+        remaining = remaining.localCheckpoint(eager=True)
+
+        # induced subgraph on remaining vertices
+        e = (
+            edges_all.join(
+                remaining.select(F.col(id_col).alias(src)), on=src, how="left_semi"
+            )
+            .join(remaining.select(F.col(id_col).alias(dst)), on=dst, how="left_semi")
+            .persist()
+        )
+        sub = Graph(remaining, e, id_col, src, dst)
+
+        # Phase 1: forward max-coloring (FORWARD_TRAVERSAL)
+        colored = pregel(
+            sub,
+            initial={"_color": F.col(id_col).cast("long")},
+            update=lambda ctx: {
+                "_color": F.greatest(F.col("_color"), F.col(MSG)),
+                "_chg": F.lit(ctx.superstep == 0)
+                | (F.coalesce(F.col(MSG), F.lit(-(2**62))) > F.col("_color")),
+            },
+            combine=F.max,
+            msg_type="long",
+            send_msg=F.when(F.col("_chg"), F.col("_color")),
+            vote_to_halt=F.lit(True),
+            max_supersteps=max_supersteps,
+        ).select(id_col, "_color")
+
+        # Phase 2: backward membership flood within color class
+        # (BACKWARD_TRAVERSAL): roots send color along reversed edges.
+        csub = Graph(colored, e, id_col, src, dst)
+        member = pregel(
+            csub,
+            initial={"_member": F.col("_color") == F.col(id_col)},
+            update=lambda ctx: {
+                "_member": F.col("_member")
+                | (
+                    F.col(MSG).isNotNull()
+                    & F.array_contains(F.col(MSG), F.col("_color"))
+                ),
+                "_chg": (
+                    F.lit(ctx.superstep == 0) & F.col("_member")
+                )
+                | (
+                    ~F.col("_member")
+                    & F.col(MSG).isNotNull()
+                    & F.array_contains(F.col(MSG), F.col("_color"))
+                ),
+            },
+            combine=F.collect_set,
+            msg_type="long",
+            send_msg_to_src=F.when(F.col("_chg"), F.col("_color")),
+            vote_to_halt=F.lit(True),
+            max_supersteps=max_supersteps,
+        ).select(id_col, "_color", "_member")
+
+        found = member.filter(F.col("_member")).select(
+            id_col, F.col("_color").cast("long").alias(scc_col)
+        )
+        assigned = (
+            found
+            if assigned is None
+            else assigned.unionByName(found).localCheckpoint(eager=True)
+        )
+        remaining = (
+            member.filter(~F.col("_member")).select(id_col)
+        )
+        e.unpersist()
+
+    edges_all.unpersist()
+    if assigned is None:
+        return graph.vertices.select(
+            id_col, F.col(id_col).cast("long").alias(scc_col)
+        )
+    # any leftovers past max_rounds: their own id (singleton fallback)
+    leftovers = remaining.select(
+        id_col, F.col(id_col).cast("long").alias(scc_col)
+    )
+    return assigned.unionByName(leftovers)

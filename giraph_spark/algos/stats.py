@@ -1,0 +1,52 @@
+"""Global graph statistics.
+
+Reference: ``giraph-block-app-8/.../library/stats/DirectedGraphStats.java``
+(vertex/edge counts, degree moments) and ``PartitioningStats.java``
+(locality — not meaningful under Spark's shuffle model). One aggregation
+pass, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def graph_stats(graph: Graph) -> DataFrame:
+    """Single-row summary: vertex/edge counts, degree min/max/avg, isolated
+    vertex count. Computed with one pass over edges + one join."""
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    degs = (
+        graph.vertices.select(id_col)
+        .join(
+            graph.edges.groupBy(F.col(src).alias(id_col)).agg(
+                F.count(F.lit(1)).alias("od")
+            ),
+            id_col,
+            "left",
+        )
+        .join(
+            graph.edges.groupBy(F.col(dst).alias(id_col)).agg(
+                F.count(F.lit(1)).alias("idg")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("od", F.lit(0)).alias("od"),
+            F.coalesce("idg", F.lit(0)).alias("idg"),
+        )
+    )
+    return degs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum("od").cast("long").alias("n_edges"),
+        F.max("od").cast("long").alias("max_out_degree"),
+        F.max("idg").cast("long").alias("max_in_degree"),
+        F.round(F.avg("od"), 6).alias("avg_out_degree"),
+        F.sum(((F.col("od") == 0) & (F.col("idg") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_isolated"),
+    )

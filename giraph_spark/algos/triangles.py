@@ -1,0 +1,116 @@
+"""Triangle counting and triangle-closing recommendation.
+
+Reference semantics:
+- Count: ``giraph-block-app-8/.../library/triangles/UndirectedTriangleCountingBlockFactory.java:53,81-95``
+  — symmetrize + dedup, then count closing wedges over ordered ids (each
+  triangle counted once via ``src < mid < dst``).
+- Closing (friends-of-friends top-k):
+  ``giraph-examples/.../examples/SimpleTriangleClosingComputation.java:67-75``
+  — for each vertex, rank non-neighbor 2-hop pairs by the number of common
+  neighbors.
+
+Spark realization: pure joins — Giraph needs two message supersteps
+(forward neighbor lists, then probe); relationally it is the classic
+oriented wedge join. Scale notes: orienting edges low-id→high-id before the
+wedge join keys the self-join on the *lower-degree* endpoint distribution
+(standard power-law mitigation) and halves the join input; the second join
+(wedge → closing edge probe) is a semi-join on the edge set, which AQE can
+convert to broadcast when the deduped edge list is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from .prepare import symmetrize
+
+
+def _oriented(graph: Graph) -> DataFrame:
+    """Canonical undirected edges with src < dst, deduped."""
+    src, dst = graph.src_col, graph.dst_col
+    sym = symmetrize(graph, dedup=True).edges.select(src, dst)
+    return sym.where(F.col(src) < F.col(dst))
+
+
+def triangle_count(graph: Graph) -> DataFrame:
+    """Global triangle count; returns a single row ``(triangles BIGINT)``."""
+    src, dst = graph.src_col, graph.dst_col
+    e = _oriented(graph)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col(f"e1.{dst}") == F.col(f"e2.{src}"))
+    tris = wedges.join(
+        e3,
+        (F.col(f"e1.{src}") == F.col(f"e3.{src}"))
+        & (F.col(f"e2.{dst}") == F.col(f"e3.{dst}")),
+        "left_semi",
+    )
+    return tris.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+
+
+def triangles_per_vertex(graph: Graph) -> DataFrame:
+    """Per-vertex triangle participation count ``(id, triangles)``."""
+    src, dst = graph.src_col, graph.dst_col
+    id_col = graph.id_col
+    e = _oriented(graph)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col(f"e1.{dst}") == F.col(f"e2.{src}"))
+        .join(
+            e3,
+            (F.col(f"e1.{src}") == F.col(f"e3.{src}"))
+            & (F.col(f"e2.{dst}") == F.col(f"e3.{dst}")),
+        )
+        .select(
+            F.col(f"e1.{src}").alias("a"),
+            F.col(f"e1.{dst}").alias("b"),
+            F.col(f"e2.{dst}").alias("c"),
+        )
+    )
+    corners = (
+        tris.select(F.col("a").alias(id_col))
+        .unionAll(tris.select(F.col("b").alias(id_col)))
+        .unionAll(tris.select(F.col("c").alias(id_col)))
+    )
+    cnt = corners.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    return (
+        graph.vertices.select(id_col)
+        .join(cnt, id_col, "left")
+        .select(id_col, F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
+    )
+
+
+def triangle_closing_topk(graph: Graph, k: int = 10) -> DataFrame:
+    """For each vertex, the top-k non-adjacent vertices ranked by common
+    neighbor count (``SimpleTriangleClosingComputation``); returns
+    ``(id, candidate, common_neighbors, rnk)``. Ties broken by candidate id
+    for determinism (the reference's ``IntArrayListWritable`` comparator
+    sorts on score only — id tiebreak is our determinism addition)."""
+    from pyspark.sql import Window
+
+    src, dst = graph.src_col, graph.dst_col
+    id_col = graph.id_col
+    sym = symmetrize(graph, dedup=True).edges.select(src, dst)
+    a = sym.alias("a")
+    b = sym.alias("b")
+    pairs = (
+        a.join(b, F.col(f"a.{dst}") == F.col(f"b.{src}"))
+        .where(F.col(f"a.{src}") != F.col(f"b.{dst}"))
+        .groupBy(
+            F.col(f"a.{src}").alias(id_col), F.col(f"b.{dst}").alias("candidate")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    # drop already-adjacent pairs
+    adj = sym.select(F.col(src).alias(id_col), F.col(dst).alias("candidate"))
+    pairs = pairs.join(adj, [id_col, "candidate"], "left_anti")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("common_neighbors"), F.asc("candidate")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

@@ -1,0 +1,254 @@
+"""Block-framework combinators — Giraph's composition algebra (SURVEY §2.9).
+
+Reference: ``giraph-block-app/.../framework/`` — a Block is an iterator of
+Pieces, each Piece one superstep of (vertexSend → messages/reducers →
+masterCompute → vertexReceive) (``piece/AbstractPiece.java:131-234``);
+blocks compose via SequenceBlock :33, RepeatBlock :33, RepeatUntilBlock :37,
+IfBlock :30, FilteringBlock :43-75.
+
+Spark realization: a Piece is a function ``(GraphState, BlockContext) ->
+GraphState`` executed on the driver, where GraphState wraps the vertices
+DataFrame; control flow is plain Python. This is the closest thing Giraph
+has to a composable query plan, and our Python API mirrors it 1:1 — but each
+piece body is declarative DataFrame algebra, so Catalyst still optimizes
+within a piece.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import Graph
+
+
+@dataclass
+class BlockContext:
+    """Shared driver-side state across pieces (broadcast/reduce registry —
+    ``piece/global_comm/ReducerHandle.java``, ``BroadcastHandle.java``)."""
+
+    values: dict[str, Any] = field(default_factory=dict)
+    piece_index: int = 0
+    _halt: bool = False
+
+    def halt(self) -> None:
+        self._halt = True
+
+
+# A Piece transforms the vertices DataFrame (edges are static within a
+# block run, matching STATIC_GRAPH).
+Piece = Callable[[DataFrame, Graph, BlockContext], DataFrame]
+
+
+class Block:
+    """Base: a composable unit yielding pieces (``framework/block/Block.java:34-67``)."""
+
+    def pieces(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def run(self, graph: Graph, ctx: BlockContext | None = None) -> DataFrame:
+        """Walk the piece iterator, one piece at a time (``BlockMasterLogic``).
+        Lineage is truncated every few pieces, same rationale as the pregel
+        kernel."""
+        ctx = ctx or BlockContext()
+        vertices = graph.vertices
+        for i, piece in enumerate(self.pieces()):
+            if ctx._halt:
+                break
+            ctx.piece_index = i
+            vertices = piece(vertices, graph, ctx)
+            if (i + 1) % 4 == 0:
+                vertices = vertices.localCheckpoint(eager=True)
+        return vertices
+
+
+class PieceBlock(Block):
+    """A single piece as a block."""
+
+    def __init__(self, piece: Piece):
+        self.piece = piece
+
+    def pieces(self):
+        yield self.piece
+
+
+class SequenceBlock(Block):
+    """Run blocks in order (``SequenceBlock.java:33``)."""
+
+    def __init__(self, *blocks: Block):
+        self.blocks = [b if isinstance(b, Block) else PieceBlock(b) for b in blocks]
+
+    def pieces(self):
+        for b in self.blocks:
+            yield from b.pieces()
+
+
+class RepeatBlock(Block):
+    """Fixed-count loop (``RepeatBlock.java:33``)."""
+
+    def __init__(self, n: int, block: Block | Piece):
+        self.n = n
+        self.block = block if isinstance(block, Block) else PieceBlock(block)
+
+    def pieces(self):
+        for _ in range(self.n):
+            yield from self.block.pieces()
+
+
+class RepeatUntilBlock(Block):
+    """Loop until a driver-side predicate over the context says stop
+    (``RepeatUntilBlock.java:37`` — condition comes from a broadcast/reduced
+    value, i.e. ``ctx.values`` here)."""
+
+    def __init__(
+        self,
+        block: Block | Piece,
+        until: Callable[[BlockContext], bool],
+        max_repeats: int = 100,
+    ):
+        self.block = block if isinstance(block, Block) else PieceBlock(block)
+        self.until = until
+        self.max_repeats = max_repeats
+
+    def pieces(self):
+        for _ in range(self.max_repeats):
+            yield from self.block.pieces()
+            # evaluated lazily *after* the inner block's pieces ran
+            yield self._check
+
+    def _check(self, vertices, graph, ctx):
+        if self.until(ctx):
+            ctx.halt()
+        return vertices
+
+
+class IfBlock(Block):
+    """Conditional (``IfBlock.java:30``): predicate evaluated when reached."""
+
+    def __init__(
+        self,
+        cond: Callable[[BlockContext], bool],
+        then_block: Block | Piece,
+        else_block: Block | Piece | None = None,
+    ):
+        self.cond = cond
+        self.then_block = (
+            then_block if isinstance(then_block, Block) else PieceBlock(then_block)
+        )
+        self.else_block = (
+            else_block
+            if (else_block is None or isinstance(else_block, Block))
+            else PieceBlock(else_block)
+        )
+
+    def pieces(self):
+        # Deferred: one piece that dispatches — condition depends on runtime ctx
+        def dispatch(vertices, graph, ctx):
+            branch = self.then_block if self.cond(ctx) else self.else_block
+            if branch is not None:
+                inner = BlockContext(values=ctx.values)
+                v = vertices
+                for p in branch.pieces():
+                    v = p(v, graph, inner)
+                    if inner._halt:
+                        break
+            else:
+                v = vertices
+            return v
+
+        yield dispatch
+
+
+class EmptyBlock(Block):
+    """No-op (``EmptyBlock.java:30``)."""
+
+    def pieces(self):
+        return iter(())
+
+
+class FilteringBlock(Block):
+    """Run the inner block only over vertices passing a predicate
+    (``FilteringBlock.java:43-75``); non-passing vertices ride through
+    unchanged (the reference keeps them but hides them from the piece)."""
+
+    def __init__(self, predicate, block: Block | Piece):
+        self.predicate = predicate
+        self.block = block if isinstance(block, Block) else PieceBlock(block)
+
+    def pieces(self):
+        def filtered(piece):
+            def wrapper(vertices, graph, ctx):
+                passed = vertices.filter(self.predicate)
+                held = vertices.filter(~F.coalesce(self.predicate, F.lit(False)))
+                out = piece(passed, graph, ctx)
+                return out.unionByName(held.select(out.columns))
+
+            return wrapper
+
+        for p in self.block.pieces():
+            yield filtered(p)
+
+
+def piece_count(block: Block) -> int:
+    """Static piece count where determinable (``framework/block/PieceCount.java``)."""
+    return sum(1 for _ in block.pieces())
+
+
+# ------------------------------------------------------ Pieces library --
+# Reference: giraph-block-app/.../library/Pieces.java
+
+
+def for_all_vertices(fn: Callable[[DataFrame], DataFrame]) -> Piece:
+    """Apply a DataFrame transform to every vertex (``Pieces.java:67``)."""
+
+    def piece(vertices, graph, ctx):
+        return fn(vertices)
+
+    return piece
+
+
+def master_compute(fn: Callable[[BlockContext], None]) -> Piece:
+    """Driver-only step (``Pieces.java:94``)."""
+
+    def piece(vertices, graph, ctx):
+        fn(ctx)
+        return vertices
+
+    return piece
+
+
+def reduce_and_broadcast(
+    name: str, agg_expr, post: Callable[[BlockContext], None] | None = None
+) -> Piece:
+    """Global reduce, stored into ``ctx.values[name]`` for later pieces
+    (``Pieces.java:195,223,275`` reduce/reduceWithMaster/reduceAndBroadcast)."""
+
+    def piece(vertices, graph, ctx):
+        ctx.values[name] = vertices.agg(agg_expr.alias("v")).collect()[0]["v"]
+        if post is not None:
+            post(ctx)
+        return vertices
+
+    return piece
+
+
+def send_message_to_neighbors(
+    msg_expr, combine, update: dict[str, Any], msg_name: str = "_msg"
+) -> Piece:
+    """One message round along out-edges + receive-side update
+    (``Pieces.java:446,470`` sendMessageToNeighbors ± combiner). The
+    combined message is exposed to ``update`` expressions as column
+    ``msg_name`` (NULL when none)."""
+
+    def piece(vertices, graph, ctx):
+        id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+        triplet = vertices.join(graph.edges, vertices[id_col] == graph.edges[src])
+        msgs = triplet.select(F.col(dst).alias(id_col), msg_expr.alias("_m"))
+        inbox = msgs.groupBy(id_col).agg(combine(F.col("_m")).alias(msg_name))
+        joined = vertices.join(inbox, id_col, "left")
+        return joined.withColumns(update).drop(msg_name)
+
+    return piece

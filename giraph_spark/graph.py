@@ -145,7 +145,16 @@ class Graph:
         ``giraph-examples/.../scc/SccComputation.java``)."""
         from pyspark.sql import functions as F
 
-        swapped = self.edges.withColumnsRenamed(
-            {self.src_col: self.dst_col, self.dst_col: self.src_col}
+        swapped = self.edges.select(
+            *[
+                F.col(self.dst_col).alias(self.src_col)
+                if c == self.src_col
+                else (
+                    F.col(self.src_col).alias(self.dst_col)
+                    if c == self.dst_col
+                    else F.col(c)
+                )
+                for c in self.edges.columns
+            ]
         )
         return Graph(self.vertices, swapped, self.id_col, self.src_col, self.dst_col)

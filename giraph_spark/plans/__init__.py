@@ -1,0 +1,5 @@
+"""Graph derivations from the driver's TPC-H-ish testdata (FIXTURES.md §B)."""
+
+from .fixtures import events_chain, nation_graph, trade_graph
+
+__all__ = ["trade_graph", "nation_graph", "events_chain"]

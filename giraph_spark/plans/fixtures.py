@@ -1,0 +1,168 @@
+"""Standard graphs derived from the driver testdata (FIXTURES.md §B).
+
+These are the engine's equivalents of Giraph's input superstep: declarative
+reads + joins that Catalyst optimizes (predicate pushdown into the parquet
+scan, broadcast of the small dimension tables). At 100 TB the lineitem⋈orders
+join is the dominant cost — it shuffles on orderkey unless the tables are
+bucketed by orderkey at write time, which is the recommended layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+SUPPLIER_OFFSET = 10**9  # disjoint id spaces: supplier id + 1e9 (FIXTURES B1)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def trade_graph(
+    spark: SparkSession, sf_dir: str, directed: bool = False
+) -> Graph:
+    """Customer↔supplier trade graph (FIXTURES.md B1).
+
+    Edges: ``(src=o_custkey, dst=l_suppkey+1e9, weight=sum(l_extendedprice))``
+    from ``lineitem ⋈ orders``; undirected (default) adds the reversed
+    edges, giving every vertex out-degree ≥ 1 when it trades at all.
+    Vertices: all customers ∪ all suppliers (isolated customers included).
+    """
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+
+    fwd = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPPLIER_OFFSET).alias("dst"),
+        )
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("weight"))
+    )
+    edges = fwd
+    if not directed:
+        edges = fwd.unionByName(
+            fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+    vertices = customer.select(F.col("c_custkey").cast("long").alias("id")).unionByName(
+        supplier.select((F.col("s_suppkey") + SUPPLIER_OFFSET).cast("long").alias("id"))
+    )
+    return Graph(vertices, edges)
+
+
+# DuckDB-runnable CTE prefix producing the SAME vertices/edges relations —
+# the oracle-side twin of trade_graph() (driver correctness gate).
+TRADE_GRAPH_SQL = """
+WITH fwd AS (
+    SELECT o_custkey AS src,
+           l_suppkey + 1000000000 AS dst,
+           ROUND(SUM(l_extendedprice), 2) AS weight
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT src, dst, weight FROM fwd
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM fwd
+),
+vertices AS (
+    SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+    UNION ALL
+    SELECT CAST(s_suppkey + 1000000000 AS BIGINT) AS id FROM supplier
+)
+"""
+
+TRADE_GRAPH_DIRECTED_SQL = """
+WITH edges AS (
+    SELECT o_custkey AS src,
+           l_suppkey + 1000000000 AS dst,
+           ROUND(SUM(l_extendedprice), 2) AS weight
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+vertices AS (
+    SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+    UNION ALL
+    SELECT CAST(s_suppkey + 1000000000 AS BIGINT) AS id FROM supplier
+)
+"""
+
+
+def nation_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Small dense nation→nation graph (FIXTURES.md B2): edge n1→n2 iff some
+    customer of n1 bought from some supplier of n2. ~25 vertices with
+    cycles — the SCC / triangle fixture."""
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    vertices = nation.select(F.col("n_nationkey").cast("long").alias("id"))
+    return Graph(vertices, edges)
+
+
+NATION_GRAPH_SQL = """
+WITH edges AS (
+    SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+                    CAST(s_nationkey AS BIGINT) AS dst
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE c_nationkey <> s_nationkey
+),
+vertices AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+)
+"""
+
+
+def events_chain(spark: SparkSession, sf_dir: str) -> Graph:
+    """Per-user event-succession chain graph (FIXTURES.md B3): edge from
+    each event to the user's next event by timestamp — long paths, built
+    with one window function (no self-join)."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.select(
+            F.col("event_id").cast("long").alias("src"),
+            F.lead("event_id").over(w).cast("long").alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    vertices = events.select(F.col("event_id").cast("long").alias("id"))
+    return Graph(vertices, edges)
+
+
+EVENTS_CHAIN_SQL = """
+WITH edges AS (
+    SELECT CAST(event_id AS BIGINT) AS src,
+           CAST(LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS dst
+    FROM events
+    QUALIFY dst IS NOT NULL
+),
+vertices AS (
+    SELECT CAST(event_id AS BIGINT) AS id FROM events
+)
+"""

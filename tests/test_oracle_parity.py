@@ -1,0 +1,69 @@
+"""Mirror of the driver's correctness gate: run every queries() entry and
+its oracle_sql() twin on the same parquet, compare row count, schema width,
+and values (exact, after each side's own rounding).
+
+Runs at sf0.001 for speed; the driver runs the same thing at sf0.01.
+"""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+QUERIES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(name, spark, sf_dir, ddb):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    got = q(spark, sf_dir).toPandas()
+    if sql is None:
+        assert len(got) >= 0  # rows-only check (driver's weaker path)
+        return
+    want = ddb.execute(sql).fetchdf()
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    )
+    g, w = _canon(got), _canon(want)
+    for col in g.columns:
+        gv, wv = g[col].tolist(), w[col].tolist()
+        for i, (a, b) in enumerate(zip(gv, wv)):
+            if isinstance(a, float) and isinstance(b, float):
+                ok = (math.isnan(a) and math.isnan(b)) or a == b
+            else:
+                ok = a == b
+            assert ok, f"{name}.{col}[{i}]: {a!r} != {b!r}"

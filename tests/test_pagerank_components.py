@@ -1,0 +1,123 @@
+"""Golden/invariant tests mirroring the reference's own assertions:
+- PageRank ring (FIXTURES A3, `SimplePageRankComputation` invariants
+  :125-131 — min/max/sum of ranks).
+- CC toy (FIXTURES A2, `ConnectedComponentsComputationTestInMemory`).
+- prepare ops (`PrepareGraphPieces` semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark import Graph
+from giraph_spark.algos.components import connected_components, max_propagation, wcc
+from giraph_spark.algos.pagerank import pagerank
+from giraph_spark.algos import prepare
+
+
+@pytest.fixture(scope="module")
+def ring5(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    return Graph(vertices, edges)
+
+
+@pytest.fixture(scope="module")
+def two_components(spark):
+    # components {1,2,3} and {10,11}; symmetric edge lists
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11)], "id long")
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    return Graph(vertices, edges)
+
+
+def test_pagerank_ring_uniform(ring5):
+    # A regular ring: rank stays exactly uniform; sum of ranks = 1.
+    out = pagerank(ring5, iterations=10)
+    ranks = {r["id"]: r["rank"] for r in out.collect()}
+    assert all(abs(v - 0.2) < 1e-12 for v in ranks.values())
+
+
+def test_pagerank_leaks_at_sink(spark):
+    # chain 1→2→3; reference (simple) semantics: sink mass leaks, sum < 1
+    g = Graph(
+        spark.createDataFrame([(1,), (2,), (3,)], "id long"),
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+    )
+    total = pagerank(g, iterations=15).agg(F.sum("rank")).collect()[0][0]
+    assert total < 0.999
+
+
+def test_pagerank_dangling_conserves_mass(spark):
+    g = Graph(
+        spark.createDataFrame([(1,), (2,), (3,)], "id long"),
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+    )
+    total = (
+        pagerank(g, iterations=25, dangling=True).agg(F.sum("rank")).collect()[0][0]
+    )
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_pagerank_weighted_matches_unweighted_on_equal_weights(ring5):
+    g = Graph(
+        ring5.vertices,
+        ring5.edges.withColumn("weight", F.lit(7.0)),
+    )
+    out = pagerank(g, iterations=5, weighted=True)
+    ranks = {r["id"]: r["rank"] for r in out.collect()}
+    assert all(abs(v - 0.2) < 1e-12 for v in ranks.values())
+
+
+def test_connected_components_golden(two_components):
+    out = connected_components(two_components)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_max_propagation_golden(two_components):
+    out = max_propagation(two_components)
+    got = {r["id"]: r["max_value"] for r in out.collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 10: 11, 11: 11}
+
+
+def test_wcc_symmetrizes_directed_input(spark):
+    # directed chain only: 1→2→3 plus isolated 9
+    g = Graph(
+        spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long"),
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+    )
+    got = {r["id"]: r["component"] for r in wcc(g).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_prepare_ops(spark):
+    g = Graph(
+        spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long"),
+        spark.createDataFrame(
+            [(1, 2, 1.0), (1, 2, 1.0), (2, 1, 5.0), (1, 3, 3.0)],
+            "src long, dst long, weight double",
+        ),
+    )
+    assert prepare.dedup_edges(g).edges.count() == 3
+    assert not prepare.is_symmetric(g)
+    sym = prepare.symmetrize(prepare.dedup_edges(g))
+    assert prepare.is_symmetric(sym)
+    assert sym.edges.count() == 4  # (1,2),(2,1),(1,3),(3,1)
+    mutual = prepare.remove_asym_edges(prepare.dedup_edges(g))
+    assert sorted((r.src, r.dst) for r in mutual.edges.collect()) == [(1, 2), (2, 1)]
+    assert sorted(
+        r.id for r in prepare.remove_isolated_vertices(g).vertices.collect()
+    ) == [1, 2, 3]
+    norm = prepare.normalize_weights(prepare.dedup_edges(g))
+    w = {(r.src, r.dst): r.weight for r in norm.edges.collect()}
+    assert abs(w[(1, 2)] - 0.25) < 1e-12 and abs(w[(1, 3)] - 0.75) < 1e-12
+
+    # create_missing_vertices: edges referencing absent vertex 7
+    g2 = Graph(
+        spark.createDataFrame([(1,)], "id long"),
+        spark.createDataFrame([(1, 7)], "src long, dst long"),
+    )
+    v = prepare.create_missing_vertices(g2).vertices
+    assert sorted(r.id for r in v.collect()) == [1, 7]
