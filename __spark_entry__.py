@@ -24,8 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giraph_spark import Graph
+from giraph_spark.algos.coarsen import coarsen
 from giraph_spark.algos.components import max_propagation, wcc
-from giraph_spark.algos.pagerank import pagerank
+from giraph_spark.algos.independent_set import maximal_independent_set
+from giraph_spark.algos.pagerank import pagerank, random_walk_with_restart
+from giraph_spark.algos.scc import scc
 from giraph_spark.algos.paths import bfs, sssp
 from giraph_spark.algos.prepare import (
     dedup_edges,
@@ -181,6 +184,42 @@ def _q_normalize_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scc(nation_graph(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id"), F.col("scc").cast("long").alias("scc")
+    )
+
+
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = symmetrize(nation_graph(spark, sf_dir))
+    return maximal_independent_set(g).select(
+        F.col("id").cast("long").alias("id"), "in_set"
+    )
+
+
+def _q_rwr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = trade_graph(spark, sf_dir)
+    out = random_walk_with_restart(g, sources=[SSSP_SOURCE], iterations=PR_ITERS)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = nation_graph(spark, sf_dir)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    mapping = nation.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_regionkey").cast("long").alias("cluster"),
+    )
+    c = coarsen(g, mapping, weight_col=None)
+    return c.edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": _q_pagerank(weighted=False, dangling=False),
@@ -199,6 +238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symmetrize_edges": _q_symmetrize,
         "remove_asym_edges": _q_remove_asym,
         "normalize_weights": _q_normalize_weights,
+        "scc": _q_scc,
+        "maximal_independent_set": _q_mis,
+        "random_walk_with_restart": _q_rwr,
+        "coarsen_by_region": _q_coarsen,
     }
 
 
@@ -385,7 +428,115 @@ SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
 FROM edges"""
     )
 
+    # SCC: transitive closure by squaring (2^5 = 32 > |nation|), then
+    # label = max mutually-reachable id.
+    scc_parts = [
+        NATION_GRAPH_SQL.strip(),
+        ", r0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+    ]
+    for t in range(5):
+        scc_parts.append(
+            f""", r{t + 1} AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM r{t}
+        UNION ALL
+        SELECT a.src, b.dst FROM r{t} a JOIN r{t} b ON a.dst = b.src
+    ) t{t}
+)"""
+        )
+    scc_parts.append(
+        """SELECT CAST(v.id AS BIGINT) AS id,
+       CAST(GREATEST(v.id, COALESCE(MAX(x.u), v.id)) AS BIGINT) AS scc
+FROM vertices v
+LEFT JOIN (
+    SELECT f.src AS vid, f.dst AS u
+    FROM r5 f JOIN r5 b ON b.src = f.dst AND b.dst = f.src
+) x ON x.vid = v.id
+GROUP BY v.id"""
+    )
+    scc_sql = "\n".join(scc_parts)
+
+    # MIS: unrolled Luby rounds with md5(id) priorities (same hash both
+    # engines, so the oracle reproduces the exact same set).
+    mis_parts = [
+        sym_sql,
+        ", s0 AS MATERIALIZED (SELECT id, 0 AS st, md5(CAST(id AS VARCHAR)) AS pri FROM vertices)",
+    ]
+    for t in range(8):
+        mis_parts.append(
+            f""", in{t} AS MATERIALIZED (
+    SELECT s.id FROM s{t} s
+    WHERE s.st = 0 AND NOT EXISTS (
+        SELECT 1 FROM sym e JOIN s{t} n ON n.id = e.src
+        WHERE e.dst = s.id AND n.st = 0 AND n.pri < s.pri)
+), s{t + 1} AS MATERIALIZED (
+    SELECT s.id,
+           CASE WHEN s.id IN (SELECT id FROM in{t}) THEN 1
+                WHEN s.st = 0 AND EXISTS (
+                    SELECT 1 FROM sym e JOIN in{t} i ON i.id = e.src
+                    WHERE e.dst = s.id) THEN 2
+                ELSE s.st END AS st,
+           s.pri
+    FROM s{t} s
+)"""
+        )
+    mis_parts.append(
+        "SELECT CAST(id AS BIGINT) AS id, (st = 1) AS in_set FROM s8"
+    )
+    mis_sql = "\n".join(mis_parts)
+
+    # Random walk with restart: PR unroll with teleport+dangling to source.
+    rwr_parts = [
+        TRADE_GRAPH_SQL.strip(),
+        """, deg AS (
+    SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg, SUM(weight) AS wsum
+    FROM edges GROUP BY src
+), r0 AS MATERIALIZED (
+    SELECT id, CASE WHEN id = %d THEN 1.0 ELSE 0.0 END AS val FROM vertices
+)"""
+        % SSSP_SOURCE,
+    ]
+    for t in range(PR_ITERS):
+        rwr_parts.append(
+            f""", dang{t} AS MATERIALIZED (
+    SELECT COALESCE(SUM(val), 0) AS dm FROM r{t}
+    WHERE id NOT IN (SELECT src FROM deg)
+), r{t + 1} AS MATERIALIZED (
+    SELECT v.id,
+           CASE WHEN v.id = {SSSP_SOURCE}
+                THEN 0.15 + 0.85 * (SELECT dm FROM dang{t}) ELSE 0.0 END
+           + 0.85 * COALESCE(m.s, 0) AS val
+    FROM r{t} v
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.val * 1.0 / d.deg) AS s
+        FROM edges e JOIN r{t} r ON r.id = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)"""
+        )
+    rwr_parts.append(
+        f"SELECT CAST(id AS BIGINT) AS id, ROUND(val, 6) AS rank FROM r{PR_ITERS}"
+    )
+    rwr_sql = "\n".join(rwr_parts)
+
+    coarsen_sql = (
+        NATION_GRAPH_SQL.strip()
+        + """
+, mapping AS (SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(n_regionkey AS BIGINT) AS cluster FROM nation)
+SELECT ms.cluster AS src, md.cluster AS dst,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM edges e
+JOIN mapping ms ON ms.id = e.src
+JOIN mapping md ON md.id = e.dst
+WHERE ms.cluster <> md.cluster
+GROUP BY ms.cluster, md.cluster"""
+    )
+
     return {
+        "scc": scc_sql,
+        "maximal_independent_set": mis_sql,
+        "random_walk_with_restart": rwr_sql,
+        "coarsen_by_region": coarsen_sql,
         "pagerank": _pagerank_oracle(PR_ITERS, False, False),
         "pagerank_weighted": _pagerank_oracle(PR_ITERS, True, False),
         "pagerank_dangling": _pagerank_oracle(PR_ITERS, False, True),

@@ -1,0 +1,48 @@
+"""Graph coarsening: merge vertices by a cluster assignment.
+
+Reference: ``giraph-block-app-8/.../library/coarsening/CoarseningUtils.java``
+— contract each cluster to a single super-vertex, re-key edges to cluster
+ids, merge parallel super-edges by summing weights, and drop self-loops
+(optionally kept as cluster-internal weight).
+
+Relationally: two joins to re-key + one groupBy — Giraph needs message
+rounds to ship adjacency to the cluster representative; Spark shuffles once
+per join and AQE broadcasts the (small) mapping side when possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def coarsen(
+    graph: Graph,
+    mapping: DataFrame,
+    weight_col: str | None = "weight",
+    keep_self_loops: bool = False,
+) -> Graph:
+    """``mapping``: DataFrame ``(id, cluster)``. Returns the contracted
+    Graph with vertices ``(id=cluster, size)`` and edges
+    ``(src, dst, weight)`` (weight = edge count when ``weight_col`` is
+    None)."""
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    m_src = mapping.select(F.col(id_col).alias(src), F.col("cluster").alias("_csrc"))
+    m_dst = mapping.select(F.col(id_col).alias(dst), F.col("cluster").alias("_cdst"))
+
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = (
+        graph.edges.join(m_src, on=src)
+        .join(m_dst, on=dst)
+        .select(F.col("_csrc").alias(src), F.col("_cdst").alias(dst), w.alias("_w"))
+    )
+    if not keep_self_loops:
+        e = e.where(F.col(src) != F.col(dst))
+    e = e.groupBy(src, dst).agg(F.sum("_w").alias(weight_col or "weight"))
+
+    v = mapping.groupBy(F.col("cluster").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return Graph(v, e, id_col, src, dst)

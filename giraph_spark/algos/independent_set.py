@@ -1,0 +1,82 @@
+"""Maximal independent set — distributed Luby's algorithm.
+
+Reference: ``giraph-block-app-8/.../library/algo/DistributedIndependentSet.java:53,82-228``
+— vertices iterate UNKNOWN → IN_SET/NOT_IN_SET: an UNKNOWN vertex whose
+random priority is a strict local minimum among UNKNOWN neighbors enters the
+set; its neighbors leave. The reference uses per-superstep random values;
+we use a *deterministic* priority ``md5(id)`` (stable across retries and
+reproducible in the SQL oracle — Luby's analysis only needs the priorities
+to behave uniformly, which a cryptographic hash of distinct ids does).
+
+Expects a symmetric edge relation (use ``prepare.symmetrize`` first), like
+the reference, which runs on undirected graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+UNKNOWN, IN_SET, NOT_IN = 0, 1, 2
+
+
+def maximal_independent_set(
+    graph: Graph, max_rounds: int = 50, status_col: str = "in_set"
+) -> DataFrame:
+    """Returns ``(id, in_set BOOLEAN)``. O(log n) rounds w.h.p.; each round
+    is two shuffles (neighbor-min + neighbor-of-IN mark)."""
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+
+    state = graph.vertices.select(
+        id_col,
+        F.lit(UNKNOWN).alias("_st"),
+        F.md5(F.col(id_col).cast("string")).alias("_pri"),
+    ).localCheckpoint(eager=True)
+    edges = graph.edges.select(src, dst).persist()
+
+    for _ in range(max_rounds):
+        if state.filter(F.col("_st") == UNKNOWN).limit(1).count() == 0:
+            break
+        # min priority among UNKNOWN neighbors
+        nbr = (
+            edges.join(
+                state.select(F.col(id_col).alias(src), F.col("_st").alias("_nst"),
+                             F.col("_pri").alias("_npri")),
+                on=src,
+            )
+            .where(F.col("_nst") == UNKNOWN)
+            .groupBy(F.col(dst).alias(id_col))
+            .agg(F.min("_npri").alias("_minnbr"))
+        )
+        with_min = state.join(nbr, on=id_col, how="left")
+        # strict local minimum (md5 of distinct ids never ties) → IN
+        newly_in = with_min.where(
+            (F.col("_st") == UNKNOWN)
+            & (F.col("_minnbr").isNull() | (F.col("_pri") < F.col("_minnbr")))
+        ).select(id_col)
+        # neighbors of newly-IN → OUT
+        out_ids = (
+            edges.join(newly_in.select(F.col(id_col).alias(src)), on=src, how="left_semi")
+            .select(F.col(dst).alias(id_col))
+            .dropDuplicates()
+        )
+        state = (
+            state.join(newly_in.withColumn("_in", F.lit(True)), on=id_col, how="left")
+            .join(out_ids.withColumn("_out", F.lit(True)), on=id_col, how="left")
+            .select(
+                id_col,
+                F.when(F.col("_in").isNotNull(), F.lit(IN_SET))
+                .when(
+                    (F.col("_st") == UNKNOWN) & F.col("_out").isNotNull(),
+                    F.lit(NOT_IN),
+                )
+                .otherwise(F.col("_st"))
+                .alias("_st"),
+                "_pri",
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return state.select(id_col, (F.col("_st") == IN_SET).alias(status_col))

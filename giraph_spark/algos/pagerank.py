@@ -109,3 +109,75 @@ def pagerank(
         metrics=metrics,
     )
     return out.drop("_deg", "_wsum")
+
+
+def random_walk_with_restart(
+    graph: Graph,
+    sources: list,
+    iterations: int = 30,
+    restart_prob: float = 0.15,
+    weighted: bool = False,
+    metrics: PregelMetrics | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Personalized PageRank / random walk with restart.
+
+    Reference: ``examples/RandomWalkWithRestartComputation.java:33`` — the
+    teleport term lands only on the source set; dangling mass also returns
+    to the sources (``RandomWalkComputation.java:114`` routes lost mass
+    through the same teleport distribution).
+    """
+    id_col, src_col = graph.id_col, graph.src_col
+    k = len(sources)
+    degrees = graph.edges.groupBy(F.col(src_col).alias(id_col)).agg(
+        F.count(F.lit(1)).alias("_deg"),
+        F.sum(F.col("weight") if weighted else F.lit(1.0)).alias("_wsum"),
+    )
+    vertices = graph.vertices.join(degrees, on=id_col, how="left").withColumns(
+        {
+            "_deg": F.coalesce("_deg", F.lit(0)),
+            "_wsum": F.coalesce("_wsum", F.lit(0.0)),
+            "_is_src": F.col(id_col).isin(sources),
+        }
+    )
+    g = Graph(vertices, graph.edges, id_col, src_col, graph.dst_col)
+    damping = 1.0 - restart_prob
+    init = F.when(F.col("_is_src"), 1.0 / k).otherwise(0.0)
+
+    def update(ctx: PregelContext):
+        if ctx.superstep == 0:
+            return {rank_col: init}
+        d = ctx.broadcasts.get("dangling", 0.0)
+        inbound = F.coalesce(F.col(MSG), F.lit(0.0))
+        teleport = F.when(
+            F.col("_is_src"), F.lit((restart_prob + damping * d) / k)
+        ).otherwise(0.0)
+        return {rank_col: teleport + F.lit(damping) * inbound}
+
+    per_edge = F.try_divide(
+        F.col("weight") if weighted else F.lit(1.0), F.col("_wsum")
+    )
+
+    def master_fn(ctx: PregelContext) -> None:
+        ctx.broadcasts["dangling"] = ctx.aggregates["dangling_sum"] or 0.0
+
+    out = pregel(
+        g,
+        initial={rank_col: init},
+        update=update,
+        combine=F.sum,
+        msg_type="double",
+        send_msg=lambda ctx: F.when(
+            F.lit(ctx.superstep < iterations), F.col(rank_col) * per_edge
+        ),
+        vote_to_halt=lambda ctx: F.lit(ctx.superstep >= iterations),
+        aggregates={
+            "dangling_sum": F.sum(
+                F.when(F.col("_deg") == 0, F.col(rank_col)).otherwise(0.0)
+            )
+        },
+        master_fn=master_fn,
+        max_supersteps=iterations + 1,
+        metrics=metrics,
+    )
+    return out.drop("_deg", "_wsum", "_is_src")

@@ -99,7 +99,7 @@ def scc(
                 ),
             },
             combine=F.collect_set,
-            msg_type="long",
+            msg_type="array<bigint>",  # type after the combine step
             send_msg_to_src=F.when(F.col("_chg"), F.col("_color")),
             vote_to_halt=F.lit(True),
             max_supersteps=max_supersteps,
