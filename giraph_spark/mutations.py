@@ -1,0 +1,107 @@
+"""Graph mutation resolution (SURVEY §2.8).
+
+Reference: mutation requests accumulate during a superstep
+(``graph/Computation.java:147-196`` addVertexRequest / removeVertexRequest /
+addEdgeRequest / removeEdgesRequest, accumulated in
+``graph/VertexMutations.java``) and are resolved at the superstep boundary
+by ``graph/DefaultVertexResolver.java:49-67`` in a FIXED order:
+
+    1. remove requested edges
+    2. remove requested vertices (their remaining out-edges go with them)
+    3. add requested vertices — plus vertices implicitly created because
+       they received messages or are referenced by added edges
+    4. add requested edges
+
+Duplicate vertex additions merge through a ``VertexValueCombiner``
+(``graph/VertexValueCombiner.java:39``).
+
+Spark realization: one set-algebra pass of anti-joins/unions between
+iterations — there is no Catalyst rule to write; the ordering is the
+algebra below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import Graph
+
+
+def apply_mutations(
+    graph: Graph,
+    add_vertices: DataFrame | None = None,
+    remove_vertices: DataFrame | None = None,
+    add_edges: DataFrame | None = None,
+    remove_edges: DataFrame | None = None,
+    message_dsts: DataFrame | None = None,
+    vertex_value_combiner=None,
+    create_referenced_vertices: bool = True,
+    defaults: dict | None = None,
+) -> Graph:
+    """Resolve one batch of mutations in the reference's order.
+
+    ``remove_vertices``/``message_dsts``: DataFrames with the id column.
+    ``remove_edges``: (src, dst) pairs — removes ALL parallel edges of the
+    pair (``removeEdgesRequest`` semantics). ``vertex_value_combiner``:
+    dict of aggregate exprs used to merge duplicate added vertices (default
+    first-wins, like ``DefaultVertexValueCombiner`` keeping one).
+    """
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    vertices, edges = graph.vertices, graph.edges
+
+    # 1. remove edges
+    if remove_edges is not None:
+        edges = edges.join(
+            remove_edges.select(src, dst), on=[src, dst], how="left_anti"
+        )
+
+    # 2. remove vertices (and every edge touching them)
+    if remove_vertices is not None:
+        rm = remove_vertices.select(id_col)
+        vertices = vertices.join(rm, on=id_col, how="left_anti")
+        edges = edges.join(
+            rm.select(F.col(id_col).alias(src)), on=src, how="left_anti"
+        ).join(rm.select(F.col(id_col).alias(dst)), on=dst, how="left_anti")
+
+    # 3. add vertices: explicit + implicit (message receivers, endpoints of
+    #    added edges). Implicit creation mirrors DefaultVertexResolver's
+    #    "vertex exists if it got messages" policy.
+    implicit = []
+    if message_dsts is not None:
+        implicit.append(message_dsts.select(id_col))
+    if create_referenced_vertices and add_edges is not None:
+        implicit.append(add_edges.select(F.col(src).alias(id_col)))
+        implicit.append(add_edges.select(F.col(dst).alias(id_col)))
+    new_vertices = []
+    if add_vertices is not None:
+        new_vertices.append(add_vertices)
+    if implicit:
+        imp = implicit[0]
+        for p in implicit[1:]:
+            imp = imp.unionByName(p)
+        imp = imp.dropDuplicates()
+        defaults = defaults or {}
+        for c in vertices.columns:
+            if c != id_col:
+                imp = imp.withColumn(c, F.lit(defaults.get(c)))
+        new_vertices.append(imp.select(vertices.columns))
+    if new_vertices:
+        adds = new_vertices[0]
+        for p in new_vertices[1:]:
+            adds = adds.unionByName(p)
+        # only genuinely new ids; merge duplicates among the additions
+        adds = adds.join(vertices.select(id_col), on=id_col, how="left_anti")
+        if vertex_value_combiner:
+            adds = adds.groupBy(id_col).agg(
+                *[e.alias(c) for c, e in vertex_value_combiner.items()]
+            )
+        else:
+            adds = adds.dropDuplicates([id_col])
+        vertices = vertices.unionByName(adds.select(vertices.columns))
+
+    # 4. add edges
+    if add_edges is not None:
+        edges = edges.unionByName(add_edges.select(edges.columns))
+
+    return Graph(vertices, edges, id_col, src, dst)

@@ -1,0 +1,36 @@
+"""I/O surface — readers/writers/generators (SURVEY §2.1/§2.2).
+
+All functions consume/produce DataFrames; formats mirror the reference's
+``io/formats/`` family re-expressed as ``spark.read`` + parse expressions
+(no custom InputFormat machinery — splits, readers, and multithreading are
+Spark's job).
+"""
+
+from .generators import uniform_random_graph, watts_strogatz_graph
+from .readers import (
+    read_adjacency_list,
+    read_edge_list,
+    read_json_vertices,
+    read_vertex_values,
+)
+from .writers import (
+    write_adjacency_list,
+    write_edge_list,
+    write_graphviz,
+    write_id_with_value,
+    write_json_vertices,
+)
+
+__all__ = [
+    "read_edge_list",
+    "read_adjacency_list",
+    "read_json_vertices",
+    "read_vertex_values",
+    "write_edge_list",
+    "write_adjacency_list",
+    "write_id_with_value",
+    "write_json_vertices",
+    "write_graphviz",
+    "uniform_random_graph",
+    "watts_strogatz_graph",
+]

@@ -1,0 +1,73 @@
+"""Synthetic graph generators (SURVEY §2.1).
+
+Reference: ``io/formats/PseudoRandomVertexInputFormat.java`` /
+``PseudoRandomInputFormatConstants.java:26-29`` (uniform n×d graph) and
+``WattsStrogatzVertexInputFormat.java:45-59,194`` (ring lattice of degree
+k, rewired with probability β). Both are seeded and fully distributed:
+``spark.range(n)`` partitions the id space, and per-edge randomness comes
+from ``F.rand(seed)`` — no driver-side materialization, so generating a
+10^12-edge graph is just ``spark.range`` + explode at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def uniform_random_graph(
+    spark: SparkSession, n: int, edges_per_vertex: int, seed: int = 42
+) -> Graph:
+    """n vertices, each with ``edges_per_vertex`` uniform out-edges
+    (self-loops excluded by re-target, parallel edges possible — matching
+    the reference's PseudoRandom semantics)."""
+    vertices = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    edges = (
+        vertices.select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(edges_per_vertex)])
+            ).alias("k"),
+        )
+        .withColumn("dst", (F.floor(F.rand(seed) * n)).cast("long"))
+        # avoid self-loop by shifting to the next id (mod n)
+        .withColumn(
+            "dst",
+            F.when(F.col("dst") == F.col("src"), (F.col("dst") + 1) % n).otherwise(
+                F.col("dst")
+            ),
+        )
+        .drop("k")
+    )
+    return Graph(vertices, edges)
+
+
+def watts_strogatz_graph(
+    spark: SparkSession, n: int, k: int, beta: float, seed: int = 42
+) -> Graph:
+    """Small-world graph: ring lattice where each vertex connects to its k
+    nearest successors, each edge rewired to a uniform target with
+    probability β (``WattsStrogatzVertexInputFormat``)."""
+    vertices = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    lattice = vertices.select(
+        F.col("id").alias("src"),
+        F.explode(F.array(*[F.lit(i + 1) for i in range(k)])).alias("off"),
+    ).withColumn("dst", (F.col("src") + F.col("off")) % n)
+    rewired = (
+        lattice.withColumn("_u", F.rand(seed))
+        .withColumn("_t", (F.floor(F.rand(seed + 1) * n)).cast("long"))
+        .withColumn(
+            "dst",
+            F.when(F.col("_u") < beta, F.col("_t")).otherwise(F.col("dst")),
+        )
+        .withColumn(
+            "dst",
+            F.when(F.col("dst") == F.col("src"), (F.col("dst") + 1) % n).otherwise(
+                F.col("dst")
+            ),
+        )
+        .select("src", "dst")
+    )
+    return Graph(vertices, rewired)

@@ -1,0 +1,169 @@
+"""Text/JSON graph readers (SURVEY §2.1).
+
+Reference formats → Spark:
+- ``IntNullTextEdgeInputFormat`` (``io/formats/IntNullTextEdgeInputFormat.java:79``)
+  and friends: ``src<sep>dst[<sep>value]`` per line → ``read_edge_list``.
+- ``AdjacencyListTextVertexInputFormat``
+  (``io/formats/AdjacencyListTextVertexInputFormat.java:31-36``):
+  ``id<sep>value<sep>dst1<sep>ev1<sep>dst2<sep>ev2…`` → ``read_adjacency_list``
+  (split + posexplode on alternating pairs).
+- ``JsonLongDoubleFloatDoubleVertexInputFormat``
+  (``io/formats/JsonLongDoubleFloatDoubleVertexInputFormat.java:37-44``):
+  lines ``[id,value,[[dst,w],…]]`` → ``read_json_vertices`` via
+  ``F.from_json``.
+- ``TextVertexValueInputFormat`` (values only) → ``read_vertex_values``.
+- ``ReverseEdgeDuplicator`` (``io/ReverseEdgeDuplicator.java:37``) →
+  ``reverse_duplicate=True`` on any edge reader (union with swapped pair).
+- Input filters (``io/filters/VertexInputFilter.java:39`` dropVertex /
+  ``EdgeInputFilter.java:39`` dropEdge) → the ``filter_expr`` argument —
+  a predicate pushed into the scan by Catalyst, which is strictly better
+  than the reference's per-record drop callbacks.
+
+Everything is expression-only (whole-stage codegen; no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..graph import Graph
+
+
+def read_edge_list(
+    spark: SparkSession,
+    path_or_df,
+    sep: str = "\t",
+    src_type: str = "long",
+    dst_type: str = "long",
+    value_type: str | None = None,
+    reverse_duplicate: bool = False,
+    filter_expr=None,
+) -> DataFrame:
+    """``src<sep>dst[<sep>value]`` lines → edges DataFrame."""
+    df = (
+        spark.read.text(path_or_df)
+        if isinstance(path_or_df, str)
+        else path_or_df
+    )
+    parts = F.split(F.col("value"), sep)
+    cols = [
+        parts.getItem(0).cast(src_type).alias("src"),
+        parts.getItem(1).cast(dst_type).alias("dst"),
+    ]
+    if value_type:
+        cols.append(parts.getItem(2).cast(value_type).alias("weight"))
+    edges = df.select(*cols)
+    if filter_expr is not None:
+        edges = edges.filter(filter_expr)
+    if reverse_duplicate:
+        swapped = edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            *[c for c in edges.columns if c not in ("src", "dst")],
+        )
+        edges = edges.unionByName(swapped)
+    return edges
+
+
+def read_adjacency_list(
+    spark: SparkSession,
+    path_or_df,
+    sep: str = "\t",
+    id_type: str = "long",
+    value_type: str = "double",
+    edge_value_type: str = "double",
+) -> Graph:
+    """``id value dst1 ev1 dst2 ev2 …`` lines → Graph (vertices with
+    ``value``, edges with ``weight``). Pairs are exploded with one
+    ``posexplode`` over the tail slice — no UDF."""
+    df = (
+        spark.read.text(path_or_df)
+        if isinstance(path_or_df, str)
+        else path_or_df
+    )
+    parts = F.split(F.trim(F.col("value")), sep)
+    base = df.select(
+        parts.getItem(0).cast(id_type).alias("id"),
+        parts.getItem(1).cast(value_type).alias("vvalue"),
+        F.slice(parts, 3, 1_000_000).alias("tail"),
+    )
+    vertices = base.select("id", F.col("vvalue").alias("value"))
+    exploded = base.select(
+        "id", F.posexplode_outer("tail").alias("pos", "tok")
+    )
+    dsts = exploded.where(F.col("pos") % 2 == 0).select(
+        "id", (F.col("pos") / 2).cast("long").alias("k"),
+        F.col("tok").cast(id_type).alias("dst"),
+    )
+    vals = exploded.where(F.col("pos") % 2 == 1).select(
+        "id", ((F.col("pos") - 1) / 2).cast("long").alias("k"),
+        F.col("tok").cast(edge_value_type).alias("weight"),
+    )
+    edges = dsts.join(vals, ["id", "k"]).select(
+        F.col("id").alias("src"), "dst", "weight"
+    )
+    return Graph(vertices, edges)
+
+
+JSON_VERTEX_SCHEMA = ArrayType(StructType([
+    StructField("id", LongType()),
+    StructField("value", DoubleType()),
+    StructField("edges", ArrayType(ArrayType(DoubleType()))),
+]))
+
+
+def read_json_vertices(spark: SparkSession, path_or_df) -> Graph:
+    """Lines ``[id, value, [[dst, w], …]]`` (the reference's JSON vertex
+    format). Parsed with ``from_json`` against a positional schema — the
+    outer value is a heterogeneous JSON array, so it is parsed as
+    ``array<string>`` first, then fields are re-parsed individually."""
+    df = (
+        spark.read.text(path_or_df)
+        if isinstance(path_or_df, str)
+        else path_or_df
+    )
+    raw = df.select(
+        F.from_json(F.col("value"), "array<string>").alias("a")
+    ).select(
+        F.col("a").getItem(0).cast("long").alias("id"),
+        F.col("a").getItem(1).cast("double").alias("value"),
+        F.from_json(F.col("a").getItem(2), "array<array<double>>").alias("es"),
+    )
+    vertices = raw.select("id", "value")
+    edges = raw.select(
+        F.col("id").alias("src"), F.explode_outer("es").alias("e")
+    ).where(F.col("e").isNotNull()).select(
+        "src",
+        F.col("e").getItem(0).cast("long").alias("dst"),
+        F.col("e").getItem(1).alias("weight"),
+    )
+    return Graph(vertices, edges)
+
+
+def read_vertex_values(
+    spark: SparkSession,
+    path_or_df,
+    sep: str = "\t",
+    id_type: str = "long",
+    value_type: str = "double",
+) -> DataFrame:
+    """``id<sep>value`` lines (``TextVertexValueInputFormat``) — vertex
+    values only, to be joined onto a Graph built from an edge source."""
+    df = (
+        spark.read.text(path_or_df)
+        if isinstance(path_or_df, str)
+        else path_or_df
+    )
+    parts = F.split(F.col("value"), sep)
+    return df.select(
+        parts.getItem(0).cast(id_type).alias("id"),
+        parts.getItem(1).cast(value_type).alias("value"),
+    )

@@ -1,0 +1,137 @@
+"""Graph writers (SURVEY §2.2).
+
+Reference sinks → Spark: ``IdWithValueTextOutputFormat`` (:94),
+``SrcIdDstIdEdgeValueTextOutputFormat`` (:92), ``AdjacencyListTextVertexOutputFormat``
+(:88), ``JsonLongDoubleFloatDoubleVertexOutputFormat`` (:76),
+``GraphvizOutputFormat`` (:244). All are expression-built lines + ``write.text``
+(or returned as a one-column DataFrame when ``path=None``, the
+``InMemoryVertexOutputFormat`` test path). Per-iteration output during
+computation (``DO_OUTPUT_DURING_COMPUTATION``,
+``conf/GiraphConstants.java:361``) = ``df.write.mode('append')`` from a
+pregel ``master_fn`` — no special machinery needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def _emit(lines: DataFrame, path: str | None) -> DataFrame | None:
+    if path is None:
+        return lines
+    lines.write.mode("overwrite").text(path)
+    return None
+
+
+def write_id_with_value(
+    vertices: DataFrame, path: str | None = None, sep: str = "\t",
+    id_col: str = "id", value_col: str = "value",
+):
+    """``id<TAB>value`` per vertex (``IdWithValueTextOutputFormat``)."""
+    lines = vertices.select(
+        F.concat_ws(sep, F.col(id_col).cast("string"), F.col(value_col).cast("string")).alias("value")
+    )
+    return _emit(lines, path)
+
+
+def write_edge_list(
+    edges: DataFrame, path: str | None = None, sep: str = "\t",
+    cols: tuple = ("src", "dst", "weight"),
+):
+    """``src dst [value]`` triples (``SrcIdDstIdEdgeValueTextOutputFormat``)."""
+    present = [c for c in cols if c in edges.columns]
+    lines = edges.select(
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in present]).alias("value")
+    )
+    return _emit(lines, path)
+
+
+def write_adjacency_list(
+    graph: Graph, path: str | None = None, sep: str = "\t",
+    weight_col: str | None = "weight",
+):
+    """``id value dst1 ev1 dst2 ev2…`` (``AdjacencyListTextVertexOutputFormat``)
+    — groupBy(src) + sorted collect_list for deterministic output."""
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    pair = (
+        F.concat_ws(sep, F.col(dst).cast("string"), F.col(weight_col).cast("string"))
+        if weight_col and weight_col in graph.edges.columns
+        else F.col(dst).cast("string")
+    )
+    adj = (
+        graph.edges.withColumn("_pair", pair)
+        .groupBy(F.col(src).alias(id_col))
+        .agg(F.concat_ws(sep, F.array_sort(F.collect_list("_pair"))).alias("_adj"))
+    )
+    value_col = next(
+        (c for c in graph.vertices.columns if c != id_col), None
+    )
+    v = graph.vertices.join(adj, on=id_col, how="left")
+    lines = v.select(
+        F.concat_ws(
+            sep,
+            F.col(id_col).cast("string"),
+            *( [F.col(value_col).cast("string")] if value_col else [] ),
+            F.coalesce(F.col("_adj"), F.lit("")),
+        ).alias("value")
+    )
+    return _emit(lines, path)
+
+
+def write_json_vertices(
+    graph: Graph, path: str | None = None,
+    value_col: str = "value", weight_col: str = "weight",
+):
+    """Lines ``[id,value,[[dst,w],…]]`` (``JsonLongDoubleFloatDoubleVertexOutputFormat``)."""
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    adj = (
+        graph.edges.groupBy(F.col(src).alias(id_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.array(F.col(dst).cast("double"), F.col(weight_col)))
+            ).alias("_es")
+        )
+    )
+    v = graph.vertices.join(adj, on=id_col, how="left")
+    lines = v.select(
+        F.concat(
+            F.lit("["),
+            F.col(id_col).cast("string"),
+            F.lit(","),
+            F.col(value_col).cast("string"),
+            F.lit(","),
+            F.coalesce(F.to_json("_es"), F.lit("[]")),
+            F.lit("]"),
+        ).alias("value")
+    )
+    return _emit(lines, path)
+
+
+def write_graphviz(
+    graph: Graph, path: str | None = None, weight_col: str | None = None,
+    name: str = "G",
+):
+    """`.dot` digraph text (``GraphvizOutputFormat``). The header/footer
+    rows are unioned in so the output is a single text dataset."""
+    src, dst = graph.src_col, graph.dst_col
+    spark = graph.edges.sparkSession
+    label = (
+        F.concat(
+            F.lit('  "'), F.col(src).cast("string"), F.lit('" -> "'),
+            F.col(dst).cast("string"), F.lit('" [label="'),
+            F.col(weight_col).cast("string"), F.lit('"];'),
+        )
+        if weight_col
+        else F.concat(
+            F.lit('  "'), F.col(src).cast("string"), F.lit('" -> "'),
+            F.col(dst).cast("string"), F.lit('";'),
+        )
+    )
+    body = graph.edges.select(label.alias("value"))
+    head = spark.createDataFrame([(f"digraph {name} {{",)], "value string")
+    tail = spark.createDataFrame([("}",)], "value string")
+    lines = head.unionByName(body).unionByName(tail)
+    return _emit(lines, path)
