@@ -42,13 +42,33 @@ from giraph_spark.algos.triangles import (
     triangle_count,
     triangles_per_vertex,
 )
+from giraph_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from giraph_spark.functions.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_duplicates,
+)
+from giraph_spark.functions.text import (
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
 from giraph_spark.plans.fixtures import (
     NATION_GRAPH_SQL,
+    read_events,
     TRADE_GRAPH_DIRECTED_SQL,
     TRADE_GRAPH_SQL,
     nation_graph,
     trade_graph,
 )
+from giraph_spark.streaming.events import sessionize
 
 SSSP_SOURCE = 1  # min customer key in every sf
 PR_ITERS = 10
@@ -220,6 +240,135 @@ def _q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- pipeline (M7) queries --
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "hash", "n_docs", F.col("keep_id").cast("long").alias("keep_id")
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=5, threshold=0.5
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-based: no cross-engine oracle (driver records rows-only)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=5, num_hashes=64, bands=16, verify_threshold=0.5
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-based: rows-only check
+    return simhash_near_pairs(_docs(spark, sf_dir), k=5, max_hamming=3)
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(_docs(spark, sf_dir)).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang_pred", "marker_hits"
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint"
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.where(F.col("vec_id") <= 5)
+    return brute_force_topk(e, q, k=10)
+
+
+def _q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # bounded corpus slice: exact quadratic verification tier (the LSH
+    # variant below is the full-corpus path)
+    e = e.where(F.col("vec_id") < 1000)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.35)
+    )
+
+
+def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dim = len(e.select("embedding").first()[0])
+    return embedding_near_duplicates(e, dim=dim, threshold=0.35)
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    s = sessionize(ev, gap_minutes=30)
+    return s.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        "n_events",
+    )
+
+
+def _q_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": _q_pagerank(weighted=False, dangling=False),
@@ -242,6 +391,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_independent_set": _q_mis,
         "random_walk_with_restart": _q_rwr,
         "coarsen_by_region": _q_coarsen,
+        "exact_duplicates": _q_exact_dups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_near_pairs": _q_simhash,
+        "quality_features": _q_quality,
+        "token_counts": _q_token_counts,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "sessionize": _q_sessionize,
+        "event_counts_hourly": _q_event_counts,
     }
 
 
@@ -532,7 +694,156 @@ WHERE ms.cluster <> md.cluster
 GROUP BY ms.cluster, md.cluster"""
     )
 
+    # -------- pipeline (M7) oracles --------
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    exact_dups_sql = f"""
+WITH h AS (SELECT doc_id, md5({norm}) AS hash FROM documents)
+SELECT hash, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM h GROUP BY hash HAVING COUNT(*) > 1"""
+
+    ngram_sql = f"""
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 5) AS s FROM (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+        FROM norm) u
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+shf AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5"""
+
+    stop_list = ", ".join(f"'{w}'" for w in [
+        "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+        "on", "was", "with", "as", "be", "at", "by", "this", "are", "or",
+    ])
+    ws_tokens = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    quality_sql = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({ws_tokens} AS BIGINT) AS n_tokens,
+       ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS digit_ratio,
+       ROUND(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+       ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS upper_ratio,
+       ROUND(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x IN ({stop_list})))
+             / CAST(greatest({ws_tokens}, 1) AS DOUBLE), 6) AS stopword_ratio,
+       ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             / CAST(greatest({ws_tokens}, 1) AS DOUBLE), 6) AS mean_word_len
+FROM documents"""
+
+    token_counts_sql = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({ws_tokens} AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]')) AS BIGINT) AS bpe_tokens
+FROM documents"""
+
+    lang_sql = """
+WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pd FROM documents),
+scores AS (
+    SELECT doc_id, l.lang,
+           CAST((length(pd) - length(replace(pd, l.m1, ''))) / length(l.m1)
+              + (length(pd) - length(replace(pd, l.m2, ''))) / length(l.m2)
+              + (length(pd) - length(replace(pd, l.m3, ''))) / length(l.m3)
+            AS BIGINT) AS hits
+    FROM p CROSS JOIN (VALUES
+        ('en', ' the ', ' and ', ' of '),
+        ('de', ' der ', ' und ', ' die '),
+        ('fr', ' le ', ' les ', ' des '),
+        ('es', ' el ', ' los ', ' que '),
+        ('it', ' il ', ' che ', ' di ')) AS l(lang, m1, m2, m3)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+       hits AS marker_hits
+FROM scores
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) = 1"""
+
+    fingerprint_sql = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({norm}) AS fingerprint
+FROM documents"""
+
+    cosine_topk_sql = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id <= 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           ROUND(list_cosine_similarity(qv, cv), 6) AS cos_sim
+    FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 10"""
+
+    emb_exact_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35"""
+
+    sessionize_sql = """
+WITH x AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                  OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > 1800
+                THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM x
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM y GROUP BY user_id, session_seq"""
+
+    event_counts_sql = """
+SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2"""
+
     return {
+        "exact_duplicates": exact_dups_sql,
+        "ngram_jaccard_pairs": ngram_sql,
+        "quality_features": quality_sql,
+        "token_counts": token_counts_sql,
+        "lang_id": lang_sql,
+        "fingerprint": fingerprint_sql,
+        "cosine_topk": cosine_topk_sql,
+        "embedding_near_dup_exact": emb_exact_sql,
+        "sessionize": sessionize_sql,
+        "event_counts_hourly": event_counts_sql,
         "scc": scc_sql,
         "maximal_independent_set": mis_sql,
         "random_walk_with_restart": rwr_sql,

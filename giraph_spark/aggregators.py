@@ -1,0 +1,92 @@
+"""Global aggregation surface — Giraph's Aggregator / Reducer+Broadcast
+model (SURVEY §2.4) expressed as named Spark aggregate expressions.
+
+Reference:
+- ``aggregators/Aggregator.java:29-44`` and its 37 implementations
+  (Sum/Min/Max/Product × Int/Long/Float/Double, BooleanAnd/Or, Overwrite,
+  TextAppend, dense/sparse vector & matrix sums).
+- ``reducers/ReduceOperation.java:36-63`` (explicit partial+final
+  contract) with ``reducers/impl/``: SumReduce, MinReduce, MaxReduce,
+  AndReduce, OrReduce, LongXorReduce, PairReduce, MaxPairReducer (argmax).
+
+Spark's partial aggregation IS the worker-partial + master-merge protocol
+(``worker/WorkerAggregatorHandler.java``), so every entry here is just the
+right aggregate expression; ``persistent`` aggregators (not reset between
+supersteps) are the driver accumulating ``ctx.aggregates`` across
+supersteps in ``master_fn``.
+
+Vector sums (``aggregators/matrix/dense/DoubleDenseVectorSumAggregator``)
+reduce ``array<double>`` columns element-wise via ``zip_with`` folding —
+see ``vector_sum``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# name → factory(column) -> aggregate Column, mirroring the reference's
+# aggregator class menu 1:1
+AGGREGATORS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "product": lambda c: F.exp(F.sum(F.log(c))),  # positive-domain product
+    "and": lambda c: F.min(c.cast("boolean")).cast("boolean"),
+    "or": lambda c: F.max(c.cast("boolean")).cast("boolean"),
+    "xor": lambda c: F.bit_xor(c),
+    "overwrite": lambda c: F.last(c),  # latest-write-wins
+    "text_append": lambda c: F.concat_ws("", F.collect_list(c)),
+    "count": lambda c: F.count(c),
+}
+
+
+def argmax(value: Column, payload: Column) -> Column:
+    """``MaxPairReducer`` (argmax): payload of the row with max value —
+    ``F.max_by`` (ties resolved arbitrarily, as in the reference)."""
+    return F.max_by(payload, value)
+
+
+def argmin(value: Column, payload: Column) -> Column:
+    return F.min_by(payload, value)
+
+
+def pair_reduce(first: Column, second: Column, fn1=F.sum, fn2=F.sum) -> Column:
+    """``PairReduce``: element-wise reduction of a pair (struct of the two
+    independently-reduced components)."""
+    return F.struct(fn1(first).alias("first"), fn2(second).alias("second"))
+
+
+def vector_sum(c: Column) -> Column:
+    """Element-wise sum of ``array<double>`` columns
+    (``DoubleDenseVectorSumAggregator``): fold with zip_with; ragged
+    arrays follow the reference's dense-vector semantics (missing tail =
+    zeros) via coalesce inside the lambda."""
+    return F.reduce(
+        F.collect_list(c),
+        F.lit(None).cast("array<double>"),
+        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+            F.zip_with(
+                acc, v, lambda a, b: F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0))
+            )
+        ),
+    )
+
+
+def matrix_sum(c: Column) -> Column:
+    """Row-major ``array<array<double>>`` element-wise sum
+    (``MatrixSumAggregator`` family)."""
+    return F.reduce(
+        F.collect_list(c),
+        F.lit(None).cast("array<array<double>>"),
+        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+            F.zip_with(
+                acc,
+                v,
+                lambda ra, rb: F.zip_with(
+                    ra, rb,
+                    lambda a, b: F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0)),
+                ),
+            )
+        ),
+    )

@@ -1,0 +1,5 @@
+"""Beyond-reference operators for large-scale training-data pipelines:
+deduplication, similarity search, text analysis, multimodal columns.
+These reuse the same DataFrame-first design rules as the graph engine:
+built-in expressions over UDFs, one shuffle per logical exchange,
+broadcast/bucket joins where a side is small."""

@@ -1,0 +1,309 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All are expression-only (no Python UDFs): shingling via ``sequence`` +
+``transform`` + ``substring``, hashing via ``xxhash64``/``md5``. Scale
+notes per operator are in each docstring; the common theme is that the
+only shuffles are the groupBys on hash keys, and candidate generation
+never goes quadratic — banding (LSH) or prefix grouping bounds the
+pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for dedup: lowercase, collapse whitespace,
+    strip non-alphanumerics (keep spaces)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by md5 of normalized text: one hash-groupBy shuffle.
+    Returns ``(hash, n_docs, keep_id, doc_ids)`` for every group with > 1
+    member; ``keep_id`` = min id (deterministic survivor)."""
+    h = df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("hash")
+    )
+    return (
+        h.groupBy("hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingle_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """``(id, shingle)`` exploded distinct character-k-gram relation."""
+    norm = normalize_text(F.col(text_col))
+    with_norm = df.select(F.col(id_col), norm.alias("_n"))
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(_n) - {k} + 1, 1)), "
+        f"i -> substring(_n, i, {k})))"
+    )
+    return with_norm.select(
+        F.col(id_col), F.explode(grams).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs ``(id_a, id_b, jaccard)``
+    with ``id_a < id_b`` and jaccard ≥ threshold.
+
+    Brute-force-correct formulation: explode shingles, self-join on
+    shingle, count intersections, compute |A∪B| = |A|+|B|−|A∩B|. The
+    shingle join is the scale hazard (hot shingles fan out quadratically);
+    at 100 TB this operator is the *oracle* for MinHash-LSH, run on samples
+    — the LSH variant below is the scale path. Common-shingle skew is
+    bounded by dropping shingles shared by more than ``max_df`` documents
+    (stop-shingles carry no discriminative signal)."""
+    sh = shingle_df(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    # stop-shingle removal: bounded fan-out
+    max_df = 1000
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sh_f = sh.join(freq.where(F.col("df_") <= max_df), on="shingle", how="left_semi")
+    a = sh_f.alias("a")
+    b = sh_f.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """``(id, sig array<bigint>)`` MinHash signatures: for each of
+    ``num_hashes`` seeded xxhash64 functions, the min hash over the
+    document's shingle set. One explode + one groupBy — the per-seed mins
+    are computed as ``min_by``-free aggregate expressions over the
+    exploded relation (map-side partial aggregation keeps the shuffle
+    small: num_hashes longs per doc)."""
+    sh = shingle_df(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs ``(id_a, id_b,
+    est_jaccard)``.
+
+    Pipeline: signatures → band (rows = num_hashes/bands) → hash each band
+    → groupBy band-hash buckets → pairs within buckets (deduped) →
+    estimated Jaccard = fraction of matching signature positions;
+    optionally filtered at ``verify_threshold``.
+
+    Scale: never quadratic in the corpus — only within buckets; a
+    pathological bucket (e.g. empty docs) is capped via ``max_bucket``.
+    This is the 100 TB dedup path (the exact Jaccard operator is its
+    correctness oracle at sample scale)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig").getItem(b * rows + r).cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    max_bucket = 200  # cap pathological buckets (all-identical shingle sets)
+    bucket_sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bs")
+    )
+    banded = banded.join(
+        bucket_sizes.where(F.col("bs") <= max_bucket), on=["band", "bucket"], how="left_semi"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(float(len(range(num_hashes)))),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    if verify_threshold is not None:
+        est = est.where(F.col("est_jaccard") >= verify_threshold)
+    return est
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    bits: int = 64,
+) -> DataFrame:
+    """``(id, simhash BIGINT)`` — 64-bit SimHash over shingle hashes: for
+    each bit, sum ±1 across shingles and take the sign. Expression-only:
+    explode → per-bit aggregate sums → reassemble bits."""
+    sh = shingle_df(df, text_col, id_col, k)
+    h = sh.select(F.col(id_col), F.xxhash64("shingle").alias("hv"))
+    # bit 63's mask is the sign bit: same bit pattern as -(2^63) in two's
+    # complement (2^63 itself overflows a BIGINT literal)
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("hv").bitwiseAND(F.lit(masks[b])) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*bit_aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(0)
+    return agg.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    blocked on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one of 4
+    chunks equal) so candidate generation is a hash join, not a cross
+    join."""
+    s = simhash(df, text_col, id_col, k).persist()
+    chunks = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(
+        id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck")
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,141 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed with Arrow-batched pandas UDFs over ``mapInPandas``.
+
+The Spark-side plumbing (schemas, batch iteration, partition sizing) is
+real and tested; the actual media decoding is STUBBED behind
+``set_decoder`` because media libraries are not available in this
+environment — the default "decoder" is a deterministic fake that derives
+pseudo-dimensions from the bytes, so pipelines are testable end-to-end.
+
+Scale notes: binary payloads dominate row size, so (a) keep metadata in
+separate columns to let column pruning skip payload reads when only
+metadata is queried, (b) ``mapInPandas`` streams Arrow batches — bound
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of blobs fits
+in worker memory, (c) repartition by size classes before decode to avoid
+stragglers from mixed tiny/huge media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, modality string, payload binary, mime string, "
+    "source string"
+)
+
+_DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {}
+
+
+def set_decoder(modality: str, fn: Callable[[bytes], dict[str, Any]]) -> None:
+    """Register a real decoder, e.g. ``set_decoder('image', pil_decode)``."""
+    _DECODERS[modality] = fn
+
+
+def _fake_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic fake standing in for a media decoder (real decode
+    requires PIL/ffmpeg, unavailable here). Derives stable pseudo
+    dimensions/duration from the byte content."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) % (1 << 31)
+    return {
+        "width": 64 + h % 1024,
+        "height": 64 + (h // 1024) % 1024,
+        "n_frames": 1 + h % 32,
+        "duration_s": round((len(payload) % 6000) / 100.0, 2),
+    }
+
+
+def decode_metadata(df: DataFrame, modality_col: str = "modality") -> DataFrame:
+    """Extract media metadata: ``(media_id, modality, width, height,
+    n_frames, duration_s, n_bytes)`` via one Arrow-batched pass.
+
+    Real decoders registered with ``set_decoder`` are used when present;
+    otherwise the deterministic fake (clearly a stub, not a model)."""
+    out_schema = (
+        "media_id long, modality string, width long, height long, "
+        "n_frames long, duration_s double, n_bytes long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dec = _DECODERS.get(r["modality"], _fake_decode)
+                meta = dec(r["payload"])
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "modality": r["modality"],
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "n_frames": meta.get("n_frames"),
+                        "duration_s": meta.get("duration_s"),
+                        "n_bytes": len(r["payload"]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    cols = df.select("media_id", "modality", "payload")
+    return cols.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 10, max_frames: int = 8
+) -> DataFrame:
+    """Plan which frames to sample per video: explodes a bounded frame
+    index list from metadata (pure expressions — the decode of those
+    frames is the pandas-UDF stage above). Demonstrates the
+    metadata-first pattern: the payload column is untouched, so column
+    pruning keeps this scan cheap."""
+    meta = decode_metadata(df)
+    idxs = F.slice(
+        F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)),
+        1,
+        max_frames,
+    )
+    return meta.select(
+        "media_id", F.explode(idxs).alias("frame_index")
+    )
+
+
+def resize_plan(df: DataFrame, target: int = 224) -> DataFrame:
+    """Compute resize output dims preserving aspect ratio (expressions
+    over decoded metadata; actual pixel work would be a pandas UDF)."""
+    meta = decode_metadata(df)
+    scale = F.lit(target) / F.greatest(F.col("width"), F.col("height")).cast(
+        "double"
+    )
+    return meta.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("long").alias("out_width"),
+        F.round(F.col("height") * scale).cast("long").alias("out_height"),
+    )
+
+
+def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table for tests (binary payloads
+    derived from the id)."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(
+            F.concat(F.lit("payload-"), F.md5(F.col("id").cast("string"))),
+            "utf-8",
+        ).alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit("synthetic").alias("source"),
+    )

@@ -1,0 +1,221 @@
+"""Similarity search over embedding columns (``array<float|double>``).
+
+Baseline: brute-force cosine top-k — one broadcast of the (small) query
+set against a scan of the corpus; dot products via ``F.zip_with`` +
+``F.aggregate`` (JVM-side, no Python). Scale path: LSH bucketing via
+random hyperplanes (signed projections → bit signature → band join), or
+IVF-style routing via nearest-centroid partition pruning; both keep the
+candidate set per query bounded instead of scanning the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × scan corpus →
+    window top-k. Returns ``(query_id, vec_id, cos_sim, rnk)``; ties broken
+    by corpus id for determinism. O(|corpus|·|queries|·d) flops but only
+    ONE corpus scan and no shuffle of the corpus (the window groups by
+    query — |queries|·|corpus| rows shuffle; keep the query set small or
+    use the LSH variant)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv")
+    ).join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def random_hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-of-projection LSH signature (``planes`` bits packed into one
+    BIGINT). Hyperplanes are deterministic pseudo-random unit-free vectors
+    derived from ``xxhash64(seed, plane, dim)`` — reproducible across
+    runs/engines without shipping a matrix."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        # pseudo-random ±1 plane components from a hash of (seed, p, i)
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.when(
+                        F.xxhash64(F.lit(seed), F.lit(p), i) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_sig"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = corpus vectors sharing at
+    least one LSH signature band with the query, then exact cosine + topk
+    on candidates only. The band join is the only shuffle; per-query work
+    is proportional to bucket occupancy, not corpus size."""
+    bits = planes // bands
+    mask = (1 << bits) - 1
+
+    def band_cols(df, idc):
+        s = random_hyperplane_signatures(df, dim, planes, idc, vec_col, seed)
+        return s.select(
+            F.col(idc),
+            F.col(vec_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("lsh_sig"), b * bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            idc, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    qb = band_cols(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col)),
+        query_id_col,
+    )
+    cb = band_cols(corpus, id_col)
+    cand = (
+        cb.join(
+            F.broadcast(qb.select(query_id_col, "band", "bucket", F.col(vec_col).alias("_qv"))),
+            on=["band", "bucket"],
+        )
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, "_qv", F.col(vec_col).alias("_cv"))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ``(id_a, id_b, cos_sim ≥ threshold)``
+    via LSH band blocking + exact verification (the embedding analog of
+    MinHash-LSH text dedup)."""
+    bits = planes // bands
+    mask = (1 << bits) - 1
+    s = random_hyperplane_signatures(df, dim, planes, id_col, vec_col, seed)
+    banded = s.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("lsh_sig"), b * bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)

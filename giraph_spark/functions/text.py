@@ -1,0 +1,145 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All expression-only (whole-stage codegen; zero Python UDFs) so they run at
+scan speed — at 100 TB these are the map-side of the pipeline and must not
+leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# A BPE-ish token regex: words, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"
+
+STOPWORDS = [
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "was", "with", "as", "be", "at", "by", "this", "are", "or",
+]
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (simple) — ``size(split(trim, '\\s+'))``."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: matches of ``TOKEN_REGEX`` (words / numbers /
+    single symbols) — a deterministic proxy for subword tokenizers."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0))).cast(
+        "long"
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation /
+    digit / uppercase ratios, stopword ratio, mean word length — the
+    standard C4/Gopher-style filters' inputs."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    toks = token_count(t)
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    words = F.split(F.trim(F.lower(t)), r"\s+")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(STOPWORDS))
+    )
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        toks.alias("n_tokens"),
+        F.round(alpha / denom, 6).alias("alpha_ratio"),
+        F.round(digits / denom, 6).alias("digit_ratio"),
+        F.round(punct / denom, 6).alias("punct_ratio"),
+        F.round(upper / denom, 6).alias("upper_ratio"),
+        F.round(
+            stop_hits / F.greatest(toks, F.lit(1)).cast("double"), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            alpha / F.greatest(toks, F.lit(1)).cast("double"), 6
+        ).alias("mean_word_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scalar quality score in [0,1]: weighted blend of the features with
+    C4-ish sweet spots (alpha-heavy, some stopwords, moderate word
+    length). Deterministic and SQL-reproducible."""
+    f = quality_features(df, text_col, id_col)
+    score = (
+        0.4 * F.least(F.col("alpha_ratio") / 0.7, F.lit(1.0))
+        + 0.2 * F.least(F.col("stopword_ratio") / 0.3, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(F.col("digit_ratio") / 0.3, F.lit(1.0)))
+        + 0.2
+        * F.when(
+            (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10),
+            1.0,
+        ).otherwise(0.0)
+    )
+    return f.select(id_col, F.round(score, 6).alias("quality"))
+
+
+# character-frequency profiles (top letters) for a tiny trigram-free
+# language ID heuristic — deterministic, expression-only
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " les ", " des "],
+    "es": [" el ", " los ", " que "],
+    "it": [" il ", " che ", " di "],
+}
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-n-gram language ID: count language-specific function-word
+    hits, pick the argmax (ties → 'und' = undetermined, matching CLD-style
+    abstention). A heuristic, not a model — the Spark pattern (scored
+    struct-array argmax in one expression) is the point."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = F.array(
+        *[
+            F.struct(
+                sum(
+                    (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
+                    / F.length(F.lit(m))
+                    for m in markers
+                ).cast("long").alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in _LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scores)
+    return df.select(
+        F.col(id_col),
+        F.when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        best.getField("hits").alias("marker_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (stable content
+    id usable as a join key across snapshots)."""
+    return df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    )

@@ -21,6 +21,19 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table uses parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
+    microsecond timestamp (integer division — no float round-trip, so the
+    truncation matches DuckDB's native TIMESTAMP_NS down-conversion)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def trade_graph(
     spark: SparkSession, sf_dir: str, directed: bool = False
 ) -> Graph:
@@ -142,7 +155,7 @@ def events_chain(spark: SparkSession, sf_dir: str) -> Graph:
     with one window function (no self-join)."""
     from pyspark.sql import Window
 
-    events = _read(spark, sf_dir, "events")
+    events = read_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
         events.select(

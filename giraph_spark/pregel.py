@@ -172,7 +172,27 @@ def pregel(
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    vertices = vertices.persist(storage_level)
+    # Pre-partition the (static) edge relation by its join key ONCE and
+    # keep it cached: every superstep's triplet join then sees a
+    # co-partitioned build side and ships zero edge bytes — the analog of
+    # Giraph loading each vertex's out-edges onto its owning worker at
+    # input time (edge store move, BspServiceWorker.java:611). The state
+    # side stays hash-partitioned on id because checkpoint/localCheckpoint
+    # preserves the physical partitioning from the inbox join.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    edges_by_src: DataFrame | None = None
+    edges_by_dst: DataFrame | None = None
+    if messages_fn is None:
+        if send_msg is not None:
+            edges_by_src = edges.repartition(nparts, F.col(src_col)).persist(
+                storage_level
+            )
+        if send_msg_to_src is not None:
+            edges_by_dst = edges.repartition(nparts, F.col(dst_col)).persist(
+                storage_level
+            )
+
+    vertices = vertices.repartition(nparts, F.col(id_col)).persist(storage_level)
     messages: DataFrame | None = None
     prev_vertices: DataFrame | None = None
     prev_messages: DataFrame | None = None
@@ -234,7 +254,6 @@ def pregel(
             state = state.checkpoint(eager=False)  # reliable, for resume at scale
         else:
             state = state.localCheckpoint(eager=False)
-        ctx.num_vertices = state.count()
         new_vertices = state
 
         # 4. Send phase (triplet join: updated vertex ⨝ out-edges); only
@@ -246,7 +265,8 @@ def pregel(
         else:
             parts = []
             if send_msg is not None:
-                triplet = computed.join(edges, computed[id_col] == edges[src_col])
+                e = edges_by_src if edges_by_src is not None else edges
+                triplet = computed.join(e, computed[id_col] == e[src_col])
                 parts.append(
                     triplet.select(
                         F.col(dst_col).alias("_dst"),
@@ -254,7 +274,8 @@ def pregel(
                     )
                 )
             if send_msg_to_src is not None:
-                triplet = computed.join(edges, computed[id_col] == edges[dst_col])
+                e = edges_by_dst if edges_by_dst is not None else edges
+                triplet = computed.join(e, computed[id_col] == e[dst_col])
                 parts.append(
                     triplet.select(
                         F.col(src_col).alias("_dst"),
@@ -265,12 +286,17 @@ def pregel(
                 new_messages = parts[0]
                 for p in parts[1:]:
                     new_messages = new_messages.unionByName(p)
+        # Single action per superstep: counting the messages materializes
+        # the (lazily checkpointed) state as a by-product, since messages
+        # derive from it. Giraph's per-superstep barrier = this one job.
         if new_messages is not None:
             new_messages = new_messages.filter(F.col("_m").isNotNull())
             new_messages = new_messages.persist(storage_level)
             ctx.num_messages = new_messages.count()
         else:
+            state.count()  # still must materialize before releasing prev
             ctx.num_messages = 0
+        ctx.num_vertices = -1  # constant per run; not worth an action
 
         # 5. Global aggregates → driver (partial-per-worker + merge is
         #    Spark's partial aggregation; ≡ WorkerAggregatorHandler).

@@ -1,0 +1,24 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming (SURVEY §2.12) — its only cross-time state
+is checkpoint/restart. This module is beyond-reference capability: the
+same operators (degrees, aggregations, sessionization) expressed over
+``readStream`` with watermarks, so a user can run the batch pipeline's
+logic continuously.
+"""
+
+from .events import (
+    event_counts_stream,
+    read_events_stream,
+    sessionize,
+    sessionize_stream,
+    streaming_degrees,
+)
+
+__all__ = [
+    "read_events_stream",
+    "event_counts_stream",
+    "streaming_degrees",
+    "sessionize",
+    "sessionize_stream",
+]

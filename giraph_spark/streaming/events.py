@@ -1,0 +1,103 @@
+"""Streaming operators over the events table.
+
+Batch + streaming twins: each operator has a batch formulation (testable
+against a SQL oracle) and a Structured Streaming formulation (readStream +
+watermark + windowed agg / stateful sessionization). The streaming side is
+exercised in tests with the rate/memory sources against the same logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (schema inferred from
+    the static table — required by readStream)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}")
+    )
+
+
+def event_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window event counts per type with late-data handling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_degrees(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Continuously-maintained out-degree of the events_chain graph
+    analog: per-user event counts (graph degree = successive-event edges
+    = events-1 per user)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a session breaks when the gap to the previous
+    event of the same user exceeds ``gap_minutes``. One window pass:
+    lag → break flag → running sum = session index. Returns per-session
+    rows ``(user_id, session_id, session_start, session_end, n_events)``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    brk = (gap.isNull() | (gap > gap_minutes * 60)).cast("long")
+    with_sess = (
+        events.withColumn("_brk", brk)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via the built-in session window (gap-based
+    merge, state managed by Spark; the stateful-operator path —
+    ``applyInPandasWithState`` — is only needed for session logic the
+    session_window cannot express)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
