@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from giraph_spark import Graph
 from giraph_spark.algos.coarsen import coarsen
+from giraph_spark.algos.deadlock import bracha_toueg
 from giraph_spark.algos.components import max_propagation, wcc
 from giraph_spark.algos.independent_set import maximal_independent_set
 from giraph_spark.algos.pagerank import pagerank, random_walk_with_restart
@@ -240,6 +241,18 @@ def _q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_deadlock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bracha-Toueg on a wait-for DAG: nation edges restricted to src<dst,
+    request-group tag = dst % 2 (N-out-of-M semantics), initiator 0."""
+    g = nation_graph(spark, sf_dir)
+    edges = g.edges.where(F.col("src") < F.col("dst")).withColumn(
+        "tag", F.col("dst") % 2
+    )
+    return bracha_toueg(Graph(g.vertices, edges), initiator=0).select(
+        F.col("id").cast("long").alias("id"), "is_free"
+    )
+
+
 # ---------------------------------------------- pipeline (M7) queries --
 
 
@@ -391,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_independent_set": _q_mis,
         "random_walk_with_restart": _q_rwr,
         "coarsen_by_region": _q_coarsen,
+        "bracha_toueg_deadlock": _q_deadlock,
         "exact_duplicates": _q_exact_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
@@ -694,6 +708,52 @@ WHERE ms.cluster <> md.cluster
 GROUP BY ms.cluster, md.cluster"""
     )
 
+    # Bracha-Toueg: notified = reachability from 0 (closure by squaring);
+    # granting = unrolled LFP (leaf base, any-tag-group-satisfied step).
+    dl_parts = [
+        NATION_GRAPH_SQL.strip(),
+        """, wf AS MATERIALIZED (SELECT src, dst, dst % 2 AS tag FROM edges WHERE src < dst)
+, c0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM wf)""",
+    ]
+    for t in range(5):
+        dl_parts.append(
+            f""", c{t + 1} AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM c{t}
+        UNION ALL
+        SELECT a.src, b.dst FROM c{t} a JOIN c{t} b ON a.dst = b.src
+    ) u{t}
+)"""
+        )
+    dl_parts.append(
+        """, notified AS MATERIALIZED (
+    SELECT id FROM vertices WHERE id = 0
+    UNION
+    SELECT dst AS id FROM c5 WHERE src = 0
+), g0 AS MATERIALIZED (
+    SELECT id FROM notified
+    WHERE id <> 0 AND id NOT IN (SELECT src FROM wf)
+)"""
+    )
+    for t in range(24):
+        dl_parts.append(
+            f""", g{t + 1} AS MATERIALIZED (
+    SELECT id FROM g{t}
+    UNION
+    SELECT w.src AS id FROM wf w
+    GROUP BY w.src, w.tag
+    HAVING COUNT(*) = COUNT(CASE WHEN w.dst IN (SELECT id FROM g{t}) THEN 1 END)
+)"""
+        )
+    dl_parts.append(
+        """SELECT CAST(v.id AS BIGINT) AS id,
+       (v.id IN (SELECT id FROM g24)
+        OR (v.id = 0 AND v.id IN (SELECT id FROM notified)
+            AND v.id NOT IN (SELECT src FROM wf))) AS is_free
+FROM vertices v"""
+    )
+    deadlock_sql = "\n".join(dl_parts)
+
     # -------- pipeline (M7) oracles --------
     norm = (
         "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
@@ -848,6 +908,7 @@ FROM events GROUP BY 1, 2"""
         "maximal_independent_set": mis_sql,
         "random_walk_with_restart": rwr_sql,
         "coarsen_by_region": coarsen_sql,
+        "bracha_toueg_deadlock": deadlock_sql,
         "pagerank": _pagerank_oracle(PR_ITERS, False, False),
         "pagerank_weighted": _pagerank_oracle(PR_ITERS, True, False),
         "pagerank_dangling": _pagerank_oracle(PR_ITERS, False, True),
