@@ -73,6 +73,47 @@ def vector_sum(c: Column) -> Column:
     )
 
 
+class AggregatorLog:
+    """Persist aggregator values per superstep — the
+    ``TextAggregatorWriter`` / ``SimpleAggregatorWriter`` surface
+    (``aggregators/TextAggregatorWriter.java:127``,
+    ``giraph-examples/.../SimpleAggregatorWriter.java``).
+
+    Use as (or inside) a pregel ``master_fn``; the history lives on the
+    driver (aggregates are already collected scalars) and can be dumped as
+    text lines ``superstep<TAB>name=value`` or as a DataFrame.
+    """
+
+    def __init__(self, inner_master_fn=None):
+        self.history: list[dict] = []
+        self._inner = inner_master_fn
+
+    def __call__(self, ctx) -> None:
+        self.history.append(
+            {"superstep": ctx.superstep, **dict(ctx.aggregates)}
+        )
+        if self._inner is not None:
+            self._inner(ctx)
+
+    def lines(self) -> list[str]:
+        return [
+            "{}\t{}".format(
+                h["superstep"],
+                "\t".join(
+                    f"{k}={v}" for k, v in h.items() if k != "superstep"
+                ),
+            )
+            for h in self.history
+        ]
+
+    def to_df(self, spark):
+        rows = [(line,) for line in self.lines()]
+        return spark.createDataFrame(rows or [("",)], "value string")
+
+    def write_text(self, spark, path: str) -> None:
+        self.to_df(spark).write.mode("overwrite").text(path)
+
+
 def matrix_sum(c: Column) -> Column:
     """Row-major ``array<array<double>>`` element-wise sum
     (``MatrixSumAggregator`` family)."""

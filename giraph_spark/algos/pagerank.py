@@ -36,14 +36,21 @@ def pagerank(
     damping: float = 0.85,
     weighted: bool = False,
     dangling: bool = False,
+    tolerance: float | None = None,
     metrics: PregelMetrics | None = None,
     rank_col: str = "rank",
 ) -> DataFrame:
-    """Fixed-iteration PageRank; returns ``(id, ..., rank)``.
+    """PageRank; returns ``(id, ..., rank)``.
 
     ``iterations`` counts *update rounds* (superstep 0 only scatters the
     initial 1/N mass, matching the reference which skips the update at
     superstep 0).
+
+    ``tolerance`` enables delta convergence
+    (``giraph-block-app-8/.../library/pagerank/PageRankConvergenceType.java``
+    — iterations vs delta): stop early once ``Σ|rank − prev_rank| <
+    tolerance``; ``iterations`` then acts as the cap. The L1 delta rides the
+    same per-superstep aggregate action as the dangling sum — no extra job.
     """
     id_col, src_col = graph.id_col, graph.src_col
     n = graph.vertices.count()
@@ -66,12 +73,18 @@ def pagerank(
 
     def update(ctx: PregelContext):
         if ctx.superstep == 0:
-            return {rank_col: F.lit(1.0 / n)}
-        inbound = F.coalesce(F.col(MSG), F.lit(0.0))
-        if dangling:
-            d = ctx.broadcasts.get("dangling", 0.0)
-            inbound = inbound + F.lit(d / n)
-        return {rank_col: F.lit(base) + F.lit(damping) * inbound}
+            out = {rank_col: F.lit(1.0 / n)}
+        else:
+            inbound = F.coalesce(F.col(MSG), F.lit(0.0))
+            if dangling:
+                d = ctx.broadcasts.get("dangling", 0.0)
+                inbound = inbound + F.lit(d / n)
+            out = {rank_col: F.lit(base) + F.lit(damping) * inbound}
+        if tolerance is not None:
+            # update exprs see pre-update values: capture the old rank so
+            # the aggregate below can compute the L1 step delta
+            out["_prev_rank"] = F.coalesce(F.col(rank_col), F.lit(0.0))
+        return out
 
     # scatter: rank · w/Σw (≡ rank/out_degree when unweighted). try_divide:
     # sinks have _wsum=0 and never match the triplet join, but Catalyst may
@@ -83,17 +96,28 @@ def pagerank(
         F.when(F.lit(ctx.superstep < iterations), F.col(rank_col) * per_edge)
     )
 
-    aggregates = None
-    master_fn = None
+    aggregates = {}
     if dangling:
-        aggregates = {
-            "dangling_sum": F.sum(
-                F.when(F.col("_deg") == 0, F.col(rank_col)).otherwise(0.0)
-            )
-        }
+        aggregates["dangling_sum"] = F.sum(
+            F.when(F.col("_deg") == 0, F.col(rank_col)).otherwise(0.0)
+        )
+    if tolerance is not None:
+        aggregates["l1_delta"] = F.sum(
+            F.abs(F.col(rank_col) - F.col("_prev_rank"))
+        )
+
+    master_fn = None
+    if aggregates:
 
         def master_fn(ctx: PregelContext) -> None:
-            ctx.broadcasts["dangling"] = ctx.aggregates["dangling_sum"] or 0.0
+            if dangling:
+                ctx.broadcasts["dangling"] = ctx.aggregates["dangling_sum"] or 0.0
+            if (
+                tolerance is not None
+                and ctx.superstep >= 1
+                and (ctx.aggregates["l1_delta"] or 0.0) < tolerance
+            ):
+                ctx.halt()
 
     out = pregel(
         g,
@@ -103,12 +127,12 @@ def pagerank(
         msg_type="double",
         send_msg=send,
         vote_to_halt=lambda ctx: F.lit(ctx.superstep >= iterations),
-        aggregates=aggregates,
+        aggregates=aggregates or None,
         master_fn=master_fn,
         max_supersteps=iterations + 1,
         metrics=metrics,
     )
-    return out.drop("_deg", "_wsum")
+    return out.drop("_deg", "_wsum", "_prev_rank")
 
 
 def random_walk_with_restart(

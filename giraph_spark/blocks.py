@@ -235,6 +235,48 @@ def reduce_and_broadcast(
     return piece
 
 
+class SendMessageChain(Block):
+    """Fluent multi-round messaging pipeline
+    (``giraph-block-app/.../library/SendMessageChain.java:60-96`` —
+    ``startSend…thenSend…endApply``): each stage sends along out-edges an
+    expression that may reference the previous stage's received column;
+    ``end_apply`` runs one final update over the vertices.
+
+    Example (2-hop out-degree sum)::
+
+        SendMessageChain.start_send(F.lit(1), F.sum, out_col="deg_in") \\
+            .then_send(F.col("deg_in"), F.sum, out_col="two_hop") \\
+            .end_apply({"two_hop": F.coalesce("two_hop", F.lit(0))}) \\
+            .run(graph)
+    """
+
+    def __init__(self):
+        self._stages: list[tuple] = []
+        self._end: dict | None = None
+
+    @staticmethod
+    def start_send(msg_expr, combine, out_col: str = "_received") -> "SendMessageChain":
+        chain = SendMessageChain()
+        return chain.then_send(msg_expr, combine, out_col)
+
+    def then_send(self, msg_expr, combine, out_col: str = "_received") -> "SendMessageChain":
+        self._stages.append((msg_expr, combine, out_col))
+        return self
+
+    def end_apply(self, update: dict[str, Any]) -> "SendMessageChain":
+        self._end = update
+        return self
+
+    def pieces(self):
+        for msg_expr, combine, out_col in self._stages:
+            yield send_message_to_neighbors(
+                msg_expr, combine, {out_col: F.col("_chain_msg")},
+                msg_name="_chain_msg",
+            )
+        if self._end is not None:
+            yield for_all_vertices(lambda df: df.withColumns(self._end))
+
+
 def send_message_to_neighbors(
     msg_expr, combine, update: dict[str, Any], msg_name: str = "_msg"
 ) -> Piece:

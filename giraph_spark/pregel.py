@@ -63,6 +63,11 @@ class PregelContext:
     aggregates: dict[str, Any] = field(default_factory=dict)
     num_messages: int = 0
     num_vertices: int = 0
+    #: current (post-update) vertices DataFrame, readable from ``master_fn``
+    #: — the per-superstep output hook (``DO_OUTPUT_DURING_COMPUTATION``,
+    #: ``conf/GiraphConstants.java:361``): a master_fn may
+    #: ``ctx.vertices.write.mode('append')`` each superstep.
+    vertices: DataFrame | None = None
     _halt: bool = field(default=False, repr=False)
 
     def halt(self) -> None:
@@ -310,6 +315,7 @@ def pregel(
             ctx.aggregates = row.asDict()
 
         # 6. Master compute (driver).
+        ctx.vertices = new_vertices
         if master_fn is not None:
             master_fn(ctx)
 

@@ -148,6 +148,97 @@ def read_json_vertices(spark: SparkSession, path_or_df) -> Graph:
     return Graph(vertices, edges)
 
 
+def read_json_base64_vertices(spark: SparkSession, path_or_df) -> Graph:
+    """``JsonBase64VertexInputFormat`` (``io/formats/JsonBase64VertexInputFormat.java:150``):
+    binary-in-text lines ``{"vertexId": b64, "vertexValue": b64,
+    "edgeArray": [b64, …]}``. The reference base64-encodes serialized
+    Writables; here each field is base64 of its JSON text (same
+    binary-safe-in-text property, native Spark types), decoded entirely
+    with JVM expressions (``unbase64``/``from_json``)."""
+    df = (
+        spark.read.text(path_or_df)
+        if isinstance(path_or_df, str)
+        else path_or_df
+    )
+    obj = df.select(
+        F.from_json(
+            F.col("value"),
+            "vertexId string, vertexValue string, edgeArray array<string>",
+        ).alias("o")
+    ).select(
+        F.unbase64(F.col("o.vertexId")).cast("string").cast("long").alias("id"),
+        F.unbase64(F.col("o.vertexValue")).cast("string").cast("double").alias("value"),
+        F.transform(
+            F.col("o.edgeArray"),
+            lambda e: F.from_json(
+                F.unbase64(e).cast("string"), "array<double>"
+            ),
+        ).alias("es"),
+    )
+    vertices = obj.select("id", "value")
+    edges = (
+        obj.select(F.col("id").alias("src"), F.explode_outer("es").alias("e"))
+        .where(F.col("e").isNotNull())
+        .select(
+            "src",
+            F.col("e").getItem(0).cast("long").alias("dst"),
+            F.col("e").getItem(1).alias("weight"),
+        )
+    )
+    return Graph(vertices, edges)
+
+
+def combine_vertex_values(
+    vertices: DataFrame, agg=None, id_col: str = "id"
+) -> DataFrame:
+    """``VertexValueCombiner`` (``graph/VertexValueCombiner.java:39``): merge
+    duplicate vertex rows on input. ``agg`` maps each non-id column to an
+    aggregate factory (default: keep any one value —
+    ``DefaultVertexValueCombiner`` keeps the first seen; row order is not a
+    DataFrame concept, so "any" is the faithful contract)."""
+    agg = agg or {}
+    exprs = [
+        (agg[c](F.col(c)) if c in agg else F.any_value(F.col(c))).alias(c)
+        for c in vertices.columns
+        if c != id_col
+    ]
+    return vertices.groupBy(id_col).agg(*exprs)
+
+
+def create_missing_vertices(graph: Graph, defaults: dict | None = None) -> Graph:
+    """``CreateSourceVertexCallback`` + message-induced vertex creation
+    (``edge/DefaultCreateSourceVertexCallback.java:32``,
+    ``io/TestCreateSourceVertex.java``): add a vertex row for every id
+    referenced by an edge endpoint but absent from ``vertices``, with
+    ``defaults`` for the state columns (NULL when unspecified)."""
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    defaults = defaults or {}
+    referenced = (
+        graph.edges.select(F.col(src).alias(id_col))
+        .unionByName(graph.edges.select(F.col(dst).alias(id_col)))
+        .distinct()
+    )
+    missing = referenced.join(graph.vertices.select(id_col), id_col, "left_anti")
+    schema = dict(zip(graph.vertices.columns, graph.vertices.schema))
+    new_rows = missing.select(
+        F.col(id_col),
+        *[
+            (F.lit(defaults.get(c)) if c in defaults else F.lit(None))
+            .cast(schema[c].dataType)
+            .alias(c)
+            for c in graph.vertices.columns
+            if c != id_col
+        ],
+    ).select(graph.vertices.columns)
+    return Graph(
+        graph.vertices.unionByName(new_rows),
+        graph.edges,
+        id_col,
+        src,
+        dst,
+    )
+
+
 def read_vertex_values(
     spark: SparkSession,
     path_or_df,

@@ -110,6 +110,40 @@ def write_json_vertices(
     return _emit(lines, path)
 
 
+def write_json_base64_vertices(
+    graph: Graph, path: str | None = None,
+    value_col: str = "value", weight_col: str = "weight",
+):
+    """``JsonBase64VertexOutputFormat`` (``io/formats/JsonBase64VertexOutputFormat.java:108``):
+    one JSON object per vertex with base64-encoded fields — the inverse of
+    :func:`giraph_spark.sources.readers.read_json_base64_vertices`. Pure
+    JVM expressions (``base64``/``to_json``)."""
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    adj = (
+        graph.edges.groupBy(F.col(src).alias(id_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.array(F.col(dst).cast("double"), F.col(weight_col)))
+            ).alias("_es")
+        )
+    )
+    v = graph.vertices.join(adj, on=id_col, how="left")
+    b64 = lambda c: F.base64(c.cast("string").cast("binary"))
+    lines = v.select(
+        F.to_json(
+            F.struct(
+                b64(F.col(id_col)).alias("vertexId"),
+                b64(F.col(value_col)).alias("vertexValue"),
+                F.transform(
+                    F.coalesce(F.col("_es"), F.array().cast("array<array<double>>")),
+                    lambda e: F.base64(F.to_json(e).cast("binary")),
+                ).alias("edgeArray"),
+            )
+        ).alias("value")
+    )
+    return _emit(lines, path)
+
+
 def write_graphviz(
     graph: Graph, path: str | None = None, weight_col: str | None = None,
     name: str = "G",

@@ -1,0 +1,124 @@
+"""Coverage-gap batch: base64 JSON I/O round-trip, VertexValueCombiner,
+create-missing-source-vertices, aggregator writer, superstep output hook,
+PageRank delta convergence, SendMessageChain."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark import Graph
+from giraph_spark.aggregators import AggregatorLog
+from giraph_spark.algos.pagerank import pagerank
+from giraph_spark.blocks import SendMessageChain
+from giraph_spark.pregel import MSG, PregelMetrics, pregel
+from giraph_spark.sources.readers import (
+    combine_vertex_values,
+    create_missing_vertices,
+    read_json_base64_vertices,
+)
+from giraph_spark.sources.writers import write_json_base64_vertices
+
+
+def _toy(spark):
+    vertices = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, value double"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 2.0), (2, 3, 5.0)], "src long, dst long, weight double"
+    )
+    return Graph(vertices, edges)
+
+
+def test_json_base64_roundtrip(spark):
+    g = _toy(spark)
+    lines = write_json_base64_vertices(g)  # in-memory path
+    back = read_json_base64_vertices(spark, lines)
+    assert {tuple(r) for r in back.vertices.collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+    assert {tuple(r) for r in back.edges.collect()} == {
+        (1, 2, 1.0), (1, 3, 2.0), (2, 3, 5.0)
+    }
+
+
+def test_combine_vertex_values(spark):
+    dup = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0), (2, 1.0)], "id long, value double"
+    )
+    out = combine_vertex_values(dup, {"value": F.sum})
+    assert {tuple(r) for r in out.collect()} == {(1, 12.0), (2, 1.0)}
+    any_one = combine_vertex_values(dup)
+    got = {r["id"]: r["value"] for r in any_one.collect()}
+    assert got[2] == 1.0 and got[1] in (5.0, 7.0)
+
+
+def test_create_missing_vertices(spark):
+    vertices = spark.createDataFrame([(1, 10.0)], "id long, value double")
+    edges = spark.createDataFrame([(1, 2), (3, 1)], "src long, dst long")
+    g = create_missing_vertices(Graph(vertices, edges), defaults={"value": 0.0})
+    assert {tuple(r) for r in g.vertices.collect()} == {
+        (1, 10.0), (2, 0.0), (3, 0.0)
+    }
+
+
+def test_aggregator_log_and_superstep_output(spark):
+    g = _toy(spark)
+    seen_counts = []
+
+    def inner(ctx):
+        # DO_OUTPUT_DURING_COMPUTATION analog: per-superstep state is
+        # readable (writable) from the master hook
+        seen_counts.append(ctx.vertices.count())
+
+    log = AggregatorLog(inner)
+    pregel(
+        g,
+        initial={"value": F.lit(1.0)},
+        update=lambda ctx: {"value": F.col("value") + F.coalesce(F.col(MSG), F.lit(0.0))},
+        send_msg=lambda ctx: F.when(F.lit(ctx.superstep < 2), F.col("value")),
+        combine=F.sum,
+        msg_type="double",
+        vote_to_halt=lambda ctx: F.lit(ctx.superstep >= 2),
+        aggregates={"total": F.sum("value")},
+        master_fn=log,
+        max_supersteps=5,
+    )
+    assert len(log.history) >= 3
+    assert all("total" in h for h in log.history)
+    assert seen_counts and all(c == 3 for c in seen_counts)
+    lines = log.lines()
+    assert lines[0].startswith("0\ttotal=")
+
+
+def test_pagerank_delta_convergence(spark):
+    # star + chain: converges well before 50 iterations
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0), (3, 0), (4, 0), (5, 4)], "src long, dst long"
+    )
+    g = Graph(vertices, edges)
+    m = PregelMetrics()
+    fixed = {r["id"]: r["rank"] for r in pagerank(g, iterations=50).collect()}
+    conv = {
+        r["id"]: r["rank"]
+        for r in pagerank(g, iterations=50, tolerance=1e-3, metrics=m).collect()
+    }
+    # delta shrinks ∝ damping^t: 1e-3 is reached near t≈35 ≪ 50
+    assert m.num_supersteps < 45
+    for k in fixed:
+        assert conv[k] == pytest.approx(fixed[k], abs=2e-3)
+
+
+def test_send_message_chain(spark):
+    g = _toy(spark)
+    out = (
+        SendMessageChain.start_send(F.lit(1.0), F.sum, out_col="in_deg")
+        .then_send(F.coalesce(F.col("in_deg"), F.lit(0.0)), F.sum, out_col="two_hop")
+        .end_apply({
+            "in_deg": F.coalesce("in_deg", F.lit(0.0)),
+            "two_hop": F.coalesce("two_hop", F.lit(0.0)),
+        })
+        .run(g)
+    )
+    got = {r["id"]: (r["in_deg"], r["two_hop"]) for r in out.collect()}
+    # in-degrees: 1→0, 2→1, 3→2 ; two_hop[dst] = Σ in_deg over in-neighbors
+    assert got == {1: (0.0, 0.0), 2: (1.0, 0.0), 3: (2.0, 1.0)}
