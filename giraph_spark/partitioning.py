@@ -1,0 +1,114 @@
+"""Graph partitioning strategies (SURVEY §4.1).
+
+Reference:
+- hash: ``partition/HashPartitionerFactory.java:36-44``
+  (``abs(id.hashCode() % partitionCount)``);
+- hash-range: ``partition/HashRangePartitionerFactory.java``;
+- range: ``partition/SimpleLongRangePartitionerFactory.java:44-74``
+  (key-space division);
+- precomputed mapping: ``partition/LongMappingStorePartitionerFactory.java:61``
+  + ``mapping/LongByteMappingStore.java`` (load a vertex→partition map, e.g.
+  from an external partitioner), fed by ``MappingInputFormat``
+  (``io/MappingInputFormat.java``).
+
+Spark realization: partitioning is a property of the shuffle, not a stored
+structure — ``repartition(n, col)`` IS hash partitioning;
+``repartitionByRange`` IS range partitioning; a mapping store is a join with
+the mapping table followed by a repartition on the mapped column. The pregel
+kernel re-keys state on the id column every superstep via the inbox
+groupBy, so any of these only need to be applied once up front (the analog
+of the input superstep routing vertices to workers,
+``worker/BspServiceWorker.java:332-413``). Dynamic rebalancing
+(``partition/PartitionBalancer.java``) is AQE's job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import Graph
+
+
+def hash_partition(graph: Graph, num_partitions: int) -> Graph:
+    """Hash-partition vertices by id and edges by src — co-located for the
+    triplet join (``HashPartitionerFactory.java:36-44``)."""
+    return Graph(
+        graph.vertices.repartition(num_partitions, F.col(graph.id_col)),
+        graph.edges.repartition(num_partitions, F.col(graph.src_col)),
+        graph.id_col,
+        graph.src_col,
+        graph.dst_col,
+    )
+
+
+def range_partition(graph: Graph, num_partitions: int) -> Graph:
+    """Range-partition by id/src (``SimpleLongRangePartitionerFactory.java:44-74``
+    — contiguous key ranges per partition; preserves locality of
+    consecutively-numbered vertices)."""
+    return Graph(
+        graph.vertices.repartitionByRange(num_partitions, F.col(graph.id_col)),
+        graph.edges.repartitionByRange(num_partitions, F.col(graph.src_col)),
+        graph.id_col,
+        graph.src_col,
+        graph.dst_col,
+    )
+
+
+def mapping_partition(
+    graph: Graph, mapping: DataFrame, num_partitions: int,
+    map_id_col: str = "id", map_part_col: str = "partition",
+) -> Graph:
+    """Partition by a precomputed vertex→partition mapping
+    (``LongMappingStorePartitionerFactory.java:61`` — e.g. output of a
+    social-hash partitioner). The mapping is broadcast-joined onto both
+    relations (mapping tables are small relative to the graph), then both
+    are repartitioned on the mapped bucket; the bucket column is kept as
+    ``_bucket`` so downstream ops can reuse it."""
+    m_v = mapping.select(
+        F.col(map_id_col).alias(graph.id_col),
+        F.col(map_part_col).alias("_bucket"),
+    )
+    m_e = mapping.select(
+        F.col(map_id_col).alias(graph.src_col),
+        F.col(map_part_col).alias("_bucket"),
+    )
+    v = (
+        graph.vertices.join(F.broadcast(m_v), graph.id_col, "left")
+        .repartition(num_partitions, F.col("_bucket"))
+    )
+    e = (
+        graph.edges.join(F.broadcast(m_e), graph.src_col, "left")
+        .repartition(num_partitions, F.col("_bucket"))
+    )
+    return Graph(
+        v.drop("_bucket"), e.drop("_bucket"),
+        graph.id_col, graph.src_col, graph.dst_col,
+    )
+
+
+def salt_heavy_keys(
+    edges: DataFrame, key_col: str, num_salts: int = 16,
+    threshold: int = 1_000_000,
+) -> DataFrame:
+    """Skew mitigation beyond AQE (SURVEY §4.7 "super-node salting"):
+    append a salt column for keys whose fan-in exceeds ``threshold`` so a
+    downstream two-phase aggregation (groupBy(key, _salt) → groupBy(key))
+    spreads a power-law super-node over ``num_salts`` reducers."""
+    heavy = (
+        edges.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > threshold)
+        .select(key_col, F.lit(True).alias("_heavy"))
+    )
+    return (
+        edges.join(F.broadcast(heavy), key_col, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_heavy").isNotNull(),
+                (F.rand(seed=42) * num_salts).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_heavy")
+    )

@@ -8,16 +8,21 @@ Spark's job).
 
 from .generators import uniform_random_graph, watts_strogatz_graph
 from .readers import (
+    combine_vertex_values,
+    load_graph,
     read_adjacency_list,
     read_edge_list,
+    read_json_base64_vertices,
     read_json_vertices,
     read_vertex_values,
 )
 from .writers import (
+    save_graph,
     write_adjacency_list,
     write_edge_list,
     write_graphviz,
     write_id_with_value,
+    write_json_base64_vertices,
     write_json_vertices,
 )
 
@@ -25,11 +30,16 @@ __all__ = [
     "read_edge_list",
     "read_adjacency_list",
     "read_json_vertices",
+    "read_json_base64_vertices",
     "read_vertex_values",
+    "combine_vertex_values",
+    "load_graph",
+    "save_graph",
     "write_edge_list",
     "write_adjacency_list",
     "write_id_with_value",
     "write_json_vertices",
+    "write_json_base64_vertices",
     "write_graphviz",
     "uniform_random_graph",
     "watts_strogatz_graph",

@@ -148,6 +148,21 @@ def read_json_vertices(spark: SparkSession, path_or_df) -> Graph:
     return Graph(vertices, edges)
 
 
+def load_graph(
+    spark: SparkSession, path: str,
+    id_col: str = "id", src_col: str = "src", dst_col: str = "dst",
+) -> Graph:
+    """Load a graph saved by :func:`giraph_spark.sources.writers.save_graph`
+    (the ``SequenceFileVertexInputFormat`` analog,
+    ``io/formats/SequenceFileVertexInputFormat.java:114`` — typed binary
+    round-trip, here with parquet schema evolution/pruning for free)."""
+    return Graph(
+        spark.read.parquet(f"{path}/vertices"),
+        spark.read.parquet(f"{path}/edges"),
+        id_col, src_col, dst_col,
+    )
+
+
 def read_json_base64_vertices(spark: SparkSession, path_or_df) -> Graph:
     """``JsonBase64VertexInputFormat`` (``io/formats/JsonBase64VertexInputFormat.java:150``):
     binary-in-text lines ``{"vertexId": b64, "vertexValue": b64,
@@ -203,40 +218,6 @@ def combine_vertex_values(
         if c != id_col
     ]
     return vertices.groupBy(id_col).agg(*exprs)
-
-
-def create_missing_vertices(graph: Graph, defaults: dict | None = None) -> Graph:
-    """``CreateSourceVertexCallback`` + message-induced vertex creation
-    (``edge/DefaultCreateSourceVertexCallback.java:32``,
-    ``io/TestCreateSourceVertex.java``): add a vertex row for every id
-    referenced by an edge endpoint but absent from ``vertices``, with
-    ``defaults`` for the state columns (NULL when unspecified)."""
-    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
-    defaults = defaults or {}
-    referenced = (
-        graph.edges.select(F.col(src).alias(id_col))
-        .unionByName(graph.edges.select(F.col(dst).alias(id_col)))
-        .distinct()
-    )
-    missing = referenced.join(graph.vertices.select(id_col), id_col, "left_anti")
-    schema = dict(zip(graph.vertices.columns, graph.vertices.schema))
-    new_rows = missing.select(
-        F.col(id_col),
-        *[
-            (F.lit(defaults.get(c)) if c in defaults else F.lit(None))
-            .cast(schema[c].dataType)
-            .alias(c)
-            for c in graph.vertices.columns
-            if c != id_col
-        ],
-    ).select(graph.vertices.columns)
-    return Graph(
-        graph.vertices.unionByName(new_rows),
-        graph.edges,
-        id_col,
-        src,
-        dst,
-    )
 
 
 def read_vertex_values(

@@ -110,6 +110,16 @@ def write_json_vertices(
     return _emit(lines, path)
 
 
+def save_graph(graph: Graph, path: str, mode: str = "overwrite") -> None:
+    """Binary columnar graph persistence — the engine-native replacement for
+    ``SequenceFileVertexOutputFormat`` (``io/formats/SequenceFileVertexOutputFormat.java:123``):
+    vertices and edges as two parquet datasets under ``path``. Parquet
+    gives the typed binary round-trip SequenceFiles provided, plus
+    predicate pushdown / column pruning on re-read."""
+    graph.vertices.write.mode(mode).parquet(f"{path}/vertices")
+    graph.edges.write.mode(mode).parquet(f"{path}/edges")
+
+
 def write_json_base64_vertices(
     graph: Graph, path: str | None = None,
     value_col: str = "value", weight_col: str = "weight",

@@ -10,9 +10,9 @@ from giraph_spark.aggregators import AggregatorLog
 from giraph_spark.algos.pagerank import pagerank
 from giraph_spark.blocks import SendMessageChain
 from giraph_spark.pregel import MSG, PregelMetrics, pregel
+from giraph_spark.algos.prepare import create_missing_vertices
 from giraph_spark.sources.readers import (
     combine_vertex_values,
-    create_missing_vertices,
     read_json_base64_vertices,
 )
 from giraph_spark.sources.writers import write_json_base64_vertices

@@ -1,0 +1,67 @@
+"""Partitioning strategies (SURVEY §4.1) and parquet graph round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark import Graph
+from giraph_spark.algos.pagerank import pagerank
+from giraph_spark.partitioning import (
+    hash_partition,
+    mapping_partition,
+    range_partition,
+    salt_heavy_keys,
+)
+from giraph_spark.sources import load_graph, save_graph
+
+
+def _toy(spark):
+    vertices = spark.createDataFrame([(i, float(i)) for i in range(8)], "id long, value double")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8, 1.0) for i in range(8)], "src long, dst long, weight double"
+    )
+    return Graph(vertices, edges)
+
+
+def test_partitioners_preserve_content_and_results(spark):
+    g = _toy(spark)
+    mapping = spark.createDataFrame(
+        [(i, i % 2) for i in range(8)], "id long, partition int"
+    )
+    for pg in (
+        hash_partition(g, 4),
+        range_partition(g, 4),
+        mapping_partition(g, mapping, 2),
+    ):
+        assert sorted(r["id"] for r in pg.vertices.collect()) == list(range(8))
+        assert pg.edges.count() == 8
+        # algorithm results are invariant to physical partitioning
+        r = {x["id"]: x["rank"] for x in pagerank(pg, iterations=3).collect()}
+        assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_salt_heavy_keys(spark):
+    rows = [(1, i) for i in range(100)] + [(2, 0)]
+    edges = spark.createDataFrame(rows, "dst long, src long")
+    salted = salt_heavy_keys(edges, "dst", num_salts=4, threshold=50)
+    got = salted.groupBy("dst").agg(F.countDistinct("_salt").alias("s")).collect()
+    per = {r["dst"]: r["s"] for r in got}
+    assert per[2] == 1  # light key: single salt
+    assert per[1] > 1  # heavy key spread over salts
+    # two-phase agg over (key, salt) then key reproduces exact counts
+    two = (
+        salted.groupBy("dst", "_salt").count()
+        .groupBy("dst").agg(F.sum("count").alias("n"))
+    )
+    assert {(r["dst"], r["n"]) for r in two.collect()} == {(1, 100), (2, 1)}
+
+
+def test_graph_parquet_roundtrip(spark, tmp_path):
+    g = _toy(spark)
+    save_graph(g, str(tmp_path / "g"))
+    back = load_graph(spark, str(tmp_path / "g"))
+    assert {tuple(r) for r in back.vertices.collect()} == {
+        tuple(r) for r in g.vertices.collect()
+    }
+    assert {tuple(r) for r in back.edges.collect()} == {
+        tuple(r) for r in g.edges.collect()
+    }
