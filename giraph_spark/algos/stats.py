@@ -2,8 +2,9 @@
 
 Reference: ``giraph-block-app-8/.../library/stats/DirectedGraphStats.java``
 (vertex/edge counts, degree moments) and ``PartitioningStats.java``
-(locality — not meaningful under Spark's shuffle model). One aggregation
-pass, no iteration.
+(edge locality under a partition assignment — used to evaluate mapping
+partitioners; see :func:`partitioning_stats`). One aggregation pass, no
+iteration.
 """
 
 from __future__ import annotations
@@ -49,4 +50,51 @@ def graph_stats(graph: Graph) -> DataFrame:
         F.sum(((F.col("od") == 0) & (F.col("idg") == 0)).cast("long"))
         .cast("long")
         .alias("n_isolated"),
+    )
+
+
+def partitioning_stats(
+    graph: Graph, mapping: DataFrame,
+    map_id_col: str = "id", map_part_col: str = "partition",
+) -> DataFrame:
+    """Evaluate a vertex→partition assignment
+    (``giraph-block-app-8/.../library/stats/PartitioningStats.java`` —
+    localEdges/totalEdges locality ratio, per-partition balance). One row:
+    ``(n_partitions, local_edges, total_edges, locality, max_partition_vertices,
+    avg_partition_vertices)``. The mapping is broadcast onto both edge
+    endpoints (mapping tables are small next to edges at scale)."""
+    src, dst = graph.src_col, graph.dst_col
+    m_src = mapping.select(
+        F.col(map_id_col).alias(src), F.col(map_part_col).alias("_p_src")
+    )
+    m_dst = mapping.select(
+        F.col(map_id_col).alias(dst), F.col(map_part_col).alias("_p_dst")
+    )
+    tagged = (
+        graph.edges.select(src, dst)
+        .join(F.broadcast(m_src), src, "left")
+        .join(F.broadcast(m_dst), dst, "left")
+    )
+    edge_row = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("total_edges"),
+        F.sum(
+            (F.col("_p_src") == F.col("_p_dst")).cast("long")
+        ).cast("long").alias("local_edges"),
+    )
+    part_row = (
+        mapping.groupBy(map_part_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.max("_n").cast("long").alias("max_partition_vertices"),
+            F.round(F.avg("_n"), 6).alias("avg_partition_vertices"),
+        )
+    )
+    return edge_row.crossJoin(part_row).select(
+        "n_partitions",
+        "local_edges",
+        "total_edges",
+        F.round(F.try_divide("local_edges", "total_edges"), 6).alias("locality"),
+        "max_partition_vertices",
+        "avg_partition_vertices",
     )

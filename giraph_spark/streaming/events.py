@@ -80,6 +80,95 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def user_activity_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    idle_timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful per-user activity tracking via
+    ``applyInPandasWithState`` — the arbitrary-stateful-operator path for
+    session logic ``session_window`` cannot express (here: running event
+    count, distinct event types, and first/last timestamps per user, with a
+    processing-time idle timeout that emits and clears the state — the
+    streaming analog of Giraph's per-vertex long-lived state across
+    supersteps).
+
+    Emits a running snapshot row per user per micro-batch (and a final row
+    when the idle timeout clears the state):
+    ``(user_id, n_events, first_ts, last_ts, closed)``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("first_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+            StructField("closed", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("first_us", LongType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def _row(user_id, n, first_us, last_us, closed):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "closed": [closed],
+            }
+        )
+
+    def track(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, first_us, last_us = state.get
+            state.remove()
+            yield _row(user_id, n, first_us, last_us, True)
+            return
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ts_us = pdf["ts"].astype("int64") // 1000
+            n += len(pdf)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield _row(user_id, n, first_us, last_us, False)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
 ) -> DataFrame:

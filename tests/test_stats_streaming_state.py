@@ -1,0 +1,74 @@
+"""partitioning_stats (PartitioningStats.java analog) and the custom
+stateful streaming operator (applyInPandasWithState)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark import Graph
+from giraph_spark.algos.stats import partitioning_stats
+from giraph_spark.plans.fixtures import read_events
+from giraph_spark.streaming.events import user_activity_stream
+
+
+def test_partitioning_stats(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    # partitions {0,1,2} and {3,4,5}; 3 local edges, 2 cross
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (2, 3), (5, 0)], "src long, dst long"
+    )
+    mapping = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "id long, partition int"
+    )
+    row = partitioning_stats(Graph(vertices, edges), mapping).collect()[0]
+    assert row["n_partitions"] == 2
+    assert row["total_edges"] == 5
+    assert row["local_edges"] == 3
+    assert row["locality"] == pytest.approx(0.6)
+    assert row["max_partition_vertices"] == 3
+
+
+def test_user_activity_stream(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = read_events(spark, sf_dir)
+    schema = batch.schema
+    # stream from a re-written copy (micro-timestamps) so the stream side
+    # needs no nanos conversion
+    src = str(tmp_path / "events_us")
+    batch.write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = user_activity_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("activity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, n_events, first_ts, last_ts FROM activity"
+    ).toPandas()
+    want = (
+        batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+    )
+    # snapshot per user per batch; the LAST snapshot per user must equal the
+    # batch aggregate (single-file source → exactly one snapshot per user)
+    g = got.sort_values(["user_id"]).groupby("user_id").tail(1)
+    w = want.sort_values(["user_id"])
+    assert len(g) == len(w)
+    merged = g.merge(w, on="user_id", suffixes=("_s", "_b"))
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["first_ts_s"] == merged["first_ts_b"]).all()
+    assert (merged["last_ts_s"] == merged["last_ts_b"]).all()
