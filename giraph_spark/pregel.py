@@ -96,7 +96,34 @@ def _resolve(expr: Any, ctx: PregelContext) -> Any:
     return expr(ctx) if callable(expr) and not isinstance(expr, Column) else expr
 
 
-def pregel(
+def pregel(graph: Graph, **kwargs) -> DataFrame:
+    """Run a Pregel computation; returns the final vertices DataFrame.
+    See :func:`_pregel_impl` for the full parameter reference (identical
+    signature; this wrapper only manages session config).
+
+    AQE is disabled for the duration of the loop (restored on exit, even on
+    error): with AQE on, ``localCheckpoint`` wraps the per-superstep state
+    in a LogicalRDD with UNKNOWN partitioning (AdaptiveSparkPlanExec's
+    output partitioning is undecided at checkpoint time), so every
+    subsequent join re-shuffles the state. With AQE off the checkpoint
+    preserves ``HashPartitioning(id)`` and the inbox/triplet joins are
+    exchange-free on the state side — Giraph's "vertices stay put, only
+    messages move" model. AQE's skew handling is not missed inside the
+    loop: with a message combiner, map-side partial aggregation collapses
+    each dst's fan-in to ≤ num_partitions rows before the shuffle,
+    structurally bounding skew (and :func:`giraph_spark.partitioning.salt_heavy_keys`
+    covers the combiner-less case).
+    """
+    spark = graph.vertices.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pregel_impl(graph, **kwargs)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _pregel_impl(
     graph: Graph,
     *,
     update: dict[str, Expr] | Callable[[PregelContext], dict[str, Column]],
@@ -220,9 +247,16 @@ def pregel(
                 .agg(agg)
                 .withColumn(HAS_MSG, F.lit(True))
             )
-            joined = base.join(inbox, on=id_col, how="left").withColumn(
-                HAS_MSG, F.coalesce(F.col(HAS_MSG), F.lit(False))
-            )
+            # shuffle_hash hint: the state side is already hash-partitioned
+            # on id (from the previous superstep's checkpoint), so this join
+            # only shuffles the (combined) inbox — the message-delivery
+            # shuffle, and nothing else. Without the hint Spark broadcasts
+            # the inbox every superstep: wasted driver round-trips here, an
+            # OOM at cluster scale where the inbox is as big as the vertex
+            # set.
+            joined = base.join(
+                inbox.hint("shuffle_hash"), on=id_col, how="left"
+            ).withColumn(HAS_MSG, F.coalesce(F.col(HAS_MSG), F.lit(False)))
 
         # 2. Active set: not-halted ∪ woken-by-message
         #    (ComputeCallable.java:335-338). The update is applied as
@@ -268,10 +302,20 @@ def pregel(
         if messages_fn is not None:
             new_messages = messages_fn(computed, edges, ctx)
         else:
+            # shuffle_hash hint on the state side: state is hash-partitioned
+            # on id and the cached edge relation on src (resp. dst), so the
+            # triplet join is fully co-partitioned — ZERO exchange, build
+            # side = the (smaller) per-partition vertex state. Without the
+            # hint Spark re-broadcasts the whole edge relation every
+            # superstep (observed via .explain) — wrong at any scale where
+            # edges don't fit one executor, and measurable overhead even
+            # locally.
             parts = []
             if send_msg is not None:
                 e = edges_by_src if edges_by_src is not None else edges
-                triplet = computed.join(e, computed[id_col] == e[src_col])
+                triplet = computed.hint("shuffle_hash").join(
+                    e, computed[id_col] == e[src_col]
+                )
                 parts.append(
                     triplet.select(
                         F.col(dst_col).alias("_dst"),
@@ -280,7 +324,9 @@ def pregel(
                 )
             if send_msg_to_src is not None:
                 e = edges_by_dst if edges_by_dst is not None else edges
-                triplet = computed.join(e, computed[id_col] == e[dst_col])
+                triplet = computed.hint("shuffle_hash").join(
+                    e, computed[id_col] == e[dst_col]
+                )
                 parts.append(
                     triplet.select(
                         F.col(src_col).alias("_dst"),
