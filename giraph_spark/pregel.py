@@ -123,6 +123,44 @@ def pregel(graph: Graph, **kwargs) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
+def resume_pregel(graph: Graph, state_checkpoint_dir: str, **kwargs) -> DataFrame:
+    """Restart a pregel run from its latest durable checkpoint
+    (``BspServiceWorker.loadCheckpoint``, ``BspServiceWorker.java:1584``;
+    master restart decision ``BspServiceMaster``): loads the saved
+    post-update vertex state and in-flight messages from
+    ``{state_checkpoint_dir}/superstep={N}/`` with the largest N and
+    continues at superstep N+1 with the same kernel arguments. ``initial``
+    is ignored (state comes from the checkpoint); superstep-indexed logic
+    continues where it left off."""
+    import os
+    import re
+
+    spark = graph.vertices.sparkSession
+    steps = []
+    for name in os.listdir(state_checkpoint_dir):
+        m = re.fullmatch(r"superstep=(\d+)", name)
+        if m and os.path.isdir(os.path.join(state_checkpoint_dir, name, "vertices")):
+            steps.append(int(m.group(1)))
+    if not steps:
+        raise ValueError(f"no checkpoints under {state_checkpoint_dir!r}")
+    last = max(steps)
+    d = f"{state_checkpoint_dir}/superstep={last}"
+    vdf = spark.read.parquet(f"{d}/vertices")
+    mdf = (
+        spark.read.parquet(f"{d}/messages")
+        if os.path.isdir(f"{d}/messages")
+        else None
+    )
+    kwargs.setdefault("state_checkpoint_dir", state_checkpoint_dir)
+    return pregel(
+        graph,
+        start_superstep=last + 1,
+        _resume_vertices=vdf,
+        _resume_messages=mdf,
+        **kwargs,
+    )
+
+
 def _pregel_impl(
     graph: Graph,
     *,
@@ -137,10 +175,14 @@ def _pregel_impl(
     aggregates: dict[str, Expr] | None = None,
     master_fn: Callable[[PregelContext], None] | None = None,
     max_supersteps: int = 100,
+    start_superstep: int = 0,
     checkpoint_every: int = 6,
     checkpoint_dir: str | None = None,
+    state_checkpoint_dir: str | None = None,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     metrics: PregelMetrics | None = None,
+    _resume_vertices: DataFrame | None = None,
+    _resume_messages: DataFrame | None = None,
 ) -> DataFrame:
     """Run a Pregel computation; returns the final vertices DataFrame
     (engine columns dropped).
@@ -185,17 +227,29 @@ def _pregel_impl(
         driver callback after each superstep; may read ``ctx.aggregates``,
         mutate ``ctx.broadcasts`` (visible to callable expressions next
         superstep) or call ``ctx.halt()``.
+    state_checkpoint_dir:
+        when set, every ``checkpoint_every``-th superstep the post-update
+        vertex state AND the in-flight messages are written as parquet under
+        ``{dir}/superstep={N}/`` — Giraph's durable checkpoint
+        (``worker/BspServiceWorker.storeCheckpoint``,
+        ``BspServiceWorker.java:1340``; cadence ``CHECKPOINT_FREQUENCY``,
+        ``conf/GiraphConstants.java:927``). Restart with
+        :func:`resume_pregel` (≡ ``loadCheckpoint``,
+        ``BspServiceWorker.java:1584``).
     """
     ctx = PregelContext()
     metrics = metrics if metrics is not None else PregelMetrics()
 
     id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
 
-    vertices = graph.vertices
-    if initial:
-        vertices = vertices.withColumns(
-            {k: _resolve(v, ctx) for k, v in initial.items()}
-        )
+    if _resume_vertices is not None:
+        vertices = _resume_vertices  # engine columns included in the save
+    else:
+        vertices = graph.vertices
+        if initial:
+            vertices = vertices.withColumns(
+                {k: _resolve(v, ctx) for k, v in initial.items()}
+            )
     if HALTED not in vertices.columns:
         vertices = vertices.withColumn(HALTED, F.lit(False))
 
@@ -226,12 +280,19 @@ def _pregel_impl(
 
     vertices = vertices.repartition(nparts, F.col(id_col)).persist(storage_level)
     messages: DataFrame | None = None
+    if _resume_messages is not None:
+        messages = _resume_messages.persist(storage_level)
     prev_vertices: DataFrame | None = None
     prev_messages: DataFrame | None = None
 
     null_msg = F.lit(None).cast(msg_type) if msg_type else F.lit(None)
 
-    for superstep in range(max_supersteps):
+    # start_superstep > 0 = restart path (Giraph's restart-from-checkpoint,
+    # ``BspServiceWorker.loadCheckpoint``): the caller passes the saved
+    # vertices as graph.vertices / ``initial`` and the superstep counter
+    # resumes where it left off, so superstep-indexed logic (fixed-iteration
+    # PageRank, phase machines) continues correctly.
+    for superstep in range(start_superstep, max_supersteps):
         ctx.superstep = superstep
         t0 = time.monotonic()
 
@@ -373,6 +434,19 @@ def _pregel_impl(
                 "seconds": time.monotonic() - t0,
             }
         )
+
+        # Durable checkpoint: state is already materialized (the count
+        # action above), so these writes read from the checkpoint blocks /
+        # message cache, not recompute.
+        if (
+            state_checkpoint_dir
+            and checkpoint_every
+            and (superstep + 1) % checkpoint_every == 0
+        ):
+            d = f"{state_checkpoint_dir}/superstep={superstep}"
+            new_vertices.write.mode("overwrite").parquet(f"{d}/vertices")
+            if new_messages is not None:
+                new_messages.write.mode("overwrite").parquet(f"{d}/messages")
 
         # 7. Release previous superstep state. Checkpointed frames are
         #    released by the ContextCleaner once their RDDs are GC'd; the

@@ -1,0 +1,62 @@
+"""Invariant tests on seeded random graphs (SURVEY §5 strategy (c)):
+properties that must hold for any graph, checked on generator output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.algos.components import wcc
+from giraph_spark.algos.pagerank import pagerank
+from giraph_spark.algos.prepare import dedup_edges, is_symmetric, symmetrize
+from giraph_spark.algos.triangles import triangle_count, triangles_per_vertex
+from giraph_spark.sources import uniform_random_graph, watts_strogatz_graph
+
+
+@pytest.fixture(scope="module")
+def rnd(spark):
+    g = uniform_random_graph(spark, n=200, edges_per_vertex=3, seed=7)
+    return g.persist()
+
+
+def test_pagerank_mass_conserved_with_dangling(spark, rnd):
+    # dangling-aware PR redistributes sink mass: total stays 1
+    total = (
+        pagerank(rnd, iterations=8, dangling=True)
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_wcc_idempotent_and_consistent(spark, rnd):
+    a = wcc(rnd, max_supersteps=60)
+    b = wcc(rnd, max_supersteps=60)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    # every edge endpoint pair shares a component
+    comp = a.select(F.col("id").alias("src"), F.col("component").alias("c1"))
+    comp2 = a.select(F.col("id").alias("dst"), F.col("component").alias("c2"))
+    bad = (
+        rnd.edges.join(comp, "src").join(comp2, "dst")
+        .where(F.col("c1") != F.col("c2"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_symmetrize_gives_symmetry(spark, rnd):
+    s = symmetrize(rnd)
+    assert is_symmetric(s)
+    d = dedup_edges(s)
+    assert (
+        d.edges.groupBy("src", "dst").count().where("count > 1").count() == 0
+    )
+
+
+def test_triangle_totals_agree(spark):
+    ws = watts_strogatz_graph(spark, n=120, k=4, beta=0.1, seed=11)
+    total = triangle_count(ws).collect()[0]["triangles"]
+    per_vertex_sum = (
+        triangles_per_vertex(ws).agg(F.sum("triangles")).collect()[0][0]
+    )
+    # each triangle is counted once per corner
+    assert per_vertex_sum == 3 * total
+    assert total > 0  # k=4 lattice has guaranteed triangles
