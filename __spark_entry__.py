@@ -53,6 +53,7 @@ from giraph_spark.functions.similarity import (
     brute_force_topk,
     cosine,
     embedding_near_duplicates,
+    ivf_topk,
 )
 from giraph_spark.functions.text import (
     bpe_token_count,
@@ -328,6 +329,15 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=10)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.where(F.col("vec_id") <= 5)
+    return ivf_topk(e, q, k=10, num_cells=16, nprobe=4)
+
+
 def _q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir).select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -414,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "sessionize": _q_sessionize,
@@ -860,6 +871,38 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rnk
 FROM scored QUALIFY rnk <= 10"""
 
+    ivf_topk_sql = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+inv AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell ASC) AS r
+        FROM c CROSS JOIN cents) t
+    WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id <= 5),
+probes AS (
+    SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.cell ASC) AS r
+        FROM q CROSS JOIN cents) t
+    WHERE r <= 4
+),
+scored AS (
+    SELECT p.query_id, i.vec_id,
+           ROUND(list_cosine_similarity(p.qv, i.v), 6) AS cos_sim
+    FROM inv i JOIN probes p USING (cell)
+    WHERE p.query_id <> i.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 10"""
+
     emb_exact_sql = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000)
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
@@ -901,6 +944,7 @@ FROM events GROUP BY 1, 2"""
         "lang_id": lang_sql,
         "fingerprint": fingerprint_sql,
         "cosine_topk": cosine_topk_sql,
+        "ivf_topk": ivf_topk_sql,
         "embedding_near_dup_exact": emb_exact_sql,
         "sessionize": sessionize_sql,
         "event_counts_hourly": event_counts_sql,

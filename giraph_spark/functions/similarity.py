@@ -164,6 +164,72 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is bucketed into
+    ``num_cells`` Voronoi cells (inverted lists) by nearest centroid;
+    each query probes only its ``nprobe`` nearest cells and runs exact
+    cosine there. Per-query work ∝ probed-cell occupancy, not corpus size;
+    the cell assignment is one broadcast join (centroids are tiny).
+
+    Centroids are the ``num_cells`` lowest-id corpus vectors —
+    deterministic and engine-reproducible (so the DuckDB oracle can
+    replicate the exact result). A production deployment would k-means
+    them; the routing/probing plan is identical.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(num_cells)
+        .select(
+            F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv")
+        )
+    )
+
+    def assign(df, idc, vc, n_keep):
+        """nearest-`n_keep` cells per row by cosine (ties → lower cell id)"""
+        scored = df.join(F.broadcast(cents)).select(
+            df[idc],
+            df[vc],
+            F.col("_cell"),
+            cosine(df[vc], F.col("_cv")).alias("_sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("_sim"), F.asc("_cell"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= n_keep)
+            .drop("_sim", "_r")
+        )
+
+    inv = assign(corpus, id_col, vec_col, 1)  # inverted lists
+    probes = assign(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col)),
+        query_id_col,
+        vec_col,
+        nprobe,
+    ).select(query_id_col, F.col(vec_col).alias("_qv"), "_cell")
+    cand = inv.join(F.broadcast(probes), on="_cell").where(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,

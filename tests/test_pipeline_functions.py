@@ -109,6 +109,30 @@ def test_similarity_lsh_recall(spark):
     assert len(e & a) / len(e) >= 0.8
 
 
+def test_similarity_ivf_recall(spark):
+    import random
+
+    from giraph_spark.functions.similarity import ivf_topk
+
+    random.seed(7)
+    dim = 16
+    base = [[random.gauss(0, 1) for _ in range(dim)] for _ in range(5)]
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(6):
+            rows.append((vid, [x + random.gauss(0, 0.05) for x in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") % 6 == 0)
+    exact = brute_force_topk(df, queries, k=3)
+    approx = ivf_topk(df, queries, k=3, num_cells=8, nprobe=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # probing 3 of 8 cells over tight clusters keeps recall high
+    assert len(e & a) / len(e) >= 0.8
+
+
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 30)
     meta = decode_metadata(media)
