@@ -4,14 +4,16 @@ and data-processing capabilities of apache/giraph, re-expressed Spark-first
 see SURVEY.md for the full mapping)."""
 
 from .graph import Graph, GraphSchemaError
-from .pregel import PregelContext, PregelMetrics, pregel
+from .pregel import MSG, PregelContext, PregelMetrics, pregel, resume_pregel
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Graph",
     "GraphSchemaError",
+    "MSG",
     "PregelContext",
     "PregelMetrics",
     "pregel",
+    "resume_pregel",
 ]
