@@ -36,6 +36,7 @@ from giraph_spark.algos.prepare import (
     normalize_weights,
     remove_asym_edges,
     symmetrize,
+    symmetrize_weighted,
 )
 from giraph_spark.algos.stats import graph_stats
 from giraph_spark.algos.triangles import (
@@ -194,6 +195,15 @@ def _q_remove_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = remove_asym_edges(nation_graph(spark, sf_dir))
     return g.edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+
+
+def _q_symmetrize_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = symmetrize_weighted(trade_graph(spark, sf_dir, directed=True))
+    return g.edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.round("weight", 2).alias("weight"),
     )
 
 
@@ -408,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangle_closing_topk": _q_triangle_closing,
         "symmetrize_edges": _q_symmetrize,
+        "symmetrize_weighted": _q_symmetrize_weighted,
         "remove_asym_edges": _q_remove_asym,
         "normalize_weights": _q_normalize_weights,
         "scc": _q_scc,
@@ -605,6 +616,16 @@ SELECT CAST(id AS BIGINT) AS id, CAST(candidate AS BIGINT) AS candidate,
        common_neighbors,
        CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY common_neighbors DESC, candidate ASC) AS BIGINT) AS rnk
 FROM pairs QUALIFY rnk <= 5"""
+    )
+
+    symw_sql = (
+        TRADE_GRAPH_DIRECTED_SQL.strip()
+        + """
+, agg AS (SELECT src, dst, SUM(weight) AS w FROM edges GROUP BY src, dst)
+SELECT CAST(COALESCE(a.src, b.dst) AS BIGINT) AS src,
+       CAST(COALESCE(a.dst, b.src) AS BIGINT) AS dst,
+       ROUND(COALESCE(a.w, 0) + COALESCE(b.w, 0), 2) AS weight
+FROM agg a FULL JOIN agg b ON a.src = b.dst AND a.dst = b.src"""
     )
 
     norm_sql = (
@@ -973,4 +994,5 @@ SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst
 FROM edges e
 WHERE EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)""",
         "normalize_weights": norm_sql,
+        "symmetrize_weighted": symw_sql,
     }

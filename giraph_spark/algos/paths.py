@@ -77,16 +77,26 @@ def bfs(
     level_col: str = "level",
 ) -> DataFrame:
     """BFS level per vertex; -1 for unreachable (matching
-    ``BreadthFirstSearch.java`` which initializes to NOT_VISITED)."""
+    ``BreadthFirstSearch.java`` which initializes to NOT_VISITED).
+
+    ``source`` may be a single id, a list of ids (the reference's seed-set
+    form — ``BreadthFirstSearch.java:73`` takes an ``isVertexInSeedSet``
+    predicate), or a boolean Column over the vertex columns."""
+    from pyspark.sql import Column
+
     id_col = graph.id_col
     big = F.lit(2**62)
+    if isinstance(source, Column):
+        is_seed = source
+    elif isinstance(source, (list, tuple, set)):
+        is_seed = F.col(id_col).isin(list(source))
+    else:
+        is_seed = F.col(id_col) == F.lit(source)
 
     out = pregel(
         graph,
         initial={
-            level_col: F.when(F.col(id_col) == F.lit(source), F.lit(0)).otherwise(
-                big
-            ).cast("long")
+            level_col: F.when(is_seed, F.lit(0)).otherwise(big).cast("long")
         },
         update=lambda ctx: {
             level_col: F.least(F.col(level_col), F.col(MSG)),

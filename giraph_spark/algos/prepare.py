@@ -49,6 +49,29 @@ def symmetrize(graph: Graph, dedup: bool = True) -> Graph:
     return Graph(graph.vertices, e, graph.id_col, graph.src_col, graph.dst_col)
 
 
+def symmetrize_weighted(graph: Graph, weight_col: str = "weight") -> Graph:
+    """``makeSymmetricWeighted`` (``PrepareGraphPieces.java:202``): the
+    weight in BOTH directions becomes the sum of the weights in both
+    directions (an already-symmetric graph gets doubled weights — the
+    reference's documented choice, kept for integer weight types).
+    Parallel edges are pre-summed per pair, matching the reference's
+    per-neighbor accumulation map. One groupBy + one full outer self-join."""
+    src, dst = graph.src_col, graph.dst_col
+    agg = graph.edges.groupBy(src, dst).agg(
+        F.sum(weight_col).alias(weight_col)
+    )
+    rev = _swap(agg, src, dst).withColumnRenamed(weight_col, "_w_rev")
+    e = agg.join(rev, on=[src, dst], how="full").select(
+        src,
+        dst,
+        (
+            F.coalesce(F.col(weight_col), F.lit(0))
+            + F.coalesce(F.col("_w_rev"), F.lit(0))
+        ).alias(weight_col),
+    )
+    return Graph(graph.vertices, e, graph.id_col, src, dst)
+
+
 def remove_asym_edges(graph: Graph) -> Graph:
     """Keep only edges whose reverse also exists (``removeAsymEdges`` —
     a self semi-join on the swapped relation)."""

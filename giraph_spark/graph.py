@@ -140,6 +140,17 @@ class Graph:
         self.edges = self.edges.unpersist()
         return self
 
+    def create_views(
+        self, vertices_view: str = "vertices", edges_view: str = "edges"
+    ) -> "Graph":
+        """Register both relations as temp views, opening the whole Spark
+        SQL surface (arbitrary joins, window analytics, scalar functions)
+        over the graph — capabilities Giraph lacks entirely (SURVEY §2.12)
+        but our engine inherits from the substrate."""
+        self.vertices.createOrReplaceTempView(vertices_view)
+        self.edges.createOrReplaceTempView(edges_view)
+        return self
+
     def reversed(self) -> "Graph":
         """Transpose: swap src/dst (used by SCC's TRANSPOSE phase,
         ``giraph-examples/.../scc/SccComputation.java``)."""

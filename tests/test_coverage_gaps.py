@@ -108,6 +108,49 @@ def test_pagerank_delta_convergence(spark):
         assert conv[k] == pytest.approx(fixed[k], abs=2e-3)
 
 
+def test_multi_source_bfs_and_sql_views(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5)], "src long, dst long"
+    )
+    from giraph_spark.algos.paths import bfs
+
+    g = Graph(vertices, edges)
+    got = {r["id"]: r["level"] for r in bfs(g, source=[0, 3]).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 1, 5: 2}
+    # predicate form + SQL views
+    got2 = {r["id"]: r["level"] for r in bfs(g, source=F.col("id") == 0).collect()}
+    assert got2[2] == 2 and got2[5] == -1
+    g.create_views("g_v", "g_e")
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM g_v v JOIN g_e e ON v.id = e.src"
+    ).collect()[0]["n"]
+    assert n == 4
+
+
+def test_multigraph_parallel_edges_deliver_separately(spark):
+    """Multigraph contract (`TestMultiGraphEdges.java`): duplicate
+    (src,dst) rows are distinct edges — each carries its own message."""
+    vertices = spark.createDataFrame([(1, 0.0), (2, 0.0)], "id long, value double")
+    edges = spark.createDataFrame(
+        [(1, 2, 10.0), (1, 2, 32.0)], "src long, dst long, weight double"
+    )
+    g = Graph(vertices, edges)
+    out = pregel(
+        g,
+        update=lambda ctx: {
+            "value": F.col("value") + F.coalesce(F.col(MSG), F.lit(0.0))
+        },
+        send_msg=lambda ctx: F.when(F.lit(ctx.superstep == 0), F.col("weight")),
+        combine=F.sum,
+        msg_type="double",
+        vote_to_halt=F.lit(True),
+        max_supersteps=3,
+    )
+    got = {r["id"]: r["value"] for r in out.collect()}
+    assert got == {1: 0.0, 2: 42.0}  # both parallel edges delivered
+
+
 def test_send_message_chain(spark):
     g = _toy(spark)
     out = (

@@ -51,6 +51,22 @@ def test_symmetrize_gives_symmetry(spark, rnd):
     )
 
 
+def test_symmetrize_weighted_sums_directions(spark):
+    from giraph_spark import Graph
+    from giraph_spark.algos.prepare import symmetrize_weighted
+
+    vertices = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2, 3.0), (2, 1, 5.0), (1, 3, 2.0), (1, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    out = symmetrize_weighted(Graph(vertices, edges))
+    got = {(r["src"], r["dst"]): r["weight"] for r in out.edges.collect()}
+    # 1↔2: 3+5 both ways; 1↔3: parallel edges pre-summed to 3, both ways
+    assert got == {(1, 2): 8.0, (2, 1): 8.0, (1, 3): 3.0, (3, 1): 3.0}
+    assert is_symmetric(out)
+
+
 def test_triangle_totals_agree(spark):
     ws = watts_strogatz_graph(spark, n=120, k=4, beta=0.1, seed=11)
     total = triangle_count(ws).collect()[0]["triangles"]
