@@ -26,14 +26,16 @@ from pyspark.sql import functions as F
 from giraph_spark import Graph
 from giraph_spark.algos.coarsen import coarsen
 from giraph_spark.algos.deadlock import bracha_toueg
-from giraph_spark.algos.components import max_propagation, wcc
+from giraph_spark.algos.components import max_propagation, min_propagation, wcc
 from giraph_spark.algos.independent_set import maximal_independent_set
 from giraph_spark.algos.pagerank import pagerank, random_walk_with_restart
 from giraph_spark.algos.scc import scc
 from giraph_spark.algos.paths import bfs, sssp
 from giraph_spark.algos.prepare import (
+    clean_symmetric,
     dedup_edges,
     normalize_weights,
+    normalize_weights_global,
     remove_asym_edges,
     symmetrize,
     symmetrize_weighted,
@@ -140,6 +142,35 @@ def _q_max_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").cast("long").alias("id"),
         F.col("max_value").cast("long").alias("max_value"),
+    )
+
+
+def _q_min_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = trade_graph(spark, sf_dir)
+    out = min_propagation(g, max_supersteps=50)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("min_value").cast("long").alias("min_value"),
+    )
+
+
+def _q_clean_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = clean_symmetric(nation_graph(spark, sf_dir))
+    return g.vertices.select(F.col("id").cast("long").alias("id")).join(
+        g.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        ),
+        "id",
+        "left",
+    ).select("id", F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+
+
+def _q_normalize_weights_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = normalize_weights_global(trade_graph(spark, sf_dir, directed=True))
+    return g.edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.round("weight", 7).alias("weight"),
     )
 
 
@@ -411,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": _q_bfs,
         "wcc": _q_wcc,
         "max_propagation": _q_max_prop,
+        "min_propagation": _q_min_prop,
+        "clean_symmetric": _q_clean_symmetric,
+        "normalize_weights_global": _q_normalize_weights_global,
         "out_degrees": _q_out_degrees,
         "in_degrees": _q_in_degrees,
         "graph_stats": _q_graph_stats,
@@ -547,6 +581,35 @@ def oracle_sql() -> dict[str, str]:
         "GREATEST(v.val, COALESCE(m.mv, v.val))",
         "SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS max_value FROM {last}",
         agg="MAX",
+    )
+    minp_sql = _relax_oracle(
+        UNROLL_K,
+        "id",
+        "s.val",
+        "LEAST(v.val, COALESCE(m.mv, v.val))",
+        "SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS min_value FROM {last}",
+        agg="MIN",
+    )
+
+    clean_sym_sql = (
+        NATION_GRAPH_SQL.strip()
+        + """
+, ded AS (SELECT DISTINCT src, dst FROM edges)
+, sym AS (SELECT src, dst FROM ded UNION SELECT dst AS src, src AS dst FROM ded)
+, keep AS (SELECT DISTINCT src AS id FROM sym UNION SELECT DISTINCT dst FROM sym)
+SELECT CAST(v.id AS BIGINT) AS id,
+       CAST(COALESCE(d.c, 0) AS BIGINT) AS degree
+FROM vertices v
+JOIN keep k ON k.id = v.id
+LEFT JOIN (SELECT src, COUNT(*) AS c FROM sym GROUP BY src) d ON d.src = v.id"""
+    )
+
+    normg_sql = (
+        TRADE_GRAPH_DIRECTED_SQL.strip()
+        + """
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       ROUND(weight / (SELECT SUM(weight) / COUNT(*) FROM edges), 7) AS weight
+FROM edges"""
     )
 
     deg_sql = (
@@ -981,6 +1044,9 @@ FROM events GROUP BY 1, 2"""
         "bfs": bfs_sql,
         "wcc": wcc_sql,
         "max_propagation": maxp_sql,
+        "min_propagation": minp_sql,
+        "clean_symmetric": clean_sym_sql,
+        "normalize_weights_global": normg_sql,
         "out_degrees": deg_sql.format(col="out_degree", key="src"),
         "in_degrees": deg_sql.format(col="in_degree", key="dst"),
         "graph_stats": stats_sql,

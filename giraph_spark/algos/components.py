@@ -112,3 +112,25 @@ def max_propagation(
         max_supersteps,
         metrics,
     )
+
+
+def min_propagation(
+    graph: Graph,
+    max_supersteps: int = 200,
+    metrics: PregelMetrics | None = None,
+    out_col: str = "min_value",
+) -> DataFrame:
+    """Flood-min — the ``MinimumIntCombiner``-style dual of
+    :func:`max_propagation` (``examples/SimpleCombinerComputation.java`` uses
+    the minimum combiner the same way); on a symmetric graph, the min id of
+    the component (≡ label-propagation connected components,
+    ``examples/ConnectedComponentsComputation.java:49``)."""
+    return _label_propagation(
+        graph,
+        F.min,
+        lambda new, old: new < old,
+        F.col(graph.id_col).cast("long"),
+        out_col,
+        max_supersteps,
+        metrics,
+    )

@@ -107,6 +107,27 @@ def normalize_weights(graph: Graph, weight_col: str = "weight") -> Graph:
     return Graph(graph.vertices, e, graph.id_col, graph.src_col, graph.dst_col)
 
 
+def clean_symmetric(graph: Graph) -> Graph:
+    """``cleanSymmetricUnweightedGraph`` (``PrepareGraphPieces.java:89``):
+    the composite removeDuplicateEdges → makeSymmetricUnweighted →
+    removeStandAloneVertices, exactly the reference's SequenceBlock."""
+    return remove_isolated_vertices(symmetrize(dedup_edges(graph)))
+
+
+def normalize_weights_global(graph: Graph, weight_col: str = "weight") -> Graph:
+    """``normalizeDoubleEdges`` (``PrepareGraphPieces.java:285``): divide
+    every weight by the GLOBAL average edge weight (the reference computes
+    Σw and edge count in one pass, then rescales on the next superstep —
+    here the scalar aggregate is broadcast into the projection). Distinct
+    from :func:`normalize_weights`, which is per-source."""
+    row = graph.edges.agg(
+        F.sum(weight_col).alias("_s"), F.count(F.lit(1)).alias("_c")
+    ).collect()[0]
+    avg = (row["_s"] or 0.0) / max(row["_c"], 1)
+    e = graph.edges.withColumn(weight_col, F.col(weight_col) / F.lit(avg))
+    return Graph(graph.vertices, e, graph.id_col, graph.src_col, graph.dst_col)
+
+
 def is_symmetric(graph: Graph) -> bool:
     """True iff every edge's reverse exists (``PrepareGraphPieces.java:412``):
     one anti-join existence check, short-circuited with limit(1)."""
