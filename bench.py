@@ -34,6 +34,11 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "32g")
+        # reclaim dead superstep checkpoint blocks promptly — the
+        # ContextCleaner only acts after a JVM GC, and a 32g heap may not
+        # GC for many minutes on its own (default interval is 30min; too
+        # frequent and the forced full GC itself stalls queries)
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

@@ -32,6 +32,7 @@ lets long jobs resume (Giraph's CHECKPOINT_FREQUENCY,
 
 from __future__ import annotations
 
+import gc
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -168,6 +169,7 @@ def _pregel_impl(
     send_msg: Expr | None = None,
     send_msg_to_src: Expr | None = None,
     combine: Callable[[Column], Column] | None = None,
+    combine_fn: Callable[[PregelContext], Callable[[Column], Column] | None] | None = None,
     messages_fn: Callable[[DataFrame, DataFrame, PregelContext], DataFrame] | None = None,
     initial: dict[str, Expr] | None = None,
     vote_to_halt: Expr | None = None,
@@ -210,6 +212,13 @@ def _pregel_impl(
         (``combiner/SumMessageCombiner`` family). ``None`` ⇒
         ``F.collect_list`` — the unordered message iterable of
         ``Computation.java:66-68``.
+    combine_fn:
+        per-superstep combiner selection ``ctx -> combiner | None``,
+        overriding ``combine`` — the ``MasterCompute.setMessageCombiner``
+        surface (``master/MasterCompute.java:172``,
+        ``master/SuperstepClasses.java``). Called when delivering superstep
+        S's inbox (messages produced in S−1), matching the reference's
+        "set in S−1, applies to S" timing.
     messages_fn:
         escape hatch ``(computed_vertices, edges, ctx) -> DataFrame(_dst, _m)``
         for arbitrary send patterns (``sendMessageToMultipleEdges`` etc.).
@@ -302,7 +311,8 @@ def _pregel_impl(
         if messages is None:
             joined = base.withColumns({MSG: null_msg, HAS_MSG: F.lit(False)})
         else:
-            agg = (combine(F.col("_m")) if combine else F.collect_list("_m")).alias(MSG)
+            cmb = combine_fn(ctx) if combine_fn is not None else combine
+            agg = (cmb(F.col("_m")) if cmb else F.collect_list("_m")).alias(MSG)
             inbox = (
                 messages.groupBy(F.col("_dst").alias(id_col))
                 .agg(agg)
@@ -448,15 +458,22 @@ def _pregel_impl(
             if new_messages is not None:
                 new_messages.write.mode("overwrite").parquet(f"{d}/messages")
 
-        # 7. Release previous superstep state. Checkpointed frames are
-        #    released by the ContextCleaner once their RDDs are GC'd; the
-        #    explicit unpersist covers the persisted message frames and the
-        #    initial vertices persist.
+        # 7. Release previous superstep state. The explicit unpersist
+        #    covers persisted message frames and the initial vertices
+        #    persist; localCheckpoint blocks are freed by the
+        #    ContextCleaner once their RDDs are GC'd — the gc.collect()
+        #    drops this side's py4j references so that actually happens
+        #    promptly. Without it, a session running many pregel jobs
+        #    accumulates dead superstep blocks in the block manager and
+        #    every query gets progressively slower (observed: wcc 2×
+        #    slower as the 5th query of a session than standalone).
         for old in (prev_vertices, prev_messages):
             if old is not None:
                 old.unpersist()
         prev_vertices, vertices = vertices, new_vertices
         prev_messages, messages = messages, new_messages
+        if checkpoint_every and (superstep + 1) % checkpoint_every == 0:
+            gc.collect()
 
         # 8. Termination: master halt, or all-halted ∧ no messages
         #    (BspServiceMaster.java:1681-1685).
@@ -468,5 +485,15 @@ def _pregel_impl(
             )
             if not any_active:
                 break
+
+    # End-of-run cleanup: the cached co-partitioned edge relations and the
+    # final message frames are internal to this run — release them so
+    # long sessions (benchmarks, notebooks, multi-algorithm pipelines)
+    # don't accumulate block-manager state across pregel invocations. The
+    # returned vertices are checkpoint-backed and independent of these.
+    for cached in (edges_by_src, edges_by_dst, prev_vertices, prev_messages, messages):
+        if cached is not None:
+            cached.unpersist()
+    gc.collect()
 
     return vertices.drop(MSG, HAS_MSG, HALTED, ACTIVE)

@@ -128,6 +128,36 @@ def test_multi_source_bfs_and_sql_views(spark):
     assert n == 4
 
 
+def test_per_superstep_combiner_switch(spark):
+    """MasterCompute.setMessageCombiner analog: min combiner for the first
+    delivery, max for the second (TestSwitchClasses-style)."""
+    vertices = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 0.0)], "id long, value double"
+    )
+    # 1 and 3 both message 2
+    edges = spark.createDataFrame(
+        [(1, 2, 0.0), (3, 2, 0.0)], "src long, dst long, weight double"
+    )
+    g = Graph(vertices, edges)
+    out = pregel(
+        g,
+        update=lambda ctx: {
+            "value": F.coalesce(F.col(MSG), F.col("value"))
+        },
+        # superstep s sends s*10 + own id
+        send_msg=lambda ctx: F.when(
+            F.lit(ctx.superstep < 2), F.lit(ctx.superstep * 10.0) + F.col("id")
+        ),
+        combine_fn=lambda ctx: F.min if ctx.superstep == 1 else F.max,
+        msg_type="double",
+        vote_to_halt=lambda ctx: F.lit(ctx.superstep >= 2),
+        max_supersteps=4,
+    )
+    got = {r["id"]: r["value"] for r in out.collect()}
+    # superstep 1 delivery (min of {1, 3}) → 1; superstep 2 (max of {11, 13}) → 13
+    assert got[2] == 13.0
+
+
 def test_multigraph_parallel_edges_deliver_separately(spark):
     """Multigraph contract (`TestMultiGraphEdges.java`): duplicate
     (src,dst) rows are distinct edges — each carries its own message."""
