@@ -66,10 +66,12 @@ from giraph_spark.functions.text import (
     token_count,
 )
 from giraph_spark.plans.fixtures import (
+    EVENTS_CHAIN_SQL,
     NATION_GRAPH_SQL,
     read_events,
     TRADE_GRAPH_DIRECTED_SQL,
     TRADE_GRAPH_SQL,
+    events_chain,
     nation_graph,
     trade_graph,
 )
@@ -124,6 +126,46 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bfs(g, source=SSSP_SOURCE, max_supersteps=50)
     return out.where(F.col("level") >= 0).select(
         F.col("id").cast("long").alias("id"), F.col("level").cast("long").alias("level")
+    )
+
+
+CHAIN_DEPTH = 12  # bounded chain-BFS depth (= oracle unroll)
+
+
+def _q_bfs_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the per-user event-succession chains (long-path
+    graph shape, unlike the dense bipartite trade graph): sources = each
+    user's first event; levels capped at CHAIN_DEPTH to bound the oracle
+    unroll."""
+    from pyspark.sql import Window
+
+    g = events_chain(spark, sf_dir)
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roots = (
+        ev.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("event_id").cast("long").alias("id"),
+            F.lit(True).alias("is_root"),
+        )
+    )
+    v = g.vertices.join(roots, "id", "left").withColumn(
+        "is_root", F.coalesce("is_root", F.lit(False))
+    )
+    # levels are monotone-final once assigned, and the output keeps only
+    # ≤ CHAIN_DEPTH — stopping right past that depth is exact and avoids
+    # running the full ~|chain| supersteps
+    out = bfs(
+        Graph(v, g.edges),
+        source=F.col("is_root"),
+        max_supersteps=CHAIN_DEPTH + 2,
+    )
+    return out.where(
+        (F.col("level") >= 0) & (F.col("level") <= CHAIN_DEPTH)
+    ).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("level").cast("long").alias("level"),
     )
 
 
@@ -440,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": _q_pagerank(weighted=False, dangling=True),
         "sssp": _q_sssp,
         "bfs": _q_bfs,
+        "bfs_chain": _q_bfs_chain,
         "wcc": _q_wcc,
         "max_propagation": _q_max_prop,
         "min_propagation": _q_min_prop,
@@ -611,6 +654,33 @@ SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
        ROUND(weight / (SELECT SUM(weight) / COUNT(*) FROM edges), 7) AS weight
 FROM edges"""
     )
+
+    chain_parts = [
+        EVENTS_CHAIN_SQL.strip(),
+        """, roots AS (
+    SELECT CAST(event_id AS BIGINT) AS id
+    FROM (
+        SELECT event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+        FROM events
+    ) t
+    WHERE r = 1
+), l0 AS MATERIALIZED (SELECT id, 0 AS lvl FROM roots)""",
+    ]
+    for t in range(CHAIN_DEPTH):
+        chain_parts.append(
+            f""", l{t + 1} AS MATERIALIZED (
+    SELECT id, lvl FROM l{t}
+    UNION
+    SELECT e.dst AS id, {t + 1} AS lvl
+    FROM edges e JOIN l{t} p ON p.id = e.src AND p.lvl = {t}
+)"""
+        )
+    chain_parts.append(
+        f"SELECT CAST(id AS BIGINT) AS id, CAST(lvl AS BIGINT) AS level "
+        f"FROM l{CHAIN_DEPTH}"
+    )
+    bfs_chain_sql = "\n".join(chain_parts)
 
     deg_sql = (
         TRADE_GRAPH_DIRECTED_SQL.strip()
@@ -1042,6 +1112,7 @@ FROM events GROUP BY 1, 2"""
         "pagerank_dangling": _pagerank_oracle(PR_ITERS, False, True),
         "sssp": sssp_sql,
         "bfs": bfs_sql,
+        "bfs_chain": bfs_chain_sql,
         "wcc": wcc_sql,
         "max_propagation": maxp_sql,
         "min_propagation": minp_sql,
