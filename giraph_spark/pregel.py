@@ -368,6 +368,10 @@ def _pregel_impl(
 
         # 4. Send phase (triplet join: updated vertex ⨝ out-edges); only
         #    vertices that computed this superstep send.
+        #    (A df.observe-based single-action path for the aggregates was
+        #    tried and reverted: Observation.get is broken in this pyspark
+        #    build — PythonSQLUtils.toPyRow assertion — and metrics do not
+        #    propagate through the checkpoint indirection anyway.)
         computed = state.filter(F.col(ACTIVE))
         new_messages: DataFrame | None = None
         if messages_fn is not None:
