@@ -164,6 +164,53 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, fully relational:
+    seed with the ``num_cells`` lowest-id vectors, then ``iters`` rounds of
+    (broadcast-join assign → posexplode → per-(cell, dim) avg → re-collect).
+    Returns ``(_cell, _cv)``. Each round is one broadcast join + one
+    groupBy — no driver-side vectors beyond the centroid table itself."""
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(num_cells)
+        .select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv"))
+    )
+    for _ in range(iters):
+        scored = corpus.join(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cell"),
+            cosine(F.col(vec_col), F.col("_cv")).alias("_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_cell"))
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("_cell", vec_col)
+        )
+        dims = assigned.select(
+            "_cell", F.posexplode(F.col(vec_col)).alias("_pos", "_x")
+        )
+        means = dims.groupBy("_cell", "_pos").agg(F.avg("_x").alias("_m"))
+        cents = (
+            means.groupBy("_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cv")
+            )
+            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -173,6 +220,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: str | DataFrame = "seed",
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is bucketed into
     ``num_cells`` Voronoi cells (inverted lists) by nearest centroid;
@@ -180,18 +228,26 @@ def ivf_topk(
     cosine there. Per-query work ∝ probed-cell occupancy, not corpus size;
     the cell assignment is one broadcast join (centroids are tiny).
 
-    Centroids are the ``num_cells`` lowest-id corpus vectors —
-    deterministic and engine-reproducible (so the DuckDB oracle can
-    replicate the exact result). A production deployment would k-means
-    them; the routing/probing plan is identical.
+    ``centroids``: ``"seed"`` (default) uses the ``num_cells`` lowest-id
+    corpus vectors — deterministic and engine-reproducible, so the DuckDB
+    oracle can replicate the exact result; ``"kmeans"`` runs
+    :func:`kmeans_centroids` for better cell balance (still deterministic,
+    but not SQL-oracle-replicated); or pass a ``(_cell, _cv)`` DataFrame.
     """
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(num_cells)
-        .select(
-            F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv")
+    if isinstance(centroids, DataFrame):
+        cents = centroids
+    elif centroids == "kmeans":
+        cents = kmeans_centroids(
+            corpus, num_cells=num_cells, id_col=id_col, vec_col=vec_col
         )
-    )
+    else:
+        cents = (
+            corpus.orderBy(F.col(id_col))
+            .limit(num_cells)
+            .select(
+                F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv")
+            )
+        )
 
     def assign(df, idc, vc, n_keep):
         """nearest-`n_keep` cells per row by cosine (ties → lower cell id)"""

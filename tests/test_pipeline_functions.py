@@ -131,6 +131,10 @@ def test_similarity_ivf_recall(spark):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     # probing 3 of 8 cells over tight clusters keeps recall high
     assert len(e & a) / len(e) >= 0.8
+    # k-means centroids: balanced cells, at least as good on tight clusters
+    km = ivf_topk(df, queries, k=3, num_cells=8, nprobe=3, centroids="kmeans")
+    a2 = {(r.query_id, r.vec_id) for r in km.collect()}
+    assert len(e & a2) / len(e) >= 0.8
 
 
 def test_multimodal_plumbing(spark):
