@@ -58,6 +58,11 @@ from giraph_spark.functions.similarity import (
     embedding_near_duplicates,
     ivf_topk,
 )
+from giraph_spark.functions.multimodal import (
+    decode_metadata,
+    frame_sample_plan,
+    media_from_docs,
+)
 from giraph_spark.functions.text import (
     bpe_token_count,
     fingerprint,
@@ -403,6 +408,23 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode pipeline over documents-derived binary payloads
+    (SURVEY §2.1 JsonBase64VertexInputFormat analog for opaque binary;
+    mapInPandas Arrow-batched decode — the decoder itself is the
+    deterministic stub, see giraph_spark/functions/multimodal.py)."""
+    return decode_metadata(media_from_docs(_docs(spark, sf_dir)))
+
+
+def _q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: bounded frame-index explode from decoded
+    metadata (payload column pruned away — metadata-first pattern)."""
+    media = media_from_docs(_docs(spark, sf_dir)).filter(
+        F.col("modality") == "video"
+    )
+    return frame_sample_plan(media, every_n=3, max_frames=8)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir).select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -511,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
@@ -1090,7 +1114,52 @@ SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
        event_type, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2"""
 
+    # Replicates the deterministic fake decoder in
+    # giraph_spark/functions/multimodal.py: payload bytes are pure-ASCII
+    # ('payload-' || md5(id)), so the byte-fold hash is expressible via
+    # list_reduce over code points.
+    media_hash_cte = """
+m AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS modality,
+         'payload-' || md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)) AS s
+  FROM documents
+),
+h AS (
+  SELECT media_id, modality, CAST(length(s) AS BIGINT) AS n_bytes,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, least(length(s), 64) + 1),
+                       i -> CAST(ord(s[i]) AS BIGINT))),
+      (acc, x) -> (acc * 131 + x) % 2147483648
+    ) AS h
+  FROM m
+)"""
+
+    multimodal_sql = f"""
+WITH {media_hash_cte}
+SELECT media_id, modality,
+       CAST(64 + h % 1024 AS BIGINT) AS width,
+       CAST(64 + (h // 1024) % 1024 AS BIGINT) AS height,
+       CAST(1 + h % 32 AS BIGINT) AS n_frames,
+       ROUND((n_bytes % 6000) / 100.0, 2) AS duration_s,
+       n_bytes
+FROM h"""
+
+    frame_plan_sql = f"""
+WITH {media_hash_cte},
+f AS (
+  SELECT media_id,
+         (range(0, CAST(1 + h % 32 AS BIGINT), 3))[1:8] AS idxs
+  FROM h WHERE modality = 'video'
+)
+SELECT media_id, CAST(unnest(idxs) AS BIGINT) AS frame_index FROM f"""
+
     return {
+        "multimodal_metadata": multimodal_sql,
+        "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,
         "ngram_jaccard_pairs": ngram_sql,
         "quality_features": quality_sql,

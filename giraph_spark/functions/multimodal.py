@@ -123,6 +123,28 @@ def resize_plan(df: DataFrame, target: int = 224) -> DataFrame:
     )
 
 
+def media_from_docs(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the ``documents`` table
+    (media_id = doc_id, modality by id mod 3, payload from md5 of the id).
+
+    This is the cross-engine-reproducible twin of :func:`synthetic_media`:
+    every byte of the payload is derivable in ANSI SQL, so the decode
+    pipeline can be oracle-checked end-to-end."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(
+            F.concat(F.lit("payload-"), F.md5(F.col("doc_id").cast("string"))),
+            "utf-8",
+        ).alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit("documents").alias("source"),
+    )
+
+
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests (binary payloads
     derived from the id)."""
