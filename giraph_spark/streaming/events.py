@@ -8,6 +8,7 @@ exercised in tests with the rate/memory sources against the same logic.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -165,6 +166,63 @@ def user_activity_stream(
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def build_chain_edges_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming graph construction: incrementally derive the event-chain
+    graph (FIXTURES.md B3 — edge from each event to the user's next event)
+    from an event stream.
+
+    The cross-batch seam is the interesting part: the last event of user U
+    in batch N must connect to U's first event in batch N+1, which the
+    stateless window formulation (``events_chain``) cannot do over a
+    stream. Per-user state = (last_event_id, last_ts_us), carried by
+    ``applyInPandasWithState``; each micro-batch emits the within-batch
+    chain plus the seam edge from state.
+
+    Assumes per-user time-ordered arrival across batches (standard for log
+    ingestion; the watermark bounds how late a file may be). At scale the
+    state is O(users) — two longs per user — and the shuffle is the same
+    hash-by-key exchange every stateful operator pays.
+
+    Returns a streaming DataFrame of ``(src, dst)`` edge rows whose union
+    over all batches equals the batch ``events_chain`` edge set.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("src", LongType()), StructField("dst", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("last_event", LongType()), StructField("last_ts_us", LongType())]
+    )
+
+    def build(key, pdf_iter, state: GroupState):
+        chunks = [p for p in pdf_iter if len(p) > 0]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        ids = pdf["event_id"].astype("int64").tolist()
+        prev = state.get[0] if state.exists else None
+        srcs = ([prev] if prev is not None else []) + ids[:-1]
+        dsts = ids if prev is not None else ids[1:]
+        last_us = int(pdf["ts"].astype("int64").iloc[-1] // 1000)
+        state.update((ids[-1], last_us))
+        if srcs:
+            yield pd.DataFrame({"src": srcs, "dst": dsts})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            build,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

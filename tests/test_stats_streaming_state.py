@@ -72,3 +72,52 @@ def test_user_activity_stream(spark, sf_dir, tmp_path):
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (merged["first_ts_s"] == merged["first_ts_b"]).all()
     assert (merged["last_ts_s"] == merged["last_ts_b"]).all()
+
+
+def test_build_chain_edges_stream(spark, sf_dir, tmp_path):
+    """Streaming graph construction: union of per-batch edges == batch
+    events_chain edge set, including the cross-batch seam edges."""
+    import os
+
+    from giraph_spark.plans.fixtures import events_chain
+    from giraph_spark.streaming.events import build_chain_edges_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = read_events(spark, sf_dir)
+    # three time-ordered chunks with ascending mtimes so the file source
+    # (which orders by modification time) replays them as 3 micro-batches
+    rows = batch.select("ts").orderBy("ts").collect()
+    n = len(rows)
+    t1, t2 = rows[n // 3][0], rows[2 * n // 3][0]
+    src = tmp_path / "chunks"
+    chunks = [
+        batch.filter(F.col("ts") < F.lit(t1)),
+        batch.filter((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
+        batch.filter(F.col("ts") >= F.lit(t2)),
+    ]
+    for i, c in enumerate(chunks):
+        d = str(src / f"chunk{i}")
+        c.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1000 + i, 1000 + i))
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "chunk*"))
+    )
+    q = (
+        build_chain_edges_stream(stream)
+        .writeStream.format("memory")
+        .queryName("chain_edges")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT src, dst FROM chain_edges").toPandas()
+    want = events_chain(spark, sf_dir).edges.toPandas()
+    assert len(got) == len(want)
+    gs = set(map(tuple, got[["src", "dst"]].itertuples(index=False)))
+    ws = set(map(tuple, want[["src", "dst"]].itertuples(index=False)))
+    assert gs == ws
