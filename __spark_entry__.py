@@ -276,6 +276,26 @@ def _q_remove_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sym_check_row(g, name: str) -> DataFrame:
+    """One-row symmetry summary (is_symmetric as data, PrepareGraphPieces
+    .java:412): count of edges whose reverse is absent, via one anti-join."""
+    fwd = g.edges.select("src", "dst").dropDuplicates()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    asym = fwd.join(rev, ["src", "dst"], "left_anti")
+    return asym.agg(
+        F.lit(name).alias("graph"),
+        F.count(F.lit(1)).cast("long").alias("n_asym_edges"),
+        (F.count(F.lit(1)) == 0).alias("symmetric"),
+    )
+
+
+def _q_symmetry_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = trade_graph(spark, sf_dir, directed=True)
+    return _sym_check_row(g, "trade_directed").unionByName(
+        _sym_check_row(symmetrize(g), "trade_symmetrized")
+    )
+
+
 def _q_symmetrize_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = symmetrize_weighted(trade_graph(spark, sf_dir, directed=True))
     return g.edges.select(
@@ -519,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symmetrize_edges": _q_symmetrize,
         "symmetrize_weighted": _q_symmetrize_weighted,
         "remove_asym_edges": _q_remove_asym,
+        "symmetry_check": _q_symmetry_check,
         "normalize_weights": _q_normalize_weights,
         "scc": _q_scc,
         "maximal_independent_set": _q_mis,
@@ -1201,4 +1222,15 @@ FROM edges e
 WHERE EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)""",
         "normalize_weights": norm_sql,
         "symmetrize_weighted": symw_sql,
+        "symmetry_check": TRADE_GRAPH_DIRECTED_SQL.strip()
+        + """,
+fwd AS (SELECT DISTINCT src, dst FROM edges),
+sym AS (SELECT src, dst FROM fwd UNION SELECT dst AS src, src AS dst FROM fwd),
+a1 AS (SELECT COUNT(*) AS n FROM fwd f
+       WHERE NOT EXISTS (SELECT 1 FROM fwd r WHERE r.src = f.dst AND r.dst = f.src)),
+a2 AS (SELECT COUNT(*) AS n FROM sym s
+       WHERE NOT EXISTS (SELECT 1 FROM sym r WHERE r.src = s.dst AND r.dst = s.src))
+SELECT 'trade_directed' AS graph, CAST(n AS BIGINT) AS n_asym_edges, n = 0 AS symmetric FROM a1
+UNION ALL
+SELECT 'trade_symmetrized' AS graph, CAST(n AS BIGINT) AS n_asym_edges, n = 0 AS symmetric FROM a2""",
     }

@@ -219,6 +219,17 @@ def _pregel_impl(
         ``master/SuperstepClasses.java``). Called when delivering superstep
         S's inbox (messages produced in S−1), matching the reference's
         "set in S−1, applies to S" timing.
+
+        ``SuperstepClasses`` also lets the reference switch the outgoing
+        *message type* per superstep. We deliberately do not mutate the
+        message column's data type mid-run — a DataFrame loop wants one
+        stable schema per run (Catalyst caches resolved plans; the durable
+        checkpoint format must be re-readable). The two Spark-first
+        equivalents, both used in this repo: carry a struct-typed message
+        whose fields cover all phases (phase-dependent expressions read
+        the relevant field), or run one ``pregel`` per phase with a
+        driver-side phase machine (``algos/scc.py`` — the reference's own
+        message-type-switching example).
     messages_fn:
         escape hatch ``(computed_vertices, edges, ctx) -> DataFrame(_dst, _m)``
         for arbitrary send patterns (``sendMessageToMultipleEdges`` etc.).
