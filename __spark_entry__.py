@@ -428,6 +428,29 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vector_sum_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-vector sum aggregator (SURVEY §2.4,
+    DoubleDenseVectorSumAggregator / MatrixSumAggregator family) surfaced
+    over the embeddings table: element-wise sum per cluster, exploded to
+    (cluster, dim, val) rows so the result is hashable cross-engine."""
+    from giraph_spark.aggregators import vector_sum
+
+    e = _embs(spark, sf_dir).select(
+        (F.col("vec_id") % 4).cast("long").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    return (
+        e.groupBy("cluster")
+        .agg(vector_sum(F.col("emb")).alias("vsum"))
+        .select("cluster", F.posexplode("vsum").alias("dim", "val"))
+        .select(
+            "cluster",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("val", 6).alias("val"),
+        )
+    )
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode pipeline over documents-derived binary payloads
     (SURVEY §2.1 JsonBase64VertexInputFormat analog for opaque binary;
@@ -554,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "vector_sum_by_cluster": _q_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "cosine_topk": _q_cosine_topk,
@@ -1178,7 +1202,16 @@ f AS (
 )
 SELECT media_id, CAST(unnest(idxs) AS BIGINT) AS frame_index FROM f"""
 
+    vector_sum_sql = """
+WITH u AS (
+  SELECT CAST(vec_id % 4 AS BIGINT) AS cluster,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)
+SELECT cluster, dim, ROUND(SUM(x), 6) AS val FROM u GROUP BY 1, 2"""
+
     return {
+        "vector_sum_by_cluster": vector_sum_sql,
         "multimodal_metadata": multimodal_sql,
         "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,
