@@ -428,6 +428,18 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IdentityComputation (examples/IdentityComputation.java:39): a
+    pass-through superstep — the reference's I/O round-trip test, here
+    run through the real kernel (one superstep, no update, immediate
+    halt) to prove the engine adds/drops nothing."""
+    from giraph_spark.pregel import pregel
+
+    g = nation_graph(spark, sf_dir)
+    out = pregel(g, update={}, vote_to_halt=F.lit(True), max_supersteps=2)
+    return out.select(F.col("id").cast("long").alias("id"))
+
+
 def _q_vector_sum_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-vector sum aggregator (SURVEY §2.4,
     DoubleDenseVectorSumAggregator / MatrixSumAggregator family) surfaced
@@ -577,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "identity": _q_identity,
         "vector_sum_by_cluster": _q_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -1210,7 +1223,12 @@ WITH u AS (
   FROM embeddings)
 SELECT cluster, dim, ROUND(SUM(x), 6) AS val FROM u GROUP BY 1, 2"""
 
+    identity_sql = (
+        NATION_GRAPH_SQL.strip() + "\nSELECT id FROM vertices"
+    )
+
     return {
+        "identity": identity_sql,
         "vector_sum_by_cluster": vector_sum_sql,
         "multimodal_metadata": multimodal_sql,
         "multimodal_frame_plan": frame_plan_sql,
