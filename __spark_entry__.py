@@ -428,6 +428,39 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One mutation batch resolved in the reference's fixed order
+    (DefaultVertexResolver.java:49-67: remove edges → remove vertex →
+    add vertex, incl. implicit creation for message targets and added-edge
+    endpoints → add edges) over the nation graph. Output is the resolved
+    graph as tagged rows (kind 'v'/'e') so one DataFrame captures both
+    relations."""
+    from giraph_spark.mutations import apply_mutations
+
+    g = nation_graph(spark, sf_dir)
+    out = apply_mutations(
+        g,
+        remove_edges=g.edges.filter(F.col("src") == 0),
+        remove_vertices=spark.createDataFrame([(1,), (2,)], "id long"),
+        add_vertices=spark.createDataFrame([(100,), (101,)], "id long"),
+        add_edges=spark.createDataFrame(
+            [(100, 3), (3, 200)], "src long, dst long"
+        ),
+        message_dsts=spark.createDataFrame([(300,)], "id long"),
+    )
+    v = out.vertices.select(
+        F.lit("v").alias("kind"),
+        F.col("id").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    )
+    e = out.edges.select(
+        F.lit("e").alias("kind"),
+        F.col("src").cast("long").alias("a"),
+        F.col("dst").cast("long").alias("b"),
+    )
+    return v.unionByName(e)
+
+
 def _q_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IdentityComputation (examples/IdentityComputation.java:39): a
     pass-through superstep — the reference's I/O round-trip test, here
@@ -590,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "identity": _q_identity,
+        "graph_mutations": _q_graph_mutations,
         "vector_sum_by_cluster": _q_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -1227,8 +1261,23 @@ SELECT cluster, dim, ROUND(SUM(x), 6) AS val FROM u GROUP BY 1, 2"""
         NATION_GRAPH_SQL.strip() + "\nSELECT id FROM vertices"
     )
 
+    mutations_sql = (
+        NATION_GRAPH_SQL.strip()
+        + """,
+e1 AS (SELECT src, dst FROM edges WHERE src <> 0),
+e2 AS (SELECT src, dst FROM e1 WHERE src NOT IN (1, 2) AND dst NOT IN (1, 2)),
+final_e AS (SELECT * FROM e2
+            UNION ALL SELECT * FROM (VALUES (100, 3), (3, 200)) t(src, dst)),
+final_v AS (SELECT id FROM vertices WHERE id NOT IN (1, 2)
+            UNION SELECT * FROM (VALUES (100), (101), (200), (300)) t(id))
+SELECT 'v' AS kind, CAST(id AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b FROM final_v
+UNION ALL
+SELECT 'e' AS kind, CAST(src AS BIGINT) AS a, CAST(dst AS BIGINT) AS b FROM final_e"""
+    )
+
     return {
         "identity": identity_sql,
+        "graph_mutations": mutations_sql,
         "vector_sum_by_cluster": vector_sum_sql,
         "multimodal_metadata": multimodal_sql,
         "multimodal_frame_plan": frame_plan_sql,
