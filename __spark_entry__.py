@@ -428,6 +428,28 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_blocks_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-framework composition through the driver contract (SURVEY
+    §2.9): a SendMessageChain (SendMessageChain.java:60-96) of two
+    message rounds — round 1 computes in-degree (send 1 along out-edges,
+    sum-combine), round 2 forwards each vertex's in-degree to its
+    out-neighbors — yielding per vertex the summed in-degree of its
+    in-neighbors."""
+    from giraph_spark.blocks import SendMessageChain
+
+    g = nation_graph(spark, sf_dir)
+    out = (
+        SendMessageChain.start_send(F.lit(1), F.sum, out_col="deg_in")
+        .then_send(F.col("deg_in"), F.sum, out_col="two_hop")
+        .end_apply({"two_hop": F.coalesce("two_hop", F.lit(0))})
+        .run(g)
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("two_hop").cast("long").alias("two_hop"),
+    )
+
+
 def _q_graph_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One mutation batch resolved in the reference's fixed order
     (DefaultVertexResolver.java:49-67: remove edges → remove vertex →
@@ -624,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
+        "blocks_two_hop_indegree": _q_blocks_two_hop,
         "vector_sum_by_cluster": _q_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -1278,6 +1301,13 @@ SELECT 'e' AS kind, CAST(src AS BIGINT) AS a, CAST(dst AS BIGINT) AS b FROM fina
     return {
         "identity": identity_sql,
         "graph_mutations": mutations_sql,
+        "blocks_two_hop_indegree": NATION_GRAPH_SQL.strip()
+        + """,
+indeg AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS deg_in FROM edges GROUP BY 1),
+two AS (SELECT e.dst AS id, SUM(i.deg_in) AS two_hop
+        FROM edges e LEFT JOIN indeg i ON e.src = i.id GROUP BY 1)
+SELECT v.id AS id, CAST(COALESCE(t.two_hop, 0) AS BIGINT) AS two_hop
+FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "vector_sum_by_cluster": vector_sum_sql,
         "multimodal_metadata": multimodal_sql,
         "multimodal_frame_plan": frame_plan_sql,
