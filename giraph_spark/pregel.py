@@ -80,9 +80,16 @@ class PregelContext:
 @dataclass
 class PregelMetrics:
     """Per-superstep counters — analog of ``counters/GiraphStats.java:39-51``
-    (supersteps, sent messages, vertices) + ``GiraphTimers``."""
+    (supersteps, sent messages, vertices) + ``GiraphTimers``.
+
+    With ``capture_plans=True`` the formatted physical plan of each
+    superstep's send job is recorded into ``plans`` — the observability
+    hook used to assert the kernel's join strategy (co-partitioned
+    shuffle-hash, no per-superstep edge broadcast) in tests."""
 
     supersteps: list[dict[str, Any]] = field(default_factory=list)
+    capture_plans: bool = False
+    plans: list[str] = field(default_factory=list)
 
     @property
     def num_supersteps(self) -> int:
@@ -428,6 +435,14 @@ def _pregel_impl(
         # derive from it. Giraph's per-superstep barrier = this one job.
         if new_messages is not None:
             new_messages = new_messages.filter(F.col("_m").isNotNull())
+            if metrics.capture_plans:
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    new_messages.explain("formatted")
+                metrics.plans.append(buf.getvalue())
             new_messages = new_messages.persist(storage_level)
             ctx.num_messages = new_messages.count()
         else:

@@ -1,0 +1,69 @@
+"""Physical-plan assertions backing the README's scale claims: parquet
+filter pushdown + column pruning reach the scan, and the pregel kernel's
+per-superstep joins are co-partitioned shuffle-hash (the edge relation is
+never re-broadcast per superstep — wrong at any scale where edges exceed
+one executor)."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from giraph_spark.plans.fixtures import trade_graph
+from giraph_spark.pregel import PregelMetrics, pregel
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "lang")
+    )
+    plan = _formatted_plan(df)
+    assert "PushedFilters" in plan and "LessThan(doc_id,100)" in plan
+    # ReadSchema prunes to exactly the two projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_kernel_join_strategy(spark, sf_dir):
+    """Every superstep's send job must use shuffle-hash joins (state and
+    edges co-partitioned; only messages move) — never a broadcast of the
+    edge relation, which Catalyst would otherwise pick on small inputs
+    and which cannot survive edges > executor memory."""
+    g = trade_graph(spark, sf_dir)
+    metrics = PregelMetrics(capture_plans=True)
+    pregel(
+        g,
+        initial={"value": F.col("id").cast("double")},
+        update={"value": F.greatest(F.col("value"), F.col("_msg"))},
+        send_msg=F.col("value"),
+        combine=F.max,
+        vote_to_halt=F.lit(True),
+        max_supersteps=3,
+        metrics=metrics,
+    )
+    assert metrics.plans, "no plans captured"
+    for plan in metrics.plans:
+        assert "ShuffledHashJoin" in plan
+        # The cached edge relation's ORIGINAL build plan (a one-time
+        # broadcast join while constructing the fixture) is embedded under
+        # its InMemoryRelation node and never re-executes — broadcasts are
+        # only legal there. A loop-level broadcast (inbox or edges) would
+        # appear ABOVE the cache node in the condensed tree.
+        if "BroadcastHashJoin" in plan:
+            assert plan.index("BroadcastHashJoin") > plan.index(
+                "InMemoryRelation"
+            ), "loop-level broadcast join — edge relation re-broadcast per superstep"
+        # AQE must be off inside the loop (would lose checkpoint partitioning)
+        assert "AdaptiveSparkPlan" not in plan
+        # the state side arrives pre-partitioned from the checkpoint
+        assert "hashpartitioning(id" in plan
