@@ -63,27 +63,51 @@ def main() -> None:
         return round(time.monotonic() - t0, 3), n
 
     timings: dict[str, float] = {}
+    # per-query GiraphStats analog (supersteps run, messages sent) — the
+    # reference benchmark drivers report the same counters per job
+    counters: dict[str, dict[str, int]] = {}
+    ms: dict[str, "gs.PregelMetrics"] = {}
+
+    def m(name):
+        ms[name] = gs.PregelMetrics()
+        return ms[name]
 
     timings["pagerank10"], _ = run(
-        lambda: pagerank(g, iterations=10).agg(F.sum("rank")).collect()
+        lambda: pagerank(g, iterations=10, metrics=m("pagerank10"))
+        .agg(F.sum("rank"))
+        .collect()
     )
     timings["pagerank10_weighted"], _ = run(
-        lambda: pagerank(g, iterations=10, weighted=True).agg(F.sum("rank")).collect()
+        lambda: pagerank(
+            g, iterations=10, weighted=True, metrics=m("pagerank10_weighted")
+        )
+        .agg(F.sum("rank"))
+        .collect()
     )
     timings["sssp"], _ = run(
-        lambda: sssp(g, source=1, max_supersteps=50)
+        lambda: sssp(g, source=1, max_supersteps=50, metrics=m("sssp"))
         .where(F.col("distance") < float("inf"))
         .count()
     )
     timings["bfs"], _ = run(
-        lambda: bfs(g, source=1, max_supersteps=50).where("level >= 0").count()
+        lambda: bfs(g, source=1, max_supersteps=50, metrics=m("bfs"))
+        .where("level >= 0")
+        .count()
     )
     timings["wcc"], _ = run(
-        lambda: wcc(g, max_supersteps=50).select("component").distinct().count()
+        lambda: wcc(g, max_supersteps=50, metrics=m("wcc"))
+        .select("component")
+        .distinct()
+        .count()
     )
     timings["triangle_count"], _ = run(
         lambda: triangle_count(nation_graph(spark, SF_DIR)).collect()
     )
+    for name, metric in ms.items():
+        counters[name] = {
+            "supersteps": metric.num_supersteps,
+            "messages": metric.total_messages,
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +117,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "counters": counters,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": int(CPUS),
             }
