@@ -428,6 +428,21 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram over the directed trade graph
+    (DirectedGraphStats.java family): two partial-aggregated groupBys,
+    zero-degree vertices included via left join."""
+    g = trade_graph(spark, sf_dir, directed=True)
+    deg = (
+        g.vertices.join(g.edges, g.vertices["id"] == g.edges["src"], "left")
+        .groupBy("id")
+        .agg(F.count("src").cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+
+
 def _q_blocks_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-framework composition through the driver contract (SURVEY
     §2.9): a SendMessageChain (SendMessageChain.java:60-96) of two
@@ -647,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
+        "degree_distribution": _q_degree_distribution,
         "vector_sum_by_cluster": _q_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -1301,6 +1317,11 @@ SELECT 'e' AS kind, CAST(src AS BIGINT) AS a, CAST(dst AS BIGINT) AS b FROM fina
     return {
         "identity": identity_sql,
         "graph_mutations": mutations_sql,
+        "degree_distribution": TRADE_GRAPH_DIRECTED_SQL.strip()
+        + """,
+deg AS (SELECT v.id, CAST(COUNT(e.src) AS BIGINT) AS degree
+        FROM vertices v LEFT JOIN edges e ON v.id = e.src GROUP BY v.id)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg GROUP BY 1""",
         "blocks_two_hop_indegree": NATION_GRAPH_SQL.strip()
         + """,
 indeg AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS deg_in FROM edges GROUP BY 1),
