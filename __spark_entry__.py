@@ -1092,9 +1092,9 @@ sh AS MATERIALIZED (
                unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
         FROM norm) u
 ),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
 freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
 shf AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shf GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
     FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -64,6 +64,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.8,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs ``(id_a, id_b, jaccard)``
     with ``id_a < id_b`` and jaccard ≥ threshold.
@@ -74,13 +75,16 @@ def ngram_jaccard_pairs(
     at 100 TB this operator is the *oracle* for MinHash-LSH, run on samples
     — the LSH variant below is the scale path. Common-shingle skew is
     bounded by dropping shingles shared by more than ``max_df`` documents
-    (stop-shingles carry no discriminative signal)."""
+    (stop-shingles carry no discriminative signal). Set sizes are computed
+    over the SAME filtered universe as the intersections, so the Jaccard
+    value is exact within the stop-shingle-reduced shingle space (numerator
+    and denominator agree — an unfiltered denominator would bias scores low
+    for documents containing hot shingles)."""
     sh = shingle_df(df, text_col, id_col, k).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
     # stop-shingle removal: bounded fan-out
-    max_df = 1000
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     sh_f = sh.join(freq.where(F.col("df_") <= max_df), on="shingle", how="left_semi")
+    sizes = sh_f.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = sh_f.alias("a")
     b = sh_f.alias("b")
     inter = (

@@ -63,8 +63,10 @@ def mapping_partition(
     (``LongMappingStorePartitionerFactory.java:61`` — e.g. output of a
     social-hash partitioner). The mapping is broadcast-joined onto both
     relations (mapping tables are small relative to the graph), then both
-    are repartitioned on the mapped bucket; the bucket column is kept as
-    ``_bucket`` so downstream ops can reuse it."""
+    are repartitioned on the mapped bucket; the transient ``_bucket``
+    column is dropped afterwards (``Graph`` reserves no bucket column —
+    downstream two-phase aggregations that need the bucket should re-join
+    the mapping, which stays a broadcast)."""
     m_v = mapping.select(
         F.col(map_id_col).alias(graph.id_col),
         F.col(map_part_col).alias("_bucket"),

@@ -140,15 +140,26 @@ def resume_pregel(graph: Graph, state_checkpoint_dir: str, **kwargs) -> DataFram
     continues at superstep N+1 with the same kernel arguments. ``initial``
     is ignored (state comes from the checkpoint); superstep-indexed logic
     continues where it left off."""
-    import os
     import re
 
+    # Checkpoint discovery via the Hadoop FileSystem API, so the dir may
+    # live on any Hadoop-supported filesystem (local, HDFS, S3A, …) — the
+    # same places the parquet writer can reach.
     spark = graph.vertices.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(state_checkpoint_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     steps = []
-    for name in os.listdir(state_checkpoint_dir):
-        m = re.fullmatch(r"superstep=(\d+)", name)
-        if m and os.path.isdir(os.path.join(state_checkpoint_dir, name, "vertices")):
-            steps.append(int(m.group(1)))
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            m = re.fullmatch(r"superstep=(\d+)", st.getPath().getName())
+            if (
+                m
+                and st.isDirectory()
+                and fs.exists(hpath(st.getPath(), "vertices"))
+            ):
+                steps.append(int(m.group(1)))
     if not steps:
         raise ValueError(f"no checkpoints under {state_checkpoint_dir!r}")
     last = max(steps)
@@ -156,7 +167,7 @@ def resume_pregel(graph: Graph, state_checkpoint_dir: str, **kwargs) -> DataFram
     vdf = spark.read.parquet(f"{d}/vertices")
     mdf = (
         spark.read.parquet(f"{d}/messages")
-        if os.path.isdir(f"{d}/messages")
+        if fs.exists(hpath(f"{d}/messages"))
         else None
     )
     kwargs.setdefault("state_checkpoint_dir", state_checkpoint_dir)

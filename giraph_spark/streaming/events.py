@@ -16,14 +16,24 @@ from pyspark.sql import functions as F
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over the events parquet (schema inferred from
-    the static table — required by readStream)."""
+    """File-source stream over the events table only (schema inferred from
+    the static table — required by readStream). The path targets
+    ``events.parquet`` itself, NOT ``sf_dir`` — the directory holds other
+    tables (customer, lineitem, …) whose files would otherwise be read
+    under the events schema as garbage rows. Nanos-timestamp handling
+    mirrors :func:`giraph_spark.plans.fixtures.read_events`."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    # The file stream source requires a directory or a glob, not a bare
+    # file path ("Option 'basePath' must be a directory"); the one-char
+    # character class turns the exact file name into a glob that matches
+    # only events.parquet.
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}")
+        .parquet(f"{sf_dir}/events.parque[t]")
     )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def event_counts_stream(

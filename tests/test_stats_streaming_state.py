@@ -121,3 +121,30 @@ def test_build_chain_edges_stream(spark, sf_dir, tmp_path):
     gs = set(map(tuple, got[["src", "dst"]].itertuples(index=False)))
     ws = set(map(tuple, want[["src", "dst"]].itertuples(index=False)))
     assert gs == ws
+
+
+def test_read_events_stream(spark, sf_dir):
+    """The stream source must target ONLY events.parquet: streaming the
+    whole sf_dir would read the other tables' files under the events
+    schema. Equality with the batch reader proves the path + nanos
+    conversion are right."""
+    from giraph_spark.streaming.events import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("events_stream_raw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_id, user_id, ts FROM events_stream_raw"
+    ).toPandas()
+    want = read_events(spark, sf_dir).select("event_id", "user_id", "ts").toPandas()
+    assert len(got) == len(want)
+    gs = got.sort_values("event_id").reset_index(drop=True)
+    ws = want.sort_values("event_id").reset_index(drop=True)
+    assert (gs["user_id"].values == ws["user_id"].values).all()
+    assert (gs["ts"].values == ws["ts"].values).all()
