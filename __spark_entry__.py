@@ -254,7 +254,12 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_triangle_closing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return triangle_closing_topk(nation_graph(spark, sf_dir), k=5).select(
+    """Triangle closing on the event-chain graph: unlike the dense nation
+    graph (where every 2-hop pair is already adjacent and the result was
+    vacuously empty), chains guarantee non-adjacent 2-hop pairs (each
+    interior vertex recommends its grandparent/grandchild), so the oracle
+    checks real output."""
+    return triangle_closing_topk(events_chain(spark, sf_dir), k=5).select(
         F.col("id").cast("long").alias("id"),
         F.col("candidate").cast("long").alias("candidate"),
         "common_neighbors",
@@ -374,7 +379,18 @@ def _embs(spark, sf_dir):
 
 
 def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_duplicates(_docs(spark, sf_dir)).select(
+    """Exact dedup over documents ∪ a perturbed re-render of every 20th
+    document (whitespace padding + punctuation noise, new ids). The fixture
+    corpus has no byte-identical duplicates, so without the injected copies
+    this query returned 0 rows and proved nothing; the perturbed copies
+    normalize to the same canonical text, so the md5-groupBy must find
+    exactly them — exercising the normalization rules end-to-end."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    perturbed = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" !! ")).alias("text"),
+    )
+    return exact_duplicates(d.unionByName(perturbed)).select(
         "hash", "n_docs", F.col("keep_id").cast("long").alias("keep_id")
     )
 
@@ -891,9 +907,15 @@ SELECT CAST(v.id AS BIGINT) AS id, CAST(COALESCE(t.c, 0) AS BIGINT) AS triangles
 FROM vertices v
 LEFT JOIN (SELECT id, COUNT(*) AS c FROM corners GROUP BY id) t ON t.id = v.id"""
     )
+    # Triangle closing runs on the events-chain graph (sparse; guaranteed
+    # non-adjacent 2-hop pairs) — the nation graph is so dense the result
+    # was empty, making the oracle pass vacuous.
     tri_close_sql = (
-        sym_sql
-        + """, pairs AS (
+        EVENTS_CHAIN_SQL.strip()
+        + """
+, ded AS (SELECT DISTINCT src, dst FROM edges)
+, sym AS (SELECT src, dst FROM ded UNION SELECT dst AS src, src AS dst FROM ded)
+, pairs AS (
     SELECT a.src AS id, b.dst AS candidate, CAST(COUNT(*) AS BIGINT) AS common_neighbors
     FROM sym a JOIN sym b ON a.dst = b.src
     WHERE a.src <> b.dst
@@ -1080,7 +1102,13 @@ FROM vertices v"""
         " '\\s+', ' ', 'g'))"
     )
     exact_dups_sql = f"""
-WITH h AS (SELECT doc_id, md5({norm}) AS hash FROM documents)
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, ' ' || text || ' !! ' AS text
+    FROM documents WHERE doc_id % 20 = 0
+),
+h AS (SELECT doc_id, md5({norm}) AS hash FROM docs2)
 SELECT hash, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keep_id
 FROM h GROUP BY hash HAVING COUNT(*) > 1"""
 
