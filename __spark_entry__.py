@@ -406,15 +406,25 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # xxhash64-based: no cross-engine oracle (driver records rows-only)
+    # portable md5-derived hashing: the oracle replicates the identical
+    # signatures, banding, bucket cap, and estimate — full equality check
     return minhash_lsh_pairs(
-        _docs(spark, sf_dir), k=5, num_hashes=64, bands=16, verify_threshold=0.5
+        _docs(spark, sf_dir),
+        k=5,
+        num_hashes=64,
+        bands=16,
+        verify_threshold=0.5,
+        portable=True,
     )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # xxhash64-based: rows-only check
-    return simhash_near_pairs(_docs(spark, sf_dir), k=5, max_hamming=3)
+    # portable 60-bit md5-derived fingerprints; pigeonhole blocking is
+    # lossless for max_hamming=3, so output == brute-force ≤3 pair set
+    # and the oracle checks it exactly
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), k=5, max_hamming=3, bits=60, portable=True
+    )
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,7 +620,7 @@ def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     dim = len(e.select("embedding").first()[0])
-    return embedding_near_duplicates(e, dim=dim, threshold=0.35)
+    return embedding_near_duplicates(e, dim=dim, threshold=0.35, portable=True)
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1135,6 +1145,124 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5"""
 
+    # Shared shingle CTE for the portable sketch oracles (k=5 char-grams
+    # over normalized text, distinct per doc — twin of dedup.shingle_df).
+    shingle_cte = f"""
+WITH nrm AS (SELECT doc_id, {norm} AS t FROM documents),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 5) AS s FROM (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+        FROM nrm) u
+)"""
+
+    # MinHash-LSH replay: identical md5-derived signatures (portable mode
+    # of functions/dedup.py::minhash_signatures), identical band buckets
+    # (raw comma-joined strings), bucket cap, and match-fraction estimate.
+    minhash_lsh_sql = (
+        shingle_cte
+        + """,
+seeds AS (SELECT unnest(range(64)) AS seed),
+sig AS MATERIALIZED (
+    SELECT doc_id, seed,
+           MIN(CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS BIGINT)) AS mh
+    FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bnd AS (
+    SELECT doc_id, seed // 4 AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+    FROM sig GROUP BY doc_id, seed // 4
+),
+ok_buckets AS (
+    SELECT band, bucket FROM bnd GROUP BY band, bucket HAVING COUNT(*) <= 200
+),
+bf AS (SELECT bnd.* FROM bnd JOIN ok_buckets USING (band, bucket)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bf a JOIN bf b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0, 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+    GROUP BY c.id_a, c.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, est_jaccard
+FROM est WHERE est_jaccard >= 0.5"""
+    )
+
+    # SimHash replay: 60-bit md5-derived fingerprints; the Spark side's
+    # 4-chunk pigeonhole blocking is lossless at max_hamming=3, so its
+    # output equals this brute-force all-pairs formulation exactly.
+    simhash_sql = (
+        shingle_cte
+        + """,
+hx AS MATERIALIZED (
+    SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM sh
+),
+bits AS (
+    SELECT doc_id, bb.b AS b,
+           SUM(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+    FROM hx CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+    GROUP BY doc_id, bb.b
+),
+sim AS MATERIALIZED (
+    SELECT doc_id,
+           SUM(CASE WHEN cnt > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sv
+    FROM bits GROUP BY doc_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.sv, b.sv)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sv, b.sv)) <= 3"""
+    )
+
+    # Embedding-LSH replay: md5-parity hyperplanes (portable mode of
+    # functions/similarity.py::random_hyperplane_signatures), in-order
+    # left-fold projections (list_reduce == Spark's F.aggregate fold),
+    # 4×4-bit banding, then exact cosine verification at the threshold.
+    emb_lsh_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS MATERIALIZED (
+    SELECT p,
+           list_transform(range(0, 64),
+               i -> CASE WHEN CAST(('0x' || substr(md5('42-' || p || '-' || i), 1, 1)) AS BIGINT) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END) AS hv
+    FROM (SELECT unnest(range(16)) AS p)
+),
+proj AS (
+    SELECT e.vec_id, pl.p,
+           list_reduce(
+               list_prepend(0.0,
+                   list_transform(range(0, 64), i -> e.v[i + 1] * pl.hv[i + 1])),
+               (a, b) -> a + b) AS pr
+    FROM e CROSS JOIN planes pl
+),
+sig AS MATERIALIZED (
+    SELECT vec_id,
+           SUM(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS s
+    FROM proj GROUP BY vec_id
+),
+banded AS (
+    SELECT vec_id, bb.b AS band, (s >> (bb.b * 4)) & 15 AS bucket
+    FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM cand
+JOIN e ea ON ea.vec_id = id_a
+JOIN e eb ON eb.vec_id = id_b
+WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35"""
+
     stop_list = ", ".join(f"'{w}'" for w in [
         "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
         "on", "was", "with", "as", "be", "at", "by", "this", "are", "or",
@@ -1362,6 +1490,9 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,
         "ngram_jaccard_pairs": ngram_sql,
+        "minhash_lsh_pairs": minhash_lsh_sql,
+        "simhash_near_pairs": simhash_sql,
+        "embedding_near_dup_lsh": emb_lsh_sql,
         "quality_features": quality_sql,
         "token_counts": token_counts_sql,
         "lang_id": lang_sql,

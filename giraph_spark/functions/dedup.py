@@ -14,6 +14,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def portable_hash60(c: Column, seed: int | None = None) -> Column:
+    """60-bit integer hash reproducible in any ANSI engine with md5: the
+    first 15 hex chars of md5 parsed as an integer (DuckDB twin:
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``). Used by the
+    ``portable=True`` mode of the sketch operators so their outputs are
+    bit-for-bit checkable against a SQL oracle; the default (xxhash64) is
+    ~5× cheaper and preferred when no cross-engine replay is needed."""
+    s = F.concat(F.lit(f"{seed}:"), c) if seed is not None else c
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text form for dedup: lowercase, collapse whitespace,
     strip non-alphanumerics (keep spaces)."""
@@ -120,18 +131,23 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 5,
     num_hashes: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """``(id, sig array<bigint>)`` MinHash signatures: for each of
-    ``num_hashes`` seeded xxhash64 functions, the min hash over the
+    ``num_hashes`` seeded hash functions, the min hash over the
     document's shingle set. One explode + one groupBy — the per-seed mins
     are computed as ``min_by``-free aggregate expressions over the
     exploded relation (map-side partial aggregation keeps the shuffle
-    small: num_hashes longs per doc)."""
+    small: num_hashes longs per doc). ``portable=True`` swaps xxhash64
+    for :func:`portable_hash60` so a SQL oracle can replicate the exact
+    signatures."""
     sh = shingle_df(df, text_col, id_col, k)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(num_hashes)
-    ]
+    hfn = (
+        (lambda seed: portable_hash60(F.col("shingle"), seed))
+        if portable
+        else (lambda seed: F.xxhash64(F.col("shingle"), F.lit(seed)))
+    )
+    aggs = [F.min(hfn(seed)).alias(f"h{seed}") for seed in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
@@ -147,6 +163,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float | None = 0.5,
+    portable: bool = False,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs ``(id_a, id_b,
     est_jaccard)``.
@@ -159,25 +177,30 @@ def minhash_lsh_pairs(
     Scale: never quadratic in the corpus — only within buckets; a
     pathological bucket (e.g. empty docs) is capped via ``max_bucket``.
     This is the 100 TB dedup path (the exact Jaccard operator is its
-    correctness oracle at sample scale)."""
+    correctness oracle at sample scale). ``portable=True`` uses
+    md5-derived shingle hashes and the raw concatenated band string as the
+    bucket key, so a SQL oracle replays the identical candidate set."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
+    sig = minhash_signatures(
+        df, text_col, id_col, k, num_hashes, portable=portable
+    ).persist()
+
+    def band_bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[F.col("sig").getItem(b * rows + r).cast("string") for r in range(rows)],
+        )
+        # portable mode groups on the raw string (slightly wider shuffle
+        # key, engine-neutral); default hashes it down to one long
+        return joined if portable else F.xxhash64(joined).cast("string")
+
     banded = sig.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig").getItem(b * rows + r).cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -185,7 +208,7 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    max_bucket = 200  # cap pathological buckets (all-identical shingle sets)
+    # max_bucket caps pathological buckets (all-identical shingle sets)
     bucket_sizes = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bs")
     )
@@ -237,12 +260,16 @@ def simhash(
     id_col: str = "doc_id",
     k: int = 5,
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """``(id, simhash BIGINT)`` — 64-bit SimHash over shingle hashes: for
-    each bit, sum ±1 across shingles and take the sign. Expression-only:
-    explode → per-bit aggregate sums → reassemble bits."""
+    """``(id, simhash BIGINT)`` — ``bits``-bit SimHash over shingle hashes:
+    for each bit, sum ±1 across shingles and take the sign. Expression-only:
+    explode → per-bit aggregate sums → reassemble bits. ``portable=True``
+    uses the 60-bit md5-derived shingle hash (so pass ``bits=60``) and a
+    SQL oracle can replicate the exact fingerprints."""
     sh = shingle_df(df, text_col, id_col, k)
-    h = sh.select(F.col(id_col), F.xxhash64("shingle").alias("hv"))
+    hv = portable_hash60(F.col("shingle")) if portable else F.xxhash64("shingle")
+    h = sh.select(F.col(id_col), hv.alias("hv"))
     # bit 63's mask is the sign bit: same bit pattern as -(2^63) in two's
     # complement (2^63 itself overflows a BIGINT literal)
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
@@ -265,12 +292,20 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     max_hamming: int = 3,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
-    blocked on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one of 4
-    chunks equal) so candidate generation is a hash join, not a cross
-    join."""
-    s = simhash(df, text_col, id_col, k).persist()
+    blocked on ``bits/4``-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least
+    one of 4 chunks equal — lossless, so the output is EXACTLY the
+    all-pairs ≤ max_hamming set) so candidate generation is a hash join,
+    not a cross join. ``portable=True`` (with ``bits=60``) makes the
+    fingerprints md5-derived and SQL-oracle-replicable."""
+    if portable and bits > 60:
+        bits = 60
+    chunk_bits = bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    s = simhash(df, text_col, id_col, k, bits=bits, portable=portable).persist()
     chunks = s.select(
         F.col(id_col),
         F.col("simhash"),
@@ -279,8 +314,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("ck"),
                     )
                     for c in range(4)

@@ -71,11 +71,45 @@ def random_hyperplane_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Sign-of-projection LSH signature (``planes`` bits packed into one
-    BIGINT). Hyperplanes are deterministic pseudo-random unit-free vectors
-    derived from ``xxhash64(seed, plane, dim)`` — reproducible across
-    runs/engines without shipping a matrix."""
+    BIGINT). Hyperplanes are deterministic pseudo-random unit-free ±1
+    vectors derived from a hash of ``(seed, plane, dim_index)`` —
+    reproducible across runs without shipping a matrix. ``portable=True``
+    derives the ±1 component from the first md5 hex digit's parity
+    (DuckDB twin: ``CAST(('0x' || substr(md5(seed||'-'||p||'-'||i),1,1))
+    AS BIGINT) % 2``) so a SQL oracle can rebuild the identical
+    signatures; the default uses xxhash64."""
+
+    def component(p: int, i: Column) -> Column:
+        if portable:
+            par = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "-", F.lit(seed), F.lit(p), i.cast("string")
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+        else:
+            par = F.xxhash64(F.lit(seed), F.lit(p), i) % 2
+        return F.when(par == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def plane_fn(p: int):
+        # NOTE: F.transform dispatches on the lambda's arity (a second
+        # parameter would receive the array index), so the plane number
+        # must be bound via this closure factory, not a default argument.
+        return lambda i: component(p, i)
+
     sig = F.lit(0).cast("long")
     for p in range(planes):
         # pseudo-random ±1 plane components from a hash of (seed, p, i)
@@ -84,9 +118,7 @@ def random_hyperplane_signatures(
                 F.col(vec_col),
                 F.transform(
                     F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.when(
-                        F.xxhash64(F.lit(seed), F.lit(p), i) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
+                    plane_fn(p),
                 ),
                 lambda x, h: x * h,
             ),
@@ -295,13 +327,18 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ``(id_a, id_b, cos_sim ≥ threshold)``
     via LSH band blocking + exact verification (the embedding analog of
-    MinHash-LSH text dedup)."""
+    MinHash-LSH text dedup). ``portable=True`` makes the hyperplanes
+    md5-parity-derived so a SQL oracle can replay the exact candidate
+    set."""
     bits = planes // bands
     mask = (1 << bits) - 1
-    s = random_hyperplane_signatures(df, dim, planes, id_col, vec_col, seed)
+    s = random_hyperplane_signatures(
+        df, dim, planes, id_col, vec_col, seed, portable=portable
+    )
     banded = s.select(
         F.col(id_col),
         F.col(vec_col),
