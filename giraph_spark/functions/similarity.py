@@ -196,6 +196,40 @@ def lsh_topk(
     )
 
 
+def _centroid_array(cents: DataFrame) -> Column:
+    """Collect a (tiny) ``(_cell, _cv)`` centroid table to the driver and
+    rebuild it as a literal ``array<struct<cell, cv>>`` column. Centroid
+    tables are k·dim doubles (a few KB); inlining them keeps the corpus
+    assignment a pure projection — zero joins, zero shuffles — instead of
+    a broadcast-join + per-id window (which inflates the corpus k× and
+    sort-shuffles it)."""
+    rows = cents.collect()
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["_cell"])).cast("long").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["_cv"]]).alias("cv"),
+            )
+            for r in rows
+        ]
+    )
+
+
+def nearest_cells(vec: Column, cent_arr: Column, n_keep: int) -> Column:
+    """The ``n_keep`` nearest centroids of ``vec`` by cosine, as an array
+    of ``struct<negsim, cell>`` sorted best-first (ties → lower cell id,
+    matching a row_number over (sim DESC, cell ASC)). Single-pass
+    expression: evaluated inside the corpus scan's projection, inside
+    whole-stage codegen — no Exchange."""
+    sims = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            (-cosine(vec, s["cv"])).alias("negsim"), s["cell"].alias("cell")
+        ),
+    )
+    return F.slice(F.array_sort(sims), 1, n_keep)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     num_cells: int = 16,
@@ -203,42 +237,38 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd's k-means over an embedding column, fully relational:
-    seed with the ``num_cells`` lowest-id vectors, then ``iters`` rounds of
-    (broadcast-join assign → posexplode → per-(cell, dim) avg → re-collect).
-    Returns ``(_cell, _cv)``. Each round is one broadcast join + one
-    groupBy — no driver-side vectors beyond the centroid table itself."""
+    """Lloyd's k-means over an embedding column: seed with the
+    ``num_cells`` lowest-id vectors, then ``iters`` rounds of
+    (single-pass argmax assign → posexplode → per-(cell, dim) avg).
+    Returns ``(_cell, _cv)``.
+
+    The per-round centroids are collected to the driver (k·dim doubles —
+    the classic k-means driver state) and inlined as a literal, so the
+    assignment is a projection fused into the corpus scan; the only
+    shuffle per round is the (cell, dim) mean aggregation, which
+    partial-aggregates map-side."""
     cents = (
         corpus.orderBy(F.col(id_col))
         .limit(num_cells)
         .select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv"))
     )
     for _ in range(iters):
-        scored = corpus.join(F.broadcast(cents)).select(
-            F.col(id_col),
+        cent_arr = _centroid_array(cents)  # collect() truncates lineage too
+        assigned = corpus.select(
+            F.element_at(nearest_cells(F.col(vec_col), cent_arr, 1), 1)[
+                "cell"
+            ].alias("_cell"),
             F.col(vec_col),
-            F.col("_cell"),
-            cosine(F.col(vec_col), F.col("_cv")).alias("_sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_cell"))
-        assigned = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
-            .select("_cell", vec_col)
         )
         dims = assigned.select(
             "_cell", F.posexplode(F.col(vec_col)).alias("_pos", "_x")
         )
         means = dims.groupBy("_cell", "_pos").agg(F.avg("_x").alias("_m"))
-        cents = (
-            means.groupBy("_cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
-                    lambda s: s["_m"],
-                ).alias("_cv")
-            )
-            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        cents = means.groupBy("_cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_cv")
         )
     return cents
 
@@ -257,8 +287,12 @@ def ivf_topk(
     """IVF-style approximate top-k: the corpus is bucketed into
     ``num_cells`` Voronoi cells (inverted lists) by nearest centroid;
     each query probes only its ``nprobe`` nearest cells and runs exact
-    cosine there. Per-query work ∝ probed-cell occupancy, not corpus size;
-    the cell assignment is one broadcast join (centroids are tiny).
+    cosine there. Per-query work ∝ probed-cell occupancy, not corpus size.
+    Cell assignment inlines the (tiny) centroid table as a literal array
+    and computes the argmax as a projection fused into the corpus scan —
+    zero joins and zero shuffles on the corpus side (a broadcast-join +
+    window formulation would inflate the corpus ``num_cells``× through a
+    sort-shuffle).
 
     ``centroids``: ``"seed"`` (default) uses the ``num_cells`` lowest-id
     corpus vectors — deterministic and engine-reproducible, so the DuckDB
@@ -281,28 +315,28 @@ def ivf_topk(
             )
         )
 
-    def assign(df, idc, vc, n_keep):
-        """nearest-`n_keep` cells per row by cosine (ties → lower cell id)"""
-        scored = df.join(F.broadcast(cents)).select(
-            df[idc],
-            df[vc],
-            F.col("_cell"),
-            cosine(df[vc], F.col("_cv")).alias("_sim"),
+    cent_arr = _centroid_array(cents)
+    # inverted lists: top-1 cell per corpus row, pure projection
+    inv = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(nearest_cells(F.col(vec_col), cent_arr, 1), 1)["cell"].alias(
+            "_cell"
+        ),
+    )
+    # probes: nprobe cells per query (queries are small — the explode is
+    # |queries|·nprobe rows)
+    probes = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col))
+        .select(
+            query_id_col,
+            F.col(vec_col).alias("_qv"),
+            F.explode(
+                nearest_cells(F.col(vec_col), cent_arr, nprobe)
+            ).alias("_nc"),
         )
-        w = Window.partitionBy(idc).orderBy(F.desc("_sim"), F.asc("_cell"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= n_keep)
-            .drop("_sim", "_r")
-        )
-
-    inv = assign(corpus, id_col, vec_col, 1)  # inverted lists
-    probes = assign(
-        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col)),
-        query_id_col,
-        vec_col,
-        nprobe,
-    ).select(query_id_col, F.col(vec_col).alias("_qv"), "_cell")
+        .select(query_id_col, "_qv", F.col("_nc.cell").alias("_cell"))
+    )
     cand = inv.join(F.broadcast(probes), on="_cell").where(
         F.col(query_id_col) != F.col(id_col)
     )

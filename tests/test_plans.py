@@ -67,3 +67,33 @@ def test_kernel_join_strategy(spark, sf_dir):
         assert "AdaptiveSparkPlan" not in plan
         # the state side arrives pre-partitioned from the checkpoint
         assert "hashpartitioning(id" in plan
+
+
+def test_ivf_assignment_no_exchange(spark, sf_dir):
+    """IVF cell assignment must be a projection fused into the corpus scan
+    — no Exchange, no join, no window between the parquet scan and the
+    cell column (a broadcast-join + row_number formulation inflates the
+    corpus num_cells x through a sort-shuffle)."""
+    from giraph_spark.functions.similarity import _centroid_array, nearest_cells
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = e.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("_cell"), F.col("embedding").alias("_cv")
+    )
+    cent_arr = _centroid_array(cents)
+    inv = e.select(
+        "vec_id",
+        F.element_at(nearest_cells(F.col("embedding"), cent_arr, 1), 1)[
+            "cell"
+        ].alias("_cell"),
+    )
+    plan = _formatted_plan(inv)
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # sanity: assignment is well-formed (every row gets one of the 4 cells)
+    assert inv.where(F.col("_cell").isNull()).count() == 0
+    assert inv.select("_cell").distinct().count() <= 4
