@@ -559,6 +559,43 @@ def _q_vector_sum_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sparse_vector_sum_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector sum aggregator (SURVEY §2.4, aggregators/matrix/
+    sparse/DoubleSparseVectorSumAggregator.java) surfaced over the
+    embeddings table: each embedding is sparsified to a dim→value map of
+    its positive entries, maps are key-union-summed per cluster, and the
+    result is exploded to (cluster, dim, val) rows for cross-engine
+    hashing. Missing keys behave as implicit zeros — the sparse-aggregator
+    contract."""
+    from giraph_spark.aggregators import sparse_vector_sum
+
+    e = _embs(spark, sf_dir).select(
+        (F.col("vec_id") % 4).cast("long").alias("cluster"),
+        F.map_from_entries(
+            F.filter(
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.struct(
+                        i.cast("long").alias("key"),
+                        x.cast("double").alias("value"),
+                    ),
+                ),
+                lambda s: s["value"] > 0,
+            )
+        ).alias("smap"),
+    )
+    return (
+        e.groupBy("cluster")
+        .agg(sparse_vector_sum(F.col("smap")).alias("ssum"))
+        .select("cluster", F.explode("ssum").alias("dim", "val"))
+        .select(
+            "cluster",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("val", 6).alias("val"),
+        )
+    )
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode pipeline over documents-derived binary payloads
     (SURVEY §2.1 JsonBase64VertexInputFormat analog for opaque binary;
@@ -690,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocks_two_hop_indegree": _q_blocks_two_hop,
         "degree_distribution": _q_degree_distribution,
         "vector_sum_by_cluster": _q_vector_sum_by_cluster,
+        "sparse_vector_sum_by_cluster": _q_sparse_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "cosine_topk": _q_cosine_topk,
@@ -1452,6 +1490,16 @@ WITH u AS (
   FROM embeddings)
 SELECT cluster, dim, ROUND(SUM(x), 6) AS val FROM u GROUP BY 1, 2"""
 
+    # Sparse twin: only positive entries exist in the maps, so the oracle
+    # sums the same filtered universe; absent keys are implicit zeros.
+    sparse_vector_sum_sql = """
+WITH u AS (
+  SELECT CAST(vec_id % 4 AS BIGINT) AS cluster,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)
+SELECT cluster, dim, ROUND(SUM(x), 6) AS val FROM u WHERE x > 0 GROUP BY 1, 2"""
+
     identity_sql = (
         NATION_GRAPH_SQL.strip() + "\nSELECT id FROM vertices"
     )
@@ -1486,6 +1534,7 @@ two AS (SELECT e.dst AS id, SUM(i.deg_in) AS two_hop
 SELECT v.id AS id, CAST(COALESCE(t.two_hop, 0) AS BIGINT) AS two_hop
 FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "vector_sum_by_cluster": vector_sum_sql,
+        "sparse_vector_sum_by_cluster": sparse_vector_sum_sql,
         "multimodal_metadata": multimodal_sql,
         "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,

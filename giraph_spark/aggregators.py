@@ -114,6 +114,55 @@ class AggregatorLog:
         self.to_df(spark).write.mode("overwrite").text(path)
 
 
+def sparse_vector_sum(c: Column) -> Column:
+    """Sparse-vector element-wise sum over ``map<bigint,double>`` columns
+    (``aggregators/matrix/sparse/DoubleSparseVectorSumAggregator.java`` —
+    reference stores index→value maps; absent key = 0): key-union merge via
+    ``map_zip_with`` with coalesce-to-zero.
+
+    This is the drop-in aggregate-expression form (for pregel
+    ``aggregates=``). When the sparse vectors are wide and the group count
+    is small, prefer the relational form — explode the map to (key, value)
+    rows and ``groupBy(key).sum`` — which partial-aggregates map-side
+    instead of shipping whole maps to one reducer."""
+    return F.reduce(
+        F.collect_list(c),
+        F.lit(None).cast("map<bigint,double>"),
+        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+            F.map_zip_with(
+                acc,
+                v,
+                lambda _, a, b: F.coalesce(a, F.lit(0.0))
+                + F.coalesce(b, F.lit(0.0)),
+            )
+        ),
+    )
+
+
+def sparse_matrix_sum(c: Column) -> Column:
+    """Sparse-matrix sum over ``map<bigint, map<bigint,double>>`` columns
+    (row index → sparse row; ``aggregators/matrix/sparse/
+    DoubleSparseMatrixSumAggregator.java`` appends per-row sparse
+    vectors): two-level key-union merge."""
+    empty_row = F.expr("CAST(map() AS map<bigint,double>)")
+    return F.reduce(
+        F.collect_list(c),
+        F.lit(None).cast("map<bigint,map<bigint,double>>"),
+        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+            F.map_zip_with(
+                acc,
+                v,
+                lambda _, ra, rb: F.map_zip_with(
+                    F.coalesce(ra, empty_row),
+                    F.coalesce(rb, empty_row),
+                    lambda __, a, b: F.coalesce(a, F.lit(0.0))
+                    + F.coalesce(b, F.lit(0.0)),
+                ),
+            )
+        ),
+    )
+
+
 def matrix_sum(c: Column) -> Column:
     """Row-major ``array<array<double>>`` element-wise sum
     (``MatrixSumAggregator`` family)."""

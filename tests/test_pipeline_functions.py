@@ -196,3 +196,25 @@ def test_aggregators(spark):
     assert row["x"] == 3  # 1 xor 2
     assert row["am"] == 2
     assert row["vs"] == [11.0, 22.0]
+
+
+def test_sparse_aggregators(spark):
+    """Sparse vector/matrix sums (aggregators/matrix/sparse family):
+    key-union merge, absent keys = implicit zeros."""
+    from giraph_spark.aggregators import sparse_matrix_sum, sparse_vector_sum
+
+    df = spark.createDataFrame(
+        [
+            (1, {0: 1.0, 2: 2.0}, {0: {0: 1.0}}),
+            (2, {2: 3.0, 5: 4.0}, {0: {1: 2.0}, 3: {0: 5.0}}),
+            (3, {}, {}),
+        ],
+        "id long, sv map<bigint,double>, sm map<bigint,map<bigint,double>>",
+    )
+    row = df.agg(
+        sparse_vector_sum(F.col("sv")).alias("vs"),
+        sparse_matrix_sum(F.col("sm")).alias("ms"),
+    ).collect()[0]
+    assert dict(row["vs"]) == {0: 1.0, 2: 5.0, 5: 4.0}
+    ms = {k: dict(v) for k, v in dict(row["ms"]).items()}
+    assert ms == {0: {0: 1.0, 1: 2.0}, 3: {0: 5.0}}
