@@ -1,0 +1,153 @@
+"""Per-superstep message-type switching (SURVEY §1.3/§2.5).
+
+Reference:
+- ``master/MasterCompute.java:197-217`` — ``setIncomingMessage`` /
+  ``setOutgoingMessage`` let the master change the message class between
+  supersteps;
+- ``master/SuperstepClasses.java:211-238`` — ``verifyTypesMatch`` rejects a
+  schedule whose superstep-S outgoing type differs from superstep-S+1's
+  declared incoming type;
+- exercised by ``master/TestSwitchClasses.java`` (computation + combiner +
+  message-class switching in one run).
+
+A DataFrame loop wants ONE stable message schema per run: Catalyst caches
+resolved plans, and durable checkpoints must be re-readable mid-run. The
+blessed Spark-first equivalent of switching the outgoing message class is a
+struct-typed message whose fields are the union of every phase's type, with
+exactly one field non-null per superstep. :class:`MessageUnion` packages
+that pattern (message construction, field access, field-wise combiners) and
+:func:`verify_types_match` performs the reference's entry-time schedule
+verification. (The other sanctioned pattern — one ``pregel`` call per phase
+with a driver-side phase machine — is ``algos/scc.py``.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .graph import GraphSchemaError
+
+
+class MessageUnion:
+    """The union of message types a multi-phase computation sends.
+
+    Parameters are ``field_name="spark sql type"`` pairs, e.g.
+    ``MessageUnion(ival="bigint", dval="double")``. Per superstep the
+    computation sends :meth:`message` with exactly one active field — the
+    analog of ``MasterCompute.setOutgoingMessage`` — and reads the inbox
+    field via :meth:`value`.
+    """
+
+    def __init__(self, **types: str) -> None:
+        if not types:
+            raise GraphSchemaError("MessageUnion needs at least one field")
+        self.types: dict[str, str] = dict(types)
+
+    def _require(self, name: str) -> None:
+        if name not in self.types:
+            raise GraphSchemaError(
+                f"message field {name!r} not in union {sorted(self.types)}"
+            )
+
+    def message(self, active: str, expr: Column) -> Column:
+        """A struct message with ``active`` carrying ``expr`` and every
+        other union field NULL. Schema is identical on every superstep, so
+        the kernel's message column type never changes mid-run."""
+        self._require(active)
+        return F.struct(
+            *[
+                (expr.cast(t) if n == active else F.lit(None).cast(t)).alias(n)
+                for n, t in self.types.items()
+            ]
+        )
+
+    def value(self, name: str) -> Column:
+        """Read one union field from the (combined) inbox message."""
+        self._require(name)
+        return F.col("_msg")[name]
+
+    def combiner(self, **per_field: Callable[[Column], Column]):
+        """A combiner over struct messages: each named field is aggregated
+        with its own function (``SumMessageCombiner`` etc. per type);
+        unspecified fields combine with null-ignoring ``F.min`` (they are
+        all-NULL on supersteps where their phase is inactive, so the
+        result stays NULL)."""
+        for name in per_field:
+            self._require(name)
+
+        def combine(c: Column) -> Column:
+            return F.struct(
+                *[
+                    per_field.get(n, F.min)(c[n]).alias(n)
+                    for n in self.types
+                ]
+            )
+
+        return combine
+
+    def ddl(self) -> str:
+        """The union struct's DDL type string (usable as pregel's
+        ``msg_type``)."""
+        return (
+            "struct<"
+            + ",".join(f"{n}:{t}" for n, t in self.types.items())
+            + ">"
+        )
+
+    def no_message(self) -> Column:
+        """A NULL of the union struct type — the send-nothing expression
+        for supersteps with no outgoing phase (the kernel drops NULL
+        messages, Giraph's conditional ``sendMessage``)."""
+        return F.lit(None).cast(self.ddl())
+
+
+def verify_types_match(
+    outgoing: Sequence[str | None],
+    incoming: Sequence[str | None],
+    union: MessageUnion | None = None,
+) -> None:
+    """Entry-time schedule verification mirroring
+    ``SuperstepClasses.verifyTypesMatch`` (``master/SuperstepClasses.java:211``):
+    superstep S's outgoing message field must equal superstep S+1's
+    declared incoming field, and every named field must exist in the
+    union. Raises :class:`GraphSchemaError` before any superstep runs —
+    the reference performs the same check when the master commits the
+    next superstep's classes (``master/BspServiceMaster.java:1709-1712``).
+
+    ``outgoing[s] is None`` means superstep s sends nothing;
+    ``incoming[s] is None`` means superstep s reads no messages.
+    """
+    if len(outgoing) != len(incoming):
+        raise GraphSchemaError(
+            f"schedule length mismatch: {len(outgoing)} outgoing vs "
+            f"{len(incoming)} incoming supersteps"
+        )
+    if union is not None:
+        for s, name in enumerate(outgoing):
+            if name is not None and name not in union.types:
+                raise GraphSchemaError(
+                    f"superstep {s}: outgoing field {name!r} not in union "
+                    f"{sorted(union.types)}"
+                )
+        for s, name in enumerate(incoming):
+            if name is not None and name not in union.types:
+                raise GraphSchemaError(
+                    f"superstep {s}: incoming field {name!r} not in union "
+                    f"{sorted(union.types)}"
+                )
+    for s in range(len(outgoing) - 1):
+        out_f, in_f = outgoing[s], incoming[s + 1]
+        if in_f is not None and out_f != in_f:
+            raise GraphSchemaError(
+                f"Incoming message type of superstep {s + 1} ({in_f!r}) "
+                f"doesn't match outgoing message type of superstep {s} "
+                f"({out_f!r})"
+            )
+        if out_f is not None and in_f is None:
+            raise GraphSchemaError(
+                f"superstep {s} sends {out_f!r} but superstep {s + 1} "
+                "declares no incoming message type"
+            )

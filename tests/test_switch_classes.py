@@ -1,0 +1,121 @@
+"""Mirror of the reference's class-switching test
+(``master/TestSwitchClasses.java``): one pregel run that switches the
+computation, the message combiner, AND the outgoing message type per
+superstep — via the struct-union message pattern
+(``giraph_spark/messages.py``) — and receives exactly the values the
+reference asserts, superstep by superstep.
+
+Reference schedule (SwitchingClassesMasterCompute.compute):
+  s0: Computation1, MIN combiner set      → ints (otherId+10, +20)
+  s1: unchanged (classes stay)            → ints, MIN-combined on arrival
+  s2: Computation2, combiner removed      → doubles (+100.5, +200.5)
+  s3: Computation3, SUM combiner, message
+      classes switched int→double in /
+      double→int out                      → ints (+1000, +2000)
+  s4: Computation1 — asserts the received history
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark import Graph
+from giraph_spark.graph import GraphSchemaError
+from giraph_spark.messages import MessageUnion, verify_types_match
+from giraph_spark.pregel import pregel
+
+# per-superstep message-field schedule (the reference's
+# setOutgoing/IncomingMessage calls, flattened)
+OUT = ["ival", "ival", "dval", "ival", None]
+INC = [None, "ival", "ival", "dval", "ival"]
+
+
+def test_verify_types_match_accepts_reference_schedule():
+    union = MessageUnion(ival="bigint", dval="double")
+    verify_types_match(OUT, INC, union)  # must not raise
+
+
+def test_verify_types_match_rejects_mismatch():
+    union = MessageUnion(ival="bigint", dval="double")
+    # superstep 2 sends dval but superstep 3 declares ival incoming
+    with pytest.raises(GraphSchemaError, match="superstep 3"):
+        verify_types_match(
+            ["ival", "ival", "dval", "ival", None],
+            [None, "ival", "ival", "ival", "ival"],
+            union,
+        )
+    # unknown field name
+    with pytest.raises(GraphSchemaError, match="not in union"):
+        verify_types_match(["zval"], [None], union)
+    # sender with no declared receiver
+    with pytest.raises(GraphSchemaError, match="no incoming"):
+        verify_types_match(["ival", None], [None, None], union)
+
+
+def test_switch_classes_end_to_end(spark):
+    union = MessageUnion(ival="bigint", dval="double")
+    verify_types_match(OUT, INC, union)
+
+    # two vertices, fully connected; k=1,2 encodes the reference's two
+    # sendMessage calls per compute (multigraph edges)
+    vertices = spark.createDataFrame([(1,), (2,)], "id long").withColumn(
+        "recv", F.array().cast("array<string>")
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (1, 2, 2), (2, 1, 1), (2, 1, 2)],
+        "src long, dst long, k int",
+    )
+
+    def update(ctx):
+        s = ctx.superstep
+        if s == 0:
+            got = F.lit("")
+        elif INC[s] == "ival":
+            got = union.value("ival").cast("string")
+        else:  # s3: uncombined double messages arrive as an array of structs
+            got = F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.transform(
+                        F.col("_msg"), lambda m: m["dval"].cast("string")
+                    )
+                ),
+            )
+        return {
+            "recv": F.concat(
+                F.col("recv"), F.array(F.coalesce(got, F.lit("")))
+            )
+        }
+
+    def send(ctx):
+        s = ctx.superstep
+        if s in (0, 1):  # Computation1: ints otherId + 10/20
+            return union.message("ival", F.col("dst") + F.col("k") * 10)
+        if s == 2:  # Computation2: doubles otherId + 100.5/200.5
+            return union.message(
+                "dval", F.col("dst") + F.col("k") * 100 + F.lit(0.5)
+            )
+        if s == 3:  # Computation3: ints otherId + 1000/2000
+            return union.message("ival", F.col("dst") + F.col("k") * 1000)
+        return union.no_message()
+
+    def combine_fn(ctx):
+        produced = ctx.superstep - 1  # combiner chosen when msgs were sent
+        if produced in (0, 1):
+            return union.combiner(ival=F.min)  # MinimumMessageCombiner
+        if produced == 3:
+            return union.combiner(ival=F.sum)  # SumMessageCombiner
+        return None  # s2: combiner removed → message iterable
+
+    out = pregel(
+        Graph(vertices, edges),
+        update=update,
+        send_msg=send,
+        combine_fn=combine_fn,
+        max_supersteps=5,
+    )
+    got = {r["id"]: list(r["recv"]) for r in out.collect()}
+    # the reference's checkVerticesOnFinalSuperstep expectations:
+    # {11}/{12} MIN-combined, repeated; {101.5,201.5}/{102.5,202.5}
+    # uncombined; {3002}/{3004} SUM-combined
+    assert got[1] == ["", "11", "11", "101.5,201.5", "3002"]
+    assert got[2] == ["", "12", "12", "102.5,202.5", "3004"]
