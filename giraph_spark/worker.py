@@ -1,0 +1,99 @@
+"""Worker lifecycle hooks (SURVEY §2.10).
+
+Reference:
+- ``worker/WorkerContext.java:78-154`` — per-worker ``preApplication`` /
+  ``preSuperstep`` / ``postSuperstep`` / ``postApplication`` hooks with
+  worker-local state shared by all vertices on that worker (the classic
+  use: load a dictionary/model once per worker, not once per vertex);
+- ``worker/WorkerObserver.java`` and ``master/MasterObserver.java`` —
+  observer variants of the same lifecycle.
+
+Spark mapping: the *master/driver-side* slots already exist — pregel's
+``master_fn`` runs at every superstep barrier, and code before/after the
+``pregel()`` call is pre/post-application. What Giraph's WorkerContext
+adds is *executor-side* state with worker lifetime, which in PySpark means
+state living in the executor's long-lived Python worker process (reused
+across tasks when ``spark.python.worker.reuse`` is on, the default). This
+module blesses that path: :func:`worker_state` is the get-or-init hook to
+call inside any pandas UDF / ``mapInPandas`` body, and the
+``*_with_setup`` wrappers package the pattern for whole transformations.
+
+Anything cheaper than a per-process python cache (broadcast variables)
+should use ``spark.sparkContext.broadcast`` instead; this surface is for
+state that must be *constructed* worker-side (file handles, loaded
+models, compiled automata) rather than shipped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+# Module-level = per-Python-worker-process: each executor python worker
+# imports this module once and keeps it alive across tasks/batches.
+_WORKER_STATE: dict[str, Any] = {}
+_WORKER_INITS: dict[str, int] = {}
+
+
+def worker_state(key: str, setup_fn: Callable[[], Any]) -> Any:
+    """Get-or-initialize named worker-local state.
+
+    Runs ``setup_fn`` at most once per executor Python worker process
+    (``WorkerContext.preApplication``, ``WorkerContext.java:85``) and
+    returns the cached value on every later call — call it INSIDE a
+    pandas UDF / ``mapInPandas`` / ``applyInPandas`` body. State lives as
+    long as the worker process (reused across tasks under
+    ``spark.python.worker.reuse``).
+    """
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = setup_fn()
+        _WORKER_INITS[key] = _WORKER_INITS.get(key, 0) + 1
+    return _WORKER_STATE[key]
+
+
+def worker_init_count(key: str) -> int:
+    """How many times this worker process ran ``setup_fn`` for ``key``
+    (diagnostics; 0 if never, 1 after any number of :func:`worker_state`
+    calls)."""
+    return _WORKER_INITS.get(key, 0)
+
+
+def map_in_pandas_with_setup(
+    df: DataFrame,
+    fn: Callable[[Any, Iterator], Iterator],
+    schema,
+    setup_fn: Callable[[], Any],
+    key: str | None = None,
+) -> DataFrame:
+    """``mapInPandas`` whose ``fn(state, batch_iter)`` receives
+    worker-initialized state: ``setup_fn`` runs once per executor Python
+    worker (NOT once per partition or batch), then every partition's
+    batches stream through ``fn`` with the shared state. Arrow-batched —
+    the blessed path for model-apply / dictionary-lookup compute."""
+    state_key = key or f"mips:{getattr(fn, '__qualname__', repr(fn))}"
+
+    def wrapped(batches: Iterator) -> Iterator:
+        state = worker_state(state_key, setup_fn)
+        yield from fn(state, batches)
+
+    return df.mapInPandas(wrapped, schema)
+
+
+def apply_in_pandas_with_setup(
+    grouped,
+    fn: Callable[[Any, Any], Any],
+    schema,
+    setup_fn: Callable[[], Any],
+    key: str | None = None,
+) -> DataFrame:
+    """``applyInPandas`` over a GroupedData whose ``fn(state, pdf)``
+    receives worker-initialized state (same lifecycle as
+    :func:`map_in_pandas_with_setup`)."""
+    state_key = key or f"aips:{getattr(fn, '__qualname__', repr(fn))}"
+
+    def wrapped(pdf):
+        state = worker_state(state_key, setup_fn)
+        return fn(state, pdf)
+
+    return grouped.applyInPandas(wrapped, schema)

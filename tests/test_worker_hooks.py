@@ -1,0 +1,84 @@
+"""Worker lifecycle hooks (WorkerContext.java:78-154 analog): per-executor
+state initialized once per Python worker process, shared across
+partitions/batches of a pandas-UDF compute."""
+
+from pyspark.sql import functions as F
+
+
+def test_map_in_pandas_with_setup(spark, sf_dir):
+    """A 'model' (here: a token-score dict) is constructed once per worker
+    process and applied across many partitions; every batch must observe
+    an already-initialized state (init count exactly 1 in its process)."""
+    import pandas as pd
+
+    from giraph_spark.worker import map_in_pandas_with_setup, worker_init_count
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(8)  # several partitions per local[4] worker
+    )
+
+    def load_model():
+        # stands in for an expensive load (model weights, dictionary)
+        return {"the": 1, "and": 1, "of": 1}
+
+    def score(model, batches):
+        import os
+
+        for pdf in batches:
+            toks = pdf["text"].str.lower().str.split()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "score": toks.map(
+                        lambda ts: sum(model.get(t, 0) for t in ts)
+                    ),
+                    "pid": os.getpid(),
+                    "init_calls": worker_init_count("test-model"),
+                }
+            )
+
+    out = map_in_pandas_with_setup(
+        docs,
+        score,
+        "doc_id long, score long, pid long, init_calls long",
+        load_model,
+        key="test-model",
+    ).toPandas()
+
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    # setup ran exactly once in every python worker process, no matter how
+    # many partitions/batches it processed (once-per-worker, not per-task)
+    assert (out["init_calls"] == 1).all()
+    per_pid = out.groupby("pid")["init_calls"].max()
+    assert (per_pid == 1).all()
+    # sanity on the compute itself
+    assert (out["score"] >= 0).all() and out["score"].sum() > 0
+
+
+def test_apply_in_pandas_with_setup(spark):
+    import pandas as pd
+
+    from giraph_spark.worker import apply_in_pandas_with_setup
+
+    df = spark.createDataFrame(
+        [(i % 4, float(i)) for i in range(100)], "g long, x double"
+    )
+
+    def setup():
+        return {"offset": 1000.0}
+
+    def agg(state, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": [pdf["g"].iloc[0]], "s": [pdf["x"].sum() + state["offset"]]}
+        )
+
+    out = apply_in_pandas_with_setup(
+        df.groupBy("g"), agg, "g long, s double", setup
+    ).toPandas()
+    assert len(out) == 4
+    want = {g: sum(float(i) for i in range(100) if i % 4 == g) + 1000.0 for g in range(4)}
+    got = dict(zip(out["g"], out["s"]))
+    assert got == want
