@@ -52,6 +52,16 @@ class Graph:
     id_col: str = "id"
     src_col: str = "src"
     dst_col: str = "dst"
+    #: strict-graph mode (``edge/StrictRandomAccessOutEdges.java:32``,
+    #: ``edge/HashMapEdges.java`` — OutEdges families that disallow
+    #: parallel edges): at most one edge per ``(src, dst)``. Construction
+    #: enforces it exactly as the reference's ``initialize`` does — of any
+    #: parallel edges, a single one survives (``dropDuplicates`` on the
+    #: endpoint pair; which row wins is input-order-dependent, as with
+    #: ``HashMap.put``). Use :meth:`assert_strict` to *validate* instead
+    #: of silently enforcing. Default False = multigraph
+    #: (``graph/Vertex.java:145-156``, ``TestMultiGraphEdges.java``).
+    strict: bool = False
     _validated: bool = field(default=False, repr=False)
 
     def __post_init__(self) -> None:
@@ -77,6 +87,11 @@ class Graph:
         for c in vcols | ecols:
             if c.startswith(RESERVED_PREFIX) or c in ("_msg", "_has_msg", "_halted"):
                 raise GraphSchemaError(f"column name {c!r} is reserved by the engine")
+        if self.strict:
+            # strict OutEdges initialize(): of parallel edges, one survives
+            self.edges = self.edges.dropDuplicates(
+                [self.src_col, self.dst_col]
+            )
 
     # -- convenience structural queries (reference:
     #    examples/SimpleOutDegreeCountComputation.java:34,
@@ -116,6 +131,57 @@ class Graph:
                 self.id_col,
                 F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
             )
+        )
+
+    def assert_strict(self) -> "Graph":
+        """Validate (without enforcing) the strict-graph contract: raise
+        :class:`GraphSchemaError` if any ``(src, dst)`` pair appears more
+        than once. One aggregation + limit-1 probe; use on multigraph-mode
+        graphs whose pipeline assumes uniqueness."""
+        from pyspark.sql import functions as F
+
+        dup = (
+            self.edges.groupBy(self.src_col, self.dst_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+        )
+        sample = dup.limit(1).collect()
+        if sample:
+            r = sample[0]
+            raise GraphSchemaError(
+                "strict-graph violation: parallel edges exist, e.g. "
+                f"({r[self.src_col]}, {r[self.dst_col]}) ×{r['_c']}"
+            )
+        return self
+
+    def add_edges(self, new_edges: DataFrame) -> "Graph":
+        """Append edge rows. Multigraph mode unions (parallel edges
+        allowed, ``ByteArrayEdges`` family); strict mode applies put
+        semantics — a new edge REPLACES an existing edge with the same
+        endpoints (``StrictRandomAccessOutEdges.setEdgeValue`` /
+        ``HashMapEdges.add``'s ``map.put``), so the edge count never gains
+        parallel duplicates."""
+        if not self.strict:
+            return Graph(
+                self.vertices,
+                self.edges.unionByName(new_edges),
+                self.id_col,
+                self.src_col,
+                self.dst_col,
+            )
+        new_d = new_edges.dropDuplicates([self.src_col, self.dst_col])
+        kept = self.edges.join(
+            new_d.select(self.src_col, self.dst_col),
+            [self.src_col, self.dst_col],
+            "left_anti",
+        )
+        return Graph(
+            self.vertices,
+            kept.unionByName(new_d),
+            self.id_col,
+            self.src_col,
+            self.dst_col,
+            strict=True,
         )
 
     def num_vertices(self) -> int:

@@ -1,0 +1,77 @@
+"""Strict-graph vs multigraph edge semantics, mirroring the reference's
+``edge/TestStrictGraphEdges.java`` (strict OutEdges drop parallel edges on
+initialize and on add) and ``edge/TestMultiGraphEdges.java`` (multigraph
+OutEdges keep them)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark import Graph
+from giraph_spark.graph import GraphSchemaError
+
+# TestStrictGraphEdges.testParallelEdgesClass's initial edge list:
+# (1,1.0) (2,2.0) (3,3.0) (2,20.0) — targets 2 is a parallel pair
+EDGES = [(0, 1, 1.0), (0, 2, 2.0), (0, 3, 3.0), (0, 2, 20.0)]
+
+
+def _graph(spark, strict):
+    v = spark.createDataFrame([(0,), (1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame(EDGES, "src long, dst long, weight double")
+    return Graph(v, e, strict=strict)
+
+
+def test_multigraph_keeps_parallel_edges(spark):
+    """TestMultiGraphEdges: multigraph (default) keeps all 4, and the
+    getAllEdgeValues analog sees both parallel values."""
+    g = _graph(spark, strict=False)
+    assert g.num_edges() == 4
+    vals = sorted(
+        r["weight"]
+        for r in g.edges.where(
+            (F.col("src") == 0) & (F.col("dst") == 2)
+        ).collect()
+    )
+    assert vals == [2.0, 20.0]
+
+
+def test_strict_drops_parallel_edges_on_initialize(spark):
+    """TestStrictGraphEdges: only one of the parallel edges survives."""
+    g = _graph(spark, strict=True)
+    assert g.num_edges() == 3
+    assert (
+        g.edges.groupBy("src", "dst").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    g.assert_strict()  # and validation agrees
+
+
+def test_strict_add_parallel_edge_replaces(spark):
+    """Adding a parallel edge doesn't change the edge count (reference
+    assertion) and the new value wins (HashMapEdges.add put semantics)."""
+    g = _graph(spark, strict=True)
+    g2 = g.add_edges(
+        g.edges.sparkSession.createDataFrame(
+            [(0, 3, 30.0)], "src long, dst long, weight double"
+        )
+    )
+    assert g2.num_edges() == 3
+    got = g2.edges.where(
+        (F.col("src") == 0) & (F.col("dst") == 3)
+    ).collect()
+    assert len(got) == 1 and got[0]["weight"] == 30.0
+
+
+def test_multigraph_add_keeps_parallel(spark):
+    g = _graph(spark, strict=False)
+    g2 = g.add_edges(
+        g.edges.sparkSession.createDataFrame(
+            [(0, 3, 30.0)], "src long, dst long, weight double"
+        )
+    )
+    assert g2.num_edges() == 5
+
+
+def test_assert_strict_raises_on_multigraph(spark):
+    g = _graph(spark, strict=False)
+    with pytest.raises(GraphSchemaError, match="parallel edges"):
+        g.assert_strict()
