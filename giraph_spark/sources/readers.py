@@ -239,3 +239,44 @@ def read_vertex_values(
         parts.getItem(0).cast(id_type).alias("id"),
         parts.getItem(1).cast(value_type).alias("value"),
     )
+
+
+def read_sequence_file(
+    spark: SparkSession, path: str, value_schema: str, key_col: str = "id"
+) -> DataFrame:
+    """True Hadoop SequenceFile reader — the migration-parity shim for
+    ``SequenceFileVertexInputFormat``
+    (``io/formats/SequenceFileVertexInputFormat.java:114``):
+    ``sc.sequenceFile`` yields ``(key, Text)`` pairs written by
+    :func:`giraph_spark.sources.writers.write_sequence_file` (or by a
+    Giraph job whose Writable values were rendered as JSON); the value
+    JSON is exploded back into typed columns via ``value_schema``.
+    RDD-based by necessity (no DataFrame SequenceFile source); prefer
+    :func:`load_graph` (parquet) except when interoperating with a live
+    Hadoop deployment."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    df = spark.createDataFrame(rdd, f"{key_col} bigint, _json string")
+    if not value_schema:
+        return df.select(key_col)
+    return df.select(
+        F.col(key_col), F.from_json("_json", value_schema).alias("_v")
+    ).select(key_col, "_v.*")
+
+
+def load_graph_sequence(
+    spark: SparkSession,
+    path: str,
+    vertex_value_schema: str,
+    edge_value_schema: str,
+    id_col: str = "id",
+    src_col: str = "src",
+) -> Graph:
+    """SequenceFile graph loader: inverse of
+    :func:`giraph_spark.sources.writers.save_graph_sequence`."""
+    vertices = read_sequence_file(
+        spark, f"{path}/vertices", vertex_value_schema, id_col
+    )
+    edges = read_sequence_file(
+        spark, f"{path}/edges", edge_value_schema, src_col
+    )
+    return Graph(vertices, edges)

@@ -179,3 +179,30 @@ def write_graphviz(
     tail = spark.createDataFrame([("}",)], "value string")
     lines = head.unionByName(body).unionByName(tail)
     return _emit(lines, path)
+
+
+def write_sequence_file(
+    df: DataFrame, path: str, key_col: str = "id"
+) -> None:
+    """True Hadoop SequenceFile writer — the migration-parity shim for
+    ``SequenceFileVertexOutputFormat``
+    (``io/formats/SequenceFileVertexOutputFormat.java:123``): rows become
+    ``(key_col, Text)`` pairs, the value being the JSON of all other
+    columns (the Writable-serialization slot). Goes through the RDD API
+    deliberately — SequenceFile is a record-pair format with no DataFrame
+    source; use :func:`save_graph` (parquet) for engine-native
+    persistence and this only to hand data to/from a live Giraph/Hadoop
+    deployment."""
+    rest = [c for c in df.columns if c != key_col]
+    value = F.to_json(F.struct(*rest)) if rest else F.lit("{}")
+    pairs = df.select(F.col(key_col).cast("long"), value).rdd.map(tuple)
+    pairs.saveAsSequenceFile(path)
+
+
+def save_graph_sequence(graph: Graph, path: str) -> None:
+    """Graph → two SequenceFile datasets (``{path}/vertices`` keyed by id,
+    ``{path}/edges`` keyed by src) — the full
+    ``SequenceFileVertexOutputFormat`` surface for migrating a graph back
+    into a Hadoop-era deployment."""
+    write_sequence_file(graph.vertices, f"{path}/vertices", graph.id_col)
+    write_sequence_file(graph.edges, f"{path}/edges", graph.src_col)
