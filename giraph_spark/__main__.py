@@ -1,0 +1,187 @@
+"""CLI runner — the ``bin/giraph`` / ``GiraphRunner`` analog
+(``job/GiraphRunner.java:123``: parse computation class + I/O formats +
+custom arguments, configure, run, report).
+
+Usage::
+
+    python -m giraph_spark ALGORITHM \\
+        (--edges edge-list.tsv [--sep TAB] [--weighted] [--undirected]
+         | --graph /path/saved_by_save_graph) \\
+        [--vertices ids.txt] [--output /path/parquet] [--show N] \\
+        [--param key=value ...] [--master local[*]] [--shuffle-partitions N]
+
+Algorithms are looked up in :data:`ALGORITHMS`; ``--param`` pairs are
+passed through as keyword arguments after int/float/bool literal
+parsing (the ``-ca`` custom-argument surface of the reference). The run
+always ends with ONE metrics JSON line on stdout: algorithm, rows,
+wall-clock seconds, and per-superstep counters when the algorithm runs
+the pregel kernel (``counters/GiraphStats.java`` analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .graph import Graph
+from .pregel import PregelMetrics
+
+
+def _algorithms():
+    from .algos.components import max_propagation, min_propagation, wcc
+    from .algos.independent_set import maximal_independent_set
+    from .algos.pagerank import pagerank, random_walk_with_restart
+    from .algos.paths import bfs, sssp
+    from .algos.scc import scc
+    from .algos.stats import graph_stats
+    from .algos.triangles import triangle_count, triangles_per_vertex
+
+    return {
+        "pagerank": pagerank,
+        "random_walk_with_restart": random_walk_with_restart,
+        "sssp": sssp,
+        "bfs": bfs,
+        "wcc": wcc,
+        "scc": scc,
+        "max_propagation": max_propagation,
+        "min_propagation": min_propagation,
+        "maximal_independent_set": maximal_independent_set,
+        "triangle_count": triangle_count,
+        "triangles_per_vertex": triangles_per_vertex,
+        "graph_stats": graph_stats,
+        "out_degrees": lambda g: g.out_degrees(),
+        "in_degrees": lambda g: g.in_degrees(),
+    }
+
+
+#: name → callable(graph, **params) -> DataFrame
+ALGORITHMS = _algorithms()
+
+# algorithms that accept a metrics= kwarg (run the pregel kernel)
+_KERNEL_ALGOS = {
+    "pagerank",
+    "random_walk_with_restart",
+    "sssp",
+    "bfs",
+    "wcc",
+    "max_propagation",
+    "min_propagation",
+}
+
+
+def _parse_literal(s: str):
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    return s
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m giraph_spark",
+        description="Run a graph algorithm over an edge list or a saved graph "
+        "(GiraphRunner analog).",
+    )
+    p.add_argument("algorithm", choices=sorted(ALGORITHMS))
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--edges", help="edge-list text file: src<sep>dst[<sep>weight]")
+    src.add_argument("--graph", help="directory written by sources.writers.save_graph")
+    p.add_argument("--vertices", help="optional vertex-id text file (one id per line)")
+    p.add_argument("--sep", default="\t", help="edge-list separator (default TAB)")
+    p.add_argument("--weighted", action="store_true", help="edge list has a 3rd weight column")
+    p.add_argument(
+        "--undirected", action="store_true",
+        help="reverse-duplicate edges on load (ReverseEdgeDuplicator analog)",
+    )
+    p.add_argument("--output", help="write result DataFrame as parquet here")
+    p.add_argument("--show", type=int, default=0, help="print first N result rows")
+    p.add_argument(
+        "--param", action="append", default=[], metavar="KEY=VALUE",
+        help="algorithm kwarg (repeatable) — the reference's -ca custom args",
+    )
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    return p
+
+
+def load_graph_cli(spark: SparkSession, args) -> Graph:
+    from .sources.readers import load_graph, read_edge_list
+
+    if args.graph:
+        return load_graph(spark, args.graph)
+    edges = read_edge_list(
+        spark,
+        args.edges,
+        sep=args.sep,
+        value_type="double" if args.weighted else None,
+        reverse_duplicate=args.undirected,
+    )
+    if args.vertices:
+        vertices = spark.read.text(args.vertices).select(
+            F.col("value").cast("long").alias("id")
+        )
+    else:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    return Graph(vertices, edges)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    params = {}
+    for kv in args.param:
+        if "=" not in kv:
+            raise SystemExit(f"--param expects KEY=VALUE, got {kv!r}")
+        k, v = kv.split("=", 1)
+        if k == "sources":  # random_walk_with_restart takes a list
+            params[k] = [_parse_literal(x) for x in v.split(",")]
+        else:
+            params[k] = _parse_literal(v)
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName(f"giraph-spark:{args.algorithm}")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.monotonic()
+    graph = load_graph_cli(spark, args)
+    metrics = PregelMetrics()
+    if args.algorithm in _KERNEL_ALGOS:
+        params.setdefault("metrics", metrics)
+    result = ALGORITHMS[args.algorithm](graph, **params)
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        n_rows = spark.read.parquet(args.output).count()
+    else:
+        n_rows = result.count()
+    if args.show:
+        result.show(args.show, truncate=False)
+    out = {
+        "algorithm": args.algorithm,
+        "rows": n_rows,
+        "seconds": round(time.monotonic() - t0, 3),
+        "supersteps": metrics.num_supersteps,
+        "messages": metrics.total_messages,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""CLI runner smoke tests (GiraphRunner / bin/giraph analog): end-to-end
+subprocess invocation over a real edge list, asserting the metrics JSON
+contract and the result parquet."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_end_to_end(tmp_path):
+    # a small weighted digraph with two components
+    edge_file = tmp_path / "edges.tsv"
+    edge_file.write_text(
+        "\n".join(
+            f"{s}\t{d}\t1.0"
+            for s, d in [(1, 2), (2, 3), (3, 1), (4, 5)]
+        )
+        + "\n"
+    )
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "giraph_spark",
+            "wcc",
+            "--edges",
+            str(edge_file),
+            "--weighted",
+            "--output",
+            str(out_dir),
+            "--master",
+            "local[2]",
+            "--shuffle-partitions",
+            "4",
+            "--param",
+            "max_supersteps=10",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # last stdout line is the metrics JSON
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    m = json.loads(line)
+    assert m["algorithm"] == "wcc"
+    assert m["rows"] == 5
+    assert m["supersteps"] >= 2
+    assert m["seconds"] > 0
+
+    # result parquet: component labels = min id per component
+    import duckdb
+
+    got = dict(
+        duckdb.sql(
+            f"SELECT id, component FROM read_parquet('{out_dir}/*.parquet') ORDER BY id"
+        ).fetchall()
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_cli_parser_rejects_unknown_algorithm():
+    from giraph_spark.__main__ import build_parser
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["definitely_not_an_algo", "--edges", "x"])
