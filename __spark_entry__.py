@@ -57,6 +57,7 @@ from giraph_spark.functions.similarity import (
     cosine,
     embedding_near_duplicates,
     ivf_topk,
+    lsh_topk,
 )
 from giraph_spark.functions.multimodal import (
     decode_metadata,
@@ -631,6 +632,17 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10, num_cells=16, nprobe=4)
 
 
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k (portable md5-parity hyperplanes, so
+    the oracle replays the identical banded candidate set)."""
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.where(F.col("vec_id") <= 5)
+    return lsh_topk(e, q, dim=64, k=10, planes=16, bands=4, portable=True)
+
+
 def _q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir).select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -732,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
+        "lsh_topk": _q_lsh_topk,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "sessionize": _q_sessionize,
@@ -1259,11 +1272,11 @@ FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sv, b.sv)) <= 3"""
     )
 
-    # Embedding-LSH replay: md5-parity hyperplanes (portable mode of
-    # functions/similarity.py::random_hyperplane_signatures), in-order
-    # left-fold projections (list_reduce == Spark's F.aggregate fold),
-    # 4×4-bit banding, then exact cosine verification at the threshold.
-    emb_lsh_sql = """
+    # Shared CTE prefix for the embedding-LSH oracles: md5-parity
+    # hyperplanes (portable mode of functions/similarity.py::
+    # random_hyperplane_signatures), in-order left-fold projections
+    # (list_reduce == Spark's F.aggregate fold), 4×4-bit banding.
+    emb_sig_cte = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 planes AS MATERIALIZED (
     SELECT p,
@@ -1288,7 +1301,12 @@ sig AS MATERIALIZED (
 banded AS (
     SELECT vec_id, bb.b AS band, (s >> (bb.b * 4)) & 15 AS bucket
     FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb
-),
+)"""
+
+    # Near-dup pairs: band-join candidates + exact cosine at threshold.
+    emb_lsh_sql = (
+        emb_sig_cte
+        + """,
 cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
     FROM banded a JOIN banded b
@@ -1300,6 +1318,31 @@ FROM cand
 JOIN e ea ON ea.vec_id = id_a
 JOIN e eb ON eb.vec_id = id_b
 WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35"""
+    )
+
+    # LSH top-k: per-query banded candidates + exact cosine + rank.
+    lsh_topk_sql = (
+        emb_sig_cte
+        + """,
+qb AS (SELECT vec_id AS query_id, band, bucket FROM banded WHERE vec_id <= 5),
+cand AS (
+    SELECT DISTINCT qb.query_id, c.vec_id
+    FROM banded c JOIN qb ON c.band = qb.band AND c.bucket = qb.bucket
+    WHERE c.vec_id <> qb.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.vec_id,
+           ROUND(list_cosine_similarity(eq.v, ec.v), 6) AS cos_sim
+    FROM cand
+    JOIN e eq ON eq.vec_id = cand.query_id
+    JOIN e ec ON ec.vec_id = cand.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 10"""
+    )
 
     stop_list = ", ".join(f"'{w}'" for w in [
         "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
@@ -1548,6 +1591,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "fingerprint": fingerprint_sql,
         "cosine_topk": cosine_topk_sql,
         "ivf_topk": ivf_topk_sql,
+        "lsh_topk": lsh_topk_sql,
         "embedding_near_dup_exact": emb_exact_sql,
         "sessionize": sessionize_sql,
         "event_counts_hourly": event_counts_sql,

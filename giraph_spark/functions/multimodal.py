@@ -67,22 +67,26 @@ def decode_metadata(df: DataFrame, modality_col: str = "modality") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                dec = _DECODERS.get(r["modality"], _fake_decode)
-                meta = dec(r["payload"])
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "modality": r["modality"],
-                        "width": meta.get("width"),
-                        "height": meta.get("height"),
-                        "n_frames": meta.get("n_frames"),
-                        "duration_s": meta.get("duration_s"),
-                        "n_bytes": len(r["payload"]),
-                    }
+            # the per-blob decoder call is inherently per-row (opaque
+            # bytes in, dict out); everything around it is columnar —
+            # no iterrows, one output frame assembled from arrays
+            metas = [
+                _DECODERS.get(mod, _fake_decode)(payload)
+                for mod, payload in zip(
+                    pdf["modality"].to_numpy(), pdf["payload"].to_numpy()
                 )
-            yield pd.DataFrame(rows)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "width": [m.get("width") for m in metas],
+                    "height": [m.get("height") for m in metas],
+                    "n_frames": [m.get("n_frames") for m in metas],
+                    "duration_s": [m.get("duration_s") for m in metas],
+                    "n_bytes": pdf["payload"].map(len).to_numpy(),
+                }
+            )
 
     cols = df.select("media_id", "modality", "payload")
     return cols.mapInPandas(run, schema=out_schema)

@@ -140,16 +140,21 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus vectors sharing at
     least one LSH signature band with the query, then exact cosine + topk
     on candidates only. The band join is the only shuffle; per-query work
-    is proportional to bucket occupancy, not corpus size."""
+    is proportional to bucket occupancy, not corpus size.
+    ``portable=True`` uses md5-parity hyperplanes so a SQL oracle can
+    replay the candidate set."""
     bits = planes // bands
     mask = (1 << bits) - 1
 
     def band_cols(df, idc):
-        s = random_hyperplane_signatures(df, dim, planes, idc, vec_col, seed)
+        s = random_hyperplane_signatures(
+            df, dim, planes, idc, vec_col, seed, portable=portable
+        )
         return s.select(
             F.col(idc),
             F.col(vec_col),
