@@ -49,6 +49,7 @@ from giraph_spark.algos.triangles import (
 from giraph_spark.functions.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -428,6 +429,21 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: MinHash-LSH candidate pairs piped into the
+    engine's own WCC pregel kernel to form transitive near-dup groups —
+    the dedup stack and the graph kernel in one query, fully
+    oracle-replayed (portable hashing + SQL transitive closure)."""
+    return near_dup_clusters(
+        _docs(spark, sf_dir),
+        k=5,
+        num_hashes=64,
+        bands=16,
+        verify_threshold=0.5,
+        portable=True,
+    )
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(_docs(spark, sf_dir)).withColumn(
         "doc_id", F.col("doc_id").cast("long")
@@ -729,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": _q_exact_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_near_pairs": _q_simhash,
         "quality_features": _q_quality,
         "token_counts": _q_token_counts,
@@ -1210,7 +1227,7 @@ sh AS MATERIALIZED (
     # MinHash-LSH replay: identical md5-derived signatures (portable mode
     # of functions/dedup.py::minhash_signatures), identical band buckets
     # (raw comma-joined strings), bucket cap, and match-fraction estimate.
-    minhash_lsh_sql = (
+    minhash_est_cte = (
         shingle_cte
         + """,
 seeds AS (SELECT unnest(range(64)) AS seed),
@@ -1241,10 +1258,44 @@ est AS (
     JOIN sig sa ON sa.doc_id = c.id_a
     JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
     GROUP BY c.id_a, c.id_b
-)
+)"""
+    )
+    minhash_lsh_sql = (
+        minhash_est_cte
+        + """
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, est_jaccard
 FROM est WHERE est_jaccard >= 0.5"""
     )
+
+    # Near-dup clusters: the minhash pair relation closed transitively
+    # (repeated squaring; components are tiny) — twin of
+    # functions/dedup.py::near_dup_clusters (LSH pairs → WCC kernel).
+    ndc_parts = [
+        minhash_est_cte
+        + """,
+pe AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM est WHERE est_jaccard >= 0.5),
+c0 AS MATERIALIZED (
+    SELECT a, b FROM pe UNION SELECT b, a FROM pe
+    UNION SELECT a, a FROM pe UNION SELECT b, b FROM pe
+)"""
+    ]
+    for t in range(4):
+        ndc_parts.append(
+            f""", c{t + 1} AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (
+        SELECT a, b FROM c{t}
+        UNION ALL
+        SELECT x.a, y.b FROM c{t} x JOIN c{t} y ON x.b = y.a
+    ) u{t}
+)"""
+        )
+    ndc_parts.append(
+        """
+SELECT CAST(a AS BIGINT) AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster,
+       a = MIN(b) AS is_keeper
+FROM c4 GROUP BY a"""
+    )
+    near_dup_clusters_sql = "".join(ndc_parts)
 
     # SimHash replay: 60-bit md5-derived fingerprints; the Spark side's
     # 4-chunk pigeonhole blocking is lossless at max_hamming=3, so its
@@ -1583,6 +1634,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "exact_duplicates": exact_dups_sql,
         "ngram_jaccard_pairs": ngram_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
+        "near_dup_clusters": near_dup_clusters_sql,
         "simhash_near_pairs": simhash_sql,
         "embedding_near_dup_lsh": emb_lsh_sql,
         "quality_features": quality_sql,

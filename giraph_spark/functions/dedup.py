@@ -254,6 +254,56 @@ def minhash_lsh_pairs(
     return est
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float = 0.5,
+    portable: bool = False,
+    max_supersteps: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH pair generation piped into the
+    engine's own WCC kernel — the standard production dedup shape (pairs
+    alone under-merge: doc A~B and B~C must collapse into one group even
+    when A~C was never a candidate). Returns ``(doc_id, cluster,
+    is_keeper)`` for every document that belongs to some near-dup group;
+    ``cluster`` = min doc id in the group (the deterministic survivor,
+    ``is_keeper`` marks it).
+
+    Scale shape: the pair relation is tiny relative to the corpus (only
+    near-dups), so the component step runs on the pair-membership subgraph
+    — corpus-size-independent; the LSH stage is the banded hash-join path
+    of :func:`minhash_lsh_pairs`."""
+    from ..graph import Graph
+    from ..algos.components import wcc
+
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        k,
+        num_hashes,
+        bands,
+        verify_threshold,
+        portable=portable,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    members = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = wcc(Graph(members, edges), max_supersteps=max_supersteps)
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
