@@ -70,6 +70,7 @@ from giraph_spark.functions.text import (
     fingerprint,
     lang_id,
     quality_features,
+    quality_filter,
     token_count,
 )
 from giraph_spark.plans.fixtures import (
@@ -450,6 +451,14 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard quality gate (Gopher/C4-style rule set) — the pipeline's
+    filtering stage; one map-side pass, no shuffle."""
+    return quality_filter(_docs(spark, sf_dir)).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -748,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_near_pairs": _q_simhash,
         "quality_features": _q_quality,
+        "quality_filter": _q_quality_filter,
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1422,6 +1432,19 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
              / CAST(greatest({ws_tokens}, 1) AS DOUBLE), 6) AS mean_word_len
 FROM documents"""
 
+    quality_filter_sql = f"""
+WITH q AS ({{q}}),
+r AS (
+  SELECT doc_id,
+         CAST((CASE WHEN n_tokens >= 5 THEN 0 ELSE 1 END)
+            + (CASE WHEN n_tokens <= 100000 THEN 0 ELSE 1 END)
+            + (CASE WHEN alpha_ratio >= 0.6 THEN 0 ELSE 1 END)
+            + (CASE WHEN digit_ratio <= 0.3 THEN 0 ELSE 1 END)
+            + (CASE WHEN stopword_ratio >= 0.05 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_fail
+  FROM q)
+SELECT doc_id, n_fail, n_fail = 0 AS passed FROM r""".format(q=quality_sql)
+
     token_counts_sql = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST({ws_tokens} AS BIGINT) AS ws_tokens,
@@ -1638,6 +1661,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "simhash_near_pairs": simhash_sql,
         "embedding_near_dup_lsh": emb_lsh_sql,
         "quality_features": quality_sql,
+        "quality_filter": quality_filter_sql,
         "token_counts": token_counts_sql,
         "lang_id": lang_sql,
         "fingerprint": fingerprint_sql,

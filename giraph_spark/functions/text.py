@@ -73,6 +73,37 @@ def quality_features(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.6,
+    max_digit_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.05,
+) -> DataFrame:
+    """Gopher/C4-style hard quality gate over :func:`quality_features`:
+    per document, whether it passes every rule plus how many rules it
+    fails — the filtering stage of a training-data pipeline. Returns
+    ``(doc_id, n_fail, passed)``. Expression-only; at scale this is one
+    map-side pass fused with the scan (no shuffle at all)."""
+    f = quality_features(df, text_col, id_col)
+    rules = [
+        F.col("n_tokens") >= min_tokens,
+        F.col("n_tokens") <= max_tokens,
+        F.col("alpha_ratio") >= min_alpha_ratio,
+        F.col("digit_ratio") <= max_digit_ratio,
+        F.col("stopword_ratio") >= min_stopword_ratio,
+    ]
+    n_fail = sum(F.when(~r, 1).otherwise(0) for r in rules).cast("long")
+    return f.select(
+        F.col(id_col),
+        n_fail.alias("n_fail"),
+        (n_fail == 0).alias("passed"),
+    )
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
