@@ -59,6 +59,7 @@ from giraph_spark.functions.similarity import (
     embedding_near_duplicates,
     ivf_topk,
     lsh_topk,
+    quantize_embeddings,
 )
 from giraph_spark.functions.multimodal import (
     decode_metadata,
@@ -697,6 +698,31 @@ def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(e, dim=dim, threshold=0.35, portable=True)
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8-style quantization, exploded to (vec_id, dim, qval)
+    rows for cross-engine hashing; the per-vector scale is emitted as its
+    own row (dim = -1) so both the codes and the dequantization factor are
+    oracle-checked."""
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = quantize_embeddings(e)
+    codes = q.select(
+        "vec_id", F.posexplode("qvec").alias("dim", "qv")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("qv").cast("double").alias("qval"),
+    )
+    scales = q.select(
+        "vec_id",
+        F.lit(-1).cast("long").alias("dim"),
+        F.round("scale", 6).alias("qval"),
+    )
+    return codes.unionByName(scales)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     s = sessionize(ev, gap_minutes=30)
@@ -772,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
+        "quantize_embeddings": _q_quantize_embeddings,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "sessionize": _q_sessionize,
@@ -1530,6 +1557,23 @@ SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35"""
 
+    quantize_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         127.0 / list_max(list_transform(v, x -> abs(x))) AS s
+  FROM e),
+codes AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+         floor(unnest(v) * s + 0.5) AS qval
+  FROM m),
+scales AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(-1 AS BIGINT) AS dim,
+         ROUND(s, 6) AS qval
+  FROM m)
+SELECT * FROM codes UNION ALL SELECT * FROM scales"""
+
     sessionize_sql = """
 WITH x AS (
     SELECT user_id, event_id, ts,
@@ -1668,6 +1712,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "cosine_topk": cosine_topk_sql,
         "ivf_topk": ivf_topk_sql,
         "lsh_topk": lsh_topk_sql,
+        "quantize_embeddings": quantize_sql,
         "embedding_near_dup_exact": emb_exact_sql,
         "sessionize": sessionize_sql,
         "event_counts_hourly": event_counts_sql,

@@ -417,3 +417,28 @@ def embedding_near_duplicates(
         "id_b",
         F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric int8-style quantization: per vector, scale =
+    ``levels / max(|x|)`` and ``q_i = floor(x_i * scale + 0.5)`` (explicit
+    half-up rounding — engine-neutral, unlike ROUND's half-even
+    ambiguity). Returns ``(id, scale, qvec array<long>)``. At 100 TB this
+    is the storage/bandwidth lever for ANN shipping: 4-8x smaller vectors
+    with one scan-fused projection, no shuffle; dequantize is
+    ``q / scale``."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = F.try_divide(F.lit(float(levels)), amax)
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+        ).alias("qvec"),
+    )
