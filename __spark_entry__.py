@@ -73,6 +73,7 @@ from giraph_spark.functions.text import (
     quality_features,
     quality_filter,
     token_count,
+    token_histogram,
 )
 from giraph_spark.plans.fixtures import (
     EVENTS_CHAIN_SQL,
@@ -469,6 +470,11 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shape stat: docs per 50-token bucket."""
+    return token_histogram(_docs(spark, sf_dir), bucket=50)
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang_pred", "marker_hits"
@@ -785,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality,
         "quality_filter": _q_quality_filter,
         "token_counts": _q_token_counts,
+        "token_histogram": _q_token_histogram,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "identity": _q_identity,
@@ -1478,6 +1485,11 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]')) AS BIGINT) AS bpe_tokens
 FROM documents"""
 
+    token_histogram_sql = f"""
+SELECT CAST(FLOOR(({ws_tokens}) / 50) * 50 AS BIGINT) AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1"""
+
     lang_sql = """
 WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pd FROM documents),
 scores AS (
@@ -1707,6 +1719,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "quality_features": quality_sql,
         "quality_filter": quality_filter_sql,
         "token_counts": token_counts_sql,
+        "token_histogram": token_histogram_sql,
         "lang_id": lang_sql,
         "fingerprint": fingerprint_sql,
         "cosine_topk": cosine_topk_sql,

@@ -4,16 +4,27 @@ and data-processing capabilities of apache/giraph, re-expressed Spark-first
 see SURVEY.md for the full mapping)."""
 
 from .graph import Graph, GraphSchemaError
+from .messages import MessageUnion, verify_types_match
 from .pregel import MSG, PregelContext, PregelMetrics, pregel, resume_pregel
+from .worker import (
+    apply_in_pandas_with_setup,
+    map_in_pandas_with_setup,
+    worker_state,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Graph",
     "GraphSchemaError",
     "MSG",
+    "MessageUnion",
     "PregelContext",
     "PregelMetrics",
+    "apply_in_pandas_with_setup",
+    "map_in_pandas_with_setup",
     "pregel",
     "resume_pregel",
+    "verify_types_match",
+    "worker_state",
 ]

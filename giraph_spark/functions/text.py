@@ -104,6 +104,24 @@ def quality_filter(
     )
 
 
+def token_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket: int = 50,
+) -> DataFrame:
+    """Corpus token-length histogram: documents bucketed by whitespace
+    token count (``bucket``-wide bins). The canonical corpus-shape stat a
+    training-data pipeline reports per snapshot; two partial-aggregated
+    groupBys — scales like a count(*)."""
+    b = (F.floor(token_count(F.col(text_col)) / bucket) * bucket).cast("long")
+    return (
+        df.select(b.alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
