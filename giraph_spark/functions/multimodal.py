@@ -54,24 +54,37 @@ def _fake_decode(payload: bytes) -> dict[str, Any]:
     }
 
 
-def decode_metadata(df: DataFrame, modality_col: str = "modality") -> DataFrame:
+def decode_metadata(
+    df: DataFrame,
+    modality_col: str = "modality",
+    decoder_setup: Callable[[], dict[str, Callable]] | None = None,
+) -> DataFrame:
     """Extract media metadata: ``(media_id, modality, width, height,
     n_frames, duration_s, n_bytes)`` via one Arrow-batched pass.
 
-    Real decoders registered with ``set_decoder`` are used when present;
-    otherwise the deterministic fake (clearly a stub, not a model)."""
+    Decoder resolution order per modality: ``decoder_setup`` result (a
+    ``{modality: fn}`` dict constructed ONCE per executor Python worker
+    via :func:`giraph_spark.worker.worker_state` — the WorkerContext
+    ``preApplication`` path for loading real codec state), then decoders
+    registered with ``set_decoder``, then the deterministic fake (clearly
+    a stub, not a model)."""
     out_schema = (
         "media_id long, modality string, width long, height long, "
         "n_frames long, duration_s double, n_bytes long"
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_batches(
+        worker_decoders: dict[str, Callable],
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # the per-blob decoder call is inherently per-row (opaque
             # bytes in, dict out); everything around it is columnar —
             # no iterrows, one output frame assembled from arrays
             metas = [
-                _DECODERS.get(mod, _fake_decode)(payload)
+                worker_decoders.get(
+                    mod, _DECODERS.get(mod, _fake_decode)
+                )(payload)
                 for mod, payload in zip(
                     pdf["modality"].to_numpy(), pdf["payload"].to_numpy()
                 )
@@ -89,6 +102,16 @@ def decode_metadata(df: DataFrame, modality_col: str = "modality") -> DataFrame:
             )
 
     cols = df.select("media_id", "modality", "payload")
+    if decoder_setup is not None:
+        from ..worker import map_in_pandas_with_setup
+
+        return map_in_pandas_with_setup(
+            cols, decode_batches, out_schema, decoder_setup
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from decode_batches({}, batches)
+
     return cols.mapInPandas(run, schema=out_schema)
 
 

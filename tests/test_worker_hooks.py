@@ -82,3 +82,29 @@ def test_apply_in_pandas_with_setup(spark):
     want = {g: sum(float(i) for i in range(100) if i % 4 == g) + 1000.0 for g in range(4)}
     got = dict(zip(out["g"], out["s"]))
     assert got == want
+
+
+def test_decode_metadata_with_worker_decoder_setup(spark):
+    """decode_metadata + worker lifecycle: a per-worker-constructed decoder
+    overrides the stub for its modality, other modalities fall back."""
+    from giraph_spark.functions.multimodal import decode_metadata, synthetic_media
+
+    def setup():
+        def image_decoder(payload: bytes):
+            return {
+                "width": 11,
+                "height": 22,
+                "n_frames": 1,
+                "duration_s": 0.0,
+            }
+
+        return {"image": image_decoder}
+
+    media = synthetic_media(spark, n=30)
+    out = decode_metadata(media, decoder_setup=setup).toPandas()
+    assert len(out) == 30
+    imgs = out[out["modality"] == "image"]
+    assert (imgs["width"] == 11).all() and (imgs["height"] == 22).all()
+    others = out[out["modality"] != "image"]
+    # fake decoder yields widths in [64, 64+1023]
+    assert (others["width"] >= 64).all()
