@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis; SURVEY §5 strategy (c) extended):
+engine expressions checked against independent pure-Python models on
+generated inputs. Each example builds one small DataFrame — examples are
+capped to keep Spark-job count sane."""
+
+import hashlib
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from giraph_spark.functions.dedup import normalize_text, portable_hash60
+from giraph_spark.functions.text import token_count
+
+TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+        max_codepoint=0x2FF,  # latin + latin-1 supplement/extended
+    ),
+    max_size=80,
+)
+SETTINGS = dict(max_examples=3, deadline=None)
+
+
+def _py_normalize(s: str) -> str:
+    s = s.lower()
+    s = re.sub(r"[^a-z0-9\s]", " ", s)
+    s = re.sub(r"\s+", " ", s)
+    return s.strip()
+
+
+@given(st.lists(TEXT, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_portable_hash60_matches_python_md5(spark, texts):
+    """Spark's conv(substr(md5,1,15),16,10) == int(md5[:15], 16) — the
+    exact contract the DuckDB oracles rely on."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        r["h"]
+        for r in df.select(portable_hash60(F.col("t")).alias("h")).collect()
+    ]
+    want = [
+        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        for t in texts
+    ]
+    assert got == want
+
+
+@given(st.lists(TEXT, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_normalize_text_idempotent_and_matches_model(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        normalize_text(F.col("t")).alias("n1"),
+        normalize_text(normalize_text(F.col("t"))).alias("n2"),
+    ).collect()
+    for t, r in zip(texts, out):
+        assert r["n1"] == _py_normalize(t)
+        assert r["n2"] == r["n1"]  # idempotent
+
+
+# ASCII-only: Java's \s (Spark split) is ASCII, Python's str.split() is
+# Unicode-aware — the operator contract is the Java one.
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=80,
+)
+
+
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_token_count_matches_python_split(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        r["c"] for r in df.select(token_count(F.col("t")).alias("c")).collect()
+    ]
+    want = [len(t.split()) for t in texts]
+    assert got == want
