@@ -294,3 +294,33 @@ def send_message_to_neighbors(
         return joined.withColumns(update).drop(msg_name)
 
     return piece
+
+
+def stripe_of(col, stripes: int):
+    """Stripe index of a vertex id — ``StripingUtils.fastStripe``
+    (``giraph-block-app/.../library/striping/StripingUtils.java:85``). The
+    reference uses its own fast-hash precisely so striping stays
+    independent of the mod-based worker partitioning; here xxhash64 plays
+    that role against Spark's Murmur3 shuffle partitioning."""
+    return F.pmod(F.xxhash64(col), F.lit(stripes))
+
+
+def striped_block(
+    stripes: int, block_fn: Callable[[int], "Block | Piece"], id_col: str = "id"
+) -> Block:
+    """Superstep striping — ``StripingUtils.generateStripedBlock``
+    (``StripingUtils.java:125``): run ``block_fn(i)`` for each stripe i as
+    a FilteringBlock over the vertices whose ``stripe_of(id) == i``, in
+    sequence. Each vertex belongs to exactly one stripe, so one logical
+    pass is split into ``stripes`` supersteps touching ~1/stripes of the
+    graph each — the reference's lever for bounding peak per-superstep
+    message memory (trade wall-clock for working set); the same trade
+    holds for shuffle volume per superstep here."""
+    return SequenceBlock(
+        *[
+            FilteringBlock(
+                stripe_of(F.col(id_col), stripes) == i, block_fn(i)
+            )
+            for i in range(stripes)
+        ]
+    )

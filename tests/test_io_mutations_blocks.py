@@ -154,3 +154,28 @@ def test_blocks(spark):
     assert {r.value for r in out4.collect()} == {1.0}
 
     assert piece_count(RepeatBlock(3, inc)) == 3
+
+
+def test_striped_block_partitions_work(spark):
+    """StripingUtils.generateStripedBlock analog: striping a
+    for-all-vertices pass over 4 stripes touches every vertex exactly
+    once, and stripes are a true partition (non-trivial split)."""
+    from giraph_spark.blocks import for_all_vertices, stripe_of, striped_block
+
+    vertices = spark.createDataFrame(
+        [(i, 0) for i in range(100)], "id long, cnt long"
+    )
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    g = Graph(vertices, edges)
+
+    inc = for_all_vertices(lambda v: v.withColumn("cnt", F.col("cnt") + 1))
+    out = striped_block(4, lambda i: inc).run(g)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(r["cnt"] == 1 for r in rows)  # exactly one stripe each
+    n_stripes = (
+        vertices.select(stripe_of(F.col("id"), 4).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_stripes == 4  # the split is non-trivial on this id range
