@@ -3,3 +3,42 @@ deduplication, similarity search, text analysis, multimodal columns.
 These reuse the same DataFrame-first design rules as the graph engine:
 built-in expressions over UDFs, one shuffle per logical exchange,
 broadcast/bucket joins where a side is small."""
+
+from .dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    near_dup_clusters,
+    ngram_jaccard_pairs,
+    normalize_text,
+    portable_hash60,
+    simhash,
+    simhash_near_pairs,
+)
+from .similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_duplicates,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_topk,
+    quantize_embeddings,
+)
+from .text import (
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    quality_filter,
+    quality_score,
+    token_count,
+    token_histogram,
+)
+from .multimodal import (
+    decode_metadata,
+    frame_sample_plan,
+    media_from_docs,
+    resize_plan,
+    set_decoder,
+    synthetic_media,
+)

@@ -10,20 +10,24 @@ from .generators import uniform_random_graph, watts_strogatz_graph
 from .readers import (
     combine_vertex_values,
     load_graph,
+    load_graph_sequence,
     read_adjacency_list,
     read_edge_list,
     read_json_base64_vertices,
     read_json_vertices,
+    read_sequence_file,
     read_vertex_values,
 )
 from .writers import (
     save_graph,
+    save_graph_sequence,
     write_adjacency_list,
     write_edge_list,
     write_graphviz,
     write_id_with_value,
     write_json_base64_vertices,
     write_json_vertices,
+    write_sequence_file,
 )
 
 __all__ = [
@@ -32,9 +36,13 @@ __all__ = [
     "read_json_vertices",
     "read_json_base64_vertices",
     "read_vertex_values",
+    "read_sequence_file",
     "combine_vertex_values",
     "load_graph",
+    "load_graph_sequence",
     "save_graph",
+    "save_graph_sequence",
+    "write_sequence_file",
     "write_edge_list",
     "write_adjacency_list",
     "write_id_with_value",
