@@ -398,9 +398,13 @@ def _pregel_impl(
         # 4. Send phase (triplet join: updated vertex ⨝ out-edges); only
         #    vertices that computed this superstep send.
         #    (A df.observe-based single-action path for the aggregates was
-        #    tried and reverted: Observation.get is broken in this pyspark
-        #    build — PythonSQLUtils.toPyRow assertion — and metrics do not
-        #    propagate through the checkpoint indirection anyway.)
+        #    tried and reverted. Re-tested on this build 2026-08-13:
+        #    Observation.get itself works on a plain action, but observed
+        #    metrics do NOT cross a localCheckpoint boundary — the frame
+        #    the aggregates need is the checkpointed state, whose
+        #    materializing action runs downstream of the checkpoint, so
+        #    obs.get returns {name: None}. The separate aggregates action
+        #    below stays.)
         computed = state.filter(F.col(ACTIVE))
         new_messages: DataFrame | None = None
         if messages_fn is not None:
