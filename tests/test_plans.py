@@ -97,3 +97,33 @@ def test_ivf_assignment_no_exchange(spark, sf_dir):
     # sanity: assignment is well-formed (every row gets one of the 4 cells)
     assert inv.where(F.col("_cell").isNull()).count() == 0
     assert inv.select("_cell").distinct().count() <= 4
+
+
+def test_sketch_ops_never_cartesian(spark, sf_dir):
+    """Every near-dup candidate generator must join on equality keys
+    (band/bucket, chunk, shingle) — a CartesianProduct or
+    BroadcastNestedLoopJoin in any of these plans means the blocking
+    scheme silently degenerated to all-pairs."""
+    from giraph_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from giraph_spark.functions.similarity import embedding_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    plans = {
+        "minhash": _formatted_plan(minhash_lsh_pairs(docs, k=5)),
+        "simhash": _formatted_plan(simhash_near_pairs(docs, k=5)),
+        "ngram": _formatted_plan(ngram_jaccard_pairs(docs, k=5, threshold=0.5)),
+        "emb_lsh": _formatted_plan(
+            embedding_near_duplicates(embs, dim=64, threshold=0.35)
+        ),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
