@@ -68,6 +68,7 @@ from giraph_spark.functions.multimodal import (
 )
 from giraph_spark.functions.text import (
     bpe_token_count,
+    chunk_documents,
     fingerprint,
     lang_id,
     quality_features,
@@ -470,6 +471,18 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: 64-token chunks with 16-token overlap."""
+    return chunk_documents(
+        _docs(spark, sf_dir), max_tokens=64, overlap=16
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_idx",
+        "n_chunk_tokens",
+        "chunk_text",
+    )
+
+
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-shape stat: docs per 50-token bucket."""
     return token_histogram(_docs(spark, sf_dir), bucket=50)
@@ -792,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "token_counts": _q_token_counts,
         "token_histogram": _q_token_histogram,
+        "chunk_documents": _q_chunk_documents,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "identity": _q_identity,
@@ -1490,6 +1504,29 @@ SELECT CAST(FLOOR(({ws_tokens}) / 50) * 50 AS BIGINT) AS bucket_start,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY 1"""
 
+    # max_tokens=64, overlap=16 → stride 48; sequence/range bounds agree
+    # across engines for every n (both emit starts 0, 48, 96, … < n, and
+    # the single start 0 for empty docs whose chunk is then filtered).
+    chunk_documents_sql = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 48)) AS st
+  FROM t
+),
+c AS (
+  SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+         list_slice(toks, st + 1, st + 64) AS ct
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_idx,
+       CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM c WHERE length(array_to_string(ct, ' ')) > 0"""
+
     lang_sql = """
 WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pd FROM documents),
 scores AS (
@@ -1720,6 +1757,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "quality_filter": quality_filter_sql,
         "token_counts": token_counts_sql,
         "token_histogram": token_histogram_sql,
+        "chunk_documents": chunk_documents_sql,
         "lang_id": lang_sql,
         "fingerprint": fingerprint_sql,
         "cosine_topk": cosine_topk_sql,

@@ -192,3 +192,41 @@ def fingerprint(
     return df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Context-window packing: split each document into whitespace-token
+    chunks of ``max_tokens`` with ``overlap`` tokens of stride overlap —
+    the chunking stage that turns documents into training windows.
+    Expression-only (split → sequence of starts → slice → explode): one
+    scan, no Python, no shuffle; output grows ~n_tokens/stride per doc.
+    Returns ``(doc_id, chunk_idx, n_chunk_tokens, chunk_text)``."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(starts).alias("_st"),
+    ).select(
+        id_col,
+        (F.col("_st") / step).cast("long").alias("chunk_idx"),
+        F.slice(F.col("_toks"), F.col("_st") + 1, max_tokens).alias("_ct"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.size("_ct").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("_ct")).alias("chunk_text"),
+    ).where(F.length("chunk_text") > 0)
