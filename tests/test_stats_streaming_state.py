@@ -148,3 +148,70 @@ def test_read_events_stream(spark, sf_dir):
     ws = want.sort_values("event_id").reset_index(drop=True)
     assert (gs["user_id"].values == ws["user_id"].values).all()
     assert (gs["ts"].values == ws["ts"].values).all()
+
+
+def test_streaming_aggregations_match_batch(spark, sf_dir):
+    """Run the windowed/keyed streaming operators as REAL streams (file
+    source, availableNow, memory sink, complete mode) and compare with
+    their batch analogs on the same events — the streaming/batch-twin
+    contract of giraph_spark.streaming."""
+    from giraph_spark.streaming.events import (
+        event_counts_stream,
+        read_events_stream,
+        sessionize_stream,
+        streaming_degrees,
+    )
+
+    batch = read_events(spark, sf_dir)
+
+    def run(name, df):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+
+    got_ec = run("s_ec", event_counts_stream(read_events_stream(spark, sf_dir)))
+    want_ec = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .toPandas()
+    )
+    key = ["window_start", "event_type", "n_events"]
+    assert sorted(map(tuple, got_ec[key].itertuples(index=False))) == sorted(
+        map(tuple, want_ec[key].itertuples(index=False))
+    )
+
+    got_deg = run("s_deg", streaming_degrees(read_events_stream(spark, sf_dir)))
+    want_deg = (
+        batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")).toPandas()
+    )
+    assert sorted(map(tuple, got_deg.itertuples(index=False))) == sorted(
+        map(tuple, want_deg.itertuples(index=False))
+    )
+
+    got_sess = run(
+        "s_sess", sessionize_stream(read_events_stream(spark, sf_dir), gap_minutes=30)
+    )
+    want_sess = (
+        batch.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert sorted(map(tuple, got_sess[cols].itertuples(index=False))) == sorted(
+        map(tuple, want_sess[cols].itertuples(index=False))
+    )
