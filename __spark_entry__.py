@@ -1326,8 +1326,10 @@ FROM est WHERE est_jaccard >= 0.5"""
     )
 
     # Near-dup clusters: the minhash pair relation closed transitively
-    # (repeated squaring; components are tiny) — twin of
-    # functions/dedup.py::near_dup_clusters (LSH pairs → WCC kernel).
+    # (repeated squaring — 6 rounds reach 2^6 = 64 hops, matching the
+    # Spark side's wcc max_supersteps=64; both exceed any plausible
+    # near-dup chain) — twin of functions/dedup.py::near_dup_clusters
+    # (LSH pairs → WCC kernel).
     ndc_parts = [
         minhash_est_cte
         + """,
@@ -1337,7 +1339,7 @@ c0 AS MATERIALIZED (
     UNION SELECT a, a FROM pe UNION SELECT b, b FROM pe
 )"""
     ]
-    for t in range(4):
+    for t in range(6):
         ndc_parts.append(
             f""", c{t + 1} AS MATERIALIZED (
     SELECT DISTINCT a, b FROM (
@@ -1351,7 +1353,7 @@ c0 AS MATERIALIZED (
         """
 SELECT CAST(a AS BIGINT) AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster,
        a = MIN(b) AS is_keeper
-FROM c4 GROUP BY a"""
+FROM c6 GROUP BY a"""
     )
     near_dup_clusters_sql = "".join(ndc_parts)
 

@@ -114,6 +114,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_graph_cli(spark: SparkSession, args) -> Graph:
+    import re
+
     from .sources.readers import load_graph, read_edge_list
 
     if args.graph:
@@ -121,7 +123,10 @@ def load_graph_cli(spark: SparkSession, args) -> Graph:
     edges = read_edge_list(
         spark,
         args.edges,
-        sep=args.sep,
+        # read_edge_list splits on a REGEX; the CLI takes a literal
+        # separator, so escape it (an unescaped '|' would split every line
+        # into single characters and silently build a garbage graph)
+        sep=re.escape(args.sep),
         value_type="double" if args.weighted else None,
         reverse_duplicate=args.undirected,
     )
@@ -130,11 +135,9 @@ def load_graph_cli(spark: SparkSession, args) -> Graph:
             F.col("value").cast("long").alias("id")
         )
     else:
-        vertices = (
-            edges.select(F.col("src").alias("id"))
-            .unionByName(edges.select(F.col("dst").alias("id")))
-            .distinct()
-        )
+        from .graph import vertices_from_edges
+
+        vertices = vertices_from_edges(edges)
     return Graph(vertices, edges)
 
 
@@ -164,11 +167,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.algorithm in _KERNEL_ALGOS:
         params.setdefault("metrics", metrics)
     result = ALGORITHMS[args.algorithm](graph, **params)
+    # materialize exactly once: count and show must not re-run the whole
+    # (possibly iterative) job
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
-        n_rows = spark.read.parquet(args.output).count()
+        result = spark.read.parquet(args.output)
     else:
-        n_rows = result.count()
+        result = result.localCheckpoint(eager=True)
+    n_rows = result.count()
     if args.show:
         result.show(args.show, truncate=False)
     out = {

@@ -61,11 +61,15 @@ def vector_sum(c: Column) -> Column:
     """Element-wise sum of ``array<double>`` columns
     (``DoubleDenseVectorSumAggregator``): fold with zip_with; ragged
     arrays follow the reference's dense-vector semantics (missing tail =
-    zeros) via coalesce inside the lambda."""
+    zeros) via coalesce inside the lambda. NULL elements are ignored
+    (SQL-SUM semantics) — without the guard a NULL mid-fold would reset
+    the accumulator and silently drop everything before it."""
     return F.reduce(
         F.collect_list(c),
         F.lit(None).cast("array<double>"),
-        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+        lambda acc, v: F.when(acc.isNull(), v)
+        .when(v.isNull(), acc)
+        .otherwise(
             F.zip_with(
                 acc, v, lambda a, b: F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0))
             )
@@ -124,11 +128,14 @@ def sparse_vector_sum(c: Column) -> Column:
     ``aggregates=``). When the sparse vectors are wide and the group count
     is small, prefer the relational form — explode the map to (key, value)
     rows and ``groupBy(key).sum`` — which partial-aggregates map-side
-    instead of shipping whole maps to one reducer."""
+    instead of shipping whole maps to one reducer. NULL maps are ignored
+    (SQL-SUM semantics)."""
     return F.reduce(
         F.collect_list(c),
         F.lit(None).cast("map<bigint,double>"),
-        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+        lambda acc, v: F.when(acc.isNull(), v)
+        .when(v.isNull(), acc)
+        .otherwise(
             F.map_zip_with(
                 acc,
                 v,
@@ -143,12 +150,14 @@ def sparse_matrix_sum(c: Column) -> Column:
     """Sparse-matrix sum over ``map<bigint, map<bigint,double>>`` columns
     (row index → sparse row; ``aggregators/matrix/sparse/
     DoubleSparseMatrixSumAggregator.java`` appends per-row sparse
-    vectors): two-level key-union merge."""
+    vectors): two-level key-union merge. NULL maps are ignored."""
     empty_row = F.expr("CAST(map() AS map<bigint,double>)")
     return F.reduce(
         F.collect_list(c),
         F.lit(None).cast("map<bigint,map<bigint,double>>"),
-        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+        lambda acc, v: F.when(acc.isNull(), v)
+        .when(v.isNull(), acc)
+        .otherwise(
             F.map_zip_with(
                 acc,
                 v,
@@ -165,11 +174,13 @@ def sparse_matrix_sum(c: Column) -> Column:
 
 def matrix_sum(c: Column) -> Column:
     """Row-major ``array<array<double>>`` element-wise sum
-    (``MatrixSumAggregator`` family)."""
+    (``MatrixSumAggregator`` family). NULL elements are ignored."""
     return F.reduce(
         F.collect_list(c),
         F.lit(None).cast("array<array<double>>"),
-        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+        lambda acc, v: F.when(acc.isNull(), v)
+        .when(v.isNull(), acc)
+        .otherwise(
             F.zip_with(
                 acc,
                 v,

@@ -263,7 +263,7 @@ def near_dup_clusters(
     bands: int = 16,
     verify_threshold: float = 0.5,
     portable: bool = False,
-    max_supersteps: int = 20,
+    max_supersteps: int = 64,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH pair generation piped into the
     engine's own WCC kernel — the standard production dedup shape (pairs
@@ -277,7 +277,7 @@ def near_dup_clusters(
     near-dups), so the component step runs on the pair-membership subgraph
     — corpus-size-independent; the LSH stage is the banded hash-join path
     of :func:`minhash_lsh_pairs`."""
-    from ..graph import Graph
+    from ..graph import Graph, vertices_from_edges
     from ..algos.components import wcc
 
     pairs = minhash_lsh_pairs(
@@ -291,11 +291,7 @@ def near_dup_clusters(
         portable=portable,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    members = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    members = vertices_from_edges(edges)
     comp = wcc(Graph(members, edges), max_supersteps=max_supersteps)
     return comp.select(
         F.col("id").alias(id_col),

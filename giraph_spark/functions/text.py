@@ -96,7 +96,12 @@ def quality_filter(
         F.col("digit_ratio") <= max_digit_ratio,
         F.col("stopword_ratio") >= min_stopword_ratio,
     ]
-    n_fail = sum(F.when(~r, 1).otherwise(0) for r in rules).cast("long")
+    # NULL features (e.g. NULL text) must FAIL the gate, not slip through
+    # three-valued logic: a NULL rule counts as a failure, matching the
+    # oracle's CASE ... ELSE 1 semantics.
+    n_fail = sum(
+        F.when(F.coalesce(r, F.lit(False)), 0).otherwise(1) for r in rules
+    ).cast("long")
     return f.select(
         F.col(id_col),
         n_fail.alias("n_fail"),

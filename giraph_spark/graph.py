@@ -35,6 +35,25 @@ class GraphSchemaError(ValueError):
     """
 
 
+def vertices_from_edges(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Derive the vertex set as the distinct endpoint union of an edge
+    relation — the implicit-vertex-creation half of the input superstep
+    (``edge/DefaultCreateSourceVertexCallback.java:32``: vertices
+    referenced only by edges still exist)."""
+    from pyspark.sql import functions as F
+
+    return (
+        edges.select(F.col(src_col).alias(id_col))
+        .unionByName(edges.select(F.col(dst_col).alias(id_col)))
+        .distinct()
+    )
+
+
 @dataclass
 class Graph:
     """A distributed directed property multigraph.

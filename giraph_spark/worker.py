@@ -26,6 +26,7 @@ models, compiled automata) rather than shipped.
 
 from __future__ import annotations
 
+import uuid
 from typing import Any, Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -70,8 +71,16 @@ def map_in_pandas_with_setup(
     worker-initialized state: ``setup_fn`` runs once per executor Python
     worker (NOT once per partition or batch), then every partition's
     batches stream through ``fn`` with the shared state. Arrow-batched —
-    the blessed path for model-apply / dictionary-lookup compute."""
-    state_key = key or f"mips:{getattr(fn, '__qualname__', repr(fn))}"
+    the blessed path for model-apply / dictionary-lookup compute.
+
+    The default cache key is unique per *call* (generated on the driver
+    when the transformation is built), so two transformations with
+    different ``setup_fn``s never alias each other's state; pass an
+    explicit ``key`` only to deliberately share state across
+    transformations."""
+    state_key = key or (
+        f"mips:{getattr(fn, '__qualname__', repr(fn))}:{uuid.uuid4().hex}"
+    )
 
     def wrapped(batches: Iterator) -> Iterator:
         state = worker_state(state_key, setup_fn)
@@ -88,9 +97,11 @@ def apply_in_pandas_with_setup(
     key: str | None = None,
 ) -> DataFrame:
     """``applyInPandas`` over a GroupedData whose ``fn(state, pdf)``
-    receives worker-initialized state (same lifecycle as
-    :func:`map_in_pandas_with_setup`)."""
-    state_key = key or f"aips:{getattr(fn, '__qualname__', repr(fn))}"
+    receives worker-initialized state (same lifecycle and per-call
+    default-key semantics as :func:`map_in_pandas_with_setup`)."""
+    state_key = key or (
+        f"aips:{getattr(fn, '__qualname__', repr(fn))}:{uuid.uuid4().hex}"
+    )
 
     def wrapped(pdf):
         state = worker_state(state_key, setup_fn)

@@ -218,3 +218,19 @@ def test_sparse_aggregators(spark):
     assert dict(row["vs"]) == {0: 1.0, 2: 5.0, 5: 4.0}
     ms = {k: dict(v) for k, v in dict(row["ms"]).items()}
     assert ms == {0: {0: 1.0, 1: 2.0}, 3: {0: 5.0}}
+
+
+def test_quality_filter_null_text_fails_gate(spark):
+    """A NULL-text document must FAIL the hard quality gate (three-valued
+    logic would otherwise give it n_fail=0/passed=true), matching the
+    oracle's CASE ... ELSE 1 semantics."""
+    from giraph_spark.functions.text import quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs on"),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert rows[1]["passed"] is True and rows[1]["n_fail"] == 0
+    assert rows[2]["passed"] is False and rows[2]["n_fail"] == 5
