@@ -86,6 +86,7 @@ from giraph_spark.plans.fixtures import (
     nation_graph,
     trade_graph,
 )
+from giraph_spark.functions.joins import as_of_join, range_join_count
 from giraph_spark.streaming.events import sessionize
 
 SSSP_SOURCE = 1  # min customer key in every sf
@@ -742,6 +743,47 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.unionByName(scales)
 
 
+def _purchases_views(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), "ts"
+    )
+    return purchases, views
+
+
+def _q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (label/feature attachment): each purchase gains the most
+    recent prior-or-simultaneous view of the same user. Union–sort–carry
+    formulation (one shuffle, no inequality-join fan-out); DuckDB's
+    native ASOF LEFT JOIN is the oracle."""
+    purchases, views = _purchases_views(spark, sf_dir)
+    out = as_of_join(purchases, views, on="user_id")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("asof_view_event_id").cast("long").alias("asof_view_event_id"),
+    )
+
+
+def _q_views_before_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window range join: views per user in the hour before each
+    purchase. Bucketed equi-join (≤2 probes/row), not an open inequality
+    join."""
+    purchases, views = _purchases_views(spark, sf_dir)
+    out = range_join_count(
+        purchases, views, on="user_id", window_seconds=3600,
+        count_col="n_views_1h",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_views_1h",
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     s = sessionize(ev, gap_minutes=30)
@@ -824,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "sessionize": _q_sessionize,
         "event_counts_hourly": _q_event_counts,
+        "asof_view_before_purchase": _q_asof_view_before_purchase,
+        "views_before_purchase_1h": _q_views_before_purchase_1h,
     }
 
 
@@ -1651,6 +1695,25 @@ SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
        event_type, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2"""
 
+    asof_sql = """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id AS view_event_id, ts FROM events WHERE event_type = 'view')
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(v.view_event_id AS BIGINT) AS asof_view_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""
+
+    range_count_sql = """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(COUNT(v.ts) AS BIGINT) AS n_views_1h
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id"""
+
     # Replicates the deterministic fake decoder in
     # giraph_spark/functions/multimodal.py: payload bytes are pure-ASCII
     # ('payload-' || md5(id)), so the byte-fold hash is expressible via
@@ -1769,6 +1832,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "embedding_near_dup_exact": emb_exact_sql,
         "sessionize": sessionize_sql,
         "event_counts_hourly": event_counts_sql,
+        "asof_view_before_purchase": asof_sql,
+        "views_before_purchase_1h": range_count_sql,
         "scc": scc_sql,
         "maximal_independent_set": mis_sql,
         "random_walk_with_restart": rwr_sql,

@@ -1,0 +1,125 @@
+"""Temporal joins for event/training-data pipelines: as-of join and
+bounded range join.
+
+Not part of the reference's surface (Giraph has no relational layer,
+SURVEY §2.12) — these are the custom operators a training-data pipeline
+needs for label/feature attachment (join each sample to the most recent
+prior measurement; count events in a trailing window), expressed
+scale-first:
+
+- **as-of join**: the naive formulation is an inequality join (quadratic
+  per key). The scalable form used here is the union–sort–carry pattern:
+  tag both inputs, one hash shuffle on the key, one in-partition sort by
+  (ts, side), then ``last(value, ignorenulls)`` carries the most recent
+  right row forward onto every left row. O(n log n) per key, zero join
+  fan-out, one shuffle total — the same plan shape at any scale.
+- **range join**: blocked by time bucket — each left row probes only its
+  own and its neighboring bucket (bucket width = window span), turning
+  the inequality join into an equi-join on (key, bucket) with ≤2×
+  fan-out, then an exact range filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: each left row gains the columns of the most
+    recent right row with the same key and ``right_ts <= left_ts``
+    (NULLs when no prior right row exists) — DuckDB/kdb ``ASOF LEFT
+    JOIN`` semantics.
+
+    Right rows sharing an exact (key, ts) should be pre-deduplicated by
+    the caller (which row wins is otherwise unspecified — same caveat as
+    any as-of engine).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rv_cols = [c for c in right.columns if c not in keys]
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_t"),
+        F.struct(*[F.col(c) for c in rv_cols]).alias("_rv"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns if c not in keys],
+    )
+    rv_type = r.schema["_rv"].dataType
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns if c not in keys],
+    )
+    # right rows sort before left rows at equal ts so `<=` matches
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "_match", F.last("_rv", ignorenulls=True).over(w)
+    )
+    out_left = [
+        F.col(f"_l_{c}").alias(c) for c in left.columns if c not in keys
+    ]
+    out_right = [
+        F.col("_match").getField(c).alias(f"{right_prefix}{c}")
+        for c in rv_cols
+    ]
+    return carried.where(F.col("_side") == 1).select(
+        *keys, *out_left, *out_right
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    window_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    count_col: str = "n_in_range",
+) -> DataFrame:
+    """Trailing-window count: for each left row, the number of right rows
+    with the same key and ``right_ts ∈ (left_ts − window, left_ts]``.
+    Bucketed equi-join (bucket width = window) with ≤2 probes per left
+    row instead of an open inequality join; the exact range filter runs
+    after the cheap equi-match."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lb = F.floor(F.col(left_ts).cast("double") / window_seconds).cast("long")
+    rb = F.floor(F.col(right_ts).cast("double") / window_seconds).cast("long")
+    l = left.withColumn("_lb", lb).withColumn(
+        "_probe", F.explode(F.array(F.col("_lb") - 1, F.col("_lb")))
+    )
+    r = right.select(
+        *[F.col(k).alias(f"_rk_{k}") for k in keys],
+        F.col(right_ts).alias("_rt"),
+        rb.alias("_rb"),
+    )
+    cond = [l[k] == r[f"_rk_{k}"] for k in keys] + [
+        l["_probe"] == r["_rb"]
+    ]
+    # range check on numeric epochs (timestamp casts to fractional epoch
+    # seconds, exact at µs precision within double's 2^53 mantissa) — works
+    # uniformly for timestamp and numeric ts columns
+    lt = F.col(left_ts).cast("double")
+    rt = F.col("_rt").cast("double")
+    joined = l.join(r, cond, "left").where(
+        F.col("_rt").isNull()
+        | ((rt <= lt) & (rt > lt - F.lit(float(window_seconds))))
+    )
+    grp = [F.col(c) for c in left.columns]
+    return (
+        joined.groupBy(*grp)
+        .agg(F.count("_rt").cast("long").alias(count_col))
+    )

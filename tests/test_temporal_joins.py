@@ -1,0 +1,75 @@
+"""Temporal joins (as-of, trailing-window range count): hand-built edge
+cases + the plan shapes that make them scale."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from giraph_spark.functions.joins import as_of_join, range_join_count
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _fixtures(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 300, 15.0), (3, 400, 5.0)],
+        "k long, lid long, ts double",
+    )
+    right = spark.createDataFrame(
+        [(1, 11, 5.0), (1, 12, 10.0), (1, 13, 15.0), (2, 21, 14.0)],
+        "k long, rid long, ts double",
+    )
+    return left, right
+
+
+def test_as_of_join_semantics(spark):
+    left, right = _fixtures(spark)
+    out = {
+        r["lid"]: r["asof_rid"]
+        for r in as_of_join(left, right, on="k").collect()
+    }
+    # lid 100 (ts 10): right rid 12 at ts 10 matches (<= is inclusive)
+    # lid 200 (ts 20): most recent is rid 13 (ts 15)
+    # lid 300 (ts 15): rid 21 (ts 14)
+    # lid 400 (k=3): no right rows -> NULL
+    assert out == {100: 12, 200: 13, 300: 21, 400: None}
+
+
+def test_as_of_join_plan_has_no_join_node(spark):
+    """The union-sort-carry formulation must compile to hash exchanges on
+    the key + window — zero Join operators, zero inequality fan-out."""
+    left, right = _fixtures(spark)
+    plan = _plan(as_of_join(left, right, on="k"))
+    assert "Join" not in plan
+    assert "Window" in plan
+    # every exchange is the key shuffle (no range/rebalance/cartesian)
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "hashpartitioning(k" in line
+
+
+def test_range_join_count_semantics(spark):
+    left, right = _fixtures(spark)
+    out = {
+        r["lid"]: r["n_in_range"]
+        for r in range_join_count(
+            left, right, on="k", window_seconds=6
+        ).collect()
+    }
+    # window (ts-6, ts]: lid 100 (10): rids at 5,10 -> 5 > 4? 5 in (4,10] yes,
+    # 10 yes -> 2; lid 200 (20): 15 in (14,20] -> 1; lid 300 (15): 14 -> 1;
+    # lid 400: none
+    assert out == {100: 2, 200: 1, 300: 1, 400: 0}
+
+
+def test_range_join_count_plan_is_equi_join(spark):
+    left, right = _fixtures(spark)
+    plan = _plan(range_join_count(left, right, on="k", window_seconds=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
