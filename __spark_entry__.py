@@ -784,6 +784,34 @@ def _q_views_before_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one pass produces hourly,
+    daily, and grand-total aggregates via ``rollup`` (grouping sets) —
+    the continuous-aggregate shape for time-series event tables; Catalyst
+    expands the sets with partial aggregation, so it scales like a single
+    groupBy. Giraph has no rollup at all (SURVEY §2.12) — inherited from
+    the substrate and exposed as a first-class query."""
+    ev = read_events(spark, sf_dir)
+    d = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return (
+        d.rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day_epoch"),
+            F.col("hour").cast("long").alias("hour_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     s = sessionize(ev, gap_minutes=30)
@@ -868,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_counts_hourly": _q_event_counts,
         "asof_view_before_purchase": _q_asof_view_before_purchase,
         "views_before_purchase_1h": _q_views_before_purchase_1h,
+        "event_rollup": _q_event_rollup,
     }
 
 
@@ -1695,6 +1724,17 @@ SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
        event_type, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2"""
 
+    event_rollup_sql = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, value
+  FROM events
+)
+SELECT CAST(FLOOR(epoch(day)) AS BIGINT) AS day_epoch,
+       CAST(FLOOR(epoch(hour)) AS BIGINT) AS hour_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM d GROUP BY ROLLUP(day, hour)"""
+
     asof_sql = """
 WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
 v AS (SELECT user_id, event_id AS view_event_id, ts FROM events WHERE event_type = 'view')
@@ -1834,6 +1874,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "event_counts_hourly": event_counts_sql,
         "asof_view_before_purchase": asof_sql,
         "views_before_purchase_1h": range_count_sql,
+        "event_rollup": event_rollup_sql,
         "scc": scc_sql,
         "maximal_independent_set": mis_sql,
         "random_walk_with_restart": rwr_sql,
