@@ -22,16 +22,38 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table uses parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
-    microsecond timestamp (integer division — no float round-trip, so the
-    truncation matches DuckDB's native TIMESTAMP_NS down-conversion)."""
+    """Read the events table with a microsecond ``ts`` timestamp column,
+    adapting to the physical parquet type. Generations of the driver
+    testdata have used TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — read as long via ``spark.sql.legacy.parquet.nanosAsLong``
+    and integer-divide to micros, matching DuckDB's TIMESTAMP_NS
+    down-conversion) and TIMESTAMP(MICROS) (native timestamp — no
+    conversion needed)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_event_ts(ev)
+
+
+def normalize_event_ts(ev: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to a tz-aware TIMESTAMP whose stored UTC micros
+    equal the file's naive wall-clock value — the invariant every
+    downstream consumer (window aggs, epoch casts, watermarks) was
+    written against, and the interpretation DuckDB's ``epoch()`` applies
+    to the same parquet (naive = UTC).
+
+    Three physical shapes appear across driver-testdata generations:
+    raw long nanos (``nanosAsLong`` read of TIMESTAMP(NANOS)),
+    TIMESTAMP_NTZ (native read of isAdjustedToUTC=false micros), and
+    TIMESTAMP (already tz-aware). For the NTZ case the session timezone
+    is pinned to UTC first so the cast is a relabel, not a value shift.
+    """
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        ev.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def trade_graph(

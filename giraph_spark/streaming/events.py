@@ -20,8 +20,11 @@ def read_events_stream(
     the static table — required by readStream). The path targets
     ``events.parquet`` itself, NOT ``sf_dir`` — the directory holds other
     tables (customer, lineitem, …) whose files would otherwise be read
-    under the events schema as garbage rows. Nanos-timestamp handling
-    mirrors :func:`giraph_spark.plans.fixtures.read_events`."""
+    under the events schema as garbage rows. Timestamp handling mirrors
+    :func:`giraph_spark.plans.fixtures.read_events` (schema-adaptive:
+    nanos-as-long or native micros)."""
+    from ..plans.fixtures import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a directory or a glob, not a bare
@@ -33,7 +36,18 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(f"{sf_dir}/events.parque[t]")
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(stream)
+
+
+def _with_watermark(events: DataFrame, watermark: str) -> DataFrame:
+    """Apply the event-time watermark, first coercing a TIMESTAMP_NTZ
+    ``ts`` (e.g. a user-supplied stream that bypassed
+    :func:`read_events_stream`) to TIMESTAMP — Spark's event-time
+    validator accepts only the latter. UTC session tz makes the cast a
+    relabel, not a value shift."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark)
 
 
 def event_counts_stream(
@@ -41,7 +55,7 @@ def event_counts_stream(
 ) -> DataFrame:
     """Tumbling-window event counts per type with late-data handling."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_watermark(events, watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -57,7 +71,7 @@ def streaming_degrees(events: DataFrame, watermark: str = "2 hours") -> DataFram
     analog: per-user event counts (graph degree = successive-event edges
     = events-1 per user)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_watermark(events, watermark)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -168,7 +182,7 @@ def user_activity_stream(
         yield _row(user_id, n, first_us, last_us, False)
 
     return (
-        events.withWatermark("ts", watermark)
+        _with_watermark(events, watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             track,
@@ -225,7 +239,7 @@ def build_chain_edges_stream(events: DataFrame, watermark: str = "2 hours") -> D
             yield pd.DataFrame({"src": srcs, "dst": dsts})
 
     return (
-        events.withWatermark("ts", watermark)
+        _with_watermark(events, watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             build,
@@ -245,7 +259,7 @@ def sessionize_stream(
     ``applyInPandasWithState`` — is only needed for session logic the
     session_window cannot express)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_watermark(events, watermark)
         .groupBy(
             F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("sw"),
             F.col("user_id"),
