@@ -501,6 +501,51 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (10% val) — zero-shuffle projection; the
+    md5-of-id decision is replayed bit-for-bit by the SQL oracle."""
+    from giraph_spark.functions.sampling import train_val_split
+
+    d = _docs(spark, sf_dir)
+    return train_val_split(d, val_fraction=0.1).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split"
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20%-per-source sample: rank-by-id-hash within each stratum."""
+    from giraph_spark.functions.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    return stratified_sample(d, strata_col="source", fraction=0.2).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "stratum"
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 41st document plays the eval set;
+    flag corpus docs sharing any word-8-gram with it (the benchmark
+    members flag themselves — they ARE contamination if left in)."""
+    from giraph_spark.functions.sampling import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 41 == 0)
+    return decontaminate(d, bench, n=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_hits", "contaminated"
+    )
+
+
+def _q_mixture_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture epoch multiplicities: upsample src0 3.2x, downsample
+    src1 to 0.5x, rest 1.0 — fractional parts resolved by id-hash."""
+    from giraph_spark.functions.sampling import mixture_repeats
+
+    d = _docs(spark, sf_dir)
+    return mixture_repeats(d, {"src0": 3.2, "src1": 0.5}).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "stratum", "n_repeats"
+    )
+
+
 def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree histogram over the directed trade graph
     (DirectedGraphStats.java family): two partial-aggregated groupBys,
@@ -878,6 +923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "train_val_split": _q_train_val_split,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "mixture_repeats": _q_mixture_repeats,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
@@ -1627,6 +1676,60 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) = 
 SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({norm}) AS fingerprint
 FROM documents"""
 
+    # md5-derived 60-bit bucket in [0, 10000) — the DuckDB twin of
+    # giraph_spark.functions.sampling._bucket (portable_hash60 % 10000)
+    def _bucket_sql(seed: int = 42) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)),"
+            " 1, 15)) AS BIGINT) % 10000"
+        )
+
+    train_val_split_sql = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN {_bucket_sql()} < 1000 THEN 'val' ELSE 'train' END AS split
+FROM documents"""
+
+    stratified_sample_sql = f"""
+WITH b AS (
+  SELECT doc_id, source AS stratum, {_bucket_sql()} AS bk FROM documents
+), r AS (
+  SELECT doc_id, stratum,
+         ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY bk, doc_id) AS rn,
+         CEIL(COUNT(*) OVER (PARTITION BY stratum) * 0.2) AS q
+  FROM b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, stratum FROM r WHERE rn <= q"""
+
+    decontaminate_sql = f"""
+WITH tok AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(t) - 7, 1)),
+      i -> array_to_string(t[i:i+7], ' ')))) AS gram
+  FROM tok
+), bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0
+), hits AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM g JOIN bg USING (gram) GROUP BY g.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+    mixture_repeats_sql = f"""
+WITH w AS (
+  SELECT doc_id, source AS stratum,
+         CASE source WHEN 'src0' THEN 3.2 WHEN 'src1' THEN 0.5 ELSE 1.0 END AS wt,
+         {_bucket_sql()} AS bk
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, stratum,
+       CAST(FLOOR(wt) + (CASE WHEN bk < CAST(FLOOR((wt - FLOOR(wt)) * 10000) AS BIGINT)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+FROM w"""
+
     cosine_topk_sql = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id <= 5),
@@ -1865,6 +1968,10 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "chunk_documents": chunk_documents_sql,
         "lang_id": lang_sql,
         "fingerprint": fingerprint_sql,
+        "train_val_split": train_val_split_sql,
+        "stratified_sample": stratified_sample_sql,
+        "decontaminate": decontaminate_sql,
+        "mixture_repeats": mixture_repeats_sql,
         "cosine_topk": cosine_topk_sql,
         "ivf_topk": ivf_topk_sql,
         "lsh_topk": lsh_topk_sql,

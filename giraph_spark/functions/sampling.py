@@ -1,0 +1,189 @@
+"""Training-data selection operators: deterministic splits, stratified
+sampling, benchmark decontamination, and mixture resampling.
+
+These are the selection/mixing stages of a large-scale training-data
+pipeline (the stages that run after cleaning/dedup and before
+tokenization). All are expression-only — hashing via the md5-derived
+:func:`giraph_spark.functions.dedup.portable_hash60` so every decision
+is deterministic, reproducible across runs/engines, and replayable by a
+SQL oracle. Determinism matters operationally at 100 TB: re-running the
+pipeline after adding documents must not reshuffle existing documents
+between train and validation (hash-of-id is stable; random() is not).
+
+Scale shapes:
+
+- split / mixture: pure projections — no shuffle at all.
+- stratified sample: exact mode sorts within each stratum (one shuffle
+  by stratum; a giant stratum serializes its rank — inherent to exact
+  top-fraction-by-hash); approximate mode is a pure projection
+  (hash-threshold, expected fraction) — the 100 TB default.
+- decontamination: corpus n-grams hash-joined against the benchmark
+  n-gram set; the benchmark side is tiny (eval sets are thousands of
+  documents) and broadcast, so the corpus is one scan + one explode
+  with no corpus-side shuffle beyond the per-doc re-aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text, portable_hash60
+
+#: resolution of the hash-bucket space used for fractional decisions
+BUCKETS = 10_000
+
+
+def _bucket(id_col: str, seed: int) -> F.Column:
+    """Deterministic bucket in [0, BUCKETS) from the document id."""
+    return portable_hash60(F.col(id_col).cast("string"), seed) % BUCKETS
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row a deterministic ``split`` ('train' | 'val') by
+    hashing its id: hash-bucket < val_fraction ⇒ 'val'.
+
+    Zero-shuffle projection; the assignment is a pure function of
+    (id, seed), so it is stable under corpus growth and identical on
+    every engine that can md5 (the SQL-oracle property). This is the
+    standard held-out-split construction for web-scale corpora, where a
+    random() split would leak documents across splits between runs."""
+    thresh = int(val_fraction * BUCKETS)
+    return df.select(
+        F.col(id_col),
+        F.when(_bucket(id_col, seed) < thresh, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    fraction: float = 0.2,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    exact: bool = True,
+) -> DataFrame:
+    """Sample ``fraction`` of each stratum, deterministically.
+
+    ``exact=True``: EXACTLY ``ceil(fraction · |stratum|)`` rows per
+    stratum — rank rows within the stratum by (id-hash, id) and keep the
+    top fraction. One shuffle on the stratum key plus a per-stratum
+    sort; a single giant stratum serializes its rank computation, which
+    is inherent to exact quotas (mitigate upstream by sub-bucketing the
+    stratum key). ``exact=False``: hash-threshold per row — expected
+    (not exact) fraction, but a pure projection with no shuffle: the
+    100 TB default, equivalent to ``df.sampleBy`` but deterministic in
+    the id rather than seeded-random per task.
+
+    Returns ``(id, stratum)`` for the kept rows."""
+    out_cols = [F.col(id_col), F.col(strata_col).alias("stratum")]
+    if not exact:
+        thresh = int(fraction * BUCKETS)
+        return df.select(*out_cols).where(_bucket(id_col, seed) < thresh)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(id_col, seed), F.col(id_col)
+    )
+    counts = Window.partitionBy(strata_col)
+    quota = F.ceil(F.count(F.lit(1)).over(counts) * F.lit(fraction))
+    return (
+        df.select(*out_cols, F.row_number().over(w).alias("_rn"), quota.alias("_q"))
+        .where(F.col("_rn") <= F.col("_q"))
+        .select(F.col(id_col), F.col("stratum"))
+    )
+
+
+def word_ngrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """``(id, gram)`` distinct word-n-gram relation over normalized text.
+    A document shorter than ``n`` words contributes its whole text as one
+    gram (so short benchmark items are still matchable)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_t) - {n} + 1, 1)), "
+        f"i -> array_join(slice(_t, i, {n}), ' ')))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-``n``-gram with a benchmark/eval set (the containment check run
+    before training so eval data is not memorized — e.g. GPT-3 appendix C
+    / PaLM-style 8-gram overlap).
+
+    Returns ``(id, n_hits, contaminated)`` for EVERY corpus document —
+    ``n_hits`` = number of distinct corpus-doc n-grams that appear
+    anywhere in the benchmark.
+
+    Scale: the benchmark n-gram set is distinct-deduped and broadcast
+    (eval suites are ~10⁴ items — megabytes); the corpus side is one
+    scan + explode + broadcast semi-join + per-doc count. No corpus×corpus
+    anything."""
+    corpus_grams = word_ngrams(df, text_col, id_col, n)
+    bench_grams = word_ngrams(benchmark, text_col, id_col, n).select("gram").distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def mixture_repeats(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Domain-mixture resampling: per-source epoch multiplicities.
+
+    ``weights[source] = w`` means each document of that source appears
+    ``floor(w)`` times, plus one more for the deterministic
+    ``frac(w)``-fraction of its documents (by id-hash) — so the expected
+    epoch count per source is exactly ``w`` while every decision stays a
+    pure function of (id, seed). This is how fixed mixture ratios
+    (e.g. upsample wiki 3.2×, downsample crawl 0.6×) are realized over a
+    corpus too large to materialize repeated (downstream consumers
+    expand ``n_repeats``, typically at shard-writing time).
+
+    Returns ``(id, stratum, n_repeats)``; unlisted sources get weight 1.
+    Pure projection — no shuffle."""
+    base = F.lit(1.0)
+    for src, w in weights.items():
+        base = F.when(F.col(strata_col) == src, F.lit(float(w))).otherwise(base)
+    whole = F.floor(base).cast("long")
+    frac_th = ((base - F.floor(base)) * BUCKETS).cast("long")
+    extra = F.when(_bucket(id_col, seed) < frac_th, F.lit(1)).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        (whole + extra).cast("long").alias("n_repeats"),
+    )
