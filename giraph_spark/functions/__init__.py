@@ -1,5 +1,6 @@
 """Beyond-reference operators for large-scale training-data pipelines:
-deduplication, similarity search, text analysis, multimodal columns.
+deduplication, similarity search, text analysis, data selection
+(splits/sampling/decontamination/mixture), multimodal columns.
 These reuse the same DataFrame-first design rules as the graph engine:
 built-in expressions over UDFs, one shuffle per logical exchange,
 broadcast/bucket joins where a side is small."""
@@ -33,6 +34,13 @@ from .text import (
     quality_score,
     token_count,
     token_histogram,
+)
+from .sampling import (
+    decontaminate,
+    mixture_repeats,
+    stratified_sample,
+    train_val_split,
+    word_ngrams,
 )
 from .multimodal import (
     decode_metadata,
