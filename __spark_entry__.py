@@ -501,6 +501,40 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (word / 2-gram / top-word)."""
+    from giraph_spark.functions.text import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+
+
+def _q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic contact strings injected
+    into every 17th doc (the fixture corpus contains no emails/URLs/number
+    runs, so without injection this query would prove nothing)."""
+    from giraph_spark.functions.text import scrub_text
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com see https://site"),
+                F.col("doc_id").cast("string"),
+                F.lit(".example/path ref 1234567890"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return scrub_text(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "scrubbed", "n_redactions"
+    )
+
+
 def _q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash split (10% val) — zero-shuffle projection; the
     md5-of-id decision is replayed bit-for-bit by the SQL oracle."""
@@ -923,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "repetition_features": _q_repetition_features,
+        "scrub_text": _q_scrub_text,
         "train_val_split": _q_train_val_split,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1684,6 +1720,52 @@ FROM documents"""
             " 1, 15)) AS BIGINT) % 10000"
         )
 
+    repetition_sql = f"""
+WITH tok AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                        i -> array_to_string(t[i:i+1], ' ')) AS g2
+  FROM tok
+), ratios AS (
+  SELECT doc_id, n,
+         ROUND(1 - len(list_distinct(t)) / CAST(n AS DOUBLE), 6) AS word_rep_ratio,
+         ROUND(1 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6) AS dup_2gram_ratio
+  FROM base
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM base
+), cnt AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, MAX(c) AS topc FROM cnt GROUP BY 1
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, word_rep_ratio, dup_2gram_ratio,
+       ROUND(topc / CAST(n AS DOUBLE), 6) AS top_word_ratio
+FROM ratios r JOIN top ON r.doc_id = top.doc_id"""
+
+    scrub_sql = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com see https://site' || CAST(doc_id AS VARCHAR)
+                   || '.example/path ref 1234567890'
+              ELSE text END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '[0-9][0-9 .-]{7,}[0-9]', '<NUM>', 'g') AS scrubbed
+  FROM aug
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, scrubbed,
+       CAST(len(string_split_regex(scrubbed, '<EMAIL>|<URL>|<NUM>')) - 1 AS BIGINT)
+           AS n_redactions
+FROM s"""
+
     train_val_split_sql = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN {_bucket_sql()} < 1000 THEN 'val' ELSE 'train' END AS split
@@ -1968,6 +2050,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "chunk_documents": chunk_documents_sql,
         "lang_id": lang_sql,
         "fingerprint": fingerprint_sql,
+        "repetition_features": repetition_sql,
+        "scrub_text": scrub_sql,
         "train_val_split": train_val_split_sql,
         "stratified_sample": stratified_sample_sql,
         "decontaminate": decontaminate_sql,

@@ -235,3 +235,84 @@ def chunk_documents(
         F.size("_ct").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("_ct")).alias("chunk_text"),
     ).where(F.length("chunk_text") > 0)
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition filters,
+    word-granularity): ``word_rep_ratio`` = 1 − distinct/total words,
+    ``dup_2gram_ratio`` = 1 − distinct/total word-2-grams, and
+    ``top_word_ratio`` = occurrences of the most frequent word / total
+    words. High values mark boilerplate/spam for the quality gate.
+
+    Scale shape: the two ratio columns are pure projections (array ops on
+    the token array, fused into the scan); ``top_word_ratio`` needs the
+    per-(doc, word) counts — one explode + partial-aggregated groupBy +
+    ``max_by``-style per-doc max, all JVM-side."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("_t")).select(
+        F.col(id_col),
+        F.col("_t"),
+        F.size("_t").cast("long").alias("_n"),
+        F.expr(
+            "transform(sequence(1, greatest(size(_t) - 1, 1)), "
+            "i -> concat_ws(' ', slice(_t, i, 2)))"
+        ).alias("_g2"),
+    )
+    ratios = base.select(
+        F.col(id_col),
+        F.col("_n"),
+        F.round(
+            1 - F.size(F.array_distinct("_t")) / F.col("_n"), 6
+        ).alias("word_rep_ratio"),
+        F.round(
+            1 - F.size(F.array_distinct("_g2")) / F.size("_g2"), 6
+        ).alias("dup_2gram_ratio"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("_t").alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").cast("long").alias("_top"))
+    )
+    return ratios.join(top, id_col).select(
+        F.col(id_col),
+        "word_rep_ratio",
+        "dup_2gram_ratio",
+        F.round(F.col("_top") / F.col("_n"), 6).alias("top_word_ratio"),
+    )
+
+
+#: scrub patterns applied in order — kept to constructs whose semantics
+#: are identical in Java regex (Spark) and RE2 (DuckDB/Go): no
+#: backreferences, no lookaround.
+SCRUB_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9][0-9 .-]{7,}[0-9]", "<NUM>"),
+]
+
+
+def scrub_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII/noise scrubbing: redact emails, URLs, and long digit runs
+    (phone/account-number shaped) to typed placeholder tokens — the
+    standard pre-training scrub pass. Pure projection, no shuffle, no
+    Python; patterns restricted to the regex subset with identical
+    semantics across engines (so the pass is SQL-oracle-replayable).
+    Returns ``(id, scrubbed, n_redactions)`` where ``n_redactions``
+    counts replaced spans."""
+    c = F.col(text_col)
+    for pat, repl in SCRUB_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    n_red = (
+        F.size(F.split(c, "<EMAIL>|<URL>|<NUM>", -1)) - 1
+    )
+    return df.select(
+        F.col(id_col),
+        c.alias("scrubbed"),
+        n_red.cast("long").alias("n_redactions"),
+    )

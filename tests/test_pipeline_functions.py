@@ -234,3 +234,38 @@ def test_quality_filter_null_text_fails_gate(spark):
     rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
     assert rows[1]["passed"] is True and rows[1]["n_fail"] == 0
     assert rows[2]["passed"] is False and rows[2]["n_fail"] == 5
+
+
+def test_repetition_features_known_values(spark):
+    """Hand-checkable repetition ratios: 'a a a b' has 4 words / 2
+    distinct (rep 0.5), 3 2-grams ('a a','a a','a b') / 2 distinct, top
+    word 'a' 3/4; an all-distinct doc scores 0/0 with top 1/n."""
+    from giraph_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert rows[1]["word_rep_ratio"] == 0.5
+    assert rows[1]["dup_2gram_ratio"] == round(1 - 2 / 3, 6)
+    assert rows[1]["top_word_ratio"] == 0.75
+    assert rows[2]["word_rep_ratio"] == 0.0
+    assert rows[2]["dup_2gram_ratio"] == 0.0
+    assert rows[2]["top_word_ratio"] == 0.25
+
+
+def test_scrub_text_redacts_and_counts(spark):
+    from giraph_spark.functions.text import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.com or visit https://a.example/p?q=1 ref 0123-456-7890 ok"),
+            (2, "clean text with the number 42 kept"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_text(df).collect()}
+    assert rows[1]["scrubbed"] == "mail me at <EMAIL> or visit <URL> ref <NUM> ok"
+    assert rows[1]["n_redactions"] == 3
+    assert rows[2]["scrubbed"] == "clean text with the number 42 kept"
+    assert rows[2]["n_redactions"] == 0
