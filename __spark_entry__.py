@@ -190,6 +190,20 @@ def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component relation as ``wcc`` via alternating large-star/
+    small-star edge rewriting (SoCC 2014) — the O(log n)-round strategy
+    for high-diameter graphs; oracle shared with ``wcc``."""
+    from giraph_spark.algos.components import alternating_star_components
+
+    g = trade_graph(spark, sf_dir)
+    out = alternating_star_components(g)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _q_max_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = trade_graph(spark, sf_dir)
     out = max_propagation(g, max_supersteps=50)
@@ -925,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": _q_bfs,
         "bfs_chain": _q_bfs_chain,
         "wcc": _q_wcc,
+        "wcc_star": _q_wcc_star,
         "max_propagation": _q_max_prop,
         "min_propagation": _q_min_prop,
         "clean_symmetric": _q_clean_symmetric,
@@ -2078,6 +2093,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "bfs": bfs_sql,
         "bfs_chain": bfs_chain_sql,
         "wcc": wcc_sql,
+        "wcc_star": wcc_sql,
         "max_propagation": maxp_sql,
         "min_propagation": minp_sql,
         "clean_symmetric": clean_sym_sql,

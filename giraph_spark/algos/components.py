@@ -14,9 +14,11 @@ Reference semantics:
 Scale note: label propagation converges in O(diameter) supersteps — fine for
 small-world graphs (social/trade graphs: ≤ ~10 rounds at any scale since
 each round is a full shuffle regardless of data size). For high-diameter
-graphs the alternating big-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC 2014) halves rounds;
-planned as an optional strategy.
+graphs (paths, meshes, road networks) use
+:func:`alternating_star_components` — the alternating
+large-star/small-star contraction (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014), O(log n) rounds independent of
+diameter, same output relation.
 """
 
 from __future__ import annotations
@@ -92,6 +94,120 @@ def wcc(
     return connected_components(
         symmetrize(graph), max_supersteps, metrics, component_col
     )
+
+
+def alternating_star_components(
+    graph: Graph,
+    max_rounds: int = 50,
+    component_col: str = "component",
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the O(log n)-round alternative to label
+    propagation's O(diameter) supersteps. Same result relation as
+    :func:`wcc` (``(id, component)``, component = min id); choose this
+    strategy for high-diameter graphs (paths/meshes/road networks) where
+    label propagation's round count, not per-round cost, dominates.
+
+    Each round is two rewrites of the undirected edge multiset:
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u});
+    - small-star(u): every neighbor v < u (and u itself) re-attaches to
+      m = min of those.
+
+    Both are one groupBy + one co-keyed join over the edge relation —
+    partial aggregation bounds fan-in skew map-side exactly as the
+    kernel's combiners do. The fixpoint test (edge set unchanged) is one
+    aggregate action per round over (count, xxhash64-sum) of the
+    canonical edge set — an order-independent set signature, no
+    sort/except join. Lineage is truncated per round (localCheckpoint),
+    the same plan-growth discipline as the pregel loop.
+    """
+    spark = graph.vertices.sparkSession
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+
+    e = (
+        graph.edges.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+    def signature(edges: DataFrame):
+        canon = edges.where(F.col("u") < F.col("v"))
+        row = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev_sig = None
+    prev_adj = None
+    for _ in range(max_rounds):
+        # large-star: neighbors above the center re-attach to the center's min
+        mins = adj.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        big = (
+            adj.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        adj_l = big.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(big.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+        # small-star: the center and its below-neighbors re-attach to their min
+        smaller = adj_l.where(F.col("v") < F.col("u"))
+        mins2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            smaller.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .distinct()
+        )
+        # small is distinct with a > b everywhere, so the swapped copies
+        # cannot collide with the originals — no further distinct needed
+        new_adj = (
+            small.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(
+                small.select(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        sig = signature(new_adj)
+        if prev_adj is not None:
+            prev_adj.unpersist()
+        prev_adj = new_adj
+        adj = new_adj
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # at the fixpoint every non-root's sole neighbor is its component root
+    comp = adj.groupBy("u").agg(F.min("v").alias("_c"))
+    out = (
+        graph.vertices.select(F.col(id_col).cast("long").alias("id"))
+        .join(comp, F.col("id") == F.col("u"), "left")
+        .select(
+            F.col("id"),
+            F.least(F.col("id"), F.coalesce(F.col("_c"), F.col("id"))).alias(
+                component_col
+            ),
+        )
+    )
+    return out
 
 
 def max_propagation(

@@ -121,3 +121,39 @@ def test_prepare_ops(spark):
     )
     v = prepare.create_missing_vertices(g2).vertices
     assert sorted(r.id for r in v.collect()) == [1, 7]
+
+
+def test_alternating_star_matches_label_prop(spark, sf_dir):
+    """Star contraction and label propagation must produce the identical
+    component relation (min-id convention) on the fixture graph."""
+    from giraph_spark.algos.components import (
+        alternating_star_components,
+        wcc,
+    )
+    from giraph_spark.plans.fixtures import trade_graph
+
+    g = trade_graph(spark, sf_dir)
+    a = wcc(g, max_supersteps=50).orderBy("id").toPandas()
+    b = alternating_star_components(g).orderBy("id").toPandas()
+    assert a.equals(b)
+
+
+def test_alternating_star_high_diameter_and_isolated(spark):
+    """A diameter-1000 path collapses to one component in O(log n) rounds
+    (label prop would need 1000 supersteps); isolated vertices keep their
+    own id as component."""
+    from pyspark.sql import functions as F
+
+    from giraph_spark.algos.components import alternating_star_components
+    from giraph_spark.graph import Graph
+
+    n = 1000
+    v = spark.range(n + 5).select("id")  # 5 isolated tail vertices
+    e = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = alternating_star_components(Graph(v, e)).toPandas()
+    chain = out[out["id"] < n]
+    assert (chain["component"] == 0).all()
+    tail = out[out["id"] >= n]
+    assert (tail["component"] == tail["id"]).all()
