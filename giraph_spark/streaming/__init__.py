@@ -11,6 +11,7 @@ from .events import (
     event_counts_stream,
     read_events_stream,
     sessionize,
+    dedup_stream,
     sessionize_stream,
     streaming_degrees,
 )
@@ -20,5 +21,6 @@ __all__ = [
     "event_counts_stream",
     "streaming_degrees",
     "sessionize",
+    "dedup_stream",
     "sessionize_stream",
 ]

@@ -272,3 +272,23 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ingestion dedup: keep the first occurrence of each key,
+    with dedup state BOUNDED by the watermark
+    (``dropDuplicatesWithinWatermark``) — the at-least-once-source →
+    effectively-once-sink pattern. Unbounded ``dropDuplicates`` state
+    grows forever on an infinite stream; the watermark bound is what
+    makes this runnable at ingestion scale (state = keys within one
+    watermark horizon). Duplicates separated by more than the watermark
+    are NOT caught — that cross-horizon tail is the batch dedup pass's
+    job (``functions.dedup``), which is exactly how production pipelines
+    split the work between the two."""
+    return _with_watermark(events, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

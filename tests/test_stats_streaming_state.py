@@ -215,3 +215,38 @@ def test_streaming_aggregations_match_batch(spark, sf_dir):
     assert sorted(map(tuple, got_sess[cols].itertuples(index=False))) == sorted(
         map(tuple, want_sess[cols].itertuples(index=False))
     )
+
+
+def test_dedup_stream(spark, sf_dir, tmp_path):
+    """Streaming dedup drops within-watermark duplicate keys: a doubled
+    copy of the events file streams to exactly the distinct event set."""
+    import shutil
+
+    from giraph_spark.plans.fixtures import read_events
+    from giraph_spark.streaming.events import dedup_stream
+
+    src = f"{sf_dir}/events.parquet"
+    d = tmp_path / "dupes"
+    d.mkdir()
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")
+
+    from giraph_spark.plans.fixtures import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(str(d)).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    q = (
+        dedup_stream(stream, keys=("event_id",))
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_sink").collect()[0]
+    want = read_events(spark, sf_dir).count()
+    assert got["n"] == got["d"] == want
