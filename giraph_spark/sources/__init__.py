@@ -10,6 +10,7 @@ from .generators import uniform_random_graph, watts_strogatz_graph
 from .readers import (
     combine_vertex_values,
     load_graph,
+    load_graph_bucketed,
     load_graph_sequence,
     read_adjacency_list,
     read_edge_list,
@@ -20,6 +21,7 @@ from .readers import (
 )
 from .writers import (
     save_graph,
+    save_graph_bucketed,
     save_graph_sequence,
     write_adjacency_list,
     write_edge_list,
@@ -39,8 +41,10 @@ __all__ = [
     "read_sequence_file",
     "combine_vertex_values",
     "load_graph",
+    "load_graph_bucketed",
     "load_graph_sequence",
     "save_graph",
+    "save_graph_bucketed",
     "save_graph_sequence",
     "write_sequence_file",
     "write_edge_list",

@@ -280,3 +280,20 @@ def load_graph_sequence(
         spark, f"{path}/edges", edge_value_schema, src_col
     )
     return Graph(vertices, edges)
+
+
+def load_graph_bucketed(
+    spark: SparkSession, table_prefix: str,
+    id_col: str = "id", src_col: str = "src", dst_col: str = "dst",
+) -> Graph:
+    """Load a graph saved by
+    :func:`giraph_spark.sources.writers.save_graph_bucketed`. Joins and
+    groupBys keyed on the bucket columns read the bucketing from the
+    scan and skip their Exchange (verify with ``.explain``:
+    ``Bucketed: true``, no ``Exchange hashpartitioning`` above the
+    scan)."""
+    return Graph(
+        spark.table(f"{table_prefix}_vertices"),
+        spark.table(f"{table_prefix}_edges"),
+        id_col, src_col, dst_col,
+    )

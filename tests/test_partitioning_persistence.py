@@ -65,3 +65,36 @@ def test_graph_parquet_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in back.edges.collect()} == {
         tuple(r) for r in g.edges.collect()
     }
+
+
+def test_bucketed_graph_join_skips_exchange(spark, sf_dir, tmp_path):
+    """A graph saved bucketed joins vertices-to-edges on the bucket key
+    with NO exchange on either scan side — co-location from storage (the
+    at-scale layout replacing the kernel's per-run repartition)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from giraph_spark.plans.fixtures import trade_graph
+    from giraph_spark.sources import load_graph_bucketed, save_graph_bucketed
+
+    g = trade_graph(spark, sf_dir, directed=True)
+    save_graph_bucketed(g, "tg_bucket_test", buckets=8)
+    try:
+        loaded = load_graph_bucketed(spark, "tg_bucket_test")
+        joined = loaded.vertices.hint("shuffle_hash").join(
+            loaded.edges, loaded.vertices["id"] == loaded.edges["src"]
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan
+        # round-trip fidelity
+        assert loaded.vertices.count() == g.vertices.count()
+        assert loaded.edges.count() == g.edges.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tg_bucket_test_vertices")
+        spark.sql("DROP TABLE IF EXISTS tg_bucket_test_edges")
