@@ -124,9 +124,35 @@ def alternating_star_components(
     sort/except join. Lineage is truncated per round (localCheckpoint),
     the same plan-growth discipline as the pregel loop.
     """
+    from ..pregel import _auto_partitions
+
     spark = graph.vertices.sparkSession
     id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
 
+    # same data-sized shuffle-partition discipline as the pregel kernel
+    # (restored on exit); every round's groupBys/joins agree on one count
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_auto_partitions(graph, int(parts_before))),
+    )
+    try:
+        return _alternating_star_impl(
+            graph, spark, id_col, src_col, dst_col, max_rounds, component_col
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
+
+
+def _alternating_star_impl(
+    graph: Graph,
+    spark,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_rounds: int,
+    component_col: str,
+) -> DataFrame:
     e = (
         graph.edges.select(
             F.col(src_col).cast("long").alias("u"),
