@@ -782,6 +782,23 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, dim=64, k=10, planes=16, bands=4, portable=True)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN tier against the exact cosine tier — the
+    engine evaluating its own index quality, relationally."""
+    from giraph_spark.functions.similarity import ann_recall
+
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.where(F.col("vec_id") <= 5)
+    exact = brute_force_topk(e, q, k=10)
+    approx = lsh_topk(e, q, dim=64, k=10, planes=16, bands=4, portable=True)
+    return ann_recall(exact, approx).withColumn(
+        "query_id", F.col("query_id").cast("long")
+    )
+
+
 def _q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir).select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -989,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
+        "ann_recall": _q_ann_recall,
         "quantize_embeddings": _q_quantize_embeddings,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1842,6 +1860,19 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rnk
 FROM scored QUALIFY rnk <= 10"""
 
+    ann_recall_sql = f"""
+WITH ex AS (SELECT query_id, vec_id FROM ({cosine_topk_sql})),
+     ap AS (SELECT query_id, vec_id FROM ({lsh_topk_sql})),
+     hits AS (
+       SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1
+     ),
+     base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+SELECT CAST(b.query_id AS BIGINT) AS query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE), 6) AS recall_at_k
+FROM base b LEFT JOIN hits h ON b.query_id = h.query_id"""
+
     ivf_topk_sql = """
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
@@ -2074,6 +2105,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "cosine_topk": cosine_topk_sql,
         "ivf_topk": ivf_topk_sql,
         "lsh_topk": lsh_topk_sql,
+        "ann_recall": ann_recall_sql,
         "quantize_embeddings": quantize_sql,
         "embedding_near_dup_exact": emb_exact_sql,
         "sessionize": sessionize_sql,

@@ -23,6 +23,7 @@ from .similarity import (
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
+    ann_recall,
     quantize_embeddings,
 )
 from .text import (

@@ -442,3 +442,33 @@ def quantize_embeddings(
             lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
         ).alias("qvec"),
     )
+
+
+def ann_recall(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of an approximate top-k result against the exact tier, per
+    query: ``|exact ∩ approx| / |exact|`` — the standard ANN index
+    quality gauge, run as a relational intersection so the evaluation
+    itself scales (two groupBys on the query key, no re-scoring).
+    Feed it any two ``(query_id, vec_id, …)`` top-k relations, e.g.
+    :func:`brute_force_topk` vs :func:`lsh_topk`/:func:`ivf_topk`.
+    Returns ``(query_id, n_hit, recall_at_k)``."""
+    ex = exact_topk.select(query_id_col, id_col)
+    ap = approx_topk.select(query_id_col, id_col)
+    hits = ex.join(ap, [query_id_col, id_col]).groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    base = ex.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_exact")
+    )
+    return base.join(hits, query_id_col, "left").select(
+        F.col(query_id_col),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("_n_exact"), 6
+        ).alias("recall_at_k"),
+    )

@@ -269,3 +269,20 @@ def test_scrub_text_redacts_and_counts(spark):
     assert rows[1]["n_redactions"] == 3
     assert rows[2]["scrubbed"] == "clean text with the number 42 kept"
     assert rows[2]["n_redactions"] == 0
+
+
+def test_ann_recall_identity_and_disjoint(spark):
+    """recall = 1.0 when approx equals exact, 0.0 when disjoint, and the
+    denominator is the exact-tier size per query."""
+    from giraph_spark.functions.similarity import ann_recall
+
+    ex = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "query_id long, vec_id long"
+    )
+    same = ann_recall(ex, ex).toPandas().set_index("query_id")
+    assert same.loc[1, "recall_at_k"] == 1.0 and same.loc[1, "n_hit"] == 2
+    assert same.loc[2, "recall_at_k"] == 1.0
+    other = spark.createDataFrame([(1, 99), (2, 20)], "query_id long, vec_id long")
+    mix = ann_recall(ex, other).toPandas().set_index("query_id")
+    assert mix.loc[1, "recall_at_k"] == 0.0
+    assert mix.loc[2, "recall_at_k"] == 1.0
