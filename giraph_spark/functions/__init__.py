@@ -17,13 +17,13 @@ from .dedup import (
     simhash_near_pairs,
 )
 from .similarity import (
+    ann_recall,
     brute_force_topk,
     cosine,
     embedding_near_duplicates,
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
-    ann_recall,
     quantize_embeddings,
 )
 from .text import (
