@@ -38,6 +38,7 @@ from .text import (
 )
 from .sampling import (
     decontaminate,
+    expand_repeats,
     mixture_repeats,
     stratified_sample,
     train_val_split,

@@ -187,3 +187,21 @@ def mixture_repeats(
         F.col(strata_col).alias("stratum"),
         (whole + extra).cast("long").alias("n_repeats"),
     )
+
+
+def expand_repeats(
+    df: DataFrame, repeats_col: str = "n_repeats", epoch_col: str = "epoch"
+) -> DataFrame:
+    """Materialize :func:`mixture_repeats` multiplicities into repeated
+    rows — the shard-writing step: each row appears ``n_repeats`` times
+    with an ``epoch`` index (1-based); zero-weight rows drop out. A pure
+    explode of a generated sequence — no shuffle, output rows ≈ Σ
+    weights · |df|, which is the point: the repeated corpus never exists
+    except as it streams into the shard writer."""
+    return (
+        df.where(F.col(repeats_col) > 0)
+        .withColumn(
+            epoch_col, F.explode(F.expr(f"sequence(1, {repeats_col})"))
+        )
+        .drop(repeats_col)
+    )

@@ -100,3 +100,19 @@ def test_mixture_repeats_expectation(spark, sf_dir):
     # fractional expectation: src0 mean within the hash-resolution bound
     m = by.mean()["src0"]
     assert 2.0 <= m <= 3.0
+
+
+def test_expand_repeats(spark):
+    from pyspark.sql import functions as F
+
+    from giraph_spark.functions.sampling import expand_repeats
+
+    df = spark.createDataFrame(
+        [(1, "a", 2), (2, "b", 0), (3, "c", 1)],
+        "doc_id long, stratum string, n_repeats long",
+    )
+    out = expand_repeats(df).toPandas()
+    assert len(out) == 3
+    assert sorted(out[out["doc_id"] == 1]["epoch"]) == [1, 2]
+    assert 2 not in set(out["doc_id"])  # zero-weight rows drop
+    assert "Exchange" not in expand_repeats(df)._jdf.queryExecution().executedPlan().toString()
