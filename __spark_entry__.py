@@ -190,6 +190,15 @@ def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-core of the symmetrized trade graph: iterative peeling keeps
+    1027 of 1600 vertices at sf0.01 (non-trivial multi-round peel)."""
+    from giraph_spark.algos.components import k_core
+
+    g = symmetrize(trade_graph(spark, sf_dir, directed=True))
+    return k_core(g, k=30).select(F.col("id").cast("long").alias("id"))
+
+
 def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same component relation as ``wcc`` via alternating large-star/
     small-star edge rewriting (SoCC 2014) — the O(log n)-round strategy
@@ -957,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_chain": _q_bfs_chain,
         "wcc": _q_wcc,
         "wcc_star": _q_wcc_star,
+        "k_core": _q_k_core,
         "max_propagation": _q_max_prop,
         "min_propagation": _q_min_prop,
         "clean_symmetric": _q_clean_symmetric,
@@ -1115,6 +1125,33 @@ def oracle_sql() -> dict[str, str]:
         "LEAST(v.val, COALESCE(m.mv, v.val))",
         "SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS component FROM {last}",
     )
+
+    # k-core by unrolled peeling: each round keeps vertices whose degree
+    # within the surviving set is >= k; 20 rounds comfortably exceeds the
+    # sf0.01 peeling depth, and extra rounds are no-ops at the fixpoint
+    KCORE_K, KCORE_ROUNDS = 30, 20
+    kc_parts = [
+        TRADE_GRAPH_DIRECTED_SQL.strip(),
+        """, sym AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+    )
+), kr0 AS MATERIALIZED (SELECT id FROM vertices)""",
+    ]
+    for i in range(KCORE_ROUNDS):
+        kc_parts.append(
+            f""", kd{i} AS MATERIALIZED (
+    SELECT e.src AS id, COUNT(*) AS c
+    FROM sym e JOIN kr{i} a ON e.src = a.id JOIN kr{i} b ON e.dst = b.id
+    GROUP BY 1
+), kr{i + 1} AS MATERIALIZED (
+    SELECT r.id FROM kr{i} r JOIN kd{i} d ON r.id = d.id WHERE d.c >= {KCORE_K}
+)"""
+        )
+    kc_parts.append(
+        f"\nSELECT CAST(id AS BIGINT) AS id FROM kr{KCORE_ROUNDS}"
+    )
+    k_core_sql = "".join(kc_parts)
     maxp_sql = _relax_oracle(
         UNROLL_K,
         "id",
@@ -2126,6 +2163,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "bfs_chain": bfs_chain_sql,
         "wcc": wcc_sql,
         "wcc_star": wcc_sql,
+        "k_core": k_core_sql,
         "max_propagation": maxp_sql,
         "min_propagation": minp_sql,
         "clean_symmetric": clean_sym_sql,

@@ -276,3 +276,55 @@ def min_propagation(
         max_supersteps,
         metrics,
     )
+
+
+def k_core(
+    graph: Graph,
+    k: int = 2,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core: the maximal subgraph in which every vertex has degree
+    ≥ k, by iterative peeling — repeatedly drop vertices of degree < k
+    (degrees recomputed within the surviving subgraph) until stable.
+    A standard Giraph-deployment algorithm expressed Spark-first as a
+    driver loop of semi-joins + one partial-aggregated degree groupBy
+    per round, the same relational shape as the prepare passes
+    (``remove_isolated_vertices`` is exactly the k=1 special case done
+    once). Degree = OUT-degree within the surviving subgraph, edges AS
+    GIVEN — on a symmetrized relation that is exactly the undirected
+    degree (symmetrize first, as with :func:`connected_components`;
+    counting src+dst occurrences instead would double-count there).
+    Converges in ≤ peeling-depth rounds; each round's survivor set is
+    localCheckpoint-truncated like every other iterative loop in the
+    engine. Returns the surviving ``(id,)`` rows.
+    """
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    e0 = graph.edges.select(
+        F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
+    ).persist()
+    remaining = graph.vertices.select(
+        F.col(id_col).cast("long").alias("id")
+    ).localCheckpoint(eager=True)
+    n_prev = remaining.count()
+    for _ in range(max_rounds):
+        e = e0.join(
+            remaining.select(F.col("id").alias("s")), "s", "left_semi"
+        ).join(remaining.select(F.col("id").alias("d")), "d", "left_semi")
+        deg = (
+            e.select(F.col("s").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        survivors = (
+            remaining.join(deg, "id", "left")
+            .where(F.coalesce(F.col("_deg"), F.lit(0)) >= k)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        n = survivors.count()
+        remaining = survivors
+        if n == n_prev:
+            break
+        n_prev = n
+    e0.unpersist()
+    return remaining

@@ -157,3 +157,26 @@ def test_alternating_star_high_diameter_and_isolated(spark):
     assert (chain["component"] == 0).all()
     tail = out[out["id"] >= n]
     assert (tail["component"] == tail["id"]).all()
+
+
+def test_k_core_golden_and_cascade(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle, and
+    peeling must CASCADE (removing the chain tip drops its parent next
+    round — a one-pass degree filter would keep it)."""
+    from pyspark.sql import functions as F
+
+    from giraph_spark.algos.components import k_core
+    from giraph_spark.algos.prepare import symmetrize
+    from giraph_spark.graph import Graph
+
+    # triangle 0-1-2, chain 2-3-4
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+    )
+    v = spark.range(5).select("id")
+    g = symmetrize(Graph(v, e))
+    members = sorted(r["id"] for r in k_core(g, k=2).collect())
+    assert members == [0, 1, 2]
+    # k=1 keeps everything connected; k=4 empties the graph
+    assert k_core(g, k=1).count() == 5
+    assert k_core(g, k=4).count() == 0
