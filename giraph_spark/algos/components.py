@@ -38,6 +38,7 @@ def _label_propagation(
     out_col: str,
     max_supersteps: int,
     metrics: PregelMetrics | None,
+    **pregel_kwargs,
 ) -> DataFrame:
     return pregel(
         graph,
@@ -53,6 +54,7 @@ def _label_propagation(
         vote_to_halt=F.lit(True),
         max_supersteps=max_supersteps,
         metrics=metrics,
+        **pregel_kwargs,
     ).drop("_changed")
 
 
@@ -67,9 +69,12 @@ def connected_components(
     max_supersteps: int = 200,
     metrics: PregelMetrics | None = None,
     component_col: str = "component",
+    **pregel_kwargs,
 ) -> DataFrame:
     """Min-id label propagation over the edges AS GIVEN (caller symmetrizes
-    for undirected semantics, matching the reference's contract)."""
+    for undirected semantics, matching the reference's contract). Extra
+    keyword arguments pass through to :func:`giraph_spark.pregel.pregel`
+    (e.g. ``num_partitions``, ``checkpoint_every``)."""
     return _label_propagation(
         graph,
         F.min,
@@ -78,6 +83,7 @@ def connected_components(
         component_col,
         max_supersteps,
         metrics,
+        **pregel_kwargs,
     )
 
 
@@ -86,13 +92,15 @@ def wcc(
     max_supersteps: int = 200,
     metrics: PregelMetrics | None = None,
     component_col: str = "component",
+    **pregel_kwargs,
 ) -> DataFrame:
     """Weakly connected components: symmetrize then propagate
     (``prepare_graph/WeaklyConnectedComponents.java``)."""
     from .prepare import symmetrize
 
     return connected_components(
-        symmetrize(graph), max_supersteps, metrics, component_col
+        symmetrize(graph), max_supersteps, metrics, component_col,
+        **pregel_kwargs,
     )
 
 
@@ -241,6 +249,7 @@ def max_propagation(
     max_supersteps: int = 200,
     metrics: PregelMetrics | None = None,
     out_col: str = "max_value",
+    **pregel_kwargs,
 ) -> DataFrame:
     """Flood-max (``examples/MaxComputation.java:30-33``): every vertex
     converges to the maximum vertex id reachable backwards; on a symmetric
@@ -253,6 +262,7 @@ def max_propagation(
         out_col,
         max_supersteps,
         metrics,
+        **pregel_kwargs,
     )
 
 
@@ -261,6 +271,7 @@ def min_propagation(
     max_supersteps: int = 200,
     metrics: PregelMetrics | None = None,
     out_col: str = "min_value",
+    **pregel_kwargs,
 ) -> DataFrame:
     """Flood-min — the ``MinimumIntCombiner``-style dual of
     :func:`max_propagation` (``examples/SimpleCombinerComputation.java`` uses
@@ -275,6 +286,7 @@ def min_propagation(
         out_col,
         max_supersteps,
         metrics,
+        **pregel_kwargs,
     )
 
 
