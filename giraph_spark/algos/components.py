@@ -95,13 +95,23 @@ def wcc(
     **pregel_kwargs,
 ) -> DataFrame:
     """Weakly connected components: symmetrize then propagate
-    (``prepare_graph/WeaklyConnectedComponents.java``)."""
+    (``prepare_graph/WeaklyConnectedComponents.java``).
+
+    The symmetrized relation is persisted for the duration of the run:
+    its dedup is a full shuffle of 2|E| rows, and without the persist
+    the kernel would execute it twice (once for the auto-partition edge
+    count, once materializing the co-partitioned edge cache) — at 100 TB
+    that is a repeated multi-TB shuffle, not a rounding error."""
     from .prepare import symmetrize
 
-    return connected_components(
-        symmetrize(graph), max_supersteps, metrics, component_col,
-        **pregel_kwargs,
-    )
+    sym = symmetrize(graph)
+    sym.edges.persist()
+    try:
+        return connected_components(
+            sym, max_supersteps, metrics, component_col, **pregel_kwargs
+        )
+    finally:
+        sym.edges.unpersist()
 
 
 def alternating_star_components(
