@@ -33,7 +33,13 @@ from .pregel import PregelMetrics
 
 
 def _algorithms():
-    from .algos.components import max_propagation, min_propagation, wcc
+    from .algos.components import (
+        alternating_star_components,
+        k_core,
+        max_propagation,
+        min_propagation,
+        wcc,
+    )
     from .algos.independent_set import maximal_independent_set
     from .algos.pagerank import pagerank, random_walk_with_restart
     from .algos.paths import bfs, sssp
@@ -47,6 +53,8 @@ def _algorithms():
         "sssp": sssp,
         "bfs": bfs,
         "wcc": wcc,
+        "wcc_star": alternating_star_components,
+        "k_core": k_core,
         "scc": scc,
         "max_propagation": max_propagation,
         "min_propagation": min_propagation,
