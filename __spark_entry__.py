@@ -524,6 +524,13 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus accounting: docs, tokens, chars."""
+    from giraph_spark.functions.text import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
 def _q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (word / 2-gram / top-word)."""
     from giraph_spark.functions.text import repetition_features
@@ -999,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "corpus_stats": _q_corpus_stats,
         "repetition_features": _q_repetition_features,
         "scrub_text": _q_scrub_text,
         "train_val_split": _q_train_val_split,
@@ -1790,6 +1798,13 @@ FROM documents"""
             " 1, 15)) AS BIGINT) % 10000"
         )
 
+    corpus_stats_sql = f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({ws_tokens}) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2"""
+
     repetition_sql = f"""
 WITH tok AS (
   SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
@@ -2133,6 +2148,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "chunk_documents": chunk_documents_sql,
         "lang_id": lang_sql,
         "fingerprint": fingerprint_sql,
+        "corpus_stats": corpus_stats_sql,
         "repetition_features": repetition_sql,
         "scrub_text": scrub_sql,
         "train_val_split": train_val_split_sql,

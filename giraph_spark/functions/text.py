@@ -316,3 +316,24 @@ def scrub_text(
         c.alias("scrubbed"),
         n_red.cast("long").alias("n_redactions"),
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus accounting per group (source × lang by default): document
+    count, total whitespace tokens, total characters — the bookkeeping a
+    mixture designer reads before setting :func:`giraph_spark.functions.
+    sampling.mixture_repeats` weights. One partial-aggregated groupBy;
+    group cardinality is tiny (sources × languages), so the shuffle
+    moves one row per group per partition."""
+    return (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("total_tokens"),
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        )
+    )
