@@ -963,7 +963,56 @@ def _q_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _driver_check_history() -> dict[str, tuple[int, int]]:
+    """Per-key (times_checked, last_round_checked) from committed CORRECTNESS_r*.json.
+
+    The driver verifies only a fixed-size prefix of ``queries()``; ordering the
+    registry by ascending check history guarantees keys with the least driver
+    evidence (new keys, never-checked keys, longest-unchecked keys) always sit
+    inside that window.  Reads the committed per-round artifacts so the order
+    is identical for the driver and for local runs.
+    """
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key in rows:
+            n, _last = hist.get(key, (0, 0))
+            hist[key] = (n + 1, rnd)
+    return hist
+
+
+def _ordered_registry(base: dict) -> dict:
+    """Sort ``base`` so least-driver-verified keys come first.
+
+    Sort key: (times checked, last round checked, insertion index) ascending —
+    never-checked keys keep their relative insertion order at the front.
+    """
+    hist = _driver_check_history()
+    idx = {k: i for i, k in enumerate(base)}
+    order = sorted(base, key=lambda k: (*hist.get(k, (0, 0)), idx[k]))
+    return {k: base[k] for k in order}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _ordered_registry(_base_queries())
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": _q_pagerank(weighted=False, dangling=False),
         "pagerank_weighted": _q_pagerank(weighted=True, dangling=False),

@@ -1,0 +1,75 @@
+"""Guard the driver-verification window (VERDICT r03 headline).
+
+The driver verifies only a 50-key prefix of ``queries()``.  Round 3 showed
+that inserting new keys can silently displace previously-verified keys out
+of that window.  ``queries()`` now self-orders by driver-check history
+(committed CORRECTNESS_r*.json files); these tests turn that into an
+invariant so future key additions can't regress coverage.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import __spark_entry__ as entry_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_WINDOW = 50
+
+
+def _history():
+    hist: dict[str, set[int]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            for key in json.load(fh):
+                hist.setdefault(key, set()).add(rnd)
+    return hist
+
+
+def test_every_query_key_has_an_oracle():
+    qs = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    missing = qs - oracles
+    assert not missing, f"queries() keys without oracle_sql(): {sorted(missing)}"
+
+
+def test_oracle_keys_all_resolve_to_queries():
+    extra = set(entry_mod.oracle_sql()) - set(entry_mod.queries())
+    assert not extra, f"oracle_sql() keys with no queries() entry: {sorted(extra)}"
+
+
+def test_never_checked_keys_sit_inside_driver_window():
+    ks = list(entry_mod.queries())
+    hist = _history()
+    never = [k for k in ks if k not in hist]
+    late = [k for k in never if ks.index(k) >= DRIVER_WINDOW]
+    assert not late, (
+        f"{len(late)} never-driver-checked keys beyond position {DRIVER_WINDOW}: "
+        f"{late} — the driver would never verify them"
+    )
+
+
+def test_least_recently_checked_keys_come_first():
+    """Keys missing from the LATEST correctness round must precede the window
+    boundary, so next round's driver run closes the gap (as long as the count
+    of unchecked keys fits the window at all)."""
+    ks = list(entry_mod.queries())
+    hist = _history()
+    if not hist:
+        return
+    latest = max(r for rounds in hist.values() for r in rounds)
+    unchecked = [k for k in ks if latest not in hist.get(k, set())]
+    if len(unchecked) > DRIVER_WINDOW:
+        # More backlog than one round can absorb; the sort still guarantees
+        # the oldest-evidence keys are frontmost, which is the best possible.
+        unchecked = unchecked[:DRIVER_WINDOW]
+    late = [k for k in unchecked if ks.index(k) >= DRIVER_WINDOW]
+    assert not late, f"keys unchecked in r{latest} pushed past the window: {late}"
+
+
+def test_ordering_is_deterministic():
+    assert list(entry_mod.queries()) == list(entry_mod.queries())
