@@ -1887,18 +1887,27 @@ WITH aug AS (
                    || '.example/path ref 1234567890'
               ELSE text END AS text
   FROM documents
-), s AS (
-  SELECT doc_id,
-         regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             'https?://[^\\s]+', '<URL>', 'g'),
-             '[0-9][0-9 .-]{7,}[0-9]', '<NUM>', 'g') AS scrubbed
+), s0 AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n1,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
   FROM aug
+), s1 AS (
+  SELECT doc_id, n1,
+         len(regexp_extract_all(t1, 'https?://[^\\s]+')) AS n2,
+         regexp_replace(t1, 'https?://[^\\s]+', '<URL>', 'g') AS t2
+  FROM s0
+), s2 AS (
+  SELECT doc_id, n1, n2,
+         len(regexp_extract_all(t2, '[0-9][0-9 .-]{7,}[0-9]')) AS n3,
+         regexp_replace(t2, '[0-9][0-9 .-]{7,}[0-9]', '<NUM>', 'g') AS scrubbed
+  FROM s1
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, scrubbed,
-       CAST(len(string_split_regex(scrubbed, '<EMAIL>|<URL>|<NUM>')) - 1 AS BIGINT)
-           AS n_redactions
-FROM s"""
+       CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions
+FROM s2"""
 
     train_val_split_sql = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -193,6 +193,7 @@ def _alternating_star_impl(
 
     prev_sig = None
     prev_adj = None
+    converged = False
     for _ in range(max_rounds):
         # large-star: neighbors above the center re-attach to the center's min
         mins = adj.groupBy("u").agg(
@@ -236,8 +237,18 @@ def _alternating_star_impl(
         prev_adj = new_adj
         adj = new_adj
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+
+    if not converged:
+        # the final min-neighbor extraction is only correct on a converged
+        # star forest; a silent return here would yield wrong components
+        raise RuntimeError(
+            f"alternating_star_components: edge-set fixpoint not reached "
+            f"within max_rounds={max_rounds}; raise max_rounds (rounds "
+            f"needed grow ~log(diameter))"
+        )
 
     # at the fixpoint every non-root's sole neighbor is its component root
     comp = adj.groupBy("u").agg(F.min("v").alias("_c"))
@@ -328,6 +339,7 @@ def k_core(
         F.col(id_col).cast("long").alias("id")
     ).localCheckpoint(eager=True)
     n_prev = remaining.count()
+    stable = False
     for _ in range(max_rounds):
         e = e0.join(
             remaining.select(F.col("id").alias("s")), "s", "left_semi"
@@ -346,7 +358,14 @@ def k_core(
         n = survivors.count()
         remaining = survivors
         if n == n_prev:
+            stable = True
             break
         n_prev = n
     e0.unpersist()
+    if not stable:
+        # an un-peeled exit returns a SUPERSET of the k-core, silently
+        raise RuntimeError(
+            f"k_core: peeling did not stabilize within max_rounds="
+            f"{max_rounds}; raise max_rounds (needed rounds = peeling depth)"
+        )
     return remaining

@@ -456,9 +456,11 @@ def ann_recall(
     itself scales (two groupBys on the query key, no re-scoring).
     Feed it any two ``(query_id, vec_id, …)`` top-k relations, e.g.
     :func:`brute_force_topk` vs :func:`lsh_topk`/:func:`ivf_topk`.
-    Returns ``(query_id, n_hit, recall_at_k)``."""
-    ex = exact_topk.select(query_id_col, id_col)
-    ap = approx_topk.select(query_id_col, id_col)
+    Returns ``(query_id, n_hit, recall_at_k)``. Both sides are
+    deduplicated on (query, id) first so a duplicated row in either
+    input can't multiply in the join and push recall past 1.0."""
+    ex = exact_topk.select(query_id_col, id_col).distinct()
+    ap = approx_topk.select(query_id_col, id_col).distinct()
     hits = ex.join(ap, [query_id_col, id_col]).groupBy(query_id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_hit")
     )

@@ -304,13 +304,16 @@ def scrub_text(
     Python; patterns restricted to the regex subset with identical
     semantics across engines (so the pass is SQL-oracle-replayable).
     Returns ``(id, scrubbed, n_redactions)`` where ``n_redactions``
-    counts replaced spans."""
+    counts replaced spans — counted per pattern on the text as it
+    stands at that replacement stage, so a document that already
+    contains a literal ``<EMAIL>``/``<URL>``/``<NUM>`` string is not
+    miscounted, and a span consumed by an earlier pattern (digits
+    inside a URL) is not double-counted."""
     c = F.col(text_col)
+    n_red = F.lit(0)
     for pat, repl in SCRUB_PATTERNS:
+        n_red = n_red + F.regexp_count(c, F.lit(pat))
         c = F.regexp_replace(c, pat, repl)
-    n_red = (
-        F.size(F.split(c, "<EMAIL>|<URL>|<NUM>", -1)) - 1
-    )
     return df.select(
         F.col(id_col),
         c.alias("scrubbed"),

@@ -46,6 +46,13 @@ def normalize_event_ts(ev: DataFrame) -> DataFrame:
     TIMESTAMP_NTZ (native read of isAdjustedToUTC=false micros), and
     TIMESTAMP (already tz-aware). For the NTZ case the session timezone
     is pinned to UTC first so the cast is a relabel, not a value shift.
+
+    .. warning:: the NTZ branch mutates the SESSION-GLOBAL
+       ``spark.sql.session.timeZone`` to UTC and does not restore it —
+       the whole engine treats UTC session time as an invariant (every
+       events consumer and oracle assumes naive = UTC). Callers mixing
+       this library with local-time-dependent queries in one session
+       must set their own timezone per query.
     """
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type in ("bigint", "long"):

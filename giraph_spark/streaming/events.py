@@ -43,9 +43,14 @@ def _with_watermark(events: DataFrame, watermark: str) -> DataFrame:
     """Apply the event-time watermark, first coercing a TIMESTAMP_NTZ
     ``ts`` (e.g. a user-supplied stream that bypassed
     :func:`read_events_stream`) to TIMESTAMP — Spark's event-time
-    validator accepts only the latter. UTC session tz makes the cast a
-    relabel, not a value shift."""
+    validator accepts only the latter. The session timezone is pinned to
+    UTC first (matching :func:`~giraph_spark.plans.fixtures.normalize_event_ts`
+    on the batch path) so the cast is a relabel, not a value shift — without
+    the pin, Spark's default session tz is the JVM local zone and every
+    event time would silently shift by the tz offset, skewing windows,
+    watermarks, and dedup horizons."""
     if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", watermark)
 

@@ -271,6 +271,43 @@ def test_scrub_text_redacts_and_counts(spark):
     assert rows[2]["n_redactions"] == 0
 
 
+def test_scrub_text_literal_placeholders_not_counted(spark):
+    """A document already containing <EMAIL>/<URL>/<NUM> literals must not
+    inflate n_redactions, and digits consumed inside a URL must not be
+    double-counted by the NUM pattern (ADVICE r03)."""
+    from giraph_spark.functions.text import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "fake <EMAIL> and <NUM> placeholders, nothing real"),
+            (2, "see https://a.example/0123456789/page now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_text(df).collect()}
+    assert rows[1]["n_redactions"] == 0
+    assert rows[1]["scrubbed"] == "fake <EMAIL> and <NUM> placeholders, nothing real"
+    # the URL swallows the digit run: exactly one redaction
+    assert rows[2]["n_redactions"] == 1
+    assert rows[2]["scrubbed"] == "see <URL> now"
+
+
+def test_ann_recall_duplicate_rows_do_not_inflate(spark):
+    """Duplicate (query, id) rows in either input must not multiply in the
+    join — recall stays ≤ 1.0 (ADVICE r03)."""
+    from giraph_spark.functions.similarity import ann_recall
+
+    ex = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11)], "query_id long, vec_id long"
+    )
+    ap = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10)], "query_id long, vec_id long"
+    )
+    row = ann_recall(ex, ap).collect()[0]
+    assert row["n_hit"] == 1
+    assert row["recall_at_k"] == 0.5
+
+
 def test_ann_recall_identity_and_disjoint(spark):
     """recall = 1.0 when approx equals exact, 0.0 when disjoint, and the
     denominator is the exact-tier size per query."""
