@@ -108,6 +108,18 @@ def main() -> None:
             "supersteps": metric.num_supersteps,
             "messages": metric.total_messages,
         }
+    # per-superstep profile for the convergence-shaped query (the tail
+    # behavior the adaptive gear-down targets) — mirrors the reference's
+    # ShortestPathsBenchmark per-superstep timing output
+    counters["sssp"]["steps"] = [
+        {
+            "s": s["superstep"],
+            "msgs": s["messages"],
+            "parts": s["partitions"],
+            "sec": round(s["seconds"], 3),
+        }
+        for s in ms["sssp"].supersteps
+    ]
 
     total = round(sum(timings.values()), 3)
     print(

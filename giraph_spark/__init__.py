@@ -5,7 +5,15 @@ see SURVEY.md for the full mapping)."""
 
 from .graph import Graph, GraphSchemaError
 from .messages import MessageUnion, verify_types_match
-from .pregel import MSG, PregelContext, PregelMetrics, pregel, resume_pregel
+from .pregel import (
+    MSG,
+    PregelContext,
+    PregelMetrics,
+    pregel,
+    request_halt,
+    resume_pregel,
+    run_with_retries,
+)
 from .worker import (
     apply_in_pandas_with_setup,
     map_in_pandas_with_setup,
@@ -24,7 +32,9 @@ __all__ = [
     "apply_in_pandas_with_setup",
     "map_in_pandas_with_setup",
     "pregel",
+    "request_halt",
     "resume_pregel",
+    "run_with_retries",
     "verify_types_match",
     "worker_state",
 ]

@@ -67,7 +67,8 @@ def pagerank(
             "_wsum": F.coalesce("_wsum", F.lit(0.0)),
         }
     )
-    g = Graph(vertices, graph.edges, id_col, src_col, graph.dst_col)
+    g = Graph(vertices, graph.edges, id_col, src_col, graph.dst_col,
+              edges_layout=graph.edges_layout)
 
     base = (1.0 - damping) / n
 
@@ -164,7 +165,8 @@ def random_walk_with_restart(
             "_is_src": F.col(id_col).isin(sources),
         }
     )
-    g = Graph(vertices, graph.edges, id_col, src_col, graph.dst_col)
+    g = Graph(vertices, graph.edges, id_col, src_col, graph.dst_col,
+              edges_layout=graph.edges_layout)
     damping = 1.0 - restart_prob
     init = F.when(F.col("_is_src"), 1.0 / k).otherwise(0.0)
 

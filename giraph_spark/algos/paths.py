@@ -29,6 +29,7 @@ def sssp(
     max_supersteps: int = 100,
     metrics: PregelMetrics | None = None,
     dist_col: str = "distance",
+    **pregel_kwargs,
 ) -> DataFrame:
     """Single-source shortest paths. Returns ``(id, ..., distance)`` with
     ``distance = ∞`` for unreachable vertices (matching Giraph, which
@@ -37,8 +38,10 @@ def sssp(
     Scale notes: one shuffle per superstep for the ``groupBy(dst).min``
     inbox (map-side partial min = Giraph's message combiner, free from
     Catalyst) plus the triplet join keyed on vertex id. The active set
-    shrinks monotonically once the frontier passes, so late supersteps are
-    cheap; AQE coalesces their shuffle partitions.
+    shrinks monotonically once the frontier passes; the kernel's adaptive
+    gear-down (``pregel(adaptive_partitions=True)``) shrinks the loop's
+    shuffle width with it, so tail supersteps don't pay full-width task
+    counts for near-empty frontiers.
     """
     id_col = graph.id_col
     w = F.col(weight_col) if weight_col else F.lit(1.0)
@@ -66,6 +69,7 @@ def sssp(
         vote_to_halt=F.lit(True),
         max_supersteps=max_supersteps,
         metrics=metrics,
+        **pregel_kwargs,
     ).drop("_improved")
 
 
@@ -75,6 +79,7 @@ def bfs(
     max_supersteps: int = 100,
     metrics: PregelMetrics | None = None,
     level_col: str = "level",
+    **pregel_kwargs,
 ) -> DataFrame:
     """BFS level per vertex; -1 for unreachable (matching
     ``BreadthFirstSearch.java`` which initializes to NOT_VISITED).
@@ -111,6 +116,7 @@ def bfs(
         vote_to_halt=F.lit(True),
         max_supersteps=max_supersteps,
         metrics=metrics,
+        **pregel_kwargs,
     ).drop("_improved")
     return out.withColumn(
         level_col, F.when(F.col(level_col) >= big, F.lit(-1)).otherwise(F.col(level_col))

@@ -1,0 +1,225 @@
+"""Pure-Python media header codecs — the REAL (non-stub) decode path for
+:mod:`giraph_spark.functions.multimodal`.
+
+Media *container headers* are plain public formats parseable with stdlib
+``struct``; no codec library is needed to extract dimensions, frame
+counts, and durations. These parsers make ``decode_metadata`` real for
+the common image/audio containers while pixel/sample decoding (which
+does need PIL/ffmpeg) stays behind ``set_decoder``.
+
+Supported: PNG (IHDR), JPEG (SOF0/1/2/3/5-7/9-11/13-15), GIF (logical
+screen descriptor + image-descriptor frame count), BMP (BITMAPINFOHEADER),
+WAV (RIFF fmt/data chunks → duration).
+
+Register for a pipeline with :func:`register_header_decoders`; build
+deterministic real-header test payloads with :func:`make_png` /
+:func:`make_gif` / :func:`make_bmp` / :func:`make_wav`.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Any
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: JPEG start-of-frame markers that carry dimensions (all SOFn except
+#: DHT=0xC4, JPG=0xC8, DAC=0xCC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_png(payload: bytes) -> dict[str, Any]:
+    """Width/height from the IHDR chunk (always first, per the PNG spec)."""
+    if len(payload) < 24 or not payload.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    width, height = struct.unpack(">II", payload[16:24])
+    return {"width": width, "height": height, "n_frames": 1, "duration_s": None}
+
+
+def parse_jpeg(payload: bytes) -> dict[str, Any]:
+    """Walk the marker-segment chain to the first SOFn frame header."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker chain")
+        marker = payload[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2  # standalone marker, no length field
+            continue
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if marker in _JPEG_SOF:
+            height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+            return {
+                "width": width,
+                "height": height,
+                "n_frames": 1,
+                "duration_s": None,
+            }
+        i += 2 + seg_len
+    raise ValueError("JPEG has no SOF marker")
+
+
+def parse_gif(payload: bytes) -> dict[str, Any]:
+    """Logical-screen dimensions; frame count = image descriptors seen."""
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", payload[6:10])
+    # full LZW-block walking is out of scope for a header parser; image
+    # descriptors start with 0x2C followed by a 9-byte header whose
+    # position fields are bounded by the logical screen — count those
+    n_frames = 0
+    i = 10
+    while i < len(payload):
+        if payload[i] == 0x2C and i + 9 <= len(payload):
+            left, top = struct.unpack("<HH", payload[i + 1 : i + 5])
+            if left <= width and top <= height:
+                n_frames += 1
+                i += 9
+                continue
+        i += 1
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": max(n_frames, 1),
+        "duration_s": None,
+    }
+
+
+def parse_bmp(payload: bytes) -> dict[str, Any]:
+    """BITMAPINFOHEADER dimensions (height may be negative = top-down)."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    width, height = struct.unpack("<ii", payload[18:26])
+    return {
+        "width": width,
+        "height": abs(height),
+        "n_frames": 1,
+        "duration_s": None,
+    }
+
+
+def parse_wav(payload: bytes) -> dict[str, Any]:
+    """Duration from the RIFF fmt chunk's byte rate and the data size."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i = 12
+    byte_rate = None
+    data_size = None
+    n = len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not byte_rate or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return {
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "duration_s": round(data_size / byte_rate, 3),
+    }
+
+
+_SNIFFERS = (parse_png, parse_jpeg, parse_gif, parse_bmp, parse_wav)
+
+
+def decode_media_header(payload: bytes) -> dict[str, Any]:
+    """Sniff the container by magic bytes and parse its header; raises
+    ``ValueError`` when no supported container matches."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    for parse in _SNIFFERS:
+        try:
+            return parse(payload)
+        except ValueError:
+            continue
+    raise ValueError("unsupported media container")
+
+
+def register_header_decoders() -> None:
+    """Make the header parsers the live decoders for image and audio:
+    ``decode_metadata`` then produces REAL metadata for PNG/JPEG/GIF/BMP
+    payloads on the image modality and WAV on audio — no stub involved.
+    Video containers (MP4 et al.) still require a real demuxer; route
+    them through ``set_decoder('video', ...)`` when one is available."""
+    from .multimodal import set_decoder
+
+    set_decoder("image", decode_media_header)
+    set_decoder("audio", decode_media_header)
+
+
+# ---------------------------------------------------------------- test
+# payload builders: real minimal files, deterministic byte-for-byte
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A valid minimal PNG (8-bit grayscale, zlib-deflated zero scanlines)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """A valid minimal single-frame GIF89a."""
+    header = b"GIF89a" + struct.pack("<HH", width, height) + b"\xf0\x00\x00"
+    palette = b"\x00\x00\x00\xff\xff\xff"
+    image = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    # minimal LZW stream: code size 2, one clear code, end
+    data = b"\x02\x02\x44\x01\x00"
+    return header + palette + image + data + b"\x3b"
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """A valid minimal 24-bit BMP."""
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    pixels = (b"\x00" * (row + pad)) * height
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    file_header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return file_header + info + pixels
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """A structurally valid JPEG marker chain (JFIF APP0 + SOF0 + minimal
+    scan): enough for any header parser; not a renderable image."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    out = b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    out += b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def make_wav(duration_s: float, sample_rate: int = 8000) -> bytes:
+    """A valid minimal 8-bit mono PCM WAV of the given duration."""
+    n_samples = int(duration_s * sample_rate)
+    data = b"\x80" * n_samples
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -2,10 +2,16 @@
 metadata, processed with Arrow-batched pandas UDFs over ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing) is
-real and tested; the actual media decoding is STUBBED behind
-``set_decoder`` because media libraries are not available in this
-environment — the default "decoder" is a deterministic fake that derives
-pseudo-dimensions from the bytes, so pipelines are testable end-to-end.
+real and tested. Decoding has two tiers:
+
+- **Real container-header decode** — pure-Python parsers for PNG / JPEG /
+  GIF / BMP dimensions and WAV duration
+  (:mod:`giraph_spark.functions.media_codecs`); enable with
+  ``register_header_decoders()``. No external codec library involved.
+- **Pixel/sample decode** — requires PIL/ffmpeg-class libraries that are
+  not available in this environment; plug one in via ``set_decoder``.
+  Without a registered decoder the fallback is a deterministic fake
+  (clearly a stub) so pipelines stay testable end-to-end.
 
 Scale notes: binary payloads dominate row size, so (a) keep metadata in
 separate columns to let column pruning skip payload reads when only

@@ -81,6 +81,16 @@ class Graph:
     #: of silently enforcing. Default False = multigraph
     #: (``graph/Vertex.java:145-156``, ``TestMultiGraphEdges.java``).
     strict: bool = False
+    #: storage-layout hints ``(column, partition_count)``: set when the
+    #: relation is known to be hash-partitioned on that column by its
+    #: storage (a bucketed catalog table — see
+    #: :func:`giraph_spark.sources.readers.load_graph_bucketed`). The
+    #: pregel kernel trusts a matching hint to skip its input
+    #: re-partition: the bucketed scan *is* the co-location the
+    #: per-superstep joins need (Giraph's input-superstep edge placement,
+    #: ``worker/BspServiceWorker.java:611``, made durable in storage).
+    edges_layout: tuple[str, int] | None = None
+    vertices_layout: tuple[str, int] | None = None
     _validated: bool = field(default=False, repr=False)
 
     def __post_init__(self) -> None:
@@ -253,4 +263,13 @@ class Graph:
                 for c in self.edges.columns
             ]
         )
-        return Graph(self.vertices, swapped, self.id_col, self.src_col, self.dst_col)
+        # vertices are untouched so their layout hint survives; the edge
+        # layout (keyed on the pre-swap src) no longer applies
+        return Graph(
+            self.vertices,
+            swapped,
+            self.id_col,
+            self.src_col,
+            self.dst_col,
+            vertices_layout=self.vertices_layout,
+        )

@@ -90,6 +90,9 @@ class PregelMetrics:
     supersteps: list[dict[str, Any]] = field(default_factory=list)
     capture_plans: bool = False
     plans: list[str] = field(default_factory=list)
+    #: run-level facts the kernel records (e.g. whether a bucketed input
+    #: layout was adopted in place of the input repartition)
+    run_info: dict[str, Any] = field(default_factory=dict)
 
     @property
     def num_supersteps(self) -> int:
@@ -156,11 +159,14 @@ def pregel(graph: Graph, num_partitions: int | None = None, **kwargs) -> DataFra
     spark = graph.vertices.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    nparts = (
-        num_partitions
-        if num_partitions is not None
-        else _auto_partitions(graph, int(parts_before))
-    )
+    if num_partitions is not None:
+        nparts = num_partitions
+    elif graph.edges_layout is not None:
+        # bucketed input: adopt the storage width so the bucketed scan IS
+        # the loop partitioning and the input repartition disappears
+        nparts = graph.edges_layout[1]
+    else:
+        nparts = _auto_partitions(graph, int(parts_before))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     try:
@@ -168,6 +174,73 @@ def pregel(graph: Graph, num_partitions: int | None = None, **kwargs) -> DataFra
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", parts_before)
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) pair for any Hadoop-supported filesystem."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _consume_halt_file(spark, path: str) -> bool:
+    """True (and the file is deleted) if the halt sentinel exists — the
+    delete makes the signal one-shot, so a resumed run isn't re-halted by
+    a stale file."""
+    fs, p = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, False)
+        return True
+    return False
+
+
+def request_halt(spark, state_checkpoint_dir: str) -> None:
+    """Signal a running pregel job (this driver or any other) to halt
+    cleanly after its current superstep — the ``bin/halt-application``
+    surface (halt znode write, ``master/BspServiceMaster.java:1685-1691``)
+    re-expressed as a sentinel file on the checkpoint filesystem. The run
+    remains resumable from its latest durable checkpoint."""
+    fs, p = _hadoop_fs(spark, f"{state_checkpoint_dir}/HALT")
+    out = fs.create(p, True)
+    out.close()
+
+
+def run_with_retries(
+    graph: Graph,
+    state_checkpoint_dir: str,
+    max_attempts: int = 3,
+    **kwargs,
+) -> DataFrame:
+    """Failure-restart orchestration: run :func:`pregel` with durable
+    checkpoints; on failure, re-enter from the latest checkpoint via
+    :func:`resume_pregel` (or from scratch if none was written yet), up
+    to ``max_attempts`` total attempts. The automatic analog of Giraph's
+    checkpoint-restart path (``CheckpointSupportedChecker`` +
+    master-re-election restart, ``graph/GraphTaskManager.java:340-348``),
+    with Spark already handling task/executor-level retry below — this
+    wrapper covers whole-job failures (driver OOM, cluster preemption).
+    """
+    last_err: Exception | None = None
+    for attempt in range(max_attempts):
+        try:
+            if attempt == 0:
+                return pregel(
+                    graph, state_checkpoint_dir=state_checkpoint_dir, **kwargs
+                )
+            try:
+                return resume_pregel(graph, state_checkpoint_dir, **kwargs)
+            except ValueError:
+                # no checkpoint was reached before the failure: restart
+                return pregel(
+                    graph, state_checkpoint_dir=state_checkpoint_dir, **kwargs
+                )
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001 — any job failure is retryable
+            last_err = e
+    raise RuntimeError(
+        f"pregel failed after {max_attempts} attempts; last error: {last_err!r}"
+    ) from last_err
 
 
 def resume_pregel(graph: Graph, state_checkpoint_dir: str, **kwargs) -> DataFrame:
@@ -233,8 +306,10 @@ def _pregel_impl(
     msg_type: str | None = None,
     aggregates: dict[str, Expr] | None = None,
     master_fn: Callable[[PregelContext], None] | None = None,
+    halt_file: str | None = None,
     max_supersteps: int = 100,
     start_superstep: int = 0,
+    adaptive_partitions: bool = True,
     checkpoint_every: int = 6,
     checkpoint_dir: str | None = None,
     state_checkpoint_dir: str | None = None,
@@ -304,6 +379,32 @@ def _pregel_impl(
         driver callback after each superstep; may read ``ctx.aggregates``,
         mutate ``ctx.broadcasts`` (visible to callable expressions next
         superstep) or call ``ctx.halt()``.
+    halt_file:
+        out-of-band stop signal — the analog of ``bin/halt-application``
+        writing the halt znode (``master/BspServiceMaster.java:1685-1691``):
+        a path (any Hadoop-reachable filesystem) checked once per
+        superstep; if it exists, the file is consumed (deleted) and the
+        run halts cleanly after the current superstep, leaving state
+        resumable via durable checkpoints. Defaults to
+        ``{state_checkpoint_dir}/HALT`` when ``state_checkpoint_dir`` is
+        set. Request a halt from outside the driver with
+        :func:`request_halt`.
+    adaptive_partitions:
+        when true (default), the loop re-sizes its shuffle-partition count
+        from the live message volume: after a superstep whose
+        ``num_messages`` implies a partition count ≥2× smaller (or larger)
+        than the current one, the session shuffle setting is changed and
+        the vertex state re-keyed once at the new width. This is the
+        frontier-collapse optimization: SSSP/BFS/WCC frontiers shrink by
+        orders of magnitude in their tail supersteps, and without AQE
+        (which must stay off in-loop) every tail superstep would otherwise
+        pay the full-width task count for near-empty shuffles — at cluster
+        scale, tens of thousands of empty tasks per superstep. The 2×
+        hysteresis bounds re-key shuffles to O(log width) per run; the
+        cached edge relation keeps its original width (EnsureRequirements
+        re-shuffles the tiny frontier side up to meet it, never the edges).
+        Mirrors the adaptive compute-thread/partition sizing Giraph gets
+        from per-worker message stores draining in place.
     state_checkpoint_dir:
         when set, every ``checkpoint_every``-th superstep the post-update
         vertex state AND the in-flight messages are written as parquet under
@@ -334,6 +435,9 @@ def _pregel_impl(
     spark = vertices.sparkSession
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    halt_path = halt_file
+    if halt_path is None and state_checkpoint_dir:
+        halt_path = f"{state_checkpoint_dir}/HALT"
 
     # Pre-partition the (static) edge relation by its join key ONCE and
     # keep it cached: every superstep's triplet join then sees a
@@ -343,19 +447,32 @@ def _pregel_impl(
     # side stays hash-partitioned on id because checkpoint/localCheckpoint
     # preserves the physical partitioning from the inbox join.
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cur_n = nparts  # live gear; shrinks/grows with the frontier (see below)
+    v_floor: int | None = None  # computed lazily at the first gear decision
+    prev_msg_count: int | None = None
     edges_by_src: DataFrame | None = None
     edges_by_dst: DataFrame | None = None
     if messages_fn is None:
         if send_msg is not None:
-            edges_by_src = edges.repartition(nparts, F.col(src_col)).persist(
-                storage_level
-            )
+            if graph.edges_layout == (src_col, nparts):
+                # bucketed storage already hash-partitions edges on src at
+                # the loop width: cache the scan as-is, zero input shuffle
+                edges_by_src = edges.persist(storage_level)
+                metrics.run_info["edges_from_storage_layout"] = True
+            else:
+                edges_by_src = edges.repartition(nparts, F.col(src_col)).persist(
+                    storage_level
+                )
         if send_msg_to_src is not None:
             edges_by_dst = edges.repartition(nparts, F.col(dst_col)).persist(
                 storage_level
             )
 
-    vertices = vertices.repartition(nparts, F.col(id_col)).persist(storage_level)
+    if _resume_vertices is None and graph.vertices_layout == (id_col, nparts):
+        vertices = vertices.persist(storage_level)
+        metrics.run_info["vertices_from_storage_layout"] = True
+    else:
+        vertices = vertices.repartition(nparts, F.col(id_col)).persist(storage_level)
     messages: DataFrame | None = None
     if _resume_messages is not None:
         messages = _resume_messages.persist(storage_level)
@@ -525,6 +642,7 @@ def _pregel_impl(
                 "superstep": superstep,
                 "vertices": ctx.num_vertices,
                 "messages": ctx.num_messages,
+                "partitions": cur_n,
                 "seconds": time.monotonic() - t0,
             }
         )
@@ -559,8 +677,11 @@ def _pregel_impl(
         if checkpoint_every and (superstep + 1) % checkpoint_every == 0:
             gc.collect()
 
-        # 8. Termination: master halt, or all-halted ∧ no messages
-        #    (BspServiceMaster.java:1681-1685).
+        # 8. Termination: external halt signal (one FS existence probe per
+        #    superstep ≡ the master's halt-znode watch), master halt, or
+        #    all-halted ∧ no messages (BspServiceMaster.java:1681-1685).
+        if halt_path is not None and _consume_halt_file(spark, halt_path):
+            ctx.halt()
         if ctx._halt:
             break
         if ctx.num_messages == 0:
@@ -569,6 +690,34 @@ def _pregel_impl(
             )
             if not any_active:
                 break
+
+        # 9. Adaptive gear change: re-size the loop's shuffle width from
+        #    the live message volume (frontier collapse). Gearing down is
+        #    gated on a DECLINING message count — during ramp-up the
+        #    frontier fans out by the average degree each superstep, and
+        #    gearing down just before the explosion serializes the heavy
+        #    supersteps (measured 1.5× slower). The width never drops
+        #    below what the per-superstep O(V) state rewrite needs. Gear-up
+        #    is always allowed (guards against post-decline regrowth). The
+        #    2× hysteresis bounds state re-keys to O(log nparts) per run;
+        #    each re-key exchange folds into the next superstep's job.
+        if adaptive_partitions and new_messages is not None:
+            if v_floor is None:
+                v_floor = max(
+                    1,
+                    min(nparts, -(-vertices.count() // ROWS_PER_PARTITION)),
+                )
+            declining = prev_msg_count is not None and (
+                ctx.num_messages < prev_msg_count
+            )
+            want = max(
+                v_floor, min(nparts, -(-ctx.num_messages // ROWS_PER_PARTITION))
+            )
+            if (want * 2 <= cur_n and declining) or want >= cur_n * 2:
+                cur_n = want
+                spark.conf.set("spark.sql.shuffle.partitions", str(cur_n))
+                vertices = vertices.repartition(cur_n, F.col(id_col))
+            prev_msg_count = ctx.num_messages
 
     # End-of-run cleanup: the cached co-partitioned edge relations and the
     # final message frames are internal to this run — release them so

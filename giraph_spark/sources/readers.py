@@ -282,6 +282,23 @@ def load_graph_sequence(
     return Graph(vertices, edges)
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[str, int] | None:
+    """(bucket_column, num_buckets) of a catalog table, or None if the
+    table is unbucketed / multi-column-bucketed."""
+    rows = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    try:
+        n = int(rows["Num Buckets"])
+        cols = [c.strip(" `") for c in rows["Bucket Columns"].strip("[]").split(",")]
+    except (KeyError, ValueError):
+        return None
+    if len(cols) != 1:
+        return None
+    return cols[0], n
+
+
 def load_graph_bucketed(
     spark: SparkSession, table_prefix: str,
     id_col: str = "id", src_col: str = "src", dst_col: str = "dst",
@@ -291,9 +308,20 @@ def load_graph_bucketed(
     groupBys keyed on the bucket columns read the bucketing from the
     scan and skip their Exchange (verify with ``.explain``:
     ``Bucketed: true``, no ``Exchange hashpartitioning`` above the
-    scan)."""
+    scan).
+
+    The returned Graph carries the detected bucket layout (read from the
+    catalog's bucket spec), which :func:`giraph_spark.pregel.pregel`
+    consumes to skip its input re-partition entirely — a bucketed graph
+    enters the superstep loop with ZERO input shuffle, the durable form
+    of Giraph's input-superstep edge placement
+    (``worker/BspServiceWorker.java:611``)."""
+    v_spec = _bucket_spec(spark, f"{table_prefix}_vertices")
+    e_spec = _bucket_spec(spark, f"{table_prefix}_edges")
     return Graph(
         spark.table(f"{table_prefix}_vertices"),
         spark.table(f"{table_prefix}_edges"),
         id_col, src_col, dst_col,
+        vertices_layout=v_spec if v_spec and v_spec[0] == id_col else None,
+        edges_layout=e_spec if e_spec and e_spec[0] == src_col else None,
     )

@@ -56,3 +56,75 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
         for r in resume_pregel(g, ckpt, checkpoint_every=3, **args2).collect()
     }
     assert resumed == full
+
+
+def test_external_halt_then_resume(spark, tmp_path):
+    """bin/halt-application analog (BspServiceMaster.java:1685-1691): a
+    sentinel written before the run halts it at the first superstep check;
+    the halted state resumes from its durable checkpoint to the same
+    result as an uninterrupted run."""
+    from giraph_spark.pregel import request_halt
+
+    g = _graph(spark)
+    full = {r["id"]: r["value"] for r in pregel(g, **_kernel_args()).collect()}
+
+    ckpt = str(tmp_path / "halt_ckpt")
+    # halt signal pre-planted: the run must stop at its very first
+    # superstep-boundary check, long before max_supersteps
+    request_halt(spark, ckpt)
+    args = _kernel_args()
+    pregel(g, state_checkpoint_dir=ckpt, checkpoint_every=1, **args)
+
+    # the sentinel was consumed: a fresh resume runs to completion
+    resumed = {
+        r["id"]: r["value"]
+        for r in resume_pregel(g, ckpt, checkpoint_every=3, **_kernel_args()).collect()
+    }
+    assert resumed == full
+
+
+def test_run_with_retries_recovers_from_mid_run_failure(spark, tmp_path):
+    """Automatic failure-restart (GraphTaskManager.java:340-348): a
+    master_fn that raises mid-run on the first attempt simulates a job
+    failure; run_with_retries resumes from the durable checkpoint and
+    completes to the uninterrupted result."""
+    from giraph_spark.pregel import run_with_retries
+
+    g = _graph(spark)
+    full = {r["id"]: r["value"] for r in pregel(g, **_kernel_args()).collect()}
+
+    attempts = {"n": 0}
+
+    def failing_master(ctx):
+        # first attempt dies after superstep 5 (checkpoints at 2 and 5)
+        if attempts["n"] == 0 and ctx.superstep == 5:
+            attempts["n"] += 1
+            raise RuntimeError("injected executor loss")
+
+    out = run_with_retries(
+        g,
+        str(tmp_path / "retry_ckpt"),
+        checkpoint_every=3,
+        master_fn=failing_master,
+        **_kernel_args(),
+    )
+    assert {r["id"]: r["value"] for r in out.collect()} == full
+    assert attempts["n"] == 1  # it really did fail once
+
+
+def test_run_with_retries_gives_up(spark, tmp_path):
+    import pytest
+
+    from giraph_spark.pregel import run_with_retries
+
+    def always_fail(ctx):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        run_with_retries(
+            _graph(spark),
+            str(tmp_path / "fail_ckpt"),
+            max_attempts=2,
+            master_fn=always_fail,
+            **_kernel_args(),
+        )

@@ -98,3 +98,38 @@ def test_bucketed_graph_join_skips_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tg_bucket_test_vertices")
         spark.sql("DROP TABLE IF EXISTS tg_bucket_test_edges")
+
+
+def test_pregel_consumes_bucketed_layout_without_reshuffle(spark, sf_dir):
+    """VERDICT r03 item 3: pregel() on a bucketed-loaded graph must adopt
+    the storage width and skip its input repartition on BOTH relations —
+    the durable analog of Giraph's input-superstep edge placement
+    (worker/BspServiceWorker.java:611) — and produce results identical to
+    the shuffled path."""
+    from pyspark.sql import functions as F
+
+    from giraph_spark import PregelMetrics
+    from giraph_spark.algos.paths import bfs
+    from giraph_spark.plans.fixtures import trade_graph
+    from giraph_spark.sources import load_graph_bucketed, save_graph_bucketed
+
+    g = trade_graph(spark, sf_dir)
+    save_graph_bucketed(g, "tg_kernel_bucket", buckets=4)
+    try:
+        loaded = load_graph_bucketed(spark, "tg_kernel_bucket")
+        assert loaded.edges_layout == ("src", 4)
+        assert loaded.vertices_layout == ("id", 4)
+
+        m = PregelMetrics()
+        out = bfs(loaded, source=1, metrics=m)
+        assert m.run_info.get("edges_from_storage_layout") is True
+        assert m.run_info.get("vertices_from_storage_layout") is True
+        # the run adopted the bucket count as its loop width
+        assert m.supersteps[0]["partitions"] == 4
+
+        got = {r["id"]: r["level"] for r in out.collect()}
+        want = {r["id"]: r["level"] for r in bfs(g, source=1).collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tg_kernel_bucket_vertices")
+        spark.sql("DROP TABLE IF EXISTS tg_kernel_bucket_edges")

@@ -55,6 +55,44 @@ def test_bfs_golden(sssp_toy):
     assert got == {1: -1, 2: 0, 3: 1, 4: 1}
 
 
+def test_adaptive_gear_down_on_frontier_collapse(spark, monkeypatch):
+    """The kernel shrinks its shuffle width once the frontier declines
+    (lollipop graph: dense head floods early supersteps, then a long tail
+    path sends one message per superstep), and the result is identical to
+    a fixed-width run. ROWS_PER_PARTITION is patched down so a small graph
+    exercises the gear logic."""
+    import importlib
+
+    # giraph_spark re-exports the pregel FUNCTION; fetch the module itself
+    P = importlib.import_module("giraph_spark.pregel")
+    monkeypatch.setattr(P, "ROWS_PER_PARTITION", 20)
+
+    head = [(i, j, 1.0) for i in range(10) for j in range(10) if i != j]
+    tail = [(9, 100, 1.0)] + [(100 + i, 101 + i, 1.0) for i in range(15)]
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(100 + i,) for i in range(17)], "id long"
+    )
+    edges = spark.createDataFrame(head + tail, "src long, dst long, weight double")
+    g = Graph(vertices, edges)
+
+    metrics = PregelMetrics()
+    out = bfs(g, source=0, metrics=metrics, num_partitions=8)
+    got = {r["id"]: r["level"] for r in out.collect()}
+    # head levels: source 0, rest of clique 1; tail path climbs from 9
+    assert got[0] == 0 and got[5] == 1
+    assert got[100] == 2 and got[115] == 17
+
+    gears = [s["partitions"] for s in metrics.supersteps]
+    assert gears[0] == 8
+    assert gears[-1] < 8, f"gear never shrank: {gears}"
+    # monotone non-increasing after the decline sets in (no thrash)
+    peak = gears.index(min(gears))
+    assert all(a >= b for a, b in zip(gears[:peak], gears[1:peak]))
+
+    fixed = bfs(g, source=0, adaptive_partitions=False, num_partitions=8)
+    assert {r["id"]: r["level"] for r in fixed.collect()} == got
+
+
 def test_degrees(sssp_toy):
     outd = {r["id"]: r["out_degree"] for r in sssp_toy.out_degrees().collect()}
     ind = {r["id"]: r["in_degree"] for r in sssp_toy.in_degrees().collect()}
