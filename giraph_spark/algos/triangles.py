@@ -83,19 +83,43 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
     )
 
 
-def triangle_closing_topk(graph: Graph, k: int = 10) -> DataFrame:
+def triangle_closing_topk(
+    graph: Graph, k: int = 10, max_degree: int | None = None
+) -> DataFrame:
     """For each vertex, the top-k non-adjacent vertices ranked by common
     neighbor count (``SimpleTriangleClosingComputation``); returns
     ``(id, candidate, common_neighbors, rnk)``. Ties broken by candidate id
     for determinism (the reference's ``IntArrayListWritable`` comparator
-    sorts on score only — id tiebreak is our determinism addition)."""
+    sorts on score only — id tiebreak is our determinism addition).
+
+    ``max_degree``: optional hub guard for power-law graphs. The wedge
+    self-join materializes ``sum(deg(v)^2)`` pair rows, so one 10^6-degree
+    hub alone contributes 10^12 pairs — the super-node hazard at 100×
+    scale. With ``max_degree=d`` set, vertices whose (undirected) degree
+    exceeds ``d`` do not act as the wedge *midpoint*, bounding the pair
+    relation by ``|V|·d^2`` at the cost of missing recommendations whose
+    only common neighbors are hubs. This is explicit top-k approximation —
+    the same memory-bounding role the reference's per-vertex
+    ``IntArrayListWritable`` top-k buffer plays
+    (``examples/SimpleTriangleClosingComputation.java:67-75``), surfaced
+    as a declared parameter instead of an implicit buffer cap."""
     from pyspark.sql import Window
 
     src, dst = graph.src_col, graph.dst_col
     id_col = graph.id_col
     sym = symmetrize(graph, dedup=True).edges.select(src, dst)
+    hop2 = sym
+    if max_degree is not None:
+        deg = sym.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+        hubs = deg.where(F.col("_deg") > max_degree).select(
+            F.col(src).alias("_hub")
+        )
+        # exclude hub *midpoints* only: filter the second-hop side on its
+        # source (== the wedge midpoint). Endpoints and candidates may
+        # still be hubs; adjacency anti-join below stays on the full sym.
+        hop2 = sym.join(hubs, F.col(src) == F.col("_hub"), "left_anti")
     a = sym.alias("a")
-    b = sym.alias("b")
+    b = hop2.alias("b")
     pairs = (
         a.join(b, F.col(f"a.{dst}") == F.col(f"b.{src}"))
         .where(F.col(f"a.{src}") != F.col(f"b.{dst}"))

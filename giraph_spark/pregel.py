@@ -306,6 +306,7 @@ def _pregel_impl(
     msg_type: str | None = None,
     aggregates: dict[str, Expr] | None = None,
     master_fn: Callable[[PregelContext], None] | None = None,
+    skew_metrics: bool = False,
     halt_file: str | None = None,
     max_supersteps: int = 100,
     start_superstep: int = 0,
@@ -379,6 +380,20 @@ def _pregel_impl(
         driver callback after each superstep; may read ``ctx.aggregates``,
         mutate ``ctx.broadcasts`` (visible to callable expressions next
         superstep) or call ``ctx.halt()``.
+    skew_metrics:
+        when true, the per-superstep message count is computed as an
+        aggregate over per-destination group sizes instead of a flat
+        count, and each ``metrics.supersteps`` row gains
+        ``max_inbox_group`` / ``median_inbox_group`` — the in-loop skew
+        observability a 100× user needs to decide when to reach for
+        :func:`giraph_spark.partitioning.salt_heavy_keys` (a hot vertex
+        is a hot key in the delivery shuffle; max ≫ median is the salt
+        signal). Still one action per superstep, but the extra
+        ``groupBy(_dst)`` pre-pays the delivery shuffle's cost a second
+        time — diagnostic mode, off by default. The reference gets the
+        equivalent from per-worker received-message counters
+        (``counters/GiraphStats.java:39-51`` + per-superstep counters,
+        ``conf/GiraphConstants.java:846``).
     halt_file:
         out-of-band stop signal — the analog of ``bin/halt-application``
         writing the halt znode (``master/BspServiceMaster.java:1685-1691``):
@@ -563,6 +578,7 @@ def _pregel_impl(
         #    below stays.)
         computed = state.filter(F.col(ACTIVE))
         new_messages: DataFrame | None = None
+        skew_row: dict[str, Any] | None = None
         if messages_fn is not None:
             new_messages = messages_fn(computed, edges, ctx)
         else:
@@ -615,7 +631,20 @@ def _pregel_impl(
                     new_messages.explain("formatted")
                 metrics.plans.append(buf.getvalue())
             new_messages = new_messages.persist(storage_level)
-            ctx.num_messages = new_messages.count()
+            if skew_metrics:
+                srow = (
+                    new_messages.groupBy("_dst")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .agg(F.sum("_n"), F.max("_n"), F.median("_n"))
+                    .collect()[0]
+                )
+                ctx.num_messages = int(srow[0] or 0)
+                skew_row = {
+                    "max_inbox_group": int(srow[1] or 0),
+                    "median_inbox_group": float(srow[2] or 0.0),
+                }
+            else:
+                ctx.num_messages = new_messages.count()
         else:
             state.count()  # still must materialize before releasing prev
             ctx.num_messages = 0
@@ -644,6 +673,7 @@ def _pregel_impl(
                 "messages": ctx.num_messages,
                 "partitions": cur_n,
                 "seconds": time.monotonic() - t0,
+                **(skew_row or {}),
             }
         )
 

@@ -76,3 +76,34 @@ def test_triangle_totals_agree(spark):
     # each triangle is counted once per corner
     assert per_vertex_sum == 3 * total
     assert total > 0  # k=4 lattice has guaranteed triangles
+
+
+def test_triangle_closing_hub_guard(spark):
+    """max_degree bounds the wedge pair relation on a planted super-node
+    (VERDICT r3 #6): hub midpoints are excluded, everything else matches
+    the unguarded result."""
+    from giraph_spark import Graph
+    from giraph_spark.algos.triangles import triangle_closing_topk
+
+    # star hub 0 -- {1..40}, plus a disjoint path 50-51-52
+    hub_edges = [(0, i) for i in range(1, 41)]
+    path = [(50, 51), (51, 52)]
+    edges = spark.createDataFrame(hub_edges + path, "src long, dst long")
+    ids = sorted({v for e in hub_edges + path for v in e})
+    vertices = spark.createDataFrame([(i,) for i in ids], "id long")
+    g = Graph(vertices, edges)
+
+    full = triangle_closing_topk(g, k=5)
+    guarded = triangle_closing_topk(g, k=5, max_degree=10)
+
+    # unguarded: every leaf pair (i,j) through hub 0 is a candidate pair
+    # -> O(deg(hub)^2) rows; guarded drops all hub-midpoint wedges
+    assert full.count() > guarded.count()
+    # pairs whose ONLY common neighbor is the hub are gone
+    got = {(r["id"], r["candidate"]) for r in guarded.collect()}
+    assert (10, 20) not in got and (20, 10) not in got
+    # a pair with a non-hub midpoint survives with correct count:
+    # 50 and 52 share midpoint 51 (deg 2 <= 10), not adjacent
+    assert (50, 52) in got and (52, 50) in got
+    row = [r for r in guarded.collect() if r["id"] == 50 and r["candidate"] == 52]
+    assert row[0]["common_neighbors"] == 1

@@ -157,3 +157,42 @@ def test_auto_partition_sizing(spark, sf_dir):
         max_supersteps=1,
     )
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_skew_metrics_observability(spark):
+    """skew_metrics=True records per-superstep max/median inbox-group
+    sizes (VERDICT r3 #7): a planted hub shows max >> median — the salt
+    signal — with message totals identical to the plain-count path."""
+    from giraph_spark import Graph, PregelMetrics
+
+    # star: every leaf sends to hub 0 each superstep; a short chain among
+    # the leaves provides normal-sized (size-1) inbox groups
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 33)] + [(i, i + 1) for i in range(1, 6)],
+        "src long, dst long",
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(33)], "id long")
+    g = Graph(vertices, edges)
+
+    def run(flag):
+        m = PregelMetrics()
+        pregel(
+            g,
+            initial={"v": F.lit(1.0)},
+            update={"v": F.coalesce(F.col("_msg"), F.col("v"))},
+            send_msg=F.col("v"),
+            combine=F.sum,
+            max_supersteps=2,
+            skew_metrics=flag,
+            metrics=m,
+        )
+        return m
+
+    m_on, m_off = run(True), run(False)
+    assert [s["messages"] for s in m_on.supersteps] == [
+        s["messages"] for s in m_off.supersteps
+    ]
+    s0 = m_on.supersteps[0]
+    assert s0["max_inbox_group"] == 32  # all 32 leaves hit hub 0
+    assert s0["median_inbox_group"] == 1.0
+    assert "max_inbox_group" not in m_off.supersteps[0]
