@@ -10,15 +10,20 @@ Reference:
 - exercised by ``master/TestSwitchClasses.java`` (computation + combiner +
   message-class switching in one run).
 
-A DataFrame loop wants ONE stable message schema per run: Catalyst caches
-resolved plans, and durable checkpoints must be re-readable mid-run. The
-blessed Spark-first equivalent of switching the outgoing message class is a
-struct-typed message whose fields are the union of every phase's type, with
-exactly one field non-null per superstep. :class:`MessageUnion` packages
-that pattern (message construction, field access, field-wise combiners) and
+The kernel supports TRUE mid-run type switching — each superstep's plan is
+rebuilt from scratch, so a callable ``send_msg`` may change the message
+column's data type between supersteps, with ``combine_fn`` switching the
+combiner in lockstep (``tests/test_switch_classes.py::
+test_true_midrun_type_switching`` replays ``TestSwitchClasses.java``
+bit-for-bit). Still, a run usually WANTS one stable message schema: a
+uniform type keeps every superstep's inbox layout identical and the durable
+checkpoint directory homogeneous. :class:`MessageUnion` packages that
+preferred pattern — a struct-typed message whose fields are the union of
+every phase's type, exactly one field non-null per superstep (message
+construction, field access, field-wise combiners) — and
 :func:`verify_types_match` performs the reference's entry-time schedule
-verification. (The other sanctioned pattern — one ``pregel`` call per phase
-with a driver-side phase machine — is ``algos/scc.py``.)
+verification. (The third form — one ``pregel`` call per phase with a
+driver-side phase machine — is ``algos/scc.py``.)
 """
 
 from __future__ import annotations

@@ -354,15 +354,20 @@ def _pregel_impl(
         "set in S−1, applies to S" timing.
 
         ``SuperstepClasses`` also lets the reference switch the outgoing
-        *message type* per superstep. We deliberately do not mutate the
-        message column's data type mid-run — a DataFrame loop wants one
-        stable schema per run (Catalyst caches resolved plans; the durable
-        checkpoint format must be re-readable). The two Spark-first
-        equivalents, both used in this repo: carry a struct-typed message
-        whose fields cover all phases (phase-dependent expressions read
-        the relevant field), or run one ``pregel`` per phase with a
-        driver-side phase machine (``algos/scc.py`` — the reference's own
-        message-type-switching example).
+        *message type* per superstep — and so does this kernel, because
+        each superstep's plan is rebuilt from scratch (the message frame
+        is fresh per superstep and durable checkpoints carry their own
+        parquet schema): a callable ``send_msg`` may return expressions of
+        different data types on different supersteps, with ``combine_fn``
+        and a callable ``update`` switching in lockstep
+        (``tests/test_switch_classes.py::test_true_midrun_type_switching``
+        replays ``master/TestSwitchClasses.java`` exactly — bigint →
+        double → bigint with min → none → sum combining). For phases known
+        up front, the struct-union message (``messages.MessageUnion``,
+        with entry-time ``verify_types_match`` schedule checking) or one
+        ``pregel`` per phase (``algos/scc.py``) remain the recommended
+        forms — one stable schema keeps every superstep's inbox
+        bucket-compatible and the checkpoint layout uniform.
     messages_fn:
         escape hatch ``(computed_vertices, edges, ctx) -> DataFrame(_dst, _m)``
         for arbitrary send patterns (``sendMessageToMultipleEdges`` etc.).

@@ -119,3 +119,76 @@ def test_switch_classes_end_to_end(spark):
     # uncombined; {3002}/{3004} SUM-combined
     assert got[1] == ["", "11", "11", "101.5,201.5", "3002"]
     assert got[2] == ["", "12", "12", "102.5,202.5", "3004"]
+
+
+def test_true_midrun_type_switching(spark):
+    """TRUE mid-run message-type switching — no struct-union: the kernel
+    rebuilds its plan every superstep, so callable ``send_msg`` /
+    ``combine_fn`` / ``update`` may change the message column's DATA TYPE
+    between supersteps (bigint → double → bigint), exactly the reference's
+    ``setOutgoingMessage``/``setIncomingMessage`` run in
+    ``TestSwitchClasses.java``. Asserts the reference's exact per-superstep
+    inbox history for both vertices."""
+    vertices = spark.createDataFrame([(1,), (2,)], "id long")
+    # two parallel edges per direction carry the reference's two
+    # sendMessage calls per compute (multigraph default)
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (1, 2, 2), (2, 1, 1), (2, 1, 2)],
+        "src long, dst long, m int",
+    )
+    g = Graph(vertices, edges)
+
+    # computation schedule: s0,s1: C1 (ints +10m); s2: C2 (doubles
+    # +100m+0.5); s3: C3 (ints +1000m); s4: C1 (final check, sends unused)
+    def send_msg(ctx):
+        s = ctx.superstep
+        if s in (0, 1, 4):
+            return (F.col("dst") + 10 * F.col("m")).cast("long")
+        if s == 2:
+            return (F.col("dst") + 100 * F.col("m") + F.lit(0.5)).cast(
+                "double"
+            )
+        return (F.col("dst") + 1000 * F.col("m")).cast("long")
+
+    # combiner schedule at DELIVERY superstep: min for s1/s2 inboxes,
+    # removed (collect_list) for s3, sum for s4 — the reference's
+    # setMessageCombiner(Minimum/null/Sum) timing
+    def combine_fn(ctx):
+        return {1: F.min, 2: F.min, 3: None, 4: F.sum}.get(ctx.superstep)
+
+    def update(ctx):
+        s = ctx.superstep
+        comp = {0: 1, 1: 1, 2: 2, 3: 3, 4: 1}[s]
+        empty = F.array().cast("array<double>")
+        if s == 0:
+            recv = empty
+        elif s == 3:  # uncombined superstep: _msg is array<double>
+            recv = F.coalesce(F.col("_msg").cast("array<double>"), empty)
+        else:
+            recv = F.when(
+                F.col("_has_msg"), F.array(F.col("_msg").cast("double"))
+            ).otherwise(empty)
+        return {
+            "computations": F.concat(
+                F.col("computations"), F.array(F.lit(comp))
+            ),
+            "received": F.concat(F.col("received"), F.array(F.sort_array(recv))),
+        }
+
+    out = pregel(
+        g,
+        initial={
+            "computations": F.array().cast("array<int>"),
+            "received": F.array().cast("array<array<double>>"),
+        },
+        update=update,
+        send_msg=send_msg,
+        combine_fn=combine_fn,
+        max_supersteps=5,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    for vid in (1, 2):
+        assert rows[vid]["computations"] == [1, 1, 2, 3, 1]
+    # reference's expected inboxes (TestSwitchClasses.checkVerticesOnFinalSuperstep)
+    assert rows[1]["received"] == [[], [11.0], [11.0], [101.5, 201.5], [3002.0]]
+    assert rows[2]["received"] == [[], [12.0], [12.0], [102.5, 202.5], [3004.0]]
