@@ -47,6 +47,7 @@ from giraph_spark.algos.triangles import (
     triangles_per_vertex,
 )
 from giraph_spark.functions.dedup import (
+    dedup_corpus,
     exact_duplicates,
     minhash_lsh_pairs,
     near_dup_clusters,
@@ -86,7 +87,11 @@ from giraph_spark.plans.fixtures import (
     nation_graph,
     trade_graph,
 )
-from giraph_spark.functions.joins import as_of_join, range_join_count
+from giraph_spark.functions.joins import (
+    as_of_join,
+    funnel_counts,
+    range_join_count,
+)
 from giraph_spark.streaming.events import sessionize
 
 SSSP_SOURCE = 1  # min customer key in every sf
@@ -422,6 +427,32 @@ def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact_duplicates(d.unionByName(perturbed)).select(
         "hash", "n_docs", F.col("keep_id").cast("long").alias("keep_id")
+    )
+
+
+def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus deduplication — the relation a pipeline actually
+    materializes: exact-dup removal (planted perturbed copies, as
+    ``exact_duplicates``) followed by near-dup cluster removal (portable
+    MinHash-LSH + WCC keepers). Returns the surviving doc ids."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    perturbed = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" !! ")).alias("text"),
+    )
+    out = dedup_corpus(d.unionByName(perturbed), portable=True)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: users whose
+    earliest view is followed by a click within 1h, then a purchase
+    within 1h of that click. Per-step sequential min-aggregation — one
+    user-keyed groupBy per step, no window over the stream, no
+    inequality join."""
+    ev = read_events(spark, sf_dir)
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within="1 hour"
     )
 
 
@@ -1047,6 +1078,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "near_dup_clusters": _q_near_dup_clusters,
+        "dedup_corpus": _q_dedup_corpus,
+        "funnel_counts": _q_funnel_counts,
         "simhash_near_pairs": _q_simhash,
         "quality_features": _q_quality,
         "quality_filter": _q_quality_filter,
@@ -1642,6 +1675,62 @@ FROM c6 GROUP BY a"""
     )
     near_dup_clusters_sql = "".join(ndc_parts)
 
+    # dedup_corpus: exact-dup removal (same planted copies as
+    # exact_duplicates) then near-dup keeper selection over the exact
+    # survivors — twin of functions/dedup.py::dedup_corpus. Reuses the
+    # minhash/closure chain with its shingle base redirected at the
+    # survivors CTE.
+    ndc_chain_after_nrm = "".join(ndc_parts[:-1]).split("sh AS MATERIALIZED", 1)[1]
+    dedup_corpus_sql = (
+        f"""
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, ' ' || text || ' !! ' AS text
+    FROM documents WHERE doc_id % 20 = 0
+),
+exh AS (SELECT doc_id, md5({norm}) AS h FROM docs2),
+keepx AS (SELECT h, MIN(doc_id) AS keep FROM exh GROUP BY h),
+exsurv AS MATERIALIZED (
+    SELECT d2.doc_id, d2.text FROM docs2 d2
+    JOIN exh ON exh.doc_id = d2.doc_id
+    JOIN keepx ON keepx.h = exh.h
+    WHERE d2.doc_id = keepx.keep
+),
+nrm AS (SELECT doc_id, {norm} AS t FROM exsurv),
+sh AS MATERIALIZED"""
+        + ndc_chain_after_nrm
+        + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM exsurv
+WHERE doc_id NOT IN (SELECT a FROM c6 GROUP BY a HAVING a <> MIN(b))"""
+    )
+
+    funnel_sql = """
+WITH s0 AS (
+    SELECT user_id, MIN(ts) AS t0 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+    SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+    JOIN s0 ON s0.user_id = e.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts >= s0.t0 AND e.ts <= s0.t0 + INTERVAL '1 hour'
+    GROUP BY e.user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+    JOIN s1 ON s1.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL '1 hour'
+    GROUP BY e.user_id
+)
+SELECT 'view' AS step, CAST(0 AS BIGINT) AS step_index,
+       CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS users
+UNION ALL
+SELECT 'click', CAST(1 AS BIGINT), CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST(2 AS BIGINT), CAST((SELECT COUNT(*) FROM s2) AS BIGINT)"""
+
     # SimHash replay: 60-bit md5-derived fingerprints; the Spark side's
     # 4-chunk pigeonhole blocking is lossless at max_hamming=3, so its
     # output equals this brute-force all-pairs formulation exactly.
@@ -2197,6 +2286,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "ngram_jaccard_pairs": ngram_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
         "near_dup_clusters": near_dup_clusters_sql,
+        "dedup_corpus": dedup_corpus_sql,
+        "funnel_counts": funnel_sql,
         "simhash_near_pairs": simhash_sql,
         "embedding_near_dup_lsh": emb_lsh_sql,
         "quality_features": quality_sql,

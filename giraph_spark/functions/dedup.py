@@ -300,6 +300,60 @@ def near_dup_clusters(
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    near: bool = True,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float = 0.5,
+    portable: bool = False,
+    max_supersteps: int = 64,
+) -> DataFrame:
+    """The deduplicated corpus — the relation a training-data pipeline
+    actually materializes: drop every exact duplicate except the
+    lowest-id survivor (md5 of normalized text), then, with
+    ``near=True``, drop every near-duplicate cluster member except its
+    keeper (:func:`near_dup_clusters` over the exact-deduped corpus, the
+    standard staging order). Returns the surviving rows of ``df`` with
+    all original columns.
+
+    Scale shape: the exact stage is one hash groupBy + an id-keyed
+    anti-join (no window over the corpus); the near stage inherits the
+    LSH-banded, never-quadratic pair generation and runs WCC only on the
+    tiny pair subgraph. Both removal lists are small relative to the
+    corpus, so at cluster scale the anti-joins broadcast."""
+    h = df.select(
+        F.col(id_col).alias("_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("_h"),
+    )
+    keep = h.groupBy("_h").agg(F.min("_id").alias("_keep"))
+    losers = (
+        h.join(keep, "_h")
+        .where(F.col("_id") != F.col("_keep"))
+        .select(F.col("_id").alias(id_col))
+    )
+    out = df.join(losers, id_col, "left_anti")
+    if near:
+        clusters = near_dup_clusters(
+            out,
+            text_col,
+            id_col,
+            k,
+            num_hashes,
+            bands,
+            verify_threshold,
+            portable=portable,
+            max_supersteps=max_supersteps,
+        )
+        near_losers = clusters.where(~F.col("is_keeper")).select(id_col)
+        out = out.join(near_losers, id_col, "left_anti")
+    return out
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

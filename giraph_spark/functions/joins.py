@@ -123,3 +123,93 @@ def range_join_count(
         joined.groupBy(*grp)
         .agg(F.count("_rt").cast("long").alias(count_col))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Per-user funnel progression: ``t0`` = the user's earliest
+    ``steps[0]`` event; ``tK`` = the earliest ``steps[K]`` event at or
+    after ``t(K-1)`` (and, with ``within`` set — a SQL interval string
+    like ``'1 hour'`` — no later than ``t(K-1) + within``). Returns one
+    row per user who entered the funnel, columns ``(user, t0..tN)`` with
+    NULLs from the first uncompleted step on.
+
+    Scale shape: one groupBy per step, all keyed on the user column —
+    after the first shuffle every subsequent join/agg is co-partitioned,
+    and each step's relation only shrinks (funnels drop off). No window
+    over the full event stream, no inequality join: the ordering
+    constraint is evaluated per user against one carried scalar."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    for i, s in enumerate(steps[1:], start=1):
+        prev = f"t{i - 1}"
+        ev = events.where(F.col(type_col) == s).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        cond = F.col("_ts") >= F.col(prev)
+        if within is not None:
+            cond = cond & (
+                F.col("_ts") <= F.col(prev) + F.expr(f"INTERVAL '{within}'")
+            )
+        nxt = (
+            ev.join(cur.select(user_col, prev), user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Funnel conversion counts: ``(step, step_index, users)`` — how many
+    users completed the funnel through each step, in order (see
+    :func:`funnel` for the in-order/within semantics)."""
+    f = funnel(
+        events,
+        steps,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        within=within,
+    )
+    agg = f.agg(
+        *[
+            F.count(F.col(f"t{i}")).cast("long").alias(f"c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("step"),
+                F.lit(i).cast("long").alias("step_index"),
+                F.col(f"c{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        agg.select(F.explode(pairs).alias("r"))
+        .select("r.step", "r.step_index", "r.users")
+    )

@@ -73,3 +73,61 @@ def test_range_join_count_plan_is_equi_join(spark):
     plan = _plan(range_join_count(left, right, on="k", window_seconds=6))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_order_and_window_semantics(spark):
+    """funnel enforces step ORDER (a click before the first view doesn't
+    count) and the per-step `within` window (a click 2h after the view
+    misses a 1h funnel)."""
+    from giraph_spark.functions.joins import funnel, funnel_counts
+
+    rows = [
+        # user 1: completes view -> click -> purchase, each within 1h
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:10:00", "click"),
+        (1, "2024-01-01 10:20:00", "purchase"),
+        # user 2: click only BEFORE the first view -> stops after view
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # user 3: click 2h after view -> outside within='1 hour'
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 12:30:00", "click"),
+        (3, "2024-01-01 12:40:00", "purchase"),
+        # user 4: never enters the funnel (no view)
+        (4, "2024-01-01 10:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+
+    f = {r["user_id"]: r for r in funnel(
+        ev, ["view", "click", "purchase"], within="1 hour"
+    ).collect()}
+    assert set(f) == {1, 2, 3}  # user 4 never entered
+    assert f[1]["t2"] is not None
+    assert f[2]["t1"] is None and f[2]["t2"] is None
+    assert f[3]["t1"] is None  # click outside the window
+
+    counts = {r["step"]: r["users"] for r in funnel_counts(
+        ev, ["view", "click", "purchase"], within="1 hour"
+    ).collect()}
+    assert counts == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """dedup_corpus removes exact dups (normalized) and near-dup cluster
+    members, keeping the lowest-id survivor of each group."""
+    from giraph_spark.functions.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base),
+        (2, " " + base + " !! "),          # exact dup of 1 after normalize
+        (3, base + "and then some more words here"),  # near-dup of 1
+        (4, "an entirely different document about spark shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        r["doc_id"] for r in dedup_corpus(df, verify_threshold=0.5).collect()
+    )
+    assert out == [1, 4]
