@@ -641,6 +641,21 @@ def _q_mixture_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_expand_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-writing materialization of the mixture multiplicities: each
+    row repeated n_repeats times with a 1-based epoch index, zero-weight
+    rows dropped — a pure explode, no shuffle."""
+    from giraph_spark.functions.sampling import expand_repeats, mixture_repeats
+
+    d = _docs(spark, sf_dir)
+    m = mixture_repeats(d, {"src0": 3.2, "src1": 0.5}).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "stratum", "n_repeats"
+    )
+    return expand_repeats(m).select(
+        "doc_id", "stratum", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree histogram over the directed trade graph
     (DirectedGraphStats.java family): two partial-aggregated groupBys,
@@ -1095,6 +1110,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
         "mixture_repeats": _q_mixture_repeats,
+        "expand_repeats": _q_expand_repeats,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
@@ -2044,6 +2060,23 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, stratum,
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
 FROM w"""
 
+    expand_repeats_sql = f"""
+WITH w AS (
+  SELECT doc_id, source AS stratum,
+         CASE source WHEN 'src0' THEN 3.2 WHEN 'src1' THEN 0.5 ELSE 1.0 END AS wt,
+         {_bucket_sql()} AS bk
+  FROM documents
+),
+r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, stratum,
+         CAST(FLOOR(wt) + (CASE WHEN bk < CAST(FLOOR((wt - FLOOR(wt)) * 10000) AS BIGINT)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+  FROM w
+)
+SELECT doc_id, stratum, CAST(u.e AS BIGINT) AS epoch
+FROM r, unnest(generate_series(1, r.n_repeats)) AS u(e)
+WHERE r.n_repeats > 0"""
+
     cosine_topk_sql = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id <= 5),
@@ -2304,6 +2337,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "stratified_sample": stratified_sample_sql,
         "decontaminate": decontaminate_sql,
         "mixture_repeats": mixture_repeats_sql,
+        "expand_repeats": expand_repeats_sql,
         "cosine_topk": cosine_topk_sql,
         "ivf_topk": ivf_topk_sql,
         "lsh_topk": lsh_topk_sql,

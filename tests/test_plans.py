@@ -196,3 +196,24 @@ def test_skew_metrics_observability(spark):
     assert s0["max_inbox_group"] == 32  # all 32 leaves hit hub 0
     assert s0["median_inbox_group"] == 1.0
     assert "max_inbox_group" not in m_off.supersteps[0]
+
+
+def test_funnel_and_dedup_corpus_plans_stay_relational(spark, sf_dir):
+    """The round-4 composition operators must keep equi-join plans: a
+    CartesianProduct / BroadcastNestedLoopJoin would mean the per-step
+    funnel condition or a dedup removal list degenerated to all-pairs."""
+    from giraph_spark.functions.dedup import dedup_corpus
+    from giraph_spark.functions.joins import funnel_counts
+    from giraph_spark.plans.fixtures import read_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = read_events(spark, sf_dir)
+    plans = {
+        "funnel": _formatted_plan(
+            funnel_counts(ev, ["view", "click", "purchase"], within="1 hour")
+        ),
+        "dedup_corpus": _formatted_plan(dedup_corpus(docs, near=False)),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
