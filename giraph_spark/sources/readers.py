@@ -46,8 +46,17 @@ def read_edge_list(
     value_type: str | None = None,
     reverse_duplicate: bool = False,
     filter_expr=None,
+    normalize: bool = False,
 ) -> DataFrame:
-    """``src<sep>dst[<sep>value]`` lines → edges DataFrame."""
+    """``src<sep>dst[<sep>value]`` lines → edges DataFrame.
+
+    ``normalize=True`` rescales each source's out-edge weights to sum to
+    1 at input time — the reference's
+    ``examples/NormalizingLongDoubleDoubleTextInputFormat.java`` (each
+    vertex line's edge weights normalized as the line is read; here one
+    partial-aggregated groupBy + an equi-join on src, applied before any
+    reverse-duplication, as the reference normalizes the raw line).
+    Requires ``value_type``."""
     df = (
         spark.read.text(path_or_df)
         if isinstance(path_or_df, str)
@@ -63,6 +72,15 @@ def read_edge_list(
     edges = df.select(*cols)
     if filter_expr is not None:
         edges = edges.filter(filter_expr)
+    if normalize:
+        if not value_type:
+            raise ValueError("normalize=True requires value_type")
+        tot = edges.groupBy("src").agg(F.sum("weight").alias("_tot"))
+        edges = (
+            edges.join(tot, "src")
+            .withColumn("weight", F.col("weight") / F.col("_tot"))
+            .drop("_tot")
+        )
     if reverse_duplicate:
         swapped = edges.select(
             F.col("dst").alias("src"),

@@ -42,6 +42,21 @@ def test_edge_list_roundtrip(spark):
     assert rev.count() == 4
 
 
+def test_edge_list_normalize_at_read(spark):
+    """normalize=True rescales each source's out-weights to sum 1 at
+    input time (NormalizingLongDoubleDoubleTextInputFormat)."""
+    lines = spark.createDataFrame(
+        [("1\t2\t1.0",), ("1\t3\t3.0",), ("2\t3\t5.0",)], "value string"
+    )
+    edges = read_edge_list(spark, lines, value_type="double", normalize=True)
+    got = {(r.src, r.dst): r.weight for r in edges.collect()}
+    assert got == {(1, 2): 0.25, (1, 3): 0.75, (2, 3): 1.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_edge_list(spark, lines, normalize=True)
+
+
 def test_adjacency_list_roundtrip(spark):
     lines = spark.createDataFrame(
         [("1\t0.0\t2\t1.0\t3\t3.0",), ("2\t0.0\t3\t1.0",), ("4\t7.5",)],

@@ -76,3 +76,87 @@ def test_token_count_matches_python_split(spark, texts):
     ]
     want = [len(t.split()) for t in texts]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # user
+            st.integers(min_value=0, max_value=120), # minutes offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_matches_python_model(spark, rows):
+    """funnel() per-user sequential-min semantics vs a pure-Python scan."""
+    from datetime import datetime, timedelta
+
+    from giraph_spark.functions.joins import funnel
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (u, base + timedelta(minutes=m), t) for u, m, t in rows
+    ]
+    ev = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string"
+    )
+    steps = ["view", "click", "purchase"]
+    got = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"])
+        for r in funnel(ev, steps, within="1 hour").collect()
+    }
+
+    # model: earliest step0; then earliest step-k event >= prev and within 1h
+    model = {}
+    for u in {d[0] for d in data}:
+        evs = [(ts, t) for (uu, ts, t) in data if uu == u]
+        t0 = min((ts for ts, t in evs if t == "view"), default=None)
+        if t0 is None:
+            continue
+        prev, out = t0, [t0]
+        for s in steps[1:]:
+            cand = [
+                ts
+                for ts, t in evs
+                if t == s and prev is not None
+                and ts >= prev and ts <= prev + timedelta(hours=1)
+            ]
+            prev = min(cand) if cand else None
+            out.append(prev)
+        model[u] = tuple(out)
+    assert got == model
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["alpha beta gamma delta " * 8, "omega psi chi phi " * 8, "x"]
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_corpus_invariants(spark, texts):
+    """dedup_corpus output is a subset of the input, has no two rows with
+    the same normalized text, and keeps the lowest id of each exact group."""
+    from giraph_spark.functions.dedup import dedup_corpus
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup_corpus(df, near=False).collect()
+    ids = [r["doc_id"] for r in out]
+    assert set(ids) <= set(range(len(texts)))
+    norm = {}
+    for r in out:
+        key = _py_normalize(r["text"])
+        assert key not in norm, "two survivors share normalized text"
+        norm[key] = r["doc_id"]
+    # lowest-id survivor per exact group
+    for key, kept in norm.items():
+        group = [i for i, t in enumerate(texts) if _py_normalize(t) == key]
+        assert kept == min(group)
