@@ -9,6 +9,7 @@ logic continuously.
 
 from .events import (
     event_counts_stream,
+    funnel_stream,
     read_events_stream,
     sessionize,
     dedup_stream,
@@ -23,4 +24,5 @@ __all__ = [
     "sessionize",
     "dedup_stream",
     "sessionize_stream",
+    "funnel_stream",
 ]

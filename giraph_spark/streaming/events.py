@@ -297,3 +297,97 @@ def dedup_stream(
     return _with_watermark(events, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    within_seconds: int | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming conversion funnel: the per-user sequential-min
+    progression of :func:`giraph_spark.functions.joins.funnel` maintained
+    incrementally across micro-batches via ``applyInPandasWithState``.
+
+    Per user the state is one epoch-microsecond slot per step (-1 =
+    not reached). Each micro-batch merges its events into the carried
+    state with the same per-step min rule as the batch operator: ``t0`` =
+    min ``steps[0]`` time; ``tK`` = min ``steps[K]`` time ``>= t(K-1)``
+    (and ``<= t(K-1) + within_seconds`` when set). A snapshot row
+    ``(user_id, t0..tN, n_completed)`` is emitted whenever a user's
+    progress advances; the LAST row per user equals the batch ``funnel``
+    result under per-user time-ordered arrival across batches (the same
+    log-ingestion assumption as :func:`build_chain_edges_stream`;
+    intra-batch disorder is fine — each pass computes per-step mins over
+    the whole batch, not a single scan). ``steps`` must be distinct.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    k = len(steps)
+    within_us = None if within_seconds is None else within_seconds * 1_000_000
+
+    out_schema = StructType(
+        [StructField("user_id", LongType())]
+        + [StructField(f"t{i}", TimestampType()) for i in range(k)]
+        + [StructField("n_completed", LongType())]
+    )
+    state_schema = StructType(
+        [StructField(f"t{i}", LongType()) for i in range(k)]
+    )
+
+    def track(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        t = list(state.get) if state.exists else [-1] * k
+        chunks = [p for p in pdf_iter if len(p) > 0]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks)
+        us = pdf["ts"].astype("int64") // 1000
+        types = pdf["event_type"]
+        changed = False
+        for i, s in enumerate(steps):
+            if t[i] != -1:
+                continue
+            mask = types == s
+            if i > 0:
+                if t[i - 1] == -1:
+                    break
+                mask = mask & (us >= t[i - 1])
+                if within_us is not None:
+                    mask = mask & (us <= t[i - 1] + within_us)
+            if not mask.any():
+                if i == 0:
+                    break
+                continue
+            t[i] = int(us[mask].min())
+            changed = True
+        state.update(tuple(t))
+        if changed:
+            row = {"user_id": [user_id]}
+            for i in range(k):
+                row[f"t{i}"] = [
+                    pd.Timestamp(t[i], unit="us") if t[i] != -1 else pd.NaT
+                ]
+            row["n_completed"] = [sum(1 for x in t if x != -1)]
+            yield pd.DataFrame(row)
+
+    return (
+        _with_watermark(events, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

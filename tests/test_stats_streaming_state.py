@@ -250,3 +250,68 @@ def test_dedup_stream(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_sink").collect()[0]
     want = read_events(spark, sf_dir).count()
     assert got["n"] == got["d"] == want
+
+
+def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming funnel: final per-user snapshot across time-ordered
+    micro-batches equals the batch funnel() result (within-window,
+    in-order semantics maintained across the batch seams)."""
+    import os
+
+    from giraph_spark.functions.joins import funnel
+    from giraph_spark.streaming.events import funnel_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = read_events(spark, sf_dir)
+    steps = ["view", "click", "purchase"]
+
+    rows = batch.select("ts").orderBy("ts").collect()
+    n = len(rows)
+    t1, t2 = rows[n // 3][0], rows[2 * n // 3][0]
+    src = tmp_path / "fchunks"
+    chunks = [
+        batch.filter(F.col("ts") < F.lit(t1)),
+        batch.filter((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
+        batch.filter(F.col("ts") >= F.lit(t2)),
+    ]
+    for i, c in enumerate(chunks):
+        d = str(src / f"chunk{i}")
+        c.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "chunk*"))
+    )
+    q = (
+        funnel_stream(stream, steps, within_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("funnel_snaps")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.sql(
+        "SELECT * FROM funnel_snaps ORDER BY n_completed"
+    ).toPandas()
+    # last (most-complete) snapshot per user
+    final = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"])
+        for _, r in snaps.iterrows()
+    }
+    want = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"])
+        for r in funnel(batch, steps, within="1 hour").collect()
+    }
+    import pandas as pd
+
+    assert set(final) == set(want)
+    for u, (b0, b1, b2) in want.items():
+        s0, s1, s2 = final[u]
+        for sv, bv in ((s0, b0), (s1, b1), (s2, b2)):
+            if bv is None:
+                assert pd.isna(sv), (u, sv, bv)
+            else:
+                assert pd.Timestamp(bv) == sv, (u, sv, bv)
