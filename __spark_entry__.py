@@ -288,6 +288,30 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient 2T/(d(d-1)) per vertex over the
+    symmetrized nation graph — the density query the reference's triangle
+    machinery serves."""
+    from giraph_spark.algos.stats import clustering_coefficient
+
+    return clustering_coefficient(nation_graph(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id"),
+        "degree",
+        "triangles",
+        "clustering_coefficient",
+    )
+
+
+def _q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean out-degree of out-neighbors per vertex (assortativity
+    building block) over the directed trade graph."""
+    from giraph_spark.algos.stats import avg_neighbor_degree
+
+    return avg_neighbor_degree(trade_graph(spark, sf_dir, directed=True)).select(
+        F.col("id").cast("long").alias("id"), "avg_neighbor_degree"
+    )
+
+
 def _q_triangle_closing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle closing on the event-chain graph: unlike the dense nation
     graph (where every 2-hop pair is already adjacent and the result was
@@ -1078,6 +1102,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "clustering_coefficient": _q_clustering_coefficient,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "triangle_closing_topk": _q_triangle_closing,
         "symmetrize_edges": _q_symmetrize,
         "symmetrize_weighted": _q_symmetrize_weighted,
@@ -1377,6 +1403,42 @@ SELECT CAST(v.id AS BIGINT) AS id, CAST(COALESCE(t.c, 0) AS BIGINT) AS triangles
 FROM vertices v
 LEFT JOIN (SELECT id, COUNT(*) AS c FROM corners GROUP BY id) t ON t.id = v.id"""
     )
+    clustering_sql = (
+        sym_sql
+        + """, deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src)
+, o AS (SELECT src, dst FROM sym WHERE src < dst)
+, tris AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM o e1 JOIN o e2 ON e1.dst = e2.src
+    JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), corners AS (
+    SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+), tcnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY id)
+SELECT CAST(v.id AS BIGINT) AS id,
+       CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN COALESCE(deg.degree, 0) >= 2
+                  THEN 2.0 * COALESCE(tcnt.t, 0)
+                       / (deg.degree * (deg.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering_coefficient
+FROM vertices v
+LEFT JOIN deg ON deg.id = v.id
+LEFT JOIN tcnt ON tcnt.id = v.id"""
+    )
+
+    avg_nbr_deg_sql = (
+        TRADE_GRAPH_DIRECTED_SQL.strip()
+        + """
+, deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS nd FROM edges GROUP BY src)
+, per AS (
+    SELECT e.src AS id, ROUND(AVG(COALESCE(d.nd, 0)), 6) AS avg_nd
+    FROM edges e LEFT JOIN deg d ON d.n = e.dst
+    GROUP BY e.src
+)
+SELECT CAST(v.id AS BIGINT) AS id, per.avg_nd AS avg_neighbor_degree
+FROM vertices v LEFT JOIN per ON per.id = v.id"""
+    )
+
     # Triangle closing runs on the events-chain graph (sparse; guaranteed
     # non-adjacent 2-hop pairs) — the nation graph is so dense the result
     # was empty, making the oracle pass vacuous.
@@ -2372,6 +2434,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "graph_stats": stats_sql,
         "triangle_count": tri_sql,
         "triangles_per_vertex": tri_pv_sql,
+        "clustering_coefficient": clustering_sql,
+        "avg_neighbor_degree": avg_nbr_deg_sql,
         "triangle_closing_topk": tri_close_sql,
         "symmetrize_edges": sym_sql + "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM sym",
         "remove_asym_edges": NATION_GRAPH_SQL.strip()

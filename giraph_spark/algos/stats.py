@@ -98,3 +98,67 @@ def partitioning_stats(
         "max_partition_vertices",
         "avg_partition_vertices",
     )
+
+
+def avg_neighbor_degree(graph: Graph) -> DataFrame:
+    """Per-vertex mean OUT-degree of out-neighbors ``(id,
+    avg_neighbor_degree)`` (NULL for vertices with no out-edges) — the
+    assortativity building block, and the simplest instance of
+    neighborhood feature aggregation (aggregate any neighbor attribute
+    with the same two-join shape). Scale: one degree groupBy + one
+    edge-keyed equi-join + one per-vertex groupBy, all partial-aggregated;
+    the degree relation is |V|-sized and broadcastable against the edge
+    relation at cluster scale."""
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    deg = graph.edges.groupBy(F.col(src).alias("_n")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nd")
+    )
+    nbr = graph.edges.select(F.col(src).alias(id_col), F.col(dst).alias("_n"))
+    per = (
+        nbr.join(deg, "_n", "left")
+        .groupBy(id_col)
+        .agg(F.round(F.avg(F.coalesce("_nd", F.lit(0))), 6).alias("avg_nd"))
+    )
+    return (
+        graph.vertices.select(id_col)
+        .join(per, id_col, "left")
+        .select(id_col, F.col("avg_nd").alias("avg_neighbor_degree"))
+    )
+
+
+def clustering_coefficient(graph: Graph) -> DataFrame:
+    """Per-vertex local clustering coefficient over the symmetrized,
+    deduped graph: ``2·triangles(v) / (deg(v)·(deg(v)−1))``, 0.0 for
+    degree < 2 ``(id, degree, triangles, clustering_coefficient)``.
+    Composition of the triangle corner count
+    (``UndirectedTriangleCountingBlockFactory`` machinery) with the
+    undirected degree — the standard local-density query the reference's
+    triangle counting exists to serve."""
+    from .prepare import symmetrize
+    from .triangles import triangles_per_vertex
+
+    id_col, src = graph.id_col, graph.src_col
+    sym = symmetrize(graph, dedup=True)
+    deg = sym.edges.groupBy(F.col(src).alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    tri = triangles_per_vertex(graph)
+    return (
+        graph.vertices.select(id_col)
+        .join(deg, id_col, "left")
+        .join(tri, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                F.when(
+                    F.coalesce("degree", F.lit(0)) >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering_coefficient"),
+        )
+    )

@@ -180,3 +180,38 @@ def test_k_core_golden_and_cascade(spark):
     # k=1 keeps everything connected; k=4 empties the graph
     assert k_core(g, k=1).count() == 5
     assert k_core(g, k=4).count() == 0
+
+
+def test_clustering_coefficient_and_avg_neighbor_degree(spark):
+    """Triangle vertices have cc=1; a pendant chain vertex has cc=0;
+    avg_neighbor_degree matches hand computation on a directed star."""
+    from giraph_spark import Graph
+    from giraph_spark.algos.stats import avg_neighbor_degree, clustering_coefficient
+    from pyspark.sql import functions as F
+
+    # triangle 0-1-2 plus pendant 2-3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    cc = {
+        r["id"]: (r["degree"], r["triangles"], r["clustering_coefficient"])
+        for r in clustering_coefficient(Graph(vertices, edges)).collect()
+    }
+    assert cc[0] == (2, 1, 1.0)
+    assert cc[1] == (2, 1, 1.0)
+    assert cc[2] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert cc[3] == (1, 0, 0.0)
+
+    # directed: 0->1, 0->2, 1->2, 2->3; out-degrees: 0:2, 1:1, 2:1, 3:0
+    d_edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long"
+    )
+    nd = {
+        r["id"]: r["avg_neighbor_degree"]
+        for r in avg_neighbor_degree(Graph(vertices, d_edges)).collect()
+    }
+    assert nd[0] == 1.0     # neighbors 1 (od 1), 2 (od 1)
+    assert nd[1] == 1.0     # neighbor 2 (od 1)
+    assert nd[2] == 0.0     # neighbor 3 (od 0)
+    assert nd[3] is None    # no out-neighbors
