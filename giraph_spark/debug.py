@@ -1,0 +1,91 @@
+"""Debugging aids — the capability analog of the reference's
+``giraph-debugger`` module (captured per-vertex scenarios + integrity
+checks; ``giraph-debugger/.../debugger/instrumenter``,
+``DebugConfig.java``), re-expressed as kernel hooks instead of bytecode
+instrumentation:
+
+- :func:`trace_vertices` — run any pregel computation while capturing the
+  full per-superstep state (including the combined inbox message) of a
+  chosen set of vertices, the debugger's "captured scenario" for
+  single-vertex reasoning;
+- :func:`assert_invariant` — a ``master_fn`` hook that fails fast when any
+  vertex violates a predicate after a superstep (the debugger's integrity
+  checks / the ``VerifyMessage`` example's in-computation assertions).
+
+Both are DEBUG tools: each adds one driver action per superstep (a
+filtered collect / a violation count) on top of the kernel's single
+action — acceptable while diagnosing, not for production runs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .graph import Graph
+from .pregel import PregelContext, pregel
+
+
+def trace_vertices(
+    graph: Graph,
+    ids: Sequence[Any],
+    **pregel_kwargs,
+) -> tuple[DataFrame, list[dict[str, Any]]]:
+    """Run ``pregel(graph, **pregel_kwargs)`` while recording, after every
+    superstep, the post-update row of each vertex in ``ids`` — engine
+    columns included, so each record carries the combined inbox message
+    (``_msg``), whether the vertex was woken (``_has_msg``), and its halt
+    flag. Returns ``(final_vertices, trace)`` where ``trace`` is a list of
+    ``{"superstep": s, <vertex columns...>}`` dicts in superstep order.
+
+    The filter is a pushed-down ``isin`` over the id column, so the extra
+    per-superstep job scans only the (already materialized) state and
+    ships ``len(ids)`` rows to the driver."""
+    trace: list[dict[str, Any]] = []
+    user_master: Callable[[PregelContext], None] | None = pregel_kwargs.pop(
+        "master_fn", None
+    )
+    id_col = graph.id_col
+    wanted = list(ids)
+
+    def master(ctx: PregelContext) -> None:
+        rows = ctx.vertices.filter(F.col(id_col).isin(wanted)).collect()
+        for r in sorted(rows, key=lambda r: r[id_col]):
+            trace.append({"superstep": ctx.superstep, **r.asDict()})
+        if user_master is not None:
+            user_master(ctx)
+
+    out = pregel(graph, master_fn=master, **pregel_kwargs)
+    return out, trace
+
+
+class InvariantViolation(AssertionError):
+    """Raised by :func:`assert_invariant` with a sample of offending rows."""
+
+
+def assert_invariant(
+    predicate: Column,
+    sample: int = 5,
+    name: str | None = None,
+) -> Callable[[PregelContext], None]:
+    """A ``master_fn`` (composable via :func:`trace_vertices` or manual
+    chaining) that checks ``predicate`` holds for EVERY vertex after each
+    superstep and raises :class:`InvariantViolation` with up to ``sample``
+    offending rows otherwise — e.g.
+    ``assert_invariant(F.col("distance") >= 0)``. The reference's
+    equivalent is the debugger's integrity-check instrumentation and the
+    ``VerifyMessage`` example's per-compute assertions."""
+
+    def master(ctx: PregelContext) -> None:
+        bad = ctx.vertices.filter(~predicate)
+        offenders = bad.limit(sample).collect()
+        if offenders:
+            label = f" {name!r}" if name else ""
+            raise InvariantViolation(
+                f"invariant{label} violated at superstep {ctx.superstep} "
+                f"by rows: {[r.asDict() for r in offenders]}"
+            )
+
+    return master

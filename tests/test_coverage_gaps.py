@@ -195,3 +195,47 @@ def test_send_message_chain(spark):
     got = {r["id"]: (r["in_deg"], r["two_hop"]) for r in out.collect()}
     # in-degrees: 1→0, 2→1, 3→2 ; two_hop[dst] = Σ in_deg over in-neighbors
     assert got == {1: (0.0, 0.0), 2: (1.0, 0.0), 3: (2.0, 1.0)}
+
+
+def test_trace_vertices_and_assert_invariant(spark):
+    """giraph-debugger analog: per-superstep captured scenario for chosen
+    vertices, and a failing integrity check raising with offenders."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from giraph_spark import Graph
+    from giraph_spark.debug import (
+        InvariantViolation,
+        assert_invariant,
+        trace_vertices,
+    )
+
+    # chain 1 -> 2 -> 3: min-distance propagation
+    vertices = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    g = Graph(vertices, edges)
+
+    kernel = dict(
+        initial={"d": F.when(F.col("id") == 1, 0.0).otherwise(float("inf"))},
+        update={"d": F.least(F.col("d"), F.coalesce(F.col("_msg"), F.lit(float("inf"))))},
+        send_msg=F.when(F.col("d") < float("inf"), F.col("d") + 1),
+        combine=F.min,
+        vote_to_halt=F.lit(True),
+        max_supersteps=5,
+    )
+    out, trace = trace_vertices(g, [3], **kernel)
+    # vertex 3's story: inf until the frontier arrives at superstep 2
+    steps = {t["superstep"]: t for t in trace}
+    assert steps[0]["d"] == float("inf") and steps[0]["_has_msg"] is False
+    assert steps[2]["d"] == 2.0 and steps[2]["_has_msg"] is True
+    assert {r["id"]: r["d"] for r in out.collect()} == {1: 0.0, 2: 1.0, 3: 2.0}
+
+    # invariant that cannot hold (all distances finite from superstep 0)
+    with pytest.raises(InvariantViolation, match="superstep 0"):
+        pregel_kwargs = dict(kernel)
+        pregel_kwargs["master_fn"] = assert_invariant(
+            F.col("d") < float("inf"), name="all-reached"
+        )
+        from giraph_spark import pregel
+
+        pregel(g, **pregel_kwargs)
