@@ -330,9 +330,17 @@ def dedup_corpus(
         F.col(id_col).alias("_id"),
         F.md5(normalize_text(F.col(text_col))).alias("_h"),
     )
-    keep = h.groupBy("_h").agg(F.min("_id").alias("_keep"))
+    # only DUPLICATE groups participate in the removal join: `dups` has
+    # one row per hash with >1 member — tiny relative to the corpus (the
+    # clean-data common case), so at scale both this join and the final
+    # anti-join broadcast instead of shuffling the full corpus
+    dups = (
+        h.groupBy("_h")
+        .agg(F.min("_id").alias("_keep"), F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+    )
     losers = (
-        h.join(keep, "_h")
+        h.join(dups, "_h")
         .where(F.col("_id") != F.col("_keep"))
         .select(F.col("_id").alias(id_col))
     )
