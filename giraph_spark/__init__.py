@@ -7,6 +7,7 @@ from .graph import Graph, GraphSchemaError
 from .messages import MessageUnion, verify_types_match
 from .pregel import (
     MSG,
+    NoCheckpointError,
     PregelContext,
     PregelMetrics,
     pregel,
@@ -27,6 +28,7 @@ __all__ = [
     "GraphSchemaError",
     "MSG",
     "MessageUnion",
+    "NoCheckpointError",
     "PregelContext",
     "PregelMetrics",
     "apply_in_pandas_with_setup",

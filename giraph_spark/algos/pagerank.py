@@ -68,7 +68,7 @@ def pagerank(
         }
     )
     g = Graph(vertices, graph.edges, id_col, src_col, graph.dst_col,
-              edges_layout=graph.edges_layout)
+              strict=graph.strict, edges_layout=graph.edges_layout)
 
     base = (1.0 - damping) / n
 
@@ -166,7 +166,7 @@ def random_walk_with_restart(
         }
     )
     g = Graph(vertices, graph.edges, id_col, src_col, graph.dst_col,
-              edges_layout=graph.edges_layout)
+              strict=graph.strict, edges_layout=graph.edges_layout)
     damping = 1.0 - restart_prob
     init = F.when(F.col("_is_src"), 1.0 / k).otherwise(0.0)
 

@@ -94,7 +94,7 @@ def remove_isolated_vertices(graph: Graph) -> Graph:
     )
     v = graph.vertices.join(endpoints, on=graph.id_col, how="left_semi")
     return Graph(v, graph.edges, graph.id_col, src, dst,
-                 edges_layout=graph.edges_layout)
+                 strict=graph.strict, edges_layout=graph.edges_layout)
 
 
 def normalize_weights(graph: Graph, weight_col: str = "weight") -> Graph:
@@ -156,4 +156,4 @@ def create_missing_vertices(graph: Graph, defaults: dict | None = None) -> Graph
             missing = missing.withColumn(c, F.lit(defaults.get(c)))
     v = graph.vertices.unionByName(missing.select(graph.vertices.columns))
     return Graph(v, graph.edges, id_col, graph.src_col, graph.dst_col,
-                 edges_layout=graph.edges_layout)
+                 strict=graph.strict, edges_layout=graph.edges_layout)

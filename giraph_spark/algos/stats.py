@@ -134,15 +134,23 @@ def clustering_coefficient(graph: Graph) -> DataFrame:
     (``UndirectedTriangleCountingBlockFactory`` machinery) with the
     undirected degree — the standard local-density query the reference's
     triangle counting exists to serve."""
+    from ..graph import Graph
     from .prepare import symmetrize
     from .triangles import triangles_per_vertex
 
     id_col, src = graph.id_col, graph.src_col
+    # one symmetrize shared by the degree count and the triangle pass —
+    # triangles_per_vertex re-symmetrizes internally, but an already
+    # symmetric+deduped relation is a fixpoint of that prep, and handing
+    # it the SAME DataFrame lets Catalyst reuse the exchange instead of
+    # running the union+distinct shuffle twice
     sym = symmetrize(graph, dedup=True)
     deg = sym.edges.groupBy(F.col(src).alias(id_col)).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
-    tri = triangles_per_vertex(graph)
+    tri = triangles_per_vertex(
+        Graph(graph.vertices, sym.edges, id_col, src, graph.dst_col)
+    )
     return (
         graph.vertices.select(id_col)
         .join(deg, id_col, "left")

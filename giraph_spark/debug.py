@@ -79,7 +79,10 @@ def assert_invariant(
     ``VerifyMessage`` example's per-compute assertions."""
 
     def master(ctx: PregelContext) -> None:
-        bad = ctx.vertices.filter(~predicate)
+        # NULL predicate results count as violations: `~NULL` is NULL and
+        # a plain filter would silently drop those rows, passing the
+        # check on exactly the vertices it cannot evaluate
+        bad = ctx.vertices.filter(~F.coalesce(predicate, F.lit(False)))
         offenders = bad.limit(sample).collect()
         if offenders:
             label = f" {name!r}" if name else ""

@@ -135,13 +135,16 @@ _SNIFFERS = (parse_png, parse_jpeg, parse_gif, parse_bmp, parse_wav)
 
 def decode_media_header(payload: bytes) -> dict[str, Any]:
     """Sniff the container by magic bytes and parse its header; raises
-    ``ValueError`` when no supported container matches."""
+    ``ValueError`` when no supported container matches. ``struct.error``
+    and ``IndexError`` from a TRUNCATED header (magic bytes match but the
+    payload ends mid-field) are treated the same as a failed sniff — one
+    corrupt blob in a corpus must not abort the whole decode job."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
     for parse in _SNIFFERS:
         try:
             return parse(payload)
-        except ValueError:
+        except (ValueError, struct.error, IndexError):
             continue
     raise ValueError("unsupported media container")
 

@@ -83,14 +83,23 @@ def decode_metadata(
         worker_decoders: dict[str, Callable],
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        def safe_decode(mod, payload):
+            # per-row failure isolation: a corrupt/truncated blob yields
+            # a null-metadata row (n_bytes still recorded); it must never
+            # abort the whole corpus decode job
+            try:
+                return worker_decoders.get(
+                    mod, _DECODERS.get(mod, _fake_decode)
+                )(payload)
+            except Exception:
+                return {}
+
         for pdf in batches:
             # the per-blob decoder call is inherently per-row (opaque
             # bytes in, dict out); everything around it is columnar —
             # no iterrows, one output frame assembled from arrays
             metas = [
-                worker_decoders.get(
-                    mod, _DECODERS.get(mod, _fake_decode)
-                )(payload)
+                safe_decode(mod, payload)
                 for mod, payload in zip(
                     pdf["modality"].to_numpy(), pdf["payload"].to_numpy()
                 )

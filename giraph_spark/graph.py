@@ -264,12 +264,14 @@ class Graph:
             ]
         )
         # vertices are untouched so their layout hint survives; the edge
-        # layout (keyed on the pre-swap src) no longer applies
+        # layout (keyed on the pre-swap src) no longer applies. The swap
+        # preserves (multi-)edge multiplicity, so strict mode carries over.
         return Graph(
             self.vertices,
             swapped,
             self.id_col,
             self.src_col,
             self.dst_col,
+            strict=self.strict,
             vertices_layout=self.vertices_layout,
         )

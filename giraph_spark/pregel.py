@@ -169,9 +169,21 @@ def pregel(graph: Graph, num_partitions: int | None = None, **kwargs) -> DataFra
         nparts = _auto_partitions(graph, int(parts_before))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    # Every frame the run persists is registered here and released on ANY
+    # exit — normal return, master_fn exception, executor loss. Without
+    # this, a failed attempt (exactly the case run_with_retries exists
+    # for) would leave the cached edge relation + message frames in the
+    # block manager, and retries would stack copies until OOM.
+    persisted: list[DataFrame] = []
     try:
-        return _pregel_impl(graph, **kwargs)
+        return _pregel_impl(graph, _persist_registry=persisted, **kwargs)
     finally:
+        for df in persisted:
+            try:
+                df.unpersist()  # no-op if already released in-loop
+            except Exception:
+                pass
+        gc.collect()
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", parts_before)
 
@@ -205,6 +217,15 @@ def request_halt(spark, state_checkpoint_dir: str) -> None:
     out.close()
 
 
+class NoCheckpointError(ValueError):
+    """Raised by :func:`resume_pregel` when no committed checkpoint exists
+    under the given directory. A distinct type so :func:`run_with_retries`
+    can tell 'nothing to resume from' apart from a ``ValueError`` raised
+    inside the resumed computation itself (a user ``master_fn`` or
+    callable expression) — conflating the two would silently restart from
+    scratch and discard checkpointed progress."""
+
+
 def run_with_retries(
     graph: Graph,
     state_checkpoint_dir: str,
@@ -229,7 +250,7 @@ def run_with_retries(
                 )
             try:
                 return resume_pregel(graph, state_checkpoint_dir, **kwargs)
-            except ValueError:
+            except NoCheckpointError:
                 # no checkpoint was reached before the failure: restart
                 return pregel(
                     graph, state_checkpoint_dir=state_checkpoint_dir, **kwargs
@@ -266,14 +287,21 @@ def resume_pregel(graph: Graph, state_checkpoint_dir: str, **kwargs) -> DataFram
     if fs.exists(root):
         for st in fs.listStatus(root):
             m = re.fullmatch(r"superstep=(\d+)", st.getPath().getName())
+            # only COMMITTED checkpoints count: the marker is written
+            # after both the vertices and messages jobs succeed, so a
+            # crash mid-checkpoint can neither surface a truncated state
+            # nor silently drop the in-flight messages (which would make
+            # a vote-to-halt run terminate with partial results).
             if (
                 m
                 and st.isDirectory()
-                and fs.exists(hpath(st.getPath(), "vertices"))
+                and fs.exists(hpath(st.getPath(), "_COMMITTED"))
             ):
                 steps.append(int(m.group(1)))
     if not steps:
-        raise ValueError(f"no checkpoints under {state_checkpoint_dir!r}")
+        raise NoCheckpointError(
+            f"no committed checkpoints under {state_checkpoint_dir!r}"
+        )
     last = max(steps)
     d = f"{state_checkpoint_dir}/superstep={last}"
     vdf = spark.read.parquet(f"{d}/vertices")
@@ -318,6 +346,7 @@ def _pregel_impl(
     metrics: PregelMetrics | None = None,
     _resume_vertices: DataFrame | None = None,
     _resume_messages: DataFrame | None = None,
+    _persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Run a Pregel computation; returns the final vertices DataFrame
     (engine columns dropped).
@@ -470,6 +499,13 @@ def _pregel_impl(
     cur_n = nparts  # live gear; shrinks/grows with the frontier (see below)
     v_floor: int | None = None  # computed lazily at the first gear decision
     prev_msg_count: int | None = None
+    reg = _persist_registry if _persist_registry is not None else []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist(storage_level)
+        reg.append(df)
+        return df
+
     edges_by_src: DataFrame | None = None
     edges_by_dst: DataFrame | None = None
     if messages_fn is None:
@@ -477,25 +513,21 @@ def _pregel_impl(
             if graph.edges_layout == (src_col, nparts):
                 # bucketed storage already hash-partitions edges on src at
                 # the loop width: cache the scan as-is, zero input shuffle
-                edges_by_src = edges.persist(storage_level)
+                edges_by_src = _persist(edges)
                 metrics.run_info["edges_from_storage_layout"] = True
             else:
-                edges_by_src = edges.repartition(nparts, F.col(src_col)).persist(
-                    storage_level
-                )
+                edges_by_src = _persist(edges.repartition(nparts, F.col(src_col)))
         if send_msg_to_src is not None:
-            edges_by_dst = edges.repartition(nparts, F.col(dst_col)).persist(
-                storage_level
-            )
+            edges_by_dst = _persist(edges.repartition(nparts, F.col(dst_col)))
 
     if _resume_vertices is None and graph.vertices_layout == (id_col, nparts):
-        vertices = vertices.persist(storage_level)
+        vertices = _persist(vertices)
         metrics.run_info["vertices_from_storage_layout"] = True
     else:
-        vertices = vertices.repartition(nparts, F.col(id_col)).persist(storage_level)
+        vertices = _persist(vertices.repartition(nparts, F.col(id_col)))
     messages: DataFrame | None = None
     if _resume_messages is not None:
-        messages = _resume_messages.persist(storage_level)
+        messages = _persist(_resume_messages)
     prev_vertices: DataFrame | None = None
     prev_messages: DataFrame | None = None
 
@@ -635,7 +667,7 @@ def _pregel_impl(
                 with contextlib.redirect_stdout(buf):
                     new_messages.explain("formatted")
                 metrics.plans.append(buf.getvalue())
-            new_messages = new_messages.persist(storage_level)
+            new_messages = _persist(new_messages)
             if skew_metrics:
                 srow = (
                     new_messages.groupBy("_dst")
@@ -694,6 +726,16 @@ def _pregel_impl(
             new_vertices.write.mode("overwrite").parquet(f"{d}/vertices")
             if new_messages is not None:
                 new_messages.write.mode("overwrite").parquet(f"{d}/messages")
+            # Commit marker LAST: the vertices and messages writes are two
+            # separate jobs, so a crash between them would otherwise leave
+            # a checkpoint that looks complete but silently lost its
+            # in-flight messages (a resumed vote-to-halt run would see
+            # zero messages + all-halted and terminate with partial
+            # results). resume_pregel only considers marked supersteps —
+            # Giraph's finalized-checkpoint flag
+            # (``BspServiceWorker.storeCheckpoint`` metadata finalization).
+            fs, marker = _hadoop_fs(spark, f"{d}/_COMMITTED")
+            fs.create(marker, True).close()
 
         # 7. Release previous superstep state. The explicit unpersist
         #    covers persisted message frames and the initial vertices
@@ -753,15 +795,5 @@ def _pregel_impl(
                 spark.conf.set("spark.sql.shuffle.partitions", str(cur_n))
                 vertices = vertices.repartition(cur_n, F.col(id_col))
             prev_msg_count = ctx.num_messages
-
-    # End-of-run cleanup: the cached co-partitioned edge relations and the
-    # final message frames are internal to this run — release them so
-    # long sessions (benchmarks, notebooks, multi-algorithm pipelines)
-    # don't accumulate block-manager state across pregel invocations. The
-    # returned vertices are checkpoint-backed and independent of these.
-    for cached in (edges_by_src, edges_by_dst, prev_vertices, prev_messages, messages):
-        if cached is not None:
-            cached.unpersist()
-    gc.collect()
 
     return vertices.drop(MSG, HAS_MSG, HALTED, ACTIVE)

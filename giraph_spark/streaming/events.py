@@ -305,6 +305,7 @@ def funnel_stream(
     *,
     within_seconds: int | None = None,
     watermark: str = "2 hours",
+    idle_timeout_ms: int = 6 * 60 * 60 * 1000,
 ) -> DataFrame:
     """Streaming conversion funnel: the per-user sequential-min
     progression of :func:`giraph_spark.functions.joins.funnel` maintained
@@ -321,6 +322,12 @@ def funnel_stream(
     log-ingestion assumption as :func:`build_chain_edges_stream`;
     intra-batch disorder is fine — each pass computes per-step mins over
     the whole batch, not a single scan). ``steps`` must be distinct.
+
+    State is bounded: a user idle for ``idle_timeout_ms`` of processing
+    time (default 6 h) has their funnel state evicted — completed and
+    abandoned funnels don't accumulate forever in the state store (the
+    unbounded-growth failure mode of ``NoTimeout`` stateful operators).
+    A user re-appearing after eviction starts a fresh funnel.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -346,6 +353,9 @@ def funnel_stream(
 
     def track(key, pdf_iter, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
         t = list(state.get) if state.exists else [-1] * k
         chunks = [p for p in pdf_iter if len(p) > 0]
         if not chunks:
@@ -371,6 +381,7 @@ def funnel_stream(
             t[i] = int(us[mask].min())
             changed = True
         state.update(tuple(t))
+        state.setTimeoutDuration(idle_timeout_ms)
         if changed:
             row = {"user_id": [user_id]}
             for i in range(k):
@@ -388,6 +399,6 @@ def funnel_stream(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

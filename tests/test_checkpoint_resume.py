@@ -128,3 +128,54 @@ def test_run_with_retries_gives_up(spark, tmp_path):
             master_fn=always_fail,
             **_kernel_args(),
         )
+
+
+def test_resume_ignores_uncommitted_checkpoint(spark, tmp_path):
+    """A checkpoint dir without the _COMMITTED marker (crash between the
+    vertices and messages writes) must be invisible to resume: the run
+    resumes from the latest COMMITTED superstep, not the torn one."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from giraph_spark import Graph
+    from giraph_spark.pregel import NoCheckpointError, pregel, resume_pregel
+
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    g = Graph(vertices, edges)
+    d = str(tmp_path / "ckpt")
+    kernel = dict(
+        initial={"d": F.when(F.col("id") == 0, 0.0).otherwise(float("inf"))},
+        update={"d": F.least(F.col("d"), F.coalesce(F.col("_msg"), F.lit(float("inf"))))},
+        send_msg=F.when(F.col("d") < float("inf"), F.col("d") + 1),
+        combine=F.min,
+        vote_to_halt=F.lit(True),
+        max_supersteps=8,
+    )
+    want = {r["id"]: r["d"] for r in pregel(
+        g, state_checkpoint_dir=d, checkpoint_every=2, **kernel
+    ).collect()}
+
+    # plant a TORN later checkpoint: vertices written, no marker
+    import shutil, os
+    torn = os.path.join(d, "superstep=99")
+    committed = [p for p in os.listdir(d) if p.startswith("superstep=")]
+    src_dir = os.path.join(d, sorted(committed)[0])
+    shutil.copytree(src_dir, torn)
+    os.remove(os.path.join(torn, "_COMMITTED"))
+
+    out = resume_pregel(g, d, **kernel)  # must NOT pick superstep 99
+    got = {r["id"]: r["d"] for r in out.collect()}
+    assert got == want
+
+    # a dir with ONLY torn checkpoints raises the dedicated error
+    d2 = str(tmp_path / "ckpt2")
+    shutil.copytree(d, d2)
+    for p in os.listdir(d2):
+        marker = os.path.join(d2, p, "_COMMITTED")
+        if os.path.exists(marker):
+            os.remove(marker)
+    with pytest.raises(NoCheckpointError):
+        resume_pregel(g, d2, **kernel)

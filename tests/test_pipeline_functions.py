@@ -394,3 +394,33 @@ def test_ann_recall_identity_and_disjoint(spark):
     mix = ann_recall(ex, other).toPandas().set_index("query_id")
     assert mix.loc[1, "recall_at_k"] == 0.0
     assert mix.loc[2, "recall_at_k"] == 1.0
+
+
+def test_decode_metadata_survives_corrupt_blob(spark):
+    """A truncated JPEG (magic matches, header ends mid-field) must yield
+    a null-metadata row, never abort the decode job (per-row isolation +
+    struct.error treated as a failed sniff)."""
+    from giraph_spark.functions.media_codecs import (
+        decode_media_header,
+        register_header_decoders,
+        make_png,
+    )
+    from giraph_spark.functions.multimodal import decode_metadata
+
+    import pytest
+
+    truncated_jpeg = b"\xff\xd8\xff\xc0\x00\x11\x08\x00"
+    with pytest.raises(ValueError):  # ValueError, NOT struct.error
+        decode_media_header(truncated_jpeg)
+
+    register_header_decoders()
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(make_png(32, 16))),
+            (2, "image", bytearray(truncated_jpeg)),
+        ],
+        "media_id long, modality string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_metadata(df).collect()}
+    assert rows[1]["width"] == 32 and rows[1]["height"] == 16
+    assert rows[2]["width"] is None and rows[2]["n_bytes"] == len(truncated_jpeg)
