@@ -413,14 +413,22 @@ def test_decode_metadata_survives_corrupt_blob(spark):
     with pytest.raises(ValueError):  # ValueError, NOT struct.error
         decode_media_header(truncated_jpeg)
 
+    from giraph_spark.functions.multimodal import _DECODERS
+
     register_header_decoders()
-    df = spark.createDataFrame(
-        [
-            (1, "image", bytearray(make_png(32, 16))),
-            (2, "image", bytearray(truncated_jpeg)),
-        ],
-        "media_id long, modality string, payload binary",
-    )
-    rows = {r["media_id"]: r for r in decode_metadata(df).collect()}
-    assert rows[1]["width"] == 32 and rows[1]["height"] == 16
-    assert rows[2]["width"] is None and rows[2]["n_bytes"] == len(truncated_jpeg)
+    try:
+        df = spark.createDataFrame(
+            [
+                (1, "image", bytearray(make_png(32, 16))),
+                (2, "image", bytearray(truncated_jpeg)),
+            ],
+            "media_id long, modality string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in decode_metadata(df).collect()}
+        assert rows[1]["width"] == 32 and rows[1]["height"] == 16
+        assert rows[2]["width"] is None
+        assert rows[2]["n_bytes"] == len(truncated_jpeg)
+    finally:
+        # restore the stub fallback for other tests (global registry)
+        _DECODERS.pop("image", None)
+        _DECODERS.pop("audio", None)
