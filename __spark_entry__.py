@@ -654,6 +654,27 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document repeated 8-grams over documents ∪ perturbed
+    re-renders of every 20th doc (the planted copies guarantee shared
+    n-grams; the fixture corpus alone is near-collision-free word soup)."""
+    from giraph_spark.functions.sampling import duplicate_ngrams
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    perturbed = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" !! ")).alias("text"),
+    )
+    # scalar projection for the driver compare (array columns hash
+    # differently across engines); the operator's doc_ids list is
+    # exercised in pytest
+    return duplicate_ngrams(d.unionByName(perturbed), n=8).select(
+        "gram",
+        "n_docs",
+        F.element_at("doc_ids", 1).cast("long").alias("first_doc_id"),
+    )
+
+
 def _q_mixture_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture epoch multiplicities: upsample src0 3.2x, downsample
     src1 to 0.5x, rest 1.0 — fractional parts resolved by id-hash."""
@@ -1137,6 +1158,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "mixture_repeats": _q_mixture_repeats,
         "expand_repeats": _q_expand_repeats,
+        "duplicate_ngrams": _q_duplicate_ngrams,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
@@ -2110,6 +2132,25 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        COALESCE(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 
+    duplicate_ngrams_sql = f"""
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, ' ' || text || ' !! ' AS text
+    FROM documents WHERE doc_id % 20 = 0
+),
+tok AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM docs2
+), g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(t) - 7, 1)),
+      i -> array_to_string(t[i:i+7], ' ')))) AS gram
+  FROM tok
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM g GROUP BY gram HAVING COUNT(*) >= 2"""
+
     mixture_repeats_sql = f"""
 WITH w AS (
   SELECT doc_id, source AS stratum,
@@ -2400,6 +2441,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "decontaminate": decontaminate_sql,
         "mixture_repeats": mixture_repeats_sql,
         "expand_repeats": expand_repeats_sql,
+        "duplicate_ngrams": duplicate_ngrams_sql,
         "cosine_topk": cosine_topk_sql,
         "ivf_topk": ivf_topk_sql,
         "lsh_topk": lsh_topk_sql,

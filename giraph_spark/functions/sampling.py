@@ -118,6 +118,37 @@ def word_ngrams(
     )
 
 
+def duplicate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    max_docs: int = 100,
+) -> DataFrame:
+    """Cross-document EXACT repeated word-n-grams — the exact-substring
+    duplication signal (the relational, n-gram-granular form of the
+    suffix-array pass in the exact-substring-dedup literature): every
+    n-gram appearing in ≥ ``min_docs`` distinct documents, with its
+    document count and the (sorted) ids of up to ``max_docs`` holders.
+
+    Returns ``(gram, n_docs, doc_ids)``. Scale: one explode + one hash
+    groupBy on the gram — never pairwise; ``max_docs`` truncates the id
+    list so a boilerplate gram shared by millions of documents cannot
+    blow up a result row (``n_docs`` still reports the true count)."""
+    g = word_ngrams(df, text_col, id_col, n)
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                f"slice(array_sort(collect_list({id_col})), 1, {max_docs})"
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

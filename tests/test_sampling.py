@@ -116,3 +116,31 @@ def test_expand_repeats(spark):
     assert sorted(out[out["doc_id"] == 1]["epoch"]) == [1, 2]
     assert 2 not in set(out["doc_id"])  # zero-weight rows drop
     assert "Exchange" not in expand_repeats(df)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_duplicate_ngrams(spark):
+    """Exact repeated word-n-grams across documents: planted shared
+    phrase found with correct doc count/ids; max_docs truncates the id
+    list but not the count."""
+    from giraph_spark.functions.sampling import duplicate_ngrams
+
+    shared = "the exact same eight word phrase repeated here verbatim"
+    rows = [
+        (1, "prefix one " + shared),
+        (2, shared + " suffix two"),
+        (3, "completely different words that never repeat anywhere at all"),
+        (4, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_ngrams(df, n=8).collect()
+    by_gram = {r["gram"]: r for r in out}
+    # the 9-word shared phrase yields two 8-grams present in docs 1,2,4
+    grams = [g for g in by_gram if "exact same eight" in g]
+    assert grams, "shared phrase not detected"
+    for g in grams:
+        assert by_gram[g]["n_docs"] == 3
+        assert by_gram[g]["doc_ids"] == [1, 2, 4]
+    # truncation: max_docs=2 keeps count but shortens the list
+    out2 = {r["gram"]: r for r in duplicate_ngrams(df, n=8, max_docs=2).collect()}
+    for g in grams:
+        assert out2[g]["n_docs"] == 3 and out2[g]["doc_ids"] == [1, 2]
