@@ -107,3 +107,88 @@ def test_triangle_closing_hub_guard(spark):
     assert (50, 52) in got and (52, 50) in got
     row = [r for r in guarded.collect() if r["id"] == 50 and r["candidate"] == 52]
     assert row[0]["common_neighbors"] == 1
+
+
+def test_kernel_matches_pure_python_bsp_simulator(spark):
+    """The pregel kernel vs an independent pure-Python BSP simulator
+    implementing the documented contract exactly (active set = not-halted
+    OR woken-by-message; update sees the combined inbox; vote_to_halt
+    evaluated post-update; only computed vertices send; termination =
+    all-halted AND no messages). Run on a seeded random graph for two
+    computation shapes (SSSP-min and max-propagation) and compare final
+    states exactly."""
+    from giraph_spark.pregel import pregel
+
+    g = uniform_random_graph(spark, n=80, edges_per_vertex=3, seed=13)
+    edge_rows = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    vertex_ids = [r["id"] for r in g.vertices.collect()]
+    out_edges = {}
+    for a, b in edge_rows:
+        out_edges.setdefault(a, []).append(b)
+
+    INF = float("inf")
+
+    def simulate(init, update, send, combine, vote, max_ss=60):
+        state = {v: init(v) for v in vertex_ids}
+        halted = {v: False for v in vertex_ids}
+        inbox = {}
+        for _ in range(max_ss):
+            active = {v for v in vertex_ids if (not halted[v]) or v in inbox}
+            new_msgs = {}
+            for v in vertex_ids:
+                if v not in active:
+                    continue
+                m = inbox.get(v)  # combined message or None
+                state[v] = update(state[v], m)
+                halted[v] = vote(state[v], m)
+                msg = send(state[v])
+                if msg is not None:
+                    for b in out_edges.get(v, []):
+                        new_msgs[b] = (
+                            msg if b not in new_msgs else combine(new_msgs[b], msg)
+                        )
+            inbox = new_msgs
+            if not inbox and all(halted.values()):
+                break
+        return state
+
+    # --- SSSP shape: min-combine, distance+1, halt every superstep ---
+    src_id = min(vertex_ids)
+    want = simulate(
+        init=lambda v: 0.0 if v == src_id else INF,
+        update=lambda d, m: min(d, m if m is not None else INF),
+        send=lambda d: d + 1 if d < INF else None,
+        combine=min,
+        vote=lambda d, m: True,
+    )
+    got_df = pregel(
+        g,
+        initial={"d": F.when(F.col("id") == src_id, 0.0).otherwise(INF)},
+        update={"d": F.least(F.col("d"), F.coalesce(F.col("_msg"), F.lit(INF)))},
+        send_msg=F.when(F.col("d") < INF, F.col("d") + 1),
+        combine=F.min,
+        vote_to_halt=F.lit(True),
+        max_supersteps=60,
+    )
+    got = {r["id"]: r["d"] for r in got_df.collect()}
+    assert got == want
+
+    # --- max-propagation shape: max-combine, forward own value ---
+    want2 = simulate(
+        init=lambda v: float(v),
+        update=lambda x, m: max(x, m) if m is not None else x,
+        send=lambda x: x,
+        combine=max,
+        vote=lambda x, m: True,
+    )
+    got2_df = pregel(
+        g,
+        initial={"x": F.col("id").cast("double")},
+        update={"x": F.greatest(F.col("x"), F.coalesce(F.col("_msg"), F.col("x")))},
+        send_msg=F.col("x"),
+        combine=F.max,
+        vote_to_halt=F.lit(True),
+        max_supersteps=60,
+    )
+    got2 = {r["id"]: r["x"] for r in got2_df.collect()}
+    assert got2 == want2
