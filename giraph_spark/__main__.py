@@ -44,8 +44,16 @@ def _algorithms():
     from .algos.pagerank import pagerank, random_walk_with_restart
     from .algos.paths import bfs, sssp
     from .algos.scc import scc
-    from .algos.stats import graph_stats
-    from .algos.triangles import triangle_count, triangles_per_vertex
+    from .algos.stats import (
+        avg_neighbor_degree,
+        clustering_coefficient,
+        graph_stats,
+    )
+    from .algos.triangles import (
+        triangle_closing_topk,
+        triangle_count,
+        triangles_per_vertex,
+    )
 
     return {
         "pagerank": pagerank,
@@ -61,6 +69,9 @@ def _algorithms():
         "maximal_independent_set": maximal_independent_set,
         "triangle_count": triangle_count,
         "triangles_per_vertex": triangles_per_vertex,
+        "triangle_closing_topk": triangle_closing_topk,
+        "clustering_coefficient": clustering_coefficient,
+        "avg_neighbor_degree": avg_neighbor_degree,
         "graph_stats": graph_stats,
         "out_degrees": lambda g: g.out_degrees(),
         "in_degrees": lambda g: g.in_degrees(),
