@@ -288,6 +288,17 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition via the distributed H-index fixpoint (one
+    kernel run; collect_list inbox + pure array H-index expression) over
+    the symmetrized nation graph."""
+    from giraph_spark.algos.components import core_numbers
+
+    return core_numbers(nation_graph(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id"), "core"
+    )
+
+
 def _q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient 2T/(d(d-1)) per vertex over the
     symmetrized nation graph — the density query the reference's triangle
@@ -1124,6 +1135,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "clustering_coefficient": _q_clustering_coefficient,
+        "core_numbers": _q_core_numbers,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "triangle_closing_topk": _q_triangle_closing,
         "symmetrize_edges": _q_symmetrize,
@@ -1447,6 +1459,41 @@ FROM vertices v
 LEFT JOIN deg ON deg.id = v.id
 LEFT JOIN tcnt ON tcnt.id = v.id"""
     )
+
+    # Core decomposition oracle: the same H-index fixpoint as the kernel,
+    # unrolled 16 iterations (the nation graph converges in far fewer;
+    # the sequence is stationary once converged, so extra rounds are
+    # no-ops and both engines land on the identical fixpoint).
+    # every c{t} is referenced twice by level t+1 — without MATERIALIZED
+    # the CTE chain re-evaluates exponentially (2^16 base-table scans,
+    # the SQL edition of the kernel's lineage-blowup problem)
+    cn_parts = [
+        sym_sql.replace("sym AS (", "sym AS MATERIALIZED (")
+        + """, cdeg AS (SELECT src AS id, CAST(COUNT(*) AS INT) AS d FROM sym GROUP BY src)
+, c0 AS MATERIALIZED (
+    SELECT v.id, COALESCE(cdeg.d, 0) AS c
+    FROM vertices v LEFT JOIN cdeg ON cdeg.id = v.id
+)"""
+    ]
+    for t in range(16):
+        cn_parts.append(
+            f""", r{t} AS (
+    SELECT e.src AS id, c.c AS cn,
+           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY c.c DESC) AS rn
+    FROM sym e JOIN c{t} c ON c.id = e.dst
+), h{t} AS (
+    SELECT id, CAST(SUM(CASE WHEN cn >= rn THEN 1 ELSE 0 END) AS INT) AS h
+    FROM r{t} GROUP BY id
+), c{t + 1} AS MATERIALIZED (
+    SELECT c{t}.id, COALESCE(h{t}.h, c{t}.c) AS c
+    FROM c{t} LEFT JOIN h{t} ON h{t}.id = c{t}.id
+)"""
+        )
+    cn_parts.append(
+        """
+SELECT CAST(id AS BIGINT) AS id, CAST(c AS BIGINT) AS core FROM c16"""
+    )
+    core_numbers_sql = "".join(cn_parts)
 
     avg_nbr_deg_sql = (
         TRADE_GRAPH_DIRECTED_SQL.strip()
@@ -2477,6 +2524,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "triangle_count": tri_sql,
         "triangles_per_vertex": tri_pv_sql,
         "clustering_coefficient": clustering_sql,
+        "core_numbers": core_numbers_sql,
         "avg_neighbor_degree": avg_nbr_deg_sql,
         "triangle_closing_topk": tri_close_sql,
         "symmetrize_edges": sym_sql + "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM sym",

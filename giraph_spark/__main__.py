@@ -35,6 +35,7 @@ from .pregel import PregelMetrics
 def _algorithms():
     from .algos.components import (
         alternating_star_components,
+        core_numbers,
         k_core,
         max_propagation,
         min_propagation,
@@ -63,6 +64,7 @@ def _algorithms():
         "wcc": wcc,
         "wcc_star": alternating_star_components,
         "k_core": k_core,
+        "core_numbers": core_numbers,
         "scc": scc,
         "max_propagation": max_propagation,
         "min_propagation": min_propagation,
@@ -88,6 +90,7 @@ _KERNEL_ALGOS = {
     "sssp",
     "bfs",
     "wcc",
+    "core_numbers",
     "max_propagation",
     "min_propagation",
 }

@@ -215,3 +215,39 @@ def test_clustering_coefficient_and_avg_neighbor_degree(spark):
     assert nd[1] == 1.0     # neighbor 2 (od 1)
     assert nd[2] == 0.0     # neighbor 3 (od 0)
     assert nd[3] is None    # no out-neighbors
+
+
+def test_core_numbers_matches_peeling(spark):
+    """H-index fixpoint coreness == brute-force peeling on a seeded
+    small-world graph (independent Python model)."""
+    import collections
+
+    from giraph_spark.algos.components import core_numbers
+    from giraph_spark.sources import watts_strogatz_graph
+
+    g = watts_strogatz_graph(spark, n=60, k=4, beta=0.2, seed=5)
+    got = {r["id"]: r["core"] for r in core_numbers(g).collect()}
+
+    und = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in g.edges.collect()
+        if r["src"] != r["dst"]
+    }
+    ids = {r["id"] for r in g.vertices.collect()}
+    core = {v: 0 for v in ids}
+    alive, E, k = set(ids), set(und), 0
+    while alive:
+        k += 1
+        while True:
+            degc = collections.Counter()
+            for a, b in E:
+                degc[a] += 1
+                degc[b] += 1
+            drop = {v for v in alive if degc[v] < k}
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+            alive -= drop
+            E = {(a, b) for a, b in E if a in alive and b in alive}
+    assert got == core
