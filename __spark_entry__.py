@@ -288,6 +288,17 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-set harmonic centrality over the trade graph: ONE
+    multi-source BFS kernel run with array-of-distances state and the
+    element-wise-min vector combiner."""
+    from giraph_spark.algos.paths import harmonic_centrality
+
+    return harmonic_centrality(
+        trade_graph(spark, sf_dir), [1, 2, 3, 4]
+    ).select(F.col("id").cast("long").alias("id"), "harmonic")
+
+
 def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition via the distributed H-index fixpoint (one
     kernel run; collect_list inbox + pure array H-index expression) over
@@ -1136,6 +1147,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "clustering_coefficient": _q_clustering_coefficient,
         "core_numbers": _q_core_numbers,
+        "harmonic_centrality": _q_harmonic_centrality,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "triangle_closing_topk": _q_triangle_closing,
         "symmetrize_edges": _q_symmetrize,
@@ -1459,6 +1471,39 @@ FROM vertices v
 LEFT JOIN deg ON deg.id = v.id
 LEFT JOIN tcnt ON tcnt.id = v.id"""
     )
+
+    # Harmonic centrality oracle: all four pivots' BFS distances in ONE
+    # (pivot, vertex) relation, 16 materialized one-hop extensions (the
+    # kernel converges in ≤6 supersteps on this graph; extra rounds are
+    # fixpoint no-ops), then the 1/d sum per vertex.
+    hc_parts = [
+        TRADE_GRAPH_SQL.strip()
+        + """
+, hp0 AS MATERIALIZED (
+    SELECT CAST(pid AS BIGINT) AS pid, CAST(pid AS BIGINT) AS id, 0 AS d
+    FROM (VALUES (1), (2), (3), (4)) AS p(pid)
+)"""
+    ]
+    for t in range(16):
+        hc_parts.append(
+            f""", hp{t + 1} AS MATERIALIZED (
+    SELECT pid, id, MIN(d) AS d FROM (
+        SELECT pid, id, d FROM hp{t}
+        UNION ALL
+        SELECT dt.pid, e.dst AS id, dt.d + 1 AS d
+        FROM hp{t} dt JOIN edges e ON e.src = dt.id
+    ) u GROUP BY pid, id
+)"""
+        )
+    hc_parts.append(
+        """
+SELECT CAST(v.id AS BIGINT) AS id,
+       ROUND(COALESCE(SUM(CASE WHEN dd.d > 0 THEN 1.0 / dd.d END), 0.0), 6)
+         AS harmonic
+FROM vertices v LEFT JOIN hp16 dd ON dd.id = v.id
+GROUP BY v.id"""
+    )
+    harmonic_sql = "".join(hc_parts)
 
     # Core decomposition oracle: the same H-index fixpoint as the kernel,
     # unrolled 16 iterations (the nation graph converges in far fewer;
@@ -2525,6 +2570,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "triangles_per_vertex": tri_pv_sql,
         "clustering_coefficient": clustering_sql,
         "core_numbers": core_numbers_sql,
+        "harmonic_centrality": harmonic_sql,
         "avg_neighbor_degree": avg_nbr_deg_sql,
         "triangle_closing_topk": tri_close_sql,
         "symmetrize_edges": sym_sql + "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM sym",

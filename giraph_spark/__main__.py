@@ -43,7 +43,7 @@ def _algorithms():
     )
     from .algos.independent_set import maximal_independent_set
     from .algos.pagerank import pagerank, random_walk_with_restart
-    from .algos.paths import bfs, sssp
+    from .algos.paths import bfs, harmonic_centrality, sssp
     from .algos.scc import scc
     from .algos.stats import (
         avg_neighbor_degree,
@@ -61,6 +61,7 @@ def _algorithms():
         "random_walk_with_restart": random_walk_with_restart,
         "sssp": sssp,
         "bfs": bfs,
+        "harmonic_centrality": harmonic_centrality,
         "wcc": wcc,
         "wcc_star": alternating_star_components,
         "k_core": k_core,
@@ -89,6 +90,7 @@ _KERNEL_ALGOS = {
     "random_walk_with_restart",
     "sssp",
     "bfs",
+    "harmonic_centrality",
     "wcc",
     "core_numbers",
     "max_propagation",
@@ -170,7 +172,7 @@ def main(argv: list[str] | None = None) -> int:
         if "=" not in kv:
             raise SystemExit(f"--param expects KEY=VALUE, got {kv!r}")
         k, v = kv.split("=", 1)
-        if k == "sources":  # random_walk_with_restart takes a list
+        if k in ("sources", "pivots"):  # list-valued kwargs
             params[k] = [_parse_literal(x) for x in v.split(",")]
         else:
             params[k] = _parse_literal(v)

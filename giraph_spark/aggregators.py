@@ -191,3 +191,19 @@ def matrix_sum(c: Column) -> Column:
             )
         ),
     )
+
+
+def vector_min(c: Column) -> Column:
+    """Element-wise minimum of ``array<double>`` columns — the message
+    combiner of vector distance propagation (multi-source BFS /
+    harmonic-centrality pivots): each position holds the best-known
+    distance to one source. Same fold shape as :func:`vector_sum`
+    (``MinDoubleDenseVector`` family semantics); NULL elements lose to
+    any value."""
+    return F.reduce(
+        F.collect_list(c),
+        F.lit(None).cast("array<double>"),
+        lambda acc, v: F.when(acc.isNull(), v)
+        .when(v.isNull(), acc)
+        .otherwise(F.zip_with(acc, v, lambda a, b: F.least(a, b))),
+    )

@@ -121,3 +121,72 @@ def bfs(
     return out.withColumn(
         level_col, F.when(F.col(level_col) >= big, F.lit(-1)).otherwise(F.col(level_col))
     )
+
+
+def harmonic_centrality(
+    graph: Graph,
+    pivots: list,
+    max_supersteps: int = 50,
+    metrics: PregelMetrics | None = None,
+    **pregel_kwargs,
+) -> DataFrame:
+    """Harmonic centrality restricted to a pivot set: ``H(v) = Σ_{p ∈
+    pivots, d(p,v) > 0} 1 / d(p,v)`` with ``d`` = hop distance FROM the
+    pivot along the graph's edges — the standard pivot-sampling estimator
+    of centrality at scale (exact over the chosen pivots; unreachable
+    pivots contribute 0). ONE kernel run for all pivots: the vertex state
+    is an ``array<double>`` of per-pivot distances, messages are the
+    array advanced by one hop, and the combiner is the element-wise
+    minimum (:func:`giraph_spark.aggregators.vector_min`) — the
+    aggregator family's dense-vector algebra used as message algebra, so
+    adding pivots widens the array instead of adding runs.
+
+    Returns ``(id, harmonic)`` rounded to 6 places.
+    """
+    from ..aggregators import vector_min
+
+    id_col = graph.id_col
+    INF = float("inf")
+    init = F.array(
+        *[
+            F.when(F.col(id_col) == F.lit(p), F.lit(0.0)).otherwise(F.lit(INF))
+            for p in pivots
+        ]
+    )
+    new_d = F.zip_with(
+        F.col("_d"),
+        F.coalesce(F.col("_msg"), F.col("_d")),
+        lambda a, b: F.least(a, b),
+    )
+    improved = F.exists(
+        F.zip_with(new_d, F.col("_d"), lambda a, b: a < b), lambda x: x
+    )
+
+    # superstep 0 has no inbox: the pivots "improve" from nothing to 0
+    # and must seed the propagation (sssp's seeding rule, vectorized)
+    def upd(ctx):
+        seed = F.lit(ctx.superstep == 0) & F.exists(
+            F.col("_d"), lambda x: x < F.lit(INF)
+        )
+        return {"_d": new_d, "_improved": seed | improved}
+
+    out = pregel(
+        graph,
+        initial={"_d": init},
+        update=upd,
+        send_msg=F.when(
+            F.col("_improved"), F.expr("transform(_d, x -> x + 1)")
+        ),
+        combine=vector_min,
+        vote_to_halt=F.lit(True),
+        max_supersteps=max_supersteps,
+        metrics=metrics,
+        **pregel_kwargs,
+    )
+    harmonic = F.expr(
+        "aggregate(_d, 0.0d, (acc, x) -> acc + CASE WHEN x > 0.0d AND "
+        "x != cast('Infinity' AS DOUBLE) THEN 1.0d / x ELSE 0.0d END)"
+    )
+    return out.select(
+        id_col, F.round(harmonic, 6).alias("harmonic")
+    )

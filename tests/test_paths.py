@@ -98,3 +98,21 @@ def test_degrees(sssp_toy):
     ind = {r["id"]: r["in_degree"] for r in sssp_toy.in_degrees().collect()}
     assert outd == {1: 2, 2: 2, 3: 1, 4: 0}
     assert ind == {1: 0, 2: 1, 3: 2, 4: 2}
+
+
+def test_harmonic_centrality_pivots(spark):
+    """One multi-source BFS run with array state: H(v) = sum of 1/d(p,v)
+    over reachable pivots, pivot-at-itself excluded, unreachable = 0."""
+    from giraph_spark import Graph
+    from giraph_spark.algos.paths import harmonic_centrality
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long"
+    )
+    out = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(Graph(vertices, edges), [1, 2]).collect()
+    }
+    # d(1,.): 2:1 3:1 4:2 ; d(2,.): 3:1 4:2, 1 unreachable
+    assert out == {1: 0.0, 2: 1.0, 3: 2.0, 4: 1.0}
