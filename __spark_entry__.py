@@ -97,6 +97,7 @@ from giraph_spark.streaming.events import sessionize
 SSSP_SOURCE = 1  # min customer key in every sf
 PR_ITERS = 10
 UNROLL_K = 16  # oracle fixed-point unroll depth (≥ graph diameter)
+LPA_ROUNDS = 4  # synchronous label-propagation rounds (fixed, deterministic)
 
 
 # ---------------------------------------------------------------- entry --
@@ -215,6 +216,18 @@ def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"),
+    )
+
+
+def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 synchronous LPA rounds on the (already symmetric) trade graph —
+    deterministic majority adoption with (max count, min label) ties."""
+    from giraph_spark.algos.components import label_propagation_communities
+
+    g = trade_graph(spark, sf_dir)
+    return label_propagation_communities(g, rounds=LPA_ROUNDS).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("community").cast("long").alias("community"),
     )
 
 
@@ -1135,6 +1148,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_chain": _q_bfs_chain,
         "wcc": _q_wcc,
         "wcc_star": _q_wcc_star,
+        "lpa_communities": _q_lpa_communities,
         "k_core": _q_k_core,
         "max_propagation": _q_max_prop,
         "min_propagation": _q_min_prop,
@@ -2491,7 +2505,34 @@ UNION ALL
 SELECT 'e' AS kind, CAST(src AS BIGINT) AS a, CAST(dst AS BIGINT) AS b FROM final_e"""
     )
 
+    # LPA: unrolled synchronous rounds; per round the winning label is the
+    # (max count, min label) neighbor majority — QUALIFY row_number over
+    # (c DESC, lbl ASC) = Spark's max(struct(c, -label)) tie order.
+    lpa_parts = [
+        TRADE_GRAPH_SQL.strip(),
+        ", l0 AS MATERIALIZED (SELECT id, id AS val FROM vertices)",
+    ]
+    for t in range(LPA_ROUNDS):
+        lpa_parts.append(
+            f""", l{t + 1} AS MATERIALIZED (
+    SELECT v.id, COALESCE(m.lbl, v.val) AS val
+    FROM l{t} v LEFT JOIN (
+        SELECT dst AS id, lbl FROM (
+            SELECT e.dst, s.val AS lbl, COUNT(*) AS c
+            FROM edges e JOIN l{t} s ON s.id = e.src
+            GROUP BY 1, 2
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, lbl ASC) = 1
+    ) m ON m.id = v.id
+)"""
+        )
+    lpa_parts.append(
+        f"SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS community"
+        f" FROM l{LPA_ROUNDS}"
+    )
+    lpa_sql = "\n".join(lpa_parts)
+
     return {
+        "lpa_communities": lpa_sql,
         "identity": identity_sql,
         "graph_mutations": mutations_sql,
         "degree_distribution": TRADE_GRAPH_DIRECTED_SQL.strip()

@@ -251,3 +251,43 @@ def test_core_numbers_matches_peeling(spark):
             alive -= drop
             E = {(a, b) for a, b in E if a in alive and b in alive}
     assert got == core
+
+
+def test_lpa_communities_two_triangles(spark):
+    """Hand-simulated 4-round synchronous LPA: two triangles joined by a
+    bridge resolve to one community per triangle (labels 0 and 2; the
+    bridge endpoint 3 converges to triangle {3,4,5}'s majority label 2,
+    which is the bridge vertex's own min-neighbor after round 3)."""
+    from giraph_spark.algos.components import label_propagation_communities
+    from giraph_spark.graph import Graph
+
+    ed = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in ed] + [(b, a) for a, b in ed], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation_communities(
+            Graph(verts, edges), rounds=4
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}
+
+
+def test_lpa_isolated_vertex_keeps_own_label(spark):
+    from giraph_spark.algos.components import label_propagation_communities
+    from giraph_spark.graph import Graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation_communities(
+            Graph(verts, edges), rounds=3
+        ).collect()
+    }
+    # the 2-cycle is bipartite: synchronous LPA swaps the pair's labels
+    # every round (the documented oscillation), so after an odd round
+    # count each holds the other's id; the isolated vertex never moves
+    assert got == {1: 2, 2: 1, 9: 9}
