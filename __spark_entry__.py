@@ -1006,6 +1006,32 @@ def _purchases_views(spark, sf_dir):
     return purchases, views
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Lloyd's k-means assignment (8 cells, 2 iterations) over
+    the embeddings table — every engine-crossing float rounded so the
+    unrolled DuckDB oracle replays seed → assign → re-center → assign
+    exactly."""
+    from giraph_spark.functions.similarity import kmeans_assign
+
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return kmeans_assign(e, num_cells=8, iters=2)
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style within-cell semantic pruning: seed-centroid cells,
+    drop vectors cosine-similar (≥0.35) to a lower-id cellmate."""
+    from giraph_spark.functions.similarity import semdedup
+
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return semdedup(e, num_cells=16, threshold=0.35)
+
+
 def _q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (label/feature attachment): each purchase gains the most
     recent prior-or-simultaneous view of the same user. Union–sort–carry
@@ -1210,6 +1236,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ann_recall": _q_ann_recall,
         "quantize_embeddings": _q_quantize_embeddings,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup": _q_semdedup,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "sessionize": _q_sessionize,
@@ -2531,8 +2559,64 @@ SELECT 'e' AS kind, CAST(src AS BIGINT) AS a, CAST(dst AS BIGINT) AS b FROM fina
     )
     lpa_sql = "\n".join(lpa_parts)
 
+    # k-means (8 cells, 2 Lloyd iterations, dim 64): seed = lowest-id
+    # vectors; each round's assignment ranks ROUND(cosine, 6) with ties to
+    # the lower cell, each centroid component is ROUND(AVG, 6) — the same
+    # rounding the Spark side applies, so the unrolled replay is exact.
+    def _km_assign(src_cents: str, out: str) -> str:
+        return f""", {out} AS MATERIALIZED (
+    SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                            c.cell ASC) AS rn
+        FROM e CROSS JOIN {src_cents} c)
+    WHERE rn = 1
+)"""
+
+    def _km_recenter(src_assign: str, out: str) -> str:
+        return f""", {out}_d AS (
+    SELECT cell, p.i AS pos, ROUND(AVG(v[p.i + 1]), 6) AS m
+    FROM {src_assign} CROSS JOIN (SELECT unnest(range(64)) AS i) p
+    GROUP BY 1, 2
+), {out} AS MATERIALIZED (
+    SELECT cell, list(m ORDER BY pos) AS cv FROM {out}_d GROUP BY cell
+)"""
+
+    kmeans_sql = (
+        """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS MATERIALIZED (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 8)"""
+        + _km_assign("c0", "a1")
+        + _km_recenter("a1", "c1")
+        + _km_assign("c1", "a2")
+        + _km_recenter("a2", "c2")
+        + _km_assign("c2", "a3")
+        + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell FROM a3"""
+    )
+
+    semdedup_sql = (
+        """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS MATERIALIZED (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16)"""
+        + _km_assign("c0", "asg")
+        + """,
+dup AS (
+    SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    GROUP BY 1
+)
+SELECT CAST(s.vec_id AS BIGINT) AS vec_id, CAST(s.cell AS BIGINT) AS cell,
+       d.dup_of IS NULL AS kept, CAST(d.dup_of AS BIGINT) AS dup_of
+FROM asg s LEFT JOIN dup d ON s.vec_id = d.vec_id"""
+    )
+
     return {
         "lpa_communities": lpa_sql,
+        "kmeans_clusters": kmeans_sql,
+        "semdedup": semdedup_sql,
         "identity": identity_sql,
         "graph_mutations": mutations_sql,
         "degree_distribution": TRADE_GRAPH_DIRECTED_SQL.strip()

@@ -220,16 +220,27 @@ def _centroid_array(cents: DataFrame) -> Column:
     )
 
 
-def nearest_cells(vec: Column, cent_arr: Column, n_keep: int) -> Column:
+def nearest_cells(
+    vec: Column, cent_arr: Column, n_keep: int, round_digits: int | None = None
+) -> Column:
     """The ``n_keep`` nearest centroids of ``vec`` by cosine, as an array
     of ``struct<negsim, cell>`` sorted best-first (ties → lower cell id,
     matching a row_number over (sim DESC, cell ASC)). Single-pass
     expression: evaluated inside the corpus scan's projection, inside
-    whole-stage codegen — no Exchange."""
+    whole-stage codegen — no Exchange. ``round_digits`` rounds the
+    similarity before ranking — the portable mode: argmax over a value
+    both engines agree on exactly, so a SQL oracle replays cell
+    assignment bit-for-bit (unrounded doubles can differ in the last ulp
+    across engines and flip near-ties)."""
     sims = F.transform(
         cent_arr,
         lambda s: F.struct(
-            (-cosine(vec, s["cv"])).alias("negsim"), s["cell"].alias("cell")
+            (
+                -F.round(cosine(vec, s["cv"]), round_digits)
+                if round_digits is not None
+                else -cosine(vec, s["cv"])
+            ).alias("negsim"),
+            s["cell"].alias("cell"),
         ),
     )
     return F.slice(F.array_sort(sims), 1, n_keep)
@@ -473,4 +484,142 @@ def ann_recall(
         F.round(
             F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("_n_exact"), 6
         ).alias("recall_at_k"),
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    num_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means returning the per-vector cluster
+    assignment ``(id, cell)`` — the clustering stage of embedding-space
+    corpus curation (cluster-then-prune pipelines à la SemDeDup; also
+    the IVF list builder). Deterministic end to end: seeds are the
+    ``num_cells`` lowest-id vectors, assignment argmax breaks ties
+    toward the lower cell id, and (with ``round_digits``) every
+    engine-crossing float — the assignment similarity and each centroid
+    component — is rounded, so the whole iteration is replayable by a
+    SQL oracle (``round_digits=None`` for the fastest, non-portable
+    form).
+
+    Scale shape per iteration: cell assignment is a scan-fused
+    projection against the literal centroid array (zero joins/shuffles
+    on the corpus — see :func:`ivf_topk`); the centroid update is one
+    posexplode + (cell, dim) hash aggregation, partial-aggregated
+    map-side, shuffling at most ``num_cells × dim`` rows. Driver state
+    is k·dim doubles per round — classic k-means. Empty cells drop out
+    (their centroid is undefined), matching the SQL replay."""
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(num_cells)
+        .select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv"))
+    )
+    for _ in range(iters):
+        cent_arr = _centroid_array(cents)
+        assigned = corpus.select(
+            F.element_at(
+                nearest_cells(F.col(vec_col), cent_arr, 1, round_digits), 1
+            )["cell"].alias("_cell"),
+            F.col(vec_col),
+        )
+        dims = assigned.select(
+            "_cell", F.posexplode(F.col(vec_col)).alias("_pos", "_x")
+        )
+        mean = F.avg("_x")
+        if round_digits is not None:
+            mean = F.round(mean, round_digits)
+        means = dims.groupBy("_cell", "_pos").agg(mean.alias("_m"))
+        cents = means.groupBy("_cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_cv")
+        )
+    cent_arr = _centroid_array(cents)
+    return corpus.select(
+        F.col(id_col),
+        F.element_at(nearest_cells(F.col(vec_col), cent_arr, 1, round_digits), 1)[
+            "cell"
+        ]
+        .cast("long")
+        .alias("cell"),
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al., "SemDeDup", 2023): bucket
+    the corpus into ``num_cells`` centroid cells, then within each cell
+    drop every vector that is cosine-similar (≥ ``threshold``) to a
+    lower-id vector in the same cell. Returns one row per corpus vector:
+    ``(id, cell, kept, dup_of)`` with ``dup_of`` = the smallest such
+    lower id (NULL when kept) — the keep-list join a curation pipeline
+    applies to the document table.
+
+    The relational form of the paper's per-cluster pruning: "remove x if
+    any earlier y in its cluster is a near-duplicate" has no sequential
+    dependency (it keys off lower-ID *existence*, not kept status), so
+    it is one self-join per cell instead of a per-cluster Python loop.
+
+    Scale: the pair space is per-cell quadratic but never corpus-
+    quadratic — exactly the paper's trick: scale ``num_cells`` with the
+    corpus so mean occupancy stays bounded (100 TB: tens of thousands of
+    cells), and the self-join shuffles on the cell key with partial
+    filtering at the join. Cell assignment is the scan-fused literal-
+    centroid projection (zero corpus shuffles; see :func:`ivf_topk`).
+    ``centroids`` defaults to the lowest-id seed vectors — fully
+    SQL-replayable; pass :func:`kmeans_centroids` output (or
+    :func:`kmeans_assign` with more iters) for better balance."""
+    if centroids is None:
+        cents = (
+            corpus.orderBy(F.col(id_col))
+            .limit(num_cells)
+            .select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv"))
+        )
+    else:
+        cents = centroids
+    cent_arr = _centroid_array(cents)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(nearest_cells(F.col(vec_col), cent_arr, 1, round_digits), 1)[
+            "cell"
+        ]
+        .cast("long")
+        .alias("cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            F.col(f"a.{id_col}").alias("_earlier"),
+            F.round(cosine(F.col("a." + vec_col), F.col("b." + vec_col)), 6).alias(
+                "_sim"
+            ),
+        )
+        .where(F.col("_sim") >= threshold)
+        .groupBy(id_col)
+        .agg(F.min("_earlier").alias("dup_of"))
+    )
+    return assigned.join(dup, id_col, "left").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("dup_of").isNull().alias("kept"),
+        F.col("dup_of").cast("long").alias("dup_of"),
     )

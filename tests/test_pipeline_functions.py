@@ -432,3 +432,50 @@ def test_decode_metadata_survives_corrupt_blob(spark):
         # restore the stub fallback for other tests (global registry)
         _DECODERS.pop("image", None)
         _DECODERS.pop("audio", None)
+
+
+def test_kmeans_assign_separates_planted_clusters(spark):
+    import random
+
+    from giraph_spark.functions.similarity import kmeans_assign
+
+    random.seed(11)
+    dim = 16
+    base = [[random.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    # interleave ids across clusters (vid % 4 = cluster) so the lowest-id
+    # seeds span all four planted clusters — seed-based init is documented
+    # to depend on seed spread
+    for i in range(8):
+        for c, b in enumerate(base):
+            vid = i * 4 + c
+            rows.append((vid, [x + random.gauss(0, 0.03) for x in b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cell for r in kmeans_assign(df, num_cells=4, iters=3).collect()}
+    # all members of a planted cluster land in one cell, clusters distinct
+    cells = [{out[i * 4 + c] for i in range(8)} for c in range(4)]
+    assert all(len(s) == 1 for s in cells)
+    assert len({next(iter(s)) for s in cells}) == 4
+
+
+def test_semdedup_prunes_planted_near_duplicates(spark):
+    import random
+
+    from giraph_spark.functions.similarity import semdedup
+
+    random.seed(13)
+    dim = 16
+    rows = []
+    # 10 well-separated originals; every third gets a near-copy (id+100)
+    for vid in range(10):
+        v = [random.gauss(0, 1) for _ in range(dim)]
+        rows.append((vid, v))
+        if vid % 3 == 0:
+            rows.append((vid + 100, [x + random.gauss(0, 1e-3) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semdedup(df, num_cells=4, threshold=0.95).collect()}
+    assert len(out) == len(rows)  # one verdict row per input vector
+    for vid in (100, 103, 106, 109):
+        assert not out[vid].kept and out[vid].dup_of == vid - 100
+    # originals always survive (no lower-id near neighbor)
+    assert all(out[vid].kept for vid in range(10))
