@@ -710,6 +710,26 @@ def _q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scrub_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrub over documents ∪ perturbed re-renders of
+    every 20th doc: the planted pairs share their full normalized token
+    span, so both copies lose exactly the shared tokens while every
+    other document passes through untouched."""
+    from giraph_spark.functions.sampling import scrub_duplicate_ngrams
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    perturbed = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" !! ")).alias("text"),
+    )
+    return scrub_duplicate_ngrams(d.unionByName(perturbed), n=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "n_kept",
+        "n_removed",
+    )
+
+
 def _q_mixture_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture epoch multiplicities: upsample src0 3.2x, downsample
     src1 to 0.5x, rest 1.0 — fractional parts resolved by id-hash."""
@@ -1223,6 +1243,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_repeats": _q_mixture_repeats,
         "expand_repeats": _q_expand_repeats,
         "duplicate_ngrams": _q_duplicate_ngrams,
+        "scrub_duplicate_ngrams": _q_scrub_duplicate_ngrams,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
@@ -2613,10 +2634,55 @@ SELECT CAST(s.vec_id AS BIGINT) AS vec_id, CAST(s.cell AS BIGINT) AS cell,
 FROM asg s LEFT JOIN dup d ON s.vec_id = d.vec_id"""
     )
 
+    # exact-substring scrub: delete tokens covered by any 8-gram present in
+    # >= 2 distinct docs (planted copies guarantee shared spans); slices are
+    # inclusive in DuckDB (t[i:i+7] = 8 tokens = Spark slice(_t, i, 8))
+    scrub_dup_ngrams_sql = f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, ' ' || text || ' !! ' AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+tok AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM docs2),
+occ AS (
+  SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, t,
+               unnest(CASE WHEN len(t) >= 8 THEN range(1, len(t) - 6)
+                           ELSE [] END) AS i
+        FROM tok)
+),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT o.doc_id, o.start + p.i AS pos
+  FROM occ o JOIN dup USING (gram)
+  CROSS JOIN (SELECT unnest(range(8)) AS i) p
+),
+tokpos AS (
+  SELECT doc_id, i + 1 AS pos, t[i + 1] AS w
+  FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.w FROM tokpos k
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = k.doc_id AND c.pos = k.pos)
+),
+clean AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(c.clean_text, '') AS clean_text,
+       CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(d.t) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+FROM tok d LEFT JOIN clean c USING (doc_id)"""
+
     return {
         "lpa_communities": lpa_sql,
         "kmeans_clusters": kmeans_sql,
         "semdedup": semdedup_sql,
+        "scrub_duplicate_ngrams": scrub_dup_ngrams_sql,
         "identity": identity_sql,
         "graph_mutations": mutations_sql,
         "degree_distribution": TRADE_GRAPH_DIRECTED_SQL.strip()

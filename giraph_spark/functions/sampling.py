@@ -236,3 +236,95 @@ def expand_repeats(
         )
         .drop(repeats_col)
     )
+
+
+def scrub_duplicate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication at n-gram granularity (the
+    relational form of the suffix-array pass in Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022): delete from every document each token covered by any
+    word-``n``-gram that occurs in ≥ ``min_docs`` DISTINCT documents.
+    Unlike document-level dedup this removes the *shared boilerplate
+    span* (headers, licenses, templates) while keeping the unique
+    remainder of each document.
+
+    Returns one row per input document:
+    ``(id, clean_text, n_kept, n_removed)`` — ``clean_text`` is the
+    normalized text with covered tokens deleted (adjacent survivors
+    re-joined with single spaces; empty string if everything was
+    covered). Documents shorter than ``n`` tokens form no n-grams and
+    are never scrubbed (span-removal semantics; use
+    :func:`exact_duplicates <giraph_spark.functions.dedup.exact_duplicates>`
+    for whole-short-doc copies).
+
+    Scale shape: token/occurrence explodes are ~|tokens| rows per doc
+    (linear, scan-attached); duplicated-gram detection is ONE hash
+    groupBy on the gram with partial aggregation; coverage is an
+    ``n``-wide explode of matched occurrences only, deduped by
+    (doc, pos); reassembly is one per-doc groupBy whose collect is
+    bounded by document length. No pairwise joins anywhere — a gram
+    shared by a million documents costs one group row plus its matched
+    occurrences, never a million² pairing."""
+    from .dedup import normalize_text
+
+    with_t = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_t")
+    )
+    # positional occurrences: (id, start, gram), 1-based starts
+    occ = with_t.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"if(size(_t) >= {n}, "
+                f"transform(sequence(1, size(_t) - {n} + 1), "
+                f"i -> struct(i AS start, array_join(slice(_t, i, {n}), ' ') AS gram)), "
+                f"array())"
+            )
+        ).alias("_o"),
+    ).select(F.col(id_col), F.col("_o.start").alias("_start"), F.col("_o.gram").alias("gram"))
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        occ.join(dup, "gram", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(_start, _start + {n - 1})")).alias("_pos"),
+        )
+        .distinct()
+    )
+    toks = with_t.select(
+        F.col(id_col), F.posexplode(F.col("_t")).alias("_p0", "_w")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_pos"), F.col("_w"))
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                lambda s: s["_w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        with_t.select(F.col(id_col), F.size("_t").cast("long").alias("_ntok"))
+        .join(clean, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_ntok") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -144,3 +144,35 @@ def test_duplicate_ngrams(spark):
     out2 = {r["gram"]: r for r in duplicate_ngrams(df, n=8, max_docs=2).collect()}
     for g in grams:
         assert out2[g]["n_docs"] == 3 and out2[g]["doc_ids"] == [1, 2]
+
+
+def test_scrub_duplicate_ngrams_removes_shared_span_only(spark):
+    from giraph_spark.functions.sampling import scrub_duplicate_ngrams
+
+    boiler = "this license text is shared by many documents exactly verbatim"
+    rows = [
+        (1, f"unique alpha words here {boiler} and then unique tail one"),
+        (2, f"different beginning text {boiler} closing words two"),
+        (3, "totally unique document with no shared spans at all ok"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_duplicate_ngrams(df, n=5).collect()}
+    assert out[1].clean_text == "unique alpha words here and then unique tail one"
+    assert out[2].clean_text == "different beginning text closing words two"
+    assert out[1].n_removed == 10 and out[2].n_removed == 10
+    # untouched docs pass through verbatim (normalized), incl. sub-n docs
+    assert out[3].n_removed == 0 and out[4].n_removed == 0
+    assert out[4].clean_text == "short doc"
+
+
+def test_scrub_duplicate_ngrams_full_coverage_empties_doc(spark):
+    from giraph_spark.functions.sampling import scrub_duplicate_ngrams
+
+    t = "a b c d e f g h"  # exactly n=8 tokens, fully shared
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in scrub_duplicate_ngrams(df, n=8).collect()}
+    assert out[1].clean_text == "" and out[1].n_kept == 0 and out[1].n_removed == 8
+    assert out[2].clean_text == ""
