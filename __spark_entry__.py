@@ -98,6 +98,8 @@ SSSP_SOURCE = 1  # min customer key in every sf
 PR_ITERS = 10
 UNROLL_K = 16  # oracle fixed-point unroll depth (≥ graph diameter)
 LPA_ROUNDS = 4  # synchronous label-propagation rounds (fixed, deterministic)
+BETWEENNESS_PIVOTS = [1, 2, 3]  # customer keys present at every sf
+BETWEENNESS_K = 10  # oracle BFS unroll depth (> trade-graph diameter)
 
 
 # ---------------------------------------------------------------- entry --
@@ -216,6 +218,18 @@ def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"),
+    )
+
+
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-exact Brandes betweenness (pivots = customers 1,2,3) on the
+    symmetric trade graph: two kernel runs (σ-counting BFS forward,
+    level-gated dependency sweep backward), arrays over pivots."""
+    from giraph_spark.algos.paths import betweenness_centrality
+
+    g = trade_graph(spark, sf_dir)
+    return betweenness_centrality(g, pivots=BETWEENNESS_PIVOTS).select(
+        F.col("id").cast("long").alias("id"), "betweenness"
     )
 
 
@@ -1195,6 +1209,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "wcc_star": _q_wcc_star,
         "lpa_communities": _q_lpa_communities,
+        "betweenness_centrality": _q_betweenness,
         "k_core": _q_k_core,
         "max_propagation": _q_max_prop,
         "min_propagation": _q_min_prop,
@@ -2678,8 +2693,63 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(len(d.t) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
 FROM tok d LEFT JOIN clean c USING (doc_id)"""
 
+    # Brandes betweenness, unrolled: forward = per-pivot BFS levels with
+    # path counts (σ sums over dist-(d) predecessors), backward = reverse
+    # level sweep accumulating δ = σ_v · Σ_w (1+δ_w)/σ_w over dist-(d+1)
+    # successors. Levels beyond the true depth are empty no-ops.
+    piv_list = ", ".join(str(p) for p in BETWEENNESS_PIVOTS)
+    bet_parts = [
+        TRADE_GRAPH_SQL.strip(),
+        f""", ba0 AS MATERIALIZED (
+    SELECT CAST(p AS BIGINT) AS pv, CAST(p AS BIGINT) AS id,
+           0 AS dist, 1.0 AS sigma
+    FROM (SELECT unnest([{piv_list}]) AS p)
+), bf0 AS MATERIALIZED (SELECT * FROM ba0)""",
+    ]
+    for d in range(BETWEENNESS_K):
+        bet_parts.append(
+            f""", bf{d + 1} AS MATERIALIZED (
+    SELECT f.pv, e.dst AS id, {d + 1} AS dist, SUM(f.sigma) AS sigma
+    FROM bf{d} f JOIN edges e ON e.src = f.id
+    WHERE NOT EXISTS (SELECT 1 FROM ba{d} a
+                      WHERE a.pv = f.pv AND a.id = e.dst)
+    GROUP BY 1, 2
+), ba{d + 1} AS MATERIALIZED (
+    SELECT * FROM ba{d} UNION ALL SELECT * FROM bf{d + 1}
+)"""
+        )
+    bet_parts.append(
+        f", bd{BETWEENNESS_K} AS MATERIALIZED ("
+        f"SELECT pv, id, dist, sigma, 0.0 AS delta FROM ba{BETWEENNESS_K})"
+    )
+    for d in range(BETWEENNESS_K - 1, -1, -1):
+        bet_parts.append(
+            f""", bd{d} AS MATERIALIZED (
+    SELECT t.pv, t.id, t.dist, t.sigma,
+           CASE WHEN t.dist = {d} THEN t.sigma * COALESCE(c.s, 0)
+                ELSE t.delta END AS delta
+    FROM bd{d + 1} t
+    LEFT JOIN (SELECT w.pv, e.src AS id,
+                      SUM((1 + w.delta) / w.sigma) AS s
+               FROM bd{d + 1} w JOIN edges e ON e.dst = w.id
+               WHERE w.dist = {d + 1}
+               GROUP BY 1, 2) c
+      ON c.pv = t.pv AND c.id = t.id
+)"""
+        )
+    bet_parts.append(
+        """
+SELECT CAST(v.id AS BIGINT) AS id,
+       ROUND(COALESCE(SUM(CASE WHEN d.dist > 0 THEN d.delta END), 0), 6)
+           AS betweenness
+FROM vertices v LEFT JOIN bd0 d ON d.id = v.id
+GROUP BY v.id"""
+    )
+    betweenness_sql = "\n".join(bet_parts)
+
     return {
         "lpa_communities": lpa_sql,
+        "betweenness_centrality": betweenness_sql,
         "kmeans_clusters": kmeans_sql,
         "semdedup": semdedup_sql,
         "scrub_duplicate_ngrams": scrub_dup_ngrams_sql,

@@ -190,3 +190,163 @@ def harmonic_centrality(
     return out.select(
         id_col, F.round(harmonic, 6).alias("harmonic")
     )
+
+
+def betweenness_centrality(
+    graph: Graph,
+    pivots: list,
+    max_supersteps: int = 50,
+    metrics: PregelMetrics | None = None,
+    **pregel_kwargs,
+) -> DataFrame:
+    """Pivot-based approximate betweenness (Brandes, "A Faster Algorithm
+    for Betweenness Centrality", 2001; pivot sampling per Brandes/Pich
+    2007): ``B(v) = Σ_{p ∈ pivots} δ_p(v)`` where ``δ_p`` is the
+    one-source dependency from Brandes' two-phase accumulation — exact
+    for the chosen pivots, the standard estimator at scale (betweenness
+    over all sources is O(V·E), inherently sampled on big graphs).
+    Unweighted hop distances over the edges AS GIVEN (symmetrize first
+    for the undirected form, as with :func:`harmonic_centrality`).
+
+    TWO kernel runs total — not two per pivot — with the aggregator
+    family's dense-vector algebra as message algebra (the
+    :func:`giraph_spark.aggregators.vector_sum` combiner):
+
+    - forward: per-pivot BFS with path counting. State is
+      ``(_d, _sg)`` arrays (distance, σ); a vertex assigned at
+      superstep t sends its σ vector; receivers sum σ over all
+      dist-(t) predecessors (the element-wise-sum combiner collapses
+      fan-in map-side) and assign ``dist = t+1``. BFS level order
+      guarantees every predecessor's σ is final when it sends.
+    - backward: dependency accumulation level-by-level from the
+      deepest level L down. At superstep s, vertices at level L−s
+      finalize ``δ[p] += σ_v · Σ_w (1 + δ_w)/σ_w`` over their
+      level-(L−s+1) successors' messages, then send their own
+      ``(1+δ)/σ`` vector — the level gating makes the reverse
+      topological sweep a synchronous schedule, no DAG materialized.
+
+    Per-superstep cost is the kernel's usual two co-partitioned
+    shuffles with |pivots|-wide array rows; adding pivots widens the
+    arrays, not the round count. Returns ``(id, betweenness)`` rounded
+    to 6 (pivot's own dependency excluded, per Brandes' s ≠ v)."""
+    from ..aggregators import vector_sum
+
+    id_col = graph.id_col
+    P = len(pivots)
+    zeros = f"array_repeat(0.0d, {P})"
+    init_d = F.array(
+        *[
+            F.when(F.col(id_col) == F.lit(p), F.lit(0.0)).otherwise(F.lit(INF))
+            for p in pivots
+        ]
+    )
+    init_sg = F.array(
+        *[
+            F.when(F.col(id_col) == F.lit(p), F.lit(1.0)).otherwise(F.lit(0.0))
+            for p in pivots
+        ]
+    )
+
+    def fwd_update(ctx):
+        s = float(ctx.superstep)
+        m = f"coalesce(_msg, {zeros})"
+        # assign: first message for pivot p fixes dist = superstep and
+        # σ = combined predecessor sum
+        new_d = F.expr(
+            f"zip_with(_d, {m}, (d, mm) -> "
+            f"CASE WHEN d = cast('Infinity' as double) AND mm > 0.0d "
+            f"THEN {s}d ELSE d END)"
+        )
+        new_sg = F.expr(
+            f"zip_with(zip_with(_d, {m}, (d, mm) -> named_struct('d', d, 'mm', mm)), _sg, "
+            f"(t, sg) -> CASE WHEN t.d = cast('Infinity' as double) AND t.mm > 0.0d "
+            f"THEN t.mm ELSE sg END)"
+        )
+        return {"_d": new_d, "_sg": new_sg}
+
+    def fwd_send(ctx):
+        s = float(ctx.superstep)
+        # only vertices assigned THIS superstep propagate (incl. pivots
+        # at superstep 0); null when nothing to send for any pivot
+        return F.when(
+            F.expr(f"exists(_d, x -> x = {s}d)"),
+            F.expr(f"zip_with(_d, _sg, (d, sg) -> IF(d = {s}d, sg, 0.0d))"),
+        )
+
+    fwd = pregel(
+        graph,
+        initial={"_d": init_d, "_sg": init_sg},
+        update=fwd_update,
+        send_msg=fwd_send,
+        combine=vector_sum,
+        msg_type="array<double>",
+        vote_to_halt=F.lit(True),
+        max_supersteps=max_supersteps,
+        metrics=metrics,
+        **pregel_kwargs,
+    ).persist()
+    try:
+        lmax = fwd.select(
+            F.max(
+                F.array_max(
+                    F.filter(
+                        F.col("_d"), lambda x: x < F.lit(INF)
+                    )
+                )
+            )
+        ).first()[0]
+        L = int(lmax) if lmax is not None else 0
+
+        g2 = Graph(
+            fwd, graph.edges, id_col, graph.src_col, graph.dst_col
+        )
+
+        def bwd_update(ctx):
+            lvl = float(L - ctx.superstep)
+            m = f"coalesce(_msg, {zeros})"
+            return {
+                "_dl": F.expr(
+                    f"zip_with(zip_with(_dl, _sg, (dl, sg) -> named_struct('dl', dl, 'sg', sg)), "
+                    f"zip_with(_d, {m}, (d, mm) -> named_struct('d', d, 'mm', mm)), "
+                    f"(a, b) -> CASE WHEN b.d = {lvl}d "
+                    f"THEN a.dl + a.sg * b.mm ELSE a.dl END)"
+                )
+            }
+
+        def bwd_send(ctx):
+            lvl = float(L - ctx.superstep)
+            if lvl <= 0:  # level-0 pivots have no predecessors to credit
+                return F.lit(None).cast("array<double>")
+            return F.when(
+                F.expr(f"exists(_d, x -> x = {lvl}d)"),
+                F.expr(
+                    f"zip_with(_d, zip_with(_dl, _sg, (dl, sg) -> (1.0d + dl) / sg), "
+                    f"(d, c) -> IF(d = {lvl}d, c, 0.0d))"
+                ),
+            )
+
+        # vote_to_halt=False: the backward schedule is LEVEL-gated, not
+        # message-gated — a vertex whose level's turn arrives may have
+        # received no prior message (leaf at an intermediate level) and a
+        # halted vertex would silently skip its send slot, dropping its
+        # +1 path credit. Every vertex stays active for the L+1-superstep
+        # sweep (bounded; the update is a full-state projection either way).
+        out = pregel(
+            g2,
+            initial={"_dl": F.expr(zeros)},
+            update=bwd_update,
+            send_msg=bwd_send,
+            combine=vector_sum,
+            msg_type="array<double>",
+            vote_to_halt=F.lit(False),
+            max_supersteps=L + 1,
+            **pregel_kwargs,
+        )
+        betw = F.expr(
+            "aggregate(zip_with(_d, _dl, (d, dl) -> "
+            "IF(d > 0.0d AND d < cast('Infinity' as double), dl, 0.0d)), "
+            "0.0d, (acc, x) -> acc + x)"
+        )
+        return out.select(id_col, F.round(betw, 6).alias("betweenness"))
+    finally:
+        fwd.unpersist()

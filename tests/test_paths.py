@@ -116,3 +116,63 @@ def test_harmonic_centrality_pivots(spark):
     }
     # d(1,.): 2:1 3:1 4:2 ; d(2,.): 3:1 4:2, 1 unreachable
     assert out == {1: 0.0, 2: 1.0, 3: 2.0, 4: 1.0}
+
+
+def test_betweenness_matches_bruteforce_brandes(spark):
+    """Pivot betweenness vs an independent pure-Python Brandes on a random
+    connected graph — validates BFS σ-counting, the level-gated backward
+    sweep, and pivot-endpoint exclusion in one shot."""
+    import collections
+    import random
+    from collections import deque
+
+    from giraph_spark.algos.paths import betweenness_centrality
+    from giraph_spark.graph import Graph
+
+    random.seed(5)
+    n = 30
+    und = set()
+    for i in range(1, n):
+        und.add((random.randrange(i), i))  # random tree => connected
+    for _ in range(20):
+        a, b = random.sample(range(n), 2)
+        und.add((min(a, b), max(a, b)))
+    pivots = [0, 3, 7, 11]
+
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = collections.Counter()
+    for s in pivots:
+        dist = {s: 0}
+        sigma = collections.Counter({s: 1})
+        order = [s]
+        qd = deque([s])
+        while qd:
+            v = qd.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    qd.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = collections.Counter()
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v, -2) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                expected[w] += delta[w]
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r.id: r.betweenness
+        for r in betweenness_centrality(Graph(verts, edges), pivots=pivots).collect()
+    }
+    for v in range(n):
+        assert abs(got[v] - expected[v]) < 1e-6, (v, got[v], expected[v])
