@@ -744,6 +744,37 @@ def _q_scrub_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf · ln(N/df), ties → smaller
+    term) — two partial-agg groupBys + a per-doc window, IDF table stays
+    distributed."""
+    from giraph_spark.functions.text import tfidf_top_terms
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return tfidf_top_terms(d, k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        "tf",
+        "score",
+        "rnk",
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan (window=256): per-source running token
+    sum in doc-id order; each doc assigned the sequence it starts in."""
+    from giraph_spark.functions.sampling import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    return pack_sequences(d, window=256).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "stratum",
+        "n_tokens",
+        "seq_id",
+        "offset",
+    )
+
+
 def _q_mixture_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture epoch multiplicities: upsample src0 3.2x, downsample
     src1 to 0.5x, rest 1.0 — fractional parts resolved by id-hash."""
@@ -1259,6 +1290,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_repeats": _q_expand_repeats,
         "duplicate_ngrams": _q_duplicate_ngrams,
         "scrub_duplicate_ngrams": _q_scrub_duplicate_ngrams,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "pack_sequences": _q_pack_sequences,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
@@ -2747,9 +2780,52 @@ GROUP BY v.id"""
     )
     betweenness_sql = "\n".join(bet_parts)
 
+    tfidf_sql = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> ''
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln((SELECT nd FROM n) / dfreq.dfc), 6) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+       score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 3"""
+
+    ws_tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    pack_sequences_sql = f"""
+WITH t AS (
+  SELECT doc_id, source AS stratum, CAST({ws_tok} AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, stratum, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, stratum, n_tokens,
+       CAST(FLOOR(start / 256) AS BIGINT) AS seq_id,
+       CAST(start % 256 AS BIGINT) AS offset
+FROM c"""
+
     return {
         "lpa_communities": lpa_sql,
         "betweenness_centrality": betweenness_sql,
+        "tfidf_top_terms": tfidf_sql,
+        "pack_sequences": pack_sequences_sql,
         "kmeans_clusters": kmeans_sql,
         "semdedup": semdedup_sql,
         "scrub_duplicate_ngrams": scrub_dup_ngrams_sql,

@@ -328,3 +328,52 @@ def scrub_duplicate_ngrams(
             .alias("n_removed"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    window: int = 2048,
+) -> DataFrame:
+    """Deterministic context-window packing plan: documents are
+    concatenated in id order within each stratum and cut into
+    ``window``-token training sequences; each document is assigned the
+    sequence in which it STARTS. Returns
+    ``(id, stratum, n_tokens, seq_id, offset)`` — the shard-writer's
+    placement relation (``offset`` = token position of the document's
+    first token inside its sequence). The streaming-concat formulation
+    (documents may straddle sequence boundaries) is the standard
+    pretraining packing; pair with
+    :func:`giraph_spark.functions.text.chunk_documents` when long
+    documents must first be split to fit.
+
+    Scale shape: one running-sum window per stratum (integer token
+    counts — exact, engine-portable). Like exact
+    :func:`stratified_sample`, a single giant stratum serializes its
+    running sum — shard big strata first (e.g. partition by
+    ``(source, portable_hash60(id) % n_shards)``) so each shard packs
+    independently; packing quality is unaffected because sequences
+    never span shards at write time anyway."""
+    from pyspark.sql.window import Window
+
+    from .text import token_count
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    start = (F.sum("n_tokens").over(
+        Window.partitionBy("stratum")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) - F.col("n_tokens"))
+    return toks.select(
+        F.col(id_col),
+        F.col("stratum"),
+        F.col("n_tokens"),
+        F.floor(start / window).cast("long").alias("seq_id"),
+        (start % window).cast("long").alias("offset"),
+    )

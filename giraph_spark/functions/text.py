@@ -340,3 +340,56 @@ def corpus_stats(
             F.sum(F.length(text_col)).cast("long").alias("total_chars"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms ``(id, term, tf, score, rnk)``
+    — the classic salient-term / topic-signal projection of a corpus
+    (score = tf · ln(N / df), raw counts, ties → lexicographically
+    smaller term). ``min_df`` drops hapax noise from the IDF table when
+    raised above 1.
+
+    Scale shape: one explode + two hash aggregations — (doc, term) term
+    frequencies, then term document frequencies — both partial-aggregated
+    map-side; the corpus size N joins in as a broadcast single-row
+    aggregate (no driver action), and the top-k window partitions by
+    document, so no global sort. The IDF table is |vocabulary| rows —
+    millions, not corpus-sized — and stays distributed (hash join on the
+    term; at 100 TB do NOT collect it)."""
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    ).where(F.col("_df") >= min_df)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("_df")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).where(F.col("rnk") <= k)
