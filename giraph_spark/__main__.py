@@ -37,13 +37,19 @@ def _algorithms():
         alternating_star_components,
         core_numbers,
         k_core,
+        label_propagation_communities,
         max_propagation,
         min_propagation,
         wcc,
     )
     from .algos.independent_set import maximal_independent_set
     from .algos.pagerank import pagerank, random_walk_with_restart
-    from .algos.paths import bfs, harmonic_centrality, sssp
+    from .algos.paths import (
+        betweenness_centrality,
+        bfs,
+        harmonic_centrality,
+        sssp,
+    )
     from .algos.scc import scc
     from .algos.stats import (
         avg_neighbor_degree,
@@ -62,6 +68,8 @@ def _algorithms():
         "sssp": sssp,
         "bfs": bfs,
         "harmonic_centrality": harmonic_centrality,
+        "betweenness_centrality": betweenness_centrality,
+        "lpa_communities": label_propagation_communities,
         "wcc": wcc,
         "wcc_star": alternating_star_components,
         "k_core": k_core,
@@ -91,6 +99,8 @@ _KERNEL_ALGOS = {
     "sssp",
     "bfs",
     "harmonic_centrality",
+    "betweenness_centrality",
+    "lpa_communities",
     "wcc",
     "core_numbers",
     "max_propagation",
