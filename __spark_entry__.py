@@ -326,6 +326,16 @@ def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").cast("long").alias("id"), "harmonic")
 
 
+def _q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-restricted closeness (reached-normalized) — shares the
+    single multi-source-BFS kernel run with harmonic_centrality."""
+    from giraph_spark.algos.paths import closeness_centrality
+
+    return closeness_centrality(
+        trade_graph(spark, sf_dir), [1, 2, 3, 4]
+    ).select(F.col("id").cast("long").alias("id"), "closeness")
+
+
 def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition via the distributed H-index fixpoint (one
     kernel run; collect_list inbox + pure array H-index expression) over
@@ -1254,6 +1264,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _q_clustering_coefficient,
         "core_numbers": _q_core_numbers,
         "harmonic_centrality": _q_harmonic_centrality,
+        "closeness_centrality": _q_closeness_centrality,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "triangle_closing_topk": _q_triangle_closing,
         "symmetrize_edges": _q_symmetrize,
@@ -1606,15 +1617,28 @@ LEFT JOIN tcnt ON tcnt.id = v.id"""
     ) u GROUP BY pid, id
 )"""
         )
-    hc_parts.append(
-        """
+    hc_chain = "".join(hc_parts)
+    harmonic_sql = (
+        hc_chain
+        + """
 SELECT CAST(v.id AS BIGINT) AS id,
        ROUND(COALESCE(SUM(CASE WHEN dd.d > 0 THEN 1.0 / dd.d END), 0.0), 6)
          AS harmonic
 FROM vertices v LEFT JOIN hp16 dd ON dd.id = v.id
 GROUP BY v.id"""
     )
-    harmonic_sql = "".join(hc_parts)
+    # closeness shares the pivot-BFS chain: reached count / distance sum
+    closeness_sql = (
+        hc_chain
+        + """
+SELECT CAST(v.id AS BIGINT) AS id,
+       ROUND(COALESCE(
+           CAST(COUNT(CASE WHEN dd.d > 0 THEN 1 END) AS DOUBLE)
+           / NULLIF(SUM(CASE WHEN dd.d > 0 THEN CAST(dd.d AS DOUBLE) END), 0),
+           0.0), 6) AS closeness
+FROM vertices v LEFT JOIN hp16 dd ON dd.id = v.id
+GROUP BY v.id"""
+    )
 
     # Core decomposition oracle: the same H-index fixpoint as the kernel,
     # unrolled 16 iterations (the nation graph converges in far fewer;
@@ -2908,6 +2932,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "clustering_coefficient": clustering_sql,
         "core_numbers": core_numbers_sql,
         "harmonic_centrality": harmonic_sql,
+        "closeness_centrality": closeness_sql,
         "avg_neighbor_degree": avg_nbr_deg_sql,
         "triangle_closing_topk": tri_close_sql,
         "symmetrize_edges": sym_sql + "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM sym",

@@ -47,6 +47,7 @@ def _algorithms():
     from .algos.paths import (
         betweenness_centrality,
         bfs,
+        closeness_centrality,
         harmonic_centrality,
         sssp,
     )
@@ -69,6 +70,7 @@ def _algorithms():
         "bfs": bfs,
         "harmonic_centrality": harmonic_centrality,
         "betweenness_centrality": betweenness_centrality,
+        "closeness_centrality": closeness_centrality,
         "lpa_communities": label_propagation_communities,
         "wcc": wcc,
         "wcc_star": alternating_star_components,
@@ -100,6 +102,7 @@ _KERNEL_ALGOS = {
     "bfs",
     "harmonic_centrality",
     "betweenness_centrality",
+    "closeness_centrality",
     "lpa_communities",
     "wcc",
     "core_numbers",

@@ -123,26 +123,22 @@ def bfs(
     )
 
 
-def harmonic_centrality(
+def pivot_distances(
     graph: Graph,
     pivots: list,
     max_supersteps: int = 50,
     metrics: PregelMetrics | None = None,
     **pregel_kwargs,
 ) -> DataFrame:
-    """Harmonic centrality restricted to a pivot set: ``H(v) = Σ_{p ∈
-    pivots, d(p,v) > 0} 1 / d(p,v)`` with ``d`` = hop distance FROM the
-    pivot along the graph's edges — the standard pivot-sampling estimator
-    of centrality at scale (exact over the chosen pivots; unreachable
-    pivots contribute 0). ONE kernel run for all pivots: the vertex state
-    is an ``array<double>`` of per-pivot distances, messages are the
-    array advanced by one hop, and the combiner is the element-wise
-    minimum (:func:`giraph_spark.aggregators.vector_min`) — the
-    aggregator family's dense-vector algebra used as message algebra, so
-    adding pivots widens the array instead of adding runs.
-
-    Returns ``(id, harmonic)`` rounded to 6 places.
-    """
+    """Multi-source BFS in ONE kernel run: vertex state is an
+    ``array<double>`` of per-pivot hop distances (∞ = unreached),
+    messages are the array advanced by one hop, and the combiner is the
+    element-wise minimum (:func:`giraph_spark.aggregators.vector_min`) —
+    the aggregator family's dense-vector algebra used as message
+    algebra, so adding pivots widens the array instead of adding runs.
+    Returns the vertices with the raw ``_d`` distance array — the shared
+    forward pass of the pivot-centrality family
+    (:func:`harmonic_centrality`, :func:`closeness_centrality`)."""
     from ..aggregators import vector_min
 
     id_col = graph.id_col
@@ -170,7 +166,7 @@ def harmonic_centrality(
         )
         return {"_d": new_d, "_improved": seed | improved}
 
-    out = pregel(
+    return pregel(
         graph,
         initial={"_d": init},
         update=upd,
@@ -182,13 +178,66 @@ def harmonic_centrality(
         max_supersteps=max_supersteps,
         metrics=metrics,
         **pregel_kwargs,
+    ).drop("_improved")
+
+
+def harmonic_centrality(
+    graph: Graph,
+    pivots: list,
+    max_supersteps: int = 50,
+    metrics: PregelMetrics | None = None,
+    **pregel_kwargs,
+) -> DataFrame:
+    """Harmonic centrality restricted to a pivot set: ``H(v) = Σ_{p ∈
+    pivots, d(p,v) > 0} 1 / d(p,v)`` with ``d`` = hop distance FROM the
+    pivot along the graph's edges — the standard pivot-sampling
+    estimator of centrality at scale (exact over the chosen pivots;
+    unreachable pivots contribute 0; one :func:`pivot_distances` kernel
+    run). Returns ``(id, harmonic)`` rounded to 6 places."""
+    out = pivot_distances(
+        graph, pivots, max_supersteps, metrics, **pregel_kwargs
     )
     harmonic = F.expr(
         "aggregate(_d, 0.0d, (acc, x) -> acc + CASE WHEN x > 0.0d AND "
         "x != cast('Infinity' AS DOUBLE) THEN 1.0d / x ELSE 0.0d END)"
     )
     return out.select(
-        id_col, F.round(harmonic, 6).alias("harmonic")
+        graph.id_col, F.round(harmonic, 6).alias("harmonic")
+    )
+
+
+def closeness_centrality(
+    graph: Graph,
+    pivots: list,
+    max_supersteps: int = 50,
+    metrics: PregelMetrics | None = None,
+    **pregel_kwargs,
+) -> DataFrame:
+    """Pivot-restricted closeness: ``C(v) = r(v) / Σ_{p reached, p ≠ v}
+    d(p,v)`` with ``r(v)`` = number of pivots reaching v — the
+    reached-normalized (Wasserman–Faust / Lin-style) form, which stays
+    comparable across vertices when some pivots are unreachable; 0 when
+    no pivot reaches v. Shares :func:`pivot_distances`' single
+    multi-source-BFS kernel run with :func:`harmonic_centrality` —
+    closeness of the whole graph under pivot sampling costs exactly one
+    BFS sweep regardless of pivot count. Returns ``(id, closeness)``
+    rounded to 6 places."""
+    out = pivot_distances(
+        graph, pivots, max_supersteps, metrics, **pregel_kwargs
+    )
+    sumd = F.expr(
+        "aggregate(_d, 0.0d, (acc, x) -> acc + CASE WHEN x > 0.0d AND "
+        "x != cast('Infinity' AS DOUBLE) THEN x ELSE 0.0d END)"
+    )
+    nr = F.expr(
+        "aggregate(_d, 0.0d, (acc, x) -> acc + CASE WHEN x > 0.0d AND "
+        "x != cast('Infinity' AS DOUBLE) THEN 1.0d ELSE 0.0d END)"
+    )
+    return out.select(
+        graph.id_col,
+        F.round(
+            F.when(sumd > 0, nr / sumd).otherwise(F.lit(0.0)), 6
+        ).alias("closeness"),
     )
 
 

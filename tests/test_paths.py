@@ -176,3 +176,33 @@ def test_betweenness_matches_bruteforce_brandes(spark):
     }
     for v in range(n):
         assert abs(got[v] - expected[v]) < 1e-6, (v, got[v], expected[v])
+
+
+def test_closeness_path_graph(spark):
+    """Path 0-1-2 with all vertices as pivots: closeness(1) = 2/(1+1)=1,
+    closeness(0) = 2/(1+2)."""
+    from giraph_spark.algos.paths import closeness_centrality
+    from giraph_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    got = {
+        r.id: r.closeness
+        for r in closeness_centrality(Graph(verts, edges), pivots=[0, 1, 2]).collect()
+    }
+    assert got == {0: round(2 / 3, 6), 1: 1.0, 2: round(2 / 3, 6)}
+
+
+def test_closeness_unreachable_is_zero(spark):
+    from giraph_spark.algos.paths import closeness_centrality
+    from giraph_spark.graph import Graph
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    verts = spark.createDataFrame([(0,), (1,), (9,)], "id long")
+    got = {
+        r.id: r.closeness
+        for r in closeness_centrality(Graph(verts, edges), pivots=[0]).collect()
+    }
+    assert got[9] == 0.0 and got[1] == 1.0 and got[0] == 0.0  # pivot self excluded
