@@ -99,6 +99,7 @@ PR_ITERS = 10
 UNROLL_K = 16  # oracle fixed-point unroll depth (≥ graph diameter)
 LPA_ROUNDS = 4  # synchronous label-propagation rounds (fixed, deterministic)
 BETWEENNESS_PIVOTS = [1, 2, 3]  # customer keys present at every sf
+EV_ITERS = 8  # eigenvector power-iteration rounds (fixed, deterministic)
 BETWEENNESS_K = 10  # oracle BFS unroll depth (> trade-graph diameter)
 
 
@@ -324,6 +325,16 @@ def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(
         trade_graph(spark, sf_dir), [1, 2, 3, 4]
     ).select(F.col("id").cast("long").alias("id"), "harmonic")
+
+
+def _q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-normalized power iteration (8 fixed rounds, per-round rounding
+    for oracle replay) on the symmetric trade graph."""
+    from giraph_spark.algos.pagerank import eigenvector_centrality
+
+    return eigenvector_centrality(
+        trade_graph(spark, sf_dir), iterations=EV_ITERS
+    ).select(F.col("id").cast("long").alias("id"), "eigenvector")
 
 
 def _q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,6 +1276,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": _q_core_numbers,
         "harmonic_centrality": _q_harmonic_centrality,
         "closeness_centrality": _q_closeness_centrality,
+        "eigenvector_centrality": _q_eigenvector_centrality,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "triangle_closing_topk": _q_triangle_closing,
         "symmetrize_edges": _q_symmetrize,
@@ -2845,9 +2857,36 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, stratum, n_tokens,
        CAST(start % 256 AS BIGINT) AS offset
 FROM c"""
 
+    # eigenvector centrality: unrolled max-normalized power iteration with
+    # the same per-round ROUND(.,6) the Spark side applies
+    ev_parts = [
+        TRADE_GRAPH_SQL.strip(),
+        ", ev0 AS MATERIALIZED (SELECT id, 1.0 AS x FROM vertices)",
+    ]
+    for t in range(EV_ITERS):
+        ev_parts.append(
+            f""", evr{t} AS MATERIALIZED (
+    SELECT v.id, COALESCE(m.s, 0) AS raw
+    FROM ev{t} v LEFT JOIN (
+        SELECT e.dst AS id, SUM(s.x) AS s
+        FROM edges e JOIN ev{t} s ON s.id = e.src GROUP BY 1
+    ) m ON m.id = v.id
+), ev{t + 1} AS MATERIALIZED (
+    SELECT id,
+           ROUND(COALESCE(raw / NULLIF((SELECT MAX(raw) FROM evr{t}), 0), 0),
+                 6) AS x
+    FROM evr{t}
+)"""
+        )
+    ev_parts.append(
+        f"SELECT CAST(id AS BIGINT) AS id, x AS eigenvector FROM ev{EV_ITERS}"
+    )
+    eigenvector_sql = "\n".join(ev_parts)
+
     return {
         "lpa_communities": lpa_sql,
         "betweenness_centrality": betweenness_sql,
+        "eigenvector_centrality": eigenvector_sql,
         "tfidf_top_terms": tfidf_sql,
         "pack_sequences": pack_sequences_sql,
         "kmeans_clusters": kmeans_sql,

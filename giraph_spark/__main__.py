@@ -43,7 +43,11 @@ def _algorithms():
         wcc,
     )
     from .algos.independent_set import maximal_independent_set
-    from .algos.pagerank import pagerank, random_walk_with_restart
+    from .algos.pagerank import (
+        eigenvector_centrality,
+        pagerank,
+        random_walk_with_restart,
+    )
     from .algos.paths import (
         betweenness_centrality,
         bfs,
@@ -66,6 +70,7 @@ def _algorithms():
     return {
         "pagerank": pagerank,
         "random_walk_with_restart": random_walk_with_restart,
+        "eigenvector_centrality": eigenvector_centrality,
         "sssp": sssp,
         "bfs": bfs,
         "harmonic_centrality": harmonic_centrality,

@@ -207,3 +207,55 @@ def random_walk_with_restart(
         metrics=metrics,
     )
     return out.drop("_deg", "_wsum", "_is_src")
+
+
+def eigenvector_centrality(
+    graph: Graph,
+    iterations: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Eigenvector centrality by max-normalized power iteration:
+    ``x ← A'x / max(A'x)`` for a fixed ``iterations`` (the Bonacich
+    formulation; PageRank without teleport/damping, normalized by the
+    max component instead of the L1 sum so the leading entry is exactly
+    1.0). Fixed-iteration + per-round rounding (``round_digits``) makes
+    the whole trajectory engine-replayable, the same portability recipe
+    as :func:`giraph_spark.functions.similarity.kmeans_assign`.
+
+    Spark shape per iteration: one co-keyed contribution groupBy
+    (partial-aggregated map-side, the message-combiner shape) + one
+    driver-side max (the per-round scalar every power method carries,
+    k·1 doubles) + a lineage-truncated projection. A vertex with no
+    in-edges decays to 0; the isolated-graph degenerate case (max = 0)
+    yields all-zero scores rather than NaN. Hop semantics over the edges
+    AS GIVEN — symmetrize first for the undirected form."""
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    edges = graph.edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_t")
+    )
+    x = graph.vertices.select(
+        F.col(id_col), F.lit(1.0).alias("_x")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            x.join(edges, x[id_col] == edges["_s"])
+            .groupBy(F.col("_t").alias(id_col))
+            .agg(F.sum("_x").alias("_raw"))
+        )
+        raw = (
+            graph.vertices.select(id_col)
+            .join(contrib, id_col, "left")
+            .select(
+                F.col(id_col), F.coalesce("_raw", F.lit(0.0)).alias("_raw")
+            )
+        )
+        raw = raw.localCheckpoint(eager=False)
+        mx = raw.agg(F.max("_raw")).first()[0]
+        if not mx:  # no edges anywhere: stationary all-zero vector
+            x = raw.select(id_col, F.lit(0.0).alias("_x"))
+            break
+        nx = F.col("_raw") / F.lit(float(mx))
+        if round_digits is not None:
+            nx = F.round(nx, round_digits)
+        x = raw.select(F.col(id_col), nx.alias("_x"))
+    return x.select(id_col, F.col("_x").alias("eigenvector"))

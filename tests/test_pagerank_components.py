@@ -291,3 +291,38 @@ def test_lpa_isolated_vertex_keeps_own_label(spark):
     # every round (the documented oscillation), so after an odd round
     # count each holds the other's id; the isolated vertex never moves
     assert got == {1: 2, 2: 1, 9: 9}
+
+
+def test_eigenvector_star_graph(spark):
+    """Undirected star: power iteration puts the hub at 1.0 and all
+    leaves equal; with per-round max normalization the leaf value
+    oscillation settles into the known two-phase pattern."""
+    from giraph_spark.algos.pagerank import eigenvector_centrality
+    from giraph_spark.graph import Graph
+
+    n = 5  # hub 0 + 4 leaves
+    ed = [(0, i) for i in range(1, n)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in ed] + [(b, a) for a, b in ed], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r.id: r.eigenvector
+        for r in eigenvector_centrality(Graph(verts, edges), iterations=8).collect()
+    }
+    assert got[0] == 1.0
+    leaf = {got[i] for i in range(1, n)}
+    assert len(leaf) == 1 and 0 < leaf.pop() <= 1.0
+
+
+def test_eigenvector_no_edges_is_zero(spark):
+    from giraph_spark.algos.pagerank import eigenvector_centrality
+    from giraph_spark.graph import Graph
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {
+        r.id: r.eigenvector
+        for r in eigenvector_centrality(Graph(verts, edges), iterations=3).collect()
+    }
+    assert got == {1: 0.0, 2: 0.0}
