@@ -222,6 +222,25 @@ def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity over the symmetric trade graph
+    (bipartite customer-supplier structure: strongly disassortative)."""
+    from giraph_spark.algos.stats import degree_assortativity
+
+    return degree_assortativity(trade_graph(spark, sf_dir))
+
+
+def _q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the LPA assignment — the engine scoring its own
+    clustering (ann_recall's pattern for communities)."""
+    from giraph_spark.algos.components import label_propagation_communities
+    from giraph_spark.algos.stats import modularity
+
+    g = trade_graph(spark, sf_dir)
+    comm = label_propagation_communities(g, rounds=LPA_ROUNDS)
+    return modularity(g, comm)
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-exact Brandes betweenness (pivots = customers 1,2,3) on the
     symmetric trade graph: two kernel runs (σ-counting BFS forward,
@@ -1261,6 +1280,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "wcc_star": _q_wcc_star,
         "lpa_communities": _q_lpa_communities,
+        "community_modularity": _q_community_modularity,
+        "degree_assortativity": _q_degree_assortativity,
         "betweenness_centrality": _q_betweenness,
         "k_core": _q_k_core,
         "max_propagation": _q_max_prop,
@@ -2658,11 +2679,45 @@ SELECT 'e' AS kind, CAST(src AS BIGINT) AS a, CAST(dst AS BIGINT) AS b FROM fina
     ) m ON m.id = v.id
 )"""
         )
-    lpa_parts.append(
-        f"SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS community"
+    lpa_chain = "\n".join(lpa_parts)
+    lpa_sql = (
+        lpa_chain
+        + f"\nSELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS community"
         f" FROM l{LPA_ROUNDS}"
     )
-    lpa_sql = "\n".join(lpa_parts)
+    # modularity of the LPA assignment over the same symmetric edge rows:
+    # Q = intra/2m - sum_c (deg_c/2m)^2 (2m = directed edge-row count)
+    modularity_sql = (
+        lpa_chain
+        + f""", lab AS (SELECT id, val AS c FROM l{LPA_ROUNDS}),
+tagged AS (
+    SELECT cs.c AS cs, ct.c AS ct
+    FROM edges e JOIN lab cs ON cs.id = e.src JOIN lab ct ON ct.id = e.dst
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS m2,
+           SUM(CASE WHEN cs = ct THEN 1.0 ELSE 0.0 END) AS intra
+    FROM tagged
+),
+degs AS (SELECT cs, CAST(COUNT(*) AS DOUBLE) AS dc FROM tagged GROUP BY 1),
+ex AS (
+    SELECT SUM((dc / (SELECT m2 FROM tot)) * (dc / (SELECT m2 FROM tot))) AS e,
+           CAST(COUNT(*) AS BIGINT) AS nc
+    FROM degs
+)
+SELECT ROUND((SELECT intra FROM tot) / (SELECT m2 FROM tot)
+             - (SELECT e FROM ex), 6) AS modularity,
+       (SELECT nc FROM ex) AS n_communities,
+       CAST((SELECT m2 FROM tot) AS BIGINT) AS n_edges"""
+    )
+    assortativity_sql = (
+        TRADE_GRAPH_SQL.strip()
+        + """,
+adeg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY 1)
+SELECT ROUND(CORR(ds.d, dt.d), 6) AS assortativity,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM edges e JOIN adeg ds ON ds.v = e.src JOIN adeg dt ON dt.v = e.dst"""
+    )
 
     # k-means (8 cells, 2 Lloyd iterations, dim 64): seed = lowest-id
     # vectors; each round's assignment ranks ROUND(cosine, 6) with ties to
@@ -2885,6 +2940,8 @@ FROM c"""
 
     return {
         "lpa_communities": lpa_sql,
+        "community_modularity": modularity_sql,
+        "degree_assortativity": assortativity_sql,
         "betweenness_centrality": betweenness_sql,
         "eigenvector_centrality": eigenvector_sql,
         "tfidf_top_terms": tfidf_sql,

@@ -170,3 +170,79 @@ def clustering_coefficient(graph: Graph) -> DataFrame:
             ).alias("clustering_coefficient"),
         )
     )
+
+
+def degree_assortativity(graph: Graph) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    correlation of the endpoint degrees over every (ordered) edge of the
+    relation AS GIVEN — on a symmetrized relation this is the standard
+    undirected coefficient (each undirected edge contributes both
+    orientations, making the correlation symmetric by construction).
+    Positive = hubs link to hubs; bipartite hub-leaf structures are
+    strongly negative. Returns one row ``(assortativity, n_edges)``.
+
+    Shape: one degree groupBy + two co-keyed joins to annotate endpoint
+    degrees + a single global aggregate (all partial-aggregated; the
+    single-row result is the only thing that leaves the executors)."""
+    src_col, dst_col = graph.src_col, graph.dst_col
+    deg = graph.edges.groupBy(F.col(src_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("double").alias("_deg")
+    )
+    e = (
+        graph.edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
+        .join(deg.select(F.col("_v").alias("_s"), F.col("_deg").alias("_ds")), "_s")
+        .join(deg.select(F.col("_v").alias("_t"), F.col("_deg").alias("_dt")), "_t")
+    )
+    # Pearson r spelled out with try_divide: a zero-variance degree
+    # sequence (regular graph) yields NULL, where ANSI-mode F.corr throws
+    # DIVIDE_BY_ZERO (population/sample choice cancels in the ratio)
+    r = F.try_divide(
+        F.covar_pop("_ds", "_dt"),
+        F.stddev_pop("_ds") * F.stddev_pop("_dt"),
+    )
+    return e.agg(
+        F.round(r, 6).alias("assortativity"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    )
+
+
+def modularity(graph: Graph, communities: DataFrame, community_col: str = "community") -> DataFrame:
+    """Newman modularity of a community assignment over the (symmetric)
+    edge relation: ``Q = Σ_c (intra_c / 2m − (deg_c / 2m)²)`` with 2m =
+    the number of directed edge rows — the quality score a clustering
+    pipeline reports next to its assignment (the engine evaluating its
+    own communities, as :func:`giraph_spark.functions.similarity.ann_recall`
+    does for the ANN tier). ``communities`` is any ``(id, community)``
+    relation, e.g. :func:`giraph_spark.algos.components.label_propagation_communities`
+    output. Returns one row ``(modularity, n_communities, n_edges)``.
+
+    Shape: two co-keyed joins tagging each edge row's endpoint
+    communities, one count for the intra-community mass, one degree-sum
+    groupBy per community — no quadratic term anywhere."""
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    c = communities.select(
+        F.col(id_col).alias("_v"), F.col(community_col).alias("_c")
+    )
+    tagged = (
+        graph.edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
+        .join(c.select(F.col("_v").alias("_s"), F.col("_c").alias("_cs")), "_s")
+        .join(c.select(F.col("_v").alias("_t"), F.col("_c").alias("_ct")), "_t")
+    )
+    totals = tagged.agg(
+        F.count(F.lit(1)).cast("double").alias("_m2"),
+        F.sum((F.col("_cs") == F.col("_ct")).cast("double")).alias("_intra"),
+    )
+    degs = tagged.groupBy("_cs").agg(F.count(F.lit(1)).cast("double").alias("_dc"))
+    expected = degs.crossJoin(F.broadcast(totals)).agg(
+        F.sum((F.col("_dc") / F.col("_m2")) * (F.col("_dc") / F.col("_m2"))).alias(
+            "_exp"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+    )
+    return totals.crossJoin(F.broadcast(expected)).select(
+        F.round(F.col("_intra") / F.col("_m2") - F.col("_exp"), 6).alias(
+            "modularity"
+        ),
+        F.col("n_communities"),
+        F.col("_m2").cast("long").alias("n_edges"),
+    )

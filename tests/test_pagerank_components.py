@@ -326,3 +326,48 @@ def test_eigenvector_no_edges_is_zero(spark):
         for r in eigenvector_centrality(Graph(verts, edges), iterations=3).collect()
     }
     assert got == {1: 0.0, 2: 0.0}
+
+
+def test_assortativity_star_negative_ring_nan(spark):
+    """A star is maximally disassortative (r = -1); a regular ring has
+    zero degree variance so the coefficient is undefined (NULL)."""
+    from giraph_spark.algos.stats import degree_assortativity
+    from giraph_spark.graph import Graph
+
+    star = [(0, i) for i in range(1, 5)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in star] + [(b, a) for a, b in star], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    r = degree_assortativity(Graph(v, e)).first()
+    assert r.assortativity == -1.0 and r.n_edges == 8
+
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    e2 = spark.createDataFrame(
+        [(a, b) for a, b in ring] + [(b, a) for a, b in ring], "src long, dst long"
+    )
+    r2 = degree_assortativity(Graph(v, e2)).first()
+    assert r2.assortativity is None  # zero variance -> undefined
+
+
+def test_modularity_two_cliques(spark):
+    """Two disjoint triangles with a perfect assignment: Q = 1 - 2·(1/2)²
+    = 0.5; the all-one-community assignment scores 0."""
+    from giraph_spark.algos.stats import modularity
+    from giraph_spark.graph import Graph
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in tri] + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    g = Graph(v, e)
+    perfect = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, community long"
+    )
+    r = modularity(g, perfect).first()
+    assert r.modularity == 0.5 and r.n_communities == 2 and r.n_edges == 12
+    allone = spark.createDataFrame(
+        [(i, 7) for i in range(6)], "id long, community long"
+    )
+    assert modularity(g, allone).first().modularity == 0.0
