@@ -222,6 +222,21 @@ def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop GraphSAGE-style neighbor sampling (fanout 5,5) from seed
+    customers 1-3 — md5-hash-ranked, so the minibatch subgraph is
+    byte-identical across engines."""
+    from giraph_spark.algos.sample import neighbor_sample
+
+    g = trade_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id").isin([1, 2, 3]))
+    return neighbor_sample(g, seeds, fanouts=[5, 5]).select(
+        "hop",
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+
+
 def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity over the symmetric trade graph
     (bipartite customer-supplier structure: strongly disassortative)."""
@@ -1282,6 +1297,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q_lpa_communities,
         "community_modularity": _q_community_modularity,
         "degree_assortativity": _q_degree_assortativity,
+        "neighbor_sample": _q_neighbor_sample,
         "betweenness_centrality": _q_betweenness,
         "k_core": _q_k_core,
         "max_propagation": _q_max_prop,
@@ -2938,8 +2954,37 @@ FROM c"""
     )
     eigenvector_sql = "\n".join(ev_parts)
 
+    # layered neighbor sampling: per-hop md5-hash-ranked fanout cap,
+    # replayed with the portable_hash60 twin
+    def _ns_hop(h: int, fanout: int, frontier: str, out: str) -> str:
+        hsh = (
+            f"CAST(('0x' || substr(md5('42-{h}-' || CAST(e.src AS VARCHAR)"
+            f" || '-' || CAST(e.dst AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        return f""", {out} AS MATERIALIZED (
+    SELECT {h} AS hop, src, dst FROM (
+        SELECT e.src, e.dst,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                                  ORDER BY {hsh}, e.dst) AS rn
+        FROM {frontier} f JOIN edges e ON e.src = f.f
+    ) WHERE rn <= {fanout}
+)"""
+
+    neighbor_sample_sql = (
+        TRADE_GRAPH_SQL.strip()
+        + ", nf0 AS (SELECT DISTINCT id AS f FROM vertices WHERE id IN (1, 2, 3))"
+        + _ns_hop(0, 5, "nf0", "ns0")
+        + ", nf1 AS (SELECT DISTINCT dst AS f FROM ns0)"
+        + _ns_hop(1, 5, "nf1", "ns1")
+        + """
+SELECT CAST(hop AS BIGINT) AS hop, CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst
+FROM (SELECT * FROM ns0 UNION ALL SELECT * FROM ns1)"""
+    )
+
     return {
         "lpa_communities": lpa_sql,
+        "neighbor_sample": neighbor_sample_sql,
         "community_modularity": modularity_sql,
         "degree_assortativity": assortativity_sql,
         "betweenness_centrality": betweenness_sql,

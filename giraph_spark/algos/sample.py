@@ -1,0 +1,78 @@
+"""Graph sampling for GNN training pipelines: deterministic layered
+neighbor sampling (the GraphSAGE minibatch primitive, Hamilton et al.,
+NeurIPS 2017) expressed relationally.
+
+At 100 TB the sampler IS the training-data pipeline for graph models:
+each minibatch needs a bounded-fanout neighborhood subgraph, and the
+selection must be reproducible across runs/engines (the same
+hash-not-random discipline as
+:mod:`giraph_spark.functions.sampling` — re-running the pipeline must
+not resample different neighbors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dedup import portable_hash60
+from ..graph import Graph
+
+
+def neighbor_sample(
+    graph: Graph,
+    seeds: DataFrame,
+    fanouts: list[int] = (5, 5),
+    seed: int = 42,
+) -> DataFrame:
+    """Layered neighbor sampling: starting from the ``seeds`` vertex set,
+    take for each frontier vertex its ``fanouts[h]`` pseudo-randomly
+    chosen out-neighbors per hop (rank = md5-derived hash of
+    ``(seed, hop, src, dst)``, ties by dst — fully deterministic and
+    SQL-replayable), the next frontier being the distinct sampled
+    endpoints. Returns the sampled edge relation ``(hop, src, dst)`` —
+    the minibatch subgraph a GNN trainer gathers features over.
+
+    Scale shape per hop: frontier semi-join onto the edge relation
+    (co-keyed on src) + a per-src window capped at ``fanouts[h]`` — the
+    window sorts only each frontier vertex's adjacency, and the output
+    is ≤ |frontier|·fanout rows by construction, so hub explosion is
+    structurally impossible (the entire point of fanout sampling). The
+    frontier is localCheckpoint-truncated every hop like every other
+    loop in the engine; repeated vertices across hops re-sample
+    identically (hash is hop-keyed), matching the GraphSAGE semantics of
+    independent per-layer samples."""
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    frontier = seeds.select(F.col(id_col).alias("_f")).distinct()
+    frontier = frontier.localCheckpoint(eager=False)
+    out: DataFrame | None = None
+    edges = graph.edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_t")
+    )
+    for h, fanout in enumerate(fanouts):
+        cand = frontier.join(edges, frontier["_f"] == edges["_s"])
+        rank_key = portable_hash60(
+            F.concat_ws(
+                "-",
+                F.lit(seed),
+                F.lit(h),
+                F.col("_s").cast("string"),
+                F.col("_t").cast("string"),
+            )
+        )
+        w = Window.partitionBy("_s").orderBy(rank_key, F.col("_t"))
+        sampled = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= fanout)
+            .select(
+                F.lit(h).cast("long").alias("hop"),
+                F.col("_s").alias(src_col),
+                F.col("_t").alias(dst_col),
+            )
+        )
+        sampled = sampled.localCheckpoint(eager=False)
+        out = sampled if out is None else out.unionByName(sampled)
+        frontier = sampled.select(F.col(dst_col).alias("_f")).distinct()
+        frontier = frontier.localCheckpoint(eager=False)
+    return out

@@ -176,3 +176,32 @@ def test_scrub_duplicate_ngrams_full_coverage_empties_doc(spark):
     out = {r.doc_id: r for r in scrub_duplicate_ngrams(df, n=8).collect()}
     assert out[1].clean_text == "" and out[1].n_kept == 0 and out[1].n_removed == 8
     assert out[2].clean_text == ""
+
+
+def test_neighbor_sample_fanout_and_determinism(spark):
+    from giraph_spark.algos.sample import neighbor_sample
+    from giraph_spark.graph import Graph
+    from pyspark.sql import functions as F
+
+    # hub 0 with 20 neighbors; each neighbor links to 3 second-hop nodes
+    edges = [(0, i) for i in range(1, 21)]
+    for i in range(1, 21):
+        edges += [(i, 100 + i * 10 + j) for j in range(3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame(
+        [(x,) for x in {a for a, _ in edges} | {b for _, b in edges}], "id long"
+    )
+    g = Graph(v, e)
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out = neighbor_sample(g, seeds, fanouts=[5, 2]).collect()
+    hop0 = [r for r in out if r.hop == 0]
+    hop1 = [r for r in out if r.hop == 1]
+    # fanout caps respected: 5 of the hub's 20 edges; <=2 per hop-1 vertex
+    assert len(hop0) == 5 and all(r.src == 0 for r in hop0)
+    assert len(hop1) == 10 and all(1 <= r.src <= 20 for r in hop1)
+    # deterministic: identical resample
+    again = neighbor_sample(g, seeds, fanouts=[5, 2]).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # different seed -> (almost surely) different hub selection
+    other = neighbor_sample(g, seeds, fanouts=[5, 2], seed=7).collect()
+    assert {r.dst for r in other if r.hop == 0} != {r.dst for r in hop0}
