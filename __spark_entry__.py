@@ -78,6 +78,7 @@ from giraph_spark.functions.text import (
     token_histogram,
 )
 from giraph_spark.plans.fixtures import (
+    COPURCHASE_GRAPH_SQL,
     EVENTS_CHAIN_SQL,
     NATION_GRAPH_SQL,
     read_events,
@@ -219,6 +220,20 @@ def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"),
+    )
+
+
+def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-truss of the hash-sparsified supplier co-purchase graph: edge
+    peeling by within-subgraph triangle support to the fixpoint."""
+    from giraph_spark.algos.triangles import k_truss
+    from giraph_spark.plans.fixtures import copurchase_graph
+
+    g = copurchase_graph(spark, sf_dir)
+    return k_truss(g, k=6).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "support",
     )
 
 
@@ -1298,6 +1313,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": _q_community_modularity,
         "degree_assortativity": _q_degree_assortativity,
         "neighbor_sample": _q_neighbor_sample,
+        "k_truss": _q_k_truss,
         "betweenness_centrality": _q_betweenness,
         "k_core": _q_k_core,
         "max_propagation": _q_max_prop,
@@ -2982,8 +2998,49 @@ SELECT CAST(hop AS BIGINT) AS hop, CAST(src AS BIGINT) AS src,
 FROM (SELECT * FROM ns0 UNION ALL SELECT * FROM ns1)"""
     )
 
+    # k-truss: unrolled edge peeling — per round, enumerate oriented
+    # triangles (a<b<c), 3-role support union, drop edges below k-2;
+    # rounds beyond the fixpoint are no-ops; final support computed ON
+    # the stable edge set (as the Spark loop reports it)
+    KT_K, KT_ROUNDS = 6, 10
+    kt_parts = [
+        COPURCHASE_GRAPH_SQL.strip(),
+        ", kt0 AS MATERIALIZED (SELECT src AS s, dst AS d FROM edges)",
+    ]
+    for r in range(KT_ROUNDS + 1):
+        kt_parts.append(
+            f""", ktr{r} AS (
+    SELECT e1.s AS a, e1.d AS b, e2.d AS c
+    FROM kt{r} e1 JOIN kt{r} e2 ON e1.d = e2.s
+    JOIN kt{r} e3 ON e3.s = e1.s AND e3.d = e2.d
+), ksp{r} AS MATERIALIZED (
+    SELECT s, d, COUNT(*) AS c FROM (
+        SELECT a AS s, b AS d FROM ktr{r}
+        UNION ALL SELECT b AS s, c AS d FROM ktr{r}
+        UNION ALL SELECT a AS s, c AS d FROM ktr{r}
+    ) GROUP BY 1, 2
+)"""
+        )
+        if r < KT_ROUNDS:
+            kt_parts.append(
+                f""", kt{r + 1} AS MATERIALIZED (
+    SELECT t.s, t.d FROM kt{r} t
+    LEFT JOIN ksp{r} p ON p.s = t.s AND p.d = t.d
+    WHERE COALESCE(p.c, 0) >= {KT_K - 2}
+)"""
+            )
+    kt_parts.append(
+        f"""
+SELECT CAST(t.s AS BIGINT) AS src, CAST(t.d AS BIGINT) AS dst,
+       CAST(COALESCE(p.c, 0) AS BIGINT) AS support
+FROM kt{KT_ROUNDS} t
+LEFT JOIN ksp{KT_ROUNDS} p ON p.s = t.s AND p.d = t.d"""
+    )
+    k_truss_sql = "\n".join(kt_parts)
+
     return {
         "lpa_communities": lpa_sql,
+        "k_truss": k_truss_sql,
         "neighbor_sample": neighbor_sample_sql,
         "community_modularity": modularity_sql,
         "degree_assortativity": assortativity_sql,

@@ -62,6 +62,7 @@ def _algorithms():
         graph_stats,
     )
     from .algos.triangles import (
+        k_truss,
         triangle_closing_topk,
         triangle_count,
         triangles_per_vertex,
@@ -80,6 +81,7 @@ def _algorithms():
         "wcc": wcc,
         "wcc_star": alternating_star_components,
         "k_core": k_core,
+        "k_truss": k_truss,
         "core_numbers": core_numbers,
         "scc": scc,
         "max_propagation": max_propagation,

@@ -138,3 +138,71 @@ def triangle_closing_topk(
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def k_truss(
+    graph: Graph,
+    k: int = 4,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The k-truss (Cohen 2008): the maximal subgraph in which every
+    edge is supported by ≥ k−2 triangles (support recomputed within the
+    surviving subgraph) — the edge-analog of :func:`~giraph_spark.algos.components.k_core`
+    peeling, and a much stronger cohesion filter (each k-truss edge lies
+    in a (k−1)-core, not vice versa). Returns the surviving canonical
+    undirected edges ``(src, dst, support)`` with their fixpoint support.
+
+    Driver loop per round: one oriented wedge self-join enumerates each
+    triangle once (``a<b<c``, the same low→high orientation as
+    :func:`triangle_count` — the power-law mitigation), a 3-role union +
+    hash groupBy computes per-edge support (partial-aggregated), and a
+    co-keyed semi-filter drops light edges. Rounds ≤ peeling depth; each
+    round's survivor relation is localCheckpoint-truncated. Raises if
+    ``max_rounds`` is exhausted before the fixpoint (an un-peeled exit
+    would silently return a SUPERSET, as with k_core)."""
+    src, dst = graph.src_col, graph.dst_col
+    e = _oriented(graph).localCheckpoint(eager=True)
+    n_prev = e.count()
+    supp = None
+    for _ in range(max_rounds):
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri = (
+            e1.join(e2, F.col(f"e1.{dst}") == F.col(f"e2.{src}"))
+            .join(
+                e3,
+                (F.col(f"e1.{src}") == F.col(f"e3.{src}"))
+                & (F.col(f"e2.{dst}") == F.col(f"e3.{dst}")),
+                "left_semi",
+            )
+            .select(
+                F.col(f"e1.{src}").alias("_a"),
+                F.col(f"e1.{dst}").alias("_b"),
+                F.col(f"e2.{dst}").alias("_c"),
+            )
+        )
+        roles = (
+            tri.select(F.col("_a").alias(src), F.col("_b").alias(dst))
+            .unionAll(tri.select(F.col("_b").alias(src), F.col("_c").alias(dst)))
+            .unionAll(tri.select(F.col("_a").alias(src), F.col("_c").alias(dst)))
+        )
+        supp = roles.groupBy(src, dst).agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+        # left join: an edge in no triangle has support 0 and must still
+        # survive when k <= 2 (the k-truss degenerates to the edge set)
+        survivors = (
+            e.join(supp, [src, dst], "left")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select(src, dst)
+            .localCheckpoint(eager=True)
+        )
+        n = survivors.count()
+        e = survivors
+        if n == n_prev:
+            return e.join(supp, [src, dst], "left").select(
+                src, dst, F.coalesce("support", F.lit(0)).cast("long").alias("support")
+            )
+        n_prev = n
+    raise RuntimeError(
+        f"k_truss: peeling did not stabilize within max_rounds={max_rounds}"
+    )

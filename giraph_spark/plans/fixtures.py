@@ -208,3 +208,72 @@ vertices AS (
     SELECT CAST(event_id AS BIGINT) AS id FROM events
 )
 """
+
+
+def copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Supplier co-purchase graph (one-mode projection of the bipartite
+    trade relation): undirected edge x—y iff suppliers x < y share at
+    least one customer, hash-sparsified to a deterministic 1/3 of pairs
+    (md5-derived ``portable_hash60 % 3``) so the projection keeps
+    non-trivial triangle structure instead of collapsing to a complete
+    graph on the uniform synthetic data. The triangle/truss fixture with
+    ~100 vertices at sf0.01.
+
+    Scale note: a one-mode projection explodes per-customer supplier
+    pairs — quadratic in each customer's basket size. Bound it upstream
+    on real data (cap basket size or use minhash on baskets); here
+    baskets are small by construction."""
+    from ..functions.dedup import portable_hash60
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    p = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    p = p.where(
+        portable_hash60(
+            F.concat_ws("-", F.lit(42), F.col("src"), F.col("dst"))
+        )
+        % 3
+        == 0
+    )
+    vertices = (
+        p.select(F.col("src").alias("id"))
+        .unionByName(p.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return Graph(
+        vertices.select(F.col("id").cast("long")),
+        p.select(F.col("src").cast("long"), F.col("dst").cast("long")),
+    )
+
+
+#: DuckDB twin of copurchase_graph (oracle prefix; edges oriented src<dst)
+COPURCHASE_GRAPH_SQL = """
+WITH cs AS (
+    SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+proj AS (
+    SELECT DISTINCT a.s AS src, b.s AS dst
+    FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+),
+edges AS (
+    SELECT src, dst FROM proj
+    WHERE CAST(('0x' || substr(md5('42-' || CAST(src AS VARCHAR) || '-'
+                || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % 3 = 0
+),
+vertices AS (
+    SELECT DISTINCT src AS id FROM edges
+    UNION
+    SELECT DISTINCT dst AS id FROM edges
+)
+"""

@@ -206,3 +206,34 @@ def test_closeness_unreachable_is_zero(spark):
         for r in closeness_centrality(Graph(verts, edges), pivots=[0]).collect()
     }
     assert got[9] == 0.0 and got[1] == 1.0 and got[0] == 0.0  # pivot self excluded
+
+
+def test_k_truss_k4_with_pendant_triangle(spark):
+    """4-truss of K4 ∪ pendant triangle = exactly K4's 6 edges with
+    support 2 (the pendant triangle's edges have support 1 and peel);
+    k=3 keeps both cliques; k=2 degenerates to the whole edge set."""
+    from giraph_spark.algos.triangles import k_truss
+    from giraph_spark.graph import Graph
+
+    K4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    pend = [(3, 4), (3, 5), (4, 5)]
+    e = spark.createDataFrame(K4 + pend, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    g = Graph(v, e)
+    got = sorted((r.src, r.dst, r.support) for r in k_truss(g, k=4).collect())
+    assert got == [(0, 1, 2), (0, 2, 2), (0, 3, 2), (1, 2, 2), (1, 3, 2), (2, 3, 2)]
+    assert k_truss(g, k=3).count() == 9
+    assert k_truss(g, k=2).count() == 9  # support-0 edges survive when k<=2
+    assert k_truss(g, k=5).count() == 0
+
+
+def test_k_truss_cascade(spark):
+    """Chain of triangles sharing single edges: each edge has support 1,
+    so k=4 cascades the whole chain away round by round."""
+    from giraph_spark.algos.triangles import k_truss
+    from giraph_spark.graph import Graph
+
+    tris = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5), (5, 6), (4, 6)]
+    e = spark.createDataFrame(tris, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    assert k_truss(Graph(v, e), k=4).count() == 0
