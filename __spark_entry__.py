@@ -223,6 +223,20 @@ def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-hop walks from seed customers 1-3 (DeepWalk
+    sentence corpus; min-hash next-hop choice replayed by the oracle)."""
+    from giraph_spark.algos.sample import random_walks
+
+    g = trade_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id").isin([1, 2, 3]))
+    return random_walks(g, seeds, length=4).select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        "step",
+        F.col("id").cast("long").alias("id"),
+    )
+
+
 def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-truss of the hash-sparsified supplier co-purchase graph: edge
     peeling by within-subgraph triangle support to the fixpoint."""
@@ -1314,6 +1328,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_degree_assortativity,
         "neighbor_sample": _q_neighbor_sample,
         "k_truss": _q_k_truss,
+        "random_walks": _q_random_walks,
         "betweenness_centrality": _q_betweenness,
         "k_core": _q_k_core,
         "max_propagation": _q_max_prop,
@@ -3038,8 +3053,44 @@ LEFT JOIN ksp{KT_ROUNDS} p ON p.s = t.s AND p.d = t.d"""
     )
     k_truss_sql = "\n".join(kt_parts)
 
+    # deterministic random walks: per-step min-hash next hop (QUALIFY
+    # rn=1 = Spark's min_by over (hash, dst))
+    RW_LEN = 4
+    rw_parts = [
+        TRADE_GRAPH_SQL.strip(),
+        ", rw0 AS MATERIALIZED (SELECT id AS walk, id AS at"
+        " FROM vertices WHERE id IN (1, 2, 3))",
+    ]
+    for t in range(1, RW_LEN + 1):
+        hsh = (
+            f"CAST(('0x' || substr(md5('42-' || CAST(c.walk AS VARCHAR)"
+            f" || '-{t}-' || CAST(e.src AS VARCHAR) || '-'"
+            f" || CAST(e.dst AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        rw_parts.append(
+            f""", rw{t} AS MATERIALIZED (
+    SELECT walk, at FROM (
+        SELECT c.walk, e.dst AS at,
+               ROW_NUMBER() OVER (PARTITION BY c.walk
+                                  ORDER BY {hsh}, e.dst) AS rn
+        FROM rw{t - 1} c JOIN edges e ON e.src = c.at
+    ) WHERE rn = 1
+)"""
+        )
+    rw_union = "\nUNION ALL\n".join(
+        f"SELECT walk, {t} AS step, at FROM rw{t}" for t in range(RW_LEN + 1)
+    )
+    random_walks_sql = (
+        "\n".join(rw_parts)
+        + f"""
+SELECT CAST(walk AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
+       CAST(at AS BIGINT) AS id
+FROM ({rw_union})"""
+    )
+
     return {
         "lpa_communities": lpa_sql,
+        "random_walks": random_walks_sql,
         "k_truss": k_truss_sql,
         "neighbor_sample": neighbor_sample_sql,
         "community_modularity": modularity_sql,

@@ -76,3 +76,67 @@ def neighbor_sample(
         frontier = sampled.select(F.col(dst_col).alias("_f")).distinct()
         frontier = frontier.localCheckpoint(eager=False)
     return out
+
+
+def random_walks(
+    graph: Graph,
+    seeds: DataFrame,
+    length: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic random-walk corpus generation (the DeepWalk /
+    node2vec sentence builder, Perozzi et al. KDD 2014): one walk per
+    seed vertex, ``length`` hops, the next hop at step t being the
+    out-neighbor with the minimum md5-derived hash of
+    ``(seed, walker, t, src, dst)`` — a pure function of the inputs, so
+    the walk corpus is reproducible across runs and replayed exactly by
+    the SQL oracle (the same hash-not-random discipline as
+    :func:`neighbor_sample`). A walker at a sink vertex stops early.
+
+    Returns ``(walk_id, step, id)`` — step 0 is the seed itself; feed
+    ``collect_list(id) over walk_id`` into a skip-gram trainer as the
+    sentence relation.
+
+    Scale shape per hop: frontier ⋈ edges co-keyed on the current
+    vertex + one per-walker min-hash argmin (``min_by`` — partial-
+    aggregated, no window sort); state is one row per walker, so cost
+    per hop is |walkers| regardless of graph size. The per-hop argmin
+    over a hub's full adjacency is the relational price of exact
+    hash-determinism; a production variant may pre-shard adjacency and
+    sample within one shard to bound it."""
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    edges = graph.edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_t")
+    )
+    cur = seeds.select(
+        F.col(id_col).alias("_walk"), F.col(id_col).alias("_at")
+    ).distinct()
+    out = cur.select(
+        F.col("_walk"), F.lit(0).cast("long").alias("step"), F.col("_at").alias(id_col)
+    )
+    out = out.localCheckpoint(eager=False)
+    for t in range(1, length + 1):
+        cand = cur.join(edges, cur["_at"] == edges["_s"])
+        h = portable_hash60(
+            F.concat_ws(
+                "-",
+                F.lit(seed),
+                F.col("_walk").cast("string"),
+                F.lit(t),
+                F.col("_s").cast("string"),
+                F.col("_t").cast("string"),
+            )
+        )
+        nxt = cand.groupBy("_walk").agg(
+            F.min_by(
+                F.col("_t"), F.struct(h.alias("h"), F.col("_t").alias("t"))
+            ).alias("_at")
+        )
+        cur = nxt.localCheckpoint(eager=False)
+        step = cur.select(
+            F.col("_walk"),
+            F.lit(t).cast("long").alias("step"),
+            F.col("_at").alias(id_col),
+        )
+        out = out.unionByName(step).localCheckpoint(eager=False)
+    return out.select(F.col("_walk").alias("walk_id"), "step", F.col(id_col))

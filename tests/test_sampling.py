@@ -205,3 +205,23 @@ def test_neighbor_sample_fanout_and_determinism(spark):
     # different seed -> (almost surely) different hub selection
     other = neighbor_sample(g, seeds, fanouts=[5, 2], seed=7).collect()
     assert {r.dst for r in other if r.hop == 0} != {r.dst for r in hop0}
+
+
+def test_random_walks_shape_and_sink_stop(spark):
+    from giraph_spark.algos.sample import random_walks
+    from giraph_spark.graph import Graph
+    from pyspark.sql import functions as F
+
+    # 0 -> {1,2}; 1 -> {3}; 2 -> {3}; 3 is a sink
+    e = spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    g = Graph(v, e)
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out = random_walks(g, seeds, length=5).orderBy("step").collect()
+    # walk starts at the seed, moves one hop per step, stops at sink 3
+    assert out[0].step == 0 and out[0].id == 0
+    assert out[1].id in (1, 2) and out[2].id == 3
+    assert len(out) == 3  # sink reached at step 2; no further rows
+    # deterministic replays; different seed may branch differently
+    again = random_walks(g, seeds, length=5).orderBy("step").collect()
+    assert [r.id for r in out] == [r.id for r in again]
