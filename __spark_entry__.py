@@ -400,6 +400,24 @@ def _q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").cast("long").alias("id"), "eigenvector")
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the DIRECTED trade graph (customers are pure hubs,
+    suppliers pure authorities); 8 alternating max-normalized rounds."""
+    from giraph_spark.algos.pagerank import hits
+
+    return hits(trade_graph(spark, sf_dir, directed=True), iterations=EV_ITERS).select(
+        F.col("id").cast("long").alias("id"), "hub", "authority"
+    )
+
+
+def _q_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter lower bound from the pivot-BFS eccentricities (one
+    multi-source kernel run, pivots = customers 1-4)."""
+    from giraph_spark.algos.stats import diameter_estimate
+
+    return diameter_estimate(trade_graph(spark, sf_dir), [1, 2, 3, 4])
+
+
 def _q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-restricted closeness (reached-normalized) — shares the
     single multi-source-BFS kernel run with harmonic_centrality."""
@@ -1345,6 +1363,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic_centrality,
         "closeness_centrality": _q_closeness_centrality,
         "eigenvector_centrality": _q_eigenvector_centrality,
+        "hits": _q_hits,
+        "diameter_estimate": _q_diameter_estimate,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "triangle_closing_topk": _q_triangle_closing,
         "symmetrize_edges": _q_symmetrize,
@@ -3088,8 +3108,57 @@ SELECT CAST(walk AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
 FROM ({rw_union})"""
     )
 
+    # HITS: unrolled alternating max-normalized rounds (authority from
+    # hub mass along edges, hub from authority mass against them), same
+    # per-round ROUND(.,6) as the Spark loop
+    hits_parts = [
+        TRADE_GRAPH_DIRECTED_SQL.strip(),
+        ", hs0 AS MATERIALIZED (SELECT id, 1.0 AS h, 1.0 AS a FROM vertices)",
+    ]
+    for t in range(EV_ITERS):
+        hits_parts.append(
+            f""", aup{t} AS (
+    SELECT v.id, v.h, COALESCE(m.s, 0) AS ra
+    FROM hs{t} v LEFT JOIN (
+        SELECT e.dst AS id, SUM(x.h) AS s
+        FROM edges e JOIN hs{t} x ON x.id = e.src GROUP BY 1
+    ) m ON m.id = v.id
+), anorm{t} AS MATERIALIZED (
+    SELECT id, h,
+           ROUND(COALESCE(ra / NULLIF((SELECT MAX(ra) FROM aup{t}), 0), 0),
+                 6) AS a
+    FROM aup{t}
+), hup{t} AS (
+    SELECT v.id, v.a, COALESCE(m.s, 0) AS rh
+    FROM anorm{t} v LEFT JOIN (
+        SELECT e.src AS id, SUM(x.a) AS s
+        FROM edges e JOIN anorm{t} x ON x.id = e.dst GROUP BY 1
+    ) m ON m.id = v.id
+), hs{t + 1} AS MATERIALIZED (
+    SELECT id,
+           ROUND(COALESCE(rh / NULLIF((SELECT MAX(rh) FROM hup{t}), 0), 0),
+                 6) AS h,
+           a
+    FROM hup{t}
+)"""
+        )
+    hits_parts.append(
+        f"SELECT CAST(id AS BIGINT) AS id, h AS hub, a AS authority"
+        f" FROM hs{EV_ITERS}"
+    )
+    hits_sql = "\n".join(hits_parts)
+
+    diameter_sql = (
+        hc_chain
+        + """
+SELECT CAST(MAX(d) AS BIGINT) AS diameter_lb, CAST(4 AS BIGINT) AS n_pivots
+FROM hp16"""
+    )
+
     return {
         "lpa_communities": lpa_sql,
+        "hits": hits_sql,
+        "diameter_estimate": diameter_sql,
         "random_walks": random_walks_sql,
         "k_truss": k_truss_sql,
         "neighbor_sample": neighbor_sample_sql,

@@ -45,6 +45,7 @@ def _algorithms():
     from .algos.independent_set import maximal_independent_set
     from .algos.pagerank import (
         eigenvector_centrality,
+        hits,
         pagerank,
         random_walk_with_restart,
     )
@@ -72,6 +73,7 @@ def _algorithms():
         "pagerank": pagerank,
         "random_walk_with_restart": random_walk_with_restart,
         "eigenvector_centrality": eigenvector_centrality,
+        "hits": hits,
         "sssp": sssp,
         "bfs": bfs,
         "harmonic_centrality": harmonic_centrality,

@@ -259,3 +259,67 @@ def eigenvector_centrality(
             nx = F.round(nx, round_digits)
         x = raw.select(F.col(id_col), nx.alias("_x"))
     return x.select(id_col, F.col("_x").alias("eigenvector"))
+
+
+def hits(
+    graph: Graph,
+    iterations: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) by alternating
+    max-normalized power iteration: ``a ← AᵀH / max``, ``h ← Aa / max``
+    per round — the directed-web dual of :func:`eigenvector_centrality`
+    and the same portability recipe (fixed iterations, per-round
+    rounding, max-normalization so the leading hub/authority are exactly
+    1.0). Returns ``(id, hub, authority)``.
+
+    Per round: two co-keyed contribution groupBys (one along edges, one
+    against them — both partial-aggregated map-side) and two driver-side
+    max scalars; lineage truncated every round."""
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    edges = graph.edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_t")
+    )
+    state = graph.vertices.select(
+        F.col(id_col), F.lit(1.0).alias("_h"), F.lit(1.0).alias("_a")
+    ).localCheckpoint(eager=False)
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col)).first()[0]
+        if not mx:
+            return df.withColumn(col, F.lit(0.0))
+        v = F.col(col) / F.lit(float(mx))
+        if round_digits is not None:
+            v = F.round(v, round_digits)
+        return df.withColumn(col, v)
+
+    for _ in range(iterations):
+        # authorities from hub mass along edges
+        contrib = (
+            state.join(edges, state[id_col] == edges["_s"])
+            .groupBy(F.col("_t").alias(id_col))
+            .agg(F.sum("_h").alias("_ra"))
+        )
+        state = (
+            state.drop("_a")
+            .join(contrib, id_col, "left")
+            .withColumn("_a", F.coalesce("_ra", F.lit(0.0)))
+            .drop("_ra")
+        )
+        state = _norm(state.localCheckpoint(eager=False), "_a")
+        # hubs from authority mass against edges
+        contrib = (
+            state.join(edges, state[id_col] == edges["_t"])
+            .groupBy(F.col("_s").alias(id_col))
+            .agg(F.sum("_a").alias("_rh"))
+        )
+        state = (
+            state.drop("_h")
+            .join(contrib, id_col, "left")
+            .withColumn("_h", F.coalesce("_rh", F.lit(0.0)))
+            .drop("_rh")
+        )
+        state = _norm(state.localCheckpoint(eager=False), "_h")
+    return state.select(
+        id_col, F.col("_h").alias("hub"), F.col("_a").alias("authority")
+    )

@@ -246,3 +246,25 @@ def modularity(graph: Graph, communities: DataFrame, community_col: str = "commu
         F.col("n_communities"),
         F.col("_m2").cast("long").alias("n_edges"),
     )
+
+
+def diameter_estimate(graph: Graph, pivots: list, **kw) -> DataFrame:
+    """Diameter lower bound by pivot eccentricity: max over pivots p and
+    vertices v of the finite hop distance d(p, v) — the standard cheap
+    estimator (exact diameter needs all-pairs; each pivot's
+    eccentricity lower-bounds it, and a handful of well-spread pivots
+    gets close on small-world graphs). One multi-source-BFS kernel run
+    (:func:`giraph_spark.algos.paths.pivot_distances`) + a single global
+    aggregate. Returns one row ``(diameter_lb, n_pivots)``."""
+    from .paths import pivot_distances
+
+    out = pivot_distances(graph, pivots, **kw)
+    finite_max = F.array_max(
+        F.filter(
+            F.col("_d"), lambda x: x < F.lit(float("inf"))
+        )
+    )
+    return out.agg(
+        F.max(finite_max).cast("long").alias("diameter_lb"),
+        F.lit(len(pivots)).cast("long").alias("n_pivots"),
+    )

@@ -371,3 +371,22 @@ def test_modularity_two_cliques(spark):
         [(i, 7) for i in range(6)], "id long, community long"
     )
     assert modularity(g, allone).first().modularity == 0.0
+
+
+def test_hits_bipartite_roles(spark):
+    """Directed bipartite 'customers -> suppliers': customers end as pure
+    hubs (authority 0), suppliers as pure authorities (hub 0); the
+    highest-in-degree supplier is the max authority (1.0)."""
+    from giraph_spark.algos.pagerank import hits
+    from giraph_spark.graph import Graph
+
+    # customers 1,2,3 ; suppliers 10 (from all), 11 (from 1 only)
+    e = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11)], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11)], "id long")
+    got = {r.id: (r.hub, r.authority) for r in hits(Graph(v, e), iterations=4).collect()}
+    assert got[10][1] == 1.0 and got[10][0] == 0.0
+    assert 0 < got[11][1] < 1.0
+    assert all(got[c][1] == 0.0 for c in (1, 2, 3))
+    assert got[1][0] == 1.0  # customer 1 links to both suppliers: top hub
