@@ -366,11 +366,16 @@ def betweenness_centrality(
             lvl = float(L - ctx.superstep)
             if lvl <= 0:  # level-0 pivots have no predecessors to credit
                 return F.lit(None).cast("array<double>")
+            # the division must live INSIDE the level-gated branch: a
+            # vertex reached by some pivots but not others has σ = 0 for
+            # the unreached ones, and ANSI mode raises DIVIDE_BY_ZERO on
+            # eagerly-evaluated double division (σ ≥ 1 whenever d = lvl)
             return F.when(
                 F.expr(f"exists(_d, x -> x = {lvl}d)"),
                 F.expr(
-                    f"zip_with(_d, zip_with(_dl, _sg, (dl, sg) -> (1.0d + dl) / sg), "
-                    f"(d, c) -> IF(d = {lvl}d, c, 0.0d))"
+                    f"zip_with(_d, zip_with(_dl, _sg, (dl, sg) -> "
+                    f"named_struct('dl', dl, 'sg', sg)), "
+                    f"(d, t) -> IF(d = {lvl}d, (1.0d + t.dl) / t.sg, 0.0d))"
                 ),
             )
 

@@ -237,3 +237,26 @@ def test_k_truss_cascade(spark):
     e = spark.createDataFrame(tris, "src long, dst long")
     v = spark.createDataFrame([(i,) for i in range(7)], "id long")
     assert k_truss(Graph(v, e), k=4).count() == 0
+
+
+def test_betweenness_unreachable_pivot_contributes_zero(spark):
+    """A pivot in a separate component adds nothing; betweenness on the
+    reachable component is unchanged by its presence."""
+    from giraph_spark.algos.paths import betweenness_centrality
+    from giraph_spark.graph import Graph
+
+    path = [(0, 1), (1, 2)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in path] + [(b, a) for a, b in path] + [(8, 9), (9, 8)],
+        "src long, dst long",
+    )
+    v = spark.createDataFrame([(i,) for i in (0, 1, 2, 8, 9)], "id long")
+    got = {
+        r.id: r.betweenness
+        for r in betweenness_centrality(
+            Graph(v, e), pivots=[0, 8]
+        ).collect()
+    }
+    # from pivot 0: delta(1) = 1 (pair 0->2); pivot 8's walk never crosses
+    assert got[1] == 1.0 and got[0] == 0.0 and got[2] == 0.0
+    assert got[9] == 0.0  # 9 is pivot-8's only target, endpoint excluded

@@ -512,3 +512,29 @@ def test_pack_sequences_offsets_and_boundaries(spark):
     assert (out[2].seq_id, out[2].offset) == (0, 3)
     assert (out[3].seq_id, out[3].offset) == (1, 2)
     assert (out[4].seq_id, out[4].offset) == (0, 0) and out[4].stratum == "t"
+
+
+def test_tfidf_rank_unique_and_k_bound(spark):
+    from giraph_spark.functions.text import tfidf_top_terms
+
+    rows = [(i, f"w{i} w{i} shared common tokens here {i % 3}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.doc_id, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per.values())
+
+
+def test_pack_sequences_invariants(spark):
+    from giraph_spark.functions.sampling import pack_sequences
+
+    rows = [(i, " ".join(["t"] * (1 + i % 7)), f"s{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = pack_sequences(df, window=10).collect()
+    assert all(0 <= r.offset < 10 for r in out)
+    # within a stratum, seq_id is non-decreasing in doc order
+    for s in ("s0", "s1"):
+        seqs = [r.seq_id for r in sorted(out, key=lambda r: r.doc_id) if r.stratum == s]
+        assert seqs == sorted(seqs)
