@@ -239,10 +239,13 @@ def modularity(graph: Graph, communities: DataFrame, community_col: str = "commu
         ),
         F.count(F.lit(1)).cast("long").alias("n_communities"),
     )
+    # try_divide: an empty edge relation yields NULL modularity (0/0)
+    # instead of an ANSI DIVIDE_BY_ZERO error
     return totals.crossJoin(F.broadcast(expected)).select(
-        F.round(F.col("_intra") / F.col("_m2") - F.col("_exp"), 6).alias(
-            "modularity"
-        ),
+        F.round(
+            F.try_divide(F.col("_intra"), F.col("_m2")) - F.coalesce("_exp", F.lit(0.0)),
+            6,
+        ).alias("modularity"),
         F.col("n_communities"),
         F.col("_m2").cast("long").alias("n_edges"),
     )

@@ -390,3 +390,14 @@ def test_hits_bipartite_roles(spark):
     assert 0 < got[11][1] < 1.0
     assert all(got[c][1] == 0.0 for c in (1, 2, 3))
     assert got[1][0] == 1.0  # customer 1 links to both suppliers: top hub
+
+
+def test_modularity_empty_edges_is_null_not_error(spark):
+    from giraph_spark.algos.stats import modularity
+    from giraph_spark.graph import Graph
+
+    e = spark.createDataFrame([], "src long, dst long")
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    comm = spark.createDataFrame([(1, 1), (2, 2)], "id long, community long")
+    r = modularity(Graph(v, e), comm).first()
+    assert r.modularity is None and r.n_edges == 0
