@@ -862,6 +862,17 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM — the model-free fluency/outlier score."""
+    from giraph_spark.functions.text import unigram_logprob
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return unigram_logprob(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_tokens", "logprob"
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing plan (window=256): per-source running token
     sum in doc-id order; each doc assigned the sequence it starts in."""
@@ -1402,6 +1413,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_ngrams": _q_duplicate_ngrams,
         "scrub_duplicate_ngrams": _q_scrub_duplicate_ngrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "unigram_logprob": _q_unigram_logprob,
         "pack_sequences": _q_pack_sequences,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
@@ -3167,6 +3179,22 @@ FROM hp16"""
         "betweenness_centrality": betweenness_sql,
         "eigenvector_centrality": eigenvector_sql,
         "tfidf_top_terms": tfidf_sql,
+        "unigram_logprob": f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents
+),
+tt AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+lm AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tt GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tt),
+scored AS (
+  SELECT tt.doc_id, COUNT(*) AS n_tokens,
+         ROUND(AVG(ln(lm.cnt / (SELECT t FROM tot))), 6) AS logprob
+  FROM tt JOIN lm USING (term) GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.logprob
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         "pack_sequences": pack_sequences_sql,
         "kmeans_clusters": kmeans_sql,
         "semdedup": semdedup_sql,

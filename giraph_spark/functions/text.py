@@ -393,3 +393,49 @@ def tfidf_top_terms(
     return scored.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).where(F.col("rnk") <= k)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM: ``lp(d) = mean_{w ∈ d} ln(count(w) / total)`` — the
+    simplest model-free fluency/outlier score (gibberish and
+    vocabulary-atypical documents score far below the corpus mode; the
+    poor man's perplexity filter run before any neural scorer exists).
+    Returns ``(id, n_tokens, logprob)`` rounded to 6.
+
+    Scale shape: one explode + a term-count groupBy (the LM), a
+    broadcast single-row total, one join back on the term and a per-doc
+    mean — all partial-aggregated, the LM table is |vocabulary| rows and
+    stays distributed."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    lm = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_cnt")
+    )
+    total = terms.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
+    scored = (
+        terms.join(lm, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("_cnt") / F.col("_tot"))), 6).alias(
+                "logprob"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("logprob"),
+        )
+    )

@@ -538,3 +538,15 @@ def test_pack_sequences_invariants(spark):
     for s in ("s0", "s1"):
         seqs = [r.seq_id for r in sorted(out, key=lambda r: r.doc_id) if r.stratum == s]
         assert seqs == sorted(seqs)
+
+
+def test_unigram_logprob_flags_atypical_doc(spark):
+    from giraph_spark.functions.text import unigram_logprob
+
+    common = "the cat sat on the mat and the dog ran"
+    rows = [(i, common) for i in range(9)] + [(9, "zyx qwv jkl pqr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.logprob for r in unigram_logprob(df).collect()}
+    # the gibberish doc uses corpus-rare tokens -> far lower mean logprob
+    assert out[9] < out[0] - 1.0
+    assert all(abs(out[i] - out[0]) < 1e-9 for i in range(9))
