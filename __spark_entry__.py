@@ -2789,13 +2789,16 @@ SELECT ROUND((SELECT intra FROM tot) / (SELECT m2 FROM tot)
        (SELECT nc FROM ex) AS n_communities,
        CAST((SELECT m2 FROM tot) AS BIGINT) AS n_edges"""
     )
+    # out-degree of src vs in-degree of dst (the out–in directed variant;
+    # identical on the symmetric trade graph where out = in)
     assortativity_sql = (
         TRADE_GRAPH_SQL.strip()
         + """,
-adeg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY 1)
+odeg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY 1),
+ideg AS (SELECT dst AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY 1)
 SELECT ROUND(CORR(ds.d, dt.d), 6) AS assortativity,
        CAST(COUNT(*) AS BIGINT) AS n_edges
-FROM edges e JOIN adeg ds ON ds.v = e.src JOIN adeg dt ON dt.v = e.dst"""
+FROM edges e JOIN odeg ds ON ds.v = e.src JOIN ideg dt ON dt.v = e.dst"""
     )
 
     # k-means (8 cells, 2 Lloyd iterations, dim 64): seed = lowest-id

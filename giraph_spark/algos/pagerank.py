@@ -230,35 +230,44 @@ def eigenvector_centrality(
     yields all-zero scores rather than NaN. Hop semantics over the edges
     AS GIVEN — symmetrize first for the undirected form."""
     id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    # persist: each iteration runs one driver action, and without the
+    # persist the edge relation's full upstream lineage (e.g. the
+    # lineitem⋈orders join of trade_graph) re-executes every round
     edges = graph.edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_t")
-    )
+    ).persist()
     x = graph.vertices.select(
         F.col(id_col), F.lit(1.0).alias("_x")
     ).localCheckpoint(eager=False)
-    for _ in range(iterations):
-        contrib = (
-            x.join(edges, x[id_col] == edges["_s"])
-            .groupBy(F.col("_t").alias(id_col))
-            .agg(F.sum("_x").alias("_raw"))
-        )
-        raw = (
-            graph.vertices.select(id_col)
-            .join(contrib, id_col, "left")
-            .select(
-                F.col(id_col), F.coalesce("_raw", F.lit(0.0)).alias("_raw")
+    try:
+        for _ in range(iterations):
+            contrib = (
+                x.join(edges, x[id_col] == edges["_s"])
+                .groupBy(F.col("_t").alias(id_col))
+                .agg(F.sum("_x").alias("_raw"))
             )
+            raw = (
+                graph.vertices.select(id_col)
+                .join(contrib, id_col, "left")
+                .select(
+                    F.col(id_col), F.coalesce("_raw", F.lit(0.0)).alias("_raw")
+                )
+            )
+            raw = raw.localCheckpoint(eager=False)
+            mx = raw.agg(F.max("_raw")).first()[0]
+            if not mx:  # no edges anywhere: stationary all-zero vector
+                x = raw.select(id_col, F.lit(0.0).alias("_x"))
+                break
+            nx = F.col("_raw") / F.lit(float(mx))
+            if round_digits is not None:
+                nx = F.round(nx, round_digits)
+            x = raw.select(F.col(id_col), nx.alias("_x"))
+        # materialize before releasing the cached edges
+        return x.select(id_col, F.col("_x").alias("eigenvector")).localCheckpoint(
+            eager=True
         )
-        raw = raw.localCheckpoint(eager=False)
-        mx = raw.agg(F.max("_raw")).first()[0]
-        if not mx:  # no edges anywhere: stationary all-zero vector
-            x = raw.select(id_col, F.lit(0.0).alias("_x"))
-            break
-        nx = F.col("_raw") / F.lit(float(mx))
-        if round_digits is not None:
-            nx = F.round(nx, round_digits)
-        x = raw.select(F.col(id_col), nx.alias("_x"))
-    return x.select(id_col, F.col("_x").alias("eigenvector"))
+    finally:
+        edges.unpersist()
 
 
 def hits(
@@ -275,11 +284,13 @@ def hits(
 
     Per round: two co-keyed contribution groupBys (one along edges, one
     against them — both partial-aggregated map-side) and two driver-side
-    max scalars; lineage truncated every round."""
+    max scalars; lineage truncated every round; the edge relation is
+    persisted for the run (two actions per round would otherwise re-run
+    its upstream lineage every time) and released on any exit."""
     id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
     edges = graph.edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_t")
-    )
+    ).persist()
     state = graph.vertices.select(
         F.col(id_col), F.lit(1.0).alias("_h"), F.lit(1.0).alias("_a")
     ).localCheckpoint(eager=False)
@@ -293,33 +304,37 @@ def hits(
             v = F.round(v, round_digits)
         return df.withColumn(col, v)
 
-    for _ in range(iterations):
-        # authorities from hub mass along edges
-        contrib = (
-            state.join(edges, state[id_col] == edges["_s"])
-            .groupBy(F.col("_t").alias(id_col))
-            .agg(F.sum("_h").alias("_ra"))
-        )
-        state = (
-            state.drop("_a")
-            .join(contrib, id_col, "left")
-            .withColumn("_a", F.coalesce("_ra", F.lit(0.0)))
-            .drop("_ra")
-        )
-        state = _norm(state.localCheckpoint(eager=False), "_a")
-        # hubs from authority mass against edges
-        contrib = (
-            state.join(edges, state[id_col] == edges["_t"])
-            .groupBy(F.col("_s").alias(id_col))
-            .agg(F.sum("_a").alias("_rh"))
-        )
-        state = (
-            state.drop("_h")
-            .join(contrib, id_col, "left")
-            .withColumn("_h", F.coalesce("_rh", F.lit(0.0)))
-            .drop("_rh")
-        )
-        state = _norm(state.localCheckpoint(eager=False), "_h")
-    return state.select(
-        id_col, F.col("_h").alias("hub"), F.col("_a").alias("authority")
-    )
+    try:
+        for _ in range(iterations):
+            # authorities from hub mass along edges
+            contrib = (
+                state.join(edges, state[id_col] == edges["_s"])
+                .groupBy(F.col("_t").alias(id_col))
+                .agg(F.sum("_h").alias("_ra"))
+            )
+            state = (
+                state.drop("_a")
+                .join(contrib, id_col, "left")
+                .withColumn("_a", F.coalesce("_ra", F.lit(0.0)))
+                .drop("_ra")
+            )
+            state = _norm(state.localCheckpoint(eager=False), "_a")
+            # hubs from authority mass against edges
+            contrib = (
+                state.join(edges, state[id_col] == edges["_t"])
+                .groupBy(F.col("_s").alias(id_col))
+                .agg(F.sum("_a").alias("_rh"))
+            )
+            state = (
+                state.drop("_h")
+                .join(contrib, id_col, "left")
+                .withColumn("_h", F.coalesce("_rh", F.lit(0.0)))
+                .drop("_rh")
+            )
+            state = _norm(state.localCheckpoint(eager=False), "_h")
+        # materialize before releasing the cached edges
+        return state.select(
+            id_col, F.col("_h").alias("hub"), F.col("_a").alias("authority")
+        ).localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()

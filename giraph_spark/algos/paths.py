@@ -385,15 +385,22 @@ def betweenness_centrality(
         # halted vertex would silently skip its send slot, dropping its
         # +1 path credit. Every vertex stays active for the L+1-superstep
         # sweep (bounded; the update is a full-state projection either way).
+        # send_msg_to_src: dependency flows BACKWARD — a level-(d+1)
+        # vertex credits its predecessors along its INCOMING edges
+        # (edge v→w, w sends to v), which on a directed relation is the
+        # reverse of the forward BFS direction. send_msg here would only
+        # be correct on symmetric graphs and silently zero out directed
+        # ones (caught by review: directed path 0→1→2 gave {1: 0.0}).
         out = pregel(
             g2,
             initial={"_dl": F.expr(zeros)},
             update=bwd_update,
-            send_msg=bwd_send,
+            send_msg_to_src=bwd_send,
             combine=vector_sum,
             msg_type="array<double>",
             vote_to_halt=F.lit(False),
             max_supersteps=L + 1,
+            metrics=metrics,
             **pregel_kwargs,
         )
         betw = F.expr(

@@ -46,10 +46,15 @@ def neighbor_sample(
     id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
     frontier = seeds.select(F.col(id_col).alias("_f")).distinct()
     frontier = frontier.localCheckpoint(eager=False)
-    out: DataFrame | None = None
     edges = graph.edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_t")
     )
+    # empty fanouts: an empty relation with the declared schema, not None
+    out: DataFrame = edges.select(
+        F.lit(0).cast("long").alias("hop"),
+        F.col("_s").alias(src_col),
+        F.col("_t").alias(dst_col),
+    ).where(F.lit(False))
     for h, fanout in enumerate(fanouts):
         cand = frontier.join(edges, frontier["_f"] == edges["_s"])
         rank_key = portable_hash60(
@@ -72,7 +77,7 @@ def neighbor_sample(
             )
         )
         sampled = sampled.localCheckpoint(eager=False)
-        out = sampled if out is None else out.unionByName(sampled)
+        out = out.unionByName(sampled)
         frontier = sampled.select(F.col(dst_col).alias("_f")).distinct()
         frontier = frontier.localCheckpoint(eager=False)
     return out

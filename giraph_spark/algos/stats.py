@@ -179,19 +179,26 @@ def degree_assortativity(graph: Graph) -> DataFrame:
     undirected coefficient (each undirected edge contributes both
     orientations, making the correlation symmetric by construction).
     Positive = hubs link to hubs; bipartite hub-leaf structures are
-    strongly negative. Returns one row ``(assortativity, n_edges)``.
+    strongly negative. On a directed relation this is the out–in
+    variant (source's out-degree vs target's in-degree — both defined
+    for every edge row, so no row is ever dropped); on a symmetric
+    relation out = in = degree and it reduces to the undirected
+    coefficient. Returns one row ``(assortativity, n_edges)``.
 
-    Shape: one degree groupBy + two co-keyed joins to annotate endpoint
+    Shape: two degree groupBys + two co-keyed joins to annotate endpoint
     degrees + a single global aggregate (all partial-aggregated; the
     single-row result is the only thing that leaves the executors)."""
     src_col, dst_col = graph.src_col, graph.dst_col
-    deg = graph.edges.groupBy(F.col(src_col).alias("_v")).agg(
-        F.count(F.lit(1)).cast("double").alias("_deg")
+    deg_out = graph.edges.groupBy(F.col(src_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("double").alias("_ds")
+    )
+    deg_in = graph.edges.groupBy(F.col(dst_col).alias("_t")).agg(
+        F.count(F.lit(1)).cast("double").alias("_dt")
     )
     e = (
         graph.edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
-        .join(deg.select(F.col("_v").alias("_s"), F.col("_deg").alias("_ds")), "_s")
-        .join(deg.select(F.col("_v").alias("_t"), F.col("_deg").alias("_dt")), "_t")
+        .join(deg_out, "_s")
+        .join(deg_in, "_t")
     )
     # Pearson r spelled out with try_divide: a zero-variance degree
     # sequence (regular graph) yields NULL, where ANSI-mode F.corr throws

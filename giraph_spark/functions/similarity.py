@@ -246,12 +246,29 @@ def nearest_cells(
     return F.slice(F.array_sort(sims), 1, n_keep)
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    num_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``num_cells`` lowest-id vectors as a ``(_cell, _cv)`` centroid
+    table — the deterministic, SQL-replayable seeding shared by
+    :func:`kmeans_centroids`, :func:`ivf_topk`, and :func:`semdedup`."""
+    return (
+        corpus.orderBy(F.col(id_col))
+        .limit(num_cells)
+        .select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv"))
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     num_cells: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column: seed with the
     ``num_cells`` lowest-id vectors, then ``iters`` rounds of
@@ -262,24 +279,26 @@ def kmeans_centroids(
     the classic k-means driver state) and inlined as a literal, so the
     assignment is a projection fused into the corpus scan; the only
     shuffle per round is the (cell, dim) mean aggregation, which
-    partial-aggregates map-side."""
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(num_cells)
-        .select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv"))
-    )
+    partial-aggregates map-side. ``round_digits`` rounds the assignment
+    similarity and every centroid component each round — the portable
+    mode that lets a SQL oracle replay the whole trajectory (see
+    :func:`kmeans_assign`)."""
+    cents = seed_centroids(corpus, num_cells, id_col, vec_col)
     for _ in range(iters):
         cent_arr = _centroid_array(cents)  # collect() truncates lineage too
         assigned = corpus.select(
-            F.element_at(nearest_cells(F.col(vec_col), cent_arr, 1), 1)[
-                "cell"
-            ].alias("_cell"),
+            F.element_at(
+                nearest_cells(F.col(vec_col), cent_arr, 1, round_digits), 1
+            )["cell"].alias("_cell"),
             F.col(vec_col),
         )
         dims = assigned.select(
             "_cell", F.posexplode(F.col(vec_col)).alias("_pos", "_x")
         )
-        means = dims.groupBy("_cell", "_pos").agg(F.avg("_x").alias("_m"))
+        mean = F.avg("_x")
+        if round_digits is not None:
+            mean = F.round(mean, round_digits)
+        means = dims.groupBy("_cell", "_pos").agg(mean.alias("_m"))
         cents = means.groupBy("_cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
@@ -323,13 +342,7 @@ def ivf_topk(
             corpus, num_cells=num_cells, id_col=id_col, vec_col=vec_col
         )
     else:
-        cents = (
-            corpus.orderBy(F.col(id_col))
-            .limit(num_cells)
-            .select(
-                F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv")
-            )
-        )
+        cents = seed_centroids(corpus, num_cells, id_col, vec_col)
 
     cent_arr = _centroid_array(cents)
     # inverted lists: top-1 cell per corpus row, pure projection
@@ -513,32 +526,9 @@ def kmeans_assign(
     map-side, shuffling at most ``num_cells × dim`` rows. Driver state
     is k·dim doubles per round — classic k-means. Empty cells drop out
     (their centroid is undefined), matching the SQL replay."""
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(num_cells)
-        .select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv"))
+    cents = kmeans_centroids(
+        corpus, num_cells, iters, id_col, vec_col, round_digits
     )
-    for _ in range(iters):
-        cent_arr = _centroid_array(cents)
-        assigned = corpus.select(
-            F.element_at(
-                nearest_cells(F.col(vec_col), cent_arr, 1, round_digits), 1
-            )["cell"].alias("_cell"),
-            F.col(vec_col),
-        )
-        dims = assigned.select(
-            "_cell", F.posexplode(F.col(vec_col)).alias("_pos", "_x")
-        )
-        mean = F.avg("_x")
-        if round_digits is not None:
-            mean = F.round(mean, round_digits)
-        means = dims.groupBy("_cell", "_pos").agg(mean.alias("_m"))
-        cents = means.groupBy("_cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
-                lambda s: s["_m"],
-            ).alias("_cv")
-        )
     cent_arr = _centroid_array(cents)
     return corpus.select(
         F.col(id_col),
@@ -582,11 +572,7 @@ def semdedup(
     SQL-replayable; pass :func:`kmeans_centroids` output (or
     :func:`kmeans_assign` with more iters) for better balance."""
     if centroids is None:
-        cents = (
-            corpus.orderBy(F.col(id_col))
-            .limit(num_cells)
-            .select(F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv"))
-        )
+        cents = seed_centroids(corpus, num_cells, id_col, vec_col)
     else:
         cents = centroids
     cent_arr = _centroid_array(cents)
