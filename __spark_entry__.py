@@ -1327,14 +1327,22 @@ def _driver_check_history() -> dict[str, tuple[int, int]]:
 
 
 def _ordered_registry(base: dict) -> dict:
-    """Sort ``base`` so least-driver-verified keys come first.
+    """Sort ``base`` so the stalest driver evidence comes first.
 
-    Sort key: (times checked, last round checked, insertion index) ascending —
-    never-checked keys keep their relative insertion order at the front.
-    """
+    Sort key: (last round checked, times checked, insertion index)
+    ascending — never-checked keys (last=0) lead in insertion order,
+    then longest-unchecked keys, then the most recently verified. With
+    staleness as the PRIMARY key the window rotates round-robin: no key
+    waits more than ceil(|registry| / window) rounds between checks,
+    whereas times-checked-first let a twice-green-but-stale key starve
+    behind once-green-but-fresh ones (observed when the registry grew
+    past window + backlog)."""
     hist = _driver_check_history()
     idx = {k: i for i, k in enumerate(base)}
-    order = sorted(base, key=lambda k: (*hist.get(k, (0, 0)), idx[k]))
+    def key(k):
+        times, last = hist.get(k, (0, 0))
+        return (last, times, idx[k])
+    order = sorted(base, key=key)
     return {k: base[k] for k in order}
 
 
