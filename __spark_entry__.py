@@ -237,6 +237,20 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ego_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-1 ego networks of suppliers 1-2 on the co-purchase
+    projection: the exact induced edge set of the neighborhood ball."""
+    from giraph_spark.algos.sample import ego_subgraph
+    from giraph_spark.plans.fixtures import copurchase_graph
+
+    g = copurchase_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id").isin([1, 2]))
+    return ego_subgraph(g, seeds, radius=1).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+
+
 def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-truss of the hash-sparsified supplier co-purchase graph: edge
     peeling by within-subgraph triangle support to the fixpoint."""
@@ -1366,6 +1380,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": _q_neighbor_sample,
         "k_truss": _q_k_truss,
         "random_walks": _q_random_walks,
+        "ego_subgraph": _q_ego_subgraph,
         "betweenness_centrality": _q_betweenness,
         "k_core": _q_k_core,
         "max_propagation": _q_max_prop,
@@ -3178,8 +3193,19 @@ SELECT CAST(MAX(d) AS BIGINT) AS diameter_lb, CAST(4 AS BIGINT) AS n_pivots
 FROM hp16"""
     )
 
+    ego_subgraph_sql = (
+        COPURCHASE_GRAPH_SQL.strip()
+        + """,
+eg0 AS (SELECT DISTINCT id AS v FROM vertices WHERE id IN (1, 2)),
+eg1 AS (SELECT DISTINCT e.dst AS v FROM edges e JOIN eg0 ON e.src = eg0.v),
+ball AS (SELECT v FROM eg0 UNION SELECT v FROM eg1)
+SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst
+FROM edges e JOIN ball a ON a.v = e.src JOIN ball b ON b.v = e.dst"""
+    )
+
     return {
         "lpa_communities": lpa_sql,
+        "ego_subgraph": ego_subgraph_sql,
         "hits": hits_sql,
         "diameter_estimate": diameter_sql,
         "random_walks": random_walks_sql,

@@ -145,3 +145,46 @@ def random_walks(
         )
         out = out.unionByName(step).localCheckpoint(eager=False)
     return out.select(F.col("_walk").alias("walk_id"), "step", F.col(id_col))
+
+
+def ego_subgraph(
+    graph: Graph,
+    seeds: DataFrame,
+    radius: int = 2,
+) -> DataFrame:
+    """The edge set INDUCED by the ``radius``-hop out-neighborhood of
+    the seed set: vertices reachable from any seed in ≤ ``radius``
+    directed hops, plus every edge of the original relation with both
+    endpoints inside that ball — the exact ego-network extraction
+    (the unbounded counterpart of :func:`neighbor_sample`; use that
+    when hubs make the exact ball too big). Returns ``(src, dst)``.
+
+    Shape: ``radius`` frontier semi-joins (each co-keyed on src,
+    frontier-sized build side) to build the reach set, then two
+    semi-joins to induce the edges. The reach set is
+    localCheckpoint-truncated per hop; at 100 TB the ball of a
+    high-degree seed is the dominant cost — radius 2 on a hub is the
+    whole graph, which is the operator's semantics, not a plan flaw
+    (cap with neighbor_sample when that is not wanted)."""
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    edges = graph.edges.select(src_col, dst_col)
+    visited = seeds.select(F.col(id_col).alias("_v")).distinct()
+    visited = visited.localCheckpoint(eager=False)
+    frontier = visited
+    for _ in range(radius):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("_v").alias(src_col)), src_col, "left_semi"
+            )
+            .select(F.col(dst_col).alias("_v"))
+            .distinct()
+            .join(visited, "_v", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return (
+        edges.join(visited.select(F.col("_v").alias(src_col)), src_col, "left_semi")
+        .join(visited.select(F.col("_v").alias(dst_col)), dst_col, "left_semi")
+        .select(src_col, dst_col)
+    )

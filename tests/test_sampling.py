@@ -225,3 +225,24 @@ def test_random_walks_shape_and_sink_stop(spark):
     # deterministic replays; different seed may branch differently
     again = random_walks(g, seeds, length=5).orderBy("step").collect()
     assert [r.id for r in out] == [r.id for r in again]
+
+
+def test_ego_subgraph_induces_neighbor_edges(spark):
+    from giraph_spark.algos.sample import ego_subgraph
+    from giraph_spark.graph import Graph
+
+    # 0->1, 0->2, 1->2 (inside ball of 0 at radius 1), 2->3 (3 outside)
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = sorted(
+        (r.src, r.dst) for r in ego_subgraph(Graph(v, e), seeds, radius=1).collect()
+    )
+    # ball = {0,1,2}; induced edges include the 1->2 closure, exclude 2->3
+    assert got == [(0, 1), (0, 2), (1, 2)]
+    got2 = sorted(
+        (r.src, r.dst) for r in ego_subgraph(Graph(v, e), seeds, radius=2).collect()
+    )
+    assert got2 == [(0, 1), (0, 2), (1, 2), (2, 3)]
