@@ -237,6 +237,22 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 Jaccard link predictions per vertex on the co-purchase
+    projection (common neighbors normalized by neighborhood union)."""
+    from giraph_spark.algos.triangles import jaccard_link_prediction
+    from giraph_spark.plans.fixtures import copurchase_graph
+
+    g = copurchase_graph(spark, sf_dir)
+    return jaccard_link_prediction(g, k=5).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("candidate").cast("long").alias("candidate"),
+        "common_neighbors",
+        "jaccard",
+        "rnk",
+    )
+
+
 def _q_ego_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-1 ego networks of suppliers 1-2 on the co-purchase
     projection: the exact induced edge set of the neighborhood ball."""
@@ -1381,6 +1397,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": _q_k_truss,
         "random_walks": _q_random_walks,
         "ego_subgraph": _q_ego_subgraph,
+        "jaccard_link_prediction": _q_jaccard_link_prediction,
         "betweenness_centrality": _q_betweenness,
         "k_core": _q_k_core,
         "max_propagation": _q_max_prop,
@@ -3203,8 +3220,39 @@ SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst
 FROM edges e JOIN ball a ON a.v = e.src JOIN ball b ON b.v = e.dst"""
     )
 
+    jaccard_lp_sql = (
+        COPURCHASE_GRAPH_SQL.strip()
+        + """,
+jsym AS MATERIALIZED (
+    SELECT src AS s, dst AS d FROM edges
+    UNION SELECT dst AS s, src AS d FROM edges
+),
+jdeg AS (SELECT s AS v, COUNT(*) AS dg FROM jsym GROUP BY 1),
+jp AS (
+    SELECT a.s AS id, b.d AS candidate, COUNT(*) AS cn
+    FROM jsym a JOIN jsym b ON a.d = b.s AND a.s <> b.d
+    GROUP BY 1, 2
+),
+jnp AS (
+    SELECT p.id, p.candidate, p.cn,
+           ROUND(p.cn / CAST(da.dg + dc.dg - p.cn AS DOUBLE), 6) AS jac
+    FROM jp p
+    JOIN jdeg da ON da.v = p.id
+    JOIN jdeg dc ON dc.v = p.candidate
+    WHERE NOT EXISTS (SELECT 1 FROM jsym e
+                      WHERE e.s = p.id AND e.d = p.candidate)
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(candidate AS BIGINT) AS candidate,
+       CAST(cn AS BIGINT) AS common_neighbors, jac AS jaccard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY jac DESC, cn DESC, candidate ASC)
+            AS BIGINT) AS rnk
+FROM jnp QUALIFY rnk <= 5"""
+    )
+
     return {
         "lpa_communities": lpa_sql,
+        "jaccard_link_prediction": jaccard_lp_sql,
         "ego_subgraph": ego_subgraph_sql,
         "hits": hits_sql,
         "diameter_estimate": diameter_sql,

@@ -206,3 +206,73 @@ def k_truss(
     raise RuntimeError(
         f"k_truss: peeling did not stabilize within max_rounds={max_rounds}"
     )
+
+
+def jaccard_link_prediction(
+    graph: Graph,
+    k: int = 10,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg,
+    CIKM 2003): for each vertex, the top-``k`` non-adjacent candidates
+    ranked by ``|N(a) ∩ N(c)| / |N(a) ∪ N(c)|`` over the symmetrized,
+    deduped graph — :func:`triangle_closing_topk`'s common-neighbor
+    machinery normalized by the union size, so high-degree candidates
+    stop dominating every recommendation list. Returns
+    ``(id, candidate, common_neighbors, jaccard, rnk)``; ties by
+    (higher common count, lower candidate id).
+
+    Same scale shape and ``max_degree`` hub guard as the triangle-closing
+    recommender (wedge self-join bounded by midpoint degree); the union
+    size needs only the two endpoint degrees — one extra |V|-sized degree
+    relation joined twice, no new pair-space."""
+    from pyspark.sql import Window
+
+    src, dst = graph.src_col, graph.dst_col
+    id_col = graph.id_col
+    sym = symmetrize(graph, dedup=True).edges.select(src, dst)
+    deg = sym.groupBy(F.col(src).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_deg")
+    )
+    hop2 = sym
+    if max_degree is not None:
+        hubs = deg.where(F.col("_deg") > max_degree).select(
+            F.col("_v").alias("_hub")
+        )
+        hop2 = sym.join(hubs, F.col(src) == F.col("_hub"), "left_anti")
+    a = sym.alias("a")
+    b = hop2.alias("b")
+    pairs = (
+        a.join(b, F.col(f"a.{dst}") == F.col(f"b.{src}"))
+        .where(F.col(f"a.{src}") != F.col(f"b.{dst}"))
+        .groupBy(
+            F.col(f"a.{src}").alias(id_col), F.col(f"b.{dst}").alias("candidate")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    adj = sym.select(F.col(src).alias(id_col), F.col(dst).alias("candidate"))
+    pairs = pairs.join(adj, [id_col, "candidate"], "left_anti")
+    pairs = (
+        pairs.join(deg.select(F.col("_v").alias(id_col), F.col("_deg").alias("_da")), id_col)
+        .join(
+            deg.select(F.col("_v").alias("candidate"), F.col("_deg").alias("_dc")),
+            "candidate",
+        )
+        .select(
+            id_col,
+            "candidate",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("_da") + F.col("_dc") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("jaccard"), F.desc("common_neighbors"), F.asc("candidate")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

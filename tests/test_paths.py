@@ -260,3 +260,24 @@ def test_betweenness_unreachable_pivot_contributes_zero(spark):
     # from pivot 0: delta(1) = 1 (pair 0->2); pivot 8's walk never crosses
     assert got[1] == 1.0 and got[0] == 0.0 and got[2] == 0.0
     assert got[9] == 0.0  # 9 is pivot-8's only target, endpoint excluded
+
+
+def test_jaccard_link_prediction_golden(spark):
+    """Star 1-{0,2,3} plus edge 2-4: leaves of the star are pairwise
+    perfect matches (J=1) except 2, whose extra neighbor 4 dilutes it:
+    J(0,2) = |{1}| / |{1} ∪ {1,4}| = 0.5 — so 3 outranks 2 for vertex 0,
+    and ties (J and count equal) break toward the lower candidate id."""
+    from giraph_spark.algos.triangles import jaccard_link_prediction
+    from giraph_spark.graph import Graph
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (1, 3), (2, 4)], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = {
+        (r.id, r.candidate): (r.jaccard, r.rnk)
+        for r in jaccard_link_prediction(Graph(v, e), k=5).collect()
+    }
+    assert got[(0, 3)] == (1.0, 1) and got[(0, 2)] == (0.5, 2)
+    assert got[(3, 0)] == (1.0, 1)  # symmetric view, lower-id tie first
+    assert (0, 1) not in got  # adjacent pairs excluded
