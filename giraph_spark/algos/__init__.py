@@ -1,1 +1,49 @@
-"""Algorithm library — the reference's "queries" (SURVEY §2.11)."""
+"""Algorithm library — the reference's "queries" (SURVEY §2.11) plus the
+beyond-reference centrality/cohesion/sampling family; every name here is
+also runnable from the CLI (``python -m giraph_spark <name> ...``)."""
+
+from .coarsen import coarsen
+from .components import (
+    alternating_star_components,
+    connected_components,
+    core_numbers,
+    k_core,
+    label_propagation_communities,
+    max_propagation,
+    min_propagation,
+    wcc,
+)
+from .deadlock import bracha_toueg
+from .independent_set import maximal_independent_set
+from .pagerank import (
+    eigenvector_centrality,
+    hits,
+    pagerank,
+    random_walk_with_restart,
+)
+from .paths import (
+    betweenness_centrality,
+    bfs,
+    closeness_centrality,
+    harmonic_centrality,
+    pivot_distances,
+    sssp,
+)
+from .sample import ego_subgraph, neighbor_sample, random_walks
+from .scc import scc
+from .stats import (
+    avg_neighbor_degree,
+    clustering_coefficient,
+    degree_assortativity,
+    diameter_estimate,
+    graph_stats,
+    modularity,
+    partitioning_stats,
+)
+from .triangles import (
+    jaccard_link_prediction,
+    k_truss,
+    triangle_closing_topk,
+    triangle_count,
+    triangles_per_vertex,
+)

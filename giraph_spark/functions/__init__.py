@@ -6,6 +6,7 @@ built-in expressions over UDFs, one shuffle per logical exchange,
 broadcast/bucket joins where a side is small."""
 
 from .dedup import (
+    dedup_corpus,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -22,24 +23,36 @@ from .similarity import (
     cosine,
     embedding_near_duplicates,
     ivf_topk,
+    kmeans_assign,
     kmeans_centroids,
     lsh_topk,
     quantize_embeddings,
+    seed_centroids,
+    semdedup,
 )
 from .text import (
     bpe_token_count,
+    chunk_documents,
+    corpus_stats,
     fingerprint,
     lang_id,
     quality_features,
     quality_filter,
     quality_score,
+    repetition_features,
+    scrub_text,
+    tfidf_top_terms,
     token_count,
     token_histogram,
+    unigram_logprob,
 )
 from .sampling import (
     decontaminate,
+    duplicate_ngrams,
     expand_repeats,
     mixture_repeats,
+    pack_sequences,
+    scrub_duplicate_ngrams,
     stratified_sample,
     train_val_split,
     word_ngrams,
