@@ -2922,6 +2922,7 @@ cov AS (
 tokpos AS (
   SELECT doc_id, i + 1 AS pos, t[i + 1] AS w
   FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+  WHERE t[i + 1] <> ''
 ),
 kept AS (
   SELECT k.doc_id, k.pos, k.w FROM tokpos k
@@ -2936,7 +2937,8 @@ clean AS (
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        COALESCE(c.clean_text, '') AS clean_text,
        CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
-       CAST(len(d.t) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+       CAST(len(list_filter(d.t, x -> x <> '')) - COALESCE(c.n_kept, 0)
+            AS BIGINT) AS n_removed
 FROM tok d LEFT JOIN clean c USING (doc_id)"""
 
     # Brandes betweenness, unrolled: forward = per-pivot BFS levels with

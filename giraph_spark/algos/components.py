@@ -515,18 +515,29 @@ def label_propagation_communities(
             "_dst", F.struct(F.col("_c").alias("c"), (-F.col("_lbl")).alias("neg")).alias("_m")
         )
 
-    out = pregel(
-        graph,
-        initial={community_col: F.col(id_col).cast("long")},
-        update={
-            community_col: F.coalesce(-F.col(MSG)["neg"], F.col(community_col))
-        },
-        messages_fn=majority_messages,
-        combine=F.max,
-        msg_type="struct<c:bigint,neg:bigint>",
-        vote_to_halt=F.lit(False),
-        max_supersteps=rounds + 1,
-        metrics=metrics,
-        **pregel_kwargs,
-    )
-    return out.select(id_col, F.col(community_col).cast("long").alias(community_col))
+    # the kernel caches/co-partitions edges only on its send_msg path;
+    # a messages_fn receives the raw relation, so persist the projected
+    # edges here or every round re-executes their full upstream lineage
+    # (e.g. trade_graph's lineitem⋈orders join, rounds+1 times)
+    cached_edges = graph.edges.select(src_col, dst_col).persist()
+    g = Graph(graph.vertices, cached_edges, id_col, src_col, dst_col)
+    try:
+        out = pregel(
+            g,
+            initial={community_col: F.col(id_col).cast("long")},
+            update={
+                community_col: F.coalesce(-F.col(MSG)["neg"], F.col(community_col))
+            },
+            messages_fn=majority_messages,
+            combine=F.max,
+            msg_type="struct<c:bigint,neg:bigint>",
+            vote_to_halt=F.lit(False),
+            max_supersteps=rounds + 1,
+            metrics=metrics,
+            **pregel_kwargs,
+        )
+        return out.select(
+            id_col, F.col(community_col).cast("long").alias(community_col)
+        ).localCheckpoint(eager=True)
+    finally:
+        cached_edges.unpersist()

@@ -217,11 +217,12 @@ def closeness_centrality(
     d(p,v)`` with ``r(v)`` = number of pivots reaching v — the
     reached-normalized (Wasserman–Faust / Lin-style) form, which stays
     comparable across vertices when some pivots are unreachable; 0 when
-    no pivot reaches v. Shares :func:`pivot_distances`' single
-    multi-source-BFS kernel run with :func:`harmonic_centrality` —
-    closeness of the whole graph under pivot sampling costs exactly one
-    BFS sweep regardless of pivot count. Returns ``(id, closeness)``
-    rounded to 6 places."""
+    no pivot reaches v. Same :func:`pivot_distances` code path as
+    :func:`harmonic_centrality`: ONE multi-source-BFS kernel run per
+    call regardless of pivot count (each call runs its own sweep — to
+    serve the whole centrality family from a single sweep, materialize
+    ``pivot_distances`` once and apply the score projections to it).
+    Returns ``(id, closeness)`` rounded to 6 places."""
     out = pivot_distances(
         graph, pivots, max_supersteps, metrics, **pregel_kwargs
     )
@@ -322,6 +323,7 @@ def betweenness_centrality(
             F.expr(f"zip_with(_d, _sg, (d, sg) -> IF(d = {s}d, sg, 0.0d))"),
         )
 
+    metrics = metrics if metrics is not None else PregelMetrics()
     fwd = pregel(
         graph,
         initial={"_d": init_d, "_sg": init_sg},
@@ -334,6 +336,20 @@ def betweenness_centrality(
         metrics=metrics,
         **pregel_kwargs,
     ).persist()
+    # a truncated forward BFS would silently underestimate every score
+    # (vertices beyond the cutoff keep d=∞ and their dependency credit
+    # vanishes) — fail loudly instead, like k_truss on an un-peeled exit
+    if (
+        metrics.num_supersteps >= max_supersteps
+        and metrics.supersteps
+        and metrics.supersteps[-1]["messages"] > 0
+    ):
+        fwd.unpersist()
+        raise RuntimeError(
+            "betweenness_centrality: forward BFS still had an active "
+            f"frontier at max_supersteps={max_supersteps}; raise it above "
+            "the graph's pivot eccentricity"
+        )
     try:
         lmax = fwd.select(
             F.max(

@@ -83,6 +83,44 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
     )
 
 
+def _common_neighbor_pairs(
+    graph: Graph, max_degree: int | None
+):
+    """Shared candidate machinery of :func:`triangle_closing_topk` and
+    :func:`jaccard_link_prediction`: the symmetrized deduped relation,
+    its degree table, and the non-adjacent 2-hop pair relation with
+    common-neighbor counts (hub guard applied to wedge midpoints).
+    Returns ``(sym, deg, pairs)``."""
+    src, dst = graph.src_col, graph.dst_col
+    id_col = graph.id_col
+    sym = symmetrize(graph, dedup=True).edges.select(src, dst)
+    deg = sym.groupBy(F.col(src).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_deg")
+    )
+    hop2 = sym
+    if max_degree is not None:
+        hubs = deg.where(F.col("_deg") > max_degree).select(
+            F.col("_v").alias("_hub")
+        )
+        # exclude hub *midpoints* only: filter the second-hop side on its
+        # source (== the wedge midpoint). Endpoints and candidates may
+        # still be hubs; the adjacency anti-join stays on the full sym.
+        hop2 = sym.join(hubs, F.col(src) == F.col("_hub"), "left_anti")
+    a = sym.alias("a")
+    b = hop2.alias("b")
+    pairs = (
+        a.join(b, F.col(f"a.{dst}") == F.col(f"b.{src}"))
+        .where(F.col(f"a.{src}") != F.col(f"b.{dst}"))
+        .groupBy(
+            F.col(f"a.{src}").alias(id_col), F.col(f"b.{dst}").alias("candidate")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    adj = sym.select(F.col(src).alias(id_col), F.col(dst).alias("candidate"))
+    pairs = pairs.join(adj, [id_col, "candidate"], "left_anti")
+    return sym, deg, pairs
+
+
 def triangle_closing_topk(
     graph: Graph, k: int = 10, max_degree: int | None = None
 ) -> DataFrame:
@@ -105,32 +143,8 @@ def triangle_closing_topk(
     as a declared parameter instead of an implicit buffer cap."""
     from pyspark.sql import Window
 
-    src, dst = graph.src_col, graph.dst_col
     id_col = graph.id_col
-    sym = symmetrize(graph, dedup=True).edges.select(src, dst)
-    hop2 = sym
-    if max_degree is not None:
-        deg = sym.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
-        hubs = deg.where(F.col("_deg") > max_degree).select(
-            F.col(src).alias("_hub")
-        )
-        # exclude hub *midpoints* only: filter the second-hop side on its
-        # source (== the wedge midpoint). Endpoints and candidates may
-        # still be hubs; adjacency anti-join below stays on the full sym.
-        hop2 = sym.join(hubs, F.col(src) == F.col("_hub"), "left_anti")
-    a = sym.alias("a")
-    b = hop2.alias("b")
-    pairs = (
-        a.join(b, F.col(f"a.{dst}") == F.col(f"b.{src}"))
-        .where(F.col(f"a.{src}") != F.col(f"b.{dst}"))
-        .groupBy(
-            F.col(f"a.{src}").alias(id_col), F.col(f"b.{dst}").alias("candidate")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
-    )
-    # drop already-adjacent pairs
-    adj = sym.select(F.col(src).alias(id_col), F.col(dst).alias("candidate"))
-    pairs = pairs.join(adj, [id_col, "candidate"], "left_anti")
+    _sym, _deg, pairs = _common_neighbor_pairs(graph, max_degree)
     w = Window.partitionBy(id_col).orderBy(
         F.desc("common_neighbors"), F.asc("candidate")
     )
@@ -228,30 +242,8 @@ def jaccard_link_prediction(
     relation joined twice, no new pair-space."""
     from pyspark.sql import Window
 
-    src, dst = graph.src_col, graph.dst_col
     id_col = graph.id_col
-    sym = symmetrize(graph, dedup=True).edges.select(src, dst)
-    deg = sym.groupBy(F.col(src).alias("_v")).agg(
-        F.count(F.lit(1)).cast("long").alias("_deg")
-    )
-    hop2 = sym
-    if max_degree is not None:
-        hubs = deg.where(F.col("_deg") > max_degree).select(
-            F.col("_v").alias("_hub")
-        )
-        hop2 = sym.join(hubs, F.col(src) == F.col("_hub"), "left_anti")
-    a = sym.alias("a")
-    b = hop2.alias("b")
-    pairs = (
-        a.join(b, F.col(f"a.{dst}") == F.col(f"b.{src}"))
-        .where(F.col(f"a.{src}") != F.col(f"b.{dst}"))
-        .groupBy(
-            F.col(f"a.{src}").alias(id_col), F.col(f"b.{dst}").alias("candidate")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
-    )
-    adj = sym.select(F.col(src).alias(id_col), F.col(dst).alias("candidate"))
-    pairs = pairs.join(adj, [id_col, "candidate"], "left_anti")
+    _sym, deg, pairs = _common_neighbor_pairs(graph, max_degree)
     pairs = (
         pairs.join(deg.select(F.col("_v").alias(id_col), F.col("_deg").alias("_da")), id_col)
         .join(

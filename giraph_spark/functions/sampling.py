@@ -302,9 +302,16 @@ def scrub_duplicate_ngrams(
         )
         .distinct()
     )
-    toks = with_t.select(
-        F.col(id_col), F.posexplode(F.col("_t")).alias("_p0", "_w")
-    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_pos"), F.col("_w"))
+    # split('') yields [''] — drop empty tokens so an empty-normalizing
+    # document counts 0 tokens, not 1 phantom (the same guard
+    # tfidf_top_terms / unigram_logprob apply)
+    toks = (
+        with_t.select(
+            F.col(id_col), F.posexplode(F.col("_t")).alias("_p0", "_w")
+        )
+        .where(F.col("_w") != "")
+        .select(F.col(id_col), (F.col("_p0") + 1).alias("_pos"), F.col("_w"))
+    )
     kept = toks.join(covered, [id_col, "_pos"], "left_anti")
     clean = kept.groupBy(id_col).agg(
         F.array_join(
@@ -317,7 +324,12 @@ def scrub_duplicate_ngrams(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
     return (
-        with_t.select(F.col(id_col), F.size("_t").cast("long").alias("_ntok"))
+        with_t.select(
+            F.col(id_col),
+            F.size(F.filter(F.col("_t"), lambda x: x != "")).cast("long").alias(
+                "_ntok"
+            ),
+        )
         .join(clean, id_col, "left")
         .select(
             F.col(id_col),

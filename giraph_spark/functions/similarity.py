@@ -585,6 +585,9 @@ def semdedup(
         .cast("long")
         .alias("cell"),
     )
+    # three references below (both self-join sides + the final probe):
+    # truncate so the corpus scan + cell assignment runs once, not 3×
+    assigned = assigned.localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     dup = (
         a.join(

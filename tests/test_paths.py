@@ -281,3 +281,20 @@ def test_jaccard_link_prediction_golden(spark):
     assert got[(0, 3)] == (1.0, 1) and got[(0, 2)] == (0.5, 2)
     assert got[(3, 0)] == (1.0, 1)  # symmetric view, lower-id tie first
     assert (0, 1) not in got  # adjacent pairs excluded
+
+
+def test_betweenness_raises_on_truncated_bfs(spark):
+    """max_supersteps below the pivot eccentricity must fail loudly, not
+    return silently underestimated scores (review finding)."""
+    import pytest
+
+    from giraph_spark.algos.paths import betweenness_centrality
+    from giraph_spark.graph import Graph
+
+    path = [(i, i + 1) for i in range(6)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in path] + [(b, a) for a, b in path], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    with pytest.raises(RuntimeError, match="forward BFS"):
+        betweenness_centrality(Graph(v, e), pivots=[0], max_supersteps=3)

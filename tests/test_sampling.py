@@ -246,3 +246,17 @@ def test_ego_subgraph_induces_neighbor_edges(spark):
         (r.src, r.dst) for r in ego_subgraph(Graph(v, e), seeds, radius=2).collect()
     )
     assert got2 == [(0, 1), (0, 2), (1, 2), (2, 3)]
+
+
+def test_scrub_duplicate_ngrams_empty_normalized_doc(spark):
+    """A doc whose text normalizes to '' must count 0 tokens, not the
+    phantom '' token split('') produces (review finding)."""
+    from giraph_spark.functions.sampling import scrub_duplicate_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "!!! ??? ..."), (2, "real words here stay put")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_duplicate_ngrams(df, n=3).collect()}
+    assert out[1].clean_text == "" and out[1].n_kept == 0 and out[1].n_removed == 0
+    assert out[2].n_kept == 5 and out[2].n_removed == 0
