@@ -160,3 +160,77 @@ def test_dedup_corpus_invariants(spark, texts):
     for key, kept in norm.items():
         group = [i for i, t in enumerate(texts) if _py_normalize(t) == key]
         assert kept == min(group)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_lpa_matches_python_synchronous_model(spark, pairs):
+    """Kernel LPA vs an independent pure-Python synchronous simulator on
+    generated graphs (incl. self-loop-free multi-edge collapse): same
+    fixed-round labels, same (max count, min label) ties."""
+    edges = sorted({(a, b) for a, b in pairs if a != b})
+    if not edges:
+        return
+    vids = sorted({v for e in edges for v in e})
+    sym = edges + [(b, a) for a, b in edges]
+
+    # python model: 3 synchronous rounds
+    labels = {v: v for v in vids}
+    for _ in range(3):
+        nxt = {}
+        for v in vids:
+            votes = {}
+            for s, d in sym:
+                if d == v:
+                    votes[labels[s]] = votes.get(labels[s], 0) + 1
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+            else:
+                nxt[v] = labels[v]
+        labels = nxt
+
+    from giraph_spark.algos.components import label_propagation_communities
+    from giraph_spark.graph import Graph
+
+    e = spark.createDataFrame(sym, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in vids], "id long")
+    got = {
+        r.id: r.community
+        for r in label_propagation_communities(Graph(v, e), rounds=3).collect()
+    }
+    assert got == labels
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 15), TEXT.filter(lambda t: len(t) > 0)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda x: x[0],
+    )
+)
+@settings(**SETTINGS)
+def test_scrub_token_accounting_invariant(spark, docs):
+    """n_kept + n_removed == non-empty normalized token count, always."""
+    from giraph_spark.functions.sampling import scrub_duplicate_ngrams
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = scrub_duplicate_ngrams(df, n=3).collect()
+    toks = {
+        i: len([w for w in _py_normalize(t).split(" ") if w])
+        for i, t in docs
+    }
+    for r in out:
+        assert r.n_kept + r.n_removed == toks[r.doc_id], (
+            r.doc_id,
+            r.n_kept,
+            r.n_removed,
+            toks[r.doc_id],
+        )
