@@ -154,6 +154,20 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHAIN_DEPTH = 12  # bounded chain-BFS depth (= oracle unroll)
 
 
+def _q_sssp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSSP with shortest-path-tree predecessors (lowest-id tie wins);
+    unreachable vertices excluded like the sssp key."""
+    from giraph_spark.algos.paths import sssp_with_paths
+
+    g = trade_graph(spark, sf_dir)
+    out = sssp_with_paths(g, source=SSSP_SOURCE)
+    return out.where(F.col("distance") < float("inf")).select(
+        F.col("id").cast("long").alias("id"),
+        F.round("distance", 2).alias("distance"),
+        F.col("pred").cast("long").alias("pred"),
+    )
+
+
 def _q_bfs_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS over the per-user event-succession chains (long-path
     graph shape, unlike the dense bipartite trade graph): sources = each
@@ -1386,6 +1400,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _q_pagerank(weighted=True, dangling=False),
         "pagerank_dangling": _q_pagerank(weighted=False, dangling=True),
         "sssp": _q_sssp,
+        "sssp_paths": _q_sssp_paths,
         "bfs": _q_bfs,
         "bfs_chain": _q_bfs_chain,
         "wcc": _q_wcc,
@@ -3252,8 +3267,47 @@ SELECT CAST(id AS BIGINT) AS id, CAST(candidate AS BIGINT) AS candidate,
 FROM jnp QUALIFY rnk <= 5"""
     )
 
+    # SSSP + predecessor tree: the relax recurrence with an argmin
+    # (dist ASC, sender ASC) — both engines compute the identical double
+    # sums (same operands, min is exact), so pred ties resolve identically
+    sp_parts = [
+        TRADE_GRAPH_SQL.strip(),
+        f""", sp0 AS MATERIALIZED (
+    SELECT id, CASE WHEN id = {SSSP_SOURCE} THEN 0.0
+                    ELSE 'infinity'::DOUBLE END AS val,
+           CAST(NULL AS BIGINT) AS pred
+    FROM vertices
+)""",
+    ]
+    for t in range(UNROLL_K):
+        sp_parts.append(
+            f""", spm{t} AS (
+    SELECT id, nv, src FROM (
+        SELECT e.dst AS id, s.val + e.weight AS nv, e.src,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY s.val + e.weight ASC, e.src ASC)
+                   AS rn
+        FROM edges e JOIN sp{t} s ON s.id = e.src
+        WHERE s.val < 'infinity'::DOUBLE
+    ) WHERE rn = 1
+), sp{t + 1} AS MATERIALIZED (
+    SELECT v.id,
+           CASE WHEN m.nv < v.val THEN m.nv ELSE v.val END AS val,
+           CASE WHEN m.nv < v.val THEN m.src ELSE v.pred END AS pred
+    FROM sp{t} v LEFT JOIN spm{t} m ON m.id = v.id
+)"""
+        )
+    sp_parts.append(
+        f"""
+SELECT CAST(id AS BIGINT) AS id, ROUND(val, 2) AS distance,
+       CAST(pred AS BIGINT) AS pred
+FROM sp{UNROLL_K} WHERE val < 'infinity'::DOUBLE"""
+    )
+    sssp_paths_sql = "\n".join(sp_parts)
+
     return {
         "lpa_communities": lpa_sql,
+        "sssp_paths": sssp_paths_sql,
         "jaccard_link_prediction": jaccard_lp_sql,
         "ego_subgraph": ego_subgraph_sql,
         "hits": hits_sql,

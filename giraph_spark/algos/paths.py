@@ -427,3 +427,61 @@ def betweenness_centrality(
         return out.select(id_col, F.round(betw, 6).alias("betweenness"))
     finally:
         fwd.unpersist()
+
+
+def sssp_with_paths(
+    graph: Graph,
+    source,
+    weight_col: str | None = "weight",
+    max_supersteps: int = 100,
+    metrics: PregelMetrics | None = None,
+    **pregel_kwargs,
+) -> DataFrame:
+    """SSSP with shortest-path-tree reconstruction: like :func:`sssp`
+    but each vertex also records the predecessor on its (deterministic)
+    shortest path — messages are ``struct(dist, sender)`` and the
+    combiner is the lexicographic struct minimum, so among equal-length
+    paths the lowest-id predecessor wins (the argmin-combiner pattern,
+    ``reducers/impl/MaxPairReducer.java``'s dual). Following ``pred``
+    links from any vertex walks the tree back to the source; NULL pred =
+    source itself or unreachable. Returns ``(id, ..., distance, pred)``.
+
+    Same per-superstep shape and cost as :func:`sssp` (the message just
+    carries 8 more bytes); strictly-improving relaxation keeps the
+    update decisive, so the predecessor is only rewritten when the
+    distance strictly drops."""
+    id_col = graph.id_col
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    taken = F.col(MSG).isNotNull() & (F.col(MSG)["d"] < F.col("distance"))
+    return pregel(
+        graph,
+        initial={
+            "distance": F.when(F.col(id_col) == F.lit(source), 0.0).otherwise(
+                F.lit(INF)
+            ),
+            "pred": F.lit(None).cast("long"),
+        },
+        update=lambda ctx: {
+            "distance": F.when(taken, F.col(MSG)["d"]).otherwise(
+                F.col("distance")
+            ),
+            "pred": F.when(taken, F.col(MSG)["p"]).otherwise(F.col("pred")),
+            "_improved": (
+                F.lit(ctx.superstep == 0) & (F.col("distance") < F.lit(INF))
+            )
+            | taken,
+        },
+        combine=F.min,
+        msg_type="struct<d:double,p:bigint>",
+        send_msg=F.when(
+            F.col("_improved"),
+            F.struct(
+                (F.col("distance") + w).alias("d"),
+                F.col(id_col).cast("long").alias("p"),
+            ),
+        ),
+        vote_to_halt=F.lit(True),
+        max_supersteps=max_supersteps,
+        metrics=metrics,
+        **pregel_kwargs,
+    ).drop("_improved")

@@ -298,3 +298,21 @@ def test_betweenness_raises_on_truncated_bfs(spark):
     v = spark.createDataFrame([(i,) for i in range(7)], "id long")
     with pytest.raises(RuntimeError, match="forward BFS"):
         betweenness_centrality(Graph(v, e), pivots=[0], max_supersteps=3)
+
+
+def test_sssp_with_paths_tree(spark, sssp_toy):
+    """Golden tree on the reference's SSSP fixture + walk-back check:
+    following pred from any reached vertex descends to the source with
+    strictly decreasing distance."""
+    from giraph_spark.algos.paths import sssp_with_paths
+
+    rows = {r.id: r for r in sssp_with_paths(sssp_toy, source=1).collect()}
+    assert {i: rows[i].pred for i in (1, 2, 3, 4)} == {1: None, 2: 1, 3: 2, 4: 3}
+    for start in (2, 3, 4):
+        v, hops = start, 0
+        while rows[v].pred is not None:
+            nxt = rows[v].pred
+            assert rows[nxt].distance < rows[v].distance
+            v, hops = nxt, hops + 1
+            assert hops < 10
+        assert v == 1
