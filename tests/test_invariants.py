@@ -192,3 +192,37 @@ def test_kernel_matches_pure_python_bsp_simulator(spark):
     )
     got2 = {r["id"]: r["x"] for r in got2_df.collect()}
     assert got2 == want2
+
+
+def test_driver_keys_partition_invariant(spark, sf_dir):
+    """Representative driver keys produce IDENTICAL relations under
+    different shuffle-partition counts — no operator may let physical
+    parallelism leak into results (hash ranks, struct-min ties, window
+    orders and float rounding schedules are all total orders, so width
+    must not matter)."""
+    import __spark_entry__ as entry_mod
+
+    keys = [
+        "lpa_communities",
+        "kmeans_clusters",
+        "scrub_duplicate_ngrams",
+        "neighbor_sample",
+        "random_walks",
+        "sssp_paths",
+        "betweenness_centrality",
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = {}
+        for parts in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for k in keys:
+                df = entry_mod.queries()[k](spark, sf_dir).toPandas()
+                df = df[sorted(df.columns)].sort_values(
+                    by=sorted(df.columns), ignore_index=True
+                )
+                outs.setdefault(k, []).append(df)
+        for k, (a, b) in outs.items():
+            assert a.equals(b), f"{k}: result depends on shuffle width"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
