@@ -32,6 +32,20 @@ from .graph import Graph
 from .pregel import PregelMetrics
 
 
+def _with_seed_vertices(fn):
+    """CLI adapter for sampler algorithms whose second argument is a seed
+    VERTEX DataFrame: accepts ``--param seeds=1,2,3`` (id list) and
+    filters the graph's vertices into the expected relation."""
+
+    def run(graph, seeds, **kw):
+        seed_df = graph.vertices.where(
+            F.col(graph.id_col).isin([int(x) for x in seeds])
+        )
+        return fn(graph, seed_df, **kw)
+
+    return run
+
+
 def _algorithms():
     from .algos.components import (
         alternating_star_components,
@@ -55,14 +69,19 @@ def _algorithms():
         closeness_centrality,
         harmonic_centrality,
         sssp,
+        sssp_with_paths,
     )
+    from .algos.sample import ego_subgraph, neighbor_sample, random_walks
     from .algos.scc import scc
     from .algos.stats import (
         avg_neighbor_degree,
         clustering_coefficient,
+        degree_assortativity,
+        diameter_estimate,
         graph_stats,
     )
     from .algos.triangles import (
+        jaccard_link_prediction,
         k_truss,
         triangle_closing_topk,
         triangle_count,
@@ -75,6 +94,7 @@ def _algorithms():
         "eigenvector_centrality": eigenvector_centrality,
         "hits": hits,
         "sssp": sssp,
+        "sssp_paths": sssp_with_paths,
         "bfs": bfs,
         "harmonic_centrality": harmonic_centrality,
         "betweenness_centrality": betweenness_centrality,
@@ -84,6 +104,7 @@ def _algorithms():
         "wcc_star": alternating_star_components,
         "k_core": k_core,
         "k_truss": k_truss,
+        "jaccard_link_prediction": jaccard_link_prediction,
         "core_numbers": core_numbers,
         "scc": scc,
         "max_propagation": max_propagation,
@@ -95,6 +116,11 @@ def _algorithms():
         "clustering_coefficient": clustering_coefficient,
         "avg_neighbor_degree": avg_neighbor_degree,
         "graph_stats": graph_stats,
+        "degree_assortativity": degree_assortativity,
+        "diameter_estimate": diameter_estimate,
+        "neighbor_sample": _with_seed_vertices(neighbor_sample),
+        "random_walks": _with_seed_vertices(random_walks),
+        "ego_subgraph": _with_seed_vertices(ego_subgraph),
         "out_degrees": lambda g: g.out_degrees(),
         "in_degrees": lambda g: g.in_degrees(),
     }
@@ -106,6 +132,7 @@ ALGORITHMS = _algorithms()
 # algorithms that accept a metrics= kwarg (run the pregel kernel)
 _KERNEL_ALGOS = {
     "pagerank",
+    "sssp_paths",
     "random_walk_with_restart",
     "sssp",
     "bfs",
@@ -194,7 +221,7 @@ def main(argv: list[str] | None = None) -> int:
         if "=" not in kv:
             raise SystemExit(f"--param expects KEY=VALUE, got {kv!r}")
         k, v = kv.split("=", 1)
-        if k in ("sources", "pivots"):  # list-valued kwargs
+        if k in ("sources", "pivots", "seeds", "fanouts"):  # list-valued kwargs
             params[k] = [_parse_literal(x) for x in v.split(",")]
         else:
             params[k] = _parse_literal(v)
