@@ -23,7 +23,7 @@ diameter, same output relation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
@@ -375,6 +375,8 @@ def core_numbers(
     graph: Graph,
     max_supersteps: int = 64,
     metrics=None,
+    initial_width: int = 32,
+    _width_log: list | None = None,
     **pregel_kwargs,
 ) -> DataFrame:
     """Full core decomposition ``(id, core)`` — the coreness of every
@@ -388,14 +390,33 @@ def core_numbers(
     :func:`k_core`'s peeling, one kernel run instead of one peel loop
     per k.
 
-    Kernel shape: every superstep each vertex broadcasts its current
-    estimate to all neighbors (collect_list inbox — the unordered
-    message iterable) and recomputes the H-index as a pure array
-    expression; a global ``changes`` aggregate lets the master halt at
-    the fixpoint. Inbox size is the vertex degree — the same hub-memory
-    profile as the reference's per-vertex neighbor iterables; a sketch
-    variant (count-above-threshold) is the 100× escape hatch if hub
-    degrees outgrow executor memory.
+    Hub-safe message shape (exact, not a sketch): the H-index needs only
+    the *counts* ``cnt[h] = #{neighbors with estimate ≥ h}`` for ``h``
+    up to the receiver's current estimate, never the neighbor multiset
+    itself. So each vertex sends its scalar estimate and the message
+    COMBINER is a width-``W`` array of algebraic count-above-threshold
+    sums (``cnt[h] = Σ (msg ≥ h)``, ``h = 1..W``) — fully map-side
+    combinable, so a hub's fan-in collapses to ≤ num_partitions partial
+    arrays before the delivery shuffle and the full-degree inbox of the
+    reference's per-vertex message iterables
+    (``comm/messages/MessageStore.java:35-108``) never materializes
+    anywhere. The new estimate is the count of prefix positions with
+    ``cnt[h] ≥ h`` (qualification is prefix-closed because ``cnt`` is
+    non-increasing in ``h``), truncated at ``W``: exact whenever the
+    true H-index ``< W`` or ``W ≥`` the old estimate. A vertex that
+    *saturates* (``computed == W < old estimate``) keeps its old value —
+    still a sound upper bound, so the fixpoint is untouched — and flags
+    the master, which doubles ``W`` (capped at the max live estimate, so
+    growth strictly terminates) for the next superstep. ``W`` is
+    therefore bounded by ``2·k_max ≤ O(√m)`` (a non-empty k-core needs
+    ``m ≥ k(k+1)/2`` edges), independent of max degree: a 10⁸-degree hub
+    costs a 10⁸-row *scalar* message relation (pre-aggregated in the
+    map), not a multi-GB single inbox row.
+
+    ``initial_width`` is the starting ``W`` (clamped to ≥1); the
+    adaptive doubling makes the choice a latency knob, not a
+    correctness one. ``_width_log`` (testing hook) receives the ``W``
+    used at each delivering superstep.
 
     Operates on the symmetrized, deduped relation (coreness is an
     undirected notion, as with :func:`k_core`).
@@ -416,36 +437,72 @@ def core_numbers(
         )
     )
     g = Graph(vertices, sym_edges, id_col, src_col, dst_col)
+    w0 = max(1, int(initial_width))
 
-    # H-index of the inbox array: count positions i (1-based) of the
-    # desc-sorted values with value >= i — monotone, so the count IS the
-    # max h. Pure Column expression; NULL inbox (isolated vertex) -> 0.
-    h_expr = F.expr(
-        "size(filter(transform(sort_array(_msg, false), (x, i) -> x >= i + 1),"
-        " b -> b))"
-    )
+    def combine_for(ctx):
+        # Width-W algebraic threshold-count combiner: one SUM per h.
+        # Partial aggregation is native (hash-aggregate with W sum
+        # buffers), so hub fan-in is crushed map-side.
+        w = ctx.broadcasts.get("core_w", w0)
+        if _width_log is not None:
+            _width_log.append(w)
+
+        def cmb(c: Column) -> Column:
+            return F.array(
+                *[F.sum((c >= F.lit(h)).cast("long")) for h in range(1, w + 1)]
+            )
+
+        return cmb
+
+    def update_for(ctx):
+        w = ctx.broadcasts.get("core_w", w0)
+        # computed = min(true H-index, W): count of prefix positions h
+        # (1-based) with cnt[h] >= h. cnt is non-increasing in h, so the
+        # qualifying set is a prefix and size(filter(...)) IS the max h.
+        computed = F.expr(
+            "size(filter(transform(_msg, (c, i) -> c >= i + 1), b -> b))"
+        )
+        # computed <= true H-index <= old core, so computed == W can
+        # only under-report when W < core: keep the (upper-bound) old
+        # value and ask the master for a wider window.
+        sat = F.col("_has_msg") & (computed == F.lit(w)) & (F.lit(w) < F.col("core"))
+        new_core = (
+            F.when(~F.col("_has_msg"), F.col("core"))
+            .when(sat, F.col("core"))
+            .otherwise(computed)
+        )
+        return {
+            "core": new_core,
+            "_chg": (sat | (new_core != F.col("core"))).cast("int"),
+            "_sat": sat.cast("int"),
+        }
 
     def master(ctx):
-        if ctx.superstep > 0 and ctx.aggregates.get("changes", 1) == 0:
+        if int(ctx.aggregates.get("saturated") or 0) > 0:
+            w = ctx.broadcasts.get("core_w", w0)
+            cap = int(ctx.aggregates.get("max_core") or w0)
+            # saturation implies w < some live core <= cap, so the new
+            # width is strictly larger: doubling terminates at <= cap.
+            ctx.broadcasts["core_w"] = min(2 * w, cap)
+        if ctx.superstep > 0 and int(ctx.aggregates.get("changes") or 0) == 0:
             ctx.halt()
 
     out = pregel(
         g,
-        initial={"core": F.col("_deg"), "_chg": F.lit(1).cast("int")},
-        update={
-            # no inbox (superstep 0, or an isolated vertex) keeps the
-            # current estimate — the degree init, which IS the coreness
-            # for isolated vertices
-            "core": F.when(F.col("_has_msg"), h_expr).otherwise(F.col("core")),
-            "_chg": F.when(
-                F.when(F.col("_has_msg"), h_expr).otherwise(F.col("core"))
-                != F.col("core"),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
+        initial={
+            "core": F.col("_deg"),
+            "_chg": F.lit(1).cast("int"),
+            "_sat": F.lit(0).cast("int"),
         },
+        update=update_for,
         send_msg=F.col("core"),
-        combine=None,  # H-index needs the full neighbor multiset
-        aggregates={"changes": F.sum("_chg")},
+        combine_fn=combine_for,
+        msg_type="array<bigint>",  # the POST-combine inbox type (count array)
+        aggregates={
+            "changes": F.sum("_chg"),
+            "saturated": F.sum("_sat"),
+            "max_core": F.max("core"),
+        },
         master_fn=master,
         max_supersteps=max_supersteps,
         metrics=metrics,

@@ -401,3 +401,43 @@ def test_modularity_empty_edges_is_null_not_error(spark):
     comm = spark.createDataFrame([(1, 1), (2, 2)], "id long, community long")
     r = modularity(Graph(v, e), comm).first()
     assert r.modularity is None and r.n_edges == 0
+
+
+def test_core_numbers_bounded_width_with_super_node(spark):
+    """Hub-safety contract: a planted super-node of degree 3000 must NOT
+    widen the threshold-count combiner — message/inbox width is bounded
+    by the adaptive cap (which tracks max coreness), never by degree.
+
+    Graph: K6 clique (coreness 5 inside) + hub 100 connected to 3000
+    leaves and to one clique vertex. Hub coreness is 1 (peel leaves ->
+    hub degree collapses), leaves 1, clique 5.
+    With initial_width=2 the cap must double 2 -> 4 -> 5 (capped at the
+    max live estimate) and never approach 3000.
+    """
+    from giraph_spark.algos.components import core_numbers
+    from giraph_spark.graph import Graph
+
+    clique = [(i, j) for i in range(6) for j in range(6) if i < j]
+    hub = 100
+    star = [(hub, 1000 + i) for i in range(3000)] + [(hub, 0)]
+    e = spark.createDataFrame(clique + star, "src long, dst long")
+    ids = (
+        list(range(6)) + [hub] + [1000 + i for i in range(3000)]
+    )
+    v = spark.createDataFrame([(i,) for i in ids], "id long")
+
+    widths: list[int] = []
+    got = {
+        r["id"]: r["core"]
+        for r in core_numbers(
+            Graph(v, e), initial_width=2, _width_log=widths
+        ).collect()
+    }
+    assert got[hub] == 1
+    assert got[1000] == 1
+    assert all(got[i] == 5 for i in range(6))
+    assert widths, "combiner was never consulted"
+    assert widths[0] == 2
+    assert max(widths) <= 8, f"width escaped the coreness cap: {widths}"
+    # strictly growing while saturated, then stable
+    assert sorted(widths) == widths
