@@ -269,11 +269,16 @@ def _q_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ego_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-1 ego networks of suppliers 1-2 on the co-purchase
-    projection: the exact induced edge set of the neighborhood ball."""
+    projection: the exact induced edge set of the neighborhood ball.
+    The fixture stores each undirected edge once (src<dst), so the
+    graph is symmetrized first — the ball is the undirected
+    neighborhood, not a directed out-ball (matching the sibling
+    copurchase keys jaccard_link_prediction / k_truss)."""
+    from giraph_spark.algos.prepare import symmetrize
     from giraph_spark.algos.sample import ego_subgraph
     from giraph_spark.plans.fixtures import copurchase_graph
 
-    g = copurchase_graph(spark, sf_dir)
+    g = symmetrize(copurchase_graph(spark, sf_dir), dedup=True)
     seeds = g.vertices.where(F.col("id").isin([1, 2]))
     return ego_subgraph(g, seeds, radius=1).select(
         F.col("src").cast("long").alias("src"),
@@ -2826,14 +2831,22 @@ SELECT 'e' AS kind, CAST(src AS BIGINT) AS a, CAST(dst AS BIGINT) AS b FROM fina
         + f""", lab AS (SELECT id, val AS c FROM l{LPA_ROUNDS}),
 tagged AS (
     SELECT cs.c AS cs, ct.c AS ct
-    FROM edges e JOIN lab cs ON cs.id = e.src JOIN lab ct ON ct.id = e.dst
+    FROM edges e
+    LEFT JOIN lab cs ON cs.id = e.src
+    LEFT JOIN lab ct ON ct.id = e.dst
 ),
 tot AS (
-    SELECT CAST(COUNT(*) AS DOUBLE) AS m2,
-           SUM(CASE WHEN cs = ct THEN 1.0 ELSE 0.0 END) AS intra
+    SELECT SUM(CASE WHEN cs IS NOT NULL AND ct IS NOT NULL
+               THEN 1.0 ELSE 0.0 END) AS m2,
+           SUM(CASE WHEN cs = ct THEN 1.0 ELSE 0.0 END) AS intra,
+           SUM(CASE WHEN cs IS NULL OR ct IS NULL
+               THEN 1 ELSE 0 END) AS dropped
     FROM tagged
 ),
-degs AS (SELECT cs, CAST(COUNT(*) AS DOUBLE) AS dc FROM tagged GROUP BY 1),
+degs AS (
+    SELECT cs, CAST(COUNT(*) AS DOUBLE) AS dc FROM tagged
+    WHERE cs IS NOT NULL AND ct IS NOT NULL GROUP BY 1
+),
 ex AS (
     SELECT SUM((dc / (SELECT m2 FROM tot)) * (dc / (SELECT m2 FROM tot))) AS e,
            CAST(COUNT(*) AS BIGINT) AS nc
@@ -2842,7 +2855,8 @@ ex AS (
 SELECT ROUND((SELECT intra FROM tot) / (SELECT m2 FROM tot)
              - (SELECT e FROM ex), 6) AS modularity,
        (SELECT nc FROM ex) AS n_communities,
-       CAST((SELECT m2 FROM tot) AS BIGINT) AS n_edges"""
+       CAST((SELECT m2 FROM tot) AS BIGINT) AS n_edges,
+       CAST((SELECT dropped FROM tot) AS BIGINT) AS n_dropped_edges"""
     )
     # out-degree of src vs in-degree of dst (the out–in directed variant;
     # identical on the symmetric trade graph where out = in)
@@ -3230,11 +3244,12 @@ FROM hp16"""
     ego_subgraph_sql = (
         COPURCHASE_GRAPH_SQL.strip()
         + """,
+esym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 eg0 AS (SELECT DISTINCT id AS v FROM vertices WHERE id IN (1, 2)),
-eg1 AS (SELECT DISTINCT e.dst AS v FROM edges e JOIN eg0 ON e.src = eg0.v),
+eg1 AS (SELECT DISTINCT e.dst AS v FROM esym e JOIN eg0 ON e.src = eg0.v),
 ball AS (SELECT v FROM eg0 UNION SELECT v FROM eg1)
 SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst
-FROM edges e JOIN ball a ON a.v = e.src JOIN ball b ON b.v = e.dst"""
+FROM esym e JOIN ball a ON a.v = e.src JOIN ball b ON b.v = e.dst"""
     )
 
     jaccard_lp_sql = (

@@ -38,9 +38,10 @@ def _with_seed_vertices(fn):
     filters the graph's vertices into the expected relation."""
 
     def run(graph, seeds, **kw):
-        seed_df = graph.vertices.where(
-            F.col(graph.id_col).isin([int(x) for x in seeds])
-        )
+        # seeds arrive already typed from _parse_literal (ints stay ints,
+        # anything else stays a string) — no int() coercion, so graphs
+        # with string vertex ids work like the sources/pivots params do
+        seed_df = graph.vertices.where(F.col(graph.id_col).isin(list(seeds)))
         return fn(graph, seed_df, **kw)
 
     return run

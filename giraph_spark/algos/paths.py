@@ -440,9 +440,15 @@ def sssp_with_paths(
     """SSSP with shortest-path-tree reconstruction: like :func:`sssp`
     but each vertex also records the predecessor on its (deterministic)
     shortest path — messages are ``struct(dist, sender)`` and the
-    combiner is the lexicographic struct minimum, so among equal-length
-    paths the lowest-id predecessor wins (the argmin-combiner pattern,
-    ``reducers/impl/MaxPairReducer.java``'s dual). Following ``pred``
+    combiner is the lexicographic struct minimum (the argmin-combiner
+    pattern, ``reducers/impl/MaxPairReducer.java``'s dual). Tie order
+    among equal-distance offers: the offer from the EARLIEST superstep
+    wins, then lowest sender id within that superstep — the struct-min
+    only arbitrates messages arriving together; a later equal-distance
+    offer never overrides because the relaxation is strictly improving.
+    (On unweighted/uniform-weight graphs every equal-distance offer
+    arrives in the same superstep, so the rule degenerates to plain
+    lowest-id-predecessor.) Following ``pred``
     links from any vertex walks the tree back to the source; NULL pred =
     source itself or unreachable. Returns ``(id, ..., distance, pred)``.
 

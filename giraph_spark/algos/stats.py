@@ -221,9 +221,17 @@ def modularity(graph: Graph, communities: DataFrame, community_col: str = "commu
     own communities, as :func:`giraph_spark.functions.similarity.ann_recall`
     does for the ANN tier). ``communities`` is any ``(id, community)``
     relation, e.g. :func:`giraph_spark.algos.components.label_propagation_communities`
-    output. Returns one row ``(modularity, n_communities, n_edges)``.
+    output. Returns one row ``(modularity, n_communities, n_edges,
+    n_dropped_edges)``.
 
-    Shape: two co-keyed joins tagging each edge row's endpoint
+    Coverage contract: an edge row whose endpoint is MISSING from the
+    assignment cannot be scored and is excluded from 2m — a partial
+    assignment therefore scores the covered subgraph, not the full
+    graph. Rather than shrinking 2m silently, the excluded rows are
+    counted and returned as ``n_dropped_edges`` (0 = full coverage);
+    callers that require whole-graph Q should assert it is zero.
+
+    Shape: two co-keyed left joins tagging each edge row's endpoint
     communities, one count for the intra-community mass, one degree-sum
     groupBy per community — no quadratic term anywhere."""
     id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
@@ -232,14 +240,23 @@ def modularity(graph: Graph, communities: DataFrame, community_col: str = "commu
     )
     tagged = (
         graph.edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
-        .join(c.select(F.col("_v").alias("_s"), F.col("_c").alias("_cs")), "_s")
-        .join(c.select(F.col("_v").alias("_t"), F.col("_c").alias("_ct")), "_t")
+        .join(c.select(F.col("_v").alias("_s"), F.col("_c").alias("_cs")), "_s", "left")
+        .join(c.select(F.col("_v").alias("_t"), F.col("_c").alias("_ct")), "_t", "left")
     )
+    covered = F.col("_cs").isNotNull() & F.col("_ct").isNotNull()
     totals = tagged.agg(
-        F.count(F.lit(1)).cast("double").alias("_m2"),
-        F.sum((F.col("_cs") == F.col("_ct")).cast("double")).alias("_intra"),
+        F.coalesce(F.sum(covered.cast("double")), F.lit(0.0)).alias("_m2"),
+        F.coalesce(
+            F.sum((covered & (F.col("_cs") == F.col("_ct"))).cast("double")),
+            F.lit(0.0),
+        ).alias("_intra"),
+        F.coalesce(F.sum((~covered).cast("long")), F.lit(0)).alias("_dropped"),
     )
-    degs = tagged.groupBy("_cs").agg(F.count(F.lit(1)).cast("double").alias("_dc"))
+    degs = (
+        tagged.filter(covered)
+        .groupBy("_cs")
+        .agg(F.count(F.lit(1)).cast("double").alias("_dc"))
+    )
     expected = degs.crossJoin(F.broadcast(totals)).agg(
         F.sum((F.col("_dc") / F.col("_m2")) * (F.col("_dc") / F.col("_m2"))).alias(
             "_exp"
@@ -255,6 +272,7 @@ def modularity(graph: Graph, communities: DataFrame, community_col: str = "commu
         ).alias("modularity"),
         F.col("n_communities"),
         F.col("_m2").cast("long").alias("n_edges"),
+        F.col("_dropped").cast("long").alias("n_dropped_edges"),
     )
 
 
