@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import gc
 import time
+import warnings
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -335,6 +336,9 @@ def _pregel_impl(
     aggregates: dict[str, Expr] | None = None,
     master_fn: Callable[[PregelContext], None] | None = None,
     skew_metrics: bool = False,
+    combine_algebraic: bool = False,
+    skew_factor: float = 32.0,
+    skew_salts: int = 16,
     halt_file: str | None = None,
     max_supersteps: int = 100,
     start_superstep: int = 0,
@@ -428,6 +432,31 @@ def _pregel_impl(
         equivalent from per-worker received-message counters
         (``counters/GiraphStats.java:39-51`` + per-superstep counters,
         ``conf/GiraphConstants.java:846``).
+    combine_algebraic / skew_factor / skew_salts:
+        the closed skew loop (observation → response, ≡ Giraph's
+        rebalance-on-observation, ``partition/PartitionBalancer.java:357``
+        / ``PartitionExchange.java``). Requires ``skew_metrics=True``.
+        When a superstep observes ``max_inbox_group > skew_factor ×
+        max(median_inbox_group, 1)`` — a hot vertex — the NEXT
+        superstep's delivery runs a two-phase salted aggregation:
+        ``groupBy(_dst, _salt)`` partials (hot key spread over
+        ``skew_salts`` reducers) merged by the normal ``groupBy(_dst)``.
+        This is sound ONLY for self-decomposable combiners —
+        ``cmb(cmb(partition), …) == cmb(all)``: sum/min/max/bool —
+        so it activates only when the caller declares
+        ``combine_algebraic=True``; ``count``-style combiners (merge is
+        sum, not count) and the combiner-less ``collect_list`` inbox do
+        NOT qualify, and a hot-key observation there emits a one-shot
+        warning naming :func:`giraph_spark.partitioning.salt_heavy_keys`
+        and the bounded-combiner redesign
+        (``algos.components.core_numbers``'s threshold-count message is
+        the in-repo example). Why this matters even though map-side
+        partial aggregation already combines per map partition: the hot
+        vertex's FINAL merge otherwise receives one partial per map
+        partition — tens of thousands of rows in a single task on a
+        1000-executor cluster — where the salted phase bounds it to
+        ``skew_salts``. The trigger re-evaluates every superstep, so the
+        extra phase disappears as soon as the frontier de-skews.
     halt_file:
         out-of-band stop signal — the analog of ``bin/halt-application``
         writing the halt znode (``master/BspServiceMaster.java:1685-1691``):
@@ -530,6 +559,8 @@ def _pregel_impl(
         messages = _persist(_resume_messages)
     prev_vertices: DataFrame | None = None
     prev_messages: DataFrame | None = None
+    salt_next = False   # armed by a hot-key observation (skew_metrics)
+    skew_warned = False
 
     null_msg = F.lit(None).cast(msg_type) if msg_type else F.lit(None)
 
@@ -545,13 +576,36 @@ def _pregel_impl(
         # 1. Deliver: group inbox by destination, combine. (The previous
         #    superstep's engine columns are replaced, not duplicated.)
         base = vertices.drop(MSG, HAS_MSG, ACTIVE)
+        salted_this = False
         if messages is None:
             joined = base.withColumns({MSG: null_msg, HAS_MSG: F.lit(False)})
         else:
             cmb = combine_fn(ctx) if combine_fn is not None else combine
             agg = (cmb(F.col("_m")) if cmb else F.collect_list("_m")).alias(MSG)
+            src_msgs = messages
+            if salt_next and cmb is not None and combine_algebraic:
+                # Two-phase salted delivery (skew response): phase 1
+                # spreads the hot dst over skew_salts reducers; phase 2
+                # (the normal groupBy below) merges <= skew_salts
+                # partials per dst. Sound because the caller declared
+                # the combiner self-decomposable; result is independent
+                # of the salt assignment, so the salt only needs spread,
+                # not determinism.
+                src_msgs = (
+                    messages.withColumn(
+                        "_salt",
+                        F.pmod(
+                            F.xxhash64(F.col("_m")) + F.spark_partition_id(),
+                            F.lit(skew_salts),
+                        ),
+                    )
+                    .groupBy("_dst", "_salt")
+                    .agg(cmb(F.col("_m")).alias("_m"))
+                    .drop("_salt")
+                )
+                salted_this = True
             inbox = (
-                messages.groupBy(F.col("_dst").alias(id_col))
+                src_msgs.groupBy(F.col("_dst").alias(id_col))
                 .agg(agg)
                 .withColumn(HAS_MSG, F.lit(True))
             )
@@ -679,7 +733,33 @@ def _pregel_impl(
                 skew_row = {
                     "max_inbox_group": int(srow[1] or 0),
                     "median_inbox_group": float(srow[2] or 0.0),
+                    "salted": salted_this,
                 }
+                # Observation -> response: a hot key this superstep arms
+                # (or, once de-skewed, disarms) the salted delivery for
+                # the NEXT superstep's inbox of these same messages.
+                hot = skew_row["max_inbox_group"] > skew_factor * max(
+                    skew_row["median_inbox_group"], 1.0
+                )
+                can_salt = combine_algebraic and (
+                    combine is not None or combine_fn is not None
+                )
+                salt_next = hot and can_salt
+                if hot and not can_salt and not skew_warned:
+                    skew_warned = True
+                    warnings.warn(
+                        "pregel: hot destination observed "
+                        f"(max_inbox_group={skew_row['max_inbox_group']} > "
+                        f"{skew_factor}x median="
+                        f"{skew_row['median_inbox_group']}); the combiner is "
+                        "not declared self-decomposable so the salted "
+                        "delivery cannot engage. Pass combine_algebraic=True "
+                        "(sum/min/max-style combiners), pre-salt with "
+                        "giraph_spark.partitioning.salt_heavy_keys, or "
+                        "redesign the message to a bounded combinable form "
+                        "(see algos.components.core_numbers).",
+                        stacklevel=2,
+                    )
             else:
                 ctx.num_messages = new_messages.count()
         else:
