@@ -14,9 +14,9 @@ Scale shapes:
 
 - split / mixture: pure projections — no shuffle at all.
 - stratified sample: exact mode sorts within each stratum (one shuffle
-  by stratum; a giant stratum serializes its rank — inherent to exact
-  top-fraction-by-hash); approximate mode is a pure projection
-  (hash-threshold, expected fraction) — the 100 TB default.
+  by stratum; ``n_shards=`` sub-buckets the window key so a giant
+  stratum never serializes on one task); approximate mode is a pure
+  projection (hash-threshold, expected fraction) — the 100 TB default.
 - decontamination: corpus n-grams hash-joined against the benchmark
   n-gram set; the benchmark side is tiny (eval sets are thousands of
   documents) and broadcast, so the corpus is one scan + one explode
@@ -69,18 +69,28 @@ def stratified_sample(
     id_col: str = "doc_id",
     seed: int = 42,
     exact: bool = True,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Sample ``fraction`` of each stratum, deterministically.
 
-    ``exact=True``: EXACTLY ``ceil(fraction · |stratum|)`` rows per
-    stratum — rank rows within the stratum by (id-hash, id) and keep the
-    top fraction. One shuffle on the stratum key plus a per-stratum
-    sort; a single giant stratum serializes its rank computation, which
-    is inherent to exact quotas (mitigate upstream by sub-bucketing the
-    stratum key). ``exact=False``: hash-threshold per row — expected
-    (not exact) fraction, but a pure projection with no shuffle: the
-    100 TB default, equivalent to ``df.sampleBy`` but deterministic in
-    the id rather than seeded-random per task.
+    ``exact=True``: EXACTLY ``ceil(fraction · |stratum or shard|)`` rows
+    per quota group — rank rows within the group by (id-hash, id) and
+    keep the top fraction. One shuffle on the group key plus a per-group
+    sort. ``exact=False``: hash-threshold per row — expected (not exact)
+    fraction, but a pure projection with no shuffle: the 100 TB default,
+    equivalent to ``df.sampleBy`` but deterministic in the id rather
+    than seeded-random per task.
+
+    ``n_shards`` (exact mode): the giant-stratum escape hatch. With the
+    default 1, each stratum is one window partition and a single giant
+    stratum serializes its rank computation on one task. ``n_shards=n``
+    sub-buckets the window key to ``(stratum,
+    portable_hash60(id) % n)`` so no stratum serializes; the quota is
+    then exact per (stratum, shard) — ``ceil`` rounding makes the
+    stratum total at most ``n - 1`` rows above ``ceil(fraction ·
+    |stratum|)``. The shard count is part of the deterministic
+    contract: same (ids, seed, n_shards) ⇒ same sample, but different
+    ``n_shards`` values select (slightly) different samples.
 
     Returns ``(id, stratum)`` for the kept rows."""
     out_cols = [F.col(id_col), F.col(strata_col).alias("stratum")]
@@ -89,13 +99,21 @@ def stratified_sample(
         return df.select(*out_cols).where(_bucket(id_col, seed) < thresh)
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(strata_col).orderBy(
+    # shard hash decoupled from the rank hash (different seed stream) so
+    # shard membership does not bias within-shard rank order
+    shard = (
+        portable_hash60(F.col(id_col).cast("string"), seed + 7919)
+        % int(n_shards)
+    ).alias("_shard")
+    w = Window.partitionBy("stratum", "_shard").orderBy(
         _bucket(id_col, seed), F.col(id_col)
     )
-    counts = Window.partitionBy(strata_col)
+    counts = Window.partitionBy("stratum", "_shard")
     quota = F.ceil(F.count(F.lit(1)).over(counts) * F.lit(fraction))
     return (
-        df.select(*out_cols, F.row_number().over(w).alias("_rn"), quota.alias("_q"))
+        df.select(*out_cols, shard)
+        .select(F.col(id_col), F.col("stratum"), "_shard",
+                F.row_number().over(w).alias("_rn"), quota.alias("_q"))
         .where(F.col("_rn") <= F.col("_q"))
         .select(F.col(id_col), F.col("stratum"))
     )
@@ -348,6 +366,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     strata_col: str = "source",
     window: int = 2048,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Deterministic context-window packing plan: documents are
     concatenated in id order within each stratum and cut into
@@ -362,23 +381,31 @@ def pack_sequences(
     documents must first be split to fit.
 
     Scale shape: one running-sum window per stratum (integer token
-    counts — exact, engine-portable). Like exact
-    :func:`stratified_sample`, a single giant stratum serializes its
-    running sum — shard big strata first (e.g. partition by
-    ``(source, portable_hash60(id) % n_shards)``) so each shard packs
-    independently; packing quality is unaffected because sequences
-    never span shards at write time anyway."""
+    counts — exact, engine-portable). With the default ``n_shards=1``
+    a single giant stratum serializes its running sum on one task;
+    ``n_shards=n`` sub-buckets the window key to ``(stratum,
+    portable_hash60(id) % n)`` so each shard packs independently — no
+    stratum ever serializes, and packing quality is unaffected because
+    sequences never span shards at write time anyway. Sharded runs
+    encode the shard into the sequence id (``seq_id = local_seq · n +
+    shard``) so ids stay unique within a stratum and the layout is a
+    pure deterministic function of (ids, window, n_shards) — the shard
+    count is part of the contract (``n_shards=1`` reproduces the
+    unsharded ids exactly)."""
     from pyspark.sql.window import Window
 
     from .text import token_count
 
+    n = int(n_shards)
+    shard = (portable_hash60(F.col(id_col).cast("string"), 7919) % n)
     toks = df.select(
         F.col(id_col),
         F.col(strata_col).alias("stratum"),
         token_count(F.col(text_col)).alias("n_tokens"),
+        shard.alias("_shard"),
     )
     start = (F.sum("n_tokens").over(
-        Window.partitionBy("stratum")
+        Window.partitionBy("stratum", "_shard")
         .orderBy(F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ) - F.col("n_tokens"))
@@ -386,6 +413,8 @@ def pack_sequences(
         F.col(id_col),
         F.col("stratum"),
         F.col("n_tokens"),
-        F.floor(start / window).cast("long").alias("seq_id"),
+        (F.floor(start / window) * n + F.col("_shard"))
+        .cast("long")
+        .alias("seq_id"),
         (start % window).cast("long").alias("offset"),
     )

@@ -260,3 +260,66 @@ def test_scrub_duplicate_ngrams_empty_normalized_doc(spark):
     out = {r.doc_id: r for r in scrub_duplicate_ngrams(df, n=3).collect()}
     assert out[1].clean_text == "" and out[1].n_kept == 0 and out[1].n_removed == 0
     assert out[2].n_kept == 5 and out[2].n_removed == 0
+
+
+def test_stratified_sample_sharded_windows(spark, sf_dir):
+    """n_shards sub-buckets the exact-mode window so no stratum
+    serializes on one task: the window exchange partitions by
+    (stratum, _shard), the per-(stratum, shard) quota is exact, and the
+    stratum total is within n_shards-1 of the unsharded quota."""
+    import math
+
+    d = _docs(spark, sf_dir)
+    sharded = stratified_sample(d, "source", fraction=0.25, n_shards=4)
+    # plan: the window's exchange must hash by the sharded key
+    assert "_shard" in _plan(sharded)
+    got = sharded.toPandas()
+    counts = {r["source"]: r["n"] for r in d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    per = got.groupby("stratum").size().to_dict()
+    for src, n in counts.items():
+        q = math.ceil(n * 0.25)
+        assert q <= per.get(src, 0) <= q + 3, src
+    # deterministic contract: same n_shards -> identical sample
+    again = stratified_sample(d, "source", fraction=0.25, n_shards=4).toPandas()
+    assert set(got["doc_id"]) == set(again["doc_id"])
+
+
+def test_pack_sequences_sharded(spark):
+    """Sharded packing: each (stratum, shard) packs independently with
+    locally-contiguous offsets; seq_id encodes the shard (local*n+shard)
+    so ids stay unique per stratum; n_shards=1 reproduces the unsharded
+    layout exactly."""
+    from giraph_spark.functions.dedup import portable_hash60
+    from giraph_spark.functions.sampling import pack_sequences
+
+    rows = [(f"d{i:03d}", "w " * 3, "s") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+    base = pack_sequences(df, window=5).toPandas()
+    one = pack_sequences(df, window=5, n_shards=1).toPandas()
+    assert base.sort_values("doc_id").reset_index(drop=True).equals(
+        one.sort_values("doc_id").reset_index(drop=True)
+    )
+
+    n = 4
+    out = pack_sequences(df, window=5, n_shards=n).toPandas()
+    shards = {
+        r["doc_id"]: r["shard"]
+        for r in df.select(
+            "doc_id",
+            (portable_hash60(F.col("doc_id"), 7919) % n).alias("shard"),
+        ).collect()
+    }
+    assert out["seq_id"].map(lambda s: s % n).tolist() == [
+        shards[d] for d in out["doc_id"]
+    ]
+    # per-shard replay: concatenate in id order, cut at window=5
+    for sh in range(n):
+        ids = sorted(d for d, s in shards.items() if s == sh)
+        pos = 0
+        for d in ids:
+            row = out[out["doc_id"] == d].iloc[0]
+            assert row["seq_id"] == (pos // 5) * n + sh, d
+            assert row["offset"] == pos % 5, d
+            pos += int(row["n_tokens"])
