@@ -1113,6 +1113,19 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(media_from_docs(_docs(spark, sf_dir)))
 
 
+def _q_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL content decode end-to-end: deterministic solid-color BMPs
+    generated from doc ids, pixel arrays decoded with the zero-dep
+    struct+numpy parser, per-channel means/extrema compared against the
+    oracle's closed-form (the oracle never decodes a byte)."""
+    from giraph_spark.functions.multimodal import (
+        bmp_media_from_docs,
+        pixel_stats,
+    )
+
+    return pixel_stats(bmp_media_from_docs(_docs(spark, sf_dir)))
+
+
 def _q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan: bounded frame-index explode from decoded
     metadata (payload column pruned away — metadata-first pattern)."""
@@ -1482,6 +1495,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_sum_by_cluster": _q_vector_sum_by_cluster,
         "sparse_vector_sum_by_cluster": _q_sparse_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
+        "bmp_pixel_stats": _q_bmp_pixel_stats,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2753,6 +2767,30 @@ SELECT media_id, modality,
        n_bytes
 FROM h"""
 
+    # closed-form twin of the real BMP content decode: geometry, byte
+    # size (4-byte row padding!), and solid-color channel stats are all
+    # pure functions of the id — the oracle checks the decoder without
+    # decoding anything
+    bmp_pixel_stats_sql = """
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(1 + CAST(doc_id AS BIGINT) % 8 AS BIGINT) AS w,
+         CAST(1 + CAST(doc_id AS BIGINT) % 5 AS BIGINT) AS h,
+         CAST(CAST(doc_id AS BIGINT) % 256 AS BIGINT) AS b,
+         CAST(CAST(doc_id AS BIGINT) * 7 % 256 AS BIGINT) AS gg,
+         CAST(CAST(doc_id AS BIGINT) * 13 % 256 AS BIGINT) AS r
+  FROM documents
+)
+SELECT media_id, 'image' AS modality,
+       w AS width, h AS height,
+       CAST(r AS DOUBLE) AS mean_r,
+       CAST(gg AS DOUBLE) AS mean_g,
+       CAST(b AS DOUBLE) AS mean_b,
+       LEAST(b, gg, r) AS min_px,
+       GREATEST(b, gg, r) AS max_px,
+       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes
+FROM g"""
+
     frame_plan_sql = f"""
 WITH {media_hash_cte},
 f AS (
@@ -3372,6 +3410,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "vector_sum_by_cluster": vector_sum_sql,
         "sparse_vector_sum_by_cluster": sparse_vector_sum_sql,
         "multimodal_metadata": multimodal_sql,
+        "bmp_pixel_stats": bmp_pixel_stats_sql,
         "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,
         "ngram_jaccard_pairs": ngram_sql,

