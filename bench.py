@@ -138,5 +138,112 @@ def main() -> None:
     spark.stop()
 
 
+def stress() -> None:
+    """Scale-stress mode (``python bench.py --stress``): the kernel on a
+    synthetic uniform graph ~10× the sf0.1 trade graph's edge count —
+    the analog of GiraphBenchmark's VERTICES / EDGES_PER_VERTEX scaling
+    knobs (``benchmark/PageRankBenchmark.java``). Purpose: validate that
+    the plan SHAPES the sf0.1 bench relies on — co-partitioned triplet
+    join, per-superstep lineage truncation, adaptive gear-down on the
+    convergence tail — hold when data (not task scheduling) dominates,
+    and record the per-superstep profile as evidence (BASELINE.md
+    "Scale-stress profile"). Size via $SPARK_GRAFT_STRESS_V /
+    $SPARK_GRAFT_STRESS_EPV (default 1.25M × 8 = 10M edges)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    n_v = int(os.environ.get("SPARK_GRAFT_STRESS_V", "1250000"))
+    epv = int(os.environ.get("SPARK_GRAFT_STRESS_EPV", "8"))
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-stress")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import giraph_spark as gs
+    from giraph_spark.algos.components import wcc
+    from giraph_spark.algos.pagerank import pagerank
+    from giraph_spark.algos.paths import sssp
+    from giraph_spark.graph import Graph
+    from giraph_spark.sources.generators import uniform_random_graph
+
+    raw = uniform_random_graph(spark, n=n_v, edges_per_vertex=epv, seed=7)
+    # deterministic integer weights for the sssp relaxation (rand-free so
+    # counters are reproducible run-to-run)
+    edges = raw.edges.withColumn(
+        "weight", (F.pmod(F.col("src") * 31 + F.col("dst"), F.lit(7)) + 1).cast("double")
+    ).persist()
+    g = Graph(raw.vertices, edges)
+    n_e = edges.count()  # materialize the generated graph outside timers
+    pagerank(g, iterations=1).count()  # codegen warmup
+
+    def run(fn):
+        t0 = time.monotonic()
+        fn()
+        return round(time.monotonic() - t0, 3)
+
+    timings: dict[str, float] = {}
+    ms: dict[str, "gs.PregelMetrics"] = {}
+
+    def m(name):
+        ms[name] = gs.PregelMetrics()
+        return ms[name]
+
+    timings["pagerank10"] = run(
+        lambda: pagerank(g, iterations=10, metrics=m("pagerank10"))
+        .agg(F.sum("rank"))
+        .collect()
+    )
+    timings["sssp"] = run(
+        lambda: sssp(g, source=1, max_supersteps=50, metrics=m("sssp"))
+        .where(F.col("distance") < float("inf"))
+        .count()
+    )
+    timings["wcc"] = run(
+        lambda: wcc(g, max_supersteps=50, metrics=m("wcc"))
+        .select("component")
+        .distinct()
+        .count()
+    )
+    counters = {
+        name: {
+            "supersteps": metric.num_supersteps,
+            "messages": metric.total_messages,
+            "steps": [
+                {
+                    "s": s["superstep"],
+                    "msgs": s["messages"],
+                    "parts": s["partitions"],
+                    "sec": round(s["seconds"], 3),
+                }
+                for s in metric.supersteps
+            ],
+        }
+        for name, metric in ms.items()
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "stress_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "counters": counters,
+                "graph": {"vertices": n_v, "edges": n_e, "epv": epv},
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    stress() if "--stress" in sys.argv else main()

@@ -156,7 +156,20 @@ def pregel(graph: Graph, num_partitions: int | None = None, **kwargs) -> DataFra
     ``spark.sql.shuffle.partitions`` is set to the chosen value for the
     duration of the run (and restored), so every loop shuffle — inbox
     groupBy, co-partitioned joins, the cached edge repartition — agrees
-    on one partitioning and the state side stays exchange-free."""
+    on one partitioning and the state side stays exchange-free.
+
+    SESSION-GLOBAL WINDOW (deliberate): both this setting and the
+    adaptive gear-down's re-sizing mutate the shared session conf, so
+    OTHER queries submitted on the SAME SparkSession while a pregel run
+    is in flight see the altered shuffle width (and AQE off) until the
+    run exits. This is not avoidable from inside the loop — the inbox
+    aggregation's exchange width has no per-operator override, and
+    pre-repartitioning the raw message stream to dodge the conf would
+    pay the delivery shuffle before map-side combining (measured
+    strictly worse; see ``skew_metrics``). Concurrent OLAP work should
+    run on ``spark.newSession()`` (same SparkContext and cache, isolated
+    SQL conf), which is free; the pregel run itself is unaffected by
+    either choice."""
     spark = graph.vertices.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
