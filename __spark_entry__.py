@@ -1126,6 +1126,19 @@ def _q_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(bmp_media_from_docs(_docs(spark, sf_dir)))
 
 
+def _q_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode end-to-end: constant-amplitude WAVs generated
+    from doc ids, sample arrays decoded with the struct+numpy parser;
+    power-of-two amplitudes make RMS/peak exact doubles the closed-form
+    oracle reproduces without decoding."""
+    from giraph_spark.functions.multimodal import (
+        audio_stats,
+        wav_media_from_docs,
+    )
+
+    return audio_stats(wav_media_from_docs(_docs(spark, sf_dir)))
+
+
 def _q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan: bounded frame-index explode from decoded
     metadata (payload column pruned away — metadata-first pattern)."""
@@ -1496,6 +1509,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_vector_sum_by_cluster": _q_sparse_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
+        "wav_audio_stats": _q_wav_audio_stats,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2791,6 +2805,26 @@ SELECT media_id, 'image' AS modality,
        CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes
 FROM g"""
 
+    # audio twin: constant-amplitude PCM means rms == peak ==
+    # |byte-128|/128, an exact power-of-two-denominator double on both
+    # engines; n_bytes = 44-byte RIFF/fmt/data framing + n samples
+    wav_audio_stats_sql = """
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(4 + CAST(doc_id AS BIGINT) % 16 AS BIGINT) AS n,
+         CAST(CAST(doc_id AS BIGINT) % 256 AS BIGINT) AS c
+  FROM documents
+)
+SELECT media_id, 'audio' AS modality,
+       CAST(1000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       n AS n_samples,
+       ROUND(n / 1000.0, 3) AS duration_s,
+       ABS(c - 128) / 128.0 AS rms,
+       ABS(c - 128) / 128.0 AS peak,
+       CAST(44 + n AS BIGINT) AS n_bytes
+FROM g"""
+
     frame_plan_sql = f"""
 WITH {media_hash_cte},
 f AS (
@@ -3411,6 +3445,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "sparse_vector_sum_by_cluster": sparse_vector_sum_sql,
         "multimodal_metadata": multimodal_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
+        "wav_audio_stats": wav_audio_stats_sql,
         "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,
         "ngram_jaccard_pairs": ngram_sql,

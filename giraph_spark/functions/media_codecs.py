@@ -192,6 +192,70 @@ def parse_wav(payload: bytes) -> dict[str, Any]:
     }
 
 
+def parse_wav_samples(payload: bytes):
+    """Full CONTENT decode of a PCM WAV with zero codec deps (struct +
+    numpy): returns ``(sample_rate, n_channels, samples)`` where
+    ``samples`` is a float64 array normalized to [-1, 1] (frames ×
+    channels flattened; 8-bit unsigned and 16-bit signed PCM — the two
+    layouts the RIFF spec defines for linear PCM). Raises ``ValueError``
+    for non-PCM codecs or truncated data."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            fmt = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+        elif cid == b"data":
+            if i + 8 + size > n:
+                raise ValueError("truncated WAV data chunk")
+            data = payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError("non-PCM WAV not supported")
+    if bits == 8:  # unsigned, midpoint 128
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif bits == 16:  # signed little-endian
+        samples = (
+            np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.float64)
+            / 32768.0
+        )
+    else:
+        raise ValueError(f"unsupported PCM width {bits}")
+    return sample_rate, n_channels, samples
+
+
+def wav_sample_stats(payload: bytes) -> dict[str, Any]:
+    """Content-derived audio metadata from the REAL decoded sample array
+    (:func:`parse_wav_samples`): sample count/rate, duration, RMS level
+    and absolute peak — the second genuine zero-dependency content
+    modality next to :func:`bmp_pixel_stats`. Registered as the default
+    audio content decoder of
+    :func:`giraph_spark.functions.multimodal.audio_stats`."""
+    import numpy as np
+
+    rate, n_channels, samples = parse_wav_samples(payload)
+    n = int(samples.size)
+    return {
+        "sample_rate": int(rate),
+        "n_channels": int(n_channels),
+        "n_samples": n,
+        "duration_s": round(n / (rate * n_channels), 3) if rate else None,
+        "rms": float(np.sqrt((samples * samples).mean())) if n else None,
+        "peak": float(np.abs(samples).max()) if n else None,
+    }
+
+
 _SNIFFERS = (parse_png, parse_jpeg, parse_gif, parse_bmp, parse_wav)
 
 
@@ -297,10 +361,14 @@ def make_jpeg(width: int, height: int) -> bytes:
     return out
 
 
-def make_wav(duration_s: float, sample_rate: int = 8000) -> bytes:
-    """A valid minimal 8-bit mono PCM WAV of the given duration."""
-    n_samples = int(duration_s * sample_rate)
-    data = b"\x80" * n_samples
+def make_wav(
+    duration_s: float, sample_rate: int = 8000, data: bytes | None = None
+) -> bytes:
+    """A valid minimal 8-bit mono PCM WAV of the given duration; ``data``
+    optionally supplies the raw unsigned-8-bit sample bytes (midpoint
+    0x80), overriding the silent default of ``duration_s`` samples."""
+    if data is None:
+        data = b"\x80" * int(duration_s * sample_rate)
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data

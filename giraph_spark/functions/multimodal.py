@@ -72,6 +72,10 @@ def _default_content_decoder(modality: str):
         from .media_codecs import bmp_pixel_stats
 
         return bmp_pixel_stats
+    if modality == "audio":
+        from .media_codecs import wav_sample_stats
+
+        return wav_sample_stats
     return None
 
 
@@ -221,6 +225,56 @@ def pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Content-derived audio statistics over the decoded sample array:
+    ``(media_id, modality, sample_rate, n_channels, n_samples,
+    duration_s, rms, peak, n_bytes)``. REAL for PCM WAV out of the box
+    (struct+numpy,
+    :func:`giraph_spark.functions.media_codecs.wav_sample_stats`);
+    other codecs via :func:`set_content_decoder('audio', ...)`; null
+    stats otherwise — same no-fake contract as :func:`pixel_stats`."""
+    out_schema = (
+        "media_id long, modality string, sample_rate long, "
+        "n_channels long, n_samples long, duration_s double, "
+        "rms double, peak double, n_bytes long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(mod, payload):
+            fn = _default_content_decoder(mod)
+            if fn is None:
+                return {}
+            try:
+                return fn(payload)
+            except Exception:
+                return {}
+
+        for pdf in batches:
+            stats = [
+                safe(mod, payload)
+                for mod, payload in zip(
+                    pdf["modality"].to_numpy(), pdf["payload"].to_numpy()
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "sample_rate": [s.get("sample_rate") for s in stats],
+                    "n_channels": [s.get("n_channels") for s in stats],
+                    "n_samples": [s.get("n_samples") for s in stats],
+                    "duration_s": [s.get("duration_s") for s in stats],
+                    "rms": [s.get("rms") for s in stats],
+                    "peak": [s.get("peak") for s in stats],
+                    "n_bytes": pdf["payload"].map(len).to_numpy(),
+                }
+            )
+
+    return df.select("media_id", "modality", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, max_frames: int = 8
 ) -> DataFrame:
@@ -306,6 +360,40 @@ def bmp_media_from_docs(docs: DataFrame) -> DataFrame:
                     "modality": "image",
                     "payload": payloads,
                     "mime": "image/bmp",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def wav_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-WAV media table derived from ``documents``:
+    per doc a constant-amplitude 8-bit mono PCM WAV at 1 kHz with
+    ``n_samples = 4 + id % 16`` and sample byte ``id % 256``. The
+    normalized amplitude ``(byte − 128) / 128`` is a power-of-two
+    fraction, so RMS and peak are EXACT doubles reproducible in ANSI
+    SQL — the audio twin of :func:`bmp_media_from_docs`, making the PCM
+    decode path (:func:`audio_stats`) oracle-checkable end-to-end."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_wav
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].to_numpy():
+                mid = int(mid)
+                n = 4 + mid % 16
+                payloads.append(
+                    make_wav(0, sample_rate=1000, data=bytes([mid % 256]) * n)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
                     "source": "documents",
                 }
             )

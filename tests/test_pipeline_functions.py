@@ -608,3 +608,53 @@ def test_pixel_stats_spark(spark):
     r2 = got[2]
     assert r2["width"] is None and r2["mean_r"] is None
     assert r2["n_bytes"] == len(png)
+
+
+def test_wav_sample_decode_unit():
+    """Real PCM content decode: known 8-bit samples round-trip through
+    the struct+numpy WAV parser with exact normalized values."""
+    import math
+
+    from giraph_spark.functions.media_codecs import (
+        make_wav,
+        parse_wav_samples,
+        wav_sample_stats,
+    )
+
+    # samples: 0x80 -> 0.0, 0xFF -> 127/128, 0x00 -> -1.0, 0xC0 -> 0.5
+    data = bytes([0x80, 0xFF, 0x00, 0xC0])
+    rate, nch, samples = parse_wav_samples(make_wav(0, 4, data=data))
+    assert (rate, nch) == (4, 1)
+    assert samples.tolist() == [0.0, 127 / 128, -1.0, 0.5]
+
+    s = wav_sample_stats(make_wav(0, 4, data=data))
+    assert s["n_samples"] == 4 and s["duration_s"] == 1.0
+    assert s["peak"] == 1.0
+    assert s["rms"] == math.sqrt((0 + (127 / 128) ** 2 + 1 + 0.25) / 4)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_wav_samples(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+def test_audio_stats_spark(spark):
+    """audio_stats decodes real PCM content through mapInPandas; a
+    non-WAV audio payload yields NULL stats."""
+    from giraph_spark.functions.media_codecs import make_wav
+    from giraph_spark.functions.multimodal import audio_stats
+
+    wav = make_wav(0, 1000, data=bytes([192]) * 10)  # 0.5 amplitude
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav", "t"),
+         (2, "audio", bytearray(b"not-audio"), "application/x", "t")],
+        "media_id long, modality string, payload binary, mime string, source string",
+    )
+    got = {r["media_id"]: r for r in audio_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["n_channels"], r1["n_samples"]) == (1000, 1, 10)
+    assert r1["duration_s"] == 0.01
+    assert r1["rms"] == 0.5 and r1["peak"] == 0.5
+    assert r1["n_bytes"] == len(wav) == 54
+    r2 = got[2]
+    assert r2["rms"] is None and r2["n_bytes"] == 9
