@@ -1113,6 +1113,20 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(media_from_docs(_docs(spark, sf_dir)))
 
 
+def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet line-level boilerplate scrub. The fixture text has no
+    newlines, so lines are derived deterministically on BOTH engines by
+    the same substitution (' a ' -> newline); lines repeated in >= 3
+    distinct docs are removed, survivors keep order and whitespace."""
+    from giraph_spark.functions.text import strip_boilerplate
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"),
+    )
+    return strip_boilerplate(d, min_docs=3)
+
+
 def _q_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL content decode end-to-end: deterministic solid-color BMPs
     generated from doc ids, pixel arrays decoded with the zero-dep
@@ -1508,6 +1522,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_sum_by_cluster": _q_vector_sum_by_cluster,
         "sparse_vector_sum_by_cluster": _q_sparse_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
+        "strip_boilerplate": _q_strip_boilerplate,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "wav_audio_stats": _q_wav_audio_stats,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -2781,6 +2796,41 @@ SELECT media_id, modality,
        n_bytes
 FROM h"""
 
+    # line-level boilerplate scrub twin: same derived lines, same
+    # >=3-distinct-docs flag, string_agg(ORDER BY pos) reassembly;
+    # string_agg skips NULLs so the CASE drops flagged lines, and
+    # COALESCE('') matches Spark's array_join on an empty survivor set
+    strip_boilerplate_sql = """
+WITH src AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         replace(text, ' a ', chr(10)) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(ls, 1) AS pos,
+         unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src)
+),
+norm AS (SELECT doc_id, pos, line, trim(line) AS t FROM lines),
+bp AS (
+  SELECT t FROM (
+    SELECT DISTINCT doc_id, t FROM norm WHERE length(t) >= 1
+  ) GROUP BY t HAVING COUNT(*) >= 3
+),
+tagged AS (
+  SELECT n.doc_id, n.pos, n.line,
+         (b.t IS NOT NULL) AS is_bp
+  FROM norm n LEFT JOIN bp b ON n.t = b.t
+)
+SELECT doc_id,
+       COALESCE(
+         string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY pos),
+         '') AS cleaned,
+       CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed_lines
+FROM tagged GROUP BY doc_id"""
+
     # closed-form twin of the real BMP content decode: geometry, byte
     # size (4-byte row padding!), and solid-color channel stats are all
     # pure functions of the id — the oracle checks the decoder without
@@ -3444,6 +3494,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "vector_sum_by_cluster": vector_sum_sql,
         "sparse_vector_sum_by_cluster": sparse_vector_sum_sql,
         "multimodal_metadata": multimodal_sql,
+        "strip_boilerplate": strip_boilerplate_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "wav_audio_stats": wav_audio_stats_sql,
         "multimodal_frame_plan": frame_plan_sql,

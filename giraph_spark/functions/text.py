@@ -321,6 +321,94 @@ def scrub_text(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Cross-document repeated LINES — the C4/CCNet line-level dedup
+    signal (Raffel et al., JMLR 2020 §2.2 "we discarded ... any line
+    that occurred more than once in the dataset" — relaxed here to a
+    ``min_docs`` distinct-document threshold, the CCNet form that
+    tolerates legitimate common lines below it). Returns
+    ``(line, n_docs)`` for every trimmed non-empty line occurring in
+    ≥ ``min_docs`` DISTINCT documents: navigation chrome, cookie
+    banners, license footers.
+
+    Scale shape: explode to lines, two partial-aggregated groupBys —
+    (line, doc) dedup then per-line doc count — and nothing pairwise;
+    a line repeated on every page of a crawl collapses map-side
+    exactly like :func:`giraph_spark.functions.sampling.duplicate_ngrams`'
+    gram counts."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("_d"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+        )
+        .select("_d", F.trim(F.col("_raw")).alias("line"))
+        .where(F.length("line") >= 1)
+        .distinct()
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Remove :func:`boilerplate_lines` from every document, preserving
+    the order (and original whitespace) of the surviving lines. Returns
+    ``(id, cleaned, n_removed_lines)`` — the line-level scrub stage that
+    runs between HTML extraction and document-level dedup in a web
+    pipeline.
+
+    Shape: the flagged-line relation (aggregated, small — distinct
+    boilerplate lines only) hash-joins against the exploded line
+    relation on the line key; reassembly is one per-doc
+    ``collect_list(struct(pos, …))`` + ``array_sort`` — bounded by
+    single-document size, the :func:`chunk_documents` profile, no
+    window over the corpus."""
+    flagged = boilerplate_lines(df, text_col, id_col, min_docs).select(
+        F.col("line").alias("_bpline"), F.lit(True).alias("_bp")
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_raw"),
+    )
+    tagged = (
+        lines.withColumn("_t", F.trim(F.col("_raw")))
+        .join(flagged, F.col("_t") == F.col("_bpline"), "left")
+        .select(
+            id_col,
+            "pos",
+            "_raw",
+            F.coalesce(F.col("_bp"), F.lit(False)).alias("_is_bp"),
+        )
+    )
+    return tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "_raw", "_is_bp"))
+                    ),
+                    lambda x: ~x["_is_bp"],
+                ),
+                lambda x: x["_raw"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+        F.sum(F.col("_is_bp").cast("long")).cast("long").alias("n_removed_lines"),
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("source", "lang"),

@@ -658,3 +658,30 @@ def test_audio_stats_spark(spark):
     assert r1["n_bytes"] == len(wav) == 54
     r2 = got[2]
     assert r2["rms"] is None and r2["n_bytes"] == 9
+
+
+def test_boilerplate_lines_and_strip(spark):
+    """C4/CCNet line-level dedup: lines in >= min_docs distinct docs are
+    flagged (trim-normalized, duplicate lines within one doc count
+    once); strip removes them preserving order, original whitespace of
+    survivors, and blank lines."""
+    from giraph_spark.functions.text import boilerplate_lines, strip_boilerplate
+
+    docs = [
+        (1, "COOKIE BANNER\nreal content one\nFooter Inc"),
+        (2, "COOKIE BANNER\nreal content two\nFooter Inc"),
+        (3, "  COOKIE BANNER  \nCOOKIE BANNER\nunique line"),
+        (4, "solo\n\n  spaced line  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    bp = {r["line"]: r["n_docs"] for r in boilerplate_lines(df, min_docs=3).collect()}
+    assert bp == {"COOKIE BANNER": 3}  # Footer Inc only 2 docs; trim matches
+
+    got = {r["doc_id"]: r for r in strip_boilerplate(df, min_docs=3).collect()}
+    assert got[1]["cleaned"] == "real content one\nFooter Inc"
+    assert got[1]["n_removed_lines"] == 1
+    assert got[3]["cleaned"] == "unique line"
+    assert got[3]["n_removed_lines"] == 2  # both trimmed variants removed
+    assert got[4]["cleaned"] == "solo\n\n  spaced line  "
+    assert got[4]["n_removed_lines"] == 0
