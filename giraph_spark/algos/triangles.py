@@ -37,7 +37,10 @@ def _oriented(graph: Graph) -> DataFrame:
 def triangle_count(graph: Graph) -> DataFrame:
     """Global triangle count; returns a single row ``(triangles BIGINT)``."""
     src, dst = graph.src_col, graph.dst_col
-    e = _oriented(graph)
+    # materialize once: the oriented relation feeds all three join roles
+    # with DIFFERENT exchange keys, so without this the upstream edge
+    # derivation (symmetrize+dedup, or a whole fixture build) runs 3x
+    e = _oriented(graph).localCheckpoint(eager=True)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -55,7 +58,7 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
     """Per-vertex triangle participation count ``(id, triangles)``."""
     src, dst = graph.src_col, graph.dst_col
     id_col = graph.id_col
-    e = _oriented(graph)
+    e = _oriented(graph).localCheckpoint(eager=True)  # 3 join roles, see triangle_count
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tris = (
         e1.join(e2, F.col(f"e1.{dst}") == F.col(f"e2.{src}"))
@@ -93,7 +96,11 @@ def _common_neighbor_pairs(
     Returns ``(sym, deg, pairs)``."""
     src, dst = graph.src_col, graph.dst_col
     id_col = graph.id_col
-    sym = symmetrize(graph, dedup=True).edges.select(src, dst)
+    # referenced by the degree table, both wedge sides, and the adjacency
+    # anti-join (up to 5 scans of the derivation) - materialize once
+    sym = symmetrize(graph, dedup=True).edges.select(src, dst).localCheckpoint(
+        eager=True
+    )
     deg = sym.groupBy(F.col(src).alias("_v")).agg(
         F.count(F.lit(1)).cast("long").alias("_deg")
     )
