@@ -922,6 +922,20 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: unigram_logprob scored docs
+    bucketed by frozen thresholds (the production pattern — quantiles
+    computed once, shipped as config; these cut the fixture corpus
+    roughly into thirds at both sf0.001 and sf0.01)."""
+    from giraph_spark.functions.text import quality_buckets, unigram_logprob
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    scored = unigram_logprob(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_tokens", "logprob"
+    )
+    return quality_buckets(scored, thresholds=(-3.404, -3.4))
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing plan (window=256): per-source running token
     sum in doc-id order; each doc assigned the sequence it starts in."""
@@ -1514,6 +1528,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_duplicate_ngrams": _q_scrub_duplicate_ngrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "unigram_logprob": _q_unigram_logprob,
+        "perplexity_buckets": _q_perplexity_buckets,
         "pack_sequences": _q_pack_sequences,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
@@ -3472,6 +3487,29 @@ scored AS (
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
        s.logprob
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
+        # same LM + frozen-threshold CASE on the rounded score (the
+        # bucket is a pure function of the already-oracle-checked
+        # logprob column)
+        "perplexity_buckets": f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents
+),
+tt AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+lm AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tt GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tt),
+scored AS (
+  SELECT tt.doc_id, COUNT(*) AS n_tokens,
+         ROUND(AVG(ln(lm.cnt / (SELECT t FROM tot))), 6) AS logprob
+  FROM tt JOIN lm USING (term) GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.logprob,
+       CASE WHEN s.logprob IS NULL THEN NULL
+            WHEN s.logprob < -3.404 THEN 'tail'
+            WHEN s.logprob < -3.4 THEN 'middle'
+            ELSE 'head' END AS bucket
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         "pack_sequences": pack_sequences_sql,
         "kmeans_clusters": kmeans_sql,

@@ -321,6 +321,40 @@ def scrub_text(
     )
 
 
+def quality_buckets(
+    df: DataFrame,
+    score_col: str = "logprob",
+    thresholds: tuple[float, ...] = (),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al., LREC 2020 §4.3:
+    corpus split into head/middle/tail by LM perplexity): assign each
+    row the bucket of its score against ascending ``thresholds``
+    (``len(labels) == len(thresholds) + 1``; score < t₁ → labels[0], …,
+    ≥ tₙ → labels[-1]; NULL score → NULL bucket). Appends a ``bucket``
+    column — compose downstream with
+    :func:`giraph_spark.functions.sampling.stratified_sample` on it to
+    resample toward the head, CCNet's actual use.
+
+    Scale note: the assignment is a zero-shuffle projection. The
+    thresholds themselves are corpus statistics: in production compute
+    them ONCE with ``df.approxQuantile`` (or an exact quantile job) and
+    freeze them into config — exactly how CCNet ships fixed
+    per-language cutoffs — rather than re-deriving per run; a frozen
+    threshold set keeps the assignment deterministic, engine-portable,
+    and stable as the corpus grows (a quantile recomputed on a grown
+    corpus would silently re-bucket old documents)."""
+    if len(labels) != len(thresholds) + 1:
+        raise ValueError("need len(labels) == len(thresholds) + 1")
+    c = F.col(score_col)
+    expr = F.lit(labels[-1])
+    for t, lab in zip(reversed(thresholds), reversed(labels[:-1])):
+        expr = F.when(c < F.lit(t), F.lit(lab)).otherwise(expr)
+    return df.withColumn(
+        "bucket", F.when(c.isNull(), F.lit(None).cast("string")).otherwise(expr)
+    )
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",

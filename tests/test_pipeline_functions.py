@@ -685,3 +685,22 @@ def test_boilerplate_lines_and_strip(spark):
     assert got[3]["n_removed_lines"] == 2  # both trimmed variants removed
     assert got[4]["cleaned"] == "solo\n\n  spaced line  "
     assert got[4]["n_removed_lines"] == 0
+
+
+def test_quality_buckets(spark):
+    """CCNet bucketing: ascending thresholds, boundary goes to the upper
+    bucket, NULL score -> NULL bucket, bad arity rejected."""
+    import pytest as _pytest
+
+    from giraph_spark.functions.text import quality_buckets
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, -3.404), (3, -3.401), (4, -3.0), (5, None)],
+        "doc_id long, logprob double",
+    )
+    got = {r["doc_id"]: r["bucket"]
+           for r in quality_buckets(df, thresholds=(-3.404, -3.4)).collect()}
+    assert got == {1: "tail", 2: "middle", 3: "middle", 4: "head", 5: None}
+
+    with _pytest.raises(ValueError):
+        quality_buckets(df, thresholds=(-1.0,), labels=("a", "b", "c"))
