@@ -922,6 +922,23 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (RefinedWeb-style host guard): at
+    most 5 docs per pseudo-domain (doc_id % 37), hash-ranked. Runs the
+    SHARDED two-phase top-n (n_shards=4) whose result is provably
+    identical to the unsharded rank the oracle computes — the
+    cross-engine check doubles as the exactness proof."""
+    from giraph_spark.functions.sampling import cap_per_group
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("doc_id") % 37).cast("string")).alias(
+            "domain"
+        ),
+    )
+    return cap_per_group(d, group_col="domain", n=5, n_shards=4)
+
+
 def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split: unigram_logprob scored docs
     bucketed by frozen thresholds (the production pattern — quantiles
@@ -1521,6 +1538,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": _q_scrub_text,
         "train_val_split": _q_train_val_split,
         "stratified_sample": _q_stratified_sample,
+        "cap_per_domain": _q_cap_per_domain,
         "decontaminate": _q_decontaminate,
         "mixture_repeats": _q_mixture_repeats,
         "expand_repeats": _q_expand_repeats,
@@ -2560,6 +2578,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN {_bucket_sql()} < 1000 THEN 'val' ELSE 'train' END AS split
 FROM documents"""
 
+    # unsharded rank twin of the sharded two-phase top-n: equality of
+    # the two IS the exactness proof for the pigeonhole pre-filter
+    cap_per_domain_sql = f"""
+WITH b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'd' || CAST(CAST(doc_id AS BIGINT) % 37 AS VARCHAR) AS domain,
+         {_bucket_sql()} AS bk
+  FROM documents
+), r AS (
+  SELECT doc_id, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY bk, doc_id) AS rnk
+  FROM b
+)
+SELECT doc_id, domain, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"""
+
     stratified_sample_sql = f"""
 WITH b AS (
   SELECT doc_id, source AS stratum, {_bucket_sql()} AS bk FROM documents
@@ -3556,6 +3589,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "scrub_text": scrub_sql,
         "train_val_split": train_val_split_sql,
         "stratified_sample": stratified_sample_sql,
+        "cap_per_domain": cap_per_domain_sql,
         "decontaminate": decontaminate_sql,
         "mixture_repeats": mixture_repeats_sql,
         "expand_repeats": expand_repeats_sql,

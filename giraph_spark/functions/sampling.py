@@ -119,6 +119,55 @@ def stratified_sample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 1000,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Per-group document cap — "at most ``n`` documents per domain",
+    the over-represented-host guard every web-corpus pipeline runs (C4
+    keeps its host blocklist + dedup; RefinedWeb §3.1 caps URL/host
+    contribution explicitly). Keeps the ``n`` lowest ``(id-hash, id)``
+    rows of each group — deterministic given (ids, seed), ties
+    impossible (id breaks them). Returns ``(id, group_col, rnk)``.
+
+    Scale shape — exact top-n without serializing a hot group: with
+    ``n_shards > 1`` a pre-rank over ``(group, portable_hash60(id) %
+    n_shards)`` first discards everything below shard-rank ``n`` (any
+    row in the true per-group top-n has shard-rank ≤ n — pigeonhole),
+    so the final per-group window ranks ≤ ``n · n_shards`` survivors
+    instead of the whole group: a 10⁸-document domain costs a sharded
+    window plus a tiny re-rank, never one task holding the domain. The
+    result is IDENTICAL for every ``n_shards`` (unlike
+    :func:`stratified_sample`'s per-shard quotas, the top-n filter is
+    exact), so the shard count is purely a physical knob."""
+    from pyspark.sql.window import Window
+
+    order = [_bucket(id_col, seed).asc(), F.col(id_col).asc()]
+    base = df.select(F.col(id_col), F.col(group_col))
+    if int(n_shards) > 1:
+        shard = (
+            portable_hash60(F.col(id_col).cast("string"), seed + 7919)
+            % int(n_shards)
+        ).alias("_shard")
+        pre = Window.partitionBy(group_col, "_shard").orderBy(*order)
+        base = (
+            base.select(id_col, group_col, shard)
+            .withColumn("_prn", F.row_number().over(pre))
+            .where(F.col("_prn") <= n)
+            .drop("_shard", "_prn")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        base.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= n)
+        .select(F.col(id_col), F.col(group_col), F.col("rnk").cast("long"))
+    )
+
+
 def word_ngrams(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
 ) -> DataFrame:

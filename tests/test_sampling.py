@@ -323,3 +323,25 @@ def test_pack_sequences_sharded(spark):
             assert row["seq_id"] == (pos // 5) * n + sh, d
             assert row["offset"] == pos % 5, d
             pos += int(row["n_tokens"])
+
+
+def test_cap_per_group_sharded_identical(spark, sf_dir):
+    """Exact per-group top-n: n_shards is a purely physical knob — the
+    sharded two-phase result is row-identical to the unsharded rank
+    (pigeonhole: every true top-n row has shard-rank <= n), every group
+    is capped at n, and ranks are contiguous 1..min(n, |group|)."""
+    from giraph_spark.functions.sampling import cap_per_group
+
+    d = _docs(spark, sf_dir)
+    a = cap_per_group(d, group_col="source", n=7).toPandas()
+    b = cap_per_group(d, group_col="source", n=7, n_shards=5).toPandas()
+    key = ["source", "rnk"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    per = a.groupby("source")["rnk"].agg(["max", "count"])
+    sizes = {r["source"]: r["n"] for r in d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for src, row in per.iterrows():
+        assert row["count"] == min(7, sizes[src])
+        assert row["max"] == row["count"]
