@@ -1193,6 +1193,22 @@ def _q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_n=3, max_frames=8)
 
 
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d×d covariance of the embedding corpus (the PCA statistic): per-
+    row outer products flattened JVM-side, partial-aggregated by cell —
+    shuffle bounded by d², never corpus rows."""
+    from giraph_spark.functions.similarity import covariance_matrix
+
+    e = _embs(spark, sf_dir).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # + 0.0 folds IEEE -0.0 (a rounded tiny negative) to +0.0 so both
+    # engines print/hash the same canonical zero
+    return covariance_matrix(e).select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir).select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -1559,6 +1575,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "wav_audio_stats": _q_wav_audio_stats,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
+        "embedding_covariance": _q_embedding_covariance,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
@@ -2932,6 +2949,35 @@ f AS (
 )
 SELECT media_id, CAST(unnest(idxs) AS BIGINT) AS frame_index FROM f"""
 
+    # same flattened-outer-product construction; products of identical
+    # float32 inputs are identical doubles on both engines, summation
+    # order differences vanish under ROUND 6
+    embedding_covariance_sql = """
+WITH f AS (
+  SELECT len(embedding) AS d,
+         unnest(flatten(list_transform(embedding,
+             x -> list_transform(embedding,
+                  y -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))))) AS v,
+         generate_subscripts(flatten(list_transform(embedding,
+             x -> list_transform(embedding,
+                  y -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)))), 1) AS p
+  FROM embeddings
+),
+cells AS (
+  SELECT CAST((p - 1) // d AS BIGINT) AS i,
+         CAST((p - 1) % d AS BIGINT) AS j,
+         SUM(v) / COUNT(*) AS m2
+  FROM f GROUP BY 1, 2
+),
+means AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+mu AS (SELECT i, SUM(x) / COUNT(*) AS m FROM means GROUP BY 1)
+SELECT c.i, c.j, ROUND(c.m2 - mi.m * mj.m, 6) + 0.0 AS cov
+FROM cells c JOIN mu mi ON mi.i = c.i JOIN mu mj ON mj.i = c.j"""
+
     vector_sum_sql = """
 WITH u AS (
   SELECT CAST(vec_id % 4 AS BIGINT) AS cluster,
@@ -3594,6 +3640,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "mixture_repeats": mixture_repeats_sql,
         "expand_repeats": expand_repeats_sql,
         "duplicate_ngrams": duplicate_ngrams_sql,
+        "embedding_covariance": embedding_covariance_sql,
         "cosine_topk": cosine_topk_sql,
         "ivf_topk": ivf_topk_sql,
         "lsh_topk": lsh_topk_sql,

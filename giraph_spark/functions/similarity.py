@@ -612,3 +612,115 @@ def semdedup(
         F.col("dup_of").isNull().alias("kept"),
         F.col("dup_of").cast("long").alias("dup_of"),
     )
+
+
+def covariance_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> DataFrame:
+    """Long-form d×d covariance (``i, j, cov``) of an embedding column —
+    the statistic behind PCA whitening/dimension reduction (the
+    standard pre-IVF/OPQ transform: route queries in a rotated space,
+    Jégou et al., PAMI 2011). ``center=False`` gives the raw second
+    moment E[xᵢxⱼ].
+
+    Scale shape: each row contributes its d² outer product as ONE
+    flattened array expression (JVM-side nested transform, no Python),
+    posexplode to ``(pos, value)`` rows, then a partial-aggregated
+    groupBy on (i, j) — the shuffle carries ≤ d² rows per map
+    partition, never corpus-sized rows. The d×d result is
+    driver-collectable by construction (that is the point of PCA:
+    d ≪ corpus), which is what lets :func:`pca_components` run numpy
+    eigh on it."""
+    v = F.col(vec_col)
+    outer = F.flatten(
+        F.transform(v, lambda x: F.transform(v, lambda y: x.cast("double") * y))
+    )
+    cells = (
+        emb.select(F.size(v).alias("_d"), F.posexplode(outer).alias("_p", "_v"))
+        .groupBy(
+            F.floor(F.col("_p") / F.col("_d")).cast("long").alias("i"),
+            F.pmod(F.col("_p"), F.col("_d")).cast("long").alias("j"),
+        )
+        .agg(
+            F.sum("_v").alias("_s"),
+            F.count(F.lit(1)).cast("double").alias("_n"),
+        )
+        .select("i", "j", (F.col("_s") / F.col("_n")).alias("_m2"))
+    )
+    if not center:
+        return cells.select("i", "j", F.col("_m2").alias("cov"))
+    means = (
+        emb.select(F.posexplode(v).alias("i", "_x"))
+        .groupBy("i")
+        .agg((F.sum(F.col("_x").cast("double")) / F.count(F.lit(1))).alias("_mu"))
+    )
+    mi = means.select(F.col("i"), F.col("_mu").alias("_mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("_mu").alias("_mj"))
+    return (
+        cells.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i", "j", (F.col("_m2") - F.col("_mi") * F.col("_mj")).alias("cov")
+        )
+    )
+
+
+def pca_components(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """Top-``k`` principal axes of the embedding distribution: collects
+    the d×d covariance (tiny by construction) and runs ``numpy.linalg.
+    eigh`` on the driver — the one deliberate driver-side step of the
+    PCA pipeline, on d² numbers, not data. Components are returned
+    eigenvalue-descending with a deterministic sign convention (the
+    largest-|coordinate| entry of each axis is made positive, first
+    index winning ties), so repeated runs and different BLAS builds
+    agree. Returns a plain ``k × d`` list-of-lists ready to broadcast
+    as a literal into :func:`pca_project`."""
+    import numpy as np
+
+    rows = covariance_matrix(emb, vec_col).collect()
+    d = max(r["i"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = []
+    for idx in range(d - 1, d - 1 - k, -1):
+        axis = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(axis)))
+        if axis[pivot] < 0:
+            axis = -axis
+        comps.append([float(x) for x in axis])
+    return comps
+
+
+def pca_project(
+    emb: DataFrame,
+    components: "list[list[float]]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project embeddings onto fixed principal axes: ``(id, projected)``
+    with ``projected[c] = ⟨vec, component_c⟩``. The components enter the
+    plan as a literal array (the :func:`ivf_topk` scan-fused-centroids
+    pattern), so this is a zero-shuffle projection — one corpus scan,
+    JVM-side dot products, no Python and no join. Compose upstream of
+    :func:`ivf_topk`/:func:`lsh_topk` to search in the reduced space."""
+    lit_comps = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in axis])
+            for axis in components
+        ]
+    )
+    return emb.select(
+        F.col(id_col),
+        F.transform(
+            lit_comps, lambda axis: _dot(axis, F.col(vec_col))
+        ).alias(out_col),
+    )

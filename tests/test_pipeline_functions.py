@@ -704,3 +704,43 @@ def test_quality_buckets(spark):
 
     with _pytest.raises(ValueError):
         quality_buckets(df, thresholds=(-1.0,), labels=("a", "b", "c"))
+
+
+def test_covariance_and_pca_match_numpy(spark):
+    """covariance_matrix == numpy.cov (population); pca_project == numpy
+    eigh projection under the same sign convention."""
+    import numpy as np
+
+    from giraph_spark.functions.similarity import (
+        covariance_matrix,
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_matrix(df).collect()}
+    want = np.cov(X.astype(np.float64).T, bias=True)
+    for i in range(6):
+        for j in range(6):
+            assert abs(got[(i, j)] - want[i, j]) < 1e-9, (i, j)
+
+    comps = pca_components(df, k=2)
+    vals, vecs = np.linalg.eigh(want)
+    exp = []
+    for idx in (5, 4):
+        ax = vecs[:, idx]
+        p = int(np.argmax(np.abs(ax)))
+        exp.append(ax if ax[p] >= 0 else -ax)
+    for c, e in zip(comps, exp):
+        assert np.allclose(c, e, atol=1e-9)
+
+    proj = {r["vec_id"]: r["projected"] for r in pca_project(df, comps).collect()}
+    expected = X.astype(np.float64) @ np.array(comps).T
+    for i in range(40):
+        assert np.allclose(proj[i], expected[i], atol=1e-6)
