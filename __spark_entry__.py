@@ -654,6 +654,24 @@ def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning disposition over documents ∪ the perturbed
+    re-renders (same augmentation as exact_duplicates, so the dedup
+    stage has real work): quality gate → exact dedup among passers →
+    train/val split for keepers. One row per input doc: what happened
+    to it and where it landed."""
+    from giraph_spark.functions.pipeline import clean_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    perturbed = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" !! ")).alias("text"),
+    )
+    return clean_corpus(d.unionByName(perturbed)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status", "split"
+    )
+
+
 def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus deduplication — the relation a pipeline actually
     materializes: exact-dup removal (planted perturbed copies, as
@@ -1536,6 +1554,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_by_region": _q_coarsen,
         "bracha_toueg_deadlock": _q_deadlock,
         "exact_duplicates": _q_exact_dups,
+        "clean_corpus": _q_clean_corpus,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -2590,6 +2609,47 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, scrubbed,
        CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions
 FROM s2"""
 
+    # composed disposition: quality gate (same rules/rounding as
+    # quality_filter) over the augmented corpus, exact dedup among
+    # passers (min-id keeper), id-hash split for keepers
+    clean_corpus_sql = f"""
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, ' ' || text || ' !! ' AS text
+    FROM documents WHERE doc_id % 20 = 0
+),
+q AS ({quality_sql.replace("FROM documents", "FROM docs2")}),
+r AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens >= 5 THEN 0 ELSE 1 END)
+       + (CASE WHEN n_tokens <= 100000 THEN 0 ELSE 1 END)
+       + (CASE WHEN alpha_ratio >= 0.6 THEN 0 ELSE 1 END)
+       + (CASE WHEN digit_ratio <= 0.3 THEN 0 ELSE 1 END)
+       + (CASE WHEN stopword_ratio >= 0.05 THEN 0 ELSE 1 END) AS n_fail
+  FROM q),
+pass AS (SELECT doc_id FROM r WHERE n_fail = 0),
+h AS (
+  SELECT d.doc_id, md5({norm}) AS hh
+  FROM docs2 d JOIN pass p ON p.doc_id = d.doc_id
+),
+keep AS (SELECT hh, MIN(doc_id) AS keep_id FROM h GROUP BY hh),
+disp AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CASE WHEN p.doc_id IS NULL THEN 'removed_quality'
+              WHEN d.doc_id <> k.keep_id THEN 'removed_duplicate'
+              ELSE 'kept' END AS status
+  FROM docs2 d
+  LEFT JOIN pass p ON p.doc_id = d.doc_id
+  LEFT JOIN h ON h.doc_id = d.doc_id
+  LEFT JOIN keep k ON k.hh = h.hh
+)
+SELECT doc_id, status,
+       CASE WHEN status = 'kept'
+            THEN CASE WHEN {_bucket_sql()} < 1000 THEN 'val' ELSE 'train' END
+       END AS split
+FROM disp"""
+
     train_val_split_sql = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN {_bucket_sql()} < 1000 THEN 'val' ELSE 'train' END AS split
@@ -3616,6 +3676,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "wav_audio_stats": wav_audio_stats_sql,
         "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,
+        "clean_corpus": clean_corpus_sql,
         "ngram_jaccard_pairs": ngram_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
         "near_dup_clusters": near_dup_clusters_sql,

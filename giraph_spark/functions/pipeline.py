@@ -1,0 +1,84 @@
+"""Composed corpus-cleaning pipeline: the end-to-end disposition pass a
+training-data team actually ships, assembled from the per-stage
+operators of this package (each of which has its own driver-contract
+oracle). One call answers, for every input document, "did it survive,
+why not, and which split does it land in" — the relation that feeds
+shard writers and data cards.
+
+Stage order matters and mirrors production practice: the quality gate
+runs FIRST (cheap, scan-fused, removes the junk that would otherwise
+pay dedup hashing), exact dedup runs over quality survivors only (a
+duplicate of a rejected document is itself rejected for quality, not
+as a duplicate), and the train/val split is assigned only to keepers
+(hash-of-id, so the assignment never reshuffles as the corpus grows).
+
+Scale shape: stage 1 is a zero-shuffle projection; stage 2 is one
+hash-groupBy (min-id keeper) plus a co-keyed join back; stage 3 is a
+pure projection. Nothing in the pass is quadratic or collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+from .sampling import BUCKETS, _bucket
+from .text import quality_filter
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    seed: int = 42,
+    quality_kwargs: dict | None = None,
+) -> DataFrame:
+    """Per-document disposition ``(id, status, split)``:
+
+    - ``status='removed_quality'`` — failed the Gopher/C4 hard gate
+      (:func:`giraph_spark.functions.text.quality_filter`, thresholds
+      via ``quality_kwargs``);
+    - ``status='removed_duplicate'`` — passed quality but its normalized
+      text hashes identically to a lower-id passer
+      (:func:`giraph_spark.functions.dedup.exact_duplicates` keeper
+      rule);
+    - ``status='kept'`` — survives, with ``split`` ∈ {'train','val'}
+      assigned by the :func:`giraph_spark.functions.sampling.
+      train_val_split` id-hash (NULL split for removed docs).
+
+    Fully deterministic: every decision is a pure function of
+    (ids, text, seed), so the disposition is reproducible and
+    SQL-oracle-replayable end-to-end."""
+    q = quality_filter(
+        df, text_col, id_col, **(quality_kwargs or {})
+    ).select(F.col(id_col), "passed")
+    base = df.select(F.col(id_col), F.col(text_col)).join(q, id_col)
+    h = (
+        base.where(F.col("passed"))
+        .select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("_h"))
+    )
+    keep = h.groupBy("_h").agg(F.min(id_col).alias("_keep"))
+    tagged = h.join(keep, "_h").select(F.col(id_col), "_keep")
+    thresh = int(val_fraction * BUCKETS)
+    status = (
+        F.when(~F.col("passed"), F.lit("removed_quality"))
+        .when(F.col(id_col) != F.col("_keep"), F.lit("removed_duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        base.select(F.col(id_col), "passed")
+        .join(tagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            status.alias("status"),
+            F.when(
+                status == "kept",
+                F.when(_bucket(id_col, seed) < thresh, F.lit("val")).otherwise(
+                    F.lit("train")
+                ),
+            ).alias("split"),
+        )
+    )

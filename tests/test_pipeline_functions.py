@@ -744,3 +744,28 @@ def test_covariance_and_pca_match_numpy(spark):
     expected = X.astype(np.float64) @ np.array(comps).T
     for i in range(40):
         assert np.allclose(proj[i], expected[i], atol=1e-6)
+
+
+def test_clean_corpus_disposition(spark):
+    """Stage-order semantics: quality rejection wins over duplication (a
+    duplicate of a rejected doc is 'removed_quality', and a rejected
+    twin does NOT make the surviving copy a 'duplicate'); min-id keeper;
+    split only for keepers."""
+    from giraph_spark.functions.pipeline import clean_corpus
+
+    good = ("this is a perfectly reasonable document with the usual "
+            "words that are long enough to pass the gate")
+    docs = [
+        (1, good),
+        (2, good),              # exact dup of 1 -> removed_duplicate
+        (3, "1234 5678 999"),   # digits -> removed_quality
+        (4, good + " 1234 5678 9999 00000 111 222 333 444 555 "
+                   "666 777 888 999 000 11 22 33 44 55 66 77 88 99 "
+                   "11 22 33 44 55"),  # digit-heavy twin-ish, fails gate
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["status"], r["split"]) for r in clean_corpus(df).collect()}
+    assert got[1][0] == "kept" and got[1][1] in ("train", "val")
+    assert got[2] == ("removed_duplicate", None)
+    assert got[3] == ("removed_quality", None)
+    assert got[4][0] == "removed_quality"
