@@ -226,3 +226,22 @@ def test_driver_keys_partition_invariant(spark, sf_dir):
             assert a.equals(b), f"{k}: result depends on shuffle width"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_core_numbers_width_invariant(spark, rnd):
+    """The adaptive threshold-count window is a physical knob only:
+    every initial_width converges to the same exact coreness (widths
+    below the max core must saturate, double, and still land exactly
+    where a comfortably wide window does)."""
+    from giraph_spark.algos.components import core_numbers
+
+    want = {
+        r["id"]: r["core"]
+        for r in core_numbers(rnd, initial_width=64).collect()
+    }
+    for w in (1, 2, 5):
+        got = {
+            r["id"]: r["core"]
+            for r in core_numbers(rnd, initial_width=w).collect()
+        }
+        assert got == want, f"initial_width={w} diverged"
