@@ -245,5 +245,118 @@ def stress() -> None:
     spark.stop()
 
 
+def pipeline() -> None:
+    """Pipeline-operator bench (``python bench.py --pipeline``): the
+    LLM-training-data operators at $SPARK_GRAFT_SF_DIR — the measured
+    evidence behind BASELINE.md's pipeline table. Production hash mode
+    (xxhash64) where the operator offers one; one JSON line out."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-pipeline-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from giraph_spark.functions.multimodal import (
+        audio_stats,
+        bmp_media_from_docs,
+        pixel_stats,
+        wav_media_from_docs,
+    )
+    from giraph_spark.functions.pipeline import clean_corpus
+    from giraph_spark.functions.sampling import cap_per_group, pack_sequences
+    from giraph_spark.functions.similarity import (
+        covariance_matrix,
+        pca_components,
+        pca_project,
+    )
+    from giraph_spark.functions.text import (
+        quality_buckets,
+        strip_boilerplate,
+        unigram_logprob,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    embs = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .persist()
+    )
+    n_docs, n_embs = docs.count(), embs.count()
+
+    def run(fn):
+        t0 = time.monotonic()
+        n = fn()
+        return round(time.monotonic() - t0, 3), n
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    lines = docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text")
+    )
+    timings["strip_boilerplate"], rows["strip_boilerplate"] = run(
+        lambda: strip_boilerplate(lines, min_docs=3).count()
+    )
+    timings["clean_corpus"], rows["clean_corpus"] = run(
+        lambda: clean_corpus(docs.select("doc_id", "text")).count()
+    )
+    timings["perplexity_buckets"], rows["perplexity_buckets"] = run(
+        lambda: quality_buckets(
+            unigram_logprob(docs.select("doc_id", "text")),
+            thresholds=(-3.404, -3.4),
+        ).count()
+    )
+    timings["cap_per_group"], rows["cap_per_group"] = run(
+        lambda: cap_per_group(docs, group_col="source", n=500, n_shards=8).count()
+    )
+    timings["pack_sequences_sharded"], rows["pack_sequences_sharded"] = run(
+        lambda: pack_sequences(docs, window=2048, n_shards=8).count()
+    )
+    timings["embedding_pca"], rows["embedding_pca"] = run(
+        lambda: pca_project(embs, pca_components(embs, k=16)).count()
+    )
+    timings["bmp_pixel_stats"], rows["bmp_pixel_stats"] = run(
+        lambda: pixel_stats(bmp_media_from_docs(docs)).count()
+    )
+    timings["wav_audio_stats"], rows["wav_audio_stats"] = run(
+        lambda: audio_stats(wav_media_from_docs(docs)).count()
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "inputs": {"docs": n_docs, "embeddings": n_embs},
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    stress() if "--stress" in sys.argv else main()
+    if "--stress" in sys.argv:
+        stress()
+    elif "--pipeline" in sys.argv:
+        pipeline()
+    else:
+        main()
