@@ -51,6 +51,22 @@ def argmin(value: Column, payload: Column) -> Column:
     return F.min_by(payload, value)
 
 
+def top_n(value: Column, n: int) -> Column:
+    """``block_app/reducers/TopNReduce.java`` (bounded top-N heap): the
+    ``n`` largest values, descending, as an array aggregate for the
+    kernel's ``aggregates=`` slot (e.g. "the 10 highest ranks each
+    superstep"). CAVEAT — this expression form collects the whole group
+    into one aggregation buffer before slicing (Spark has no bounded
+    custom-heap aggregate expression), so use it only where the
+    aggregated relation is modest (per-superstep diagnostics up to
+    ~10⁷ vertices). The hub-safe 100× form is the OPERATOR spelling,
+    ``df.orderBy(value.desc()).limit(n)``: Spark executes it as
+    TakeOrderedAndProject — per-partition bounded heaps merged at the
+    driver, the exact distributed analog of TopNReduce's
+    reduce/reduceMerge pair."""
+    return F.slice(F.sort_array(F.collect_list(value), asc=False), 1, n)
+
+
 def pair_reduce(first: Column, second: Column, fn1=F.sum, fn2=F.sum) -> Column:
     """``PairReduce``: element-wise reduction of a pair (struct of the two
     independently-reduced components)."""

@@ -769,3 +769,17 @@ def test_clean_corpus_disposition(spark):
     assert got[2] == ("removed_duplicate", None)
     assert got[3] == ("removed_quality", None)
     assert got[4][0] == "removed_quality"
+
+
+def test_top_n_reducer(spark):
+    """TopNReduce analog: n largest values descending; equals the
+    operator spelling (orderBy desc + limit) on the same data."""
+    from giraph_spark.aggregators import top_n
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (5, 1, 9, 7, 3, 9, 2)], "v double"
+    )
+    got = df.agg(top_n(F.col("v"), 3).alias("t")).collect()[0]["t"]
+    assert got == [9.0, 9.0, 7.0]
+    op = [r["v"] for r in df.orderBy(F.col("v").desc()).limit(3).collect()]
+    assert got == op
