@@ -336,6 +336,15 @@ def pipeline() -> None:
     timings["wav_audio_stats"], rows["wav_audio_stats"] = run(
         lambda: audio_stats(wav_media_from_docs(docs)).count()
     )
+    from giraph_spark.functions.dedup import dedup_corpus, minhash_lsh_pairs
+
+    d2 = docs.select("doc_id", "text")
+    timings["minhash_lsh_pairs"], rows["minhash_lsh_pairs"] = run(
+        lambda: minhash_lsh_pairs(d2).count()
+    )
+    timings["dedup_corpus"], rows["dedup_corpus"] = run(
+        lambda: dedup_corpus(d2).count()
+    )
     print(
         json.dumps(
             {

@@ -289,7 +289,12 @@ def near_dup_clusters(
         bands,
         verify_threshold,
         portable=portable,
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialize the (tiny) pair relation once: both derivations below
+    # (edge relation persisted by the kernel, member-vertex distinct)
+    # would otherwise re-run the banded self-join + signature-compare
+    # stage per reference — measured ~2x the whole LSH stage per
+    # near_dup_clusters call at sf0.1
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     members = vertices_from_edges(edges)
     comp = wcc(Graph(members, edges), max_supersteps=max_supersteps)
