@@ -591,6 +591,23 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch personalized PageRank (one independent teleporting walk per
+    seed customer, single kernel run with array state); long-form
+    (id, source, rank)."""
+    from giraph_spark.algos.pagerank import personalized_pagerank_batch
+
+    g = trade_graph(spark, sf_dir)
+    out = personalized_pagerank_batch(
+        g, sources=[1, 2, 3], iterations=PR_ITERS
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("source").cast("long").alias("source"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
 def _q_rwr(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = trade_graph(spark, sf_dir)
     out = random_walk_with_restart(g, sources=[SSSP_SOURCE], iterations=PR_ITERS)
@@ -1551,6 +1568,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "maximal_independent_set": _q_mis,
         "random_walk_with_restart": _q_rwr,
+        "ppr_batch": _q_ppr_batch,
         "coarsen_by_region": _q_coarsen,
         "bracha_toueg_deadlock": _q_deadlock,
         "exact_duplicates": _q_exact_dups,
@@ -2101,6 +2119,44 @@ GROUP BY v.id"""
         f"SELECT CAST(id AS BIGINT) AS id, ROUND(val, 6) AS rank FROM r{PR_ITERS}"
     )
     rwr_sql = "\n".join(rwr_parts)
+
+    # batch PPR twin: the rwr chain with a source dimension — each seed
+    # is an independent walk (teleport + its own dangling return)
+    ppr_parts = [
+        TRADE_GRAPH_SQL.strip(),
+        """, deg AS (
+    SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+), srcs AS (SELECT UNNEST([1, 2, 3]) AS s),
+p0 AS MATERIALIZED (
+    SELECT v.id, srcs.s,
+           CASE WHEN v.id = srcs.s THEN 1.0 ELSE 0.0 END AS val
+    FROM vertices v CROSS JOIN srcs
+)""",
+    ]
+    for t in range(PR_ITERS):
+        ppr_parts.append(
+            f""", pd{t} AS MATERIALIZED (
+    SELECT s, COALESCE(SUM(val), 0) AS dm FROM p{t}
+    WHERE id NOT IN (SELECT src FROM deg) GROUP BY s
+), p{t + 1} AS MATERIALIZED (
+    SELECT v.id, v.s,
+           CASE WHEN v.id = v.s
+                THEN 0.15 + 0.85 * COALESCE(dg.dm, 0) ELSE 0.0 END
+           + 0.85 * COALESCE(m.acc, 0) AS val
+    FROM p{t} v
+    LEFT JOIN pd{t} dg ON dg.s = v.s
+    LEFT JOIN (
+        SELECT e.dst AS id, r.s, SUM(r.val * 1.0 / d.deg) AS acc
+        FROM edges e JOIN p{t} r ON r.id = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst, r.s
+    ) m ON m.id = v.id AND m.s = v.s
+)"""
+        )
+    ppr_parts.append(
+        f"SELECT CAST(id AS BIGINT) AS id, CAST(s AS BIGINT) AS source,"
+        f" ROUND(val, 6) AS rank FROM p{PR_ITERS}"
+    )
+    ppr_batch_sql = "\n".join(ppr_parts)
 
     coarsen_sql = (
         NATION_GRAPH_SQL.strip()
@@ -3716,6 +3772,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "scc": scc_sql,
         "maximal_independent_set": mis_sql,
         "random_walk_with_restart": rwr_sql,
+        "ppr_batch": ppr_batch_sql,
         "coarsen_by_region": coarsen_sql,
         "bracha_toueg_deadlock": deadlock_sql,
         "pagerank": _pagerank_oracle(PR_ITERS, False, False),

@@ -62,6 +62,7 @@ def _algorithms():
         eigenvector_centrality,
         hits,
         pagerank,
+        personalized_pagerank_batch,
         random_walk_with_restart,
     )
     from .algos.paths import (
@@ -92,6 +93,7 @@ def _algorithms():
     return {
         "pagerank": pagerank,
         "random_walk_with_restart": random_walk_with_restart,
+        "ppr_batch": personalized_pagerank_batch,
         "eigenvector_centrality": eigenvector_centrality,
         "hits": hits,
         "sssp": sssp,
@@ -135,6 +137,7 @@ _KERNEL_ALGOS = {
     "pagerank",
     "sssp_paths",
     "random_walk_with_restart",
+    "ppr_batch",
     "sssp",
     "bfs",
     "harmonic_centrality",

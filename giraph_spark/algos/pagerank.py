@@ -209,6 +209,112 @@ def random_walk_with_restart(
     return out.drop("_deg", "_wsum", "_is_src")
 
 
+def personalized_pagerank_batch(
+    graph: Graph,
+    sources: list,
+    iterations: int = 10,
+    restart_prob: float = 0.15,
+    weighted: bool = False,
+    metrics: PregelMetrics | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Batch personalized PageRank: an INDEPENDENT teleporting walk per
+    source, all advanced in ONE kernel run with ``array<double>`` state
+    — the pivot-family batching of ``paths.pivot_distances`` /
+    betweenness applied to :func:`random_walk_with_restart`'s math.
+    ``|sources|`` single-seed runs would each scan the graph per
+    iteration; the batch pays one triplet join per iteration total,
+    messages just widen to k doubles (the recommendation-serving shape:
+    PPR vectors for a whole query batch of users at once).
+
+    Per-walk semantics match the reference exactly
+    (``examples/RandomWalkWithRestartComputation.java:33``): walk s
+    teleports only to ``sources[s]``, and walk s's dangling mass
+    returns to ``sources[s]`` (``RandomWalkComputation.java:114``) —
+    each walk conserves its own unit mass. With a single source the
+    result equals ``random_walk_with_restart([s])`` exactly.
+
+    Returns long-form ``(id, source, rank)``."""
+    from ..aggregators import vector_sum
+
+    id_col, src_col = graph.id_col, graph.src_col
+    k = len(sources)
+    damping = 1.0 - restart_prob
+    degrees = graph.edges.groupBy(F.col(src_col).alias(id_col)).agg(
+        F.count(F.lit(1)).alias("_deg"),
+        F.sum(F.col("weight") if weighted else F.lit(1.0)).alias("_wsum"),
+    )
+    mask = F.array(
+        *[(F.col(id_col) == F.lit(s)).cast("double") for s in sources]
+    )
+    vertices = graph.vertices.join(degrees, on=id_col, how="left").withColumns(
+        {
+            "_deg": F.coalesce("_deg", F.lit(0)),
+            "_wsum": F.coalesce("_wsum", F.lit(0.0)),
+            "_mask": mask,
+        }
+    )
+    g = Graph(vertices, graph.edges, id_col, src_col, graph.dst_col,
+              strict=graph.strict, edges_layout=graph.edges_layout)
+    per_edge = F.try_divide(
+        F.col("weight") if weighted else F.lit(1.0), F.col("_wsum")
+    )
+    zeros = F.array(*[F.lit(0.0)] * k)
+
+    def update(ctx: PregelContext):
+        if ctx.superstep == 0:
+            return {"_ranks": F.col("_mask")}
+        d = ctx.broadcasts.get("dangling") or [0.0] * k
+        tele = F.array(
+            *[
+                F.lit(restart_prob + damping * float(d[s] or 0.0))
+                for s in range(k)
+            ]
+        )
+        inbound = F.coalesce(F.col(MSG), zeros)
+        return {
+            "_ranks": F.zip_with(
+                F.zip_with(F.col("_mask"), tele, lambda m, t: m * t),
+                inbound,
+                lambda a, b: a + F.lit(damping) * b,
+            )
+        }
+
+    def master_fn(ctx: PregelContext) -> None:
+        ctx.broadcasts["dangling"] = list(
+            ctx.aggregates["dangling_sum"] or [0.0] * k
+        )
+
+    out = pregel(
+        g,
+        initial={"_ranks": F.col("_mask")},
+        update=update,
+        combine=vector_sum,
+        msg_type="array<double>",
+        send_msg=lambda ctx: F.when(
+            F.lit(ctx.superstep < iterations),
+            F.transform(F.col("_ranks"), lambda r: r * per_edge),
+        ),
+        vote_to_halt=lambda ctx: F.lit(ctx.superstep >= iterations),
+        aggregates={
+            "dangling_sum": vector_sum(
+                F.when(F.col("_deg") == 0, F.col("_ranks"))
+            )
+        },
+        master_fn=master_fn,
+        max_supersteps=iterations + 1,
+        metrics=metrics,
+    )
+    src_lits = F.array(*[F.lit(s) for s in sources])
+    return out.select(
+        F.col(id_col), F.posexplode("_ranks").alias("_p", rank_col)
+    ).select(
+        id_col,
+        F.element_at(src_lits, F.col("_p") + 1).alias("source"),
+        rank_col,
+    )
+
+
 def eigenvector_centrality(
     graph: Graph,
     iterations: int = 8,

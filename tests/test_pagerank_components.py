@@ -441,3 +441,39 @@ def test_core_numbers_bounded_width_with_super_node(spark):
     assert max(widths) <= 8, f"width escaped the coreness cap: {widths}"
     # strictly growing while saturated, then stable
     assert sorted(widths) == widths
+
+
+def test_ppr_batch_matches_single_runs(spark):
+    """Batch PPR == k independent random_walk_with_restart runs (one
+    source each): identical per-source vectors, each conserving its own
+    unit mass despite a dangling sink in the graph."""
+    from giraph_spark.algos.pagerank import (
+        personalized_pagerank_batch,
+        random_walk_with_restart,
+    )
+    from giraph_spark.graph import Graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4)], "src long, dst long"
+    )  # 4 is dangling
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    g = Graph(v, e)
+
+    batch = {
+        (r["source"], r["id"]): round(r["rank"], 10)
+        for r in personalized_pagerank_batch(g, [1, 3], iterations=8).collect()
+    }
+    for s in (1, 3):
+        single = {
+            r["id"]: round(r["rank"], 10)
+            for r in random_walk_with_restart(g, [s], iterations=8).collect()
+        }
+        for vid, rank in single.items():
+            assert batch[(s, vid)] == rank, (s, vid)
+    # per-walk mass conservation
+    import math
+    for s in (1, 3):
+        assert math.isclose(
+            sum(r for (src, _), r in batch.items() if src == s), 1.0,
+            abs_tol=1e-9,
+        )
