@@ -223,6 +223,18 @@ def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(g, k=30).select(F.col("id").cast("long").alias("id"))
 
 
+def _q_s_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.5M-strength s-core of the undirected weighted trade graph
+    (Eidsaa & Almaas weighted peeling): vertices whose within-subgraph
+    trade volume stays >= 2.5M."""
+    from giraph_spark.algos.components import s_core
+
+    g = trade_graph(spark, sf_dir)  # undirected: both orientations, weighted
+    return s_core(g, s=2_500_000.0).select(
+        F.col("id").cast("long").alias("id")
+    )
+
+
 def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same component relation as ``wcc`` via alternating large-star/
     small-star edge rewriting (SoCC 2014) — the O(log n)-round strategy
@@ -1542,6 +1554,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_link_prediction": _q_jaccard_link_prediction,
         "betweenness_centrality": _q_betweenness,
         "k_core": _q_k_core,
+        "s_core": _q_s_core,
         "max_propagation": _q_max_prop,
         "min_propagation": _q_min_prop,
         "clean_symmetric": _q_clean_symmetric,
@@ -1754,6 +1767,28 @@ def oracle_sql() -> dict[str, str]:
         f"\nSELECT CAST(id AS BIGINT) AS id FROM kr{KCORE_ROUNDS}"
     )
     k_core_sql = "".join(kc_parts)
+    # weighted peel twin of k_core: strength = within-subgraph SUM(weight)
+    sc_parts = [
+        TRADE_GRAPH_SQL.strip(),
+        ", sr0 AS MATERIALIZED (SELECT id FROM vertices)",
+    ]
+    SCORE_S, SCORE_ROUNDS = 2_500_000.0, 8
+    for i in range(SCORE_ROUNDS):
+        sc_parts.append(
+            f""", sd{i} AS MATERIALIZED (
+    SELECT e.src AS id, SUM(e.weight) AS st
+    FROM edges e JOIN sr{i} a ON e.src = a.id JOIN sr{i} b ON e.dst = b.id
+    GROUP BY 1
+), sr{i + 1} AS MATERIALIZED (
+    SELECT r.id FROM sr{i} r JOIN sd{i} d ON r.id = d.id
+    WHERE d.st >= {SCORE_S}
+)"""
+        )
+    sc_parts.append(
+        f"\nSELECT CAST(id AS BIGINT) AS id FROM sr{SCORE_ROUNDS}"
+    )
+    s_core_sql = "".join(sc_parts)
+
     maxp_sql = _relax_oracle(
         UNROLL_K,
         "id",
@@ -3784,6 +3819,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "wcc": wcc_sql,
         "wcc_star": wcc_sql,
         "k_core": k_core_sql,
+        "s_core": s_core_sql,
         "max_propagation": maxp_sql,
         "min_propagation": minp_sql,
         "clean_symmetric": clean_sym_sql,

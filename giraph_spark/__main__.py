@@ -52,6 +52,7 @@ def _algorithms():
         alternating_star_components,
         core_numbers,
         k_core,
+        s_core,
         label_propagation_communities,
         max_propagation,
         min_propagation,
@@ -106,6 +107,7 @@ def _algorithms():
         "wcc": wcc,
         "wcc_star": alternating_star_components,
         "k_core": k_core,
+        "s_core": s_core,
         "k_truss": k_truss,
         "jaccard_link_prediction": jaccard_link_prediction,
         "core_numbers": core_numbers,

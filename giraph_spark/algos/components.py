@@ -371,6 +371,67 @@ def k_core(
     return remaining
 
 
+def s_core(
+    graph: Graph,
+    s: float,
+    weight_col: str = "weight",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The s-core — :func:`k_core`'s weighted generalization (Eidsaa &
+    Almaas, "s-core network decomposition", Phys. Rev. E 2013):
+    iteratively peel vertices whose within-subgraph STRENGTH (sum of
+    incident edge weights, edges AS GIVEN — symmetrize first for the
+    undirected notion, as with :func:`k_core`) is < ``s``, strengths
+    recomputed over the survivors each round, until stable. The
+    cohesion filter for weighted deployment graphs (trade volumes,
+    traffic, co-occurrence counts) where unweighted degree saturates.
+
+    Same driver-loop shape and scale notes as :func:`k_core`: one
+    partial-aggregated strength groupBy + two semi-joins per round,
+    survivor set localCheckpoint-truncated, loud failure on an
+    un-stabilized exit (a silent exit would return a SUPERSET of the
+    s-core). Returns the surviving ``(id,)`` rows."""
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    e0 = graph.edges.select(
+        F.col(src_col).cast("long").alias("s"),
+        F.col(dst_col).cast("long").alias("d"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).persist()
+    remaining = graph.vertices.select(
+        F.col(id_col).cast("long").alias("id")
+    ).localCheckpoint(eager=True)
+    n_prev = remaining.count()
+    stable = False
+    for _ in range(max_rounds):
+        e = e0.join(
+            remaining.select(F.col("id").alias("s")), "s", "left_semi"
+        ).join(remaining.select(F.col("id").alias("d")), "d", "left_semi")
+        strength = (
+            e.select(F.col("s").alias("id"), "w")
+            .groupBy("id")
+            .agg(F.sum("w").alias("_st"))
+        )
+        survivors = (
+            remaining.join(strength, "id", "left")
+            .where(F.coalesce(F.col("_st"), F.lit(0.0)) >= s)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        n = survivors.count()
+        remaining = survivors
+        if n == n_prev:
+            stable = True
+            break
+        n_prev = n
+    e0.unpersist()
+    if not stable:
+        raise RuntimeError(
+            f"s_core: peeling did not stabilize within max_rounds="
+            f"{max_rounds}; raise max_rounds (needed rounds = peeling depth)"
+        )
+    return remaining
+
+
 def core_numbers(
     graph: Graph,
     max_supersteps: int = 64,

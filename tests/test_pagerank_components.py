@@ -477,3 +477,24 @@ def test_ppr_batch_matches_single_runs(spark):
             sum(r for (src, _), r in batch.items() if src == s), 1.0,
             abs_tol=1e-9,
         )
+
+
+def test_s_core_weighted_peeling(spark):
+    """s-core on a toy weighted graph: the heavy triangle survives a
+    threshold that peels the light pendant, and the peel CASCADES (the
+    pendant's removal drops its anchor below s on the recompute)."""
+    from giraph_spark.algos.components import s_core
+    from giraph_spark.graph import Graph
+
+    # symmetric edges: triangle 1-2-3 with weight 5 each; pendant 4-1
+    # weight 4. Strengths: 1:14, 2:10, 3:10, 4:4. s=8: peel 4 -> vertex 1
+    # drops to 10, all >= 8 -> stable {1,2,3}.
+    und = [(1, 2, 5.0), (2, 3, 5.0), (1, 3, 5.0), (4, 1, 4.0)]
+    e = spark.createDataFrame(
+        und + [(b, a, w) for a, b, w in und], "src long, dst long, weight double"
+    )
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    got = {r["id"] for r in s_core(Graph(v, e), s=8.0).collect()}
+    assert got == {1, 2, 3}
+    # s just above the triangle strength empties the core via cascade
+    assert {r["id"] for r in s_core(Graph(v, e), s=11.0).collect()} == set()
