@@ -335,6 +335,47 @@ def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(trade_graph(spark, sf_dir))
 
 
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed nation graph (mutual trade
+    relationships; dense with cycles, so the ratio is non-trivial)."""
+    from giraph_spark.algos.stats import reciprocity
+
+    return reciprocity(nation_graph(spark, sf_dir))
+
+
+def _q_nation_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical (Newman 2003) assortativity of the trade graph by
+    NATION: do customers trade with suppliers of their own nation?"""
+    from giraph_spark.algos.stats import attribute_assortativity
+
+    g = trade_graph(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    attrs = customer.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    ).unionByName(
+        supplier.select(
+            (F.col("s_suppkey") + F.lit(1_000_000_000)).cast("long").alias("id"),
+            F.col("s_nationkey").cast("long").alias("nation"),
+        )
+    )
+    return attribute_assortativity(g, attrs, "nation")
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event log: users cohorted by
+    first-event week, distinct actives per week offset."""
+    from giraph_spark.functions.joins import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev).select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "period_offset",
+        "n_users",
+    )
+
+
 def _q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modularity of the LPA assignment — the engine scoring its own
     clustering (ann_recall's pattern for communities)."""
@@ -1547,6 +1588,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q_lpa_communities,
         "community_modularity": _q_community_modularity,
         "degree_assortativity": _q_degree_assortativity,
+        "reciprocity": _q_reciprocity,
+        "nation_assortativity": _q_nation_assortativity,
+        "retention_cohorts": _q_retention_cohorts,
         "neighbor_sample": _q_neighbor_sample,
         "k_truss": _q_k_truss,
         "random_walks": _q_random_walks,
@@ -3225,6 +3269,78 @@ SELECT ROUND((SELECT intra FROM tot) / (SELECT m2 FROM tot)
        CAST((SELECT m2 FROM tot) AS BIGINT) AS n_edges,
        CAST((SELECT dropped FROM tot) AS BIGINT) AS n_dropped_edges"""
     )
+    reciprocity_sql = (
+        NATION_GRAPH_SQL.strip()
+        + """,
+re AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+rm AS (SELECT COUNT(*) AS nm FROM re a
+       WHERE EXISTS (SELECT 1 FROM re b
+                     WHERE b.src = a.dst AND b.dst = a.src)),
+rt AS (SELECT COUNT(*) AS ne FROM re)
+SELECT ROUND(CAST(nm AS DOUBLE) / ne, 6) AS reciprocity,
+       CAST(ne AS BIGINT) AS n_edges,
+       CAST(nm AS BIGINT) AS n_mutual
+FROM rt, rm"""
+    )
+
+    # Newman 2003 categorical mixing over the symmetric trade graph,
+    # categories = nation keys on both endpoint types
+    nation_assort_sql = (
+        TRADE_GRAPH_SQL.strip()
+        + """,
+attrs AS (
+    SELECT CAST(c_custkey AS BIGINT) AS id,
+           CAST(c_nationkey AS BIGINT) AS nation FROM customer
+    UNION ALL
+    SELECT CAST(s_suppkey + 1000000000 AS BIGINT) AS id,
+           CAST(s_nationkey AS BIGINT) AS nation FROM supplier
+),
+tagged AS (
+    SELECT ai.nation AS ci, aj.nation AS cj
+    FROM edges e
+    LEFT JOIN attrs ai ON ai.id = e.src
+    LEFT JOIN attrs aj ON aj.id = e.dst
+),
+mix AS (
+    SELECT ci, cj, CAST(COUNT(*) AS DOUBLE) AS n FROM tagged
+    WHERE ci IS NOT NULL AND cj IS NOT NULL GROUP BY 1, 2
+),
+drp AS (SELECT CAST(SUM(CASE WHEN ci IS NULL OR cj IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS nd FROM tagged),
+tot AS (SELECT SUM(n) AS m FROM mix),
+ai AS (SELECT ci, SUM(n) AS a FROM mix GROUP BY 1),
+bj AS (SELECT cj, SUM(n) AS b FROM mix GROUP BY 1),
+ab AS (
+    SELECT SUM((ai.a / (SELECT m FROM tot)) * (bj.b / (SELECT m FROM tot)))
+             AS sab,
+           CAST(COUNT(*) AS BIGINT) AS nc
+    FROM ai JOIN bj ON bj.cj = ai.ci
+),
+eii AS (SELECT COALESCE(SUM(n / (SELECT m FROM tot)), 0) AS e FROM mix
+        WHERE ci = cj)
+SELECT ROUND(((SELECT e FROM eii) - (SELECT sab FROM ab))
+             / (1.0 - (SELECT sab FROM ab)), 6) AS assortativity,
+       (SELECT nc FROM ab) AS n_categories,
+       CAST((SELECT m FROM tot) AS BIGINT) AS n_edges,
+       (SELECT nd FROM drp) AS n_dropped_edges"""
+    )
+
+    retention_sql = """
+WITH fu AS (
+  SELECT user_id AS u, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT e.user_id AS u, fu.cohort,
+         CAST(date_diff('day', CAST(fu.cohort AS DATE),
+                        CAST(date_trunc('week', e.ts) AS DATE)) // 7
+              AS BIGINT) AS period_offset
+  FROM events e JOIN fu ON fu.u = e.user_id
+)
+SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort, period_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act GROUP BY 1, 2"""
+
     # out-degree of src vs in-degree of dst (the out–in directed variant;
     # identical on the symmetric trade graph where out = in)
     assortativity_sql = (
@@ -3699,6 +3815,9 @@ FROM sp{UNROLL_K} WHERE val < 'infinity'::DOUBLE"""
         "neighbor_sample": neighbor_sample_sql,
         "community_modularity": modularity_sql,
         "degree_assortativity": assortativity_sql,
+        "reciprocity": reciprocity_sql,
+        "nation_assortativity": nation_assort_sql,
+        "retention_cohorts": retention_sql,
         "betweenness_centrality": betweenness_sql,
         "eigenvector_centrality": eigenvector_sql,
         "tfidf_top_terms": tfidf_sql,

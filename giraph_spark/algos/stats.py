@@ -296,3 +296,104 @@ def diameter_estimate(graph: Graph, pivots: list, **kw) -> DataFrame:
         F.max(finite_max).cast("long").alias("diameter_lb"),
         F.lit(len(pivots)).cast("long").alias("n_pivots"),
     )
+
+
+def reciprocity(graph: Graph) -> DataFrame:
+    """Edge reciprocity of a directed graph: the fraction of edge rows
+    whose reverse edge also exists (self-loops excluded from both
+    numerator and denominator) — the standard directed-network mutuality
+    statistic. Returns one row ``(reciprocity, n_edges, n_mutual)``;
+    NULL ratio on an edgeless graph.
+
+    Shape: one dedup + one self-semi-join on the reversed key — both
+    co-partitioned on the edge key, no aggregation wider than a count."""
+    src, dst = graph.src_col, graph.dst_col
+    e = (
+        graph.edges.select(src, dst)
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    rev = e.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    mutual = e.join(rev, [src, dst], "left_semi")
+    return e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        F.broadcast(
+            mutual.agg(F.count(F.lit(1)).cast("long").alias("n_mutual"))
+        )
+    ).select(
+        F.round(F.try_divide("n_mutual", "n_edges"), 6).alias("reciprocity"),
+        "n_edges",
+        "n_mutual",
+    )
+
+
+def attribute_assortativity(
+    graph: Graph, attributes: DataFrame, attr_col: str
+) -> DataFrame:
+    """Newman's CATEGORICAL assortativity coefficient (Newman, "Mixing
+    patterns in networks", Phys. Rev. E 2003, eq. 2): with ``e_ij`` the
+    fraction of edges joining category i (source side) to j (target
+    side), ``r = (Σᵢ e_ii − Σᵢ aᵢ bᵢ) / (1 − Σᵢ aᵢ bᵢ)`` where
+    ``aᵢ/bᵢ`` are the marginal row/column sums — 1 for perfect mixing
+    within categories, 0 for random, negative for disassortative.
+    ``attributes`` is an ``(id, attr)`` relation (e.g. nation keys);
+    edges with an unlabeled endpoint are excluded and counted in
+    ``n_dropped_edges`` (the :func:`modularity` coverage contract).
+    Returns one row ``(assortativity, n_categories, n_edges,
+    n_dropped_edges)``.
+
+    Shape: two co-keyed joins tag the endpoints, then the mixing matrix
+    is ONE partial-aggregated groupBy over (cat_i, cat_j) — |categories|²
+    rows max, never edge-shaped downstream."""
+    id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
+    a = attributes.select(F.col(id_col).alias("_v"), F.col(attr_col).alias("_c"))
+    tagged = (
+        graph.edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
+        .join(a.select(F.col("_v").alias("_s"), F.col("_c").alias("_ci")), "_s", "left")
+        .join(a.select(F.col("_v").alias("_t"), F.col("_c").alias("_cj")), "_t", "left")
+    )
+    covered = F.col("_ci").isNotNull() & F.col("_cj").isNotNull()
+    mix = (
+        tagged.where(covered)
+        .groupBy("_ci", "_cj")
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    )
+    dropped = tagged.agg(
+        F.coalesce(F.sum((~covered).cast("long")), F.lit(0)).alias("_dropped")
+    )
+    tot = mix.agg(
+        F.sum("_n").alias("_m"),
+        F.count(F.lit(1)).cast("long").alias("_cells"),
+    )
+    ai = mix.groupBy("_ci").agg(F.sum("_n").alias("_ai"))
+    bj = mix.groupBy("_cj").agg(F.sum("_n").alias("_bj"))
+    ab = (
+        ai.join(bj, ai["_ci"] == bj["_cj"])
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("_ai") / F.col("_m")) * (F.col("_bj") / F.col("_m"))
+            ).alias("_sab"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+        )
+    )
+    eii = (
+        mix.where(F.col("_ci") == F.col("_cj"))
+        .crossJoin(F.broadcast(tot))
+        .agg(F.coalesce(F.sum(F.col("_n") / F.col("_m")), F.lit(0.0)).alias("_eii"))
+    )
+    return (
+        ab.crossJoin(F.broadcast(eii))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            F.round(
+                F.try_divide(
+                    F.col("_eii") - F.col("_sab"), F.lit(1.0) - F.col("_sab")
+                ),
+                6,
+            ).alias("assortativity"),
+            F.col("n_categories"),
+            F.col("_m").cast("long").alias("n_edges"),
+            F.col("_dropped").cast("long").alias("n_dropped_edges"),
+        )
+    )

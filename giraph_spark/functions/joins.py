@@ -213,3 +213,51 @@ def funnel_counts(
         agg.select(F.explode(pairs).alias("r"))
         .select("r.step", "r.step_index", "r.users")
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention table — the standard product-analytics rollup:
+    users are cohorted by the period of their FIRST event, and each
+    cohort's later activity is counted at period offsets. Returns
+    ``(cohort, period_offset, n_users)`` where ``n_users`` = distinct
+    cohort members active ``period_offset`` periods after their cohort
+    period (offset 0 = the cohort size itself).
+
+    Scale shape: one user-keyed min-aggregation for the cohort
+    assignment (partial-aggregated), a co-keyed join back onto events,
+    a (user, cohort, offset) dedup, and a counting groupBy — all hash
+    aggregations, no windows, no self-joins over the event log. The
+    offset arithmetic is integer day-diff / period-length
+    (``date_trunc`` on both sides), so it replays identically in any
+    ANSI engine."""
+    days = {"week": 7, "day": 1}[period]
+    per = lambda c: F.date_trunc(period, c)  # noqa: E731
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(
+        per(F.min(ts_col)).alias("_cohort")
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("_u"), per(F.col(ts_col)).alias("_w")
+        )
+        .join(first, "_u")
+        .select(
+            "_u",
+            "_cohort",
+            (
+                F.datediff(F.col("_w").cast("date"), F.col("_cohort").cast("date"))
+                / days
+            )
+            .cast("long")
+            .alias("period_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy(F.col("_cohort").cast("date").alias("cohort"), "period_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -498,3 +498,62 @@ def test_s_core_weighted_peeling(spark):
     assert got == {1, 2, 3}
     # s just above the triangle strength empties the core via cascade
     assert {r["id"] for r in s_core(Graph(v, e), s=11.0).collect()} == set()
+
+
+def test_reciprocity_and_attribute_assortativity(spark):
+    from giraph_spark.algos.stats import attribute_assortativity, reciprocity
+    from giraph_spark.graph import Graph
+
+    # 1<->2 mutual; 1->3 one-way; self-loop 3->3 excluded entirely
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 3)], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3)], "id long")
+    r = reciprocity(Graph(v, e)).first()
+    assert (r["n_edges"], r["n_mutual"]) == (3, 2)
+    assert r["reciprocity"] == round(2 / 3, 6)
+
+    # perfectly assortative: two same-category mutual pairs -> r = 1
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], "src long, dst long"
+    )
+    v2 = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    attrs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id long, cat string"
+    )
+    r2 = attribute_assortativity(Graph(v2, e2), attrs, "cat").first()
+    assert r2["assortativity"] == 1.0 and r2["n_dropped_edges"] == 0
+
+    # perfectly DISassortative 2-category mixing -> r = -1; an unlabeled
+    # endpoint's edges are dropped and counted
+    e3 = spark.createDataFrame(
+        [(1, 3), (3, 1), (2, 4), (4, 2), (1, 9)], "src long, dst long"
+    )
+    v3 = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "id long")
+    r3 = attribute_assortativity(Graph(v3, e3), attrs, "cat").first()
+    assert r3["assortativity"] == -1.0
+    assert r3["n_dropped_edges"] == 1 and r3["n_edges"] == 4
+
+
+def test_retention_cohorts_toy(spark):
+    from giraph_spark.functions.joins import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Mon wk0 cohort 2024-01-01
+        (1, "2024-01-10 10:00:00"),  # wk1
+        (2, "2024-01-03 10:00:00"),  # wk0 cohort
+        (2, "2024-01-04 10:00:00"),  # same week, dedups
+        (3, "2024-01-09 10:00:00"),  # cohort 2024-01-08
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (str(r["cohort"]), r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
