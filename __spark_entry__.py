@@ -335,6 +335,22 @@ def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(trade_graph(spark, sf_dir))
 
 
+def _q_lpa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted synchronous LPA over the trade graph — each neighbor
+    votes with its trade volume; vote sums rounded to 4 decimals so the
+    argmax is summation-order-stable across engines."""
+    from giraph_spark.algos.components import label_propagation_communities
+
+    g = trade_graph(spark, sf_dir)
+    out = label_propagation_communities(
+        g, rounds=LPA_ROUNDS, weight_col="weight"
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
 def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge reciprocity of the directed nation graph (mutual trade
     relationships; dense with cycles, so the ratio is non-trivial)."""
@@ -1586,6 +1602,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "wcc_star": _q_wcc_star,
         "lpa_communities": _q_lpa_communities,
+        "lpa_weighted": _q_lpa_weighted,
         "community_modularity": _q_community_modularity,
         "degree_assortativity": _q_degree_assortativity,
         "reciprocity": _q_reciprocity,
@@ -3230,6 +3247,31 @@ SELECT 'e' AS kind, CAST(src AS BIGINT) AS a, CAST(dst AS BIGINT) AS b FROM fina
 )"""
         )
     lpa_chain = "\n".join(lpa_parts)
+
+    # weighted twin: votes are ROUND(SUM(weight), 4) — the rounding makes
+    # the argmax stable under summation order on both engines
+    lpaw_parts = [
+        TRADE_GRAPH_SQL.strip(),
+        ", w0 AS MATERIALIZED (SELECT id, id AS val FROM vertices)",
+    ]
+    for t in range(LPA_ROUNDS):
+        lpaw_parts.append(
+            f""", w{t + 1} AS MATERIALIZED (
+    SELECT v.id, COALESCE(m.lbl, v.val) AS val
+    FROM w{t} v LEFT JOIN (
+        SELECT dst AS id, lbl FROM (
+            SELECT e.dst, s.val AS lbl, ROUND(SUM(e.weight), 4) AS c
+            FROM edges e JOIN w{t} s ON s.id = e.src
+            GROUP BY 1, 2
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, lbl ASC) = 1
+    ) m ON m.id = v.id
+)"""
+        )
+    lpaw_parts.append(
+        f"\nSELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS community"
+        f" FROM w{LPA_ROUNDS}"
+    )
+    lpa_weighted_sql = "\n".join(lpaw_parts)
     lpa_sql = (
         lpa_chain
         + f"\nSELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS community"
@@ -3805,6 +3847,7 @@ FROM sp{UNROLL_K} WHERE val < 'infinity'::DOUBLE"""
 
     return {
         "lpa_communities": lpa_sql,
+        "lpa_weighted": lpa_weighted_sql,
         "sssp_paths": sssp_paths_sql,
         "jaccard_link_prediction": jaccard_lp_sql,
         "ego_subgraph": ego_subgraph_sql,

@@ -578,6 +578,7 @@ def label_propagation_communities(
     rounds: int = 4,
     metrics: PregelMetrics | None = None,
     community_col: str = "community",
+    weight_col: str | None = None,
     **pregel_kwargs,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (LPA,
@@ -612,6 +613,13 @@ def label_propagation_communities(
     windows, no sorts, no per-vertex iterables — so the per-round cost
     at 100 TB is two combiner-style shuffles of at most |E| and
     |active dsts| rows.
+
+    ``weight_col``: weighted LPA (Barber & Clark's natural extension —
+    each neighbor votes with its edge weight instead of 1). The vote
+    sums are rounded to 4 decimals before the argmax so the winner is
+    stable under summation order — without it, two labels whose weight
+    totals differ only in the last ulp would make the tie-break
+    engine-dependent; same shapes and determinism otherwise.
     """
     id_col, src_col, dst_col = graph.id_col, graph.src_col, graph.dst_col
 
@@ -622,11 +630,15 @@ def label_propagation_communities(
             F.col(id_col).alias("_vid"), F.col(community_col).alias("_lbl")
         )
         votes = lbl.join(edges, lbl["_vid"] == edges[src_col]).select(
-            F.col(dst_col).alias("_dst"), F.col("_lbl")
+            F.col(dst_col).alias("_dst"),
+            F.col("_lbl"),
+            *([F.col(weight_col).alias("_w")] if weight_col else []),
         )
-        counts = votes.groupBy("_dst", "_lbl").agg(
-            F.count(F.lit(1)).cast("long").alias("_c")
+        vote = (
+            F.round(F.sum("_w"), 4) if weight_col else
+            F.count(F.lit(1)).cast("long")
         )
+        counts = votes.groupBy("_dst", "_lbl").agg(vote.alias("_c"))
         # message = (count, -label); kernel combine=max then picks the
         # (max count, min label) winner lexicographically
         return counts.select(
@@ -637,7 +649,8 @@ def label_propagation_communities(
     # a messages_fn receives the raw relation, so persist the projected
     # edges here or every round re-executes their full upstream lineage
     # (e.g. trade_graph's lineitem⋈orders join, rounds+1 times)
-    cached_edges = graph.edges.select(src_col, dst_col).persist()
+    edge_cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    cached_edges = graph.edges.select(*edge_cols).persist()
     g = Graph(graph.vertices, cached_edges, id_col, src_col, dst_col)
     try:
         out = pregel(
@@ -648,7 +661,11 @@ def label_propagation_communities(
             },
             messages_fn=majority_messages,
             combine=F.max,
-            msg_type="struct<c:bigint,neg:bigint>",
+            msg_type=(
+                "struct<c:double,neg:bigint>"
+                if weight_col
+                else "struct<c:bigint,neg:bigint>"
+            ),
             vote_to_halt=F.lit(False),
             max_supersteps=rounds + 1,
             metrics=metrics,
