@@ -335,6 +335,21 @@ def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(trade_graph(spark, sf_dir))
 
 
+def _q_sparsify_top_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN-style sparsification of the trade graph: each vertex keeps
+    its 3 heaviest edges (sharded two-phase exact top-k, n_shards=4 —
+    equality with the unsharded oracle rank proves the pigeonhole
+    pre-filter exact, the cap_per_domain pattern on edges)."""
+    from giraph_spark.algos.prepare import sparsify_top_edges
+
+    g = trade_graph(spark, sf_dir)
+    return sparsify_top_edges(g, k=3, n_shards=4).edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "weight",
+    )
+
+
 def _q_lpa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted synchronous LPA over the trade graph — each neighbor
     votes with its trade volume; vote sums rounded to 4 decimals so the
@@ -1603,6 +1618,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_star": _q_wcc_star,
         "lpa_communities": _q_lpa_communities,
         "lpa_weighted": _q_lpa_weighted,
+        "sparsify_top_edges": _q_sparsify_top_edges,
         "community_modularity": _q_community_modularity,
         "degree_assortativity": _q_degree_assortativity,
         "reciprocity": _q_reciprocity,
@@ -3311,6 +3327,18 @@ SELECT ROUND((SELECT intra FROM tot) / (SELECT m2 FROM tot)
        CAST((SELECT m2 FROM tot) AS BIGINT) AS n_edges,
        CAST((SELECT dropped FROM tot) AS BIGINT) AS n_dropped_edges"""
     )
+    sparsify_sql = (
+        TRADE_GRAPH_SQL.strip()
+        + """
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, weight
+FROM (
+    SELECT src, dst, weight,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY weight DESC, dst ASC) AS rn
+    FROM edges
+) WHERE rn <= 3"""
+    )
+
     reciprocity_sql = (
         NATION_GRAPH_SQL.strip()
         + """,
@@ -3848,6 +3876,7 @@ FROM sp{UNROLL_K} WHERE val < 'infinity'::DOUBLE"""
     return {
         "lpa_communities": lpa_sql,
         "lpa_weighted": lpa_weighted_sql,
+        "sparsify_top_edges": sparsify_sql,
         "sssp_paths": sssp_paths_sql,
         "jaccard_link_prediction": jaccard_lp_sql,
         "ego_subgraph": ego_subgraph_sql,

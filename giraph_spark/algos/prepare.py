@@ -157,3 +157,45 @@ def create_missing_vertices(graph: Graph, defaults: dict | None = None) -> Graph
     v = graph.vertices.unionByName(missing.select(graph.vertices.columns))
     return Graph(v, graph.edges, id_col, graph.src_col, graph.dst_col,
                  strict=graph.strict, edges_layout=graph.edges_layout)
+
+
+def sparsify_top_edges(
+    graph: Graph,
+    k: int,
+    weight_col: str = "weight",
+    n_shards: int = 1,
+) -> Graph:
+    """Per-vertex edge sparsification: keep each vertex's ``k``
+    heaviest out-edges (ties → smaller dst id, so the kept set is
+    deterministic) — the standard preprocessing that turns a dense
+    similarity/co-occurrence graph into a bounded-degree k-NN graph
+    before an expensive algorithm runs. Vertex set unchanged.
+
+    Scale shape — exact per-vertex top-k without serializing a hub:
+    ``n_shards > 1`` pre-ranks over ``(src, xxhash64(dst) % n_shards)``
+    and discards shard-rank > k first (pigeonhole: every true top-k
+    edge has shard-rank ≤ k), so the final per-src window ranks
+    ≤ ``k · n_shards`` survivors instead of the hub's full edge list —
+    the :func:`giraph_spark.functions.sampling.cap_per_group` pattern
+    on the edge relation. Result identical for every ``n_shards``."""
+    src, dst = graph.src_col, graph.dst_col
+    order = [F.col(weight_col).desc(), F.col(dst).asc()]
+    e = graph.edges
+    if int(n_shards) > 1:
+        pre = Window.partitionBy(
+            src, F.pmod(F.xxhash64(F.col(dst)), F.lit(int(n_shards)))
+        ).orderBy(*order)
+        e = (
+            e.withColumn("_prn", F.row_number().over(pre))
+            .where(F.col("_prn") <= k)
+            .drop("_prn")
+        )
+    w = Window.partitionBy(src).orderBy(*order)
+    kept = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return Graph(
+        graph.vertices, kept, graph.id_col, src, dst, strict=graph.strict
+    )

@@ -610,3 +610,23 @@ def test_weighted_lpa_weight_flips_majority(spark):
         ).collect()
     }
     assert w3[10] == 5  # equal weighted votes -> smaller label
+
+
+def test_sparsify_top_edges(spark):
+    """Exact per-vertex top-k by weight, ties to smaller dst; the
+    sharded pre-filter is a pure physical knob (identical output)."""
+    from giraph_spark.algos.prepare import sparsify_top_edges
+    from giraph_spark.graph import Graph
+
+    rows = [(1, d, float(w)) for d, w in
+            [(10, 5), (11, 9), (12, 9), (13, 1), (14, 7)]] + \
+           [(2, 20, 3.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    v = spark.createDataFrame([(i,) for i in (1, 2)], "id long")
+    g = Graph(v, e)
+    base = {(r["src"], r["dst"]) for r in
+            sparsify_top_edges(g, k=3).edges.collect()}
+    assert base == {(1, 11), (1, 12), (1, 14), (2, 20)}
+    sharded = {(r["src"], r["dst"]) for r in
+               sparsify_top_edges(g, k=3, n_shards=4).edges.collect()}
+    assert sharded == base
