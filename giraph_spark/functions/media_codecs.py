@@ -144,6 +144,116 @@ def parse_bmp_pixels(payload: bytes):
     return h, width, px[:, :, :3]
 
 
+def parse_png_pixels(payload: bytes):
+    """Full CONTENT decode of an 8-bit-depth PNG with zero codec deps
+    (stdlib zlib + struct + numpy): returns ``(height, width, pixels)``
+    with ``pixels`` uint8 of shape (height, width, channels) — all five
+    scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) undone.
+    Supports the 8-bit color types: grayscale (0), RGB (2), gray+alpha
+    (4), RGBA (6); palette (3) and 16-bit depths raise ``ValueError``
+    (register a library decoder for those)."""
+    import numpy as np
+
+    if not payload.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG")
+    width = height = None
+    bit_depth = color_type = None
+    idat = []
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", body[:10]
+            )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # length + tag + body + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        cur = line.astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-recon
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0  # left
+                b = prev[x]                                    # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return height, width, out.reshape(height, width, channels)
+
+
+def png_pixel_stats(payload: bytes) -> dict[str, Any]:
+    """Content-derived metadata for a PNG (the :func:`bmp_pixel_stats`
+    twin over :func:`parse_png_pixels`): per-channel means in RGB order
+    (grayscale replicates; alpha excluded from the color means) and
+    global pixel extrema over the color channels."""
+    import numpy as np
+
+    h, w, px = parse_png_pixels(payload)
+    nch = px.shape[2]
+    color = px[:, :, :1] if nch in (1, 2) else px[:, :, :3]
+    if color.shape[2] == 1:
+        color = np.repeat(color, 3, axis=2)
+    means = color.reshape(-1, 3).mean(axis=0)
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+        "min_px": int(color.min()),
+        "max_px": int(color.max()),
+    }
+
+
+def image_pixel_stats(payload: bytes) -> dict[str, Any]:
+    """Sniffing content decoder for the image modality: BMP or PNG by
+    magic bytes (both real zero-dep pixel decodes); anything else
+    raises, which :func:`giraph_spark.functions.multimodal.pixel_stats`
+    renders as a null-stats row."""
+    if payload[:8] == PNG_SIGNATURE:
+        return png_pixel_stats(payload)
+    return bmp_pixel_stats(payload)
+
+
 def bmp_pixel_stats(payload: bytes) -> dict[str, Any]:
     """Content-derived (not header-only, not fake) metadata for a BMP:
     per-channel means and global pixel extrema computed over the REAL
@@ -291,8 +401,28 @@ def register_header_decoders() -> None:
 # payload builders: real minimal files, deterministic byte-for-byte
 
 
-def make_png(width: int, height: int) -> bytes:
-    """A valid minimal PNG (8-bit grayscale, zlib-deflated zero scanlines)."""
+def make_png(
+    width: int,
+    height: int,
+    rows: list[bytes] | None = None,
+    channels: int = 1,
+    filters: list[int] | None = None,
+) -> bytes:
+    """A valid minimal 8-bit PNG. ``rows`` optionally supplies the RAW
+    (unfiltered) pixel bytes — ``height`` strings of ``width·channels``
+    bytes, top row first; ``channels`` picks the color type (1=gray,
+    2=gray+alpha, 3=RGB, 4=RGBA); ``filters`` selects the per-row
+    scanline filter (0–4, default all 0) and the encoder applies the
+    spec's difference so a conforming decoder reconstructs ``rows``
+    exactly — the test harness for :func:`parse_png_pixels`' filter
+    reconstruction. Default remains the 8-bit grayscale zero image."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if rows is None:
+        rows = [b"\x00" * stride] * height
+    filters = filters if filters is not None else [0] * height
+    if len(rows) != height or any(len(r) != stride for r in rows):
+        raise ValueError("rows must be height strings of width*channels bytes")
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -302,12 +432,33 @@ def make_png(width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, (cur, f) in enumerate(zip(rows, filters)):
+        raw.append(f)
+        for x in range(stride):
+            a = cur[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((cur[x] - pred) % 256)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
 

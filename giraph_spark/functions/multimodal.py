@@ -8,10 +8,11 @@ real and tested. Decoding has two tiers:
   GIF / BMP dimensions and WAV duration
   (:mod:`giraph_spark.functions.media_codecs`); enable with
   ``register_header_decoders()``. No external codec library involved.
-- **Pixel/sample decode** — REAL for uncompressed BMP
-  (:func:`pixel_stats` over
-  :func:`giraph_spark.functions.media_codecs.bmp_pixel_stats`,
-  struct + numpy, zero codec deps). Other containers require
+- **Pixel/sample decode** — REAL for uncompressed BMP and 8-bit PNG
+  (all five scanline filters) via :func:`pixel_stats`
+  (:func:`giraph_spark.functions.media_codecs.image_pixel_stats`,
+  stdlib zlib + struct + numpy, zero codec deps), and for PCM WAV via
+  :func:`audio_stats`. Other containers require
   PIL/ffmpeg-class libraries not available in this environment; plug
   one in via ``set_content_decoder`` (stats surface) or
   ``set_decoder`` (metadata surface). On the metadata surface, without
@@ -69,9 +70,9 @@ def _default_content_decoder(modality: str):
     if modality in _CONTENT_DECODERS:
         return _CONTENT_DECODERS[modality]
     if modality == "image":
-        from .media_codecs import bmp_pixel_stats
+        from .media_codecs import image_pixel_stats
 
-        return bmp_pixel_stats
+        return image_pixel_stats
     if modality == "audio":
         from .media_codecs import wav_sample_stats
 
@@ -169,9 +170,10 @@ def decode_metadata(
 def pixel_stats(df: DataFrame) -> DataFrame:
     """Content-derived per-channel statistics over the decoded pixel
     array: ``(media_id, modality, width, height, mean_r, mean_g, mean_b,
-    min_px, max_px, n_bytes)``. REAL for uncompressed BMP out of the box
-    (zero-dependency struct+numpy decode,
-    :func:`giraph_spark.functions.media_codecs.bmp_pixel_stats`); other
+    min_px, max_px, n_bytes)``. REAL for uncompressed BMP and 8-bit
+    PNG out of the box (zero-dependency zlib+struct+numpy decode,
+    :func:`giraph_spark.functions.media_codecs.image_pixel_stats`,
+    sniffed by magic bytes); other
     containers decode only if a library-backed content decoder is
     registered via :func:`set_content_decoder`, and yield null stats
     otherwise (``n_bytes`` still recorded) — there is deliberately NO

@@ -585,18 +585,24 @@ def test_bmp_pixel_decode_unit():
 
 
 def test_pixel_stats_spark(spark):
-    """pixel_stats decodes real BMP content through mapInPandas; a
-    non-BMP image payload yields NULL stats (no fake fallback), with
-    n_bytes still recorded."""
-    from giraph_spark.functions.media_codecs import make_bmp, make_png
+    """pixel_stats decodes real BMP and PNG content through mapInPandas;
+    an image payload with no zero-dep decoder (JPEG entropy data) yields
+    NULL stats (no fake fallback), with n_bytes still recorded."""
+    from giraph_spark.functions.media_codecs import (
+        make_bmp,
+        make_jpeg,
+        make_png,
+    )
     from giraph_spark.functions.multimodal import pixel_stats
 
     red_rows = [bytes([0, 0, 200] * 4)] * 3  # 4x3 solid red (BGR)
     bmp = make_bmp(4, 3, rows=red_rows)
-    png = make_png(5, 5)
+    png = make_png(5, 5)  # grayscale zeros -> decodes for real now
+    jpg = make_jpeg(7, 7)  # no zero-dep entropy decoder -> null stats
     df = spark.createDataFrame(
         [(1, "image", bytearray(bmp), "image/bmp", "t"),
-         (2, "image", bytearray(png), "image/png", "t")],
+         (2, "image", bytearray(png), "image/png", "t"),
+         (3, "image", bytearray(jpg), "image/jpeg", "t")],
         "media_id long, modality string, payload binary, mime string, source string",
     )
     got = {r["media_id"]: r for r in pixel_stats(df).collect()}
@@ -606,8 +612,10 @@ def test_pixel_stats_spark(spark):
     assert (r1["min_px"], r1["max_px"]) == (0, 200)
     assert r1["n_bytes"] == len(bmp)
     r2 = got[2]
-    assert r2["width"] is None and r2["mean_r"] is None
-    assert r2["n_bytes"] == len(png)
+    assert (r2["width"], r2["mean_r"], r2["max_px"]) == (5, 0.0, 0)
+    r3 = got[3]
+    assert r3["width"] is None and r3["mean_r"] is None
+    assert r3["n_bytes"] == len(jpg)
 
 
 def test_wav_sample_decode_unit():
@@ -783,3 +791,64 @@ def test_top_n_reducer(spark):
     assert got == [9.0, 9.0, 7.0]
     op = [r["v"] for r in df.orderBy(F.col("v").desc()).limit(3).collect()]
     assert got == op
+
+
+def test_png_pixel_decode_all_filters():
+    """PNG content decode reconstructs every scanline filter (None, Sub,
+    Up, Average, Paeth) exactly: round-trip random pixel content through
+    the encoder with a different filter per row, for gray, RGB, and
+    RGBA."""
+    import random
+
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import (
+        make_png,
+        parse_png_pixels,
+        png_pixel_stats,
+    )
+
+    rng = random.Random(11)
+    for channels in (1, 3, 4):
+        w, h = 6, 5
+        rows = [
+            bytes(rng.randrange(256) for _ in range(w * channels))
+            for _ in range(h)
+        ]
+        payload = make_png(w, h, rows=rows, channels=channels,
+                           filters=[0, 1, 2, 3, 4])
+        hh, ww, px = parse_png_pixels(payload)
+        assert (hh, ww, px.shape[2]) == (h, w, channels)
+        want = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+            h, w, channels
+        )
+        assert np.array_equal(px, want), f"channels={channels}"
+
+    # stats: solid-color RGB, means exact; alpha excluded from RGBA means
+    solid = [bytes([10, 200, 30] * 4)] * 3
+    s = png_pixel_stats(make_png(4, 3, rows=solid, channels=3))
+    assert (s["mean_r"], s["mean_g"], s["mean_b"]) == (10.0, 200.0, 30.0)
+    assert (s["min_px"], s["max_px"]) == (10, 200)
+    rgba = [bytes([10, 200, 30, 255] * 4)] * 3
+    s2 = png_pixel_stats(make_png(4, 3, rows=rgba, channels=4))
+    assert (s2["mean_r"], s2["max_px"]) == (10.0, 200)
+
+
+def test_pixel_stats_decodes_png_and_bmp(spark):
+    """The image content decoder sniffs the container: PNG and BMP both
+    decode for real through one pixel_stats pass."""
+    from giraph_spark.functions.media_codecs import make_bmp, make_png
+    from giraph_spark.functions.multimodal import pixel_stats
+
+    png = make_png(2, 2, rows=[bytes([100, 100, 100, 100])] * 1 * 2,
+                   channels=1) if False else make_png(
+        2, 2, rows=[bytes([100, 100]), bytes([100, 100])], channels=1)
+    bmp = make_bmp(2, 1, rows=[bytes([0, 0, 50] * 2)])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png", "t"),
+         (2, "image", bytearray(bmp), "image/bmp", "t")],
+        "media_id long, modality string, payload binary, mime string, source string",
+    )
+    got = {r["media_id"]: r for r in pixel_stats(df).collect()}
+    assert got[1]["mean_r"] == 100.0 and got[1]["width"] == 2
+    assert got[2]["mean_r"] == 50.0 and got[2]["mean_b"] == 0.0
