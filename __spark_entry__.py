@@ -1290,6 +1290,22 @@ def _q_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(bmp_media_from_docs(_docs(spark, sf_dir)))
 
 
+def _q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: zlib-deflated solid-color PNGs with
+    the scanline filter cycling per row, reconstructed by the zero-dep
+    decoder; stats checked against the closed-form oracle (n_bytes
+    excluded — compressed size is not closed-form)."""
+    from giraph_spark.functions.multimodal import (
+        pixel_stats,
+        png_media_from_docs,
+    )
+
+    return pixel_stats(png_media_from_docs(_docs(spark, sf_dir))).select(
+        "media_id", "modality", "width", "height",
+        "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+    )
+
+
 def _q_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM decode end-to-end: constant-amplitude WAVs generated
     from doc ids, sample arrays decoded with the struct+numpy parser;
@@ -1700,6 +1716,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": _q_multimodal_metadata,
         "strip_boilerplate": _q_strip_boilerplate,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
+        "png_pixel_stats": _q_png_pixel_stats,
         "wav_audio_stats": _q_wav_audio_stats,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "embedding_covariance": _q_embedding_covariance,
@@ -3148,6 +3165,27 @@ SELECT media_id, 'image' AS modality,
        CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes
 FROM g"""
 
+    # PNG twin: solid color -> stats are pure id functions; the cycling
+    # scanline filters only exercise the decoder, never the values
+    png_pixel_stats_sql = """
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(1 + CAST(doc_id AS BIGINT) % 7 AS BIGINT) AS w,
+         CAST(1 + CAST(doc_id AS BIGINT) % 4 AS BIGINT) AS h,
+         CAST(CAST(doc_id AS BIGINT) * 13 % 256 AS BIGINT) AS r,
+         CAST(CAST(doc_id AS BIGINT) * 7 % 256 AS BIGINT) AS gg,
+         CAST(CAST(doc_id AS BIGINT) % 256 AS BIGINT) AS b
+  FROM documents
+)
+SELECT media_id, 'image' AS modality,
+       w AS width, h AS height,
+       CAST(r AS DOUBLE) AS mean_r,
+       CAST(gg AS DOUBLE) AS mean_g,
+       CAST(b AS DOUBLE) AS mean_b,
+       LEAST(r, gg, b) AS min_px,
+       GREATEST(r, gg, b) AS max_px
+FROM g"""
+
     # audio twin: constant-amplitude PCM means rms == peak ==
     # |byte-128|/128, an exact power-of-two-denominator double on both
     # engines; n_bytes = 44-byte RIFF/fmt/data framing + n samples
@@ -3955,6 +3993,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "multimodal_metadata": multimodal_sql,
         "strip_boilerplate": strip_boilerplate_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
+        "png_pixel_stats": png_pixel_stats_sql,
         "wav_audio_stats": wav_audio_stats_sql,
         "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,

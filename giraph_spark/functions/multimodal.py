@@ -369,6 +369,44 @@ def bmp_media_from_docs(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def png_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG media table derived from ``documents``:
+    per doc a solid-color 8-bit RGB PNG with ``width = 1 + id % 7``,
+    ``height = 1 + id % 4``, RGB ``(id·13 % 256, id·7 % 256,
+    id % 256)`` and the scanline FILTER cycling ``y % 5`` over the
+    rows — solid content keeps every statistic a closed-form function
+    of the id while still forcing the decoder through all five filter
+    reconstructions. The PNG twin of :func:`bmp_media_from_docs`."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_png
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].to_numpy():
+                mid = int(mid)
+                w, h = 1 + mid % 7, 1 + mid % 4
+                row = bytes([mid * 13 % 256, mid * 7 % 256, mid % 256]) * w
+                payloads.append(
+                    make_png(
+                        w, h, rows=[row] * h, channels=3,
+                        filters=[y % 5 for y in range(h)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def wav_media_from_docs(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-WAV media table derived from ``documents``:
     per doc a constant-amplitude 8-bit mono PCM WAV at 1 kHz with
