@@ -822,6 +822,30 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-tier) benchmark decontamination: every 41st doc is
+    the benchmark; perturbed re-renders of the benchmark are planted in
+    the corpus (whitespace + punctuation noise, exact_duplicates'
+    augmentation) so the cross-relation LSH must recover exactly them —
+    plus any organic near-benchmark docs."""
+    from giraph_spark.functions.dedup import fuzzy_decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    perturbed = bench.select(
+        (F.col("bench_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" !! ")).alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    return fuzzy_decontaminate(corpus, bench, portable=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bench_id").cast("long").alias("bench_id"),
+        "est_jaccard",
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable 60-bit md5-derived fingerprints; pigeonhole blocking is
     # lossless for max_hamming=3, so output == brute-force ≤3 pair set
@@ -1681,6 +1705,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": _q_clean_corpus,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "near_dup_clusters": _q_near_dup_clusters,
         "dedup_corpus": _q_dedup_corpus,
         "funnel_counts": _q_funnel_counts,
@@ -2438,6 +2463,75 @@ est AS (
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, est_jaccard
 FROM est WHERE est_jaccard >= 0.5"""
     )
+
+    # fuzzy decontamination: the same md5 signature/band replay, but the
+    # candidate join runs BETWEEN the (augmented) corpus and the
+    # benchmark relations — never within either
+    fuzzy_decon_sql = f"""
+WITH bench AS (
+    SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 41 = 0
+),
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT bench_id + 10000000 AS doc_id, ' ' || text || ' !! ' AS text
+    FROM bench
+),
+nc AS (SELECT doc_id, {norm} AS t FROM corpus),
+shc AS MATERIALIZED (
+    SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 5) AS s FROM (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+        FROM nc) u
+),
+nb AS (SELECT bench_id, {norm} AS t FROM bench),
+shb AS MATERIALIZED (
+    SELECT DISTINCT bench_id, substring(t, CAST(i AS INT), 5) AS s FROM (
+        SELECT bench_id, t,
+               unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+        FROM nb) u
+),
+seeds AS (SELECT unnest(range(64)) AS seed),
+sigc AS MATERIALIZED (
+    SELECT doc_id, seed,
+           MIN(CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS BIGINT)) AS mh
+    FROM shc CROSS JOIN seeds GROUP BY doc_id, seed
+),
+sigb AS MATERIALIZED (
+    SELECT bench_id, seed,
+           MIN(CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS BIGINT)) AS mh
+    FROM shb CROSS JOIN seeds GROUP BY bench_id, seed
+),
+bndc AS (
+    SELECT doc_id, seed // 4 AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+    FROM sigc GROUP BY doc_id, seed // 4
+),
+bndb AS (
+    SELECT bench_id, seed // 4 AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+    FROM sigb GROUP BY bench_id, seed // 4
+),
+okc AS (SELECT band, bucket FROM bndc GROUP BY 1, 2 HAVING COUNT(*) <= 200),
+okb AS (SELECT band, bucket FROM bndb GROUP BY 1, 2 HAVING COUNT(*) <= 200),
+bfc AS (SELECT bndc.* FROM bndc JOIN okc USING (band, bucket)),
+bfb AS (SELECT bndb.* FROM bndb JOIN okb USING (band, bucket)),
+cand AS (
+    SELECT DISTINCT c.doc_id, b.bench_id
+    FROM bfc c JOIN bfb b USING (band, bucket)
+),
+fest AS (
+    SELECT c.doc_id, c.bench_id,
+           ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0, 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sigc sa ON sa.doc_id = c.doc_id
+    JOIN sigb sb ON sb.bench_id = c.bench_id AND sb.seed = sa.seed
+    GROUP BY c.doc_id, c.bench_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(bench_id AS BIGINT) AS bench_id, est_jaccard
+FROM fest WHERE est_jaccard >= 0.5"""
 
     # Near-dup clusters: the minhash pair relation closed transitively
     # (repeated squaring — 6 rounds reach 2^6 = 64 hops, matching the
@@ -4000,6 +4094,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "clean_corpus": clean_corpus_sql,
         "ngram_jaccard_pairs": ngram_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
+        "fuzzy_decontaminate": fuzzy_decon_sql,
         "near_dup_clusters": near_dup_clusters_sql,
         "dedup_corpus": dedup_corpus_sql,
         "funnel_counts": funnel_sql,

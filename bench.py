@@ -271,6 +271,7 @@ def pipeline() -> None:
         audio_stats,
         bmp_media_from_docs,
         pixel_stats,
+        png_media_from_docs,
         wav_media_from_docs,
     )
     from giraph_spark.functions.pipeline import clean_corpus
@@ -332,6 +333,9 @@ def pipeline() -> None:
     )
     timings["bmp_pixel_stats"], rows["bmp_pixel_stats"] = run(
         lambda: pixel_stats(bmp_media_from_docs(docs)).count()
+    )
+    timings["png_pixel_stats"], rows["png_pixel_stats"] = run(
+        lambda: pixel_stats(png_media_from_docs(docs)).count()
     )
     timings["wav_audio_stats"], rows["wav_audio_stats"] = run(
         lambda: audio_stats(wav_media_from_docs(docs)).count()

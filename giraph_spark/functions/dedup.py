@@ -459,3 +459,99 @@ def simhash_near_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("long").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def fuzzy_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination — the fuzzy tier above
+    :func:`giraph_spark.functions.sampling.decontaminate`'s exact
+    n-gram overlap: corpus documents whose MinHash signature collides
+    with a benchmark document in some LSH band and whose estimated
+    Jaccard clears ``threshold`` (catching lightly-paraphrased /
+    reformatted benchmark leakage that exact n-grams miss; the
+    standard companion check in public pretraining-data reports).
+    Returns ``(doc_id, bench_id, est_jaccard)``.
+
+    Scale shape: candidate generation is a band-bucket equi-join
+    BETWEEN the corpus and benchmark relations — never corpus ×
+    corpus, and the benchmark side is eval-set-sized; both sides'
+    pathological buckets are capped at ``max_bucket``. Signatures use
+    the same seeded hash family on both sides (a signature computed
+    over corpus shingles and one over benchmark shingles are
+    comparable by construction). ``portable=True`` = md5 hashing +
+    raw band strings for exact SQL-oracle replay, as with
+    :func:`minhash_lsh_pairs`."""
+    rows = num_hashes // bands
+    sig_c = minhash_signatures(
+        df, text_col, id_col, k, num_hashes, portable=portable
+    ).persist()
+    sig_b = minhash_signatures(
+        benchmark, text_col, bench_id_col, k, num_hashes, portable=portable
+    ).persist()
+
+    def band_bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[F.col("sig").getItem(b * rows + r).cast("string") for r in range(rows)],
+        )
+        return joined if portable else F.xxhash64(joined).cast("string")
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        bb = sig.select(
+            F.col(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        sizes = bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
+        return bb.join(
+            sizes.where(F.col("bs") <= max_bucket),
+            on=["band", "bucket"],
+            how="left_semi",
+        )
+    cand = (
+        banded(sig_c, id_col)
+        .join(banded(sig_b, bench_id_col), ["band", "bucket"])
+        .select(id_col, bench_id_col)
+        .dropDuplicates()
+    )
+    est = (
+        cand.join(sig_c.select(F.col(id_col), F.col("sig").alias("sig_a")), id_col)
+        .join(
+            sig_b.select(F.col(bench_id_col), F.col("sig").alias("sig_b")),
+            bench_id_col,
+        )
+        .select(
+            id_col,
+            bench_id_col,
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(float(num_hashes)),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.where(F.col("est_jaccard") >= threshold)
