@@ -394,6 +394,15 @@ def _q_nation_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_assortativity(g, attrs, "nation")
 
 
+def _q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card column profile of the event log (algebraic stats only —
+    the 100 TB-safe monitoring block; no percentile buffers)."""
+    from giraph_spark.functions.profile import profile_columns
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile_columns(ev, ["value", "user_id", "event_id"])
+
+
 def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the event log: users cohorted by
     first-event week, distinct actives per week offset."""
@@ -1664,6 +1673,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "nation_assortativity": _q_nation_assortativity,
         "retention_cohorts": _q_retention_cohorts,
+        "profile_columns": _q_profile_columns,
         "neighbor_sample": _q_neighbor_sample,
         "k_truss": _q_k_truss,
         "random_walks": _q_random_walks,
@@ -3527,6 +3537,23 @@ SELECT ROUND(((SELECT e FROM eii) - (SELECT sab FROM ab))
        (SELECT nd FROM drp) AS n_dropped_edges"""
     )
 
+    def _prof_one(col: str) -> str:
+        return f"""
+SELECT '{col}' AS "column",
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       ROUND(MIN(CAST({col} AS DOUBLE)), 6) AS min_val,
+       ROUND(MAX(CAST({col} AS DOUBLE)), 6) AS max_val,
+       ROUND(AVG(CAST({col} AS DOUBLE)), 6) AS mean,
+       ROUND(STDDEV_SAMP(CAST({col} AS DOUBLE)), 6) AS stddev
+FROM events"""
+
+    profile_columns_sql = " UNION ALL ".join(
+        _prof_one(c) for c in ("value", "user_id", "event_id")
+    )
+
     retention_sql = """
 WITH fu AS (
   SELECT user_id AS u, date_trunc('week', MIN(ts)) AS cohort
@@ -4022,6 +4049,7 @@ FROM sp{UNROLL_K} WHERE val < 'infinity'::DOUBLE"""
         "reciprocity": reciprocity_sql,
         "nation_assortativity": nation_assort_sql,
         "retention_cohorts": retention_sql,
+        "profile_columns": profile_columns_sql,
         "betweenness_centrality": betweenness_sql,
         "eigenvector_centrality": eigenvector_sql,
         "tfidf_top_terms": tfidf_sql,

@@ -1,0 +1,51 @@
+"""Data-profiling accounting: the per-column statistics block of a data
+card / pipeline-monitoring dashboard. Deliberately restricted to
+ALGEBRAIC statistics (count/null/distinct/min/max/mean/stddev) — every
+one partial-aggregates map-side, so the profile of a 100 TB table is a
+handful of ordinary hash aggregations with no sort and no
+driver-memory percentile buffer (Spark's exact ``percentile`` collects
+a value buffer per group; quantiles at scale belong to
+``approx_percentile``, which is engine-specific and therefore kept off
+this oracle-replayable surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per profiled column: ``(column, n_rows, n_null,
+    n_distinct, min_val, max_val, mean, stddev)`` with the numeric
+    statistics cast to double and rounded to 6 (NULL where the column
+    has no non-null values; ``stddev`` is the sample standard
+    deviation, NULL for < 2 values). ``n_distinct`` is exact and counts
+    non-null values.
+
+    Shape: one aggregation pass per column unioned into the long-form
+    relation — each pass is algebraic except the exact distinct, which
+    is Spark's standard two-phase expand; swap in
+    ``approx_count_distinct`` at 100 TB if exactness is not worth its
+    shuffle."""
+    parts = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long"))
+                .cast("long")
+                .alias("n_null"),
+                F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+                F.round(F.min(col), 6).alias("min_val"),
+                F.round(F.max(col), 6).alias("max_val"),
+                F.round(F.avg(col), 6).alias("mean"),
+                F.round(F.stddev(col), 6).alias("stddev"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
