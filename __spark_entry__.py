@@ -1289,11 +1289,19 @@ def _q_sparse_vector_sum_by_cluster(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media decode pipeline over documents-derived binary payloads
-    (SURVEY §2.1 JsonBase64VertexInputFormat analog for opaque binary;
-    mapInPandas Arrow-batched decode — the decoder itself is the
-    deterministic stub, see giraph_spark/functions/multimodal.py)."""
-    return decode_metadata(media_from_docs(_docs(spark, sf_dir)))
+    """REAL header decode end-to-end on the DEFAULT path (no decoder
+    registration): deterministic minimal BMP/PNG/GIF/JPEG/WAV containers
+    generated from doc ids, sniffed by magic bytes and parsed with the
+    zero-dep struct parsers (giraph_spark/functions/media_codecs.py);
+    every metadata field is a closed-form id function the oracle
+    reproduces without touching a byte. n_bytes is excluded because the
+    PNG's zlib-compressed size is not closed-form (the pixel keys cover
+    n_bytes for the uncompressed containers)."""
+    from giraph_spark.functions.multimodal import mixed_media_from_docs
+
+    return decode_metadata(mixed_media_from_docs(_docs(spark, sf_dir))).select(
+        "media_id", "modality", "width", "height", "n_frames", "duration_s"
+    )
 
 
 def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1339,6 +1347,41 @@ def _q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end: solid-gray DCT-coded JPEGs
+    generated from doc ids (all-ones quant table makes the constant
+    block exact through Huffman decode + dequant + IDCT), pixel arrays
+    decoded with the zero-dep struct+numpy parser; stats checked against
+    the closed-form oracle that never decodes a byte (n_bytes excluded —
+    the Huffman bit count is not closed-form)."""
+    from giraph_spark.functions.multimodal import (
+        jpeg_media_from_docs,
+        pixel_stats,
+    )
+
+    return pixel_stats(jpeg_media_from_docs(_docs(spark, sf_dir))).select(
+        "media_id", "modality", "width", "height",
+        "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+    )
+
+
+def _q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF content decode end-to-end: solid-color LZW-coded GIFs
+    generated from doc ids, decompressed with the zero-dep LZW decoder
+    and resolved through the color table; stats checked against the
+    closed-form oracle that never decodes a byte. Completes real pixel
+    decode for every image container in the envelope (BMP/PNG/JPEG/GIF)."""
+    from giraph_spark.functions.multimodal import (
+        gif_pixels_media_from_docs,
+        pixel_stats,
+    )
+
+    return pixel_stats(gif_pixels_media_from_docs(_docs(spark, sf_dir))).select(
+        "media_id", "modality", "width", "height",
+        "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+    )
+
+
 def _q_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM decode end-to-end: constant-amplitude WAVs generated
     from doc ids, sample arrays decoded with the struct+numpy parser;
@@ -1353,9 +1396,14 @@ def _q_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plan: bounded frame-index explode from decoded
-    metadata (payload column pruned away — metadata-first pattern)."""
-    media = media_from_docs(_docs(spark, sf_dir)).filter(
+    """Frame-sampling plan over REAL multi-frame GIFs (the one zero-dep
+    container with a true frame count): bounded frame-index explode from
+    sniffed-and-parsed metadata (payload column pruned away —
+    metadata-first pattern). n_frames = 1 + id % 12 makes the stepped
+    index list a closed-form id function."""
+    from giraph_spark.functions.multimodal import gif_media_from_docs
+
+    media = gif_media_from_docs(_docs(spark, sf_dir)).filter(
         F.col("modality") == "video"
     )
     return frame_sample_plan(media, every_n=3, max_frames=8)
@@ -1514,6 +1562,22 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e, num_cells=16, threshold=0.35)
 
 
+def _q_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the two-level (coarse→fine) quantizer — the 100 TB
+    assignment path (O(n·2√cells) probes instead of the flat O(n·cells),
+    which bench.py --stress-docs measured going quadratic when cells
+    scale ∝ corpus). 4 coarse × 4 sub cells, every argmin
+    round(·,6)-stabilized so the oracle replays both probe levels and
+    the seed selection bit-for-bit."""
+    from giraph_spark.functions.similarity import semdedup
+
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return semdedup(e, num_cells=16, threshold=0.35, coarse_cells=4)
+
+
 def _q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (label/feature attachment): each purchase gains the most
     recent prior-or-simultaneous view of the same user. Union–sort–carry
@@ -1630,21 +1694,48 @@ def _driver_check_history() -> dict[str, tuple[int, int]]:
     return hist
 
 
+def _key_revisions() -> dict[str, int]:
+    """key -> round in which its implementation last changed, from the
+    committed KEY_REVS.json snapshot (refreshed by
+    ``python tests/refresh_key_revs.py`` whenever a key's fingerprint
+    moves; guarded by tests/test_registry_order.py). Missing file or key
+    -> revision 0 (treated as never changed)."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "KEY_REVS.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    revs = data.get("revs", {})
+    return {k: int(v.get("rev", 0)) for k, v in revs.items()}
+
+
 def _ordered_registry(base: dict) -> dict:
     """Sort ``base`` so the stalest driver evidence comes first.
 
-    Sort key: (last round checked, times checked, insertion index)
-    ascending — never-checked keys (last=0) lead in insertion order,
-    then longest-unchecked keys, then the most recently verified. With
-    staleness as the PRIMARY key the window rotates round-robin: no key
-    waits more than ceil(|registry| / window) rounds between checks,
-    whereas times-checked-first let a twice-green-but-stale key starve
-    behind once-green-but-fresh ones (observed when the registry grew
-    past window + backlog)."""
+    Sort key: (effective last round checked, times checked, insertion
+    index) ascending — never-checked keys (last=0) lead in insertion
+    order, then longest-unchecked keys, then the most recently
+    verified. With staleness as the PRIMARY key the window rotates
+    round-robin: no key waits more than ceil(|registry| / window)
+    rounds between checks.
+
+    CHANGE-AWARE (r6): a key whose implementation fingerprint moved
+    AFTER its last driver check (KEY_REVS.json revision > last checked
+    round) has its driver evidence invalidated — effective last = 0 —
+    so changed keys re-enter the window immediately instead of waiting
+    out their staleness lap (r5 left core_numbers/ego_subgraph/
+    dedup_corpus/community_modularity driver-green on pre-change
+    evidence for a full lap)."""
     hist = _driver_check_history()
+    revs = _key_revisions()
     idx = {k: i for i, k in enumerate(base)}
     def key(k):
         times, last = hist.get(k, (0, 0))
+        if revs.get(k, 0) > last:
+            last = 0
         return (last, times, idx[k])
     order = sorted(base, key=key)
     return {k: base[k] for k in order}
@@ -1752,6 +1843,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
+        "jpeg_pixel_stats": _q_jpeg_pixel_stats,
+        "gif_pixel_stats": _q_gif_pixel_stats,
         "wav_audio_stats": _q_wav_audio_stats,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "embedding_covariance": _q_embedding_covariance,
@@ -1762,6 +1855,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup": _q_semdedup,
+        "semdedup_two_level": _q_semdedup_two_level,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "sessionize": _q_sessionize,
@@ -3176,39 +3270,34 @@ FROM p LEFT JOIN v
  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
 GROUP BY p.event_id, p.user_id"""
 
-    # Replicates the deterministic fake decoder in
-    # giraph_spark/functions/multimodal.py: payload bytes are pure-ASCII
-    # ('payload-' || md5(id)), so the byte-fold hash is expressible via
-    # list_reduce over code points.
-    media_hash_cte = """
-m AS (
-  SELECT CAST(doc_id AS BIGINT) AS media_id,
-         CASE CAST(doc_id % 3 AS INT)
-              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
-           AS modality,
-         'payload-' || md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)) AS s
-  FROM documents
-),
-h AS (
-  SELECT media_id, modality, CAST(length(s) AS BIGINT) AS n_bytes,
-    list_reduce(
-      list_prepend(CAST(0 AS BIGINT),
-        list_transform(range(1, least(length(s), 64) + 1),
-                       i -> CAST(ord(s[i]) AS BIGINT))),
-      (acc, x) -> (acc * 131 + x) % 2147483648
-    ) AS h
-  FROM m
-)"""
-
-    multimodal_sql = f"""
-WITH {media_hash_cte}
-SELECT media_id, modality,
-       CAST(64 + h % 1024 AS BIGINT) AS width,
-       CAST(64 + (h // 1024) % 1024 AS BIGINT) AS height,
-       CAST(1 + h % 32 AS BIGINT) AS n_frames,
-       ROUND((n_bytes % 6000) / 100.0, 2) AS duration_s,
-       n_bytes
-FROM h"""
+    # closed-form twin of the REAL default (sniffing) header decode:
+    # container cycles id % 5 over BMP/PNG/GIF/JPEG/WAV, every header
+    # field a pure id function — the oracle checks all five zero-dep
+    # parsers without decoding a byte (n_bytes excluded: the PNG's
+    # zlib-compressed size is not closed-form)
+    multimodal_sql = """
+WITH g AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+SELECT id AS media_id,
+       CASE WHEN id % 5 = 4 THEN 'audio' ELSE 'image' END AS modality,
+       CASE CAST(id % 5 AS INT)
+            WHEN 0 THEN 1 + id % 8
+            WHEN 1 THEN 1 + id % 7
+            WHEN 2 THEN 1 + id % 9
+            WHEN 3 THEN 1 + id % 10
+            ELSE NULL END AS width,
+       CASE CAST(id % 5 AS INT)
+            WHEN 0 THEN 1 + id % 5
+            WHEN 1 THEN 1 + id % 4
+            WHEN 2 THEN 1 + id % 6
+            WHEN 3 THEN 1 + id % 3
+            ELSE NULL END AS height,
+       CASE CAST(id % 5 AS INT)
+            WHEN 2 THEN 1 + id % 7
+            WHEN 4 THEN NULL
+            ELSE 1 END AS n_frames,
+       CASE WHEN id % 5 = 4 THEN ROUND((4 + id % 16) / 1000.0, 3)
+            ELSE NULL END AS duration_s
+FROM g"""
 
     # line-level boilerplate scrub twin: same derived lines, same
     # >=3-distinct-docs flag, string_agg(ORDER BY pos) reassembly;
@@ -3290,6 +3379,48 @@ SELECT media_id, 'image' AS modality,
        GREATEST(r, gg, b) AS max_px
 FROM g"""
 
+    # JPEG twin: the constant-block exact DCT round-trip means the
+    # decoded image is solid gray = id % 256 — stats are pure id
+    # functions through a full entropy-decode + IDCT on the Spark side
+    jpeg_pixel_stats_sql = """
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(3 + CAST(doc_id AS BIGINT) % 12 AS BIGINT) AS w,
+         CAST(2 + CAST(doc_id AS BIGINT) % 9 AS BIGINT) AS h,
+         CAST(CAST(doc_id AS BIGINT) % 256 AS BIGINT) AS v
+  FROM documents
+)
+SELECT media_id, 'image' AS modality,
+       w AS width, h AS height,
+       CAST(v AS DOUBLE) AS mean_r,
+       CAST(v AS DOUBLE) AS mean_g,
+       CAST(v AS DOUBLE) AS mean_b,
+       v AS min_px,
+       v AS max_px
+FROM g"""
+
+    # GIF twin: solid single-entry palette means the LZW-decoded frame
+    # is uniformly that color — stats are pure id functions through a
+    # real LZW decompression + palette resolution on the Spark side
+    gif_pixel_stats_sql = """
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(2 + CAST(doc_id AS BIGINT) % 7 AS BIGINT) AS w,
+         CAST(2 + CAST(doc_id AS BIGINT) % 5 AS BIGINT) AS h,
+         CAST(CAST(doc_id AS BIGINT) * 5 % 256 AS BIGINT) AS r,
+         CAST(CAST(doc_id AS BIGINT) * 11 % 256 AS BIGINT) AS gg,
+         CAST(CAST(doc_id AS BIGINT) * 3 % 256 AS BIGINT) AS b
+  FROM documents
+)
+SELECT media_id, 'image' AS modality,
+       w AS width, h AS height,
+       CAST(r AS DOUBLE) AS mean_r,
+       CAST(gg AS DOUBLE) AS mean_g,
+       CAST(b AS DOUBLE) AS mean_b,
+       LEAST(r, gg, b) AS min_px,
+       GREATEST(r, gg, b) AS max_px
+FROM g"""
+
     # audio twin: constant-amplitude PCM means rms == peak ==
     # |byte-128|/128, an exact power-of-two-denominator double on both
     # engines; n_bytes = 44-byte RIFF/fmt/data framing + n samples
@@ -3310,12 +3441,14 @@ SELECT media_id, 'audio' AS modality,
        CAST(44 + n AS BIGINT) AS n_bytes
 FROM g"""
 
-    frame_plan_sql = f"""
-WITH {media_hash_cte},
-f AS (
-  SELECT media_id,
-         (range(0, CAST(1 + h % 32 AS BIGINT), 3))[1:8] AS idxs
-  FROM h WHERE modality = 'video'
+    # frame plan over the REAL multi-frame GIF fixture: n_frames is the
+    # parsed image-descriptor count = 1 + id % 12 by construction
+    frame_plan_sql = """
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         (range(0, CAST(1 + CAST(doc_id AS BIGINT) % 12 AS BIGINT), 3))[1:8]
+           AS idxs
+  FROM documents
 )
 SELECT media_id, CAST(unnest(idxs) AS BIGINT) AS frame_index FROM f"""
 
@@ -3523,16 +3656,19 @@ tot AS (SELECT SUM(n) AS m FROM mix),
 ai AS (SELECT ci, SUM(n) AS a FROM mix GROUP BY 1),
 bj AS (SELECT cj, SUM(n) AS b FROM mix GROUP BY 1),
 ab AS (
-    SELECT SUM((ai.a / (SELECT m FROM tot)) * (bj.b / (SELECT m FROM tot)))
-             AS sab,
-           CAST(COUNT(*) AS BIGINT) AS nc
+    SELECT COALESCE(SUM((ai.a / (SELECT m FROM tot))
+                        * (bj.b / (SELECT m FROM tot))), 0) AS sab
     FROM ai JOIN bj ON bj.cj = ai.ci
+),
+ncat AS (
+    SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+    FROM (SELECT ci AS c FROM ai UNION ALL SELECT cj AS c FROM bj)
 ),
 eii AS (SELECT COALESCE(SUM(n / (SELECT m FROM tot)), 0) AS e FROM mix
         WHERE ci = cj)
 SELECT ROUND(((SELECT e FROM eii) - (SELECT sab FROM ab))
              / (1.0 - (SELECT sab FROM ab)), 6) AS assortativity,
-       (SELECT nc FROM ab) AS n_categories,
+       (SELECT nc FROM ncat) AS n_categories,
        CAST((SELECT m FROM tot) AS BIGINT) AS n_edges,
        (SELECT nd FROM drp) AS n_dropped_edges"""
     )
@@ -3544,10 +3680,10 @@ SELECT '{col}' AS "column",
        CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_null,
        CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
-       ROUND(MIN(CAST({col} AS DOUBLE)), 6) AS min_val,
-       ROUND(MAX(CAST({col} AS DOUBLE)), 6) AS max_val,
-       ROUND(AVG(CAST({col} AS DOUBLE)), 6) AS mean,
-       ROUND(STDDEV_SAMP(CAST({col} AS DOUBLE)), 6) AS stddev
+       ROUND(MIN(TRY_CAST({col} AS DOUBLE)), 6) AS min_val,
+       ROUND(MAX(TRY_CAST({col} AS DOUBLE)), 6) AS max_val,
+       ROUND(AVG(TRY_CAST({col} AS DOUBLE)), 6) AS mean,
+       ROUND(STDDEV_SAMP(TRY_CAST({col} AS DOUBLE)), 6) AS stddev
 FROM events"""
 
     profile_columns_sql = " UNION ALL ".join(
@@ -3635,6 +3771,51 @@ SELECT CAST(s.vec_id AS BIGINT) AS vec_id, CAST(s.cell AS BIGINT) AS cell,
        d.dup_of IS NULL AS kept, CAST(d.dup_of AS BIGINT) AS dup_of
 FROM asg s LEFT JOIN dup d ON s.vec_id = d.vec_id"""
     )
+
+    # two-level quantizer twin: coarse argmin over the 4 ranked lowest-id
+    # seeds, sub argmin over each coarse group's 4 ranked lowest-id
+    # members — both probes and the dedup identical to the flat replay,
+    # every similarity ROUND(·,6)-stabilized
+    semdedup_two_level_sql = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cr AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+),
+ca AS MATERIALIZED (
+  SELECT vec_id, v, cell AS coarse FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                        c.cell ASC) AS rn
+    FROM e CROSS JOIN cr c)
+  WHERE rn = 1
+),
+sc AS MATERIALIZED (
+  SELECT coarse, rk - 1 AS sub, v AS cv FROM (
+    SELECT coarse, v,
+           ROW_NUMBER() OVER (PARTITION BY coarse ORDER BY vec_id) AS rk
+    FROM ca)
+  WHERE rk <= 4
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, v, coarse * 4 + sub AS cell FROM (
+    SELECT a.vec_id, a.v, a.coarse, s.sub,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY ROUND(list_cosine_similarity(a.v, s.cv), 6) DESC,
+                        s.sub ASC) AS rn
+    FROM ca a JOIN sc s ON s.coarse = a.coarse)
+  WHERE rn = 1
+),
+dup AS (
+    SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    GROUP BY 1
+)
+SELECT CAST(s.vec_id AS BIGINT) AS vec_id, CAST(s.cell AS BIGINT) AS cell,
+       d.dup_of IS NULL AS kept, CAST(d.dup_of AS BIGINT) AS dup_of
+FROM asg s LEFT JOIN dup d ON s.vec_id = d.vec_id"""
 
     # exact-substring scrub: delete tokens covered by any 8-gram present in
     # >= 2 distinct docs (planted copies guarantee shared spans); slices are
@@ -4095,6 +4276,7 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         "pack_sequences": pack_sequences_sql,
         "kmeans_clusters": kmeans_sql,
         "semdedup": semdedup_sql,
+        "semdedup_two_level": semdedup_two_level_sql,
         "scrub_duplicate_ngrams": scrub_dup_ngrams_sql,
         "identity": identity_sql,
         "graph_mutations": mutations_sql,
@@ -4116,6 +4298,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "strip_boilerplate": strip_boilerplate_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,
+        "jpeg_pixel_stats": jpeg_pixel_stats_sql,
+        "gif_pixel_stats": gif_pixel_stats_sql,
         "wav_audio_stats": wav_audio_stats_sql,
         "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,

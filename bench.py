@@ -366,8 +366,156 @@ def pipeline() -> None:
     spark.stop()
 
 
+def stress_docs() -> None:
+    """Dedup/similarity-tier scale-stress (``python bench.py
+    --stress-docs``): the kernel got its 10× profile in r5; this is the
+    same evidence for the pipeline tier (VERDICT r5 task 4). Replicates
+    the $SPARK_GRAFT_SF_DIR documents corpus K× with per-replica token
+    salting (every inter-word gap gains a replica token, so shingle sets
+    are DISJOINT across replicas and the near-dup structure stays
+    intra-replica) and the embeddings K× with a per-replica coordinate
+    shift, then runs minhash_lsh_pairs / dedup_corpus / semdedup at 1×
+    and K×, recording runtimes AND candidate counts. The banding math
+    predicts candidates and runtime track bucket occupancy (~K), never
+    K²; semdedup scales ``num_cells`` ∝ corpus (the paper's own scaling
+    rule) so per-cell pair work stays bounded. Size via
+    $SPARK_GRAFT_STRESS_DOCS_K (default 10)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    k_rep = int(os.environ.get("SPARK_GRAFT_STRESS_DOCS_K", "10"))
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-stress-docs")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from giraph_spark.functions.dedup import dedup_corpus, minhash_lsh_pairs
+    from giraph_spark.functions.similarity import semdedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    n_docs = docs.count()
+    n_embs = embs.count()
+
+    def replicate_docs(k: int):
+        # suffix every WORD with the replica tag: the shingle structure
+        # (and thus the within-replica similarity relations) is exactly
+        # the original corpus's, while shingle sets are disjoint across
+        # replicas — near-dup candidates can only be intra-replica, so
+        # the expected candidate count is k × the 1× count. k=1 runs the
+        # same path (tag q0) so the scales are strictly comparable.
+        rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep")
+        return docs.select("doc_id", "text", rep).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n_docs)).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1q"), F.col("rep").cast("string")),
+            ).alias("text"),
+        )
+
+    def replicate_embs(k: int):
+        rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep")
+        return embs.select("vec_id", "embedding", rep).select(
+            (F.col("vec_id") + F.col("rep") * F.lit(n_embs)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(
+                    i == F.pmod(F.col("rep"), F.size("embedding")),
+                    F.col("rep").cast("double") * 0.05,
+                ).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+        )
+
+    def run(fn):
+        t0 = time.monotonic()
+        n = fn()
+        return round(time.monotonic() - t0, 3), n
+
+    out: dict[str, dict] = {}
+    for scale in (1, k_rep):
+        d = replicate_docs(scale).persist()
+        e = replicate_embs(scale).persist()
+        nd, ne = d.count(), e.count()
+        r: dict[str, float | int] = {"docs": nd, "embeddings": ne}
+        # raw LSH candidate set (no verify filter): the quantity the
+        # banding math bounds by bucket occupancy
+        r["lsh_sec"], r["lsh_candidates"] = run(
+            lambda: minhash_lsh_pairs(d, verify_threshold=None).count()
+        )
+        r["dedup_sec"], r["dedup_keepers"] = run(lambda: dedup_corpus(d).count())
+        # SemDeDup's own scaling rule: cells ∝ corpus, occupancy constant
+        cells = 16 * scale
+        sd = semdedup(e, num_cells=cells).persist()
+        r["semdedup_sec"], r["semdedup_rows"] = run(lambda: sd.count())
+        r["semdedup_cells"] = cells
+        r["semdedup_dups"] = sd.where(~F.col("kept")).count()
+        r["semdedup_max_cell"] = (
+            sd.groupBy("cell").count().agg(F.max("count")).first()[0]
+        )
+        sd.unpersist()
+        # the two-level quantizer: same cell count, O(n·2sqrt(cells))
+        # assignment instead of O(n·cells) — the fix for the flat path's
+        # quadratic growth this harness first measured
+        coarse = max(int(cells ** 0.5), 1)
+        while cells % coarse:
+            coarse -= 1
+        sd2 = semdedup(e, num_cells=cells, coarse_cells=coarse).persist()
+        r["semdedup2_sec"], _n = run(lambda: sd2.count())
+        r["semdedup2_dups"] = sd2.where(~F.col("kept")).count()
+        sd2.unpersist()
+        d.unpersist()
+        e.unpersist()
+        out[f"x{scale}"] = r
+    one, big = out["x1"], out[f"x{k_rep}"]
+    ratios = {
+        m: round(big[m] / one[m], 2) if one[m] else None
+        for m in (
+            "lsh_sec",
+            "lsh_candidates",
+            "dedup_sec",
+            "semdedup_sec",
+            "semdedup2_sec",
+        )
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "stress_docs",
+                "value": round(
+                    big["lsh_sec"] + big["dedup_sec"] + big["semdedup_sec"], 3
+                ),
+                "unit": "sec",
+                "k": k_rep,
+                "scales": out,
+                "ratios_vs_1x": ratios,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "--stress" in sys.argv:
+    if "--stress-docs" in sys.argv:
+        stress_docs()
+    elif "--stress" in sys.argv:
         stress()
     elif "--pipeline" in sys.argv:
         pipeline()

@@ -366,14 +366,26 @@ def attribute_assortativity(
     )
     ai = mix.groupBy("_ci").agg(F.sum("_n").alias("_ai"))
     bj = mix.groupBy("_cj").agg(F.sum("_n").alias("_bj"))
+    # n_categories = categories observed on EITHER endpoint of a covered
+    # edge (union of the marginals' supports). The coefficient itself
+    # only needs the inner join — a category missing from one side
+    # contributes a_i*b_j = 0 — but reporting the inner-join count would
+    # under-state the observed category set.
+    ncat = (
+        ai.select(F.col("_ci").alias("_c"))
+        .union(bj.select(F.col("_cj").alias("_c")))
+        .agg(F.count_distinct("_c").cast("long").alias("n_categories"))
+    )
     ab = (
         ai.join(bj, ai["_ci"] == bj["_cj"])
         .crossJoin(F.broadcast(tot))
         .agg(
-            F.sum(
-                (F.col("_ai") / F.col("_m")) * (F.col("_bj") / F.col("_m"))
+            F.coalesce(
+                F.sum(
+                    (F.col("_ai") / F.col("_m")) * (F.col("_bj") / F.col("_m"))
+                ),
+                F.lit(0.0),
             ).alias("_sab"),
-            F.count(F.lit(1)).cast("long").alias("n_categories"),
         )
     )
     eii = (
@@ -383,6 +395,7 @@ def attribute_assortativity(
     )
     return (
         ab.crossJoin(F.broadcast(eii))
+        .crossJoin(F.broadcast(ncat))
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(dropped))
         .select(

@@ -235,6 +235,16 @@ def retention_cohorts(
     offset arithmetic is integer day-diff / period-length
     (``date_trunc`` on both sides), so it replays identically in any
     ANSI engine."""
+    if period not in ("week", "day"):
+        # 'month' (which date_trunc itself accepts) is deliberately
+        # rejected: months are not fixed-length, so the integer
+        # day-diff / period-length offset arithmetic below would be
+        # wrong for it — month cohorts need months_between, a different
+        # (non-ANSI-replayable) offset rule
+        raise ValueError(
+            f"unsupported period {period!r}: retention_cohorts supports "
+            "'week' and 'day' (fixed-length periods only)"
+        )
     days = {"week": 7, "day": 1}[period]
     per = lambda c: F.date_trunc(period, c)  # noqa: E731
     first = events.groupBy(F.col(user_col).alias("_u")).agg(

@@ -108,10 +108,11 @@ def parse_bmp_pixels(payload: bytes):
     """Full CONTENT decode of an uncompressed 8/24/32-bit BMP with zero
     codec deps (struct + numpy): returns ``(height, width, pixels)``
     where ``pixels`` is a ``uint8`` array of shape (height, width, 3) in
-    BGR order, rows already flipped to top-down. 8-bit payloads are
-    treated as grayscale (palette indirection skipped — index == value
-    for the generated/test corpora this targets); 32-bit drops alpha.
-    Raises ``ValueError`` for compressed or truncated payloads."""
+    BGR order, rows already flipped to top-down. 8-bit payloads resolve
+    through the color table when one is present (BGRX quads after the
+    info header; grayscale identity assumed only when the table is
+    absent); 32-bit drops alpha. Raises ``ValueError`` for compressed
+    or truncated payloads."""
     import numpy as np
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -140,18 +141,42 @@ def parse_bmp_pixels(payload: bytes):
     if not top_down:
         px = px[::-1]
     if nch == 1:
+        # the color table (if any) sits between the info header and the
+        # pixel data as BGRX quads — clr_used entries, 0 meaning 2^bpp
+        clr_used = struct.unpack("<I", payload[46:50])[0] or 256
+        tbl_start = 14 + hdr_size
+        tbl_end = tbl_start + 4 * clr_used
+        if tbl_end <= data_offset and tbl_end <= len(payload):
+            table = np.frombuffer(
+                payload, dtype=np.uint8, count=4 * clr_used, offset=tbl_start
+            ).reshape(-1, 4)[:, :3]
+            idx = px[:, :, 0]
+            if int(idx.max(initial=0)) >= table.shape[0]:
+                raise ValueError("BMP palette index out of range")
+            return h, width, table[idx]
         px = np.repeat(px, 3, axis=2)
     return h, width, px[:, :, :3]
 
 
 def parse_png_pixels(payload: bytes):
-    """Full CONTENT decode of an 8-bit-depth PNG with zero codec deps
-    (stdlib zlib + struct + numpy): returns ``(height, width, pixels)``
-    with ``pixels`` uint8 of shape (height, width, channels) — all five
-    scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) undone.
-    Supports the 8-bit color types: grayscale (0), RGB (2), gray+alpha
-    (4), RGBA (6); palette (3) and 16-bit depths raise ``ValueError``
-    (register a library decoder for those)."""
+    """Full CONTENT decode of a PNG with zero codec deps (stdlib zlib +
+    struct + numpy): returns ``(height, width, pixels)`` with ``pixels``
+    uint8 of shape (height, width, channels) — all five scanline
+    filters (None/Sub/Up/Average/Paeth, PNG spec §9) undone.
+
+    Supported IHDR envelope (everything else raises ``ValueError`` —
+    the caller renders that as a NULL-stats row, never fabricated
+    pixels): bit depths 8 and 16 (16-bit samples MSB-truncated to
+    8-bit — the spec's own sample-depth scaling; packed depths 1/2/4
+    rejected); all five color types — grayscale (0), RGB (2),
+    palette (3, resolved through the PLTE chunk to RGB), gray+alpha
+    (4), RGBA (6); compression method 0 and filter method 0 only (the
+    only values the PNG spec defines, but a nonzero byte means a
+    format we cannot decode); interlace method 0 (non-interlaced) only
+    — Adam7 (1) reorders scanlines into seven passes, so reading its
+    stream as sequential rows would decode WRONG non-null pixels
+    rather than fail. Register a library decoder for anything outside
+    this envelope."""
     import numpy as np
 
     if not payload.startswith(PNG_SIGNATURE):
@@ -159,6 +184,7 @@ def parse_png_pixels(payload: bytes):
     width = height = None
     bit_depth = color_type = None
     idat = []
+    plte = None
     i = 8
     n = len(payload)
     while i + 8 <= n:
@@ -168,9 +194,26 @@ def parse_png_pixels(payload: bytes):
         if len(body) < length:
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
-            width, height, bit_depth, color_type = struct.unpack(
-                ">IIBB", body[:10]
-            )
+            (
+                width,
+                height,
+                bit_depth,
+                color_type,
+                compression,
+                filter_method,
+                interlace,
+            ) = struct.unpack(">IIBBBBB", body[:13])
+            if compression != 0 or filter_method != 0:
+                raise ValueError(
+                    "unsupported PNG compression/filter method "
+                    f"({compression}/{filter_method})"
+                )
+            if interlace != 0:
+                # Adam7 pass layout would be misread as sequential
+                # scanlines -> wrong pixels, not an error; reject early
+                raise ValueError("interlaced (Adam7) PNG not supported")
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -178,13 +221,22 @@ def parse_png_pixels(payload: bytes):
         i += 12 + length  # length + tag + body + crc
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if bit_depth != 8:
+    if bit_depth not in (8, 16):
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3:
+        if bit_depth != 8:
+            # palette entries are 8-bit; 16-bit palette images are
+            # illegal per the spec, packed sub-byte depths unsupported
+            raise ValueError("palette PNG supported at bit depth 8 only")
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/odd PLTE chunk")
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes  # filter offset unit (spec: bytes)
     raw = zlib.decompress(b"".join(idat))
-    stride = width * channels
+    stride = width * bpp
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG scanline data")
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -202,14 +254,14 @@ def parse_png_pixels(payload: bytes):
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-recon
             rec = np.zeros(stride, np.int32)
             for x in range(stride):
-                a = rec[x - channels] if x >= channels else 0  # left
-                b = prev[x]                                    # up
+                a = rec[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]                          # up
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
                     pred = (a + b) // 2
                 else:  # Paeth
-                    c = prev[x - channels] if x >= channels else 0
+                    c = prev[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -217,7 +269,16 @@ def parse_png_pixels(payload: bytes):
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
-    return height, width, out.reshape(height, width, channels)
+    if sample_bytes == 2:
+        out = out[:, ::2]  # MSB of each 16-bit sample = spec scaling to 8-bit
+    px = out.reshape(height, width, channels)
+    if color_type == 3:
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        px = table[idx]
+    return height, width, px
 
 
 def png_pixel_stats(payload: bytes) -> dict[str, Any]:
@@ -245,12 +306,17 @@ def png_pixel_stats(payload: bytes) -> dict[str, Any]:
 
 
 def image_pixel_stats(payload: bytes) -> dict[str, Any]:
-    """Sniffing content decoder for the image modality: BMP or PNG by
-    magic bytes (both real zero-dep pixel decodes); anything else
-    raises, which :func:`giraph_spark.functions.multimodal.pixel_stats`
-    renders as a null-stats row."""
+    """Sniffing content decoder for the image modality: BMP, PNG,
+    baseline JPEG, or GIF by magic bytes (all real zero-dep pixel
+    decodes); anything else raises, which
+    :func:`giraph_spark.functions.multimodal.pixel_stats` renders as a
+    null-stats row."""
     if payload[:8] == PNG_SIGNATURE:
         return png_pixel_stats(payload)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_pixel_stats(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixel_stats(payload)
     return bmp_pixel_stats(payload)
 
 
@@ -386,11 +452,12 @@ def decode_media_header(payload: bytes) -> dict[str, Any]:
 
 
 def register_header_decoders() -> None:
-    """Make the header parsers the live decoders for image and audio:
-    ``decode_metadata`` then produces REAL metadata for PNG/JPEG/GIF/BMP
-    payloads on the image modality and WAV on audio — no stub involved.
-    Video containers (MP4 et al.) still require a real demuxer; route
-    them through ``set_decoder('video', ...)`` when one is available."""
+    """Pin the magic-byte sniffer as the registered decoder for the
+    image and audio modalities. Since the sniffer became
+    ``decode_metadata``'s DEFAULT resolution tier this is a no-op for
+    behavior — kept as the explicit-registration API (and so existing
+    pipelines calling it keep working); video containers (MP4 et al.)
+    still require a real demuxer via ``set_decoder('video', ...)``."""
     from .multimodal import set_decoder
 
     set_decoder("image", decode_media_header)
@@ -463,14 +530,17 @@ def make_png(
     )
 
 
-def make_gif(width: int, height: int) -> bytes:
-    """A valid minimal single-frame GIF89a."""
+def make_gif(width: int, height: int, n_frames: int = 1) -> bytes:
+    """A valid minimal GIF89a with ``n_frames`` identical frames (each
+    an image descriptor + minimal LZW stream). Keep ``width``/``height``
+    < 44 so no descriptor byte aliases the 0x2C image-separator that
+    :func:`parse_gif`'s frame counter scans for."""
     header = b"GIF89a" + struct.pack("<HH", width, height) + b"\xf0\x00\x00"
     palette = b"\x00\x00\x00\xff\xff\xff"
     image = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
     # minimal LZW stream: code size 2, one clear code, end
     data = b"\x02\x02\x44\x01\x00"
-    return header + palette + image + data + b"\x3b"
+    return header + palette + (image + data) * max(n_frames, 1) + b"\x3b"
 
 
 def make_bmp(
@@ -524,3 +594,649 @@ def make_wav(
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------------------------ JPEG
+# baseline-DCT content decode (ITU-T T.81 sequential baseline): the one
+# modality that previously required a registered library decoder. Pure
+# stdlib struct + numpy — Huffman entropy decode, dequantization,
+# zigzag, 8x8 IDCT, chroma upsampling, YCbCr->RGB.
+
+#: zigzag scan order: index i holds the (row*8+col) position of the i-th
+#: coefficient in the entropy stream (T.81 Figure A.6)
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_basis():
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: (counts per length 1..16, symbols)
+    -> {(length, code): symbol} for the bit-at-a-time decoder."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.map: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.map[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    de-stuffing; stops at any non-stuffed marker (RSTn handled by
+    :meth:`skip_to_restart`)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed literal 0xFF
+            else:
+                raise _MarkerReached(nxt)
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.map.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (between restart
+        intervals)."""
+        self.nbits = 0
+        d = self.data
+        while d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+        raise ValueError("expected JPEG restart marker")
+
+
+class _MarkerReached(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC amplitude decode (T.81 F.2.2.1): t-bit value v -> signed."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def parse_jpeg_pixels(payload: bytes):
+    """Full CONTENT decode of a baseline sequential JPEG with zero codec
+    deps (stdlib struct + numpy): returns ``(height, width, pixels)``
+    with ``pixels`` uint8 of shape (height, width, 3) in RGB order
+    (grayscale replicated).
+
+    Supported envelope: SOF0 baseline (8-bit, Huffman, non-progressive),
+    1 or 3 components, any sampling factors expressible as integer
+    upsampling (covers 4:4:4 / 4:2:2 / 4:2:0), restart intervals (DRI /
+    RSTn). Progressive (SOF2), arithmetic coding, 12-bit precision and
+    CMYK raise ``ValueError`` — the caller surfaces that as a null-stats
+    row, never fabricated pixels. Per-blob Python+numpy work: sized for
+    corpus media thumbnails/smallish images; register a library decoder
+    via ``set_content_decoder`` for bulk photographic decode."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, "np.ndarray"] = {}
+    dc_tables: dict[int, _HuffTable] = {}
+    ac_tables: dict[int, _HuffTable] = {}
+    frame = None  # (H, W, [(cid, h, v, tq)])
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    scan = None
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker chain")
+        marker = payload[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[j : j + 64], np.uint8).astype(np.int32)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(body[j : j + 128], ">u2").astype(np.int32)
+                    j += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                counts = list(body[j + 1 : j + 17])
+                nsym = sum(counts)
+                symbols = body[j + 17 : j + 17 + nsym]
+                (dc_tables if tc == 0 else ac_tables)[th] = _HuffTable(
+                    counts, symbols
+                )
+                j += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline & ext. sequential
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            h_img, w_img = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq_c = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq_c))
+            frame = (h_img, w_img, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG coding process (progressive/arithmetic/"
+                "lossless) — register a library decoder"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, td_ta = body[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append((cs, td_ta >> 4, td_ta & 0xF))
+            scan = (scan_comps, i + 2 + seg_len)
+            break
+        elif marker == 0xD9:  # EOI before any scan
+            break
+        i += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h_img, w_img, comps = frame
+    if h_img == 0 or w_img == 0:
+        raise ValueError("JPEG zero dimensions")
+    scan_comps, data_pos = scan
+    if len(scan_comps) != len(comps):
+        raise ValueError("JPEG partial scans not supported")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    basis = _idct_basis()
+    by_cid = {c[0]: c for c in comps}
+    planes = []
+    plane_meta = []  # (h_i, v_i, quant, dc_tbl, ac_tbl, blocks_w)
+    for cs, td, ta in scan_comps:
+        _, h_i, v_i, tq_c = by_cid[cs]
+        bw, bh = mcus_x * h_i, mcus_y * v_i
+        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
+        plane_meta.append(
+            (h_i, v_i, qt[tq_c][np.argsort(_ZIGZAG)], dc_tables[td],
+             ac_tables[ta], bw)
+        )
+
+    reader = _BitReader(payload, data_pos)
+    preds = [0] * len(scan_comps)
+    mcu_count = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    reader.restart()
+                    preds = [0] * len(scan_comps)
+                mcu_count += 1
+                for ci, (h_i, v_i, quant, dct, act, _bw) in enumerate(
+                    plane_meta
+                ):
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            zz = np.zeros(64, dtype=np.int32)
+                            t = reader.decode(dct)
+                            diff = _extend(reader.bits(t), t) if t else 0
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = reader.decode(act)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:  # ZRL: 16 zeros
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC run overflow")
+                                zz[k] = _extend(reader.bits(s), s)
+                                k += 1
+                            coeff = np.zeros(64, dtype=np.float64)
+                            coeff[_ZIGZAG] = zz * quant[_ZIGZAG]
+                            block = (
+                                basis.T @ coeff.reshape(8, 8) @ basis
+                            ) + 128.0
+                            y0 = (my * v_i + by) * 8
+                            x0 = (mx * h_i + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    except _MarkerReached as m:
+        if m.marker != 0xD9:  # anything but EOI mid-scan is corruption
+            raise ValueError(f"unexpected JPEG marker 0x{m.marker:02x}")
+    except IndexError:
+        raise ValueError("truncated JPEG entropy data") from None
+
+    # upsample chroma to full resolution, crop, color-convert
+    full = []
+    for (h_i, v_i, *_rest), plane in zip(plane_meta, planes):
+        up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
+        full.append(up[:h_img, :w_img])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return h_img, w_img, np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return h_img, w_img, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_pixel_stats(payload: bytes) -> dict[str, Any]:
+    """Content-derived metadata for a baseline JPEG (the
+    :func:`bmp_pixel_stats` twin over :func:`parse_jpeg_pixels`):
+    per-channel RGB means and global pixel extrema over the REAL decoded
+    pixel array."""
+    h, w, px = parse_jpeg_pixels(payload)
+    means = px.reshape(-1, 3).mean(axis=0)
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+        "min_px": int(px.min()),
+        "max_px": int(px.max()),
+    }
+
+
+def make_jpeg_baseline(
+    width: int,
+    height: int,
+    gray: int = 128,
+    blocks: "list[int] | None" = None,
+    ycbcr: "tuple[int, int, int] | None" = None,
+    sampling: "tuple[tuple[int, int], ...] | None" = None,
+) -> bytes:
+    """A REAL decodable baseline JPEG (all-ones quantization table,
+    minimal canonical Huffman tables). Grayscale by default: every 8×8
+    block holds a constant sample — solid ``gray``, or per-block values
+    via ``blocks`` (row-major over the padded block grid, which also
+    exercises the DC-prediction chain). ``ycbcr=(y, cb, cr)`` emits a
+    solid 3-component image instead, with per-component ``sampling``
+    factors (default 4:4:4; ``((2, 2), (1, 1), (1, 1))`` = 4:2:0) to
+    exercise the interleaved-MCU and chroma-upsampling paths. With
+    quant = 1 a constant block survives the DCT round-trip EXACTLY
+    (only the DC coefficient 8·(v−128) is coded), so the decoded image
+    is a closed-form function of the inputs — the oracle-checkable
+    fixture for :func:`parse_jpeg_pixels`, the JPEG twin of
+    :func:`make_bmp`."""
+    if ycbcr is not None:
+        sampling = sampling or ((1, 1), (1, 1), (1, 1))
+        comps = [
+            (cid, h, v, val)
+            for cid, (h, v), val in zip((1, 2, 3), sampling, ycbcr)
+        ]
+    else:
+        comps = [(1, 1, 1, gray)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x, mcus_y = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    if blocks is not None:
+        if ycbcr is not None:
+            raise ValueError("blocks only supported for grayscale")
+        if len(blocks) != mcus_x * mcus_y:
+            raise ValueError(f"blocks must have {mcus_x * mcus_y} entries")
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: 8-bit table 0, all ones
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    # SOF0: 8-bit precision, quant table 0 for every component
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, height, width, len(comps))
+        + b"".join(
+            struct.pack("BBB", cid, (h << 4) | v, 0) for cid, h, v, _ in comps
+        )
+    )
+    # DHT DC table 0: the 12 DC categories as canonical 4-bit codes
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 12)
+        + b"\x00"
+        + dc_counts
+        + bytes(range(12))
+    )
+    # DHT AC table 0: a single 1-bit code for EOB
+    ac_counts = bytes([1] + [0] * 15)
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x10"
+        + ac_counts
+        + b"\x00"
+    )
+    # SOS: all components on DC/AC table 0
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+        + b"".join(struct.pack("BB", cid, 0) for cid, _h, _v, _ in comps)
+        + b"\x00\x3f\x00"
+    )
+
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((value >> k) & 1)
+
+    def code_block(v: int, pred: int) -> int:
+        if not 0 <= v <= 255:
+            raise ValueError("block values must be bytes")
+        dc = 8 * (v - 128)
+        diff = dc - pred
+        t = abs(diff).bit_length()
+        put(t, 4)  # DC category code (canonical: code == symbol)
+        if t:
+            put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        put(0, 1)  # EOB
+        return dc
+
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_cid, h, v, val) in enumerate(comps):
+                for _ in range(h * v):
+                    cur = (
+                        blocks[my * mcus_x + mx] if blocks is not None else val
+                    )
+                    preds[ci] = code_block(cur, preds[ci])
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per T.81 F.1.2.3
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i : i + 8]:
+            byte = (byte << 1) | b
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)  # byte stuffing
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def parse_gif_pixels(payload: bytes):
+    """Full CONTENT decode of the FIRST frame of a GIF with zero codec
+    deps (stdlib + numpy): LZW decompression of the image data, palette
+    resolution through the global (or frame-local) color table. Returns
+    ``(height, width, pixels)`` with ``pixels`` uint8 (height, width, 3)
+    RGB. Interlaced frames are de-interlaced (the GIF four-pass row
+    order). Raises ``ValueError`` for truncated/corrupt streams — the
+    caller surfaces that as a null-stats row."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    gct = None
+    i = 13
+    if flags & 0x80:  # global color table
+        size = 2 << (flags & 0x07)
+        gct = payload[13 : 13 + 3 * size]
+        if len(gct) < 3 * size:
+            raise ValueError("truncated GIF global color table")
+        i = 13 + 3 * size
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and payload[i]:
+                i += payload[i] + 1
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n:
+                raise ValueError("truncated GIF image descriptor")
+            _left, _top, w, h = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+            iflags = payload[i + 9]
+            i += 10
+            lct = gct
+            if iflags & 0x80:  # local color table
+                size = 2 << (iflags & 0x07)
+                lct = payload[i : i + 3 * size]
+                if len(lct) < 3 * size:
+                    raise ValueError("truncated GIF local color table")
+                i += 3 * size
+            if lct is None:
+                raise ValueError("GIF frame has no color table")
+            if i >= n:
+                raise ValueError("truncated GIF image data")
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while i < n and payload[i]:
+                ln = payload[i]
+                data += payload[i + 1 : i + 1 + ln]
+                i += ln + 1
+            i += 1
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            px = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8)
+            table = np.frombuffer(lct, dtype=np.uint8).reshape(-1, 3)
+            if int(px.max(initial=0)) >= table.shape[0]:
+                raise ValueError("GIF palette index out of range")
+            img = px.reshape(h, w)
+            if iflags & 0x40:  # interlaced: undo the four-pass row order
+                out = np.empty_like(img)
+                rows = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                for src, dst in enumerate(rows):
+                    out[dst] = img[src]
+                img = out
+            return h, w, table[img]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF has no image data")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-variant LZW (LSB-first variable-width codes, clear/EOI codes,
+    dictionary grows to 12 bits then waits for clear)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return {c: bytes([c]) for c in range(clear)}
+
+    table = fresh()
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    out = bytearray()
+    prev = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                # streams may omit the explicit EOI; stop at data end
+                return out
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = fresh()
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("LZW first code not a literal")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("LZW output exceeds frame size")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def gif_pixel_stats(payload: bytes) -> dict[str, Any]:
+    """Content-derived metadata for a GIF's first frame (the
+    :func:`bmp_pixel_stats` twin over :func:`parse_gif_pixels`):
+    per-channel RGB means and global pixel extrema over the REAL
+    LZW-decoded, palette-resolved pixel array."""
+    h, w, px = parse_gif_pixels(payload)
+    means = px.reshape(-1, 3).mean(axis=0)
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+        "min_px": int(px.min()),
+        "max_px": int(px.max()),
+    }
+
+
+def make_gif_pixels(
+    width: int,
+    height: int,
+    palette: "list[tuple[int, int, int]]",
+    indices: "bytes | None" = None,
+    interlaced: bool = False,
+) -> bytes:
+    """A REAL decodable GIF frame: ``indices`` (row-major palette
+    indices, default all 0) LZW-coded with the clear-per-symbol scheme —
+    a conforming stream in which every code stays at its minimum width
+    (a CLEAR before each literal keeps the dictionary empty), so the
+    encoder needs no variable-width machinery while any conforming
+    decoder reproduces ``indices`` exactly. The content-level twin of
+    :func:`make_gif` (which emits header-only minimal frames), and the
+    fixture for :func:`parse_gif_pixels`."""
+    n_colors = max(len(palette), 2)
+    size_bits = max((n_colors - 1).bit_length(), 1)
+    table_n = 1 << size_bits
+    if indices is None:
+        indices = bytes(width * height)
+    if len(indices) != width * height:
+        raise ValueError("indices must have width*height entries")
+    if max(indices, default=0) >= len(palette):
+        raise ValueError("index out of palette range")
+    header = (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x80 | (size_bits - 1), 0, 0])
+    )
+    table = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (
+        table_n - len(palette)
+    )
+    iflags = 0x40 if interlaced else 0
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + bytes([iflags])
+    min_code = max(size_bits, 2)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    codes = [clear]
+    for v in indices:
+        codes += [v, clear]
+    codes[-1] = eoi  # final clear -> end-of-information
+    acc = nbits = 0
+    stream = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    blocks = bytearray([min_code])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks.append(0)
+    return header + table + desc + bytes(blocks) + b"\x3b"

@@ -2,12 +2,16 @@
 metadata, processed with Arrow-batched pandas UDFs over ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing) is
-real and tested. Decoding has two tiers:
+real and tested. Decoding has two tiers, BOTH real by default:
 
-- **Real container-header decode** — pure-Python parsers for PNG / JPEG /
-  GIF / BMP dimensions and WAV duration
-  (:mod:`giraph_spark.functions.media_codecs`); enable with
-  ``register_header_decoders()``. No external codec library involved.
+- **Container-header decode** (:func:`decode_metadata`) — pure-Python
+  parsers for PNG / JPEG / GIF / BMP dimensions and WAV duration
+  (:mod:`giraph_spark.functions.media_codecs`) sniff the payload by
+  magic bytes as the DEFAULT resolution tier; no external codec
+  library involved. A payload no parser recognizes yields a
+  null-metadata row (``n_bytes`` still recorded) — there is NO fake
+  fallback anywhere: a null always means "undecodable here", never
+  fabricated content.
 - **Pixel/sample decode** — REAL for uncompressed BMP and 8-bit PNG
   (all five scanline filters) via :func:`pixel_stats`
   (:func:`giraph_spark.functions.media_codecs.image_pixel_stats`,
@@ -15,10 +19,9 @@ real and tested. Decoding has two tiers:
   :func:`audio_stats`. Other containers require
   PIL/ffmpeg-class libraries not available in this environment; plug
   one in via ``set_content_decoder`` (stats surface) or
-  ``set_decoder`` (metadata surface). On the metadata surface, without
-  a registered decoder the fallback is a deterministic fake (clearly a
-  stub) so pipelines stay testable end-to-end; the stats surface has
-  no fake — undecodable blobs yield null stats.
+  ``set_decoder`` (metadata surface) — registered decoders outrank
+  the built-in sniffers, so a library decoder extends the envelope
+  without changing any default behavior.
 
 Scale notes: binary payloads dominate row size, so (a) keep metadata in
 separate columns to let column pruning skip payload reads when only
@@ -80,23 +83,6 @@ def _default_content_decoder(modality: str):
     return None
 
 
-def _fake_decode(payload: bytes) -> dict[str, Any]:
-    """Deterministic fake standing in for a media decoder (real decode
-    requires PIL/ffmpeg, unavailable here). Derives stable pseudo
-    dimensions/duration from the byte content."""
-    if payload is None or len(payload) == 0:
-        raise ValueError("empty payload")
-    h = 0
-    for b in payload[:64]:
-        h = (h * 131 + b) % (1 << 31)
-    return {
-        "width": 64 + h % 1024,
-        "height": 64 + (h // 1024) % 1024,
-        "n_frames": 1 + h % 32,
-        "duration_s": round((len(payload) % 6000) / 100.0, 2),
-    }
-
-
 def decode_metadata(
     df: DataFrame,
     modality_col: str = "modality",
@@ -109,8 +95,13 @@ def decode_metadata(
     ``{modality: fn}`` dict constructed ONCE per executor Python worker
     via :func:`giraph_spark.worker.worker_state` — the WorkerContext
     ``preApplication`` path for loading real codec state), then decoders
-    registered with ``set_decoder``, then the deterministic fake (clearly
-    a stub, not a model)."""
+    registered with :func:`set_decoder`, then the REAL magic-byte
+    sniffers (:func:`giraph_spark.functions.media_codecs.
+    decode_media_header` — PNG/JPEG/GIF/BMP headers, WAV duration, all
+    stdlib ``struct``). A payload outside that envelope (e.g. an MP4,
+    which needs a real demuxer) yields a null-metadata row with
+    ``n_bytes`` still recorded — the same no-fake contract as
+    :func:`pixel_stats`: null means undecodable, never fabricated."""
     out_schema = (
         "media_id long, modality string, width long, height long, "
         "n_frames long, duration_s double, n_bytes long"
@@ -120,13 +111,15 @@ def decode_metadata(
         worker_decoders: dict[str, Callable],
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        from .media_codecs import decode_media_header
+
         def safe_decode(mod, payload):
-            # per-row failure isolation: a corrupt/truncated blob yields
-            # a null-metadata row (n_bytes still recorded); it must never
-            # abort the whole corpus decode job
+            # per-row failure isolation: a corrupt/truncated/unsupported
+            # blob yields a null-metadata row (n_bytes still recorded);
+            # it must never abort the whole corpus decode job
             try:
                 return worker_decoders.get(
-                    mod, _DECODERS.get(mod, _fake_decode)
+                    mod, _DECODERS.get(mod, decode_media_header)
                 )(payload)
             except Exception:
                 return {}
@@ -407,6 +400,106 @@ def png_media_from_docs(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def mixed_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic mixed-container media table derived from
+    ``documents`` — the end-to-end fixture for the DEFAULT (sniffing)
+    metadata decode: container cycles by ``doc_id % 5`` over BMP / PNG /
+    GIF / JPEG / WAV, every file a REAL minimal container whose header
+    metadata (dimensions, frame count, duration) is a closed-form
+    function of the id, so :func:`decode_metadata`'s real parsers are
+    oracle-checkable in ANSI SQL without the oracle touching a byte
+    (the :func:`bmp_media_from_docs` pattern extended to all five
+    sniffed formats)."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_bmp, make_gif, make_jpeg, make_png, make_wav
+
+        for pdf in batches:
+            payloads, modalities, mimes = [], [], []
+            for mid in pdf["media_id"].to_numpy():
+                mid = int(mid)
+                kind = mid % 5
+                if kind == 0:
+                    w, h = 1 + mid % 8, 1 + mid % 5
+                    row = bytes([mid % 256, mid * 7 % 256, mid * 13 % 256]) * w
+                    payloads.append(make_bmp(w, h, rows=[row] * h))
+                    modalities.append("image")
+                    mimes.append("image/bmp")
+                elif kind == 1:
+                    w, h = 1 + mid % 7, 1 + mid % 4
+                    row = bytes([mid * 13 % 256, mid * 7 % 256, mid % 256]) * w
+                    payloads.append(
+                        make_png(
+                            w, h, rows=[row] * h, channels=3,
+                            filters=[y % 5 for y in range(h)],
+                        )
+                    )
+                    modalities.append("image")
+                    mimes.append("image/png")
+                elif kind == 2:
+                    payloads.append(
+                        make_gif(1 + mid % 9, 1 + mid % 6, n_frames=1 + mid % 7)
+                    )
+                    modalities.append("image")
+                    mimes.append("image/gif")
+                elif kind == 3:
+                    payloads.append(make_jpeg(1 + mid % 10, 1 + mid % 3))
+                    modalities.append("image")
+                    mimes.append("image/jpeg")
+                else:
+                    n = 4 + mid % 16
+                    payloads.append(
+                        make_wav(0, sample_rate=1000, data=bytes([mid % 256]) * n)
+                    )
+                    modalities.append("audio")
+                    mimes.append("audio/wav")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": modalities,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def gif_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-frame GIF media table derived from
+    ``documents`` (modality tagged ``video`` — GIF is the one container
+    in the zero-dep envelope with a real frame count, so it stands in
+    for video on the frame-sampling surface): ``n_frames = 1 + id % 12``
+    identical frames of a ``(2 + id % 9) × (2 + id % 6)`` logical
+    screen. Frame-plan outputs become closed-form id functions."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_gif
+
+        for pdf in batches:
+            payloads = [
+                make_gif(
+                    2 + int(mid) % 9, 2 + int(mid) % 6,
+                    n_frames=1 + int(mid) % 12,
+                )
+                for mid in pdf["media_id"].to_numpy()
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "video",
+                    "payload": payloads,
+                    "mime": "image/gif",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def wav_media_from_docs(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-WAV media table derived from ``documents``:
     per doc a constant-amplitude 8-bit mono PCM WAV at 1 kHz with
@@ -434,6 +527,77 @@ def wav_media_from_docs(docs: DataFrame) -> DataFrame:
                     "modality": "audio",
                     "payload": payloads,
                     "mime": "audio/wav",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def gif_pixels_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-GIF media table with actual LZW-coded pixel
+    content derived from ``documents``: per doc a solid-color GIF with
+    ``width = 2 + id % 7``, ``height = 2 + id % 5`` and palette color
+    ``(id·5 % 256, id·11 % 256, id·3 % 256)``. Every statistic
+    :func:`pixel_stats` computes is a closed-form id function through a
+    full LZW decode + palette resolution — the GIF twin of
+    :func:`bmp_media_from_docs`, distinct from :func:`gif_media_from_docs`
+    (which exercises the multi-frame HEADER surface)."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_gif_pixels
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].to_numpy():
+                mid = int(mid)
+                payloads.append(
+                    make_gif_pixels(
+                        2 + mid % 7,
+                        2 + mid % 5,
+                        [(mid * 5 % 256, mid * 11 % 256, mid * 3 % 256)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/gif",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def jpeg_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-JPEG media table derived from ``documents``:
+    per doc a solid-gray baseline JPEG with ``width = 3 + id % 12``,
+    ``height = 2 + id % 9`` and gray level ``id % 256``. The all-ones
+    quantization table makes the constant-block DCT round-trip exact,
+    so every statistic :func:`pixel_stats` computes is a closed-form id
+    function — the JPEG twin of :func:`bmp_media_from_docs`, closing
+    the last header-only modality with a real content decode."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_jpeg_baseline
+
+        for pdf in batches:
+            payloads = [
+                make_jpeg_baseline(
+                    3 + int(mid) % 12, 2 + int(mid) % 9, gray=int(mid) % 256
+                )
+                for mid in pdf["media_id"].to_numpy()
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
                     "source": "documents",
                 }
             )

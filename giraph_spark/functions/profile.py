@@ -23,29 +23,46 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     deviation, NULL for < 2 values). ``n_distinct`` is exact and counts
     non-null values.
 
-    Shape: one aggregation pass per column unioned into the long-form
-    relation — each pass is algebraic except the exact distinct, which
-    is Spark's standard two-phase expand; swap in
-    ``approx_count_distinct`` at 100 TB if exactness is not worth its
-    shuffle."""
-    parts = []
-    for c in cols:
-        col = F.col(c).cast("double")
-        parts.append(
-            df.agg(
-                F.lit(c).alias("column"),
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum(F.col(c).isNull().cast("long"))
-                .cast("long")
-                .alias("n_null"),
-                F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
-                F.round(F.min(col), 6).alias("min_val"),
-                F.round(F.max(col), 6).alias("max_val"),
-                F.round(F.avg(col), 6).alias("mean"),
-                F.round(F.stddev(col), 6).alias("stddev"),
-            )
+    Shape: ONE aggregation pass computes every column's statistics
+    (the per-column expressions are independent, so they share a single
+    scan — profiling 20 columns of a 100 TB table must not cost 20
+    corpus scans), then a ``stack`` unpivots the single wide row into
+    the long form. Everything is algebraic except the exact distincts,
+    which Spark plans as its standard Expand-based multi-distinct —
+    still one pass over the input; swap in ``approx_count_distinct`` at
+    100 TB if exactness is not worth the expand factor."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, c in enumerate(cols):
+        # try_cast: profiling a mixed table must not abort on a string
+        # column — its numeric stats come back NULL while n_rows /
+        # n_null / n_distinct stay exact (DuckDB twin: TRY_CAST)
+        col = F.col(c).try_cast("double")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nn{i}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"_nd{i}"),
+            F.round(F.min(col), 6).alias(f"_mn{i}"),
+            F.round(F.max(col), 6).alias(f"_mx{i}"),
+            F.round(F.avg(col), 6).alias(f"_av{i}"),
+            F.round(F.stddev(col), 6).alias(f"_sd{i}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = ", ".join(
+        "'{name}', _nn{i}, _nd{i}, _mn{i}, _mx{i}, _av{i}, _sd{i}".format(
+            name=c.replace("'", "\\'"), i=i
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for i, c in enumerate(cols)
+    )
+    stacked = F.expr(
+        f"stack({len(cols)}, {rows}) AS "
+        "(column, n_null, n_distinct, min_val, max_val, mean, stddev)"
+    )
+    return wide.select(stacked, "n_rows").select(
+        "column",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        "mean",
+        "stddev",
+    )

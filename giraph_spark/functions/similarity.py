@@ -262,6 +262,106 @@ def seed_centroids(
     )
 
 
+def two_level_cells(
+    corpus: DataFrame,
+    coarse_cells: int,
+    sub_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse → fine) cell assignment: ``(id, vec, cell)``
+    with ``cell = coarse · sub_cells + sub`` over ``coarse_cells ×
+    sub_cells`` total cells.
+
+    Why it exists: the flat scan-fused literal-centroid assignment
+    (:func:`nearest_cells`) costs O(n·cells) per row-scan, so scaling
+    cells ∝ corpus — SemDeDup's own occupancy rule — makes assignment
+    quadratic overall (measured 24.7× wall at 10× data in
+    ``bench.py --stress-docs``). Here each row does ``coarse_cells``
+    dots to pick its coarse cell, then ``sub_cells`` dots against ONLY
+    that coarse cell's sub-centroids — O(n·(C₁+C₂)) = O(n·2√cells)
+    when balanced. Both probes are literal-array expressions fused into
+    the corpus scan (the sub-centroid table is a literal array indexed
+    by coarse id — no join, no shuffle in the assignment pass); the one
+    shuffle is the per-coarse-group sub-centroid SELECTION (lowest-id
+    members), which runs once while building the quantizer, not per
+    row. Deterministic and SQL-replayable with ``round_digits`` (the
+    :func:`nearest_cells` portable mode at both levels)."""
+    from pyspark.sql import Window
+
+    coarse = (
+        seed_centroids(corpus, coarse_cells, id_col, vec_col)
+        .orderBy("_cell")
+        .collect()
+    )
+    coarse_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["_cv"]]).alias("cv"),
+            )
+            for i, r in enumerate(coarse)
+        ]
+    )
+    # one pass: coarse id per row; then the sub-quantizer = the
+    # sub_cells lowest-id members of each coarse group
+    assigned_coarse = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(
+            nearest_cells(F.col(vec_col), coarse_arr, 1, round_digits), 1
+        )["cell"].alias("_coarse"),
+    )
+    # referenced by the seed collection AND the final probe: materialize
+    # once so the coarse scan does not rerun
+    assigned_coarse = assigned_coarse.localCheckpoint(eager=False)
+    w = Window.partitionBy("_coarse").orderBy(F.col(id_col))
+    seeds = (
+        assigned_coarse.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= sub_cells)
+        .select("_coarse", (F.col("_rk") - 1).alias("_sub"), F.col(vec_col))
+        .collect()
+    )
+    by_coarse: dict[int, list] = {}
+    for r in seeds:
+        by_coarse.setdefault(int(r["_coarse"]), []).append(
+            (int(r["_sub"]), list(r[vec_col]))
+        )
+    # literal array-of-arrays indexed by coarse id: element_at is the
+    # scan-fused "which sub-quantizer" lookup
+    sub_tables = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("cell"),
+                        F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                    )
+                    for s, cv in sorted(by_coarse.get(c, [(0, coarse[c]["_cv"])]))
+                ]
+            )
+            for c in range(len(coarse))
+        ]
+    )
+    sub_probe = F.element_at(
+        nearest_cells(
+            F.col(vec_col),
+            F.element_at(sub_tables, (F.col("_coarse") + 1).cast("int")),
+            1,
+            round_digits,
+        ),
+        1,
+    )["cell"]
+    return assigned_coarse.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.col("_coarse") * F.lit(sub_cells) + sub_probe)
+        .cast("long")
+        .alias("cell"),
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     num_cells: int = 16,
@@ -548,6 +648,7 @@ def semdedup(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     round_digits: int | None = 6,
+    coarse_cells: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al., "SemDeDup", 2023): bucket
     the corpus into ``num_cells`` centroid cells, then within each cell
@@ -571,20 +672,40 @@ def semdedup(
     ``centroids`` defaults to the lowest-id seed vectors — fully
     SQL-replayable; pass :func:`kmeans_centroids` output (or
     :func:`kmeans_assign` with more iters) for better balance."""
-    if centroids is None:
-        cents = seed_centroids(corpus, num_cells, id_col, vec_col)
+    if coarse_cells is not None:
+        # the 100 TB assignment path: scaling num_cells ∝ corpus makes
+        # the flat O(n·cells) probe quadratic overall; the two-level
+        # quantizer probes O(n·(coarse + cells/coarse)) instead. The
+        # cell PARTITION differs from the flat seeding (it is a
+        # different, equally valid quantizer), so this is an explicit
+        # opt-in, not a silent replan.
+        if centroids is not None:
+            raise ValueError("coarse_cells and centroids are exclusive")
+        if num_cells % coarse_cells:
+            raise ValueError("coarse_cells must divide num_cells")
+        assigned = two_level_cells(
+            corpus,
+            coarse_cells,
+            num_cells // coarse_cells,
+            id_col,
+            vec_col,
+            round_digits,
+        )
     else:
-        cents = centroids
-    cent_arr = _centroid_array(cents)
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(nearest_cells(F.col(vec_col), cent_arr, 1, round_digits), 1)[
-            "cell"
-        ]
-        .cast("long")
-        .alias("cell"),
-    )
+        if centroids is None:
+            cents = seed_centroids(corpus, num_cells, id_col, vec_col)
+        else:
+            cents = centroids
+        cent_arr = _centroid_array(cents)
+        assigned = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(
+                nearest_cells(F.col(vec_col), cent_arr, 1, round_digits), 1
+            )["cell"]
+            .cast("long")
+            .alias("cell"),
+        )
     # three references below (both self-join sides + the final probe):
     # truncate so the corpus scan + cell assignment runs once, not 3×
     assigned = assigned.localCheckpoint(eager=False)
@@ -685,6 +806,12 @@ def pca_components(
 
     rows = covariance_matrix(emb, vec_col).collect()
     d = max(r["i"] for r in rows) + 1
+    if not 1 <= k <= d:
+        raise ValueError(
+            f"k={k} out of range: a d={d} covariance has at most d "
+            "principal axes (negative column wrap-around would silently "
+            "duplicate components)"
+        )
     cov = np.zeros((d, d))
     for r in rows:
         cov[r["i"], r["j"]] = r["cov"]

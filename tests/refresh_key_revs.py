@@ -1,0 +1,74 @@
+"""Refresh KEY_REVS.json — the change-aware half of the driver-window
+rotation (VERDICT r5 task 3).
+
+Run ``python tests/refresh_key_revs.py`` after changing any registry
+key's implementation. For every key whose content fingerprint
+(:func:`__spark_entry__._key_fingerprints`) differs from the committed
+snapshot, the revision is bumped to the CURRENT round (max committed
+CORRECTNESS round + 1), which makes ``_ordered_registry`` treat the
+key's driver evidence as invalidated and pull it back into the next
+check window. tests/test_registry_order.py fails until this script has
+been run on a dirty registry, so a fingerprint can never drift
+silently.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def current_round() -> int:
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    from tests.keyfp import key_fingerprints
+
+    path = os.path.join(REPO, "KEY_REVS.json")
+    try:
+        with open(path) as fh:
+            old = json.load(fh).get("revs", {})
+    except (OSError, ValueError):
+        old = {}
+    # --baseline <json>: bootstrap against fingerprints computed from a
+    # historical checkout (python tests/keyfp.py in its worktree) — keys
+    # matching the baseline are marked unchanged (rev 0)
+    if len(sys.argv) == 3 and sys.argv[1] == "--baseline":
+        with open(sys.argv[2]) as fh:
+            base_fps = json.load(fh)
+        old = {k: {"fp": fp, "rev": 0} for k, fp in base_fps.items()}
+    rnd = current_round()
+    fps = key_fingerprints(entry_mod)
+    revs = {}
+    changed = []
+    for k, fp in sorted(fps.items()):
+        prev = old.get(k, {})
+        if prev.get("fp") == fp:
+            revs[k] = prev
+        else:
+            revs[k] = {"fp": fp, "rev": rnd}
+            changed.append(k)
+    dropped = sorted(set(old) - set(fps))
+    with open(path, "w") as fh:
+        json.dump({"round": rnd, "revs": revs}, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"round {rnd}: {len(changed)} changed/new key(s): {changed}")
+    if dropped:
+        print(f"dropped {len(dropped)} stale key(s): {dropped}")
+
+
+if __name__ == "__main__":
+    main()

@@ -630,3 +630,34 @@ def test_sparsify_top_edges(spark):
     sharded = {(r["src"], r["dst"]) for r in
                sparsify_top_edges(g, k=3, n_shards=4).edges.collect()}
     assert sharded == base
+
+
+def test_attribute_assortativity_one_sided_category_counted(spark):
+    """n_categories counts categories observed on EITHER endpoint of a
+    covered edge (ADVICE r5): with 1->2 and cat(1)=a, cat(2)=b, 'a'
+    appears only as a source and 'b' only as a target — both count."""
+    from giraph_spark.algos.stats import attribute_assortativity
+    from giraph_spark.graph import Graph
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    attrs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, cat string"
+    )
+    r = attribute_assortativity(Graph(v, e), attrs, "cat").first()
+    assert r["n_categories"] == 2
+    assert r["n_edges"] == 1 and r["n_dropped_edges"] == 0
+    # e_ii = 0 and sum a_i b_i = 0 (no category on both sides) -> r = 0
+    assert r["assortativity"] == 0.0
+
+
+def test_retention_cohorts_rejects_variable_length_period(spark):
+    import pytest as _pytest
+
+    from giraph_spark.functions.joins import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    with _pytest.raises(ValueError, match="week"):
+        retention_cohorts(ev, period="month")

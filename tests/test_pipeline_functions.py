@@ -139,19 +139,54 @@ def test_similarity_ivf_recall(spark):
 
 
 def test_multimodal_plumbing(spark):
+    # opaque payloads are not decodable containers: the no-fake contract
+    # yields null metadata rows with n_bytes still recorded
     media = synthetic_media(spark, 30)
-    meta = decode_metadata(media)
-    rows = meta.collect()
+    rows = decode_metadata(media).collect()
     assert len(rows) == 30
-    assert all(r.n_bytes > 0 and r.width >= 64 for r in rows)
-    # deterministic: same payload ⇒ same fake dims
-    again = {r.media_id: (r.width, r.height) for r in decode_metadata(media).collect()}
-    first = {r.media_id: (r.width, r.height) for r in rows}
-    assert first == again
-    plan = frame_sample_plan(media, every_n=5, max_frames=4)
-    per = plan.groupBy("media_id").count().collect()
-    assert all(1 <= r["count"] <= 4 for r in per)
-    rs = resize_plan(media, target=224).collect()
+    assert all(
+        r.n_bytes > 0 and r.width is None and r.n_frames is None for r in rows
+    )
+    # real containers through the DEFAULT (sniffing) path — no decoder
+    # registration: all five formats' headers decode to the generator's
+    # closed-form values
+    from giraph_spark.functions.multimodal import (
+        gif_media_from_docs,
+        mixed_media_from_docs,
+    )
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    mixed = mixed_media_from_docs(docs)
+    got = {r.media_id: r for r in decode_metadata(mixed).collect()}
+    assert len(got) == 30
+    for i in range(30):
+        r, kind = got[i], i % 5
+        if kind == 0:  # BMP
+            assert (r.width, r.height, r.n_frames) == (1 + i % 8, 1 + i % 5, 1)
+        elif kind == 1:  # PNG
+            assert (r.width, r.height, r.n_frames) == (1 + i % 7, 1 + i % 4, 1)
+        elif kind == 2:  # GIF: real frame count from image descriptors
+            assert (r.width, r.height, r.n_frames) == (
+                1 + i % 9, 1 + i % 6, 1 + i % 7,
+            )
+        elif kind == 3:  # JPEG
+            assert (r.width, r.height, r.n_frames) == (1 + i % 10, 1 + i % 3, 1)
+        else:  # WAV: duration only, no fake dims
+            assert r.width is None and r.height is None
+            assert r.duration_s == round((4 + i % 16) / 1000.0, 3)
+    # frame plan over real multi-frame GIFs: bounded stepped indices
+    plan = frame_sample_plan(gif_media_from_docs(docs), every_n=5, max_frames=4)
+    per = {
+        r["media_id"]: r["count"]
+        for r in plan.groupBy("media_id").count().collect()
+    }
+    for i in range(30):
+        n_frames = 1 + i % 12
+        assert per[i] == min(len(range(0, n_frames, 5)), 4)
+    rs = resize_plan(
+        mixed.filter(F.col("mime").isin("image/bmp", "image/png")), target=224
+    ).collect()
+    assert len(rs) > 0
     assert all(max(r.out_width, r.out_height) == 224 for r in rs)
 
 
@@ -429,7 +464,7 @@ def test_decode_metadata_survives_corrupt_blob(spark):
         assert rows[2]["width"] is None
         assert rows[2]["n_bytes"] == len(truncated_jpeg)
     finally:
-        # restore the stub fallback for other tests (global registry)
+        # restore the default (sniffing) path for other tests (global registry)
         _DECODERS.pop("image", None)
         _DECODERS.pop("audio", None)
 
@@ -852,3 +887,377 @@ def test_pixel_stats_decodes_png_and_bmp(spark):
     got = {r["media_id"]: r for r in pixel_stats(df).collect()}
     assert got[1]["mean_r"] == 100.0 and got[1]["width"] == 2
     assert got[2]["mean_r"] == 50.0 and got[2]["mean_b"] == 0.0
+
+
+def test_interlaced_png_rejected_not_misdecoded(spark):
+    """An Adam7-interlaced PNG must raise in parse_png_pixels (ADVICE r5:
+    its pass layout misread as sequential scanlines can decode to WRONG
+    non-null stats) and surface as a null-stats row in pixel_stats —
+    never fabricated pixels."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from giraph_spark.functions.media_codecs import make_png, parse_png_pixels
+    from giraph_spark.functions.multimodal import MEDIA_SCHEMA, pixel_stats
+
+    png = bytearray(make_png(4, 4, channels=3, rows=[b"\x10" * 12] * 4))
+    png[28] = 1  # IHDR interlace byte -> Adam7
+    body = bytes(png[12:29])  # tag + 13-byte IHDR body
+    png[29:33] = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    with _pytest.raises(ValueError, match="interlaced"):
+        parse_png_pixels(bytes(png))
+    df = spark.createDataFrame(
+        [(1, "image", bytes(png), "image/png", "t")], MEDIA_SCHEMA
+    )
+    row = pixel_stats(df).first()
+    assert row["mean_r"] is None and row["width"] is None
+    assert row["n_bytes"] == len(png)
+
+
+def test_pca_components_k_out_of_range(spark):
+    import pytest as _pytest
+
+    from giraph_spark.functions.similarity import pca_components
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [2.0, 1.0, 0.0]), (3, [0.0, 0.5, 1.5])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="principal axes"):
+        pca_components(df, k=4)
+    with _pytest.raises(ValueError, match="principal axes"):
+        pca_components(df, k=0)
+    assert len(pca_components(df, k=3)) == 3
+
+
+def test_png_envelope_rejects_unsupported_ihdr():
+    """The documented parse_png_pixels envelope: 8-bit depth, color types
+    {0,2,4,6}, compression/filter 0, non-interlaced. Everything outside
+    raises ValueError (-> null stats upstream), never garbage pixels."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from giraph_spark.functions.media_codecs import make_png, parse_png_pixels
+
+    def patch_ihdr(png: bytes, offset: int, value: int) -> bytes:
+        buf = bytearray(png)
+        buf[16 + offset] = value  # IHDR body starts at 16
+        body = bytes(buf[12:29])
+        buf[29:33] = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        return bytes(buf)
+
+    base = make_png(3, 2, channels=3, rows=[b"\x20" * 9] * 2)
+    with _pytest.raises(ValueError, match="bit depth"):
+        parse_png_pixels(patch_ihdr(base, 8, 4))  # packed sub-byte depth
+    with _pytest.raises(ValueError, match="color type"):
+        parse_png_pixels(patch_ihdr(base, 9, 7))  # undefined color type
+    with _pytest.raises(ValueError, match="PLTE"):
+        parse_png_pixels(patch_ihdr(base, 9, 3))  # palette without PLTE
+    with _pytest.raises(ValueError, match="compression/filter"):
+        parse_png_pixels(patch_ihdr(base, 10, 1))
+    with _pytest.raises(ValueError, match="compression/filter"):
+        parse_png_pixels(patch_ihdr(base, 11, 1))
+    with _pytest.raises(ValueError, match="truncated"):
+        # 16-bit header over an 8-bit stream: stride doubles, data runs out
+        parse_png_pixels(patch_ihdr(base, 8, 16))
+    # and the supported envelope still decodes
+    h, w, px = parse_png_pixels(base)
+    assert (h, w) == (2, 3) and px.shape == (2, 3, 3) and px.max() == 0x20
+
+
+def test_png_palette_and_16bit_decode():
+    """r6 PNG envelope extensions: palette (PLTE-resolved to RGB) and
+    16-bit depth (MSB truncation per the spec's sample scaling), both
+    through the full scanline-filter reconstruction."""
+    import struct
+    import zlib
+
+    from giraph_spark.functions.media_codecs import (
+        PNG_SIGNATURE,
+        parse_png_pixels,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 4x2 palette image: row 0 unfiltered, row 1 Up-filtered indices
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    r0, r1 = bytes([0, 1, 2, 3]), bytes([3, 2, 1, 0])
+    raw = (
+        b"\x00" + r0
+        + b"\x02" + bytes((r1[x] - r0[x]) % 256 for x in range(4))
+    )
+    png = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    h, w, px = parse_png_pixels(png)
+    assert (h, w) == (2, 4) and px.shape == (2, 4, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 3]) == (10, 20, 30)
+    assert tuple(px[1, 0]) == (10, 20, 30) and tuple(px[1, 2]) == (0, 255, 0)
+
+    # 3x1 16-bit grayscale: MSBs survive, LSBs are dropped
+    raw16 = b"\x00" + bytes([0x12, 0x34, 0xFF, 0x00, 0x00, 0x01])
+    png16 = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw16))
+        + chunk(b"IEND", b"")
+    )
+    h, w, px = parse_png_pixels(png16)
+    assert (h, w) == (1, 3) and px.shape == (1, 3, 1)
+    assert list(px[0, :, 0]) == [0x12, 0xFF, 0x00]
+
+    # 2x2 16-bit RGB with a Sub-filtered second row (bpp = 6 bytes)
+    row0 = bytes([0x10, 0, 0x20, 0, 0x30, 0, 0x40, 0, 0x50, 0, 0x60, 0])
+    row1 = bytes([0x15, 0, 0x25, 0, 0x35, 0, 0x45, 0, 0x55, 0, 0x65, 0])
+    sub = bytes(
+        (row1[x] - (row1[x - 6] if x >= 6 else 0)) % 256
+        for x in range(12)
+    )
+    raw_rgb = b"\x00" + row0 + b"\x01" + sub
+    png_rgb = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw_rgb))
+        + chunk(b"IEND", b"")
+    )
+    h, w, px = parse_png_pixels(png_rgb)
+    assert (h, w) == (2, 2) and px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (0x10, 0x20, 0x30)
+    assert tuple(px[0, 1]) == (0x40, 0x50, 0x60)
+    assert tuple(px[1, 0]) == (0x15, 0x25, 0x35)
+    assert tuple(px[1, 1]) == (0x45, 0x55, 0x65)
+
+
+def test_jpeg_baseline_decode_unit():
+    """Baseline-JPEG content decode (Huffman + dequant + IDCT + chroma
+    upsampling + YCbCr->RGB): the all-ones quant table makes constant
+    blocks exact, so every decoded pixel is checkable in closed form."""
+    import numpy as np
+    import pytest as _pytest
+
+    from giraph_spark.functions.media_codecs import (
+        jpeg_pixel_stats,
+        make_jpeg_baseline,
+        parse_jpeg_pixels,
+    )
+
+    # grayscale, non-multiple-of-8 dims (MCU cropping)
+    for w, h, g in [(3, 2, 0), (8, 8, 255), (13, 10, 77), (20, 5, 128)]:
+        hh, ww, px = parse_jpeg_pixels(make_jpeg_baseline(w, h, gray=g))
+        assert (hh, ww) == (h, w) and px.shape == (h, w, 3)
+        assert px.min() == px.max() == g
+    # per-block constants exercise the DC prediction chain
+    hh, ww, px = parse_jpeg_pixels(
+        make_jpeg_baseline(16, 16, blocks=[10, 200, 130, 55])
+    )
+    assert (px[0, 0, 0], px[0, 8, 0], px[8, 0, 0], px[8, 8, 0]) == (
+        10, 200, 130, 55,
+    )
+
+    def expected_rgb(y, cb, cr):
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return tuple(int(np.clip(np.round(v), 0, 255)) for v in (r, g, b))
+
+    # 4:4:4, 4:2:0, 4:2:2 color: solid everywhere, exact conversion
+    for ycc, samp in [
+        ((90, 100, 180), None),
+        ((200, 60, 50), ((1, 1), (1, 1), (1, 1))),
+        ((90, 100, 180), ((2, 2), (1, 1), (1, 1))),
+        ((150, 120, 110), ((2, 1), (1, 1), (1, 1))),
+    ]:
+        hh, ww, px = parse_jpeg_pixels(
+            make_jpeg_baseline(20, 13, ycbcr=ycc, sampling=samp)
+        )
+        assert (hh, ww) == (13, 20)
+        assert tuple(px[5, 5]) == expected_rgb(*ycc)
+        assert (px == px[0, 0]).all()
+    # progressive SOF2 is outside the envelope -> ValueError, not garbage
+    pay = bytearray(make_jpeg_baseline(8, 8))
+    idx = pay.find(b"\xff\xc0")
+    pay[idx + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive"):
+        parse_jpeg_pixels(bytes(pay))
+    s = jpeg_pixel_stats(make_jpeg_baseline(9, 9, gray=42))
+    assert s["mean_r"] == 42.0 and s["min_px"] == s["max_px"] == 42
+
+
+def test_jpeg_pixel_stats_via_spark(spark):
+    """pixel_stats sniffs JPEG payloads through the default image
+    decoder — the last modality off the library-only list."""
+    from giraph_spark.functions.multimodal import (
+        jpeg_media_from_docs,
+        pixel_stats,
+    )
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    rows = {
+        r.media_id: r
+        for r in pixel_stats(jpeg_media_from_docs(docs)).collect()
+    }
+    for i in range(12):
+        r = rows[i]
+        assert (r.width, r.height) == (3 + i % 12, 2 + i % 9)
+        assert r.mean_r == float(i % 256)
+        assert r.min_px == r.max_px == i % 256
+
+
+def test_bmp_8bit_palette_resolved():
+    """8-bit BMPs resolve indices through the BGRX color table when one
+    is present (r6; previously index==value grayscale was assumed)."""
+    import struct
+
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import parse_bmp_pixels
+
+    w, h = 3, 2
+    # palette: 0 -> red (BGR 0,0,255), 1 -> green, 2 -> blue, 3 -> gray 40
+    table = bytes([0, 0, 255, 0, 0, 255, 0, 0, 255, 0, 0, 0, 40, 40, 40, 0])
+    rows = [bytes([0, 1, 2]), bytes([3, 3, 0])]  # top row first
+    row_bytes = (w + 3) & ~3
+    pixel_data = b"".join(
+        r + b"\x00" * (row_bytes - w) for r in reversed(rows)
+    )  # bottom-up
+    data_offset = 14 + 40 + len(table)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pixel_data), 2835, 2835, 4, 0
+    )
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", data_offset + len(pixel_data), 0, 0, data_offset)
+        + info
+        + table
+        + pixel_data
+    )
+    hh, ww, px = parse_bmp_pixels(bmp)
+    assert (hh, ww) == (h, w)
+    assert tuple(px[0, 0]) == (0, 0, 255)  # BGR red
+    assert tuple(px[0, 1]) == (0, 255, 0)
+    assert tuple(px[1, 0]) == (40, 40, 40)
+    # no color table (data_offset right after header) -> grayscale identity
+    gray_rows = [bytes([5, 6, 7]), bytes([8, 9, 10])]
+    gray_data = b"".join(
+        r + b"\x00" * (row_bytes - w) for r in reversed(gray_rows)
+    )
+    info2 = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(gray_data), 2835, 2835, 0, 0
+    )
+    bmp2 = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(gray_data), 0, 0, 54)
+        + info2
+        + gray_data
+    )
+    hh, ww, px2 = parse_bmp_pixels(bmp2)
+    assert tuple(px2[0, 0]) == (5, 5, 5) and tuple(px2[1, 2]) == (10, 10, 10)
+
+
+def test_semdedup_two_level_assignment(spark):
+    """Two-level (coarse->fine) quantizer: the O(n·2·sqrt(cells))
+    assignment path for cells ∝ corpus. Planted near-identical cluster
+    members must still land in one cell and dedup; the assignment pass
+    itself must be a pure projection (no Exchange)."""
+    import random
+
+    from giraph_spark.functions.similarity import semdedup, two_level_cells
+
+    random.seed(13)
+    dim = 8
+    base = [[random.gauss(0, 1) for _ in range(dim)] for _ in range(6)]
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(5):  # 5 near-identical members per cluster
+            rows.append((vid, [x + random.gauss(0, 0.001) for x in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semdedup(df, num_cells=9, threshold=0.9, coarse_cells=3)
+    rows_out = {r.vec_id: r for r in out.collect()}
+    assert len(rows_out) == 30
+    # every non-first cluster member whose cell contains an earlier
+    # member must be dropped; at minimum, dedup fires within clusters
+    dropped = [r for r in rows_out.values() if not r.kept]
+    assert len(dropped) >= 18  # most of the 24 planted dups caught
+    for r in dropped:
+        assert r.dup_of is not None and r.dup_of < r.vec_id
+        assert rows_out[r.dup_of].cell == r.cell
+    # determinism
+    again = {r.vec_id: (r.cell, r.kept) for r in semdedup(
+        df, num_cells=9, threshold=0.9, coarse_cells=3).collect()}
+    assert again == {k: (r.cell, r.kept) for k, r in rows_out.items()}
+    # cell ids bounded by coarse*sub
+    assert all(0 <= r.cell < 9 for r in rows_out.values())
+    # the per-row assignment is scan-fused: no Exchange in its plan
+    assign = two_level_cells(df, 3, 3)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("LocalCheckpoint")[0]
+
+
+def test_semdedup_two_level_validation(spark):
+    import pytest as _pytest
+
+    from giraph_spark.functions.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="divide"):
+        semdedup(df, num_cells=10, coarse_cells=3)
+
+
+def test_gif_lzw_decode_unit():
+    """GIF content decode: LZW decompression (variable-width codes,
+    clear/EOI, KwKwK), palette resolution, four-pass de-interlacing."""
+    import pytest as _pytest
+
+    from giraph_spark.functions.media_codecs import (
+        gif_pixel_stats,
+        make_gif,
+        make_gif_pixels,
+        parse_gif_pixels,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (40, 50, 60)]
+    h, w, px = parse_gif_pixels(make_gif_pixels(5, 3, pal))
+    assert (h, w) == (3, 5) and tuple(px[1, 2]) == (255, 0, 0)
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2])
+    h, w, px = parse_gif_pixels(make_gif_pixels(4, 3, pal, indices=idx))
+    assert tuple(px[0, 3]) == (40, 50, 60)
+    assert tuple(px[1, 0]) == (40, 50, 60)
+    assert tuple(px[2, 1]) == (0, 255, 0)
+    # interlaced: store rows in GIF pass order, decoder restores raster
+    rows = 9
+    seq = (
+        list(range(0, rows, 8)) + list(range(4, rows, 8))
+        + list(range(2, rows, 4)) + list(range(1, rows, 2))
+    )
+    base = [bytes([r % 4] * 2) for r in range(rows)]
+    store = b"".join(base[d] for d in seq)
+    h, w, px = parse_gif_pixels(
+        make_gif_pixels(2, rows, pal, indices=store, interlaced=True)
+    )
+    for r in range(rows):
+        assert tuple(px[r, 0]) == pal[r % 4]
+    s = gif_pixel_stats(make_gif_pixels(3, 2, [(10, 20, 30)]))
+    assert s["mean_r"] == 10.0 and s["mean_b"] == 30.0 and s["width"] == 3
+    # make_gif's header-only minimal frame has too little pixel data for
+    # its logical screen: truncation error, never a fabricated frame
+    with _pytest.raises(ValueError, match="truncated GIF pixel"):
+        parse_gif_pixels(make_gif(4, 4))

@@ -275,3 +275,36 @@ def test_skew_response_salted_delivery(spark):
     assert r_salt == r_warn
     assert r_salt[0] == 400.0  # 2 delivered supersteps x 200 messages
     assert r_salt[2] == 2.0    # chain neighbor: 1 per delivered superstep
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    """Profiling N columns must cost ONE scan of the input (the round-5
+    version ran one agg per column unioned — N full corpus scans at
+    exactly the scale the operator exists for)."""
+    from giraph_spark.functions.profile import profile_columns
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = profile_columns(df, ["o_orderkey", "o_custkey", "o_totalprice"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    rows = {r["column"]: r for r in out.collect()}
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_totalprice"}
+    n = df.count()
+    assert all(r["n_rows"] == n for r in rows.values())
+    assert rows["o_orderkey"]["n_distinct"] == n
+
+
+def test_profile_columns_string_column_null_numeric_stats(spark, sf_dir):
+    """A string column must profile without aborting (try_cast): numeric
+    stats NULL, counting stats exact."""
+    from giraph_spark.functions.profile import profile_columns
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = {
+        r["column"]: r
+        for r in profile_columns(df, ["o_orderstatus", "o_custkey"]).collect()
+    }
+    s = rows["o_orderstatus"]
+    assert s["mean"] is None and s["min_val"] is None
+    assert s["n_distinct"] > 0 and s["n_null"] == 0
+    assert rows["o_custkey"]["mean"] is not None

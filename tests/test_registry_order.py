@@ -54,22 +54,77 @@ def test_never_checked_keys_sit_inside_driver_window():
 
 
 def test_least_recently_checked_keys_come_first():
-    """Keys missing from the LATEST correctness round must precede the window
-    boundary, so next round's driver run closes the gap (as long as the count
-    of unchecked keys fits the window at all)."""
+    """Among keys NOT changed since their last driver check, staleness
+    order must survive the change-aware reprioritization: no unchanged
+    key outside the window may have strictly older evidence than an
+    unchanged key inside it (changed keys legitimately jump the queue —
+    their old evidence covers code that no longer exists)."""
     ks = list(entry_mod.queries())
     hist = _history()
     if not hist:
         return
-    latest = max(r for rounds in hist.values() for r in rounds)
-    unchecked = [k for k in ks if latest not in hist.get(k, set())]
-    if len(unchecked) > DRIVER_WINDOW:
-        # More backlog than one round can absorb; the sort still guarantees
-        # the oldest-evidence keys are frontmost, which is the best possible.
-        unchecked = unchecked[:DRIVER_WINDOW]
-    late = [k for k in unchecked if ks.index(k) >= DRIVER_WINDOW]
-    assert not late, f"keys unchecked in r{latest} pushed past the window: {late}"
+    with open(os.path.join(REPO, "KEY_REVS.json")) as fh:
+        revs = {k: v["rev"] for k, v in json.load(fh)["revs"].items()}
+
+    def last_checked(k):
+        return max(hist.get(k, {0}) or {0})
+
+    unchanged = [k for k in ks if revs.get(k, 0) <= last_checked(k)]
+    inside = [k for k in unchanged if ks.index(k) < DRIVER_WINDOW]
+    outside = [k for k in unchanged if ks.index(k) >= DRIVER_WINDOW]
+    if not inside or not outside:
+        return
+    worst_in = max(last_checked(k) for k in inside)
+    best_out = min(last_checked(k) for k in outside)
+    assert worst_in <= best_out, (
+        "an unchanged key with newer evidence sits inside the window while "
+        "a staler unchanged key was pushed out: "
+        f"window max last-checked r{worst_in} > outside min r{best_out}"
+    )
 
 
 def test_ordering_is_deterministic():
     assert list(entry_mod.queries()) == list(entry_mod.queries())
+
+
+def _key_revs():
+    with open(os.path.join(REPO, "KEY_REVS.json")) as fh:
+        return json.load(fh)
+
+
+def test_key_fingerprints_match_committed_snapshot():
+    """Change-aware rotation (VERDICT r5 task 3): KEY_REVS.json must
+    track the registry's current implementation fingerprints. If this
+    fails you changed a key's implementation (or a module it rides)
+    without refreshing the snapshot — run `python tests/refresh_key_revs.py`
+    so the driver window re-verifies the changed keys."""
+    from tests.keyfp import key_fingerprints
+
+    current = key_fingerprints(entry_mod)
+    snap = {k: v["fp"] for k, v in _key_revs()["revs"].items()}
+    stale = sorted(
+        k for k in set(current) | set(snap) if current.get(k) != snap.get(k)
+    )
+    assert not stale, (
+        f"{len(stale)} key fingerprint(s) drifted from KEY_REVS.json: "
+        f"{stale} — run `python tests/refresh_key_revs.py`"
+    )
+
+
+def test_changed_keys_reenter_driver_window():
+    """Every key whose revision is the CURRENT round (changed since its
+    last driver check) must sort inside the driver's 50-key window, so
+    r(N) driver evidence never silently covers r(N-1) code."""
+    revs = _key_revs()
+    rnd = revs["round"]
+    hist = _history()
+    changed = [
+        k
+        for k, v in revs["revs"].items()
+        if v["rev"] >= rnd and v["rev"] > max(hist.get(k, {0}) or {0})
+    ]
+    ks = list(entry_mod.queries())
+    late = [k for k in changed if k in ks and ks.index(k) >= DRIVER_WINDOW]
+    assert not late, (
+        f"keys changed in r{rnd} pushed past the driver window: {late}"
+    )

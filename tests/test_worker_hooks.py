@@ -85,8 +85,10 @@ def test_apply_in_pandas_with_setup(spark):
 
 
 def test_decode_metadata_with_worker_decoder_setup(spark):
-    """decode_metadata + worker lifecycle: a per-worker-constructed decoder
-    overrides the stub for its modality, other modalities fall back."""
+    """decode_metadata + worker lifecycle: a per-worker-constructed
+    decoder overrides the default sniffers for its modality; other
+    modalities fall through to the sniffers, which yield null metadata
+    for these opaque (non-container) payloads — the no-fake contract."""
     from giraph_spark.functions.multimodal import decode_metadata, synthetic_media
 
     def setup():
@@ -106,5 +108,5 @@ def test_decode_metadata_with_worker_decoder_setup(spark):
     imgs = out[out["modality"] == "image"]
     assert (imgs["width"] == 11).all() and (imgs["height"] == 22).all()
     others = out[out["modality"] != "image"]
-    # fake decoder yields widths in [64, 64+1023]
-    assert (others["width"] >= 64).all()
+    assert others["width"].isna().all()
+    assert (others["n_bytes"] > 0).all()
