@@ -340,6 +340,17 @@ def pipeline() -> None:
     timings["wav_audio_stats"], rows["wav_audio_stats"] = run(
         lambda: audio_stats(wav_media_from_docs(docs)).count()
     )
+    from giraph_spark.functions.multimodal import (
+        gif_pixels_media_from_docs,
+        jpeg_media_from_docs,
+    )
+
+    timings["jpeg_pixel_stats"], rows["jpeg_pixel_stats"] = run(
+        lambda: pixel_stats(jpeg_media_from_docs(docs)).count()
+    )
+    timings["gif_pixel_stats"], rows["gif_pixel_stats"] = run(
+        lambda: pixel_stats(gif_pixels_media_from_docs(docs)).count()
+    )
     from giraph_spark.functions.dedup import dedup_corpus, minhash_lsh_pairs
 
     d2 = docs.select("doc_id", "text")

@@ -262,32 +262,20 @@ def seed_centroids(
     )
 
 
-def two_level_cells(
+def _two_level_parts(
     corpus: DataFrame,
     coarse_cells: int,
     sub_cells: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = None,
-) -> DataFrame:
-    """Two-level (coarse → fine) cell assignment: ``(id, vec, cell)``
-    with ``cell = coarse · sub_cells + sub`` over ``coarse_cells ×
-    sub_cells`` total cells.
-
-    Why it exists: the flat scan-fused literal-centroid assignment
-    (:func:`nearest_cells`) costs O(n·cells) per row-scan, so scaling
-    cells ∝ corpus — SemDeDup's own occupancy rule — makes assignment
-    quadratic overall (measured 24.7× wall at 10× data in
-    ``bench.py --stress-docs``). Here each row does ``coarse_cells``
-    dots to pick its coarse cell, then ``sub_cells`` dots against ONLY
-    that coarse cell's sub-centroids — O(n·(C₁+C₂)) = O(n·2√cells)
-    when balanced. Both probes are literal-array expressions fused into
-    the corpus scan (the sub-centroid table is a literal array indexed
-    by coarse id — no join, no shuffle in the assignment pass); the one
-    shuffle is the per-coarse-group sub-centroid SELECTION (lowest-id
-    members), which runs once while building the quantizer, not per
-    row. Deterministic and SQL-replayable with ``round_digits`` (the
-    :func:`nearest_cells` portable mode at both levels)."""
+):
+    """Build the two-level quantizer once and return its pieces:
+    ``(coarse_arr, sub_tables, assigned_coarse)`` — the coarse-centroid
+    literal, the per-coarse sub-centroid literal array-of-arrays, and
+    the corpus with its coarse assignment (``id, vec, _coarse``,
+    materialized). Shared by :func:`two_level_cells` (dedup cells) and
+    :func:`ivf_topk`'s ``coarse_cells`` mode (ANN inverted lists)."""
     from pyspark.sql import Window
 
     coarse = (
@@ -304,8 +292,6 @@ def two_level_cells(
             for i, r in enumerate(coarse)
         ]
     )
-    # one pass: coarse id per row; then the sub-quantizer = the
-    # sub_cells lowest-id members of each coarse group
     assigned_coarse = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -343,6 +329,38 @@ def two_level_cells(
             )
             for c in range(len(coarse))
         ]
+    )
+    return coarse_arr, sub_tables, assigned_coarse
+
+
+def two_level_cells(
+    corpus: DataFrame,
+    coarse_cells: int,
+    sub_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse → fine) cell assignment: ``(id, vec, cell)``
+    with ``cell = coarse · sub_cells + sub`` over ``coarse_cells ×
+    sub_cells`` total cells.
+
+    Why it exists: the flat scan-fused literal-centroid assignment
+    (:func:`nearest_cells`) costs O(n·cells) per row-scan, so scaling
+    cells ∝ corpus — SemDeDup's own occupancy rule — makes assignment
+    quadratic overall (measured 24.7× wall at 10× data in
+    ``bench.py --stress-docs``). Here each row does ``coarse_cells``
+    dots to pick its coarse cell, then ``sub_cells`` dots against ONLY
+    that coarse cell's sub-centroids — O(n·(C₁+C₂)) = O(n·2√cells)
+    when balanced. Both probes are literal-array expressions fused into
+    the corpus scan (the sub-centroid table is a literal array indexed
+    by coarse id — no join, no shuffle in the assignment pass); the one
+    shuffle is the per-coarse-group sub-centroid SELECTION (lowest-id
+    members), which runs once while building the quantizer, not per
+    row. Deterministic and SQL-replayable with ``round_digits`` (the
+    :func:`nearest_cells` portable mode at both levels)."""
+    _coarse_arr, sub_tables, assigned_coarse = _two_level_parts(
+        corpus, coarse_cells, sub_cells, id_col, vec_col, round_digits
     )
     sub_probe = F.element_at(
         nearest_cells(
@@ -418,6 +436,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: str | DataFrame = "seed",
+    coarse_cells: int | None = None,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is bucketed into
     ``num_cells`` Voronoi cells (inverted lists) by nearest centroid;
@@ -434,38 +454,100 @@ def ivf_topk(
     oracle can replicate the exact result; ``"kmeans"`` runs
     :func:`kmeans_centroids` for better cell balance (still deterministic,
     but not SQL-oracle-replicated); or pass a ``(_cell, _cv)`` DataFrame.
-    """
-    if isinstance(centroids, DataFrame):
-        cents = centroids
-    elif centroids == "kmeans":
-        cents = kmeans_centroids(
-            corpus, num_cells=num_cells, id_col=id_col, vec_col=vec_col
-        )
-    else:
-        cents = seed_centroids(corpus, num_cells, id_col, vec_col)
 
-    cent_arr = _centroid_array(cents)
-    # inverted lists: top-1 cell per corpus row, pure projection
-    inv = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(nearest_cells(F.col(vec_col), cent_arr, 1), 1)["cell"].alias(
-            "_cell"
-        ),
-    )
-    # probes: nprobe cells per query (queries are small — the explode is
-    # |queries|·nprobe rows)
-    probes = (
-        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col))
-        .select(
+    ``coarse_cells``: the 100 TB assignment path (the IVF twin of
+    :func:`semdedup`'s two-level mode). The flat assignment probes all
+    ``num_cells`` centroids per corpus row — O(n·cells), quadratic when
+    cells scale ∝ corpus. With ``coarse_cells`` set, corpus rows probe
+    ``coarse_cells`` then only their coarse cell's ``num_cells /
+    coarse_cells`` sub-centroids; queries probe their ``coarse_probe``
+    best coarse cells and the ``ceil(nprobe / coarse_probe)`` best
+    sub-cells within each. A different (still deterministic) cell
+    partition from flat seeding, so an explicit opt-in."""
+    if coarse_cells is not None:
+        if isinstance(centroids, DataFrame) or centroids == "kmeans":
+            raise ValueError("coarse_cells requires seed centroids")
+        if num_cells % coarse_cells:
+            raise ValueError("coarse_cells must divide num_cells")
+        sub_cells = num_cells // coarse_cells
+        coarse_arr, sub_tables, assigned = _two_level_parts(
+            corpus, coarse_cells, sub_cells, id_col, vec_col
+        )
+        sub_probe_expr = F.element_at(
+            nearest_cells(
+                F.col(vec_col),
+                F.element_at(sub_tables, (F.col("_coarse") + 1).cast("int")),
+                1,
+            ),
+            1,
+        )["cell"]
+        inv = assigned.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.col("_coarse") * F.lit(sub_cells) + sub_probe_expr)
+            .cast("long")
+            .alias("_cell"),
+        )
+        n_sub = -(-nprobe // coarse_probe)
+        qcoarse = queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col)
+        ).select(
             query_id_col,
             F.col(vec_col).alias("_qv"),
             F.explode(
-                nearest_cells(F.col(vec_col), cent_arr, nprobe)
-            ).alias("_nc"),
+                nearest_cells(F.col(vec_col), coarse_arr, coarse_probe)
+            ).alias("_cc"),
         )
-        .select(query_id_col, "_qv", F.col("_nc.cell").alias("_cell"))
-    )
+        probes = qcoarse.select(
+            query_id_col,
+            "_qv",
+            F.col("_cc.cell").alias("_coarse"),
+            F.explode(
+                nearest_cells(
+                    F.col("_qv"),
+                    F.element_at(sub_tables, (F.col("_cc.cell") + 1).cast("int")),
+                    n_sub,
+                )
+            ).alias("_sc"),
+        ).select(
+            query_id_col,
+            "_qv",
+            (F.col("_coarse") * F.lit(sub_cells) + F.col("_sc.cell"))
+            .cast("long")
+            .alias("_cell"),
+        )
+    else:
+        if isinstance(centroids, DataFrame):
+            cents = centroids
+        elif centroids == "kmeans":
+            cents = kmeans_centroids(
+                corpus, num_cells=num_cells, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            cents = seed_centroids(corpus, num_cells, id_col, vec_col)
+
+        cent_arr = _centroid_array(cents)
+        # inverted lists: top-1 cell per corpus row, pure projection
+        inv = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(nearest_cells(F.col(vec_col), cent_arr, 1), 1)[
+                "cell"
+            ].alias("_cell"),
+        )
+        # probes: nprobe cells per query (queries are small — the explode
+        # is |queries|·nprobe rows)
+        probes = (
+            queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col))
+            .select(
+                query_id_col,
+                F.col(vec_col).alias("_qv"),
+                F.explode(
+                    nearest_cells(F.col(vec_col), cent_arr, nprobe)
+                ).alias("_nc"),
+            )
+            .select(query_id_col, "_qv", F.col("_nc.cell").alias("_cell"))
+        )
     cand = inv.join(F.broadcast(probes), on="_cell").where(
         F.col(query_id_col) != F.col(id_col)
     )

@@ -1261,3 +1261,43 @@ def test_gif_lzw_decode_unit():
     # its logical screen: truncation error, never a fabricated frame
     with _pytest.raises(ValueError, match="truncated GIF pixel"):
         parse_gif_pixels(make_gif(4, 4))
+
+
+def test_ivf_two_level_recall(spark):
+    """ivf_topk with the two-level quantizer: recall on tight clusters
+    stays high while assignment drops from O(n·cells) to
+    O(n·2·sqrt(cells))."""
+    import random
+
+    from giraph_spark.functions.similarity import ivf_topk
+
+    random.seed(7)
+    dim = 16
+    base = [[random.gauss(0, 1) for _ in range(dim)] for _ in range(5)]
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(6):
+            rows.append((vid, [x + random.gauss(0, 0.05) for x in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") % 6 == 0)
+    exact = brute_force_topk(df, queries, k=3)
+    approx = ivf_topk(
+        df, queries, k=3, num_cells=8, nprobe=4, coarse_cells=2,
+        coarse_probe=2,
+    )
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.8
+    # deterministic
+    again = {(r.query_id, r.vec_id) for r in ivf_topk(
+        df, queries, k=3, num_cells=8, nprobe=4, coarse_cells=2,
+        coarse_probe=2).collect()}
+    assert a == again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        ivf_topk(df, queries, num_cells=10, coarse_cells=3)
+    with _pytest.raises(ValueError, match="seed"):
+        ivf_topk(df, queries, num_cells=8, coarse_cells=2, centroids="kmeans")
