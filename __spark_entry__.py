@@ -279,6 +279,22 @@ def _q_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 Adamic–Adar link predictions per vertex on the co-purchase
+    projection (common neighbors weighted 1/ln(midpoint degree))."""
+    from giraph_spark.algos.triangles import adamic_adar_link_prediction
+    from giraph_spark.plans.fixtures import copurchase_graph
+
+    g = copurchase_graph(spark, sf_dir)
+    return adamic_adar_link_prediction(g, k=5).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("candidate").cast("long").alias("candidate"),
+        "common_neighbors",
+        "adamic_adar",
+        "rnk",
+    )
+
+
 def _q_ego_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-1 ego networks of suppliers 1-2 on the co-purchase
     projection: the exact induced edge set of the neighborhood ball.
@@ -796,6 +812,25 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def _q_dedup_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_corpus with the best-duplicate keeper policy: keeper =
+    longest text (ties -> lowest id) in both the exact and near stages.
+    The planted copies are longer than their originals, so the keeper
+    set provably differs from the lowest-id variant — the oracle
+    replays the argmax via an integer (score, -id) encoding."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    perturbed = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" !! ")).alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    scores = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    out = dedup_corpus(corpus, portable=True, keep_scores=scores)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def _q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel over the events stream: users whose
     earliest view is followed by a click within 1h, then a purchase
@@ -1304,6 +1339,45 @@ def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    LMs of the target domain (source='src18') vs the raw corpus; every
+    weight replayed by the oracle via the md5-derived portable bucket
+    hash. threshold=0 marks documents more target-like than raw."""
+    from giraph_spark.functions.sampling import dsir_importance
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    target = d.where(F.col("source") == "src18").select("doc_id", "text")
+    return dsir_importance(
+        d.select("doc_id", "text"),
+        target,
+        n_buckets=4096,
+        # mid-range of the corpus's weight distribution so BOTH
+        # outcomes occur (α-smoothing over a small target exemplar set
+        # shifts every weight negative; rank order is what matters)
+        threshold=-0.65,
+        portable=True,
+    )
+
+
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher rule battery (Rae et al. 2021, Table A1) as
+    per-rule features + pass flag. Lines derived on both engines by the
+    same ' a ' -> newline substitution (the strip_boilerplate fixture
+    convention) so the line-fraction rules are exercised."""
+    from giraph_spark.functions.text import gopher_rules
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"),
+    )
+    # thresholds tuned to the synthetic corpus so BOTH outcomes occur
+    # (its word-salad text carries few Gopher stop words)
+    return gopher_rules(d, min_words=20, min_required_words=1)
+
+
 def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet line-level boilerplate scrub. The fixture text has no
     newlines, so lines are derived deterministically on BOTH engines by
@@ -1734,9 +1808,13 @@ def _ordered_registry(base: dict) -> dict:
     idx = {k: i for i, k in enumerate(base)}
     def key(k):
         times, last = hist.get(k, (0, 0))
-        if revs.get(k, 0) > last:
-            last = 0
-        return (last, times, idx[k])
+        changed = revs.get(k, 0) > last
+        # changed keys lead (their evidence covers code that no longer
+        # exists), but WITHIN the changed group staleness still ranks —
+        # when more keys change than the window holds (e.g. an edit to
+        # a widely-imported module), the longest-unchecked changed keys
+        # must win the scarce slots
+        return (0 if changed else last, last, times, idx[k])
     order = sorted(base, key=key)
     return {k: base[k] for k in order}
 
@@ -1770,6 +1848,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "ego_subgraph": _q_ego_subgraph,
         "jaccard_link_prediction": _q_jaccard_link_prediction,
+        "adamic_adar": _q_adamic_adar,
         "betweenness_centrality": _q_betweenness,
         "k_core": _q_k_core,
         "s_core": _q_s_core,
@@ -1809,6 +1888,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "near_dup_clusters": _q_near_dup_clusters,
         "dedup_corpus": _q_dedup_corpus,
+        "dedup_corpus_quality": _q_dedup_corpus_quality,
         "funnel_counts": _q_funnel_counts,
         "simhash_near_pairs": _q_simhash,
         "quality_features": _q_quality,
@@ -1841,6 +1921,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_vector_sum_by_cluster": _q_sparse_vector_sum_by_cluster,
         "multimodal_metadata": _q_multimodal_metadata,
         "strip_boilerplate": _q_strip_boilerplate,
+        "gopher_rules": _q_gopher_rules,
+        "dsir_importance": _q_dsir_importance,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
@@ -2699,6 +2781,41 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id FROM exsurv
 WHERE doc_id NOT IN (SELECT a FROM c6 GROUP BY a HAVING a <> MIN(b))"""
     )
 
+    # quality-keeper twin: keeper = argmax(length(text), tie min id) in
+    # both stages, replayed via the integer encoding sc*1e8 - id (ids
+    # stay below 1e8, so score strictly dominates and smaller id wins
+    # ties). The near-stage closure relation is reused; its (a, b)
+    # pairs enumerate each member's full component.
+    dedup_corpus_quality_sql = (
+        f"""
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, ' ' || text || ' !! ' AS text
+    FROM documents WHERE doc_id % 20 = 0
+),
+sc AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS s FROM docs2),
+exh AS (SELECT doc_id, md5({norm}) AS h FROM docs2),
+keepx AS (
+    SELECT h, max_by(exh.doc_id, sc.s * 100000000 - exh.doc_id) AS keep
+    FROM exh JOIN sc ON sc.doc_id = exh.doc_id GROUP BY h
+),
+exsurv AS MATERIALIZED (
+    SELECT d2.doc_id, d2.text FROM docs2 d2
+    JOIN exh ON exh.doc_id = d2.doc_id
+    JOIN keepx ON keepx.h = exh.h
+    WHERE d2.doc_id = keepx.keep
+),
+nrm AS (SELECT doc_id, {norm} AS t FROM exsurv),
+sh AS MATERIALIZED"""
+        + ndc_chain_after_nrm
+        + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM exsurv
+WHERE doc_id NOT IN (
+    SELECT a FROM c6 JOIN sc ON sc.doc_id = c6.b
+    GROUP BY a HAVING a <> max_by(b, sc.s * 100000000 - b))"""
+    )
+
     funnel_sql = """
 WITH s0 AS (
     SELECT user_id, MIN(ts) AS t0 FROM events
@@ -3298,6 +3415,113 @@ SELECT id AS media_id,
        CASE WHEN id % 5 = 4 THEN ROUND((4 + id % 16) / 1000.0, 3)
             ELSE NULL END AS duration_s
 FROM g"""
+
+    # DSIR twin: identical normalized unigram+bigram features, the same
+    # md5-derived bucket hash, identical add-α smoothed log ratios;
+    # length-normalized weight ROUND(,6) absorbs summation-order ulps
+    dsir_sql = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         string_split({norm}, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, gram FROM (
+    SELECT doc_id, source, unnest(list_concat(
+      t,
+      list_transform(range(1, greatest(len(t), 1)),
+                     i -> t[i] || ' ' || t[i + 1])
+    )) AS gram
+    FROM d)
+  WHERE gram <> ''
+),
+feats AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 4096 AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+raw_lm AS (SELECT bucket, SUM(c) AS r FROM feats GROUP BY 1),
+tgt_lm AS (SELECT bucket, SUM(c) AS t FROM feats
+           WHERE source = 'src18' GROUP BY 1),
+tot AS (SELECT (SELECT SUM(r) FROM raw_lm) AS R_,
+               (SELECT SUM(t) FROM tgt_lm) AS T_),
+ratios AS (
+  SELECT rl.bucket,
+         ln((COALESCE(tl.t, 0) + 1.0) / ((SELECT T_ FROM tot) + 4096.0))
+       - ln((rl.r + 1.0) / ((SELECT R_ FROM tot) + 4096.0)) AS lr
+  FROM raw_lm rl LEFT JOIN tgt_lm tl ON rl.bucket = tl.bucket
+),
+per_doc AS (
+  SELECT f.doc_id,
+         CAST(SUM(f.c) AS BIGINT) AS n_grams,
+         ROUND(SUM(f.c * r.lr) / SUM(f.c), 6) AS log_importance
+  FROM feats f JOIN ratios r ON f.bucket = r.bucket
+  GROUP BY 1
+)
+SELECT d2.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       p.log_importance,
+       COALESCE(p.log_importance >= -0.65, FALSE) AS selected
+FROM (SELECT DISTINCT doc_id FROM d) d2
+LEFT JOIN per_doc p ON p.doc_id = d2.doc_id"""
+
+    # Gopher battery twin: identical word/line derivations, every ratio
+    # ROUND(,6); NULL-failing rule semantics via CASE ... ELSE 1
+    gopher_rules_sql = """
+WITH src AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         replace(text, ' a ', chr(10)) AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS ws,
+    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls,
+    len(string_split(text, '#')) - 1 AS n_hash,
+    len(string_split(text, '...')) - 1 AS n_ell
+  FROM src
+),
+g AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    GREATEST(len(ws), 1)::DOUBLE AS wd,
+    GREATEST(len(ls), 1)::DOUBLE AS ld,
+    ROUND(list_reduce(list_prepend(0.0,
+        list_transform(ws, w -> length(w)::DOUBLE)), (a, x) -> a + x)
+      / GREATEST(len(ws), 1), 6) AS mean_word_len,
+    ROUND((n_hash + n_ell) / GREATEST(len(ws), 1)::DOUBLE, 6)
+      AS symbol_ratio,
+    ROUND(len(list_filter(ls,
+        l -> regexp_matches(trim(l), '^([*•‣▪-])')))
+      / GREATEST(len(ls), 1)::DOUBLE, 6) AS bullet_ratio,
+    ROUND(len(list_filter(ls, l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+      / GREATEST(len(ls), 1)::DOUBLE, 6) AS ellipsis_ratio,
+    ROUND(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+      / GREATEST(len(ws), 1)::DOUBLE, 6) AS alpha_word_ratio,
+    CAST(len(list_filter(
+        ['the','be','to','of','and','that','have','with'],
+        req -> list_contains(list_transform(ws, w -> lower(w)), req)))
+      AS BIGINT) AS n_required
+  FROM f
+),
+r AS (
+  SELECT *,
+    CAST((CASE WHEN n_words >= 20 THEN 0 ELSE 1 END)
+       + (CASE WHEN n_words <= 100000 THEN 0 ELSE 1 END)
+       + (CASE WHEN mean_word_len >= 3.0 THEN 0 ELSE 1 END)
+       + (CASE WHEN mean_word_len <= 10.0 THEN 0 ELSE 1 END)
+       + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+       + (CASE WHEN bullet_ratio <= 0.9 THEN 0 ELSE 1 END)
+       + (CASE WHEN ellipsis_ratio <= 0.3 THEN 0 ELSE 1 END)
+       + (CASE WHEN alpha_word_ratio >= 0.8 THEN 0 ELSE 1 END)
+       + (CASE WHEN n_required >= 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+  FROM g
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, alpha_word_ratio, n_required, n_fail,
+       n_fail = 0 AS passed
+FROM r"""
 
     # line-level boilerplate scrub twin: same derived lines, same
     # >=3-distinct-docs flag, string_agg(ORDER BY pos) reassembly;
@@ -4175,6 +4399,38 @@ SELECT CAST(id AS BIGINT) AS id, CAST(candidate AS BIGINT) AS candidate,
 FROM jnp QUALIFY rnk <= 5"""
     )
 
+    # Adamic–Adar twin: same wedge relation with the midpoint degree
+    # joined in; weight sum ROUND(,6) before ranking on both engines
+    adamic_adar_sql = (
+        COPURCHASE_GRAPH_SQL.strip()
+        + """,
+jsym AS MATERIALIZED (
+    SELECT src AS s, dst AS d FROM edges
+    UNION SELECT dst AS s, src AS d FROM edges
+),
+jdeg AS (SELECT s AS v, COUNT(*) AS dg FROM jsym GROUP BY 1),
+jp AS (
+    SELECT a.s AS id, b.d AS candidate,
+           COUNT(*) AS cn,
+           ROUND(SUM(1.0 / ln(dm.dg)), 6) AS aa
+    FROM jsym a
+    JOIN jsym b ON a.d = b.s AND a.s <> b.d
+    JOIN jdeg dm ON dm.v = a.d
+    GROUP BY 1, 2
+),
+jnp AS (
+    SELECT p.id, p.candidate, p.cn, p.aa FROM jp p
+    WHERE NOT EXISTS (SELECT 1 FROM jsym e
+                      WHERE e.s = p.id AND e.d = p.candidate)
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(candidate AS BIGINT) AS candidate,
+       CAST(cn AS BIGINT) AS common_neighbors, aa AS adamic_adar,
+       CAST(ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY aa DESC, cn DESC, candidate ASC)
+            AS BIGINT) AS rnk
+FROM jnp QUALIFY rnk <= 5"""
+    )
+
     # SSSP + predecessor tree: the relax recurrence with an argmin
     # (dist ASC, sender ASC) — both engines compute the identical double
     # sums (same operands, min is exact), so pred ties resolve identically
@@ -4219,6 +4475,7 @@ FROM sp{UNROLL_K} WHERE val < 'infinity'::DOUBLE"""
         "sparsify_top_edges": sparsify_sql,
         "sssp_paths": sssp_paths_sql,
         "jaccard_link_prediction": jaccard_lp_sql,
+        "adamic_adar": adamic_adar_sql,
         "ego_subgraph": ego_subgraph_sql,
         "hits": hits_sql,
         "diameter_estimate": diameter_sql,
@@ -4296,6 +4553,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "sparse_vector_sum_by_cluster": sparse_vector_sum_sql,
         "multimodal_metadata": multimodal_sql,
         "strip_boilerplate": strip_boilerplate_sql,
+        "gopher_rules": gopher_rules_sql,
+        "dsir_importance": dsir_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,
         "jpeg_pixel_stats": jpeg_pixel_stats_sql,
@@ -4309,6 +4568,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "fuzzy_decontaminate": fuzzy_decon_sql,
         "near_dup_clusters": near_dup_clusters_sql,
         "dedup_corpus": dedup_corpus_sql,
+        "dedup_corpus_quality": dedup_corpus_quality_sql,
         "funnel_counts": funnel_sql,
         "simhash_near_pairs": simhash_sql,
         "embedding_near_dup_lsh": emb_lsh_sql,

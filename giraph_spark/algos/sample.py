@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dedup import portable_hash60
+from ..functions.hashing import portable_hash60
 from ..graph import Graph
 
 

@@ -275,3 +275,71 @@ def jaccard_link_prediction(
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def adamic_adar_link_prediction(
+    graph: Graph,
+    k: int = 10,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar, "Friends and
+    neighbors on the Web", Social Networks 2003; evaluated for link
+    prediction by Liben-Nowell & Kleinberg, CIKM 2003): candidates
+    scored ``Σ_{m ∈ N(a) ∩ N(c)} 1 / ln(deg(m))`` — common neighbors
+    weighted inversely by how promiscuous they are, so sharing a
+    3-neighbor friend says more than sharing a 10⁶-degree hub. Returns
+    the top-``k`` non-adjacent candidates per vertex:
+    ``(id, candidate, common_neighbors, adamic_adar, rnk)``; ties by
+    (more common neighbors, lower candidate id). A wedge midpoint has
+    undirected degree ≥ 2, so ``ln(deg)`` never vanishes.
+
+    Same scale shape and ``max_degree`` hub guard as
+    :func:`triangle_closing_topk` (the wedge self-join is bounded by
+    midpoint degree); the midpoint weight joins the |V|-sized degree
+    relation into the wedge stream before the per-pair aggregation —
+    no new pair space."""
+    from pyspark.sql import Window
+
+    src, dst = graph.src_col, graph.dst_col
+    id_col = graph.id_col
+    sym = symmetrize(graph, dedup=True).edges.select(src, dst).localCheckpoint(
+        eager=True
+    )
+    deg = sym.groupBy(F.col(src).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_deg")
+    )
+    hop2 = sym
+    if max_degree is not None:
+        hubs = deg.where(F.col("_deg") > max_degree).select(
+            F.col("_v").alias("_hub")
+        )
+        hop2 = sym.join(hubs, F.col(src) == F.col("_hub"), "left_anti")
+    a = sym.alias("a")
+    b = hop2.alias("b")
+    pairs = (
+        a.join(b, F.col(f"a.{dst}") == F.col(f"b.{src}"))
+        .where(F.col(f"a.{src}") != F.col(f"b.{dst}"))
+        .join(
+            deg.select(F.col("_v"), F.col("_deg").alias("_dm")),
+            F.col(f"a.{dst}") == F.col("_v"),
+        )
+        .groupBy(
+            F.col(f"a.{src}").alias(id_col),
+            F.col(f"b.{dst}").alias("candidate"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("_dm").cast("double"))), 6
+            ).alias("adamic_adar"),
+        )
+    )
+    adj = sym.select(F.col(src).alias(id_col), F.col(dst).alias("candidate"))
+    pairs = pairs.join(adj, [id_col, "candidate"], "left_anti")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("adamic_adar"), F.desc("common_neighbors"), F.asc("candidate")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

@@ -13,25 +13,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import normalize_text, portable_hash60
 
-def portable_hash60(c: Column, seed: int | None = None) -> Column:
-    """60-bit integer hash reproducible in any ANSI engine with md5: the
-    first 15 hex chars of md5 parsed as an integer (DuckDB twin:
-    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``). Used by the
-    ``portable=True`` mode of the sketch operators so their outputs are
-    bit-for-bit checkable against a SQL oracle; the default (xxhash64) is
-    ~5× cheaper and preferred when no cross-engine replay is needed."""
-    s = F.concat(F.lit(f"{seed}:"), c) if seed is not None else c
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-
-
-def normalize_text(col: Column) -> Column:
-    """Canonical text form for dedup: lowercase, collapse whitespace,
-    strip non-alphanumerics (keep spaces)."""
-    c = F.lower(col)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
-    return F.trim(c)
+__all__ = [
+    "portable_hash60",
+    "normalize_text",
+    "exact_duplicates",
+    "shingle_df",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    "dedup_corpus",
+    "simhash",
+    "simhash_near_pairs",
+    "fuzzy_decontaminate",
+]
 
 
 def exact_duplicates(
@@ -317,33 +314,67 @@ def dedup_corpus(
     verify_threshold: float = 0.5,
     portable: bool = False,
     max_supersteps: int = 64,
+    keep_scores: DataFrame | None = None,
 ) -> DataFrame:
     """The deduplicated corpus — the relation a training-data pipeline
     actually materializes: drop every exact duplicate except the
-    lowest-id survivor (md5 of normalized text), then, with
-    ``near=True``, drop every near-duplicate cluster member except its
-    keeper (:func:`near_dup_clusters` over the exact-deduped corpus, the
-    standard staging order). Returns the surviving rows of ``df`` with
-    all original columns.
+    survivor, then, with ``near=True``, drop every near-duplicate
+    cluster member except its keeper (:func:`near_dup_clusters` over
+    the exact-deduped corpus, the standard staging order). Returns the
+    surviving rows of ``df`` with all original columns.
+
+    ``keep_scores`` (an ``(id, score)`` relation, e.g. a quality score
+    or document length) switches keeper selection from lowest-id to
+    HIGHEST-SCORE (ties → lowest id) in both stages — the "keep the
+    best/longest duplicate" policy real curation pipelines use, rather
+    than an arbitrary id winner. Default stays lowest-id (fully
+    portable and cheapest).
 
     Scale shape: the exact stage is one hash groupBy + an id-keyed
     anti-join (no window over the corpus); the near stage inherits the
     LSH-banded, never-quadratic pair generation and runs WCC only on the
     tiny pair subgraph. Both removal lists are small relative to the
-    corpus, so at cluster scale the anti-joins broadcast."""
+    corpus, so at cluster scale the anti-joins broadcast; the score
+    join adds one broadcast-sized argmax per duplicate group, never a
+    corpus window."""
     h = df.select(
         F.col(id_col).alias("_id"),
         F.md5(normalize_text(F.col(text_col))).alias("_h"),
     )
+    sc = (
+        keep_scores.select(
+            F.col(id_col).alias("_id"), F.col("score").alias("_score")
+        )
+        if keep_scores is not None
+        else None
+    )
+
+    def best(group_col: str, rel: DataFrame) -> DataFrame:
+        """keeper per group = argmax(score), ties -> min id (struct max
+        over (score, -id))."""
+        return rel.groupBy(group_col).agg(
+            F.max(
+                F.struct(
+                    F.col("_score").alias("s"), (-F.col("_id")).alias("ni")
+                )
+            ).alias("_b"),
+            F.count(F.lit(1)).alias("_n"),
+        ).select(
+            group_col, (-F.col("_b.ni")).alias("_keep"), "_n"
+        )
+
     # only DUPLICATE groups participate in the removal join: `dups` has
     # one row per hash with >1 member — tiny relative to the corpus (the
     # clean-data common case), so at scale both this join and the final
     # anti-join broadcast instead of shuffling the full corpus
-    dups = (
-        h.groupBy("_h")
-        .agg(F.min("_id").alias("_keep"), F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > 1)
-    )
+    if sc is not None:
+        dups = best("_h", h.join(sc, "_id")).where(F.col("_n") > 1)
+    else:
+        dups = (
+            h.groupBy("_h")
+            .agg(F.min("_id").alias("_keep"), F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+        )
     losers = (
         h.join(dups, "_h")
         .where(F.col("_id") != F.col("_keep"))
@@ -362,7 +393,18 @@ def dedup_corpus(
             portable=portable,
             max_supersteps=max_supersteps,
         )
-        near_losers = clusters.where(~F.col("is_keeper")).select(id_col)
+        if sc is not None:
+            mem = clusters.select(
+                F.col(id_col).alias("_id"), "cluster"
+            ).join(sc, "_id")
+            keepers = best("cluster", mem)
+            near_losers = (
+                mem.join(keepers, "cluster")
+                .where(F.col("_id") != F.col("_keep"))
+                .select(F.col("_id").alias(id_col))
+            )
+        else:
+            near_losers = clusters.where(~F.col("is_keeper")).select(id_col)
         out = out.join(near_losers, id_col, "left_anti")
     return out
 

@@ -1,0 +1,34 @@
+"""Engine-portable hashing and text-normalization primitives.
+
+These two functions are the shared substrate of the dedup / sampling /
+text / sampling-graph operators; they live in their own module so that
+depending on "a stable hash" does not couple a consumer to the whole
+LSH/dedup machinery (which matters to the change-aware driver-window
+rotation: an edit to the dedup operators must not re-flag every key
+that merely hashes an id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def portable_hash60(c: Column, seed: int | None = None) -> Column:
+    """60-bit integer hash reproducible in any ANSI engine with md5: the
+    first 15 hex chars of md5 parsed as an integer (DuckDB twin:
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``). Used by the
+    ``portable=True`` mode of the sketch operators so their outputs are
+    bit-for-bit checkable against a SQL oracle; the default (xxhash64) is
+    ~5× cheaper and preferred when no cross-engine replay is needed."""
+    s = F.concat(F.lit(f"{seed}:"), c) if seed is not None else c
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for dedup: lowercase, collapse whitespace,
+    strip non-alphanumerics (keep spaces)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

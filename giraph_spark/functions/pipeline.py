@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text
+from .hashing import normalize_text
 from .sampling import BUCKETS, _bucket
 from .text import quality_filter
 

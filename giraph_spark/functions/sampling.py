@@ -4,7 +4,7 @@ sampling, benchmark decontamination, and mixture resampling.
 These are the selection/mixing stages of a large-scale training-data
 pipeline (the stages that run after cleaning/dedup and before
 tokenization). All are expression-only — hashing via the md5-derived
-:func:`giraph_spark.functions.dedup.portable_hash60` so every decision
+:func:`giraph_spark.functions.hashing.portable_hash60` so every decision
 is deterministic, reproducible across runs/engines, and replayable by a
 SQL oracle. Determinism matters operationally at 100 TB: re-running the
 pipeline after adding documents must not reshuffle existing documents
@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text, portable_hash60
+from .hashing import normalize_text, portable_hash60
 
 #: resolution of the hash-bucket space used for fractional decisions
 BUCKETS = 10_000
@@ -338,7 +338,7 @@ def scrub_duplicate_ngrams(
     bounded by document length. No pairwise joins anywhere — a gram
     shared by a million documents costs one group row plus its matched
     occurrences, never a million² pairing."""
-    from .dedup import normalize_text
+    from .hashing import normalize_text
 
     with_t = df.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_t")
@@ -466,4 +466,114 @@ def pack_sequences(
         .cast("long")
         .alias("seq_id"),
         (start % window).cast("long").alias("offset"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    threshold: float | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023), relationalized: per-document log importance weight under
+    hashed-n-gram bag-of-words language models of a TARGET domain vs
+    the RAW corpus —
+
+        log w(d) = Σ_f c_f(d) · [ln p̂_target(f) − ln p̂_raw(f)]
+
+    with unigram+bigram features hashed into ``n_buckets`` and add-α
+    smoothing (the paper's hashed generative importance estimator).
+    Returns ``(id, n_grams, log_importance, selected)`` with
+    ``log_importance`` length-normalized (mean per feature occurrence,
+    rounded to 6) so long documents are not favored, and ``selected`` =
+    ``log_importance >= threshold`` (NULL threshold -> all false; ship
+    the quantile as config, the :func:`quality_buckets` pattern — a
+    global rank here would sort the corpus for no reason).
+
+    Scale shape: one explode + (id, bucket) partial-agg per relation;
+    the two LM tables are ≤ ``n_buckets`` rows each, joined to the
+    corpus features on the bucket key (broadcast — the LM tables are
+    bounded by construction); per-doc weighted sum partial-aggregates.
+    The target side is a domain exemplar set (thousands of docs), never
+    the corpus. ``portable=True`` buckets with the md5-derived hash so
+    a SQL oracle replays every weight bit-for-bit."""
+
+    def feats(rel: DataFrame, idc: str) -> DataFrame:
+        toks = F.split(normalize_text(F.col(text_col)), " ")
+        uni = F.col("_t")
+        # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so a
+        # single-token doc must short-circuit to an empty bigram list
+        bi = F.when(
+            F.size("_t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+            ),
+        ).otherwise(F.expr("array()"))
+        grams = F.concat(uni, bi)
+        h = (
+            portable_hash60(F.col("gram"))
+            if portable
+            else F.abs(F.xxhash64(F.col("gram")))
+        )
+        return (
+            rel.select(F.col(idc), toks.alias("_t"))
+            .select(F.col(idc), F.explode(grams).alias("gram"))
+            .where(F.col("gram") != "")
+            .select(idc, F.pmod(h, F.lit(n_buckets)).alias("bucket"))
+            .groupBy(idc, "bucket")
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        )
+
+    doc_feats = feats(df, id_col)
+    raw_lm = doc_feats.groupBy("bucket").agg(F.sum("c").alias("r"))
+    tgt_lm = feats(target, id_col).groupBy("bucket").agg(
+        F.sum("c").alias("t")
+    )
+    raw_tot = raw_lm.agg(F.sum("r").alias("_R"))
+    tgt_tot = tgt_lm.agg(F.sum("t").alias("_T"))
+    ab = float(alpha) * float(n_buckets)
+    ratios = (
+        raw_lm.join(tgt_lm, "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("t"), F.lit(0.0)) + F.lit(float(alpha)))
+                    / (F.col("_T") + F.lit(ab))
+                )
+                - F.log(
+                    (F.col("r") + F.lit(float(alpha))) / (F.col("_R") + F.lit(ab))
+                )
+            ).alias("_lr"),
+        )
+    )
+    per_doc = (
+        doc_feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(F.col("c") * F.col("_lr")) / F.sum("c"), 6
+            ).alias("log_importance"),
+        )
+    )
+    sel = (
+        F.col("log_importance") >= F.lit(float(threshold))
+        if threshold is not None
+        else F.lit(False)
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        "log_importance",
+        F.coalesce(sel, F.lit(False)).alias("selected"),
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text
+from .hashing import normalize_text
 
 # A BPE-ish token regex: words, numbers, or single non-space symbols.
 TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"
@@ -560,4 +560,116 @@ def unigram_logprob(
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.col("logprob"),
         )
+    )
+
+
+#: the Gopher "required words" (Rae et al. 2021, Table A1): a document
+#: must contain at least two of these to pass the battery
+GOPHER_REQUIRED = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """The full Gopher quality-rule battery (Rae et al., "Scaling
+    Language Models: ... Gopher", 2021, Table A1) as per-rule flags:
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ``...``), bullet-started and ellipsis-ended line
+    fractions, fraction of words containing an alphabetic character,
+    and the required-stop-words presence test. Returns one row per doc:
+    ``(id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    ellipsis_ratio, alpha_word_ratio, n_required, n_fail, passed)``.
+
+    Complements :func:`quality_filter` (the compact C4-style gate) with
+    the named, published rule set — the two together are the rule tier
+    of a curation pipeline, ahead of model-based scoring.
+
+    Scale shape: pure expressions fused into the scan — zero shuffles,
+    zero joins, NULL text fails every rule (never slips through
+    three-valued logic)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    wd = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        )
+        / wd,
+        6,
+    )
+    n_hash = F.size(F.split(t, r"#", -1)) - 1
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    symbol_ratio = F.round((n_hash + n_ellipsis) / wd, 6)
+    lines = F.filter(
+        F.split(t, r"\n", -1), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_ratio = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).rlike(r"^([*•‣▪-])"),
+            )
+        )
+        / n_lines,
+        6,
+    )
+    ellipsis_ratio = F.round(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+        / n_lines,
+        6,
+    )
+    alpha_word_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / wd, 6
+    )
+    lower_words = F.transform(words, lambda w: F.lower(w))
+    n_required = (
+        F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in GOPHER_REQUIRED]),
+                lambda req: F.array_contains(lower_words, req),
+            )
+        )
+        .cast("long")
+    )
+    feats = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        n_required.alias("n_required"),
+    )
+    rules = [
+        F.col("n_words") >= min_words,
+        F.col("n_words") <= max_words,
+        F.col("mean_word_len") >= min_mean_word_len,
+        F.col("mean_word_len") <= max_mean_word_len,
+        F.col("symbol_ratio") <= max_symbol_ratio,
+        F.col("bullet_ratio") <= max_bullet_ratio,
+        F.col("ellipsis_ratio") <= max_ellipsis_ratio,
+        F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        F.col("n_required") >= min_required_words,
+    ]
+    n_fail = sum(
+        F.when(F.coalesce(r, F.lit(False)), 0).otherwise(1) for r in rules
+    ).cast("long")
+    return feats.select(
+        "*",
+        n_fail.alias("n_fail"),
+        (n_fail == 0).alias("passed"),
     )

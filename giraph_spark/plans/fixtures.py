@@ -223,7 +223,7 @@ def copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
     pairs — quadratic in each customer's basket size. Bound it upstream
     on real data (cap basket size or use minhash on baskets); here
     baskets are small by construction."""
-    from ..functions.dedup import portable_hash60
+    from ..functions.hashing import portable_hash60
 
     li = _read(spark, sf_dir, "lineitem")
     o = _read(spark, sf_dir, "orders")

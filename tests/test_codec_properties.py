@@ -1,0 +1,131 @@
+"""Property-based round-trip tests for the zero-dependency media codecs:
+for random content, encode -> decode must reproduce the exact pixels /
+samples. This is the fuzz layer over the closed-form oracle keys (which
+only exercise solid-color content)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_random_content_and_filters(w, h, channels, data):
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import make_png, parse_png_pixels
+
+    stride = w * channels
+    rows = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=stride, max_size=stride)))
+        for _ in range(h)
+    ]
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    png = make_png(w, h, rows=rows, channels=channels, filters=filters)
+    hh, ww, px = parse_png_pixels(png)
+    assert (hh, ww) == (h, w)
+    expect = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+        h, w, channels
+    )
+    assert (px == expect).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 8), h=st.integers(1, 6), data=st.data())
+def test_bmp_roundtrip_random_content(w, h, data):
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import make_bmp, parse_bmp_pixels
+
+    rows = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * 3, max_size=w * 3)))
+        for _ in range(h)
+    ]
+    top_down = data.draw(st.booleans())
+    bmp = make_bmp(w, h, rows=rows, top_down=top_down)
+    hh, ww, px = parse_bmp_pixels(bmp)
+    assert (hh, ww) == (h, w)
+    expect = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, 3)
+    assert (px == expect).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 3),
+    data=st.data(),
+)
+def test_jpeg_roundtrip_random_block_constants(bw, bh, data):
+    """Per-block constants survive the quant=1 DCT round-trip exactly,
+    whatever the DC-prediction chain looks like."""
+    from giraph_spark.functions.media_codecs import (
+        make_jpeg_baseline,
+        parse_jpeg_pixels,
+    )
+
+    blocks = data.draw(
+        st.lists(st.integers(0, 255), min_size=bw * bh, max_size=bw * bh)
+    )
+    w, h = bw * 8, bh * 8
+    hh, ww, px = parse_jpeg_pixels(make_jpeg_baseline(w, h, blocks=blocks))
+    assert (hh, ww) == (h, w)
+    for by in range(bh):
+        for bx in range(bw):
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+            assert (block == blocks[by * bw + bx]).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 10), h=st.integers(1, 8), data=st.data())
+def test_gif_roundtrip_random_indices(w, h, data):
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import (
+        make_gif_pixels,
+        parse_gif_pixels,
+    )
+
+    n_colors = data.draw(st.integers(1, 8))
+    palette = [
+        tuple(data.draw(st.lists(st.integers(0, 255), min_size=3, max_size=3)))
+        for _ in range(n_colors)
+    ]
+    indices = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, n_colors - 1), min_size=w * h, max_size=w * h
+            )
+        )
+    )
+    hh, ww, px = parse_gif_pixels(make_gif_pixels(w, h, palette, indices=indices))
+    assert (hh, ww) == (h, w)
+    table = np.array(palette, dtype=np.uint8)
+    expect = table[np.frombuffer(indices, dtype=np.uint8).reshape(h, w)]
+    assert (px == expect).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rate=st.sampled_from([1000, 8000, 16000]),
+    data=st.data(),
+)
+def test_wav_roundtrip_random_samples(rate, data):
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import make_wav, parse_wav_samples
+
+    raw = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=1, max_size=64))
+    )
+    got_rate, n_ch, samples = parse_wav_samples(
+        make_wav(0, sample_rate=rate, data=raw)
+    )
+    assert got_rate == rate and n_ch == 1
+    expect = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    assert np.array_equal(samples, expect)

@@ -1301,3 +1301,40 @@ def test_ivf_two_level_recall(spark):
         ivf_topk(df, queries, num_cells=10, coarse_cells=3)
     with _pytest.raises(ValueError, match="seed"):
         ivf_topk(df, queries, num_cells=8, coarse_cells=2, centroids="kmeans")
+
+
+def test_dedup_corpus_quality_keeper(spark):
+    """keep_scores switches keeper selection to highest-score (tie ->
+    lowest id) in BOTH the exact and near stages."""
+    from giraph_spark.functions.dedup import dedup_corpus
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river"),
+        (2, "The quick brown fox jumps over the lazy dog near the river!!"),
+        (3, "the QUICK brown fox jumps over the lazy dog near the river"),
+        (4, "Completely different content about databases and systems"),
+    ]
+    # 1 and 3 are EXACT dups after normalization; 2 is a NEAR dup of both
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (4, 1.0)], "doc_id long, score double"
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_corpus(
+            df, verify_threshold=0.5, keep_scores=scores
+        ).collect()
+    }
+    # exact stage: 3 beats 1 (7 > 5); near stage: 2 beats 3 (9 > 7)
+    assert kept == {2, 4}
+    # default keeps lowest ids
+    kept_default = {r.doc_id for r in dedup_corpus(df).collect()}
+    assert kept_default == {1, 4}
+    # tie -> lowest id
+    tie = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 5.0), (4, 1.0)], "doc_id long, score double"
+    )
+    kept_tie = {
+        r.doc_id for r in dedup_corpus(df, keep_scores=tie).collect()
+    }
+    assert 2 in kept_tie and 3 not in kept_tie

@@ -114,17 +114,43 @@ def test_key_fingerprints_match_committed_snapshot():
 def test_changed_keys_reenter_driver_window():
     """Every key whose revision is the CURRENT round (changed since its
     last driver check) must sort inside the driver's 50-key window, so
-    r(N) driver evidence never silently covers r(N-1) code."""
+    r(N) driver evidence never silently covers r(N-1) code. When MORE
+    keys changed than the window holds (an edit to a widely-imported
+    module re-flags its whole dependency cone), the weaker invariant
+    holds: the window must be filled entirely with changed/never-checked
+    keys, led by the longest-unchecked ones."""
     revs = _key_revs()
     rnd = revs["round"]
     hist = _history()
+
+    def last_checked(k):
+        return max(hist.get(k, {0}) or {0})
+
     changed = [
         k
         for k, v in revs["revs"].items()
-        if v["rev"] >= rnd and v["rev"] > max(hist.get(k, {0}) or {0})
+        if v["rev"] >= rnd and v["rev"] > last_checked(k)
     ]
     ks = list(entry_mod.queries())
-    late = [k for k in changed if k in ks and ks.index(k) >= DRIVER_WINDOW]
-    assert not late, (
-        f"keys changed in r{rnd} pushed past the driver window: {late}"
-    )
+    if len(changed) <= DRIVER_WINDOW:
+        late = [k for k in changed if k in ks and ks.index(k) >= DRIVER_WINDOW]
+        assert not late, (
+            f"keys changed in r{rnd} pushed past the driver window: {late}"
+        )
+    else:
+        window = ks[:DRIVER_WINDOW]
+        stale_unchanged_inside = [
+            k for k in window if k not in changed and k in hist
+        ]
+        assert not stale_unchanged_inside, (
+            "window slots wasted on unchanged already-checked keys while "
+            f"changed keys overflow: {stale_unchanged_inside}"
+        )
+        # within the changed cohort, the scarce slots go to the
+        # longest-unchecked keys
+        inside = [k for k in window if k in changed]
+        outside = [k for k in ks[DRIVER_WINDOW:] if k in changed]
+        if inside and outside:
+            assert max(last_checked(k) for k in inside) <= min(
+                last_checked(k) for k in outside
+            )

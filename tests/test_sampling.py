@@ -345,3 +345,72 @@ def test_cap_per_group_sharded_identical(spark, sf_dir):
     for src, row in per.iterrows():
         assert row["count"] == min(7, sizes[src])
         assert row["max"] == row["count"]
+
+
+def test_gopher_rules_battery(spark):
+    """Each Gopher rule fires on a planted violation and a clean doc
+    passes."""
+    from giraph_spark.functions.text import gopher_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and that is fine "
+        "to be seen with many plain words of prose here today again"
+    )
+    rows = [
+        (1, good),
+        (2, "short text only"),                        # word count
+        (3, "# " * 40 + good),                          # symbol ratio
+        (4, "\n".join("* bullet line" for _ in range(10)) + "\n" + good),
+        (5, " ".join("12345" for _ in range(30))),      # alpha words + required
+        (6, good.replace(" ", "... \n") ),              # ellipsis lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=10).collect()}
+    assert out[1].passed and out[1].n_fail == 0
+    assert not out[2].passed and out[2].n_words < 10
+    assert out[3].symbol_ratio > 0.1 and not out[3].passed
+    assert out[4].bullet_ratio > 0.9 and not out[4].passed
+    assert out[5].alpha_word_ratio == 0.0 and out[5].n_required == 0
+    assert out[6].ellipsis_ratio > 0.3 and not out[6].passed
+    # NULL text fails everything, never passes via three-valued logic
+    nul = gopher_rules(
+        spark.createDataFrame([(9, None)], "doc_id long, text string")
+    ).first()
+    assert not nul.passed and nul.n_fail == 9
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR: documents sharing the target domain's vocabulary score
+    higher than off-domain documents; weights are deterministic."""
+    from giraph_spark.functions.sampling import dsir_importance
+
+    med = "patient dosage clinical trial symptom therapy diagnosis"
+    code = "def return import class lambda yield async await"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{med} {med} treatment outcome"),
+            (2, f"{med} hospital nurse medication"),
+            (3, f"{code} python function module"),
+            (4, f"{code} compiler syntax bytecode"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, f"{med} ward surgeon prescription")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_importance(
+        corpus, target, n_buckets=512, threshold=None).collect()}
+    assert len(out) == 4 and all(r.n_grams > 0 for r in out.values())
+    med_w = (out[1].log_importance + out[2].log_importance) / 2
+    code_w = (out[3].log_importance + out[4].log_importance) / 2
+    assert med_w > code_w
+    again = {r.doc_id: r.log_importance for r in dsir_importance(
+        corpus, target, n_buckets=512).collect()}
+    assert again == {k: v.log_importance for k, v in out.items()}
+    # single-token doc: the bigram guard must not error
+    single = dsir_importance(
+        spark.createDataFrame([(7, "word")], "doc_id long, text string"),
+        target, n_buckets=512,
+    ).first()
+    assert single.n_grams == 1
