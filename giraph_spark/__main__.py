@@ -82,8 +82,10 @@ def _algorithms():
         degree_assortativity,
         diameter_estimate,
         graph_stats,
+        reciprocity,
     )
     from .algos.triangles import (
+        adamic_adar_link_prediction,
         jaccard_link_prediction,
         k_truss,
         triangle_closing_topk,
@@ -110,6 +112,7 @@ def _algorithms():
         "s_core": s_core,
         "k_truss": k_truss,
         "jaccard_link_prediction": jaccard_link_prediction,
+        "adamic_adar": adamic_adar_link_prediction,
         "core_numbers": core_numbers,
         "scc": scc,
         "max_propagation": max_propagation,
@@ -123,6 +126,7 @@ def _algorithms():
         "graph_stats": graph_stats,
         "degree_assortativity": degree_assortativity,
         "diameter_estimate": diameter_estimate,
+        "reciprocity": reciprocity,
         "neighbor_sample": _with_seed_vertices(neighbor_sample),
         "random_walks": _with_seed_vertices(random_walks),
         "ego_subgraph": _with_seed_vertices(ego_subgraph),

@@ -302,9 +302,22 @@ def _two_level_parts(
     # referenced by the seed collection AND the final probe: materialize
     # once so the coarse scan does not rerun
     assigned_coarse = assigned_coarse.localCheckpoint(eager=False)
+    # sub-centroid selection = exact per-coarse lowest-id top-n. A hot
+    # coarse cell must not serialize its sort on one task, so pre-rank
+    # over (_coarse, hash(id) % 32) first — any row in the true top-n
+    # has shard-rank <= n (pigeonhole, the cap_per_group pattern), and
+    # the final window ranks <= 32*n survivors per coarse cell. The
+    # result is provably shard-count-invariant (exact top-n by id).
+    pre_w = Window.partitionBy(
+        "_coarse", F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+    ).orderBy(F.col(id_col))
+    survivors = (
+        assigned_coarse.withColumn("_prk", F.row_number().over(pre_w))
+        .where(F.col("_prk") <= sub_cells)
+    )
     w = Window.partitionBy("_coarse").orderBy(F.col(id_col))
     seeds = (
-        assigned_coarse.withColumn("_rk", F.row_number().over(w))
+        survivors.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= sub_cells)
         .select("_coarse", (F.col("_rk") - 1).alias("_sub"), F.col(vec_col))
         .collect()
