@@ -349,6 +349,15 @@ def dedup_corpus(
         else None
     )
 
+    def with_scores(rel: DataFrame) -> DataFrame:
+        """LEFT join + -inf default: a doc missing from keep_scores must
+        still participate in dedup (an inner join would silently exempt
+        its whole group) — it just never beats a scored doc, and an
+        all-missing group falls back to the lowest-id keeper."""
+        return rel.join(sc, "_id", "left").withColumn(
+            "_score", F.coalesce(F.col("_score"), F.lit(float("-inf")))
+        )
+
     def best(group_col: str, rel: DataFrame) -> DataFrame:
         """keeper per group = argmax(score), ties -> min id (struct max
         over (score, -id))."""
@@ -368,7 +377,7 @@ def dedup_corpus(
     # clean-data common case), so at scale both this join and the final
     # anti-join broadcast instead of shuffling the full corpus
     if sc is not None:
-        dups = best("_h", h.join(sc, "_id")).where(F.col("_n") > 1)
+        dups = best("_h", with_scores(h)).where(F.col("_n") > 1)
     else:
         dups = (
             h.groupBy("_h")
@@ -394,9 +403,9 @@ def dedup_corpus(
             max_supersteps=max_supersteps,
         )
         if sc is not None:
-            mem = clusters.select(
-                F.col(id_col).alias("_id"), "cluster"
-            ).join(sc, "_id")
+            mem = with_scores(
+                clusters.select(F.col(id_col).alias("_id"), "cluster")
+            )
             keepers = best("cluster", mem)
             near_losers = (
                 mem.join(keepers, "cluster")

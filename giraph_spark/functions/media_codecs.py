@@ -663,7 +663,10 @@ class _BitReader:
                 raise _MarkerReached(nxt)
         else:
             self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
+        # mask off already-consumed high bits: without this the buffer
+        # accumulates the whole entropy stream as one growing bignum and
+        # every shift copies it — O(N^2) decode on megabyte payloads
+        self.bitbuf = (((self.bitbuf & ((1 << self.nbits) - 1)) << 8) | b)
         self.nbits += 8
 
     def bit(self) -> int:
@@ -809,6 +812,14 @@ def parse_jpeg_pixels(payload: bytes):
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, h_i, v_i, _tq in comps:
+        if h_i == 0 or v_i == 0 or hmax % h_i or vmax % v_i:
+            # np.repeat upsampling needs integer ratios; a 3:2-style
+            # layout would silently decode misaligned chroma otherwise
+            raise ValueError(
+                f"unsupported JPEG sampling ratio ({h_i}x{v_i} vs "
+                f"{hmax}x{vmax} max) — register a library decoder"
+            )
     mcus_x = -(-w_img // (8 * hmax))
     mcus_y = -(-h_img // (8 * vmax))
     basis = _idct_basis()
@@ -915,6 +926,7 @@ def make_jpeg_baseline(
     blocks: "list[int] | None" = None,
     ycbcr: "tuple[int, int, int] | None" = None,
     sampling: "tuple[tuple[int, int], ...] | None" = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """A REAL decodable baseline JPEG (all-ones quantization table,
     minimal canonical Huffman tables). Grayscale by default: every 8×8
@@ -928,7 +940,10 @@ def make_jpeg_baseline(
     (only the DC coefficient 8·(v−128) is coded), so the decoded image
     is a closed-form function of the inputs — the oracle-checkable
     fixture for :func:`parse_jpeg_pixels`, the JPEG twin of
-    :func:`make_bmp`."""
+    :func:`make_bmp`. ``restart_interval > 0`` emits a DRI segment and
+    RSTn markers every that many MCUs (predictors reset, stream
+    byte-aligned) — the error-resilience layout common in real-world
+    JPEGs, exercising the decoder's restart path."""
     if ycbcr is not None:
         sampling = sampling or ((1, 1), (1, 1), (1, 1))
         comps = [
@@ -974,6 +989,8 @@ def make_jpeg_baseline(
         + ac_counts
         + b"\x00"
     )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS: all components on DC/AC table 0
     out += (
         b"\xff\xda"
@@ -1000,24 +1017,38 @@ def make_jpeg_baseline(
         put(0, 1)  # EOB
         return dc
 
+    def flush_bits() -> None:
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per T.81 F.1.2.3
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        bits.clear()
+
     preds = [0] * len(comps)
+    mcu_index = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_index and (
+                mcu_index % restart_interval == 0
+            ):
+                flush_bits()
+                out += bytes([0xFF, 0xD0 + rst])  # RSTn, n cycling 0-7
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            mcu_index += 1
             for ci, (_cid, h, v, val) in enumerate(comps):
                 for _ in range(h * v):
                     cur = (
                         blocks[my * mcus_x + mx] if blocks is not None else val
                     )
                     preds[ci] = code_block(cur, preds[ci])
-    while len(bits) % 8:
-        bits.append(1)  # pad with 1s per T.81 F.1.2.3
-    for i in range(0, len(bits), 8):
-        byte = 0
-        for b in bits[i : i + 8]:
-            byte = (byte << 1) | b
-        out.append(byte)
-        if byte == 0xFF:
-            out.append(0x00)  # byte stuffing
+    flush_bits()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1161,7 +1192,6 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
             if next_code == (1 << code_size) and code_size < 12:
                 code_size += 1
         prev = entry
-    return out
 
 
 def gif_pixel_stats(payload: bytes) -> dict[str, Any]:

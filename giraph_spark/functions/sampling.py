@@ -531,7 +531,10 @@ def dsir_importance(
             .agg(F.count(F.lit(1)).cast("double").alias("c"))
         )
 
-    doc_feats = feats(df, id_col)
+    # referenced by the raw LM and the per-doc probe: materialize once
+    # so the corpus-wide explode + (id, bucket) aggregation — the
+    # operator's dominant cost — does not run twice
+    doc_feats = feats(df, id_col).localCheckpoint(eager=False)
     raw_lm = doc_feats.groupBy("bucket").agg(F.sum("c").alias("r"))
     tgt_lm = feats(target, id_col).groupBy("bucket").agg(
         F.sum("c").alias("t")

@@ -129,3 +129,29 @@ def test_wav_roundtrip_random_samples(rate, data):
     assert got_rate == rate and n_ch == 1
     expect = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     assert np.array_equal(samples, expect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 3),
+    ri=st.integers(1, 4),
+    data=st.data(),
+)
+def test_jpeg_restart_interval_roundtrip(bw, bh, ri, data):
+    """DRI/RSTn layouts (predictor reset + byte realignment every ri
+    MCUs) must decode to the same per-block constants."""
+    from giraph_spark.functions.media_codecs import (
+        make_jpeg_baseline,
+        parse_jpeg_pixels,
+    )
+
+    blocks = data.draw(
+        st.lists(st.integers(0, 255), min_size=bw * bh, max_size=bw * bh)
+    )
+    hh, ww, px = parse_jpeg_pixels(
+        make_jpeg_baseline(bw * 8, bh * 8, blocks=blocks, restart_interval=ri)
+    )
+    assert (hh, ww) == (bh * 8, bw * 8)
+    got = [int(px[by * 8, bx * 8, 0]) for by in range(bh) for bx in range(bw)]
+    assert got == blocks

@@ -1338,3 +1338,33 @@ def test_dedup_corpus_quality_keeper(spark):
         r.doc_id for r in dedup_corpus(df, keep_scores=tie).collect()
     }
     assert 2 in kept_tie and 3 not in kept_tie
+
+
+def test_dedup_corpus_partial_scores_still_dedup(spark):
+    """A doc missing from keep_scores must still participate in dedup
+    (review finding: an inner join silently exempted its group): missing
+    scores rank below every scored doc, and an all-missing group falls
+    back to the lowest-id keeper."""
+    from giraph_spark.functions.dedup import dedup_corpus
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river"),
+        (2, "The quick brown fox jumps over the lazy dog near the river!!"),
+        (3, "the QUICK brown fox jumps over the lazy dog near the river"),
+        (4, "Completely different content about databases and systems"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # only doc 3 scored: it must beat the unscored 1 in the exact stage,
+    # and the unscored near-dup 2 must still be REMOVED (3 keeps by
+    # -inf tie -> lowest id among {2, 3}? no: 3 has a real score)
+    partial = spark.createDataFrame([(3, 7.0)], "doc_id long, score double")
+    kept = {
+        r.doc_id for r in dedup_corpus(df, keep_scores=partial).collect()
+    }
+    assert kept == {3, 4}
+    # NO doc scored at all: behaves like the lowest-id default
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    kept_none = {
+        r.doc_id for r in dedup_corpus(df, keep_scores=empty).collect()
+    }
+    assert kept_none == {1, 4}
