@@ -402,3 +402,158 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def near_dup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    watermark: str = "2 hours",
+    idle_timeout_ms: int = 2 * 60 * 60 * 1000,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates at ingestion: the
+    streaming tier of :func:`giraph_spark.functions.dedup.
+    minhash_lsh_pairs`. Each document's signature is banded exactly as
+    in the batch operator (pure expressions, so the sketch works on an
+    unbounded stream); per LSH bucket a keyed state remembers the
+    FIRST-SEEN document, and every later same-bucket arrival emits a
+    candidate row ``(doc_id, dup_of, band, bucket)`` pointing at that
+    holder. Aggregate downstream per doc (e.g. ``min(dup_of)`` /
+    ``count(distinct band)``) or route flagged docs to the quarantine
+    sink.
+
+    State bounds (the production contract, as :func:`dedup_stream`):
+    one (holder id, ts) pair per live bucket, evicted after
+    ``idle_timeout_ms`` of processing-time inactivity — buckets of
+    long-gone topics do not accumulate forever. Duplicates separated by
+    more than the eviction horizon are the batch pass's job; the
+    streaming tier exists to catch the near-in-time redundancy (crawl
+    re-fetches, syndicated reposts) before it lands in the corpus.
+    Within a micro-batch, arrival order is normalized to (ts, id), so
+    replays are deterministic."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.hashing import normalize_text
+
+    rows = num_hashes // bands
+    src = docs if ts_col == "ts" else docs.withColumnRenamed(ts_col, "ts")
+    ts_col = "ts"  # _with_watermark operates on the canonical ts name
+    # signature as a PURE EXPRESSION: min-hash over the in-row shingle
+    # array (duplicate shingles cannot change a min, so this equals the
+    # batch minhash_signatures' explode+groupBy form exactly). A
+    # groupBy here would be a SECOND stateful operator in the stream —
+    # Spark restricts chaining those; the projection form keeps the
+    # bucket state the only stateful stage (and costs zero shuffles).
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length(_n) - {k} + 1, 1)), "
+        f"i -> substring(_n, i, {k}))"
+    )
+    def seeded_hash(seed: int):
+        # NOTE: F.transform dispatches on the lambda's ARITY (a second
+        # parameter would receive the array index), so the seed must be
+        # bound via this closure factory, never a default argument
+        return lambda x: F.xxhash64(x, F.lit(seed))
+
+    sig = (
+        _with_watermark(src, watermark)
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            normalize_text(F.col(text_col)).alias("_n"),
+        )
+        .select(F.col(id_col), F.col(ts_col), shingles.alias("_sh"))
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("_sh"), seeded_hash(seed)))
+                    for seed in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
+    )
+
+    def band_bucket(b: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col("sig").getItem(b * rows + r).cast("string")
+                for r in range(rows)
+            ],
+        )
+        return F.xxhash64(joined)
+
+    banded = sig.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        band_bucket(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(
+        id_col, ts_col,
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("dup_of", LongType()),
+            StructField("band", LongType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("holder", LongType()), StructField("first_us", LongType())]
+    )
+
+    def track(key, pdf_iter, state: GroupState):
+        band, bucket = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [p for p in pdf_iter if len(p) > 0]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values([ts_col, id_col])
+        ids = pdf[id_col].astype("int64").tolist()
+        uss = (pdf[ts_col].astype("int64") // 1000).tolist()
+        if state.exists:
+            holder, first_us = state.get
+        else:
+            holder, first_us = int(ids[0]), int(uss[0])
+            ids, uss = ids[1:], uss[1:]
+        out_ids = [int(i) for i in ids if int(i) != holder]
+        state.update((holder, first_us))
+        state.setTimeoutDuration(idle_timeout_ms)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "dup_of": [holder] * len(out_ids),
+                    "band": [int(band)] * len(out_ids),
+                    "bucket": [int(bucket)] * len(out_ids),
+                }
+            )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -315,3 +315,66 @@ def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
                 assert pd.isna(sv), (u, sv, bv)
             else:
                 assert pd.Timestamp(bv) == sv, (u, sv, bv)
+
+
+def test_near_dup_stream_flags_planted_dups(spark, tmp_path):
+    """Streaming MinHash near-dup: a later re-fetch of (nearly) the same
+    document is flagged against the first-seen holder, across micro-
+    batch seams; unrelated documents are not flagged. Candidate recall
+    vs the batch operator: every batch LSH pair within the stream's
+    horizon must surface as a candidate on its later member."""
+    import os
+
+    from giraph_spark.functions.dedup import minhash_lsh_pairs
+    from giraph_spark.streaming.events import near_dup_stream
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "2024-01-01 10:00:00", base),
+        (2, "2024-01-01 10:05:00", "completely different text about database systems design"),
+        (3, "2024-01-01 11:00:00", base + "!"),        # near-dup of 1
+        (4, "2024-01-01 11:30:00", base.upper()),      # exact after normalize
+        (5, "2024-01-01 12:00:00", "another unrelated document on machine learning pipelines"),
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "doc_id long, ts string, text string"
+    ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "text")
+
+    src = tmp_path / "ndchunks"
+    chunks = [
+        batch_df.where(F.col("doc_id") <= 2),
+        batch_df.where(F.col("doc_id").isin(3, 4)),
+        batch_df.where(F.col("doc_id") == 5),
+    ]
+    for i, c in enumerate(chunks):
+        d = str(src / f"chunk{i}")
+        c.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "chunk*"))
+    )
+    q = (
+        near_dup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("nd_cands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cands = spark.sql("SELECT * FROM nd_cands").collect()
+    flagged = {r.doc_id: r.dup_of for r in cands}
+    # the later near/exact dups point at the first-seen holder
+    assert flagged.get(3) == 1 and flagged.get(4) == 1
+    # unrelated docs never flagged
+    assert 2 not in flagged and 5 not in flagged and 1 not in flagged
+    # recall vs batch: each batch pair's LATER member is flagged
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(batch_df, verify_threshold=None).collect()
+    }
+    for a, b in batch_pairs:
+        assert b in flagged, (a, b)
