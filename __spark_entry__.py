@@ -812,6 +812,46 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment disposition: a new batch (planted exact copies,
+    near copies with appended tokens, and genuinely fresh md5-derived
+    documents) deduped against the existing corpus — exact md5 tier +
+    cross-relation MinHash-LSH near tier, both oracle-replayed."""
+    from giraph_spark.functions.dedup import incremental_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    newb = (
+        d.where(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            d.where((F.col("doc_id") % 9 == 0) & (F.col("doc_id") % 11 != 0))
+            .select(
+                (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" extra appended reviewer tokens")
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + F.lit(40_000_000)).alias("doc_id"),
+                F.concat(
+                    F.lit("zz "),
+                    F.md5(F.col("doc_id").cast("string")),
+                    F.lit(" "),
+                    F.md5((F.col("doc_id") + 1).cast("string")),
+                ).alias("text"),
+            )
+        )
+    )
+    return incremental_dedup(newb, d, portable=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status", "dup_of"
+    )
+
+
 def _q_dedup_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_corpus with the best-duplicate keeper policy: keeper =
     longest text (ties -> lowest id) in both the exact and near stages.
@@ -1889,6 +1929,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_corpus_quality": _q_dedup_corpus_quality,
+        "incremental_dedup": _q_incremental_dedup,
         "funnel_counts": _q_funnel_counts,
         "simhash_near_pairs": _q_simhash,
         "quality_features": _q_quality,
@@ -2780,6 +2821,90 @@ sh AS MATERIALIZED"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM exsurv
 WHERE doc_id NOT IN (SELECT a FROM c6 GROUP BY a HAVING a <> MIN(b))"""
     )
+
+    # incremental-dedup twin: exact tier = md5 equi-join; near tier =
+    # the fuzzy_decontaminate replay with the new batch as the probing
+    # side; status precedence exact > near > new, dup_of = min match
+    incremental_dedup_sql = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+newb AS (
+    SELECT doc_id + 20000000 AS doc_id, upper(text) AS text
+    FROM documents WHERE doc_id % 11 = 0
+    UNION ALL
+    SELECT doc_id + 30000000, text || ' extra appended reviewer tokens'
+    FROM documents WHERE doc_id % 9 = 0 AND doc_id % 11 <> 0
+    UNION ALL
+    SELECT doc_id + 40000000,
+           'zz ' || md5(CAST(doc_id AS VARCHAR)) || ' '
+                 || md5(CAST(doc_id + 1 AS VARCHAR))
+    FROM documents WHERE doc_id % 13 = 0
+),
+hn AS (SELECT doc_id, md5({norm}) AS h FROM newb),
+hc AS (SELECT doc_id AS cid, md5({norm}) AS h FROM corpus),
+ex AS (SELECT hn.doc_id, MIN(cid) AS exact_of
+       FROM hn JOIN hc USING (h) GROUP BY 1),
+nn AS (SELECT doc_id, {norm} AS t FROM newb),
+shn AS MATERIALIZED (
+    SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 5) AS s FROM (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+        FROM nn) u
+),
+ncc AS (SELECT doc_id AS cid, {norm} AS t FROM corpus),
+shcc AS MATERIALIZED (
+    SELECT DISTINCT cid, substring(t, CAST(i AS INT), 5) AS s FROM (
+        SELECT cid, t,
+               unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+        FROM ncc) u
+),
+seeds AS (SELECT unnest(range(64)) AS seed),
+sign_ AS MATERIALIZED (
+    SELECT doc_id, seed,
+           MIN(CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS BIGINT)) AS mh
+    FROM shn CROSS JOIN seeds GROUP BY doc_id, seed
+),
+sigcc AS MATERIALIZED (
+    SELECT cid, seed,
+           MIN(CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS BIGINT)) AS mh
+    FROM shcc CROSS JOIN seeds GROUP BY cid, seed
+),
+bndn AS (
+    SELECT doc_id, seed // 4 AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+    FROM sign_ GROUP BY doc_id, seed // 4
+),
+bndcc AS (
+    SELECT cid, seed // 4 AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+    FROM sigcc GROUP BY cid, seed // 4
+),
+okn AS (SELECT band, bucket FROM bndn GROUP BY 1, 2 HAVING COUNT(*) <= 200),
+okcc AS (SELECT band, bucket FROM bndcc GROUP BY 1, 2 HAVING COUNT(*) <= 200),
+bfn AS (SELECT bndn.* FROM bndn JOIN okn USING (band, bucket)),
+bfcc AS (SELECT bndcc.* FROM bndcc JOIN okcc USING (band, bucket)),
+icand AS (
+    SELECT DISTINCT n.doc_id, c.cid
+    FROM bfn n JOIN bfcc c USING (band, bucket)
+),
+iest AS (
+    SELECT ca.doc_id, ca.cid,
+           ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0, 6)
+             AS est
+    FROM icand ca
+    JOIN sign_ sa ON sa.doc_id = ca.doc_id
+    JOIN sigcc sb ON sb.cid = ca.cid AND sb.seed = sa.seed
+    GROUP BY 1, 2
+),
+nr AS (SELECT doc_id, MIN(cid) AS near_of
+       FROM iest WHERE est >= 0.5 GROUP BY 1)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN ex.exact_of IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_of IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status,
+       CAST(COALESCE(ex.exact_of, nr.near_of) AS BIGINT) AS dup_of
+FROM newb n
+LEFT JOIN ex ON ex.doc_id = n.doc_id
+LEFT JOIN nr ON nr.doc_id = n.doc_id"""
 
     # quality-keeper twin: keeper = argmax(length(text), tie min id) in
     # both stages, replayed via the integer encoding sc*1e8 - id (ids
@@ -4569,6 +4694,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "near_dup_clusters": near_dup_clusters_sql,
         "dedup_corpus": dedup_corpus_sql,
         "dedup_corpus_quality": dedup_corpus_quality_sql,
+        "incremental_dedup": incremental_dedup_sql,
         "funnel_counts": funnel_sql,
         "simhash_near_pairs": simhash_sql,
         "embedding_near_dup_lsh": emb_lsh_sql,

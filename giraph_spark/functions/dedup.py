@@ -28,6 +28,7 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "fuzzy_decontaminate",
+    "incremental_dedup",
 ]
 
 
@@ -606,3 +607,73 @@ def fuzzy_decontaminate(
         )
     )
     return est.where(F.col("est_jaccard") >= threshold)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_id_col: str | None = None,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Disposition of a NEW batch against an EXISTING corpus — the
+    daily-increment shape every production pipeline runs (today's crawl
+    vs the historical index): one row per new document, ``(id, status,
+    dup_of)`` with ``status ∈ {'exact_dup', 'near_dup', 'new'}`` and
+    ``dup_of`` = the lowest matching corpus id (exact match wins over
+    near).
+
+    Scale shape: the exact tier is an md5-hash equi-join (corpus side
+    is one hash per document — the persisted dedup index of a real
+    deployment); the near tier is :func:`fuzzy_decontaminate`'s
+    CROSS-relation banded LSH — new × corpus only, never new × new
+    (run :func:`dedup_corpus` WITHIN the batch first when intra-batch
+    duplicates matter) — with both sides' pathological buckets capped.
+    Nothing quadratic, nothing collected."""
+    cid = corpus_id_col or id_col
+    corpus2 = corpus.select(
+        F.col(cid).alias("_corpus_id"), F.col(text_col)
+    )
+    hn = new_docs.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("_h")
+    )
+    hc = corpus2.select(
+        F.col("_corpus_id"), F.md5(normalize_text(F.col(text_col))).alias("_h")
+    )
+    exact = hn.join(hc, "_h").groupBy(id_col).agg(
+        F.min("_corpus_id").alias("_exact_of")
+    )
+    near = fuzzy_decontaminate(
+        new_docs,
+        corpus2,
+        text_col,
+        id_col,
+        bench_id_col="_corpus_id",
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        portable=portable,
+        max_bucket=max_bucket,
+    ).groupBy(id_col).agg(F.min("_corpus_id").alias("_near_of"))
+    return (
+        new_docs.select(F.col(id_col))
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_exact_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_near_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce(F.col("_exact_of"), F.col("_near_of"))
+            .cast("long")
+            .alias("dup_of"),
+        )
+    )

@@ -1368,3 +1368,31 @@ def test_dedup_corpus_partial_scores_still_dedup(spark):
         r.doc_id for r in dedup_corpus(df, keep_scores=empty).collect()
     }
     assert kept_none == {1, 4}
+
+
+def test_incremental_dedup_disposition(spark):
+    """New-batch vs existing-corpus disposition: exact copies, near
+    copies, and fresh docs get the right status; exact wins over near;
+    dup_of points at the lowest matching corpus id."""
+    from giraph_spark.functions.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "Completely different content about databases and distributed systems"),
+            (3, "the QUICK brown fox jumps over the lazy dog near the river bank today"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK TODAY"),  # exact (normalized)
+            (102, "The quick brown fox jumps over the lazy dog near the river bank today extra!"),  # near
+            (103, "Entirely novel material on streaming state stores and watermarks"),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(new, corpus).collect()}
+    assert out[101].status == "exact_dup" and out[101].dup_of == 1
+    assert out[102].status == "near_dup" and out[102].dup_of in (1, 3)
+    assert out[103].status == "new" and out[103].dup_of is None
