@@ -523,8 +523,125 @@ def stress_docs() -> None:
     spark.stop()
 
 
+def stress_stream() -> None:
+    """Streaming-tier throughput (``python bench.py --stress-stream``):
+    drives the stateful streaming operators over the sf events/documents
+    data split into micro-batch files (availableNow), recording rows/sec
+    through each — the scale evidence for the one tier without a stress
+    profile (kernel: r5; dedup/similarity: r6 --stress-docs). State
+    bounds are the operators' own (watermarks / processing-time
+    eviction), so throughput here is the micro-batch machinery + state
+    store, not data-skew luck."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-stream-stress")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from giraph_spark.plans.fixtures import read_events
+    from giraph_spark.streaming.events import (
+        dedup_stream,
+        near_dup_stream,
+        sessionize_stream,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_stress_")
+    n_chunks = 8
+    events = read_events(spark, SF_DIR)
+    n_events = events.count()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id") * 60
+            ).alias("ts"),
+            "text",
+        )
+    )
+    n_docs = docs.count()
+
+    def chunked_stream(df, name):
+        import os
+
+        base = os.path.join(workdir, name)
+        # deterministic chunking by hash so every run splits identically
+        for i in range(n_chunks):
+            d = os.path.join(base, f"c{i}")
+            df.where(F.pmod(F.xxhash64(df.columns[0]), F.lit(n_chunks)) == i)\
+              .coalesce(4).write.mode("overwrite").parquet(d)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (1000 + i, 1000 + i))
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "4")
+            .parquet(os.path.join(base, "c*"))
+        )
+
+    def run_query(make_df, name, n_in):
+        t0 = time.monotonic()
+        q = (
+            make_df()
+            .writeStream.format("noop")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1800)
+        sec = round(time.monotonic() - t0, 3)
+        return sec, round(n_in / sec)
+
+    timings: dict[str, dict] = {}
+    ev_stream = chunked_stream(events, "events")
+    sec, rps = run_query(
+        lambda: sessionize_stream(ev_stream, gap_minutes=30),
+        "sess", n_events,
+    )
+    timings["sessionize_stream"] = {"sec": sec, "rows_per_sec": rps}
+    sec, rps = run_query(
+        lambda: dedup_stream(ev_stream, keys=("event_id",)), "dedup", n_events
+    )
+    timings["dedup_stream"] = {"sec": sec, "rows_per_sec": rps}
+    doc_stream = chunked_stream(docs, "docs")
+    sec, rps = run_query(
+        lambda: near_dup_stream(doc_stream), "neardup", n_docs
+    )
+    timings["near_dup_stream"] = {"sec": sec, "rows_per_sec": rps}
+    shutil.rmtree(workdir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "stress_stream",
+                "value": round(sum(t["sec"] for t in timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "inputs": {"events": n_events, "documents": n_docs},
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "--stress-docs" in sys.argv:
+    if "--stress-stream" in sys.argv:
+        stress_stream()
+    elif "--stress-docs" in sys.argv:
         stress_docs()
     elif "--stress" in sys.argv:
         stress()

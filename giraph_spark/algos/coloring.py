@@ -1,0 +1,114 @@
+"""Greedy graph coloring — distributed Jones–Plassmann with fixed priorities.
+
+Reference: ``giraph-debugger/.../examples/graphcoloring/GraphColoringComputation.java:34``
+and ``GraphColoringMaster.java`` — the reference colors the graph by
+REPEATED maximal-independent-set rounds (LOTTERY → CONFLICT_RESOLUTION →
+EDGE_CLEANING → COLOR_ASSIGNMENT): each cycle finds an MIS among the
+still-uncolored vertices, assigns it the next color, removes it, and
+repeats until every vertex is colored.
+
+We compute the SAME coloring Spark-first with one pass of
+Jones–Plassmann (1993): give every vertex the deterministic priority
+``md5(id)`` (distinct ids never tie); a vertex whose every
+smaller-priority neighbor is already colored takes the smallest color
+unused by those neighbors (the *mex*). With priorities FIXED across
+rounds, iterated lexicographically-first MIS and Jones–Plassmann are
+the same function — color class ``c`` of the greedy sequential coloring
+in priority order is exactly the lexicographically-first MIS of the
+residual graph after classes ``0..c-1`` are removed (proved by
+induction on priority rank; ``tests/test_matching_coloring.py``
+asserts the equality against :func:`~giraph_spark.algos.
+independent_set.maximal_independent_set` iterated per color). The
+reference draws fresh randomness per lottery; fixed hashed priorities
+keep Luby/JP's uniformity argument while making the run reproducible
+across retries and replayable in the SQL oracle.
+
+Scale shape: each wave is one neighbor-join + one groupBy (the mex
+aggregates at most ``n_colors ≤ Δ+1`` distinct values per vertex, so
+the ``collect_set`` is map-side combinable and bounded by the palette,
+never by degree). Wave count is the longest priority-decreasing path —
+O(log n / log log n) w.h.p. for random priorities on bounded-degree
+graphs — vs one full MIS run PER COLOR for the reference's schedule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def graph_coloring(
+    graph: Graph, max_rounds: int = 200, color_col: str = "color"
+) -> DataFrame:
+    """Color an undirected graph (symmetric edge relation — apply
+    ``prepare.symmetrize`` first, as for MIS). Returns ``(id, color)``
+    with ``color`` a 0-based INT; adjacent vertices always differ.
+
+    Deterministic: the result is the greedy sequential coloring in
+    ``md5(id)`` order, independent of partitioning or scheduling.
+    """
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+
+    state = graph.vertices.select(
+        id_col,
+        F.md5(F.col(id_col).cast("string")).alias("_pri"),
+        F.lit(None).cast("int").alias("_color"),
+    ).localCheckpoint(eager=True)
+    edges = graph.edges.select(src, dst).persist()
+
+    for _ in range(max_rounds):
+        if state.filter(F.col("_color").isNull()).limit(1).count() == 0:
+            break
+        # per-vertex view of each neighbor's (priority, color)
+        nbr = edges.join(
+            state.select(
+                F.col(id_col).alias(src),
+                F.col("_pri").alias("_npri"),
+                F.col("_color").alias("_ncolor"),
+            ),
+            on=src,
+        ).select(F.col(dst).alias(id_col), "_npri", "_ncolor")
+        per_v = (
+            nbr.join(
+                state.select(id_col, F.col("_pri").alias("_my_pri")),
+                on=id_col,
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("_ncolor").isNull()
+                        & (F.col("_npri") < F.col("_my_pri")),
+                        F.lit(1),
+                    )
+                ).alias("_blocked"),
+                F.collect_set(
+                    F.when(
+                        F.col("_npri") < F.col("_my_pri"), F.col("_ncolor")
+                    )
+                ).alias("_taken"),
+            )
+        )
+        mex = F.filter(
+            F.sequence(F.lit(0), F.size("_taken")),
+            lambda k: ~F.array_contains(F.col("_taken"), k),
+        )[0]
+        state = (
+            state.join(per_v, on=id_col, how="left")
+            .select(
+                id_col,
+                "_pri",
+                F.when(F.col("_color").isNotNull(), F.col("_color"))
+                .when(
+                    F.col("_blocked").isNull(),
+                    F.coalesce(mex, F.lit(0)).cast("int"),
+                )
+                .otherwise(F.lit(None).cast("int"))
+                .alias("_color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return state.select(id_col, F.col("_color").alias(color_col))

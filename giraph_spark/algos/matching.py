@@ -1,0 +1,172 @@
+"""Distributed matching — greedy max-weight and randomized bipartite.
+
+References:
+
+* ``giraph-debugger/.../examples/mwm/MWMComputation.java:35`` — approximate
+  maximum-weight matching: every unmatched vertex picks its maximum-weight
+  live neighbor; if two vertices pick EACH OTHER they are matched and leave
+  the graph (their incident edges are removed); repeat. The classic
+  locally-dominant-edge ½-approximation (Preis 1999 / Hoepman 2004).
+* ``giraph-debugger/.../examples/bipartitematching/
+  RandomizedMaximalMatchingComputation.java:33`` — the Pregel paper's
+  4-phase randomized maximal bipartite matching: unmatched LEFT vertices
+  request all neighbors; each unmatched RIGHT vertex grants ONE request
+  (the reference grants "the first message", an arbitrary choice); each
+  left vertex accepts ONE grant; the accepted pair is matched.
+
+Determinism: where the reference leaves the choice to message arrival
+order (`Math.random`, "first message"), we substitute the deterministic
+priority ``md5(id)`` / a total edge order ``(weight DESC, id ASC)`` — the
+approximation analysis only needs the choice to be adversary-oblivious,
+and a fixed cryptographic hash of distinct ids keeps the run reproducible
+across retries, partitionings, and the SQL oracle.
+
+Scale shape: each round is one filter + one per-vertex top-1 (window or
+max_by — map-side combinable, no fan-out) + one self-join on the picks
+relation (≤ |live vertices| rows). The matched set only grows, live
+edges only shrink; per-round lineage is truncated with
+``localCheckpoint`` like the other round-based algos. MWM removes at
+least the globally top-ranked live edge every round (its endpoints
+necessarily pick each other under the total order), so termination is
+guaranteed; on random-ish weights rounds are O(log n) in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def max_weight_matching(
+    graph: Graph, max_rounds: int = 100, match_col: str = "matched_with"
+) -> DataFrame:
+    """Greedy ½-approx maximum-weight matching on an undirected weighted
+    graph (symmetric edge relation with a ``weight`` column — use
+    ``prepare.symmetrize_weighted`` first). Returns ``(id, matched_with)``
+    with ``matched_with`` NULL for unmatched vertices; the matched pairs
+    always form a valid maximal matching of the live graph.
+
+    Tie-break: a vertex picks the neighbor with the highest weight, then
+    the SMALLEST neighbor id — a total order, so the top live edge is
+    always locally dominant and every round makes progress
+    (MWMComputation.java:96 keeps the first max encountered instead,
+    which depends on edge iteration order).
+    """
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+
+    state = graph.vertices.select(
+        id_col, F.lit(None).cast("long").alias("_mw")
+    ).localCheckpoint(eager=True)
+    edges = graph.edges.select(
+        F.col(src).cast("long").alias(src),
+        F.col(dst).cast("long").alias(dst),
+        "weight",
+    ).persist()
+
+    for _ in range(max_rounds):
+        unmatched = state.where(F.col("_mw").isNull()).select(id_col)
+        live = (
+            edges.join(
+                unmatched.select(F.col(id_col).alias(src)), on=src, how="left_semi"
+            ).join(
+                unmatched.select(F.col(id_col).alias(dst)), on=dst, how="left_semi"
+            )
+        )
+        if live.limit(1).count() == 0:
+            break
+        w = Window.partitionBy(src).orderBy(
+            F.col("weight").desc(), F.col(dst).asc()
+        )
+        pick = (
+            live.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(src, dst)
+        )
+        mutual = pick.alias("a").join(
+            pick.alias("b"),
+            (F.col(f"a.{src}") == F.col(f"b.{dst}"))
+            & (F.col(f"a.{dst}") == F.col(f"b.{src}")),
+            how="left_semi",
+        )
+        state = (
+            state.join(
+                mutual.select(
+                    F.col(src).alias(id_col), F.col(dst).alias("_new")
+                ),
+                on=id_col,
+                how="left",
+            )
+            .select(id_col, F.coalesce("_mw", "_new").alias("_mw"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return state.select(id_col, F.col("_mw").alias(match_col))
+
+
+def bipartite_matching(
+    graph: Graph, max_rounds: int = 100, match_col: str = "matched_with"
+) -> DataFrame:
+    """Maximal bipartite matching, the Pregel paper's 4-phase schedule.
+
+    ``graph.edges`` must be oriented LEFT → RIGHT (each ``src`` a left
+    vertex, each ``dst`` a right vertex; the reference instead splits one
+    id space by parity, RandomizedMaximalMatchingComputation.java:135).
+    One round = one reference cycle: every unmatched left vertex requests
+    all its neighbors (phase 0); every unmatched right vertex grants the
+    requester with the smallest ``md5(id)`` (phase 1 — the reference
+    grants the first message received); every left vertex accepts the
+    granting right vertex with the smallest ``md5(id)`` (phase 2); the
+    accepted pair is matched (phase 3). Repeats until no live edge
+    remains, i.e. the matching is maximal. Returns ``(id, matched_with)``
+    over left ∪ right vertices, NULL when unmatched.
+    """
+    id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+
+    state = graph.vertices.select(
+        id_col, F.lit(None).cast("long").alias("_mw")
+    ).localCheckpoint(eager=True)
+    edges = graph.edges.select(
+        F.col(src).cast("long").alias(src), F.col(dst).cast("long").alias(dst)
+    ).dropDuplicates().persist()
+
+    for _ in range(max_rounds):
+        unmatched = state.where(F.col("_mw").isNull()).select(id_col)
+        requests = (
+            edges.join(
+                unmatched.select(F.col(id_col).alias(src)), on=src, how="left_semi"
+            ).join(
+                unmatched.select(F.col(id_col).alias(dst)), on=dst, how="left_semi"
+            )
+        )
+        if requests.limit(1).count() == 0:
+            break
+        grant_w = Window.partitionBy(dst).orderBy(
+            F.md5(F.col(src).cast("string")).asc()
+        )
+        grants = (
+            requests.withColumn("_rn", F.row_number().over(grant_w))
+            .where(F.col("_rn") == 1)
+            .select(src, dst)
+        )
+        accept_w = Window.partitionBy(src).orderBy(
+            F.md5(F.col(dst).cast("string")).asc()
+        )
+        accepted = (
+            grants.withColumn("_rn", F.row_number().over(accept_w))
+            .where(F.col("_rn") == 1)
+            .select(src, dst)
+        )
+        pairs = accepted.select(
+            F.col(src).alias(id_col), F.col(dst).alias("_new")
+        ).unionByName(
+            accepted.select(F.col(dst).alias(id_col), F.col(src).alias("_new"))
+        )
+        state = (
+            state.join(pairs, on=id_col, how="left")
+            .select(id_col, F.coalesce("_mw", "_new").alias("_mw"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return state.select(id_col, F.col("_mw").alias(match_col))

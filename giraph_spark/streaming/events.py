@@ -413,7 +413,7 @@ def near_dup_stream(
     num_hashes: int = 64,
     bands: int = 16,
     watermark: str = "2 hours",
-    idle_timeout_ms: int = 2 * 60 * 60 * 1000,
+    eviction_horizon_ms: int = 2 * 60 * 60 * 1000,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate candidates at ingestion: the
     streaming tier of :func:`giraph_spark.functions.dedup.
@@ -427,9 +427,11 @@ def near_dup_stream(
     sink.
 
     State bounds (the production contract, as :func:`dedup_stream`):
-    one (holder id, ts) pair per live bucket, evicted after
-    ``idle_timeout_ms`` of processing-time inactivity — buckets of
-    long-gone topics do not accumulate forever. Duplicates separated by
+    one (holder id, ts) pair per live bucket, evicted once the EVENT-TIME
+    watermark passes ``eviction_horizon_ms`` beyond the bucket's last
+    arrival — buckets of long-gone topics do not accumulate forever
+    (event-time, not processing-time, so an ``availableNow`` replay
+    terminates instead of idling for wall-clock timeouts). Duplicates separated by
     more than the eviction horizon are the batch pass's job; the
     streaming tier exists to catch the near-in-time redundancy (crawl
     re-fetches, syndicated reposts) before it lands in the corpus.
@@ -539,7 +541,14 @@ def near_dup_stream(
             ids, uss = ids[1:], uss[1:]
         out_ids = [int(i) for i in ids if int(i) != holder]
         state.update((holder, first_us))
-        state.setTimeoutDuration(idle_timeout_ms)
+        # event-time eviction: timeout fires when the watermark passes
+        # the bucket's last activity + horizon (must exceed the current
+        # watermark, hence the max())
+        last_ms = max(
+            (uss[-1] if uss else first_us) // 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(last_ms + eviction_horizon_ms)
         if out_ids:
             yield pd.DataFrame(
                 {
@@ -555,5 +564,5 @@ def near_dup_stream(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -308,3 +308,36 @@ def test_profile_columns_string_column_null_numeric_stats(spark, sf_dir):
     assert s["mean"] is None and s["min_val"] is None
     assert s["n_distinct"] > 0 and s["n_null"] == 0
     assert rows["o_custkey"]["mean"] is not None
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """The Gopher battery is pure expressions fused into the scan — any
+    Exchange would mean a rule accidentally aggregates."""
+    from giraph_spark.functions.text import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = (
+        gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_dsir_single_corpus_feature_pass(spark, sf_dir):
+    """dsir_importance materializes the corpus feature relation once —
+    the plan must not contain two scans of the documents table feeding
+    separate explode+aggregate chains (review finding r6)."""
+    from giraph_spark.functions.sampling import dsir_importance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    out = dsir_importance(docs, target, n_buckets=256)
+    out.count()  # materialize through the checkpoint
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # corpus side feeds from the LocalCheckpoint scan; the only parquet
+    # scans remaining are the target features and the final id join
+    assert "LocalCheckpoint" in plan or plan.count("Scan parquet") <= 3
