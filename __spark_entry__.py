@@ -700,6 +700,45 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy graph coloring (Jones–Plassmann with fixed md5 priorities)
+    on the symmetrized events-chain graph — identical to the reference's
+    iterated-MIS coloring (GraphColoringComputation.java) under fixed
+    priorities; the sparse chain keeps the wave count logarithmic."""
+    from giraph_spark.algos.coloring import graph_coloring
+
+    g = symmetrize(events_chain(spark, sf_dir))
+    return graph_coloring(g).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("color").cast("long").alias("color"),
+    )
+
+
+def _q_max_weight_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy ½-approx max-weight matching (MWMComputation.java) on the
+    symmetrized weighted trade graph."""
+    from giraph_spark.algos.matching import max_weight_matching
+
+    g = symmetrize_weighted(trade_graph(spark, sf_dir, directed=True))
+    return max_weight_matching(g).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("matched_with").cast("long").alias("matched_with"),
+    )
+
+
+def _q_bipartite_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-phase randomized maximal bipartite matching
+    (RandomizedMaximalMatchingComputation.java) on the naturally
+    bipartite customer→supplier trade relation."""
+    from giraph_spark.algos.matching import bipartite_matching
+
+    g = trade_graph(spark, sf_dir, directed=True)
+    return bipartite_matching(g).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("matched_with").cast("long").alias("matched_with"),
+    )
+
+
 def _q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch personalized PageRank (one independent teleporting walk per
     seed customer, single kernel run with array state); long-form
@@ -1917,6 +1956,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_weights": _q_normalize_weights,
         "scc": _q_scc,
         "maximal_independent_set": _q_mis,
+        "graph_coloring": _q_graph_coloring,
+        "max_weight_matching": _q_max_weight_matching,
+        "bipartite_matching": _q_bipartite_matching,
         "random_walk_with_restart": _q_rwr,
         "ppr_batch": _q_ppr_batch,
         "coarsen_by_region": _q_coarsen,
@@ -2466,6 +2508,131 @@ GROUP BY v.id"""
         "SELECT CAST(id AS BIGINT) AS id, (st = 1) AS in_set FROM s8"
     )
     mis_sql = "\n".join(mis_parts)
+
+    # Graph coloring: unrolled Jones–Plassmann waves with md5(id)
+    # priorities on the symmetrized events chain — a vertex whose every
+    # smaller-priority neighbor is colored takes the mex of those
+    # neighbors' colors. 16 waves ≥ the measured 7–8 needed (longest
+    # priority-decreasing path; sparse chain keeps it logarithmic).
+    coloring_parts = [
+        EVENTS_CHAIN_SQL.strip(),
+        """, sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+), gc0 AS MATERIALIZED (
+    SELECT id, md5(CAST(id AS VARCHAR)) AS pri,
+           CAST(NULL AS BIGINT) AS color
+    FROM vertices
+)""",
+    ]
+    for t in range(16):
+        coloring_parts.append(
+            f""", rdy{t} AS MATERIALIZED (
+    SELECT s.id, s.pri FROM gc{t} s
+    WHERE s.color IS NULL AND NOT EXISTS (
+        SELECT 1 FROM sym e JOIN gc{t} n ON n.id = e.src
+        WHERE e.dst = s.id AND n.color IS NULL AND n.pri < s.pri)
+), tk{t} AS MATERIALIZED (
+    SELECT r.id, n.color AS c
+    FROM rdy{t} r JOIN sym e ON e.dst = r.id
+    JOIN gc{t} n ON n.id = e.src
+    WHERE n.color IS NOT NULL AND n.pri < r.pri
+    GROUP BY r.id, n.color
+), cand{t} AS MATERIALIZED (
+    SELECT id, UNNEST(range(0, COUNT(*) + 1)) AS k FROM tk{t} GROUP BY id
+), free{t} AS MATERIALIZED (
+    SELECT c.id, MIN(c.k) AS c FROM cand{t} c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM tk{t} x WHERE x.id = c.id AND x.c = c.k)
+    GROUP BY c.id
+), mex{t} AS MATERIALIZED (
+    SELECT r.id, COALESCE(f.c, 0) AS c
+    FROM rdy{t} r LEFT JOIN free{t} f ON f.id = r.id
+), gc{t + 1} AS MATERIALIZED (
+    SELECT s.id, s.pri, COALESCE(s.color, m.c) AS color
+    FROM gc{t} s LEFT JOIN mex{t} m ON m.id = s.id
+)"""
+        )
+    coloring_parts.append(
+        "SELECT CAST(id AS BIGINT) AS id, CAST(color AS BIGINT) AS color FROM gc16"
+    )
+    coloring_sql = "\n".join(coloring_parts)
+
+    # Greedy max-weight matching: unrolled pick-mutual rounds on the
+    # symmetrized weighted trade graph (same wsym construction as the
+    # symmetrize_weighted oracle). Tie-break (weight DESC, dst ASC) is a
+    # total order, so extra rounds past convergence are no-ops; measured
+    # convergence is 2 rounds, 8 unrolled.
+    mwm_parts = [
+        TRADE_GRAPH_DIRECTED_SQL.strip(),
+        """, agg AS (SELECT src, dst, SUM(weight) AS w FROM edges GROUP BY src, dst)
+, wsym AS MATERIALIZED (
+    SELECT CAST(COALESCE(a.src, b.dst) AS BIGINT) AS src,
+           CAST(COALESCE(a.dst, b.src) AS BIGINT) AS dst,
+           ROUND(COALESCE(a.w, 0) + COALESCE(b.w, 0), 2) AS weight
+    FROM agg a FULL JOIN agg b ON a.src = b.dst AND a.dst = b.src
+), mw0 AS MATERIALIZED (
+    SELECT id, CAST(NULL AS BIGINT) AS m FROM vertices
+)""",
+    ]
+    for t in range(8):
+        mwm_parts.append(
+            f""", live{t} AS MATERIALIZED (
+    SELECT e.src, e.dst, e.weight FROM wsym e
+    JOIN mw{t} a ON a.id = e.src AND a.m IS NULL
+    JOIN mw{t} b ON b.id = e.dst AND b.m IS NULL
+), pick{t} AS MATERIALIZED (
+    SELECT src, dst FROM live{t}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY weight DESC, dst ASC) = 1
+), mut{t} AS MATERIALIZED (
+    SELECT p.src AS id, p.dst AS mm FROM pick{t} p
+    JOIN pick{t} q ON q.src = p.dst AND q.dst = p.src
+), mw{t + 1} AS MATERIALIZED (
+    SELECT s.id, COALESCE(s.m, m.mm) AS m
+    FROM mw{t} s LEFT JOIN mut{t} m ON m.id = s.id
+)"""
+        )
+    mwm_parts.append(
+        "SELECT CAST(id AS BIGINT) AS id, CAST(m AS BIGINT) AS matched_with FROM mw8"
+    )
+    mwm_sql = "\n".join(mwm_parts)
+
+    # Bipartite matching: unrolled request→grant→accept cycles with
+    # md5(id) grant/accept priorities on the customer→supplier relation.
+    # Measured convergence 13 rounds at sf0.01; 32 unrolled (idempotent
+    # past the fixed point).
+    bip_parts = [
+        TRADE_GRAPH_DIRECTED_SQL.strip(),
+        """, be AS MATERIALIZED (
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM edges
+), bp0 AS MATERIALIZED (
+    SELECT id, CAST(NULL AS BIGINT) AS m FROM vertices
+)""",
+    ]
+    for t in range(32):
+        bip_parts.append(
+            f""", req{t} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM be e
+    JOIN bp{t} a ON a.id = e.src AND a.m IS NULL
+    JOIN bp{t} b ON b.id = e.dst AND b.m IS NULL
+), grant{t} AS MATERIALIZED (
+    SELECT src, dst FROM req{t}
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY dst ORDER BY md5(CAST(src AS VARCHAR)) ASC) = 1
+), acc{t} AS MATERIALIZED (
+    SELECT src, dst FROM grant{t}
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY src ORDER BY md5(CAST(dst AS VARCHAR)) ASC) = 1
+), bp{t + 1} AS MATERIALIZED (
+    SELECT s.id, COALESCE(s.m, a.dst, b.src) AS m
+    FROM bp{t} s
+    LEFT JOIN acc{t} a ON a.src = s.id
+    LEFT JOIN acc{t} b ON b.dst = s.id
+)"""
+        )
+    bip_parts.append(
+        "SELECT CAST(id AS BIGINT) AS id, CAST(m AS BIGINT) AS matched_with FROM bp32"
+    )
+    bip_sql = "\n".join(bip_parts)
 
     # Random walk with restart: PR unroll with teleport+dangling to source.
     rwr_parts = [
@@ -4729,6 +4896,9 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "event_rollup": event_rollup_sql,
         "scc": scc_sql,
         "maximal_independent_set": mis_sql,
+        "graph_coloring": coloring_sql,
+        "max_weight_matching": mwm_sql,
+        "bipartite_matching": bip_sql,
         "random_walk_with_restart": rwr_sql,
         "ppr_batch": ppr_batch_sql,
         "coarsen_by_region": coarsen_sql,

@@ -40,7 +40,10 @@ from ..graph import Graph
 
 
 def graph_coloring(
-    graph: Graph, max_rounds: int = 200, color_col: str = "color"
+    graph: Graph,
+    max_rounds: int = 200,
+    color_col: str = "color",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Color an undirected graph (symmetric edge relation — apply
     ``prepare.symmetrize`` first, as for MIS). Returns ``(id, color)``
@@ -58,9 +61,11 @@ def graph_coloring(
     ).localCheckpoint(eager=True)
     edges = graph.edges.select(src, dst).persist()
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         if state.filter(F.col("_color").isNull()).limit(1).count() == 0:
             break
+        if stats is not None:
+            stats["rounds"] = rnd + 1
         # per-vertex view of each neighbor's (priority, color)
         nbr = edges.join(
             state.select(

@@ -40,7 +40,10 @@ from ..graph import Graph
 
 
 def max_weight_matching(
-    graph: Graph, max_rounds: int = 100, match_col: str = "matched_with"
+    graph: Graph,
+    max_rounds: int = 100,
+    match_col: str = "matched_with",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Greedy ½-approx maximum-weight matching on an undirected weighted
     graph (symmetric edge relation with a ``weight`` column — use
@@ -65,7 +68,7 @@ def max_weight_matching(
         "weight",
     ).persist()
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         unmatched = state.where(F.col("_mw").isNull()).select(id_col)
         live = (
             edges.join(
@@ -76,6 +79,8 @@ def max_weight_matching(
         )
         if live.limit(1).count() == 0:
             break
+        if stats is not None:
+            stats["rounds"] = rnd + 1
         w = Window.partitionBy(src).orderBy(
             F.col("weight").desc(), F.col(dst).asc()
         )
@@ -106,7 +111,10 @@ def max_weight_matching(
 
 
 def bipartite_matching(
-    graph: Graph, max_rounds: int = 100, match_col: str = "matched_with"
+    graph: Graph,
+    max_rounds: int = 100,
+    match_col: str = "matched_with",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Maximal bipartite matching, the Pregel paper's 4-phase schedule.
 
@@ -131,7 +139,7 @@ def bipartite_matching(
         F.col(src).cast("long").alias(src), F.col(dst).cast("long").alias(dst)
     ).dropDuplicates().persist()
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         unmatched = state.where(F.col("_mw").isNull()).select(id_col)
         requests = (
             edges.join(
@@ -142,6 +150,8 @@ def bipartite_matching(
         )
         if requests.limit(1).count() == 0:
             break
+        if stats is not None:
+            stats["rounds"] = rnd + 1
         grant_w = Window.partitionBy(dst).orderBy(
             F.md5(F.col(src).cast("string")).asc()
         )

@@ -1,0 +1,164 @@
+"""Graph coloring and matching invariants.
+
+Coloring: validity (no monochromatic edge) plus the load-bearing claim in
+``algos/coloring.py`` — Jones–Plassmann with FIXED md5 priorities computes
+the same coloring as the reference's iterated-MIS schedule
+(GraphColoringComputation.java), here replayed with the in-repo
+``maximal_independent_set`` per color class on the shrinking residual.
+
+Matching: the outputs are valid matchings (symmetric, edge-supported,
+no vertex matched twice) and MAXIMAL (no live edge between two unmatched
+vertices — the reference computations halt exactly when that holds).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.algos.coloring import graph_coloring
+from giraph_spark.algos.independent_set import maximal_independent_set
+from giraph_spark.algos.matching import bipartite_matching, max_weight_matching
+from giraph_spark.algos.prepare import symmetrize, symmetrize_weighted
+from giraph_spark.graph import Graph
+from giraph_spark.plans.fixtures import (
+    copurchase_graph,
+    events_chain,
+    trade_graph,
+)
+
+
+def _no_conflicts(g: Graph, colored) -> int:
+    c1 = colored.select(F.col("id").alias("src"), F.col("color").alias("_c1"))
+    c2 = colored.select(F.col("id").alias("dst"), F.col("color").alias("_c2"))
+    return (
+        g.edges.join(c1, "src").join(c2, "dst")
+        .where(F.col("_c1") == F.col("_c2"))
+        .count()
+    )
+
+
+def test_coloring_valid_on_chain(spark, sf_dir):
+    g = symmetrize(events_chain(spark, sf_dir))
+    colored = graph_coloring(g).cache()
+    assert colored.where(F.col("color").isNull()).count() == 0
+    assert _no_conflicts(g, colored) == 0
+    # chains are bipartite: greedy coloring uses very few colors
+    assert colored.agg(F.max("color")).first()[0] <= 3
+
+
+def test_coloring_equals_iterated_mis(spark, sf_dir):
+    """JP(fixed priorities) == the reference's repeat-MIS-and-remove
+    schedule, color class by color class."""
+    g = symmetrize(copurchase_graph(spark, sf_dir))
+    jp = graph_coloring(g)
+
+    residual, out, c = g, None, 0
+    while residual.vertices.limit(1).count() > 0:
+        mis = maximal_independent_set(residual).cache()
+        chosen = mis.where("in_set").select(
+            "id", F.lit(c).cast("int").alias("color_mis")
+        )
+        out = chosen if out is None else out.unionByName(chosen)
+        rem = mis.where(~F.col("in_set")).select("id")
+        redges = (
+            residual.edges
+            .join(rem.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(rem.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        residual = Graph(rem, redges.select("src", "dst"))
+        c += 1
+        assert c < 60, "iterated MIS failed to converge"
+    mismatches = (
+        jp.join(out, "id")
+        .where(F.col("color") != F.col("color_mis"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def _assert_valid_matching(edges, matched):
+    got = matched.where(F.col("matched_with").isNotNull()).cache()
+    # symmetric: matched_with(matched_with(v)) == v
+    asym = (
+        got.alias("x")
+        .join(
+            got.alias("y"),
+            (F.col("x.matched_with") == F.col("y.id"))
+            & (F.col("y.matched_with") == F.col("x.id")),
+            "left_anti",
+        )
+        .count()
+    )
+    assert asym == 0
+    # every matched pair is an actual edge
+    non_edge = got.join(
+        edges.select(
+            F.col("src").cast("long").alias("id"),
+            F.col("dst").cast("long").alias("matched_with"),
+        ),
+        ["id", "matched_with"],
+        "left_anti",
+    ).count()
+    assert non_edge == 0
+
+
+def _assert_maximal(edges, matched):
+    un = matched.where(F.col("matched_with").isNull()).select("id")
+    live = (
+        edges.join(un.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(un.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .count()
+    )
+    assert live == 0
+
+
+def test_mwm_valid_and_maximal(spark, sf_dir):
+    g = symmetrize_weighted(trade_graph(spark, sf_dir, directed=True))
+    m = max_weight_matching(g).cache()
+    assert m.count() == g.vertices.count()
+    _assert_valid_matching(g.edges, m)
+    _assert_maximal(g.edges, m)
+
+
+def test_mwm_prefers_heavy_edge(spark):
+    """On a weighted path a-b-c where b-c is heavier, greedy matches b-c
+    and leaves a unmatched (the locally-dominant edge wins)."""
+    sp = spark
+    v = sp.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = sp.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 5.0), (3, 2, 5.0)],
+        "src long, dst long, weight double",
+    )
+    m = {r["id"]: r["matched_with"]
+         for r in max_weight_matching(Graph(v, e)).collect()}
+    assert m == {1: None, 2: 3, 3: 2}
+
+
+def test_bipartite_valid_maximal_and_sided(spark, sf_dir):
+    g = trade_graph(spark, sf_dir, directed=True)
+    b = bipartite_matching(g).cache()
+    _assert_valid_matching(
+        # matching pairs may be recorded from either side; check against
+        # the symmetric closure of the left→right relation
+        g.edges.select("src", "dst").unionByName(
+            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        b,
+    )
+    _assert_maximal(g.edges, b)
+    # sides never match within themselves (customers < 1e9 <= suppliers)
+    offset = 10**9
+    bad_side = b.where(
+        F.col("matched_with").isNotNull()
+        & (
+            ((F.col("id") < offset) & (F.col("matched_with") < offset))
+            | ((F.col("id") >= offset) & (F.col("matched_with") >= offset))
+        )
+    ).count()
+    assert bad_side == 0
+
+
+def test_matching_deterministic(spark, sf_dir):
+    g = trade_graph(spark, sf_dir, directed=True)
+    a = bipartite_matching(g).toPandas().sort_values("id").reset_index(drop=True)
+    b = bipartite_matching(g).toPandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
