@@ -739,6 +739,36 @@ def _q_bipartite_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition balance + edge-cut statistics of an 8-way hash
+    partitioning of the directed trade graph (PartitionStats.java
+    counters computed relationally, portable-hash mode so the oracle
+    replays every bucket)."""
+    from giraph_spark.partitioning import partition_quality
+
+    g = trade_graph(spark, sf_dir, directed=True)
+    return partition_quality(g, 8, portable=True).select(
+        F.col("partition").cast("long").alias("part_id"),
+        "n_vertices",
+        "n_edges",
+        "n_cut_edges",
+    )
+
+
+def _q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon word entropy (nats) — the scale-free
+    information-density quality signal."""
+    from giraph_spark.functions.text import word_entropy
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return word_entropy(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_distinct",
+        "entropy",
+    )
+
+
 def _q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch personalized PageRank (one independent teleporting walk per
     seed customer, single kernel run with array state); long-form
@@ -1959,6 +1989,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring": _q_graph_coloring,
         "max_weight_matching": _q_max_weight_matching,
         "bipartite_matching": _q_bipartite_matching,
+        "partition_quality": _q_partition_quality,
+        "word_entropy": _q_word_entropy,
         "random_walk_with_restart": _q_rwr,
         "ppr_batch": _q_ppr_batch,
         "coarsen_by_region": _q_coarsen,
@@ -2633,6 +2665,37 @@ GROUP BY v.id"""
         "SELECT CAST(id AS BIGINT) AS id, CAST(m AS BIGINT) AS matched_with FROM bp32"
     )
     bip_sql = "\n".join(bip_parts)
+
+    # Partition quality: 8-way portable-hash bucket stats on the directed
+    # trade graph — per-partition vertex/edge counts + cut edges.
+    partition_quality_sql = (
+        TRADE_GRAPH_DIRECTED_SQL.strip()
+        + """
+, vb AS (
+    SELECT CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 8 AS part_id
+    FROM vertices
+), v AS (
+    SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM vb GROUP BY 1
+), eb AS (
+    SELECT CAST(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 8 AS sp,
+           CAST(('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 8 AS dp
+    FROM edges
+), e AS (
+    SELECT sp AS part_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN sp <> dp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cut_edges
+    FROM eb GROUP BY 1
+)
+SELECT CAST(COALESCE(v.part_id, e.part_id) AS BIGINT) AS part_id,
+       CAST(COALESCE(v.n_vertices, 0) AS BIGINT) AS n_vertices,
+       CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(e.n_cut_edges, 0) AS BIGINT) AS n_cut_edges
+FROM v FULL JOIN e ON v.part_id = e.part_id"""
+    )
 
     # Random walk with restart: PR unroll with teleport+dangling to source.
     rwr_parts = [
@@ -4899,6 +4962,26 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "graph_coloring": coloring_sql,
         "max_weight_matching": mwm_sql,
         "bipartite_matching": bip_sql,
+        "partition_quality": partition_quality_sql,
+        "word_entropy": f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents
+),
+tt AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+cnts AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS c FROM tt GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) + 0.0 AS entropy
+  FROM cnts GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_distinct, 0) AS BIGINT) AS n_distinct,
+       s.entropy
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         "random_walk_with_restart": rwr_sql,
         "ppr_batch": ppr_batch_sql,
         "coarsen_by_region": coarsen_sql,

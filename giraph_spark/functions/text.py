@@ -563,6 +563,62 @@ def unigram_logprob(
     )
 
 
+def word_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution:
+    ``H(d) = ln(n) − (1/n) Σ_w c_w ln(c_w)`` over the normalized
+    whitespace tokens (natural log, so the unit is nats). Low entropy
+    marks repetitive/boilerplate text (a keyword-stuffed page scores
+    near 0, varied prose near ln(n_distinct)); it complements
+    :func:`repetition_features` with a single scale-free score and is
+    the standard "information density" quality signal. Returns
+    ``(id, n_tokens, n_distinct, entropy)`` with entropy rounded to 6
+    (NULL for empty/whitespace-only/NULL text, 0.0 for a one-word
+    document — never fabricated).
+
+    Scale shape: one explode + per-(doc, word) count groupBy + per-doc
+    partial-aggregated groupBy — both map-side combinable; no joins, no
+    windows, nothing driver-side. The ``c·ln c`` identity avoids a
+    per-doc total join (the n is recovered in the same aggregate)."""
+    counts = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    scored = counts.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("_c"))
+            - F.sum(F.col("_c") * F.log("_c")) / F.sum("_c"),
+            6,
+        ).alias("entropy"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias(
+                "n_distinct"
+            ),
+            # fold IEEE -0.0 (ln(1) - 0/1 can produce it) to +0.0 so the
+            # rounded value hashes identically across engines
+            (F.col("entropy") + F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
 #: the Gopher "required words" (Rae et al. 2021, Table A1): a document
 #: must contain at least two of these to pass the battery
 GOPHER_REQUIRED = ["the", "be", "to", "of", "and", "that", "have", "with"]

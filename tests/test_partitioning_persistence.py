@@ -133,3 +133,21 @@ def test_pregel_consumes_bucketed_layout_without_reshuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS tg_kernel_bucket_vertices")
         spark.sql("DROP TABLE IF EXISTS tg_kernel_bucket_edges")
+
+
+def test_partition_quality_counts(spark):
+    """partition_quality's counters must reconcile exactly with the
+    graph: vertex/edge totals conserved, cut edges = edges whose
+    endpoints bucket apart under the same hash, both hash modes."""
+    from giraph_spark.partitioning import partition_quality
+
+    g = _toy(spark)
+    for portable in (False, True):
+        rows = partition_quality(g, 4, portable=portable).collect()
+        assert sum(r["n_vertices"] for r in rows) == 8
+        assert sum(r["n_edges"] for r in rows) == 8
+        assert all(0 <= r["partition"] < 4 for r in rows)
+        assert all(0 <= r["n_cut_edges"] <= r["n_edges"] for r in rows)
+    # degenerate single partition: nothing can be cut
+    one = partition_quality(g, 1).collect()
+    assert len(one) == 1 and one[0]["n_cut_edges"] == 0

@@ -1396,3 +1396,29 @@ def test_incremental_dedup_disposition(spark):
     assert out[101].status == "exact_dup" and out[101].dup_of == 1
     assert out[102].status == "near_dup" and out[102].dup_of in (1, 3)
     assert out[103].status == "new" and out[103].dup_of is None
+
+
+def test_word_entropy_known_values(spark):
+    """Closed-form checks: uniform words hit ln(k), a single repeated
+    word scores exactly 0, empty/NULL text yields NULL (never faked)."""
+    import math
+
+    from giraph_spark.functions.text import word_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # uniform over 4 -> ln(4)
+            (2, "spam spam spam"),   # one word -> 0.0
+            (3, "a a b b"),          # uniform over 2 -> ln(2)
+            (4, ""),                 # empty -> NULL entropy, 0 tokens
+            (5, None),               # NULL text -> NULL entropy
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in word_entropy(df).collect()}
+    assert abs(out[1].entropy - math.log(4)) < 1e-6
+    assert out[1].n_tokens == 4 and out[1].n_distinct == 4
+    assert out[2].entropy == 0.0 and out[2].n_distinct == 1
+    assert abs(out[3].entropy - math.log(2)) < 1e-6
+    assert out[4].entropy is None and out[4].n_tokens == 0
+    assert out[5].entropy is None and out[5].n_distinct == 0
