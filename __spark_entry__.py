@@ -755,6 +755,34 @@ def _q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_generated_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram of both synthetic generators (PseudoRandom
+    uniform n×d and Watts–Strogatz ring-rewire) — the generators'
+    hashed randomness is partitioning-invariant and md5-replayable, so
+    the whole generation is under the oracle gate (sf_dir unused: the
+    fixture IS the generator)."""
+    from giraph_spark.sources.generators import (
+        uniform_random_graph,
+        watts_strogatz_graph,
+    )
+
+    parts = []
+    for name, g in (
+        ("uniform", uniform_random_graph(spark, 2000, 4, seed=7)),
+        ("watts_strogatz", watts_strogatz_graph(spark, 2000, 4, 0.2, seed=7)),
+    ):
+        deg = g.edges.groupBy("dst").agg(F.count(F.lit(1)).alias("_d"))
+        per_v = g.vertices.join(
+            deg, g.vertices["id"] == deg["dst"], "left"
+        ).select(F.coalesce("_d", F.lit(0)).cast("long").alias("in_degree"))
+        parts.append(
+            per_v.groupBy("in_degree")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+            .select(F.lit(name).alias("generator"), "in_degree", "n_vertices")
+        )
+    return parts[0].unionByName(parts[1])
+
+
 def _q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon word entropy (nats) — the scale-free
     information-density quality signal."""
@@ -1991,6 +2019,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_matching": _q_bipartite_matching,
         "partition_quality": _q_partition_quality,
         "word_entropy": _q_word_entropy,
+        "generated_graph_degrees": _q_generated_graph_degrees,
         "random_walk_with_restart": _q_rwr,
         "ppr_batch": _q_ppr_batch,
         "coarsen_by_region": _q_coarsen,
@@ -2696,6 +2725,58 @@ SELECT CAST(COALESCE(v.part_id, e.part_id) AS BIGINT) AS part_id,
        CAST(COALESCE(e.n_cut_edges, 0) AS BIGINT) AS n_cut_edges
 FROM v FULL JOIN e ON v.part_id = e.part_id"""
     )
+
+    # Generated-graph degrees: replay BOTH generators' hashed randomness
+    # (md5 of "seed:tag:src:slot") and histogram the in-degrees.
+    gen_degrees_sql = """
+WITH ids AS (SELECT UNNEST(range(2000)) AS id),
+uslots AS (SELECT UNNEST(range(4)) AS k),
+ue AS (
+    SELECT id AS src,
+           CAST(('0x' || substr(md5('7:d:' || CAST(id AS VARCHAR) || ':'
+               || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 2000 AS dst0
+    FROM ids CROSS JOIN uslots
+),
+uedges AS (
+    SELECT src,
+           CASE WHEN dst0 = src THEN (dst0 + 1) % 2000 ELSE dst0 END AS dst
+    FROM ue
+),
+udeg AS (
+    SELECT i.id, CAST(COUNT(e.dst) AS BIGINT) AS in_degree
+    FROM ids i LEFT JOIN uedges e ON e.dst = i.id GROUP BY i.id
+),
+uhist AS (
+    SELECT 'uniform' AS generator, in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM udeg GROUP BY in_degree
+),
+wslots AS (SELECT UNNEST(range(1, 5)) AS off),
+wl AS (
+    SELECT id AS src, off, (id + off) % 2000 AS lat,
+           CAST(('0x' || substr(md5('7:u:' || CAST(id AS VARCHAR) || ':'
+               || CAST(off AS VARCHAR)), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS u,
+           CAST(('0x' || substr(md5('7:t:' || CAST(id AS VARCHAR) || ':'
+               || CAST(off AS VARCHAR)), 1, 15)) AS BIGINT) % 2000 AS t
+    FROM ids CROSS JOIN wslots
+),
+wr AS (SELECT src, CASE WHEN u < 0.2 THEN t ELSE lat END AS dst0 FROM wl),
+wedges AS (
+    SELECT src,
+           CASE WHEN dst0 = src THEN (dst0 + 1) % 2000 ELSE dst0 END AS dst
+    FROM wr
+),
+wdeg AS (
+    SELECT i.id, CAST(COUNT(e.dst) AS BIGINT) AS in_degree
+    FROM ids i LEFT JOIN wedges e ON e.dst = i.id GROUP BY i.id
+),
+whist AS (
+    SELECT 'watts_strogatz' AS generator, in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM wdeg GROUP BY in_degree
+)
+SELECT * FROM uhist UNION ALL SELECT * FROM whist"""
 
     # Random walk with restart: PR unroll with teleport+dangling to source.
     rwr_parts = [
@@ -4963,6 +5044,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "max_weight_matching": mwm_sql,
         "bipartite_matching": bip_sql,
         "partition_quality": partition_quality_sql,
+        "generated_graph_degrees": gen_degrees_sql,
         "word_entropy": f"""
 WITH terms AS (
   SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents

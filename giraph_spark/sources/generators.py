@@ -4,17 +4,41 @@ Reference: ``io/formats/PseudoRandomVertexInputFormat.java`` /
 ``PseudoRandomInputFormatConstants.java:26-29`` (uniform n×d graph) and
 ``WattsStrogatzVertexInputFormat.java:45-59,194`` (ring lattice of degree
 k, rewired with probability β). Both are seeded and fully distributed:
-``spark.range(n)`` partitions the id space, and per-edge randomness comes
-from ``F.rand(seed)`` — no driver-side materialization, so generating a
-10^12-edge graph is just ``spark.range`` + explode at any parallelism.
+``spark.range(n)`` partitions the id space and per-edge randomness is a
+pure hash of ``(seed, src, edge-slot)`` — no driver-side
+materialization, so generating a 10^12-edge graph is just
+``spark.range`` + explode at any parallelism.
+
+Why hashed randomness instead of ``F.rand(seed)``: ``rand`` is seeded
+PER PARTITION, so the same (n, d, seed) yields a DIFFERENT graph when
+the cluster width (and hence ``spark.range`` partitioning) changes —
+a benchmark graph that silently mutates between a 10-executor and a
+1000-executor run. A hash of the logical edge identity is invariant
+under any repartitioning (the reference gets the same property from
+its per-vertex-range seeding, ``PseudoRandomVertexInputFormat.java``)
+and is replayable by any engine with md5 — the generators are
+oracle-checkable like every other operator.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash60
 from ..graph import Graph
+
+#: hash60 yields 60 bits; dividing by 2^60 gives a uniform [0, 1) double
+_HASH_SPAN = float(1 << 60)
+
+
+def _edge_hash(seed: int, tag: str, *cols: Column) -> Column:
+    """60-bit hash of one logical edge slot: ``(seed, tag, src, slot)``
+    — partitioning-invariant, md5-replayable (the SQL twin concatenates
+    the same ':'-joined string)."""
+    return portable_hash60(
+        F.concat_ws(":", F.lit(str(seed)), F.lit(tag), *cols)
+    )
 
 
 def uniform_random_graph(
@@ -22,7 +46,8 @@ def uniform_random_graph(
 ) -> Graph:
     """n vertices, each with ``edges_per_vertex`` uniform out-edges
     (self-loops excluded by re-target, parallel edges possible — matching
-    the reference's PseudoRandom semantics)."""
+    the reference's PseudoRandom semantics). Deterministic for a given
+    (n, edges_per_vertex, seed) at ANY parallelism."""
     vertices = spark.range(n).select(F.col("id").cast("long").alias("id"))
     edges = (
         vertices.select(
@@ -31,7 +56,9 @@ def uniform_random_graph(
                 F.array(*[F.lit(i) for i in range(edges_per_vertex)])
             ).alias("k"),
         )
-        .withColumn("dst", (F.floor(F.rand(seed) * n)).cast("long"))
+        .withColumn(
+            "dst", _edge_hash(seed, "d", F.col("src"), F.col("k")) % n
+        )
         # avoid self-loop by shifting to the next id (mod n)
         .withColumn(
             "dst",
@@ -49,15 +76,22 @@ def watts_strogatz_graph(
 ) -> Graph:
     """Small-world graph: ring lattice where each vertex connects to its k
     nearest successors, each edge rewired to a uniform target with
-    probability β (``WattsStrogatzVertexInputFormat``)."""
+    probability β (``WattsStrogatzVertexInputFormat``). Deterministic for
+    a given (n, k, beta, seed) at ANY parallelism."""
     vertices = spark.range(n).select(F.col("id").cast("long").alias("id"))
     lattice = vertices.select(
         F.col("id").alias("src"),
         F.explode(F.array(*[F.lit(i + 1) for i in range(k)])).alias("off"),
     ).withColumn("dst", (F.col("src") + F.col("off")) % n)
     rewired = (
-        lattice.withColumn("_u", F.rand(seed))
-        .withColumn("_t", (F.floor(F.rand(seed + 1) * n)).cast("long"))
+        lattice.withColumn(
+            "_u",
+            _edge_hash(seed, "u", F.col("src"), F.col("off"))
+            / F.lit(_HASH_SPAN),
+        )
+        .withColumn(
+            "_t", _edge_hash(seed, "t", F.col("src"), F.col("off")) % n
+        )
         .withColumn(
             "dst",
             F.when(F.col("_u") < beta, F.col("_t")).otherwise(F.col("dst")),
