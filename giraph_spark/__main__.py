@@ -58,7 +58,9 @@ def _algorithms():
         min_propagation,
         wcc,
     )
+    from .algos.coloring import graph_coloring
     from .algos.independent_set import maximal_independent_set
+    from .algos.matching import bipartite_matching, max_weight_matching
     from .algos.pagerank import (
         eigenvector_centrality,
         hits,
@@ -93,6 +95,13 @@ def _algorithms():
         triangles_per_vertex,
     )
 
+    def _partition_quality_cli(graph, num_partitions=8, portable=False):
+        from .partitioning import partition_quality
+
+        return partition_quality(
+            graph, int(num_partitions), portable=bool(portable)
+        )
+
     return {
         "pagerank": pagerank,
         "random_walk_with_restart": random_walk_with_restart,
@@ -118,6 +127,10 @@ def _algorithms():
         "max_propagation": max_propagation,
         "min_propagation": min_propagation,
         "maximal_independent_set": maximal_independent_set,
+        "graph_coloring": graph_coloring,
+        "max_weight_matching": max_weight_matching,
+        "bipartite_matching": bipartite_matching,
+        "partition_quality": _partition_quality_cli,
         "triangle_count": triangle_count,
         "triangles_per_vertex": triangles_per_vertex,
         "triangle_closing_topk": triangle_closing_topk,
