@@ -755,6 +755,20 @@ def _q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_min_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest of the (canonicalized) directed
+    trade graph — unique under the (weight, u, v) total order, so the
+    full forest edge set is oracle-replayed."""
+    from giraph_spark.algos.mst import minimum_spanning_forest
+
+    g = trade_graph(spark, sf_dir, directed=True)
+    return minimum_spanning_forest(g).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.round(F.col("weight"), 2).alias("weight"),
+    )
+
+
 def _q_generated_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of both synthetic generators (PseudoRandom
     uniform n×d and Watts–Strogatz ring-rewire) — the generators'
@@ -2020,6 +2034,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_quality": _q_partition_quality,
         "word_entropy": _q_word_entropy,
         "generated_graph_degrees": _q_generated_graph_degrees,
+        "min_spanning_forest": _q_min_spanning_forest,
         "random_walk_with_restart": _q_rwr,
         "ppr_batch": _q_ppr_batch,
         "coarsen_by_region": _q_coarsen,
@@ -2725,6 +2740,68 @@ SELECT CAST(COALESCE(v.part_id, e.part_id) AS BIGINT) AS part_id,
        CAST(COALESCE(e.n_cut_edges, 0) AS BIGINT) AS n_cut_edges
 FROM v FULL JOIN e ON v.part_id = e.part_id"""
     )
+
+    # Borůvka MSF: unrolled phases on the canonicalized trade graph.
+    # Each phase: per-component min outgoing edge under the (w, u, v)
+    # total order, mutual-pair rooting, 8 pointer jumps (chain depth
+    # halves per jump), relabel. Measured convergence: 4 phases at
+    # sf0.01; 8 unrolled (empty selections past the fixpoint are no-ops).
+    msf_parts = [
+        TRADE_GRAPH_DIRECTED_SQL.strip(),
+        """, ce AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+           MIN(weight) AS w
+    FROM edges WHERE src <> dst GROUP BY 1, 2
+), lab0 AS MATERIALIZED (
+    SELECT CAST(id AS BIGINT) AS vid, CAST(id AS BIGINT) AS comp
+    FROM vertices
+)""",
+    ]
+    MSF_P, MSF_J = 8, 8
+    for t in range(MSF_P):
+        jumps = "".join(
+            f""", par{t}_{j + 1} AS MATERIALIZED (
+    SELECT p.comp, COALESCE(q.par, p.par) AS par
+    FROM par{t}_0 p LEFT JOIN par{t}_{j} q ON q.comp = p.par
+)"""
+            if j == 0
+            else f""", par{t}_{j + 1} AS MATERIALIZED (
+    SELECT p.comp, COALESCE(q.par, p.par) AS par
+    FROM par{t}_{j} p LEFT JOIN par{t}_{j} q ON q.comp = p.par
+)"""
+            for j in range(MSF_J)
+        )
+        msf_parts.append(
+            f""", le{t} AS MATERIALIZED (
+    SELECT e.u, e.v, e.w, a.comp AS cu, b.comp AS cv
+    FROM ce e JOIN lab{t} a ON a.vid = e.u JOIN lab{t} b ON b.vid = e.v
+    WHERE a.comp <> b.comp
+), both{t} AS MATERIALIZED (
+    SELECT cu AS comp, cv AS oc, u, v, w FROM le{t}
+    UNION ALL
+    SELECT cv AS comp, cu AS oc, u, v, w FROM le{t}
+), sel{t} AS MATERIALIZED (
+    SELECT comp, oc, u, v, w FROM both{t}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, u, v) = 1
+), pick{t} AS MATERIALIZED (
+    SELECT DISTINCT u, v, w FROM sel{t}
+), par{t}_0 AS MATERIALIZED (
+    SELECT s.comp,
+           CASE WHEN m.comp IS NOT NULL AND s.comp < s.oc
+                THEN s.comp ELSE s.oc END AS par
+    FROM sel{t} s LEFT JOIN sel{t} m ON m.comp = s.oc AND m.oc = s.comp
+){jumps}, lab{t + 1} AS MATERIALIZED (
+    SELECT l.vid, COALESCE(p.par, l.comp) AS comp
+    FROM lab{t} l LEFT JOIN par{t}_{MSF_J} p ON p.comp = l.comp
+)"""
+        )
+    msf_parts.append(
+        "SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,\n"
+        "       ROUND(w, 2) AS weight\nFROM ("
+        + " UNION ALL ".join(f"SELECT * FROM pick{t}" for t in range(MSF_P))
+        + ")"
+    )
+    msf_sql = "\n".join(msf_parts)
 
     # Generated-graph degrees: replay BOTH generators' hashed randomness
     # (md5 of "seed:tag:src:slot") and histogram the in-degrees.
@@ -5045,6 +5122,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "bipartite_matching": bip_sql,
         "partition_quality": partition_quality_sql,
         "generated_graph_degrees": gen_degrees_sql,
+        "min_spanning_forest": msf_sql,
         "word_entropy": f"""
 WITH terms AS (
   SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents

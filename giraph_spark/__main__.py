@@ -61,6 +61,7 @@ def _algorithms():
     from .algos.coloring import graph_coloring
     from .algos.independent_set import maximal_independent_set
     from .algos.matching import bipartite_matching, max_weight_matching
+    from .algos.mst import minimum_spanning_forest
     from .algos.pagerank import (
         eigenvector_centrality,
         hits,
@@ -131,6 +132,7 @@ def _algorithms():
         "max_weight_matching": max_weight_matching,
         "bipartite_matching": bipartite_matching,
         "partition_quality": _partition_quality_cli,
+        "min_spanning_forest": minimum_spanning_forest,
         "triangle_count": triangle_count,
         "triangles_per_vertex": triangles_per_vertex,
         "triangle_closing_topk": triangle_closing_topk,

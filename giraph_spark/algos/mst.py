@@ -1,0 +1,184 @@
+"""Minimum spanning forest — distributed Borůvka.
+
+The classic Pregel-model algorithm (Chung & Condon's parallel Borůvka;
+the GPS and Okapi Giraph libraries both shipped it as the MST example
+for the vertex-centric model the reference implements): every round,
+each component selects its minimum-weight outgoing edge under a total
+order, the selected edges join the forest, and the touching components
+merge. Components at least halve per round, so the loop is
+O(log n) rounds on ANY graph — no diameter dependence (unlike label
+propagation), which is what makes it the scale-safe spanning-tree
+construction.
+
+Determinism: edges are ranked by ``(weight, u, v)`` — a TOTAL order on
+canonical edges — so the selected forest is unique even with duplicate
+weights (the classic uniqueness argument for distinct weights applies
+to any total order compatible with the weights). That is what lets a
+SQL oracle replay the run bit-for-bit.
+
+Scale shape per round: one triplet-style join of the live edge set
+against the n-row label relation (the same shuffle the pregel kernel
+does every superstep), one partial-aggregated ``min(struct(...))``
+groupBy per component (map-side combinable — NO window over the edge
+list), and pointer-jumping on the ≤ #components-row parent relation
+(halves the chain depth per jump, so ≤ log₂ #components tiny
+self-joins). The live edge set shrinks monotonically: intra-component
+edges are dropped as soon as a relabel exposes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def minimum_spanning_forest(
+    graph: Graph,
+    weight_col: str = "weight",
+    max_rounds: int = 40,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact minimum spanning forest of the undirected graph induced by
+    ``graph.edges``: edges are canonicalized to ``u = least(src, dst) <
+    v = greatest(src, dst)`` keeping the MINIMUM weight among parallel
+    edges (only the lightest parallel edge can ever be in an MSF), so
+    any directed/asymmetric relation is accepted as-is. Returns the
+    forest edge relation ``(u, v, weight)`` — one spanning tree per
+    connected component, ``n_vertices − n_components`` rows, unique
+    under the (weight, u, v) total order."""
+    src, dst = graph.src_col, graph.dst_col
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    live = (
+        graph.edges.where(F.col(src) != F.col(dst))
+        .select(
+            u.cast("long").alias("u"),
+            v.cast("long").alias("v"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = graph.vertices.select(
+        F.col(graph.id_col).cast("long").alias("vid"),
+        F.col(graph.id_col).cast("long").alias("comp"),
+    ).localCheckpoint(eager=True)
+    forest = None
+
+    for rnd in range(max_rounds):
+        lu = labels.select(
+            F.col("vid").alias("u"), F.col("comp").alias("cu")
+        )
+        lv = labels.select(
+            F.col("vid").alias("v"), F.col("comp").alias("cv")
+        )
+        le = (
+            live.join(lu, "u")
+            .join(lv, "v")
+            .where(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+        if le.limit(1).count() == 0:
+            break
+        if stats is not None:
+            stats["rounds"] = rnd + 1
+        # every component ranks its outgoing edges by the (w, u, v)
+        # total order; min(struct) is partial-aggregated (no window)
+        both = le.select(
+            F.col("cu").alias("comp"), F.col("cv").alias("oc"), "u", "v", "w"
+        ).unionByName(
+            le.select(
+                F.col("cv").alias("comp"),
+                F.col("cu").alias("oc"),
+                "u",
+                "v",
+                "w",
+            )
+        )
+        sel = (
+            both.groupBy("comp")
+            .agg(F.min(F.struct("w", "u", "v", "oc")).alias("m"))
+            .select("comp", "m.w", "m.u", "m.v", "m.oc")
+            .localCheckpoint(eager=True)
+        )
+        picked = sel.select("u", "v", "w").distinct()
+        forest = (
+            picked if forest is None else forest.unionByName(picked)
+        ).localCheckpoint(eager=True)
+
+        # component merge: parent(comp) = oc, except the smaller member
+        # of each MUTUAL pair roots itself (each merge tree contains
+        # exactly one mutual pair — its globally-lightest edge is
+        # selected from both sides under the total order)
+        other = sel.select(
+            F.col("comp").alias("b_comp"), F.col("oc").alias("b_oc")
+        )
+        parent = (
+            sel.join(
+                other,
+                (F.col("oc") == F.col("b_comp"))
+                & (F.col("b_oc") == F.col("comp")),
+                "left",
+            )
+            .select(
+                F.col("comp"),
+                F.when(
+                    F.col("b_comp").isNotNull()
+                    & (F.col("comp") < F.col("oc")),
+                    F.col("comp"),
+                )
+                .otherwise(F.col("oc"))
+                .alias("par"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping to the 2-cycle roots: depth halves per jump
+        for _ in range(max_rounds):
+            grand = parent.select(
+                F.col("comp").alias("g_comp"), F.col("par").alias("g_par")
+            )
+            jumped = (
+                parent.join(
+                    grand, parent["par"] == grand["g_comp"], "left"
+                )
+                .select(
+                    "comp",
+                    F.coalesce("g_par", "par").alias("par"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            moved = (
+                jumped.alias("j")
+                .join(parent.alias("p"), "comp")
+                .where(F.col("j.par") != F.col("p.par"))
+                .limit(1)
+                .count()
+            )
+            parent = jumped
+            if moved == 0:
+                break
+        labels = (
+            labels.join(
+                parent.select(
+                    F.col("comp"), F.col("par").alias("_new")
+                ),
+                "comp",
+                "left",
+            )
+            .select(
+                "vid", F.coalesce("_new", "comp").alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # intra-component edges (under the OLD labels) can never be
+        # selected again — shrink the live set
+        live = le.select("u", "v", "w")
+
+    if forest is None:
+        return live.select(
+            F.col("u"), F.col("v"), F.col("w").alias(weight_col)
+        ).limit(0)
+    return forest.select("u", "v", F.col("w").alias(weight_col))

@@ -1,0 +1,89 @@
+"""Borůvka minimum spanning forest (algos/mst.py)."""
+
+from pyspark.sql import functions as F
+
+from giraph_spark import Graph
+from giraph_spark.algos.mst import minimum_spanning_forest
+
+
+def _kruskal(vertex_ids, canonical_edges):
+    """Reference MSF: Kruskal under the same (w, u, v) total order."""
+    parent = {x: x for x in vertex_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for u, v, w in sorted(canonical_edges, key=lambda e: (e[2], e[0], e[1])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.add((u, v, w))
+    return forest
+
+
+def test_msf_matches_kruskal_on_trade_graph(spark, sf_dir):
+    import __spark_entry__ as E
+
+    g = E.trade_graph(spark, sf_dir, directed=True)
+    stats = {}
+    got = {
+        (r.u, r.v, round(r.weight, 2))
+        for r in minimum_spanning_forest(g, stats=stats).collect()
+    }
+    ce = (
+        g.edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").cast("long").alias("u"),
+            F.greatest("src", "dst").cast("long").alias("v"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .collect()
+    )
+    want = _kruskal(
+        [r.id for r in g.vertices.collect()],
+        [(r.u, r.v, round(r.w, 2)) for r in ce],
+    )
+    assert got == want
+    # Borůvka is O(log n) rounds — the dense trade graph merges fast
+    assert stats["rounds"] <= 5
+
+
+def test_msf_parallel_edges_and_forest_shape(spark):
+    """Parallel edges keep the lightest; a disconnected graph yields one
+    tree per component (n - n_components edges)."""
+    edges = spark.createDataFrame(
+        [
+            # component {1,2,3}: parallel 1-2 edges (keep w=1.0),
+            # triangle closed by 2-3 and 1-3
+            (1, 2, 5.0),
+            (2, 1, 1.0),
+            (2, 3, 2.0),
+            (1, 3, 2.0),  # ties with 2-3 on w; (u,v) order breaks it
+            # component {10, 11}
+            (10, 11, 7.0),
+            # isolated self-loop is ignored
+            (20, 20, 1.0),
+        ],
+        "src long, dst long, weight double",
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "id long"
+    )
+    out = sorted(
+        (r.u, r.v, r.weight)
+        for r in minimum_spanning_forest(Graph(vertices, edges)).collect()
+    )
+    # 6 vertices, 3 components -> 3 forest edges; 1-3 beats 2-3 on (w,u,v)
+    assert out == [(1, 2, 1.0), (1, 3, 2.0), (10, 11, 7.0)]
+
+
+def test_msf_empty_graph(spark):
+    vertices = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([], "src long, dst long, weight double")
+    assert minimum_spanning_forest(Graph(vertices, edges)).count() == 0
