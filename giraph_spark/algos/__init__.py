@@ -13,8 +13,11 @@ from .components import (
     min_propagation,
     wcc,
 )
+from .coloring import graph_coloring
 from .deadlock import bracha_toueg
 from .independent_set import maximal_independent_set
+from .matching import bipartite_matching, max_weight_matching
+from .mst import minimum_spanning_forest
 from .pagerank import (
     eigenvector_centrality,
     hits,

@@ -106,6 +106,11 @@ def partition_quality(
     hashes elsewhere (a message crossing workers every superstep —
     total cut / total edges is the communication fraction).
 
+    Complement of :func:`giraph_spark.algos.stats.partitioning_stats`,
+    which scores an EXPLICIT vertex→partition mapping as a single
+    locality/balance summary row; this one profiles the engine's own
+    hash partitioning per partition, no mapping table needed.
+
     Scale shape: one partial-aggregated groupBy over each relation
     (vertices scanned once, edges once — the cut flag is a projection,
     no self-join), outer-merged on the ≤ ``num_partitions``-row result.
@@ -113,6 +118,9 @@ def partition_quality(
     replayable); default xxhash64 matches the engine's real shuffle
     hashing family and is ~5× cheaper."""
     from .functions.hashing import portable_hash60
+
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
 
     def bucket(c) -> F.Column:
         h = (
