@@ -755,6 +755,16 @@ def _q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM segmentation features off the raw event log —
+    monetary restricted to purchase events, recency anchored to the
+    corpus's own last event (reproducible, no wall clock)."""
+    from giraph_spark.functions.joins import rfm_features
+
+    ev = read_events(spark, sf_dir)
+    return rfm_features(ev, value_event_type="purchase")
+
+
 def _q_min_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka minimum spanning forest of the (canonicalized) directed
     trade graph — unique under the (weight, u, v) total order, so the
@@ -2035,6 +2045,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_entropy": _q_word_entropy,
         "generated_graph_degrees": _q_generated_graph_degrees,
         "min_spanning_forest": _q_min_spanning_forest,
+        "rfm_features": _q_rfm_features,
         "random_walk_with_restart": _q_rwr,
         "ppr_batch": _q_ppr_batch,
         "coarsen_by_region": _q_coarsen,
@@ -5123,6 +5134,23 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "partition_quality": partition_quality_sql,
         "generated_graph_degrees": gen_degrees_sql,
         "min_spanning_forest": msf_sql,
+        "rfm_features": """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE 0.0 END), 2) + 0.0 AS monetary,
+         MIN(ts) AS _first, MAX(ts) AS _last
+  FROM events GROUP BY user_id
+), cm AS (SELECT MAX(ts) AS _cl FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(date_diff('day', CAST(_last AS DATE), CAST(_cl AS DATE))
+            AS BIGINT) AS recency_days,
+       frequency,
+       monetary,
+       CAST(FLOOR(epoch(_first)) AS BIGINT) AS first_ts,
+       CAST(FLOOR(epoch(_last)) AS BIGINT) AS last_ts
+FROM per_user, cm""",
         "word_entropy": f"""
 WITH terms AS (
   SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents

@@ -271,3 +271,55 @@ def retention_cohorts(
         active.groupBy(F.col("_cohort").cast("date").alias("cohort"), "period_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def rfm_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_event_type: str | None = None,
+    event_type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user RFM features — the standard churn/LTV segmentation
+    inputs computed from a raw event log in ONE pass: ``recency_days``
+    (days between the user's last event and the corpus's last event, so
+    the feature is reproducible from the log alone — no wall-clock
+    "now"), ``frequency`` (event count), ``monetary`` (sum of
+    ``value_col``, optionally restricted to ``value_event_type`` rows,
+    e.g. purchases only; 0.0 for users with no qualifying events),
+    plus ``first_ts``/``last_ts`` epoch seconds.
+
+    Scale shape: one partial-aggregated groupBy over the event log (the
+    monetary restriction is a CASE inside the aggregate, not a second
+    scan) plus a broadcast single-row corpus-max join — nothing
+    quadratic, no windows, no driver-side state."""
+    val = F.col(value_col).cast("double")
+    if value_event_type is not None:
+        val = F.when(
+            F.col(event_type_col) == value_event_type, val
+        ).otherwise(F.lit(0.0))
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(val), 2).alias("monetary"),
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    corpus_max = events.agg(F.max(ts_col).alias("_corpus_last"))
+    return (
+        per_user.crossJoin(F.broadcast(corpus_max))
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("_corpus_last").cast("date"),
+                F.col("_last").cast("date"),
+            )
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            # fold IEEE -0.0 from an all-zero rounded sum to +0.0
+            (F.col("monetary") + F.lit(0.0)).alias("monetary"),
+            F.col("_first").cast("long").alias("first_ts"),
+            F.col("_last").cast("long").alias("last_ts"),
+        )
+    )

@@ -131,3 +131,29 @@ def test_dedup_corpus_end_to_end(spark):
         r["doc_id"] for r in dedup_corpus(df, verify_threshold=0.5).collect()
     )
     assert out == [1, 4]
+
+
+def test_rfm_features_closed_form(spark):
+    """Hand-computed RFM on a tiny log: recency anchored to the corpus
+    max, monetary restricted to purchases, zero for purchase-free users."""
+    from datetime import datetime
+
+    from giraph_spark.functions.joins import rfm_features
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10), "purchase", 10.0),
+            (1, datetime(2024, 1, 3, 10), "click", 99.0),
+            (2, datetime(2024, 1, 5, 10), "purchase", 2.5),
+            (3, datetime(2024, 1, 2, 10), "view", 7.0),
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    out = {r.user_id: r for r in rfm_features(ev, value_event_type="purchase").collect()}
+    assert out[1].recency_days == 2 and out[1].frequency == 2
+    assert out[1].monetary == 10.0          # click value excluded
+    assert out[2].recency_days == 0 and out[2].monetary == 2.5
+    assert out[3].monetary == 0.0           # no purchases -> 0, not NULL
+    # unrestricted monetary sums everything
+    all_val = {r.user_id: r.monetary for r in rfm_features(ev).collect()}
+    assert all_val[1] == 109.0
