@@ -234,3 +234,86 @@ def test_scrub_token_accounting_invariant(spark, docs):
             r.n_removed,
             toks[r.doc_id],
         )
+
+
+EDGE_SET = st.sets(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(EDGE_SET, st.randoms(use_true_random=False))
+@settings(**SETTINGS)
+def test_coloring_proper_and_matching_valid_on_random_graphs(
+    spark, edge_set, rnd
+):
+    """On arbitrary small graphs: the coloring is PROPER (no
+    monochromatic edge) and complete; the matching is a valid matching
+    (symmetric, degree ≤ 1 in the matched relation) and MAXIMAL (no
+    live edge joins two unmatched vertices)."""
+    from giraph_spark import Graph
+    from giraph_spark.algos.coloring import graph_coloring
+    from giraph_spark.algos.matching import max_weight_matching
+
+    sym = {(u, v) for u, v in edge_set} | {(v, u) for u, v in edge_set}
+    ids = sorted({x for e in sym for x in e})
+    vertices = spark.createDataFrame([(i,) for i in ids], "id long")
+    edges = spark.createDataFrame(
+        [(u, v, float(1 + (u * 7 + v * 3) % 5)) for u, v in sorted(sym)],
+        "src long, dst long, weight double",
+    )
+    g = Graph(vertices, edges)
+
+    color = {r.id: r.color for r in graph_coloring(g).collect()}
+    assert set(color) == set(ids) and all(c is not None for c in color.values())
+    assert all(color[u] != color[v] for u, v in sym)
+
+    m = {r.id: r.matched_with for r in max_weight_matching(g).collect()}
+    matched = {k: v for k, v in m.items() if v is not None}
+    assert all(matched.get(v) == u for u, v in matched.items())  # symmetric
+    unmatched = {k for k, v in m.items() if v is None}
+    assert not any(u in unmatched and v in unmatched for u, v in sym)  # maximal
+
+
+@given(EDGE_SET)
+@settings(**SETTINGS)
+def test_msf_matches_kruskal_on_random_graphs(spark, edge_set):
+    """Borůvka == Kruskal under the shared (w, u, v) total order on
+    arbitrary small graphs (any component structure)."""
+    from giraph_spark import Graph
+    from giraph_spark.algos.mst import minimum_spanning_forest
+
+    ids = sorted({x for e in edge_set for x in e})
+    vertices = spark.createDataFrame([(i,) for i in ids], "id long")
+    edges = spark.createDataFrame(
+        [(u, v, float(1 + (u * 5 + v) % 4)) for u, v in sorted(edge_set)],
+        "src long, dst long, weight double",
+    )
+    got = {
+        (r.u, r.v, r.weight)
+        for r in minimum_spanning_forest(Graph(vertices, edges)).collect()
+    }
+    # python Kruskal on the same canonicalized edges
+    canon = {}
+    for u, v in edge_set:
+        a, b = min(u, v), max(u, v)
+        w = float(1 + (u * 5 + v) % 4)
+        canon[(a, b)] = min(canon.get((a, b), w), w)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for (u, v), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add((u, v, w))
+    assert got == want
