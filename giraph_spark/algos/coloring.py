@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import fresh_checkpoint
 
 
 def graph_coloring(
@@ -54,11 +55,13 @@ def graph_coloring(
     """
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
 
-    state = graph.vertices.select(
-        id_col,
-        F.md5(F.col(id_col).cast("string")).alias("_pri"),
-        F.lit(None).cast("int").alias("_color"),
-    ).localCheckpoint(eager=True)
+    state = fresh_checkpoint(
+        graph.vertices.select(
+            id_col,
+            F.md5(F.col(id_col).cast("string")).alias("_pri"),
+            F.lit(None).cast("int").alias("_color"),
+        )
+    )
     edges = graph.edges.select(src, dst).persist()
 
     for rnd in range(max_rounds):
@@ -100,9 +103,12 @@ def graph_coloring(
             F.sequence(F.lit(0), F.size("_taken")),
             lambda k: ~F.array_contains(F.col("_taken"), k),
         )[0]
-        state = (
-            state.join(per_v, on=id_col, how="left")
-            .select(
+        # fresh_checkpoint, not plain localCheckpoint: per_v derives
+        # from state via both edge endpoints, so the round's output
+        # joins state with a derivative of itself — the inherited size
+        # estimate would square per round (plans/checkpoint.py)
+        state = fresh_checkpoint(
+            state.join(per_v, on=id_col, how="left").select(
                 id_col,
                 "_pri",
                 F.when(F.col("_color").isNotNull(), F.col("_color"))
@@ -113,7 +119,6 @@ def graph_coloring(
                 .otherwise(F.lit(None).cast("int"))
                 .alias("_color"),
             )
-            .localCheckpoint(eager=True)
         )
     edges.unpersist()
     return state.select(id_col, F.col("_color").alias(color_col))

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import fresh_checkpoint
 
 UNKNOWN, IN_SET, NOT_IN = 0, 1, 2
 
@@ -29,11 +30,13 @@ def maximal_independent_set(
     is two shuffles (neighbor-min + neighbor-of-IN mark)."""
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
 
-    state = graph.vertices.select(
-        id_col,
-        F.lit(UNKNOWN).alias("_st"),
-        F.md5(F.col(id_col).cast("string")).alias("_pri"),
-    ).localCheckpoint(eager=True)
+    state = fresh_checkpoint(
+        graph.vertices.select(
+            id_col,
+            F.lit(UNKNOWN).alias("_st"),
+            F.md5(F.col(id_col).cast("string")).alias("_pri"),
+        )
+    )
     edges = graph.edges.select(src, dst).persist()
 
     for _ in range(max_rounds):
@@ -76,7 +79,10 @@ def maximal_independent_set(
                 .alias("_st"),
                 "_pri",
             )
-            .localCheckpoint(eager=True)
         )
+        # fresh_checkpoint: the round joins state with two frames that
+        # both derive from state (nbr, out_ids) — inherited size
+        # estimates would compound per round (plans/checkpoint.py)
+        state = fresh_checkpoint(state)
     edges.unpersist()
     return state.select(id_col, (F.col("_st") == IN_SET).alias(status_col))

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import fresh_checkpoint
 
 
 def max_weight_matching(
@@ -59,9 +60,11 @@ def max_weight_matching(
     """
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
 
-    state = graph.vertices.select(
-        id_col, F.lit(None).cast("long").alias("_mw")
-    ).localCheckpoint(eager=True)
+    state = fresh_checkpoint(
+        graph.vertices.select(
+            id_col, F.lit(None).cast("long").alias("_mw")
+        )
+    )
     edges = graph.edges.select(
         F.col(src).cast("long").alias(src),
         F.col(dst).cast("long").alias(dst),
@@ -104,8 +107,8 @@ def max_weight_matching(
                 how="left",
             )
             .select(id_col, F.coalesce("_mw", "_new").alias("_mw"))
-            .localCheckpoint(eager=True)
         )
+        state = fresh_checkpoint(state)
     edges.unpersist()
     return state.select(id_col, F.col("_mw").alias(match_col))
 
@@ -132,9 +135,11 @@ def bipartite_matching(
     """
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
 
-    state = graph.vertices.select(
-        id_col, F.lit(None).cast("long").alias("_mw")
-    ).localCheckpoint(eager=True)
+    state = fresh_checkpoint(
+        graph.vertices.select(
+            id_col, F.lit(None).cast("long").alias("_mw")
+        )
+    )
     edges = graph.edges.select(
         F.col(src).cast("long").alias(src), F.col(dst).cast("long").alias(dst)
     ).dropDuplicates().persist()
@@ -176,7 +181,7 @@ def bipartite_matching(
         state = (
             state.join(pairs, on=id_col, how="left")
             .select(id_col, F.coalesce("_mw", "_new").alias("_mw"))
-            .localCheckpoint(eager=True)
         )
+        state = fresh_checkpoint(state)
     edges.unpersist()
     return state.select(id_col, F.col("_mw").alias(match_col))

@@ -23,7 +23,10 @@ groupBy per component (map-side combinable — NO window over the edge
 list), and pointer-jumping on the ≤ #components-row parent relation
 (halves the chain depth per jump, so ≤ log₂ #components tiny
 self-joins). The live edge set shrinks monotonically: intra-component
-edges are dropped as soon as a relabel exposes them.
+edges are dropped as soon as a relabel exposes them. Every in-loop
+frame is truncated with :func:`fresh_checkpoint` — pointer doubling
+joins a frame with ITSELF, the exact shape whose inherited size
+estimate otherwise squares per iteration (see plans/checkpoint.py).
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import fresh_checkpoint
 
 
 def minimum_spanning_forest(
@@ -51,7 +55,7 @@ def minimum_spanning_forest(
     src, dst = graph.src_col, graph.dst_col
     u = F.least(F.col(src), F.col(dst))
     v = F.greatest(F.col(src), F.col(dst))
-    live = (
+    live = fresh_checkpoint(
         graph.edges.where(F.col(src) != F.col(dst))
         .select(
             u.cast("long").alias("u"),
@@ -60,12 +64,13 @@ def minimum_spanning_forest(
         )
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
     )
-    labels = graph.vertices.select(
-        F.col(graph.id_col).cast("long").alias("vid"),
-        F.col(graph.id_col).cast("long").alias("comp"),
-    ).localCheckpoint(eager=True)
+    labels = fresh_checkpoint(
+        graph.vertices.select(
+            F.col(graph.id_col).cast("long").alias("vid"),
+            F.col(graph.id_col).cast("long").alias("comp"),
+        )
+    )
     forest = None
 
     for rnd in range(max_rounds):
@@ -75,11 +80,10 @@ def minimum_spanning_forest(
         lv = labels.select(
             F.col("vid").alias("v"), F.col("comp").alias("cv")
         )
-        le = (
+        le = fresh_checkpoint(
             live.join(lu, "u")
             .join(lv, "v")
             .where(F.col("cu") != F.col("cv"))
-            .localCheckpoint(eager=True)
         )
         if le.limit(1).count() == 0:
             break
@@ -98,16 +102,15 @@ def minimum_spanning_forest(
                 "w",
             )
         )
-        sel = (
+        sel = fresh_checkpoint(
             both.groupBy("comp")
             .agg(F.min(F.struct("w", "u", "v", "oc")).alias("m"))
             .select("comp", "m.w", "m.u", "m.v", "m.oc")
-            .localCheckpoint(eager=True)
         )
         picked = sel.select("u", "v", "w").distinct()
-        forest = (
+        forest = fresh_checkpoint(
             picked if forest is None else forest.unionByName(picked)
-        ).localCheckpoint(eager=True)
+        )
 
         # component merge: parent(comp) = oc, except the smaller member
         # of each MUTUAL pair roots itself (each merge tree contains
@@ -116,14 +119,13 @@ def minimum_spanning_forest(
         other = sel.select(
             F.col("comp").alias("b_comp"), F.col("oc").alias("b_oc")
         )
-        parent = (
+        parent = fresh_checkpoint(
             sel.join(
                 other,
                 (F.col("oc") == F.col("b_comp"))
                 & (F.col("b_oc") == F.col("comp")),
                 "left",
-            )
-            .select(
+            ).select(
                 F.col("comp"),
                 F.when(
                     F.col("b_comp").isNotNull()
@@ -133,22 +135,19 @@ def minimum_spanning_forest(
                 .otherwise(F.col("oc"))
                 .alias("par"),
             )
-            .localCheckpoint(eager=True)
         )
         # pointer jumping to the 2-cycle roots: depth halves per jump
         for _ in range(max_rounds):
             grand = parent.select(
                 F.col("comp").alias("g_comp"), F.col("par").alias("g_par")
             )
-            jumped = (
+            jumped = fresh_checkpoint(
                 parent.join(
                     grand, parent["par"] == grand["g_comp"], "left"
-                )
-                .select(
+                ).select(
                     "comp",
                     F.coalesce("g_par", "par").alias("par"),
                 )
-                .localCheckpoint(eager=True)
             )
             moved = (
                 jumped.alias("j")
@@ -160,18 +159,12 @@ def minimum_spanning_forest(
             parent = jumped
             if moved == 0:
                 break
-        labels = (
+        labels = fresh_checkpoint(
             labels.join(
-                parent.select(
-                    F.col("comp"), F.col("par").alias("_new")
-                ),
+                parent.select(F.col("comp"), F.col("par").alias("_new")),
                 "comp",
                 "left",
-            )
-            .select(
-                "vid", F.coalesce("_new", "comp").alias("comp")
-            )
-            .localCheckpoint(eager=True)
+            ).select("vid", F.coalesce("_new", "comp").alias("comp"))
         )
         # intra-component edges (under the OLD labels) can never be
         # selected again — shrink the live set

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import fresh_checkpoint
 from .prepare import symmetrize
 
 
@@ -211,11 +212,13 @@ def k_truss(
         )
         # left join: an edge in no triangle has support 0 and must still
         # survive when k <= 2 (the k-truss degenerates to the edge set)
-        survivors = (
+        # fresh_checkpoint: supp derives from e ⋈ e ⋈ e, so the
+        # survivor relation joins e with its own cube — the inherited
+        # size estimate would 4x per peeling round (plans/checkpoint.py)
+        survivors = fresh_checkpoint(
             e.join(supp, [src, dst], "left")
             .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
             .select(src, dst)
-            .localCheckpoint(eager=True)
         )
         n = survivors.count()
         e = survivors

@@ -1,0 +1,47 @@
+"""Lineage truncation that also resets inherited plan statistics.
+
+``df.localCheckpoint()`` truncates the LOGICAL plan but the resulting
+``LogicalRDD`` keeps the original plan's size-in-bytes estimate and
+constraints (Spark rewrites them onto the new leaf). For a loop that
+joins state with a derivative OF ITSELF — pointer jumping
+(``parent ∘ parent``), or any round that joins the state relation onto
+BOTH endpoints of an edge list — the size estimate therefore SQUARES
+every iteration: the estimate's bit-length doubles per round, and after
+~20 rounds every optimizer pass multiplies million-bit BigIntegers,
+the driver slows exponentially and finally throws ``BigInteger would
+overflow supported range``. Data volume is irrelevant — a 50-row
+DataFrame reproduces it (tests/test_plans.py
+``test_fresh_checkpoint_keeps_selfjoin_stats_bounded``).
+
+:func:`fresh_checkpoint` is the loop-safe variant: materialize via
+``localCheckpoint(eager=True)``, then re-wrap the ALREADY-COMPUTED
+internal RDD in a brand-new leaf with no inherited statistics or
+constraints. No data is recomputed or moved — the reset is a
+driver-side plan-node swap. Loops whose state only ever joins
+CONSTANT-stats relations (the pregel kernel's state ⨝ edges) grow the
+estimate linearly in bit-length and don't need this; use it whenever a
+round's output joins two frames that both derive from the previous
+round's output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fresh_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` + statistics reset (see module
+    docstring). Falls back to a plain eager localCheckpoint if the
+    internal re-wrap API is unavailable."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        sess = jdf.sparkSession()
+        fresh = sess.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        # construct the same concrete DataFrame class we were given
+        # (pyspark.sql.DataFrame is abstract in the classic/connect split)
+        return type(ck)(fresh, ck.sparkSession)
+    except Exception:  # pragma: no cover - Spark-internal API moved
+        return ck

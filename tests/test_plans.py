@@ -376,3 +376,46 @@ def test_word_entropy_no_window_no_cartesian(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_fresh_checkpoint_keeps_selfjoin_stats_bounded(spark):
+    """Iterated self-joins (pointer doubling) SQUARE the inherited
+    size-in-bytes estimate under plain localCheckpoint — the estimate's
+    bit-length doubles per round until the driver slows exponentially
+    and finally throws 'BigInteger would overflow supported range'
+    (reproduced on a 50-row frame). fresh_checkpoint re-wraps the
+    computed RDD in a stats-free leaf; 25 doubling rounds must stay
+    fast and the final estimate small."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from giraph_spark.plans.checkpoint import fresh_checkpoint
+
+    df = spark.range(50).select(
+        F.col("id").alias("comp"), (F.col("id") + 1).alias("par")
+    )
+    df = fresh_checkpoint(df)
+    t0 = time.time()
+    for _ in range(25):
+        g = df.select(
+            F.col("comp").alias("g_comp"), F.col("par").alias("g_par")
+        )
+        df = fresh_checkpoint(
+            df.join(g, df["par"] == g["g_comp"], "left").select(
+                "comp", F.coalesce("g_par", "par").alias("par")
+            )
+        )
+    assert df.count() == 50
+    # plain localCheckpoint blows past 60 s around round 24; the reset
+    # keeps the whole 25-round chain in single-digit seconds
+    assert time.time() - t0 < 60
+    digits = len(
+        str(
+            df._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    )
+    assert digits < 20, f"size estimate has {digits} digits - stats leak"
