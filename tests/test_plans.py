@@ -419,3 +419,27 @@ def test_fresh_checkpoint_keeps_selfjoin_stats_bounded(spark):
         )
     )
     assert digits < 20, f"size estimate has {digits} digits - stats leak"
+
+
+def test_kernel_long_run_no_stats_compounding(spark):
+    """60-superstep path-graph BFS: per-superstep cost must stay flat —
+    the kernel's hetero-join shape (state ⨝ static edges) must not
+    inherit compounding size estimates the way self-join loops do. With
+    compounding, supersteps past ~25 take minutes; flat runs are
+    ~0.15 s/superstep."""
+    from giraph_spark import Graph
+    from giraph_spark.algos.paths import bfs
+    from giraph_spark.pregel import PregelMetrics
+
+    n = 60
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    m = PregelMetrics()
+    out = bfs(Graph(vertices, edges), source=0, max_supersteps=80, metrics=m)
+    levels = {r["id"]: r["level"] for r in out.collect()}
+    assert levels == {i: i for i in range(n)}
+    assert len(m.supersteps) == n
+    last_sec = m.supersteps[-1].get("sec") or m.supersteps[-1].get("seconds")
+    assert last_sec < 10, f"superstep 59 took {last_sec}s - stats compounding?"
