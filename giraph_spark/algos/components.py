@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..pregel import MSG, PregelMetrics, pregel
+from ..plans.checkpoint import fresh_checkpoint
 
 
 def _label_propagation(
@@ -224,12 +225,14 @@ def _alternating_star_impl(
         )
         # small is distinct with a > b everywhere, so the swapped copies
         # cannot collide with the originals — no further distinct needed
-        new_adj = (
+        # fresh_checkpoint: each round joins adj with aggregates OF
+        # ITSELF (mins/mins2), the self-derivative shape whose inherited
+        # size estimate squares per round (plans/checkpoint.py)
+        new_adj = fresh_checkpoint(
             small.select(F.col("a").alias("u"), F.col("b").alias("v"))
             .unionByName(
                 small.select(F.col("b").alias("u"), F.col("a").alias("v"))
             )
-            .localCheckpoint(eager=True)
         )
         sig = signature(new_adj)
         if prev_adj is not None:
