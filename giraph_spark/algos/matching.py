@@ -98,6 +98,17 @@ def max_weight_matching(
             & (F.col(f"a.{dst}") == F.col(f"b.{src}")),
             how="left_semi",
         )
+        if mutual.limit(1).count() == 0:
+            # with a SYMMETRIC weight relation the heaviest live edge is
+            # always picked from both sides, so an empty mutual set means
+            # the precondition is violated (direction-dependent weights
+            # can cycle u→v→w→u forever) — fail loudly rather than spin
+            # to max_rounds and silently return a non-maximal matching
+            raise ValueError(
+                "max_weight_matching made no progress: no mutual pick "
+                "among live edges — is the edge relation symmetric with "
+                "symmetric weights (apply prepare.symmetrize_weighted)?"
+            )
         state = (
             state.join(
                 mutual.select(

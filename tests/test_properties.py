@@ -261,8 +261,13 @@ def test_coloring_proper_and_matching_valid_on_random_graphs(
     sym = {(u, v) for u, v in edge_set} | {(v, u) for u, v in edge_set}
     ids = sorted({x for e in sym for x in e})
     vertices = spark.createDataFrame([(i,) for i in ids], "id long")
+    # weights must be SYMMETRIC (the documented matching precondition —
+    # direction-dependent weights can cycle u→v→w→u with no mutual pick)
     edges = spark.createDataFrame(
-        [(u, v, float(1 + (u * 7 + v * 3) % 5)) for u, v in sorted(sym)],
+        [
+            (u, v, float(1 + (min(u, v) * 7 + max(u, v) * 3) % 5))
+            for u, v in sorted(sym)
+        ],
         "src long, dst long, weight double",
     )
     g = Graph(vertices, edges)
