@@ -638,6 +638,73 @@ def stress_stream() -> None:
     spark.stop()
 
 
+def graph_extras() -> None:
+    """Round-6 graph additions at sf0.1 (``python bench.py
+    --graph-extras``): the reproducible harness behind BASELINE.md's
+    numbers for Borůvka MSF, the two matchings, Jones–Plassmann
+    coloring, and MIS — the five loops the self-join statistics fix
+    (plans/checkpoint.py) unlocked at this scale."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-graph-extras")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+    from giraph_spark.algos.prepare import symmetrize_weighted
+    from giraph_spark.algos.coloring import graph_coloring
+    from giraph_spark.algos.independent_set import maximal_independent_set
+    from giraph_spark.algos.matching import (
+        bipartite_matching,
+        max_weight_matching,
+    )
+    from giraph_spark.algos.mst import minimum_spanning_forest
+    from giraph_spark.algos.prepare import symmetrize
+
+    g_dir = E.trade_graph(spark, SF_DIR, directed=True)
+    g_dir.edges.count()  # warm the fixture
+    g_sym = symmetrize_weighted(g_dir)
+    chain = symmetrize(E.events_chain(spark, SF_DIR))
+
+    queries, counters = {}, {}
+
+    def run(name, fn):
+        t0 = time.time()
+        stats: dict = {}
+        n = fn(stats).count()
+        queries[name] = round(time.time() - t0, 3)
+        counters[name] = {"rows": n, **stats}
+
+    run("min_spanning_forest", lambda s: minimum_spanning_forest(g_dir, stats=s))
+    run("max_weight_matching", lambda s: max_weight_matching(g_sym, stats=s))
+    run("bipartite_matching", lambda s: bipartite_matching(g_dir, stats=s))
+    run("graph_coloring", lambda s: graph_coloring(chain, stats=s))
+    run("maximal_independent_set", lambda s: maximal_independent_set(chain))
+    print(
+        json.dumps(
+            {
+                "metric": "graph_extras_total",
+                "value": round(sum(queries.values()), 2),
+                "unit": "sec",
+                "queries": queries,
+                "counters": counters,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--stress-stream" in sys.argv:
         stress_stream()
@@ -647,5 +714,7 @@ if __name__ == "__main__":
         stress()
     elif "--pipeline" in sys.argv:
         pipeline()
+    elif "--graph-extras" in sys.argv:
+        graph_extras()
     else:
         main()
