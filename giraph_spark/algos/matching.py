@@ -33,7 +33,7 @@ guaranteed; on random-ish weights rounds are O(log n) in practice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
@@ -84,13 +84,15 @@ def max_weight_matching(
             break
         if stats is not None:
             stats["rounds"] = rnd + 1
-        w = Window.partitionBy(src).orderBy(
-            F.col("weight").desc(), F.col(dst).asc()
-        )
+        # per-vertex top-1 as a partial-aggregated max(struct) — NOT a
+        # window (a window sorts every partition; the struct max is
+        # map-side combinable). (weight, -dst) descending-lexicographic
+        # ≡ ORDER BY weight DESC, dst ASC; ids are nonnegative longs so
+        # the negation cannot overflow
         pick = (
-            live.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(src, dst)
+            live.groupBy(src)
+            .agg(F.max(F.struct(F.col("weight"), (-F.col(dst)).alias("_nd"))).alias("_m"))
+            .select(src, (-F.col("_m._nd")).alias(dst))
         )
         mutual = pick.alias("a").join(
             pick.alias("b"),
@@ -168,21 +170,32 @@ def bipartite_matching(
             break
         if stats is not None:
             stats["rounds"] = rnd + 1
-        grant_w = Window.partitionBy(dst).orderBy(
-            F.md5(F.col(src).cast("string")).asc()
-        )
+        # per-key top-1 via partial-aggregated min(struct(md5, id)) — no
+        # windows (see max_weight_matching); md5 of distinct ids never
+        # ties, the id tiebreak is belt-and-braces
         grants = (
-            requests.withColumn("_rn", F.row_number().over(grant_w))
-            .where(F.col("_rn") == 1)
-            .select(src, dst)
-        )
-        accept_w = Window.partitionBy(src).orderBy(
-            F.md5(F.col(dst).cast("string")).asc()
+            requests.groupBy(dst)
+            .agg(
+                F.min(
+                    F.struct(
+                        F.md5(F.col(src).cast("string")).alias("_h"),
+                        F.col(src).alias("_i"),
+                    )
+                ).alias("_m")
+            )
+            .select(F.col("_m._i").alias(src), dst)
         )
         accepted = (
-            grants.withColumn("_rn", F.row_number().over(accept_w))
-            .where(F.col("_rn") == 1)
-            .select(src, dst)
+            grants.groupBy(src)
+            .agg(
+                F.min(
+                    F.struct(
+                        F.md5(F.col(dst).cast("string")).alias("_h"),
+                        F.col(dst).alias("_i"),
+                    )
+                ).alias("_m")
+            )
+            .select(src, F.col("_m._i").alias(dst))
         )
         pairs = accepted.select(
             F.col(src).alias(id_col), F.col(dst).alias("_new")
