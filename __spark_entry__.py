@@ -765,6 +765,23 @@ def _q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_features(ev, value_event_type="purchase")
 
 
+def _q_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve for an entropy-based quality cutoff: score
+    = per-doc Shannon word entropy, reference label = the Gopher/C4
+    quality gate, fixed [0, 6) grid in 24 bins — the calibration pass a
+    pipeline runs before freezing a threshold."""
+    from giraph_spark.functions.profile import threshold_metrics
+    from giraph_spark.functions.text import quality_filter, word_entropy
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    scored = word_entropy(d).select("doc_id", "entropy")
+    labeled = quality_filter(d).select("doc_id", "passed")
+    joined = scored.join(labeled, "doc_id")
+    return threshold_metrics(
+        joined, "entropy", "passed", lo=0.0, hi=6.0, n_bins=24
+    )
+
+
 def _q_min_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka minimum spanning forest of the (canonicalized) directed
     trade graph — unique under the (weight, u, v) total order, so the
@@ -2046,6 +2063,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generated_graph_degrees": _q_generated_graph_degrees,
         "min_spanning_forest": _q_min_spanning_forest,
         "rfm_features": _q_rfm_features,
+        "threshold_metrics": _q_threshold_metrics,
         "random_walk_with_restart": _q_rwr,
         "ppr_batch": _q_ppr_batch,
         "coarsen_by_region": _q_coarsen,
@@ -5134,6 +5152,71 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "partition_quality": partition_quality_sql,
         "generated_graph_degrees": gen_degrees_sql,
         "min_spanning_forest": msf_sql,
+        "threshold_metrics": f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents
+),
+tt AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+cnts AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS c FROM tt GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) + 0.0 AS score
+  FROM cnts GROUP BY 1
+),
+lab AS (
+  SELECT doc_id,
+         ((CASE WHEN {ws_tokens} >= 5 THEN 0 ELSE 1 END)
+        + (CASE WHEN {ws_tokens} <= 100000 THEN 0 ELSE 1 END)
+        + (CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                / CAST(greatest(length(text), 1) AS DOUBLE) >= 0.6
+           THEN 0 ELSE 1 END)
+        + (CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))
+                / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.3
+           THEN 0 ELSE 1 END)
+        + (CASE WHEN len(list_filter(
+                  string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x IN ({stop_list})))
+                / CAST(greatest({ws_tokens}, 1) AS DOUBLE) >= 0.05
+           THEN 0 ELSE 1 END)) = 0 AS passed
+  FROM documents
+),
+j AS (
+  SELECT s.score, l.passed FROM scored s JOIN lab l USING (doc_id)
+  WHERE s.score IS NOT NULL
+),
+hist AS (
+  SELECT LEAST(23, GREATEST(0, CAST(FLOOR((score - 0.0) / 0.25) AS INT)))
+           AS b,
+         COUNT(*) AS n,
+         SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS pos
+  FROM j GROUP BY 1
+),
+axis AS (SELECT CAST(UNNEST(range(24)) AS INT) AS b),
+filled AS (
+  SELECT a.b, COALESCE(h.n, 0) AS n, COALESCE(h.pos, 0) AS pos
+  FROM axis a LEFT JOIN hist h ON h.b = a.b
+),
+cum AS (
+  SELECT b,
+         SUM(n) OVER (ORDER BY b DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS np,
+         SUM(pos) OVER (ORDER BY b DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS tp,
+         SUM(pos) OVER () AS allpos
+  FROM filled
+)
+SELECT ROUND(0.0 + b * 0.25, 6) AS threshold,
+       CAST(np AS BIGINT) AS n_pred_pos,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(np - tp AS BIGINT) AS fp,
+       CAST(allpos - tp AS BIGINT) AS fn,
+       ROUND(tp / CAST(NULLIF(np, 0) AS DOUBLE), 6) AS "precision",
+       ROUND(tp / CAST(NULLIF(allpos, 0) AS DOUBLE), 6) AS recall
+FROM cum""",
         "rfm_features": """
 WITH per_user AS (
   SELECT user_id,

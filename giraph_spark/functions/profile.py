@@ -66,3 +66,89 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "mean",
         "stddev",
     )
+
+
+def threshold_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Relational precision/recall curve for calibrating a score
+    threshold (picking a quality-filter cutoff, a near-dup similarity
+    bar, a perplexity gate): documents are binned on a FIXED [lo, hi)
+    score grid (ship-quantiles-as-config — explicit bounds keep the
+    curve reproducible across corpus snapshots), and each bin's LOWER
+    edge is evaluated as the rule ``predict positive ⇔ score >= edge``.
+    Returns one row per bin edge, descending-threshold cumulative:
+    ``(threshold, n_pred_pos, tp, fp, fn, precision, recall)`` with the
+    ratios rounded to 6 (precision NULL when nothing is predicted
+    positive). Rows with a NULL score are excluded (undecidable, never
+    guessed — the pixel-stats contract); scores outside [lo, hi] clamp
+    into the edge bins so every scored row is counted at every
+    threshold.
+
+    Scale shape: ONE partial-aggregated groupBy over the scored corpus
+    (bin index is a projection), then suffix sums by window over the
+    ≤ ``n_bins``-row histogram — the curve costs one scan regardless of
+    corpus size, never a per-threshold pass."""
+    from pyspark.sql import Window
+
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    width = (hi - lo) / n_bins
+    bin_idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((s - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    hist = (
+        df.where(s.isNotNull())
+        .groupBy(bin_idx.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias("_pos"),
+        )
+    )
+    # dense bin axis so empty bins still yield a curve point
+    axis = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("_b")
+    )
+    full = axis.join(hist, "_b", "left").select(
+        "_b",
+        F.coalesce("_n", F.lit(0)).alias("_n"),
+        F.coalesce("_pos", F.lit(0)).alias("_pos"),
+    )
+    w = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_pos = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = full.select(
+        "_b",
+        F.sum("_n").over(w).cast("long").alias("n_pred_pos"),
+        F.sum("_pos").over(w).cast("long").alias("tp"),
+        F.sum("_pos").over(total_pos).cast("long").alias("_all_pos"),
+    )
+    return cum.select(
+        F.round(F.lit(lo) + F.col("_b") * F.lit(width), 6).alias(
+            "threshold"
+        ),
+        "n_pred_pos",
+        "tp",
+        (F.col("n_pred_pos") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("_all_pos") - F.col("tp")).cast("long").alias("fn"),
+        F.round(
+            F.try_divide(F.col("tp"), F.col("n_pred_pos")), 6
+        ).alias("precision"),
+        F.round(
+            F.try_divide(F.col("tp"), F.col("_all_pos")), 6
+        ).alias("recall"),
+    )

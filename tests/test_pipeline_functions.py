@@ -1422,3 +1422,40 @@ def test_word_entropy_known_values(spark):
     assert abs(out[3].entropy - math.log(2)) < 1e-6
     assert out[4].entropy is None and out[4].n_tokens == 0
     assert out[5].entropy is None and out[5].n_distinct == 0
+
+
+def test_threshold_metrics_closed_form(spark):
+    """Hand-computed PR curve on 4 scored rows over a [0, 4) grid of 4
+    bins: cumulative-from-the-top counts, clamping, NULL-score
+    exclusion, NULL precision when nothing is predicted positive."""
+    from giraph_spark.functions.profile import threshold_metrics
+
+    df = spark.createDataFrame(
+        [
+            (0.5, True),   # bin 0
+            (1.5, False),  # bin 1
+            (2.5, True),   # bin 2
+            (9.0, True),   # clamps into bin 3
+            (None, True),  # excluded
+        ],
+        "score double, label boolean",
+    )
+    rows = {
+        r.threshold: r
+        for r in threshold_metrics(
+            df, "score", "label", lo=0.0, hi=4.0, n_bins=4
+        ).collect()
+    }
+    assert set(rows) == {0.0, 1.0, 2.0, 3.0}
+    # threshold 0.0: everything predicted positive
+    assert rows[0.0].n_pred_pos == 4 and rows[0.0].tp == 3
+    assert rows[0.0].recall == 1.0 and rows[0.0].precision == 0.75
+    # threshold 2.0: the two high scores, both positive
+    assert rows[2.0].n_pred_pos == 2 and rows[2.0].tp == 2
+    assert rows[2.0].fp == 0 and rows[2.0].fn == 1
+    assert rows[2.0].precision == 1.0
+    # empty prediction set -> NULL precision, never a fake 0/0
+    empty = threshold_metrics(
+        df.where("score < 0"), "score", "label", lo=0.0, hi=4.0, n_bins=4
+    ).collect()
+    assert all(r.precision is None and r.n_pred_pos == 0 for r in empty)
