@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph import Graph
+from .plans.checkpoint import fresh_checkpoint
 
 
 @dataclass
@@ -61,7 +62,11 @@ class Block:
             ctx.piece_index = i
             vertices = piece(vertices, graph, ctx)
             if (i + 1) % 4 == 0:
-                vertices = vertices.localCheckpoint(eager=True)
+                # fresh_checkpoint: a block program may join the vertex
+                # relation with derivatives of itself piece after piece,
+                # compounding the inherited size estimate
+                # (plans/checkpoint.py)
+                vertices = fresh_checkpoint(vertices)
         return vertices
 
 
