@@ -765,6 +765,20 @@ def _q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_features(ev, value_event_type="purchase")
 
 
+def _q_multilevel_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level METIS-style coarsening (heavy-edge matching →
+    contract, twice) on the symmetrized weighted trade graph — returns
+    every original vertex's final super-vertex."""
+    from giraph_spark.algos.coarsen import multilevel_coarsen
+
+    g = symmetrize_weighted(trade_graph(spark, sf_dir, directed=True))
+    member, _ = multilevel_coarsen(g, levels=2)
+    return member.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def _q_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall curve for an entropy-based quality cutoff: score
     = per-doc Shannon word entropy, reference label = the Gopher/C4
@@ -2064,6 +2078,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_spanning_forest": _q_min_spanning_forest,
         "rfm_features": _q_rfm_features,
         "threshold_metrics": _q_threshold_metrics,
+        "multilevel_coarsen": _q_multilevel_coarsen,
         "random_walk_with_restart": _q_rwr,
         "ppr_batch": _q_ppr_batch,
         "coarsen_by_region": _q_coarsen,
@@ -2738,6 +2753,70 @@ GROUP BY v.id"""
         "SELECT CAST(id AS BIGINT) AS id, CAST(m AS BIGINT) AS matched_with FROM bp32"
     )
     bip_sql = "\n".join(bip_parts)
+
+    # Multilevel coarsening: two unrolled heavy-edge-matching levels with
+    # a contraction between (same wsym base and per-round schedule as the
+    # max_weight_matching oracle; 8 rounds per level, idempotent past the
+    # measured 2-3-round fixpoint).
+    def _mwm_rounds(prefix: str, edges_rel: str, verts_rel: str, rounds: int):
+        parts = [
+            f""", {prefix}mw0 AS MATERIALIZED (
+    SELECT id, CAST(NULL AS BIGINT) AS m FROM {verts_rel}
+)"""
+        ]
+        for t in range(rounds):
+            parts.append(
+                f""", {prefix}live{t} AS MATERIALIZED (
+    SELECT e.src, e.dst, e.weight FROM {edges_rel} e
+    JOIN {prefix}mw{t} a ON a.id = e.src AND a.m IS NULL
+    JOIN {prefix}mw{t} b ON b.id = e.dst AND b.m IS NULL
+), {prefix}pick{t} AS MATERIALIZED (
+    SELECT src, dst FROM {prefix}live{t}
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY src ORDER BY weight DESC, dst ASC) = 1
+), {prefix}mut{t} AS MATERIALIZED (
+    SELECT p.src AS id, p.dst AS mm FROM {prefix}pick{t} p
+    JOIN {prefix}pick{t} q ON q.src = p.dst AND q.dst = p.src
+), {prefix}mw{t + 1} AS MATERIALIZED (
+    SELECT s.id, COALESCE(s.m, m.mm) AS m
+    FROM {prefix}mw{t} s LEFT JOIN {prefix}mut{t} m ON m.id = s.id
+)"""
+            )
+        return "".join(parts), f"{prefix}mw{rounds}"
+
+    mlc_parts = [
+        TRADE_GRAPH_DIRECTED_SQL.strip(),
+        """, agg2 AS (SELECT src, dst, SUM(weight) AS w FROM edges GROUP BY src, dst)
+, wsym AS MATERIALIZED (
+    SELECT CAST(COALESCE(a.src, b.dst) AS BIGINT) AS src,
+           CAST(COALESCE(a.dst, b.src) AS BIGINT) AS dst,
+           ROUND(COALESCE(a.w, 0) + COALESCE(b.w, 0), 2) AS weight
+    FROM agg2 a FULL JOIN agg2 b ON a.src = b.dst AND a.dst = b.src
+), v0 AS MATERIALIZED (SELECT CAST(id AS BIGINT) AS id FROM vertices)""",
+    ]
+    l0, l0_final = _mwm_rounds("l0", "wsym", "v0", 8)
+    mlc_parts.append(l0)
+    mlc_parts.append(
+        f""", map0 AS MATERIALIZED (
+    SELECT id, CASE WHEN m IS NULL THEN id ELSE LEAST(id, m) END AS c
+    FROM {l0_final}
+), e1 AS MATERIALIZED (
+    SELECT m1.c AS src, m2.c AS dst, ROUND(SUM(e.weight), 2) AS weight
+    FROM wsym e JOIN map0 m1 ON m1.id = e.src JOIN map0 m2 ON m2.id = e.dst
+    WHERE m1.c <> m2.c GROUP BY 1, 2
+), v1 AS MATERIALIZED (SELECT DISTINCT c AS id FROM map0)"""
+    )
+    l1, l1_final = _mwm_rounds("l1", "e1", "v1", 8)
+    mlc_parts.append(l1)
+    mlc_parts.append(
+        f""", map1 AS MATERIALIZED (
+    SELECT id, CASE WHEN m IS NULL THEN id ELSE LEAST(id, m) END AS c
+    FROM {l1_final}
+)
+SELECT CAST(m0.id AS BIGINT) AS id, CAST(m1.c AS BIGINT) AS cluster
+FROM map0 m0 JOIN map1 m1 ON m1.id = m0.c"""
+    )
+    mlc_sql = "\n".join(mlc_parts)
 
     # Partition quality: 8-way portable-hash bucket stats on the directed
     # trade graph — per-partition vertex/edge counts + cut edges.
@@ -5152,6 +5231,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "partition_quality": partition_quality_sql,
         "generated_graph_degrees": gen_degrees_sql,
         "min_spanning_forest": msf_sql,
+        "multilevel_coarsen": mlc_sql,
         "threshold_metrics": f"""
 WITH terms AS (
   SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents

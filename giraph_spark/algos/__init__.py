@@ -2,7 +2,7 @@
 beyond-reference centrality/cohesion/sampling family; every name here is
 also runnable from the CLI (``python -m giraph_spark <name> ...``)."""
 
-from .coarsen import coarsen
+from .coarsen import coarsen, multilevel_coarsen
 from .components import (
     alternating_star_components,
     connected_components,

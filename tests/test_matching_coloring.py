@@ -162,3 +162,30 @@ def test_matching_deterministic(spark, sf_dir):
     a = bipartite_matching(g).toPandas().sort_values("id").reset_index(drop=True)
     b = bipartite_matching(g).toPandas().sort_values("id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_multilevel_coarsen_toy(spark):
+    """Two levels on a heavy-middle path: level 1 contracts the w=9
+    pair, level 2 contracts the remaining unit edge; membership chains
+    through both levels and the coarse graph keeps the leftover edge."""
+    from giraph_spark import Graph
+    from giraph_spark.algos.coarsen import multilevel_coarsen
+
+    rows = [
+        (1, 2, 1.0), (2, 1, 1.0),
+        (2, 3, 9.0), (3, 2, 9.0),
+        (3, 4, 1.0), (4, 3, 1.0),
+    ]
+    g = Graph(
+        spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long"),
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+    )
+    stats = {}
+    member, coarse = multilevel_coarsen(g, levels=2, stats=stats)
+    assert sorted((r.id, r.cluster) for r in member.collect()) == [
+        (1, 1), (2, 1), (3, 1), (4, 4)
+    ]
+    assert stats == {"level_1_clusters": 3, "level_2_clusters": 2}
+    assert sorted(
+        (r.src, r.dst, r.weight) for r in coarse.edges.collect()
+    ) == [(1, 4, 1.0), (4, 1, 1.0)]
