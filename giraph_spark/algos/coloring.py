@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import fresh_checkpoint
+from ..plans.checkpoint import fresh_checkpoint_count
+from ..plans.gear import LoopGear
 
 
 def graph_coloring(
@@ -54,71 +55,93 @@ def graph_coloring(
     ``md5(id)`` order, independent of partitioning or scheduling.
     """
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    uncolored = F.col("_color").isNull()
 
-    state = fresh_checkpoint(
-        graph.vertices.select(
-            id_col,
-            F.md5(F.col(id_col).cast("string")).alias("_pri"),
-            F.lit(None).cast("int").alias("_color"),
-        )
-    )
-    edges = graph.edges.select(src, dst).persist()
-
-    for rnd in range(max_rounds):
-        if state.filter(F.col("_color").isNull()).limit(1).count() == 0:
-            break
-        if stats is not None:
-            stats["rounds"] = rnd + 1
-        # per-vertex view of each neighbor's (priority, color)
-        nbr = edges.join(
-            state.select(
-                F.col(id_col).alias(src),
-                F.col("_pri").alias("_npri"),
-                F.col("_color").alias("_ncolor"),
-            ),
-            on=src,
-        ).select(F.col(dst).alias(id_col), "_npri", "_ncolor")
-        per_v = (
-            nbr.join(
-                state.select(id_col, F.col("_pri").alias("_my_pri")),
-                on=id_col,
-            )
-            .groupBy(id_col)
-            .agg(
-                F.max(
-                    F.when(
-                        F.col("_ncolor").isNull()
-                        & (F.col("_npri") < F.col("_my_pri")),
-                        F.lit(1),
-                    )
-                ).alias("_blocked"),
-                F.collect_set(
-                    F.when(
-                        F.col("_npri") < F.col("_my_pri"), F.col("_ncolor")
-                    )
-                ).alias("_taken"),
-            )
-        )
-        mex = F.filter(
-            F.sequence(F.lit(0), F.size("_taken")),
-            lambda k: ~F.array_contains(F.col("_taken"), k),
-        )[0]
-        # fresh_checkpoint, not plain localCheckpoint: per_v derives
-        # from state via both edge endpoints, so the round's output
-        # joins state with a derivative of itself — the inherited size
-        # estimate would square per round (plans/checkpoint.py)
-        state = fresh_checkpoint(
-            state.join(per_v, on=id_col, how="left").select(
+    with LoopGear(graph.vertices.sparkSession) as gear:
+        # the uncolored count rides every checkpoint materialization —
+        # one action per wave (SURVEY §4.7), doubling as the gear signal
+        state, n_v, n_unc = fresh_checkpoint_count(
+            graph.vertices.select(
                 id_col,
-                "_pri",
-                F.when(F.col("_color").isNotNull(), F.col("_color"))
-                .when(
-                    F.col("_blocked").isNull(),
-                    F.coalesce(mex, F.lit(0)).cast("int"),
-                )
-                .otherwise(F.lit(None).cast("int"))
-                .alias("_color"),
-            )
+                F.md5(F.col(id_col).cast("string")).alias("_pri"),
+                F.lit(None).cast("int").alias("_color"),
+            ),
+            flag=uncolored,
         )
-    edges.unpersist()
-    return state.select(id_col, F.col("_color").alias(color_col))
+        gear.floor_rows = n_v  # the per-wave O(V) state rewrite
+        edges = graph.edges.select(src, dst).persist()
+        # gear unit: the wave's dominant shuffle is the neighbor fan-in
+        # of the still-uncolored vertices ≈ uncolored × avg in-degree
+        avg_deg = max(1, edges.count() // max(n_v, 1))
+
+        for rnd in range(max_rounds):
+            if n_unc == 0:
+                break
+            gear.resize(n_unc * avg_deg)
+            if stats is not None:
+                stats["rounds"] = rnd + 1
+            # only still-uncolored vertices need a wave decision — their
+            # colored neighbors' colors still flow in via the src side,
+            # but edges INTO colored vertices drop out of the fan-in, so
+            # the per-wave join shrinks with the live set (colored
+            # vertices keep their color through the left join below)
+            targets = state.where(uncolored).select(
+                id_col, F.col("_pri").alias("_my_pri")
+            )
+            live = edges.join(
+                targets.select(F.col(id_col).alias(dst)),
+                on=dst,
+                how="left_semi",
+            )
+            # per-vertex view of each neighbor's (priority, color)
+            nbr = live.join(
+                state.select(
+                    F.col(id_col).alias(src),
+                    F.col("_pri").alias("_npri"),
+                    F.col("_color").alias("_ncolor"),
+                ),
+                on=src,
+            ).select(F.col(dst).alias(id_col), "_npri", "_ncolor")
+            per_v = (
+                nbr.join(targets, on=id_col)
+                .groupBy(id_col)
+                .agg(
+                    F.max(
+                        F.when(
+                            F.col("_ncolor").isNull()
+                            & (F.col("_npri") < F.col("_my_pri")),
+                            F.lit(1),
+                        )
+                    ).alias("_blocked"),
+                    F.collect_set(
+                        F.when(
+                            F.col("_npri") < F.col("_my_pri"),
+                            F.col("_ncolor"),
+                        )
+                    ).alias("_taken"),
+                )
+            )
+            mex = F.filter(
+                F.sequence(F.lit(0), F.size("_taken")),
+                lambda k: ~F.array_contains(F.col("_taken"), k),
+            )[0]
+            # fresh_checkpoint, not plain localCheckpoint: per_v derives
+            # from state via both edge endpoints, so the round's output
+            # joins state with a derivative of itself — the inherited
+            # size estimate would square per round (plans/checkpoint.py)
+            state, _, n_unc = fresh_checkpoint_count(
+                state.join(per_v, on=id_col, how="left").select(
+                    id_col,
+                    "_pri",
+                    F.when(F.col("_color").isNotNull(), F.col("_color"))
+                    .when(
+                        F.col("_blocked").isNull(),
+                        F.coalesce(mex, F.lit(0)).cast("int"),
+                    )
+                    .otherwise(F.lit(None).cast("int"))
+                    .alias("_color"),
+                ),
+                flag=uncolored,
+            )
+        edges.unpersist()
+        return state.select(id_col, F.col("_color").alias(color_col))

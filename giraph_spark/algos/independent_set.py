@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import fresh_checkpoint
+from ..plans.checkpoint import fresh_checkpoint_count
+from ..plans.gear import LoopGear
 
 UNKNOWN, IN_SET, NOT_IN = 0, 1, 2
 
@@ -27,62 +28,93 @@ def maximal_independent_set(
     graph: Graph, max_rounds: int = 50, status_col: str = "in_set"
 ) -> DataFrame:
     """Returns ``(id, in_set BOOLEAN)``. O(log n) rounds w.h.p.; each round
-    is two shuffles (neighbor-min + neighbor-of-IN mark)."""
+    is two shuffles (neighbor-min + neighbor-of-IN mark). The UNKNOWN
+    count rides each round's checkpoint job (one action per round) and
+    feeds the shared gear-down (plans/gear.py) as the live set
+    collapses."""
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
+    unknown = F.col("_st") == UNKNOWN
 
-    state = fresh_checkpoint(
-        graph.vertices.select(
-            id_col,
-            F.lit(UNKNOWN).alias("_st"),
-            F.md5(F.col(id_col).cast("string")).alias("_pri"),
-        )
-    )
-    edges = graph.edges.select(src, dst).persist()
-
-    for _ in range(max_rounds):
-        if state.filter(F.col("_st") == UNKNOWN).limit(1).count() == 0:
-            break
-        # min priority among UNKNOWN neighbors
-        nbr = (
-            edges.join(
-                state.select(F.col(id_col).alias(src), F.col("_st").alias("_nst"),
-                             F.col("_pri").alias("_npri")),
-                on=src,
-            )
-            .where(F.col("_nst") == UNKNOWN)
-            .groupBy(F.col(dst).alias(id_col))
-            .agg(F.min("_npri").alias("_minnbr"))
-        )
-        with_min = state.join(nbr, on=id_col, how="left")
-        # strict local minimum (md5 of distinct ids never ties) → IN
-        newly_in = with_min.where(
-            (F.col("_st") == UNKNOWN)
-            & (F.col("_minnbr").isNull() | (F.col("_pri") < F.col("_minnbr")))
-        ).select(id_col)
-        # neighbors of newly-IN → OUT
-        out_ids = (
-            edges.join(newly_in.select(F.col(id_col).alias(src)), on=src, how="left_semi")
-            .select(F.col(dst).alias(id_col))
-            .dropDuplicates()
-        )
-        state = (
-            state.join(newly_in.withColumn("_in", F.lit(True)), on=id_col, how="left")
-            .join(out_ids.withColumn("_out", F.lit(True)), on=id_col, how="left")
-            .select(
+    with LoopGear(graph.vertices.sparkSession) as gear:
+        state, n_v, n_unk = fresh_checkpoint_count(
+            graph.vertices.select(
                 id_col,
-                F.when(F.col("_in").isNotNull(), F.lit(IN_SET))
-                .when(
-                    (F.col("_st") == UNKNOWN) & F.col("_out").isNotNull(),
-                    F.lit(NOT_IN),
-                )
-                .otherwise(F.col("_st"))
-                .alias("_st"),
-                "_pri",
-            )
+                F.lit(UNKNOWN).alias("_st"),
+                F.md5(F.col(id_col).cast("string")).alias("_pri"),
+            ),
+            flag=unknown,
         )
-        # fresh_checkpoint: the round joins state with two frames that
-        # both derive from state (nbr, out_ids) — inherited size
-        # estimates would compound per round (plans/checkpoint.py)
-        state = fresh_checkpoint(state)
-    edges.unpersist()
-    return state.select(id_col, (F.col("_st") == IN_SET).alias(status_col))
+        gear.floor_rows = n_v  # the per-round O(V) state rewrite
+        edges = graph.edges.select(src, dst).persist()
+        # gear unit: the round's dominant shuffle aggregates the UNKNOWN
+        # vertices' outgoing fan ≈ unknown × avg degree
+        avg_deg = max(1, edges.count() // max(n_v, 1))
+
+        for _ in range(max_rounds):
+            if n_unk == 0:
+                break
+            gear.resize(n_unk * avg_deg)
+            # min priority among UNKNOWN neighbors
+            nbr = (
+                edges.join(
+                    state.select(
+                        F.col(id_col).alias(src),
+                        F.col("_st").alias("_nst"),
+                        F.col("_pri").alias("_npri"),
+                    ),
+                    on=src,
+                )
+                .where(F.col("_nst") == UNKNOWN)
+                .groupBy(F.col(dst).alias(id_col))
+                .agg(F.min("_npri").alias("_minnbr"))
+            )
+            with_min = state.join(nbr, on=id_col, how="left")
+            # strict local minimum (md5 of distinct ids never ties) → IN
+            newly_in = with_min.where(
+                (F.col("_st") == UNKNOWN)
+                & (
+                    F.col("_minnbr").isNull()
+                    | (F.col("_pri") < F.col("_minnbr"))
+                )
+            ).select(id_col)
+            # neighbors of newly-IN → OUT
+            out_ids = (
+                edges.join(
+                    newly_in.select(F.col(id_col).alias(src)),
+                    on=src,
+                    how="left_semi",
+                )
+                .select(F.col(dst).alias(id_col))
+                .dropDuplicates()
+            )
+            # fresh_checkpoint: the round joins state with two frames
+            # that both derive from state (nbr, out_ids) — inherited
+            # size estimates would compound per round (plans/checkpoint.py)
+            state, _, n_unk = fresh_checkpoint_count(
+                state.join(
+                    newly_in.withColumn("_in", F.lit(True)),
+                    on=id_col,
+                    how="left",
+                )
+                .join(
+                    out_ids.withColumn("_out", F.lit(True)),
+                    on=id_col,
+                    how="left",
+                )
+                .select(
+                    id_col,
+                    F.when(F.col("_in").isNotNull(), F.lit(IN_SET))
+                    .when(
+                        (F.col("_st") == UNKNOWN) & F.col("_out").isNotNull(),
+                        F.lit(NOT_IN),
+                    )
+                    .otherwise(F.col("_st"))
+                    .alias("_st"),
+                    "_pri",
+                ),
+                flag=unknown,
+            )
+        edges.unpersist()
+        return state.select(
+            id_col, (F.col("_st") == IN_SET).alias(status_col)
+        )

@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import fresh_checkpoint
+from ..plans.checkpoint import fresh_checkpoint, fresh_checkpoint_count
+from ..plans.gear import LoopGear
 
 
 def max_weight_matching(
@@ -60,70 +61,93 @@ def max_weight_matching(
     """
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
 
-    state = fresh_checkpoint(
-        graph.vertices.select(
-            id_col, F.lit(None).cast("long").alias("_mw")
+    with LoopGear(graph.vertices.sparkSession) as gear:
+        state, n_v, _ = fresh_checkpoint_count(
+            graph.vertices.select(
+                id_col, F.lit(None).cast("long").alias("_mw")
+            )
         )
-    )
-    edges = graph.edges.select(
-        F.col(src).cast("long").alias(src),
-        F.col(dst).cast("long").alias(dst),
-        "weight",
-    ).persist()
+        gear.floor_rows = n_v  # the per-round O(V) state rewrite
+        edges = graph.edges.select(
+            F.col(src).cast("long").alias(src),
+            F.col(dst).cast("long").alias(dst),
+            "weight",
+        ).persist()
 
-    for rnd in range(max_rounds):
-        unmatched = state.where(F.col("_mw").isNull()).select(id_col)
-        live = (
-            edges.join(
-                unmatched.select(F.col(id_col).alias(src)), on=src, how="left_semi"
-            ).join(
-                unmatched.select(F.col(id_col).alias(dst)), on=dst, how="left_semi"
+        for rnd in range(max_rounds):
+            unmatched = state.where(F.col("_mw").isNull()).select(id_col)
+            # the live edge set is checkpointed ONCE per round: the
+            # materialization job carries the convergence count (no
+            # separate limit(1) probe recomputing the semi-joins) and
+            # the pick aggregation below reads the cached blocks
+            live, n_live, _ = fresh_checkpoint_count(
+                edges.join(
+                    unmatched.select(F.col(id_col).alias(src)),
+                    on=src,
+                    how="left_semi",
+                ).join(
+                    unmatched.select(F.col(id_col).alias(dst)),
+                    on=dst,
+                    how="left_semi",
+                )
             )
-        )
-        if live.limit(1).count() == 0:
-            break
-        if stats is not None:
-            stats["rounds"] = rnd + 1
-        # per-vertex top-1 as a partial-aggregated max(struct) — NOT a
-        # window (a window sorts every partition; the struct max is
-        # map-side combinable). (weight, -dst) descending-lexicographic
-        # ≡ ORDER BY weight DESC, dst ASC; ids are nonnegative longs so
-        # the negation cannot overflow
-        pick = (
-            live.groupBy(src)
-            .agg(F.max(F.struct(F.col("weight"), (-F.col(dst)).alias("_nd"))).alias("_m"))
-            .select(src, (-F.col("_m._nd")).alias(dst))
-        )
-        mutual = pick.alias("a").join(
-            pick.alias("b"),
-            (F.col(f"a.{src}") == F.col(f"b.{dst}"))
-            & (F.col(f"a.{dst}") == F.col(f"b.{src}")),
-            how="left_semi",
-        )
-        if mutual.limit(1).count() == 0:
-            # with a SYMMETRIC weight relation the heaviest live edge is
-            # always picked from both sides, so an empty mutual set means
-            # the precondition is violated (direction-dependent weights
-            # can cycle u→v→w→u forever) — fail loudly rather than spin
-            # to max_rounds and silently return a non-maximal matching
-            raise ValueError(
-                "max_weight_matching made no progress: no mutual pick "
-                "among live edges — is the edge relation symmetric with "
-                "symmetric weights (apply prepare.symmetrize_weighted)?"
+            if n_live == 0:
+                break
+            gear.resize(n_live)
+            if stats is not None:
+                stats["rounds"] = rnd + 1
+            # per-vertex top-1 as a partial-aggregated max(struct) — NOT a
+            # window (a window sorts every partition; the struct max is
+            # map-side combinable). (weight, -dst) descending-lexicographic
+            # ≡ ORDER BY weight DESC, dst ASC; ids are nonnegative longs so
+            # the negation cannot overflow
+            pick = (
+                live.groupBy(src)
+                .agg(
+                    F.max(
+                        F.struct(F.col("weight"), (-F.col(dst)).alias("_nd"))
+                    ).alias("_m")
+                )
+                .select(src, (-F.col("_m._nd")).alias(dst))
             )
-        state = (
-            state.join(
-                mutual.select(
-                    F.col(src).alias(id_col), F.col(dst).alias("_new")
+            mutual = pick.alias("a").join(
+                pick.alias("b"),
+                (F.col(f"a.{src}") == F.col(f"b.{dst}"))
+                & (F.col(f"a.{dst}") == F.col(f"b.{src}")),
+                how="left_semi",
+            )
+            # progress probe rides the state checkpoint: count the rows
+            # matched THIS round instead of probing mutual separately
+            state, _, n_matched = fresh_checkpoint_count(
+                state.join(
+                    mutual.select(
+                        F.col(src).alias(id_col), F.col(dst).alias("_new")
+                    ),
+                    on=id_col,
+                    how="left",
+                ).select(
+                    id_col,
+                    F.coalesce("_mw", "_new").alias("_mw"),
+                    F.col("_new").isNotNull().alias("_just"),
                 ),
-                on=id_col,
-                how="left",
+                flag=F.col("_just"),
             )
-            .select(id_col, F.coalesce("_mw", "_new").alias("_mw"))
-        )
-        state = fresh_checkpoint(state)
-    edges.unpersist()
-    return state.select(id_col, F.col("_mw").alias(match_col))
+            state = state.drop("_just")
+            if n_matched == 0:
+                # with a SYMMETRIC weight relation the heaviest live edge
+                # is always picked from both sides, so an empty mutual set
+                # means the precondition is violated (direction-dependent
+                # weights can cycle u→v→w→u forever) — fail loudly rather
+                # than spin to max_rounds and silently return a
+                # non-maximal matching
+                raise ValueError(
+                    "max_weight_matching made no progress: no mutual pick "
+                    "among live edges — is the edge relation symmetric "
+                    "with symmetric weights (apply "
+                    "prepare.symmetrize_weighted)?"
+                )
+        edges.unpersist()
+        return state.select(id_col, F.col("_mw").alias(match_col))
 
 
 def bipartite_matching(
@@ -148,26 +172,49 @@ def bipartite_matching(
     """
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
 
-    state = fresh_checkpoint(
-        graph.vertices.select(
-            id_col, F.lit(None).cast("long").alias("_mw")
-        )
-    )
-    edges = graph.edges.select(
-        F.col(src).cast("long").alias(src), F.col(dst).cast("long").alias(dst)
-    ).dropDuplicates().persist()
-
-    for rnd in range(max_rounds):
-        unmatched = state.where(F.col("_mw").isNull()).select(id_col)
-        requests = (
-            edges.join(
-                unmatched.select(F.col(id_col).alias(src)), on=src, how="left_semi"
-            ).join(
-                unmatched.select(F.col(id_col).alias(dst)), on=dst, how="left_semi"
+    with LoopGear(graph.vertices.sparkSession) as gear:
+        state, n_v, _ = fresh_checkpoint_count(
+            graph.vertices.select(
+                id_col, F.lit(None).cast("long").alias("_mw")
             )
         )
-        if requests.limit(1).count() == 0:
+        gear.floor_rows = n_v  # the per-cycle O(V) state rewrite
+        edges = (
+            graph.edges.select(
+                F.col(src).cast("long").alias(src),
+                F.col(dst).cast("long").alias(dst),
+            )
+            .dropDuplicates()
+            .persist()
+        )
+        return _bipartite_loop(
+            state, edges, gear, id_col, src, dst, max_rounds, match_col,
+            stats,
+        )
+
+
+def _bipartite_loop(
+    state, edges, gear, id_col, src, dst, max_rounds, match_col, stats
+):
+    for rnd in range(max_rounds):
+        unmatched = state.where(F.col("_mw").isNull()).select(id_col)
+        # one checkpoint job per cycle carries the live-edge count (the
+        # convergence probe + the gear signal); grants below read the
+        # cached request blocks instead of recomputing the semi-joins
+        requests, n_req, _ = fresh_checkpoint_count(
+            edges.join(
+                unmatched.select(F.col(id_col).alias(src)),
+                on=src,
+                how="left_semi",
+            ).join(
+                unmatched.select(F.col(id_col).alias(dst)),
+                on=dst,
+                how="left_semi",
+            )
+        )
+        if n_req == 0:
             break
+        gear.resize(n_req)
         if stats is not None:
             stats["rounds"] = rnd + 1
         # per-key top-1 via partial-aggregated min(struct(md5, id)) — no
@@ -202,10 +249,10 @@ def bipartite_matching(
         ).unionByName(
             accepted.select(F.col(dst).alias(id_col), F.col(src).alias("_new"))
         )
-        state = (
-            state.join(pairs, on=id_col, how="left")
-            .select(id_col, F.coalesce("_mw", "_new").alias("_mw"))
+        state = fresh_checkpoint(
+            state.join(pairs, on=id_col, how="left").select(
+                id_col, F.coalesce("_mw", "_new").alias("_mw")
+            )
         )
-        state = fresh_checkpoint(state)
     edges.unpersist()
     return state.select(id_col, F.col("_mw").alias(match_col))

@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import fresh_checkpoint
+from ..plans.checkpoint import fresh_checkpoint, fresh_checkpoint_count
+from ..plans.gear import LoopGear
 
 
 def minimum_spanning_forest(
@@ -55,6 +56,15 @@ def minimum_spanning_forest(
     src, dst = graph.src_col, graph.dst_col
     u = F.least(F.col(src), F.col(dst))
     v = F.greatest(F.col(src), F.col(dst))
+    spark = graph.edges.sparkSession
+    with LoopGear(spark) as gear:
+        return _msf_loop(
+            graph, weight_col, max_rounds, stats, gear, u, v
+        )
+
+
+def _msf_loop(graph, weight_col, max_rounds, stats, gear, u, v):
+    src, dst = graph.src_col, graph.dst_col
     live = fresh_checkpoint(
         graph.edges.where(F.col(src) != F.col(dst))
         .select(
@@ -65,12 +75,13 @@ def minimum_spanning_forest(
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
     )
-    labels = fresh_checkpoint(
+    labels, n_v, _ = fresh_checkpoint_count(
         graph.vertices.select(
             F.col(graph.id_col).cast("long").alias("vid"),
             F.col(graph.id_col).cast("long").alias("comp"),
         )
     )
+    gear.floor_rows = n_v  # the per-round O(V) label rewrite
     forest = None
 
     for rnd in range(max_rounds):
@@ -80,13 +91,16 @@ def minimum_spanning_forest(
         lv = labels.select(
             F.col("vid").alias("v"), F.col("comp").alias("cv")
         )
-        le = fresh_checkpoint(
+        # convergence probe rides the checkpoint materialization — one
+        # job per round, and the count doubles as the gear signal
+        le, n_live, _ = fresh_checkpoint_count(
             live.join(lu, "u")
             .join(lv, "v")
             .where(F.col("cu") != F.col("cv"))
         )
-        if le.limit(1).count() == 0:
+        if n_live == 0:
             break
+        gear.resize(n_live)
         if stats is not None:
             stats["rounds"] = rnd + 1
         # every component ranks its outgoing edges by the (w, u, v)
@@ -136,28 +150,29 @@ def minimum_spanning_forest(
                 .alias("par"),
             )
         )
-        # pointer jumping to the 2-cycle roots: depth halves per jump
+        # pointer jumping to the 2-cycle roots: depth halves per jump.
+        # The "did any pointer move" probe is carried as a flag column
+        # and counted inside the checkpoint job — no jumped ⨝ parent
+        # comparison join, no second action per jump
         for _ in range(max_rounds):
             grand = parent.select(
                 F.col("comp").alias("g_comp"), F.col("par").alias("g_par")
             )
-            jumped = fresh_checkpoint(
+            jumped, _, n_moved = fresh_checkpoint_count(
                 parent.join(
                     grand, parent["par"] == grand["g_comp"], "left"
                 ).select(
                     "comp",
                     F.coalesce("g_par", "par").alias("par"),
-                )
+                    (
+                        F.col("g_par").isNotNull()
+                        & (F.col("g_par") != F.col("par"))
+                    ).alias("_moved"),
+                ),
+                flag=F.col("_moved"),
             )
-            moved = (
-                jumped.alias("j")
-                .join(parent.alias("p"), "comp")
-                .where(F.col("j.par") != F.col("p.par"))
-                .limit(1)
-                .count()
-            )
-            parent = jumped
-            if moved == 0:
+            parent = jumped.drop("_moved")
+            if n_moved == 0:
                 break
         labels = fresh_checkpoint(
             labels.join(

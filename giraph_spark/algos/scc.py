@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import fresh_checkpoint_count
 from ..pregel import MSG, pregel
 
 
@@ -36,9 +37,11 @@ def scc(
     max_rounds: int = 30,
     max_supersteps: int = 100,
     scc_col: str = "scc",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns ``(id, scc)`` where ``scc`` = max vertex id of the strongly
-    connected component."""
+    connected component. ``stats``, if given, records ``rounds`` (FW-BW
+    layers peeled — the reference's phase-machine cycle count)."""
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
 
     remaining = graph.vertices.select(id_col)
@@ -46,10 +49,14 @@ def scc(
     edges_all = graph.edges.select(src, dst).persist()
     edges_all.count()
 
-    for _ in range(max_rounds):
-        if remaining.limit(1).count() == 0:
+    for rnd in range(max_rounds):
+        # the emptiness probe rides the checkpoint materialization —
+        # one job per round (plans/checkpoint.py)
+        remaining, n_rem, _ = fresh_checkpoint_count(remaining)
+        if n_rem == 0:
             break
-        remaining = remaining.localCheckpoint(eager=True)
+        if stats is not None:
+            stats["rounds"] = rnd + 1
 
         # induced subgraph on remaining vertices
         e = (

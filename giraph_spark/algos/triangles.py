@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import fresh_checkpoint
+from ..plans.checkpoint import fresh_checkpoint, fresh_checkpoint_count
+from ..plans.gear import LoopGear
 from .prepare import symmetrize
 
 
@@ -183,50 +184,61 @@ def k_truss(
     ``max_rounds`` is exhausted before the fixpoint (an un-peeled exit
     would silently return a SUPERSET, as with k_core)."""
     src, dst = graph.src_col, graph.dst_col
-    e = _oriented(graph).localCheckpoint(eager=True)
-    n_prev = e.count()
-    supp = None
-    for _ in range(max_rounds):
-        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-        tri = (
-            e1.join(e2, F.col(f"e1.{dst}") == F.col(f"e2.{src}"))
-            .join(
-                e3,
-                (F.col(f"e1.{src}") == F.col(f"e3.{src}"))
-                & (F.col(f"e2.{dst}") == F.col(f"e3.{dst}")),
-                "left_semi",
+    with LoopGear(graph.edges.sparkSession) as gear:
+        # initial orient + count in one job; the per-round survivor
+        # count likewise rides each checkpoint materialization
+        e, n_prev, _ = fresh_checkpoint_count(_oriented(graph))
+        supp = None
+        for _ in range(max_rounds):
+            gear.resize(n_prev)
+            e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+            tri = (
+                e1.join(e2, F.col(f"e1.{dst}") == F.col(f"e2.{src}"))
+                .join(
+                    e3,
+                    (F.col(f"e1.{src}") == F.col(f"e3.{src}"))
+                    & (F.col(f"e2.{dst}") == F.col(f"e3.{dst}")),
+                    "left_semi",
+                )
+                .select(
+                    F.col(f"e1.{src}").alias("_a"),
+                    F.col(f"e1.{dst}").alias("_b"),
+                    F.col(f"e2.{dst}").alias("_c"),
+                )
             )
-            .select(
-                F.col(f"e1.{src}").alias("_a"),
-                F.col(f"e1.{dst}").alias("_b"),
-                F.col(f"e2.{dst}").alias("_c"),
+            roles = (
+                tri.select(F.col("_a").alias(src), F.col("_b").alias(dst))
+                .unionAll(
+                    tri.select(F.col("_b").alias(src), F.col("_c").alias(dst))
+                )
+                .unionAll(
+                    tri.select(F.col("_a").alias(src), F.col("_c").alias(dst))
+                )
             )
-        )
-        roles = (
-            tri.select(F.col("_a").alias(src), F.col("_b").alias(dst))
-            .unionAll(tri.select(F.col("_b").alias(src), F.col("_c").alias(dst)))
-            .unionAll(tri.select(F.col("_a").alias(src), F.col("_c").alias(dst)))
-        )
-        supp = roles.groupBy(src, dst).agg(
-            F.count(F.lit(1)).cast("long").alias("support")
-        )
-        # left join: an edge in no triangle has support 0 and must still
-        # survive when k <= 2 (the k-truss degenerates to the edge set)
-        # fresh_checkpoint: supp derives from e ⋈ e ⋈ e, so the
-        # survivor relation joins e with its own cube — the inherited
-        # size estimate would 4x per peeling round (plans/checkpoint.py)
-        survivors = fresh_checkpoint(
-            e.join(supp, [src, dst], "left")
-            .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
-            .select(src, dst)
-        )
-        n = survivors.count()
-        e = survivors
-        if n == n_prev:
-            return e.join(supp, [src, dst], "left").select(
-                src, dst, F.coalesce("support", F.lit(0)).cast("long").alias("support")
+            supp = roles.groupBy(src, dst).agg(
+                F.count(F.lit(1)).cast("long").alias("support")
             )
-        n_prev = n
+            # left join: an edge in no triangle has support 0 and must
+            # still survive when k <= 2 (the k-truss degenerates to the
+            # edge set). fresh_checkpoint: supp derives from e ⋈ e ⋈ e,
+            # so the survivor relation joins e with its own cube — the
+            # inherited size estimate would 4x per peeling round
+            # (plans/checkpoint.py)
+            survivors, n, _ = fresh_checkpoint_count(
+                e.join(supp, [src, dst], "left")
+                .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+                .select(src, dst)
+            )
+            e = survivors
+            if n == n_prev:
+                return e.join(supp, [src, dst], "left").select(
+                    src,
+                    dst,
+                    F.coalesce("support", F.lit(0))
+                    .cast("long")
+                    .alias("support"),
+                )
+            n_prev = n
     raise RuntimeError(
         f"k_truss: peeling did not stabilize within max_rounds={max_rounds}"
     )

@@ -26,14 +26,14 @@ round's output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
-def fresh_checkpoint(df: DataFrame) -> DataFrame:
-    """``localCheckpoint(eager=True)`` + statistics reset (see module
-    docstring). Falls back to a plain eager localCheckpoint if the
-    internal re-wrap API is unavailable."""
-    ck = df.localCheckpoint(eager=True)
+def _rewrap(ck: DataFrame) -> DataFrame:
+    """Re-wrap an already-checkpointed DataFrame's internal RDD in a
+    brand-new leaf with no inherited statistics or constraints (see
+    module docstring). Driver-side plan-node swap — no data moves."""
     try:
         jdf = ck._jdf
         sess = jdf.sparkSession()
@@ -45,3 +45,41 @@ def fresh_checkpoint(df: DataFrame) -> DataFrame:
         return type(ck)(fresh, ck.sparkSession)
     except Exception:  # pragma: no cover - Spark-internal API moved
         return ck
+
+
+def fresh_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` + statistics reset (see module
+    docstring). Falls back to a plain eager localCheckpoint if the
+    internal re-wrap API is unavailable."""
+    return _rewrap(df.localCheckpoint(eager=True))
+
+
+def fresh_checkpoint_count(
+    df: DataFrame, flag: Column | None = None
+) -> tuple[DataFrame, int, int | None]:
+    """:func:`fresh_checkpoint` that folds the caller's convergence
+    probe into the materialization job — the kernel's one-action-per-
+    superstep discipline (SURVEY §4.7) for driver-side round loops.
+
+    A round loop that does ``state = fresh_checkpoint(new_state)`` and
+    SEPARATELY probes ``state.filter(live).limit(1).count()`` pays two
+    jobs per round, and the probe recomputes the round's shuffles (the
+    ``limit(1)`` short-circuits the final collect, not the exchanges
+    feeding it). This variant checkpoints LAZILY and lets ONE aggregate
+    both materialize the checkpoint blocks and return the row count —
+    plus, optionally, the count of rows satisfying ``flag`` (the live /
+    moved / unmatched predicate the loop converges on).
+
+    Returns ``(fresh_df, n_rows, n_flag)``; ``n_flag`` is None when no
+    ``flag`` was given.
+    """
+    ck = df.localCheckpoint(eager=False)
+    if flag is None:
+        n, n_flag = ck.count(), None
+    else:
+        row = ck.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(flag, F.lit(1))).alias("_f"),
+        ).first()
+        n, n_flag = row[0], row[1]
+    return _rewrap(ck), n, n_flag

@@ -1,0 +1,96 @@
+"""Adaptive shuffle-width gear-down for driver-side round loops.
+
+The pregel kernel re-sizes its shuffle width every superstep from the
+live message volume (``pregel.py`` step 9 — the r4 fix for sssp's
+convergence tail, where 14 supersteps each paid 32-task scheduling to
+move a handful of frontier rows). The standalone round loops — Borůvka
+MSF, the two matchings, Jones–Plassmann coloring, Luby MIS, k-truss
+peeling, FW-BW SCC — have the same shape: a live set that SHRINKS
+monotonically every round, with each round paying one-or-two shuffles
+sized for the full graph long after the live set has collapsed.
+This module is the kernel's gear-down extracted for those loops.
+
+Why AQE doesn't already do this: with
+``spark.sql.adaptive.coalescePartitions.parallelismFirst`` (default
+true) AQE coalesces small shuffles only down to the default
+parallelism — 32 on a 32-core box — precisely to preserve parallelism,
+so a 50-row round still schedules 32 tasks per exchange. And inside a
+checkpoint-truncated loop AQE must be OFF anyway (pregel.py:140-151:
+AdaptiveSparkPlanExec's undecided output partitioning at checkpoint
+time breaks exchange reuse). :class:`LoopGear` therefore manages both:
+AQE off + explicit width for the loop's duration, both restored on any
+exit.
+
+Unlike the kernel (whose frontier can regrow, hence the declining-only
+gate), these loops' live sets are monotone, so the gear may step down
+immediately; the 2× hysteresis still bounds re-plans to O(log width)
+per run. The width never drops below ``floor_rows / ROWS_PER_PARTITION``
+— the per-round O(V) state rewrite must not serialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..pregel import ROWS_PER_PARTITION
+
+
+class LoopGear:
+    """Context manager: ``with LoopGear(spark) as gear:`` around a round
+    loop; call ``gear.resize(live_rows)`` once per round with the live
+    set size in the unit that dominates the round's shuffles (live
+    EDGES for edge-relation loops; live vertices × avg degree when only
+    a vertex count is at hand). Sets ``floor_rows`` (typically |V|) as
+    soon as the loop learns it.
+
+    Mutates the session's ``spark.sql.shuffle.partitions`` /
+    ``spark.sql.adaptive.enabled`` for the loop's duration and restores
+    them on exit — the same session-global window the pregel kernel
+    documents (pregel.py:161-172); concurrent OLAP belongs on
+    ``spark.newSession()``.
+    """
+
+    def __init__(self, spark: SparkSession, floor_rows: int | None = None):
+        self.spark = spark
+        self.floor_rows = floor_rows
+        self._aqe_before: str | None = None
+        self._parts_before: str | None = None
+        self.ceiling: int = 0
+        self.cur: int = 0
+
+    def __enter__(self) -> "LoopGear":
+        conf = self.spark.conf
+        self._aqe_before = conf.get("spark.sql.adaptive.enabled", "true")
+        self._parts_before = conf.get("spark.sql.shuffle.partitions", "200")
+        self.ceiling = int(self._parts_before)
+        self.cur = self.ceiling
+        conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.adaptive.enabled", self._aqe_before)
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", self._parts_before
+        )
+
+    def resize(self, live_rows: int) -> int:
+        """Re-fit the loop's shuffle width to ``live_rows``; returns the
+        width now in force. 2× hysteresis both ways; floor at the state
+        rewrite's need; ceiling at the session's configured width."""
+        floor = (
+            1
+            if self.floor_rows is None
+            else max(
+                1,
+                min(self.ceiling, -(-self.floor_rows // ROWS_PER_PARTITION)),
+            )
+        )
+        want = max(
+            floor, min(self.ceiling, -(-live_rows // ROWS_PER_PARTITION))
+        )
+        if want * 2 <= self.cur or want >= self.cur * 2:
+            self.cur = want
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(self.cur)
+            )
+        return self.cur

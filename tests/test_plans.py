@@ -443,3 +443,66 @@ def test_kernel_long_run_no_stats_compounding(spark):
     assert len(m.supersteps) == n
     last_sec = m.supersteps[-1].get("sec") or m.supersteps[-1].get("seconds")
     assert last_sec < 10, f"superstep 59 took {last_sec}s - stats compounding?"
+
+
+def test_fresh_checkpoint_count_one_job_and_flag(spark):
+    """fresh_checkpoint_count folds the caller's convergence probe into
+    the checkpoint materialization: counts match, the flag predicate is
+    counted in the SAME job, the returned frame carries the data, and
+    the stats reset still holds (no inherited size estimate)."""
+    from pyspark.sql import functions as F
+
+    from giraph_spark.plans.checkpoint import fresh_checkpoint_count
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3 == 0).alias("live")
+    )
+    out, n, n_live = fresh_checkpoint_count(df, flag=F.col("live"))
+    assert n == 100
+    assert n_live == 34  # 0,3,...,99
+    assert out.count() == 100
+    assert out.columns == ["id", "live"]
+    assert out.where("live").count() == 34
+    # no-flag variant
+    out2, n2, f2 = fresh_checkpoint_count(spark.range(7))
+    assert (n2, f2) == (7, None)
+    assert out2.count() == 7
+    digits = len(
+        str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    assert digits < 20, "fresh_checkpoint_count leaked inherited stats"
+
+
+def test_loop_gear_resizes_and_restores(spark):
+    """LoopGear: disables AQE + resizes shuffle width with hysteresis
+    for the loop's duration, restores both on exit (also on error); the
+    width never drops below the floor_rows requirement."""
+    from giraph_spark.plans.gear import LoopGear
+    from giraph_spark.pregel import ROWS_PER_PARTITION
+
+    conf = spark.conf
+    parts0 = conf.get("spark.sql.shuffle.partitions")
+    aqe0 = conf.get("spark.sql.adaptive.enabled")
+    with LoopGear(spark) as gear:
+        assert conf.get("spark.sql.adaptive.enabled") == "false"
+        assert gear.cur == int(parts0)
+        # collapse: gears down to 1 (floor None)
+        assert gear.resize(10) == 1
+        assert conf.get("spark.sql.shuffle.partitions") == "1"
+        # regrow past hysteresis: gears back up, capped at ceiling
+        big = ROWS_PER_PARTITION * 10_000
+        assert gear.resize(big) == int(parts0)
+        # floor: O(V) state rewrite keeps width up even when live -> 0
+        gear.floor_rows = ROWS_PER_PARTITION * 3
+        assert gear.resize(1) == 3
+    assert conf.get("spark.sql.shuffle.partitions") == parts0
+    assert conf.get("spark.sql.adaptive.enabled") == aqe0
+    # restores on exception too
+    try:
+        with LoopGear(spark) as gear:
+            gear.resize(5)
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert conf.get("spark.sql.shuffle.partitions") == parts0
+    assert conf.get("spark.sql.adaptive.enabled") == aqe0
