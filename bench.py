@@ -122,6 +122,12 @@ def main() -> None:
     ]
 
     total = round(sum(timings.values()), 3)
+    # graph-extras tier in the bench of record (VERDICT r6 task 1): the
+    # five standalone round loops, with per-loop round counters. Kept
+    # OUT of "value" so the headline total stays comparable to the
+    # frozen 49.1 s baseline; the extras envelope is frozen separately
+    # in BASELINE.md.
+    extras_q, extras_c = _run_extras(spark, SF_DIR)
     print(
         json.dumps(
             {
@@ -130,6 +136,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "counters": counters,
+                "extras": {
+                    "total": round(sum(extras_q.values()), 3),
+                    "queries": extras_q,
+                    "counters": extras_c,
+                },
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": int(CPUS),
             }
@@ -638,12 +649,53 @@ def stress_stream() -> None:
     spark.stop()
 
 
+def _run_extras(spark, sf_dir: str) -> tuple[dict, dict]:
+    """The graph-extras tier — Borůvka MSF, the two matchings,
+    Jones–Plassmann coloring, Luby MIS: the five driver-side round
+    loops the self-join statistics fix (plans/checkpoint.py) unlocked
+    and the shared gear-down (plans/gear.py) re-sizes. Returns
+    (timings, counters) with per-loop round counts — the counters are
+    the regression signal (identical rounds ⇒ identical schedule; the
+    unrolled SQL oracles pin the VALUES)."""
+    import __spark_entry__ as E
+    from giraph_spark.algos.coloring import graph_coloring
+    from giraph_spark.algos.independent_set import maximal_independent_set
+    from giraph_spark.algos.matching import (
+        bipartite_matching,
+        max_weight_matching,
+    )
+    from giraph_spark.algos.mst import minimum_spanning_forest
+    from giraph_spark.algos.prepare import symmetrize, symmetrize_weighted
+
+    g_dir = E.trade_graph(spark, sf_dir, directed=True)
+    g_dir.edges.count()  # warm the fixture
+    g_sym = symmetrize_weighted(g_dir)
+    chain = symmetrize(E.events_chain(spark, sf_dir))
+
+    queries: dict[str, float] = {}
+    counters: dict[str, dict] = {}
+
+    def run(name, fn):
+        t0 = time.monotonic()
+        stats: dict = {}
+        n = fn(stats).count()
+        queries[name] = round(time.monotonic() - t0, 3)
+        counters[name] = {"rows": n, **stats}
+
+    run("min_spanning_forest", lambda s: minimum_spanning_forest(g_dir, stats=s))
+    run("max_weight_matching", lambda s: max_weight_matching(g_sym, stats=s))
+    run("bipartite_matching", lambda s: bipartite_matching(g_dir, stats=s))
+    run("graph_coloring", lambda s: graph_coloring(chain, stats=s))
+    run(
+        "maximal_independent_set",
+        lambda s: maximal_independent_set(chain, stats=s),
+    )
+    return queries, counters
+
+
 def graph_extras() -> None:
-    """Round-6 graph additions at sf0.1 (``python bench.py
-    --graph-extras``): the reproducible harness behind BASELINE.md's
-    numbers for Borůvka MSF, the two matchings, Jones–Plassmann
-    coloring, and MIS — the five loops the self-join statistics fix
-    (plans/checkpoint.py) unlocked at this scale."""
+    """Standalone extras run (``python bench.py --graph-extras``) — the
+    same tier the default bench now embeds, in its own session."""
     from pyspark.sql import SparkSession
 
     spark = (
@@ -659,36 +711,7 @@ def graph_extras() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    import __spark_entry__ as E
-    from giraph_spark.algos.prepare import symmetrize_weighted
-    from giraph_spark.algos.coloring import graph_coloring
-    from giraph_spark.algos.independent_set import maximal_independent_set
-    from giraph_spark.algos.matching import (
-        bipartite_matching,
-        max_weight_matching,
-    )
-    from giraph_spark.algos.mst import minimum_spanning_forest
-    from giraph_spark.algos.prepare import symmetrize
-
-    g_dir = E.trade_graph(spark, SF_DIR, directed=True)
-    g_dir.edges.count()  # warm the fixture
-    g_sym = symmetrize_weighted(g_dir)
-    chain = symmetrize(E.events_chain(spark, SF_DIR))
-
-    queries, counters = {}, {}
-
-    def run(name, fn):
-        t0 = time.time()
-        stats: dict = {}
-        n = fn(stats).count()
-        queries[name] = round(time.time() - t0, 3)
-        counters[name] = {"rows": n, **stats}
-
-    run("min_spanning_forest", lambda s: minimum_spanning_forest(g_dir, stats=s))
-    run("max_weight_matching", lambda s: max_weight_matching(g_sym, stats=s))
-    run("bipartite_matching", lambda s: bipartite_matching(g_dir, stats=s))
-    run("graph_coloring", lambda s: graph_coloring(chain, stats=s))
-    run("maximal_independent_set", lambda s: maximal_independent_set(chain))
+    queries, counters = _run_extras(spark, SF_DIR)
     print(
         json.dumps(
             {
@@ -705,9 +728,189 @@ def graph_extras() -> None:
     spark.stop()
 
 
+def stress_extras() -> None:
+    """10× scale-stress for the extras tier + SCC (``python bench.py
+    --stress-extras`` — VERDICT r6 task 3, mirroring r5's kernel stress
+    and r6's docs stress). The five self-join-shaped loops run on a
+    synthetic uniform graph at 1× and K× (default 10×), recording wall
+    time AND per-loop round counts: Borůvka's rounds must grow
+    O(log n), the matchings' and coloring's round counts stay ~flat,
+    and per-round cost should track the live set, so sec ratios ≈
+    linear in data. SCC runs on a layered graph — many 3-cycles + one
+    giant cycle + DAG cross-edges — whose layer count is
+    scale-invariant by construction (scc.py:21's specific unknown).
+    Size via $SPARK_GRAFT_STRESS_V / _EPV (defaults 125k × 8 at 1×)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    n_base = int(os.environ.get("SPARK_GRAFT_STRESS_V", "1250000")) // 10
+    epv = int(os.environ.get("SPARK_GRAFT_STRESS_EPV", "8"))
+    k_scale = int(os.environ.get("SPARK_GRAFT_STRESS_EXTRAS_K", "10"))
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-stress-extras")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from giraph_spark.algos.coloring import graph_coloring
+    from giraph_spark.algos.independent_set import maximal_independent_set
+    from giraph_spark.algos.matching import (
+        bipartite_matching,
+        max_weight_matching,
+    )
+    from giraph_spark.algos.mst import minimum_spanning_forest
+    from giraph_spark.algos.prepare import symmetrize, symmetrize_weighted
+    from giraph_spark.algos.scc import scc
+    from giraph_spark.graph import Graph
+    from giraph_spark.sources.generators import uniform_random_graph
+
+    def scc_layer_graph(n: int) -> Graph:
+        """Many small SCCs + one giant cycle, stacked into exactly 3
+        FW-BW layers AT ANY SCALE. Ids [3n/4, n): one giant directed
+        cycle (a single n/4-vertex SCC — the largest ids). Ids
+        [n/2, 3n/4) (level A) and [0, n/2) (level B): consecutive
+        3-cycles (≈ n/4 small SCCs). DAG cross-edges flow HIGH→LOW id:
+        giant→A and A→B, so the forward max-coloring masks A under the
+        giant's color and B under A's — round 1 peels only the giant,
+        round 2 peels A, round 3 peels B. Rounds must stay 3 at 1× and
+        K×: the loop count depends on layer STRUCTURE, not data size
+        (scc.py:21)."""
+        g0, half = (3 * n) // 4, n // 2
+        v = spark.range(n).select(F.col("id").cast("long").alias("id"))
+        giant = spark.range(g0, n).select(
+            F.col("id").alias("src"),
+            (F.lit(g0) + (F.col("id") + 1 - g0) % (n - g0)).alias("dst"),
+        )
+
+        def tri_cycles(lo, hi):
+            off = F.col("id") - lo
+            base = F.lit(lo) + off - off % 3
+            return (
+                spark.range(lo, hi)
+                .select(
+                    F.col("id").alias("src"),
+                    F.least(
+                        base + (off % 3 + 1) % 3, F.lit(hi - 1)
+                    ).alias("dst"),
+                )
+                .where(F.col("src") != F.col("dst"))
+            )
+
+        def cross(src_lo, src_hi, dst_lo, dst_hi):
+            # every 4th target vertex gets one in-edge from the layer above
+            return (
+                spark.range(dst_lo, dst_hi)
+                .where(F.pmod(F.col("id"), F.lit(4)) == 0)
+                .select(
+                    (
+                        F.lit(src_lo)
+                        + F.pmod(
+                            F.col("id") * 2654435761,
+                            F.lit(src_hi - src_lo),
+                        )
+                    ).alias("src"),
+                    F.col("id").alias("dst"),
+                )
+            )
+
+        edges = (
+            giant.unionAll(tri_cycles(half, g0))
+            .unionAll(tri_cycles(0, half))
+            .unionAll(cross(g0, n, half, g0))
+            .unionAll(cross(half, g0, 0, half))
+        )
+        return Graph(v, edges)
+
+    out: dict[str, dict] = {}
+    for scale in (1, k_scale):
+        n_v = n_base * scale
+        raw = uniform_random_graph(spark, n=n_v, edges_per_vertex=epv, seed=7)
+        edges = raw.edges.withColumn(
+            "weight",
+            (F.pmod(F.col("src") * 31 + F.col("dst"), F.lit(997)) + 1).cast(
+                "double"
+            ),
+        ).persist()
+        g_dir = Graph(raw.vertices, edges)
+        n_e = edges.count()
+        g_sym = symmetrize_weighted(g_dir)
+        g_undir = symmetrize(g_dir)
+        # left→right orientation for bipartite: shift dst into [n, 2n)
+        bip = Graph(
+            spark.range(2 * n_v).select(F.col("id").cast("long").alias("id")),
+            edges.select("src", (F.col("dst") + F.lit(n_v)).alias("dst")),
+        )
+        layered = scc_layer_graph(n_v)
+
+        r: dict[str, dict] = {"vertices": n_v, "edges": n_e}
+
+        def run(name, fn):
+            t0 = time.monotonic()
+            stats: dict = {}
+            n = fn(stats).count()
+            r[name] = {
+                "sec": round(time.monotonic() - t0, 3),
+                "rows": n,
+                **stats,
+            }
+
+        run("min_spanning_forest", lambda s: minimum_spanning_forest(g_dir, stats=s))
+        run("max_weight_matching", lambda s: max_weight_matching(g_sym, stats=s))
+        run("bipartite_matching", lambda s: bipartite_matching(bip, stats=s))
+        run("graph_coloring", lambda s: graph_coloring(g_undir, stats=s))
+        run(
+            "maximal_independent_set",
+            lambda s: maximal_independent_set(g_undir, stats=s),
+        )
+        run("scc_layered", lambda s: scc(layered, stats=s))
+        edges.unpersist()
+        out[f"x{scale}"] = r
+    names = [
+        "min_spanning_forest",
+        "max_weight_matching",
+        "bipartite_matching",
+        "graph_coloring",
+        "maximal_independent_set",
+        "scc_layered",
+    ]
+    one, big = out["x1"], out[f"x{k_scale}"]
+    ratios = {
+        n: {
+            "sec": round(big[n]["sec"] / one[n]["sec"], 2),
+            "rounds_1x": one[n].get("rounds"),
+            "rounds_Kx": big[n].get("rounds"),
+        }
+        for n in names
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "stress_extras",
+                "value": round(sum(big[n]["sec"] for n in names), 3),
+                "unit": "sec",
+                "k": k_scale,
+                "scales": out,
+                "ratios_vs_1x": ratios,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--stress-stream" in sys.argv:
         stress_stream()
+    elif "--stress-extras" in sys.argv:
+        stress_extras()
     elif "--stress-docs" in sys.argv:
         stress_docs()
     elif "--stress" in sys.argv:

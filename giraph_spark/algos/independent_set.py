@@ -25,13 +25,16 @@ UNKNOWN, IN_SET, NOT_IN = 0, 1, 2
 
 
 def maximal_independent_set(
-    graph: Graph, max_rounds: int = 50, status_col: str = "in_set"
+    graph: Graph,
+    max_rounds: int = 50,
+    status_col: str = "in_set",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns ``(id, in_set BOOLEAN)``. O(log n) rounds w.h.p.; each round
     is two shuffles (neighbor-min + neighbor-of-IN mark). The UNKNOWN
     count rides each round's checkpoint job (one action per round) and
     feeds the shared gear-down (plans/gear.py) as the live set
-    collapses."""
+    collapses. ``stats``, if given, records ``rounds``."""
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
     unknown = F.col("_st") == UNKNOWN
 
@@ -50,10 +53,12 @@ def maximal_independent_set(
         # vertices' outgoing fan ≈ unknown × avg degree
         avg_deg = max(1, edges.count() // max(n_v, 1))
 
-        for _ in range(max_rounds):
+        for rnd in range(max_rounds):
             if n_unk == 0:
                 break
             gear.resize(n_unk * avg_deg)
+            if stats is not None:
+                stats["rounds"] = rnd + 1
             # min priority among UNKNOWN neighbors
             nbr = (
                 edges.join(
