@@ -1570,6 +1570,29 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(d, min_words=20, min_required_words=1)
 
 
+def _q_clean_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored training-set selection (VERDICT r6 task 5): Gopher hard
+    gate -> DSIR importance weights vs the source='src18' target domain
+    -> Gumbel importance RESAMPLING with the threshold calibrated from
+    the fixed-grid sampling-score histogram (threshold_metrics
+    machinery) -> md5 train/val split. Every stage is a pure function
+    of (ids, text, seed), replayed end-to-end by the oracle."""
+    from giraph_spark.functions.pipeline import clean_corpus_dsir
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    target = d.where(F.col("source") == "src18").select("doc_id", "text")
+    return clean_corpus_dsir(
+        d.select("doc_id", "text"),
+        target,
+        n_buckets=4096,
+        select_fraction=0.25,
+        portable=True,
+        gopher_kwargs={"min_words": 20, "min_required_words": 1},
+    )
+
+
 def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet line-level boilerplate scrub. The fixture text has no
     newlines, so lines are derived deterministically on BOTH engines by
@@ -2126,6 +2149,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "gopher_rules": _q_gopher_rules,
         "dsir_importance": _q_dsir_importance,
+        "clean_corpus_dsir": _q_clean_corpus_dsir,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
@@ -4087,6 +4111,141 @@ SELECT d2.doc_id,
 FROM (SELECT DISTINCT doc_id FROM d) d2
 LEFT JOIN per_doc p ON p.doc_id = d2.doc_id"""
 
+    # clean_corpus_dsir twin: Gopher gate (raw text, min_words=20,
+    # min_required_words=1) -> DSIR LMs built from the gate's survivors
+    # vs the src18 target -> Gumbel noise from the seed-1000045 md5
+    # bucket -> histogram-calibrated threshold (50 bins on [-4, 6),
+    # keep <= 25% of scored) -> seed-42 split. Mirrors dsir_sql /
+    # gopher_rules_sql / threshold_metrics piece for piece.
+    clean_corpus_dsir_sql = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source FROM documents
+),
+gw AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS ws,
+    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls,
+    len(string_split(text, '#')) - 1 AS n_hash,
+    len(string_split(text, '...')) - 1 AS n_ell
+  FROM d
+),
+gg AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    ROUND(list_reduce(list_prepend(0.0,
+        list_transform(ws, w -> length(w)::DOUBLE)), (a, x) -> a + x)
+      / GREATEST(len(ws), 1), 6) AS mean_word_len,
+    ROUND((n_hash + n_ell) / GREATEST(len(ws), 1)::DOUBLE, 6)
+      AS symbol_ratio,
+    ROUND(len(list_filter(ls,
+        l -> regexp_matches(trim(l), '^([*•‣▪-])')))
+      / GREATEST(len(ls), 1)::DOUBLE, 6) AS bullet_ratio,
+    ROUND(len(list_filter(ls, l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+      / GREATEST(len(ls), 1)::DOUBLE, 6) AS ellipsis_ratio,
+    ROUND(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+      / GREATEST(len(ws), 1)::DOUBLE, 6) AS alpha_word_ratio,
+    CAST(len(list_filter(
+        ['the','be','to','of','and','that','have','with'],
+        req -> list_contains(list_transform(ws, w -> lower(w)), req)))
+      AS BIGINT) AS n_required
+  FROM gw
+),
+pass AS (
+  SELECT doc_id FROM gg
+  WHERE n_words >= 20 AND n_words <= 100000
+    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+    AND n_required >= 1
+),
+toks AS (
+  SELECT doc_id, source, string_split({norm}, ' ') AS t FROM d
+),
+grams AS (
+  SELECT doc_id, source, gram FROM (
+    SELECT doc_id, source, unnest(list_concat(
+      t,
+      list_transform(range(1, greatest(len(t), 1)),
+                     i -> t[i] || ' ' || t[i + 1])
+    )) AS gram
+    FROM toks)
+  WHERE gram <> ''
+),
+feats AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 4096 AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+raw_lm AS (
+  SELECT bucket, SUM(c) AS r FROM feats f
+  JOIN pass p USING (doc_id) GROUP BY 1
+),
+tgt_lm AS (SELECT bucket, SUM(c) AS t FROM feats
+           WHERE source = 'src18' GROUP BY 1),
+tot AS (SELECT (SELECT SUM(r) FROM raw_lm) AS R_,
+               (SELECT SUM(t) FROM tgt_lm) AS T_),
+ratios AS (
+  SELECT rl.bucket,
+         ln((COALESCE(tl.t, 0) + 1.0) / ((SELECT T_ FROM tot) + 4096.0))
+       - ln((rl.r + 1.0) / ((SELECT R_ FROM tot) + 4096.0)) AS lr
+  FROM raw_lm rl LEFT JOIN tgt_lm tl ON rl.bucket = tl.bucket
+),
+per_doc AS (
+  SELECT f.doc_id,
+         ROUND(SUM(f.c * r.lr) / SUM(f.c), 6) AS log_importance
+  FROM feats f
+  JOIN pass p ON p.doc_id = f.doc_id
+  JOIN ratios r ON f.bucket = r.bucket
+  GROUP BY 1
+),
+noised AS (
+  SELECT doc_id, log_importance,
+         ROUND(log_importance - ln(-ln(
+           (CAST(('0x' || substr(md5('1000045:' || CAST(doc_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 10000 + 0.5) / 10000.0)), 6)
+           AS sampling_score
+  FROM per_doc
+),
+hist AS (
+  SELECT LEAST(49, GREATEST(0,
+           CAST(FLOOR((sampling_score - (-4.0)) / 0.2) AS INT))) AS b,
+         COUNT(*) AS n
+  FROM noised WHERE sampling_score IS NOT NULL GROUP BY 1
+),
+axis AS (SELECT CAST(UNNEST(range(50)) AS INT) AS b),
+cum AS (
+  SELECT a.b,
+         SUM(COALESCE(h.n, 0)) OVER (ORDER BY a.b DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS np,
+         SUM(COALESCE(h.n, 0)) OVER () AS total
+  FROM axis a LEFT JOIN hist h ON h.b = a.b
+),
+thr AS (
+  SELECT COALESCE(
+           MIN(CASE WHEN np <= FLOOR(0.25 * total)
+                    THEN ROUND(-4.0 + b * 0.2, 6) END),
+           MAX(ROUND(-4.0 + b * 0.2, 6))) AS t
+  FROM cum
+),
+disp AS (
+  SELECT d.doc_id,
+         CASE WHEN p.doc_id IS NULL THEN 'removed_gopher'
+              WHEN nz.sampling_score IS NULL
+                OR nz.sampling_score < (SELECT t FROM thr)
+                THEN 'removed_dsir'
+              ELSE 'kept' END AS status,
+         nz.log_importance, nz.sampling_score
+  FROM d
+  LEFT JOIN pass p ON p.doc_id = d.doc_id
+  LEFT JOIN noised nz ON nz.doc_id = d.doc_id
+)
+SELECT doc_id, status, log_importance, sampling_score,
+       CASE WHEN status = 'kept'
+            THEN CASE WHEN {_bucket_sql()} < 1000 THEN 'val' ELSE 'train' END
+       END AS split
+FROM disp"""
+
     # Gopher battery twin: identical word/line derivations, every ratio
     # ROUND(,6); NULL-failing rule semantics via CASE ... ELSE 1
     gopher_rules_sql = """
@@ -5176,6 +5335,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "strip_boilerplate": strip_boilerplate_sql,
         "gopher_rules": gopher_rules_sql,
         "dsir_importance": dsir_sql,
+        "clean_corpus_dsir": clean_corpus_dsir_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,
         "jpeg_pixel_stats": jpeg_pixel_stats_sql,

@@ -23,10 +23,15 @@ reference draws fresh randomness per lottery; fixed hashed priorities
 keep Luby/JP's uniformity argument while making the run reproducible
 across retries and replayable in the SQL oracle.
 
-Scale shape: each wave is one neighbor-join + one groupBy (the mex
-aggregates at most ``n_colors ≤ Δ+1`` distinct values per vertex, so
-the ``collect_set`` is map-side combinable and bounded by the palette,
-never by degree). Wave count is the longest priority-decreasing path —
+Scale shape: each wave is one color-join + one groupBy over the LIVE
+edge set — edges whose dst is still uncolored, peeled each wave by an
+anti-join against the wave's just-colored delta (broadcast map-side
+when the delta is small, plans/gear.py) — so per-wave shuffle input
+tracks the live set, never O(E). Priorities are md5 of the endpoint
+ids, computed inline per edge (no priority join). The mex aggregates
+at most ``n_colors ≤ Δ+1`` distinct values per vertex, so the
+``collect_set`` is map-side combinable and bounded by the palette,
+never by degree. Wave count is the longest priority-decreasing path —
 O(log n / log log n) w.h.p. for random priorities on bounded-degree
 graphs — vs one full MIS run PER COLOR for the reference's schedule.
 """
@@ -38,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.checkpoint import fresh_checkpoint_count
-from ..plans.gear import LoopGear
+from ..plans.gear import LoopGear, bcast_if_small
 
 
 def graph_coloring(
@@ -56,83 +61,73 @@ def graph_coloring(
     """
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
     uncolored = F.col("_color").isNull()
+    # priorities are a pure function of the id (md5), so the per-edge
+    # endpoint priorities are computed INLINE in the wave aggregate —
+    # no priority join anywhere; the only per-wave join fetches the
+    # src endpoint's current color
+    spri = F.md5(F.col(src).cast("string"))
+    dpri = F.md5(F.col(dst).cast("string"))
 
     with LoopGear(graph.vertices.sparkSession) as gear:
         # the uncolored count rides every checkpoint materialization —
-        # one action per wave (SURVEY §4.7), doubling as the gear signal
+        # one action per frame per wave (SURVEY §4.7), doubling as the
+        # gear/broadcast signal
         state, n_v, n_unc = fresh_checkpoint_count(
             graph.vertices.select(
-                id_col,
-                F.md5(F.col(id_col).cast("string")).alias("_pri"),
-                F.lit(None).cast("int").alias("_color"),
+                id_col, F.lit(None).cast("int").alias("_color")
             ),
             flag=uncolored,
         )
         gear.floor_rows = n_v  # the per-wave O(V) state rewrite
-        edges = graph.edges.select(src, dst).persist()
-        # gear unit: the wave's dominant shuffle is the neighbor fan-in
-        # of the still-uncolored vertices ≈ uncolored × avg in-degree
-        avg_deg = max(1, edges.count() // max(n_v, 1))
+        # the live edge relation: edges whose DST is still uncolored —
+        # only those feed a wave decision (colored vertices never
+        # change). It shrinks monotonically; each wave peels the edges
+        # into just-colored vertices with an anti-join against the
+        # wave's DELTA (map-side broadcast when the delta is small), so
+        # per-wave shuffle INPUT is O(live), never O(E)
+        live, n_live, _ = fresh_checkpoint_count(graph.edges.select(src, dst))
 
         for rnd in range(max_rounds):
             if n_unc == 0:
                 break
-            gear.resize(n_unc * avg_deg)
+            gear.resize(n_live)
             if stats is not None:
                 stats["rounds"] = rnd + 1
-            # only still-uncolored vertices need a wave decision — their
-            # colored neighbors' colors still flow in via the src side,
-            # but edges INTO colored vertices drop out of the fan-in, so
-            # the per-wave join shrinks with the live set (colored
-            # vertices keep their color through the left join below)
-            targets = state.where(uncolored).select(
-                id_col, F.col("_pri").alias("_my_pri")
-            )
-            live = edges.join(
-                targets.select(F.col(id_col).alias(dst)),
-                on=dst,
-                how="left_semi",
-            )
-            # per-vertex view of each neighbor's (priority, color)
+            # per-uncolored-vertex wave aggregate over its neighbors'
+            # (inline priority, joined color): blocked by any uncolored
+            # smaller-priority neighbor; colors taken by smaller-
+            # priority neighbors (collect_set drops the NULLs of
+            # uncolored ones); both map-side combinable
             nbr = live.join(
                 state.select(
-                    F.col(id_col).alias(src),
-                    F.col("_pri").alias("_npri"),
-                    F.col("_color").alias("_ncolor"),
+                    F.col(id_col).alias(src), F.col("_color").alias("_ncolor")
                 ),
                 on=src,
-            ).select(F.col(dst).alias(id_col), "_npri", "_ncolor")
-            per_v = (
-                nbr.join(targets, on=id_col)
-                .groupBy(id_col)
-                .agg(
-                    F.max(
-                        F.when(
-                            F.col("_ncolor").isNull()
-                            & (F.col("_npri") < F.col("_my_pri")),
-                            F.lit(1),
-                        )
-                    ).alias("_blocked"),
-                    F.collect_set(
-                        F.when(
-                            F.col("_npri") < F.col("_my_pri"),
-                            F.col("_ncolor"),
-                        )
-                    ).alias("_taken"),
-                )
+            )
+            per_v = nbr.groupBy(F.col(dst).alias(id_col)).agg(
+                F.max(
+                    F.when(F.col("_ncolor").isNull() & (spri < dpri), F.lit(1))
+                ).alias("_blocked"),
+                F.collect_set(
+                    F.when(spri < dpri, F.col("_ncolor"))
+                ).alias("_taken"),
             )
             mex = F.filter(
                 F.sequence(F.lit(0), F.size("_taken")),
                 lambda k: ~F.array_contains(F.col("_taken"), k),
             )[0]
             # fresh_checkpoint, not plain localCheckpoint: per_v derives
-            # from state via both edge endpoints, so the round's output
+            # from state via both edge endpoints, so the wave's output
             # joins state with a derivative of itself — the inherited
-            # size estimate would square per round (plans/checkpoint.py)
+            # size estimate would square per wave (plans/checkpoint.py).
+            # per_v has ≤ n_unc rows — broadcast it once the live set is
+            # small and the O(V) state side never shuffles at all
+            prev_unc = n_unc
             state, _, n_unc = fresh_checkpoint_count(
-                state.join(per_v, on=id_col, how="left").select(
+                state.join(
+                    bcast_if_small(per_v, prev_unc), on=id_col, how="left"
+                ).select(
                     id_col,
-                    "_pri",
                     F.when(F.col("_color").isNotNull(), F.col("_color"))
                     .when(
                         F.col("_blocked").isNull(),
@@ -140,8 +135,23 @@ def graph_coloring(
                     )
                     .otherwise(F.lit(None).cast("int"))
                     .alias("_color"),
+                    (
+                        F.col("_color").isNull() & F.col("_blocked").isNull()
+                    ).alias("_just"),
                 ),
                 flag=uncolored,
             )
-        edges.unpersist()
+            if n_unc == 0:
+                break
+            # peel the edges into just-colored vertices; the delta size
+            # is known exactly (prev_unc − n_unc) before the job runs
+            delta = state.where("_just").select(F.col(id_col).alias(dst))
+            state = state.drop("_just")
+            live, n_live, _ = fresh_checkpoint_count(
+                live.join(
+                    bcast_if_small(delta, prev_unc - n_unc),
+                    on=dst,
+                    how="left_anti",
+                )
+            )
         return state.select(id_col, F.col("_color").alias(color_col))

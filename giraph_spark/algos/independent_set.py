@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.checkpoint import fresh_checkpoint_count
-from ..plans.gear import LoopGear
+from ..plans.gear import LoopGear, bcast_if_small
 
 UNKNOWN, IN_SET, NOT_IN = 0, 1, 2
 
@@ -48,30 +48,26 @@ def maximal_independent_set(
             flag=unknown,
         )
         gear.floor_rows = n_v  # the per-round O(V) state rewrite
-        edges = graph.edges.select(src, dst).persist()
-        # gear unit: the round's dominant shuffle aggregates the UNKNOWN
-        # vertices' outgoing fan ≈ unknown × avg degree
-        avg_deg = max(1, edges.count() // max(n_v, 1))
+        # the live edge relation: edges between two still-UNKNOWN
+        # vertices — the only ones that matter (the neighbor-min only
+        # feeds UNKNOWN vertices, and only UNKNOWN neighbors
+        # contribute). Both endpoints being UNKNOWN by construction,
+        # the neighbor priority is md5(src) computed INLINE — the
+        # per-round state join disappears entirely. Each round peels
+        # the edges incident to newly-decided vertices via anti-joins
+        # against that delta (map-side broadcast when small), so
+        # per-round shuffle input is O(live), never O(E)
+        live, n_live, _ = fresh_checkpoint_count(graph.edges.select(src, dst))
 
         for rnd in range(max_rounds):
             if n_unk == 0:
                 break
-            gear.resize(n_unk * avg_deg)
+            gear.resize(n_live)
             if stats is not None:
                 stats["rounds"] = rnd + 1
-            # min priority among UNKNOWN neighbors
-            nbr = (
-                edges.join(
-                    state.select(
-                        F.col(id_col).alias(src),
-                        F.col("_st").alias("_nst"),
-                        F.col("_pri").alias("_npri"),
-                    ),
-                    on=src,
-                )
-                .where(F.col("_nst") == UNKNOWN)
-                .groupBy(F.col(dst).alias(id_col))
-                .agg(F.min("_npri").alias("_minnbr"))
+            # min INLINE priority among (UNKNOWN) neighbors
+            nbr = live.groupBy(F.col(dst).alias(id_col)).agg(
+                F.min(F.md5(F.col(src).cast("string"))).alias("_minnbr")
             )
             with_min = state.join(nbr, on=id_col, how="left")
             # strict local minimum (md5 of distinct ids never ties) → IN
@@ -82,9 +78,10 @@ def maximal_independent_set(
                     | (F.col("_pri") < F.col("_minnbr"))
                 )
             ).select(id_col)
-            # neighbors of newly-IN → OUT
+            # neighbors of newly-IN → OUT (live edges only: decided
+            # neighbors never transition again)
             out_ids = (
-                edges.join(
+                live.join(
                     newly_in.select(F.col(id_col).alias(src)),
                     on=src,
                     how="left_semi",
@@ -95,6 +92,7 @@ def maximal_independent_set(
             # fresh_checkpoint: the round joins state with two frames
             # that both derive from state (nbr, out_ids) — inherited
             # size estimates would compound per round (plans/checkpoint.py)
+            prev_unk = n_unk
             state, _, n_unk = fresh_checkpoint_count(
                 state.join(
                     newly_in.withColumn("_in", F.lit(True)),
@@ -116,10 +114,38 @@ def maximal_independent_set(
                     .otherwise(F.col("_st"))
                     .alias("_st"),
                     "_pri",
+                    (
+                        (F.col("_st") == UNKNOWN)
+                        & (
+                            F.col("_in").isNotNull()
+                            | F.col("_out").isNotNull()
+                        )
+                    ).alias("_just"),
                 ),
                 flag=unknown,
             )
-        edges.unpersist()
+            if n_unk == 0:
+                break
+            # peel edges incident to this round's decided vertices; the
+            # delta size (prev_unk − n_unk) is known before the job runs
+            delta = state.where("_just").select(id_col)
+            state = state.drop("_just")
+            n_delta = prev_unk - n_unk
+            live, n_live, _ = fresh_checkpoint_count(
+                live.join(
+                    bcast_if_small(
+                        delta.select(F.col(id_col).alias(src)), n_delta
+                    ),
+                    on=src,
+                    how="left_anti",
+                ).join(
+                    bcast_if_small(
+                        delta.select(F.col(id_col).alias(dst)), n_delta
+                    ),
+                    on=dst,
+                    how="left_anti",
+                )
+            )
         return state.select(
             id_col, (F.col("_st") == IN_SET).alias(status_col)
         )

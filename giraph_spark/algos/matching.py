@@ -21,14 +21,19 @@ approximation analysis only needs the choice to be adversary-oblivious,
 and a fixed cryptographic hash of distinct ids keeps the run reproducible
 across retries, partitionings, and the SQL oracle.
 
-Scale shape: each round is one filter + one per-vertex top-1 (window or
-max_by — map-side combinable, no fan-out) + one self-join on the picks
-relation (≤ |live vertices| rows). The matched set only grows, live
-edges only shrink; per-round lineage is truncated with
-``localCheckpoint`` like the other round-based algos. MWM removes at
-least the globally top-ranked live edge every round (its endpoints
-necessarily pick each other under the total order), so termination is
-guaranteed; on random-ish weights rounds are O(log n) in practice.
+Scale shape: the live edge relation (edges between two still-unmatched
+vertices) IS the loop state — checkpointed per round, peeled by
+anti-joins against the round's newly-matched DELTA, which go map-side
+broadcast once the delta is small (plans/gear.py bcast_if_small; the
+delta size is known exactly from the fold count). Per round: one
+per-vertex top-1 over LIVE edges (partial-aggregated max/min(struct) —
+map-side combinable, no fan-out) + one self-join on the picks relation
+(≤ |live vertices| rows); shuffle input is O(live), never O(E), and
+the shared gear-down (plans/gear.py) re-fits the shuffle width as the
+live set collapses. MWM removes at least the globally top-ranked live
+edge every round (its endpoints necessarily pick each other under the
+total order), so termination is guaranteed; on random-ish weights
+rounds are O(log n) in practice.
 """
 
 from __future__ import annotations
@@ -37,8 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import fresh_checkpoint, fresh_checkpoint_count
-from ..plans.gear import LoopGear
+from ..plans.checkpoint import fresh_checkpoint_count
+from ..plans.gear import LoopGear, bcast_if_small
 
 
 def max_weight_matching(
@@ -68,29 +73,22 @@ def max_weight_matching(
             )
         )
         gear.floor_rows = n_v  # the per-round O(V) state rewrite
-        edges = graph.edges.select(
-            F.col(src).cast("long").alias(src),
-            F.col(dst).cast("long").alias(dst),
-            "weight",
-        ).persist()
+        # the live edge relation IS the loop state: edges between two
+        # still-unmatched vertices. Each round peels the edges incident
+        # to the round's newly matched vertices with anti-joins against
+        # that DELTA — map-side broadcasts when the delta is small
+        # (known exactly from the fold) — so per-round shuffle input is
+        # O(live), never O(E), and no unmatched semi-joins ever rebuild
+        # it from scratch
+        live, n_live, _ = fresh_checkpoint_count(
+            graph.edges.select(
+                F.col(src).cast("long").alias(src),
+                F.col(dst).cast("long").alias(dst),
+                "weight",
+            )
+        )
 
         for rnd in range(max_rounds):
-            unmatched = state.where(F.col("_mw").isNull()).select(id_col)
-            # the live edge set is checkpointed ONCE per round: the
-            # materialization job carries the convergence count (no
-            # separate limit(1) probe recomputing the semi-joins) and
-            # the pick aggregation below reads the cached blocks
-            live, n_live, _ = fresh_checkpoint_count(
-                edges.join(
-                    unmatched.select(F.col(id_col).alias(src)),
-                    on=src,
-                    how="left_semi",
-                ).join(
-                    unmatched.select(F.col(id_col).alias(dst)),
-                    on=dst,
-                    how="left_semi",
-                )
-            )
             if n_live == 0:
                 break
             gear.resize(n_live)
@@ -132,7 +130,6 @@ def max_weight_matching(
                 ),
                 flag=F.col("_just"),
             )
-            state = state.drop("_just")
             if n_matched == 0:
                 # with a SYMMETRIC weight relation the heaviest live edge
                 # is always picked from both sides, so an empty mutual set
@@ -146,7 +143,26 @@ def max_weight_matching(
                     "with symmetric weights (apply "
                     "prepare.symmetrize_weighted)?"
                 )
-        edges.unpersist()
+            # peel edges incident to this round's matched vertices; the
+            # delta has exactly n_matched rows — broadcast-gated, both
+            # anti-joins go map-side in the collapse tail
+            delta = state.where("_just").select(id_col)
+            state = state.drop("_just")
+            live, n_live, _ = fresh_checkpoint_count(
+                live.join(
+                    bcast_if_small(
+                        delta.select(F.col(id_col).alias(src)), n_matched
+                    ),
+                    on=src,
+                    how="left_anti",
+                ).join(
+                    bcast_if_small(
+                        delta.select(F.col(id_col).alias(dst)), n_matched
+                    ),
+                    on=dst,
+                    how="left_anti",
+                )
+            )
         return state.select(id_col, F.col("_mw").alias(match_col))
 
 
@@ -179,44 +195,32 @@ def bipartite_matching(
             )
         )
         gear.floor_rows = n_v  # the per-cycle O(V) state rewrite
-        edges = (
+        # the live edge relation IS the request set: edges between two
+        # still-unmatched vertices, peeled per cycle by anti-joins
+        # against the newly-matched delta (see max_weight_matching)
+        live, n_live, _ = fresh_checkpoint_count(
             graph.edges.select(
                 F.col(src).cast("long").alias(src),
                 F.col(dst).cast("long").alias(dst),
-            )
-            .dropDuplicates()
-            .persist()
+            ).dropDuplicates()
         )
         return _bipartite_loop(
-            state, edges, gear, id_col, src, dst, max_rounds, match_col,
-            stats,
+            state, live, n_live, gear, id_col, src, dst, max_rounds,
+            match_col, stats,
         )
 
 
 def _bipartite_loop(
-    state, edges, gear, id_col, src, dst, max_rounds, match_col, stats
+    state, live, n_live, gear, id_col, src, dst, max_rounds, match_col,
+    stats,
 ):
     for rnd in range(max_rounds):
-        unmatched = state.where(F.col("_mw").isNull()).select(id_col)
-        # one checkpoint job per cycle carries the live-edge count (the
-        # convergence probe + the gear signal); grants below read the
-        # cached request blocks instead of recomputing the semi-joins
-        requests, n_req, _ = fresh_checkpoint_count(
-            edges.join(
-                unmatched.select(F.col(id_col).alias(src)),
-                on=src,
-                how="left_semi",
-            ).join(
-                unmatched.select(F.col(id_col).alias(dst)),
-                on=dst,
-                how="left_semi",
-            )
-        )
-        if n_req == 0:
+        if n_live == 0:
             break
-        gear.resize(n_req)
+        gear.resize(n_live)
         if stats is not None:
             stats["rounds"] = rnd + 1
+        requests = live
         # per-key top-1 via partial-aggregated min(struct(md5, id)) — no
         # windows (see max_weight_matching); md5 of distinct ids never
         # ties, the id tiebreak is belt-and-braces
@@ -249,10 +253,32 @@ def _bipartite_loop(
         ).unionByName(
             accepted.select(F.col(dst).alias(id_col), F.col(src).alias("_new"))
         )
-        state = fresh_checkpoint(
+        state, _, n_matched = fresh_checkpoint_count(
             state.join(pairs, on=id_col, how="left").select(
-                id_col, F.coalesce("_mw", "_new").alias("_mw")
+                id_col,
+                F.coalesce("_mw", "_new").alias("_mw"),
+                F.col("_new").isNotNull().alias("_just"),
+            ),
+            flag=F.col("_just"),
+        )
+        # every cycle matches ≥ 1 pair while live edges remain (the
+        # smallest-hash left vertex's grant is always accepted), so
+        # n_matched ≥ 2 here; peel the matched vertices' edges
+        delta = state.where("_just").select(id_col)
+        state = state.drop("_just")
+        live, n_live, _ = fresh_checkpoint_count(
+            live.join(
+                bcast_if_small(
+                    delta.select(F.col(id_col).alias(src)), n_matched
+                ),
+                on=src,
+                how="left_anti",
+            ).join(
+                bcast_if_small(
+                    delta.select(F.col(id_col).alias(dst)), n_matched
+                ),
+                on=dst,
+                how="left_anti",
             )
         )
-    edges.unpersist()
     return state.select(id_col, F.col("_mw").alias(match_col))

@@ -31,12 +31,80 @@ estimate otherwise squares per iteration (see plans/checkpoint.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.checkpoint import fresh_checkpoint, fresh_checkpoint_count
-from ..plans.gear import LoopGear
+from ..plans.gear import LoopGear, bcast_if_small
+
+
+def save_msf_input(
+    graph: Graph,
+    table_prefix: str,
+    weight_col: str = "weight",
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Canonicalize the MSF input ONCE and persist it bucketed — the
+    storage layout a repeated-MSF deployment wants. Edges become the
+    unique canonical relation ``(u < v, min weight)`` bucketed+sorted
+    by ``u``; vertices are bucketed by ``id`` with the same width. A
+    graph loaded back via :func:`load_msf_input` enters
+    :func:`minimum_spanning_forest` with ``assume_canonical=True`` and
+    pays ZERO input exchange in the first round: the canonicalize
+    groupBy and the round-1 ``u``-side join shuffle both come from
+    storage, paid once at write time (the same amortization
+    ``save_graph_bucketed`` gives the pregel kernel —
+    sources/writers.py:211)."""
+    src, dst = graph.src_col, graph.dst_col
+    canon = (
+        graph.edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+            F.col(weight_col).cast("double").alias(weight_col),
+        )
+        .groupBy("u", "v")
+        .agg(F.min(weight_col).alias(weight_col))
+    )
+    (
+        canon.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, "u")
+        .sortBy("u")
+        .saveAsTable(f"{table_prefix}_edges")
+    )
+    (
+        graph.vertices.select(
+            F.col(graph.id_col).cast("long").alias("id")
+        )
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, "id")
+        .sortBy("id")
+        .saveAsTable(f"{table_prefix}_vertices")
+    )
+
+
+def load_msf_input(spark: SparkSession, table_prefix: str) -> Graph:
+    """Load a canonical-edge graph saved by :func:`save_msf_input`:
+    ``Graph(vertices(id), edges(u, v, weight))`` with the bucket layout
+    attached, ready for ``minimum_spanning_forest(g,
+    assume_canonical=True)``."""
+    from ..sources.readers import _bucket_spec
+
+    v_spec = _bucket_spec(spark, f"{table_prefix}_vertices")
+    e_spec = _bucket_spec(spark, f"{table_prefix}_edges")
+    return Graph(
+        spark.table(f"{table_prefix}_vertices"),
+        spark.table(f"{table_prefix}_edges"),
+        "id",
+        "u",
+        "v",
+        vertices_layout=v_spec if v_spec and v_spec[0] == "id" else None,
+        edges_layout=e_spec if e_spec and e_spec[0] == "u" else None,
+    )
 
 
 def minimum_spanning_forest(
@@ -85,11 +153,17 @@ def _msf_loop(graph, weight_col, max_rounds, stats, gear, u, v):
     forest = None
 
     for rnd in range(max_rounds):
-        lu = labels.select(
-            F.col("vid").alias("u"), F.col("comp").alias("cu")
+        # the label relation has exactly n_v rows — broadcast-gated
+        # (plans/gear.py), both endpoint joins go map-side on small/mid
+        # graphs and the live edge relation never shuffles for them;
+        # past the gate it falls back to the co-keyed shuffle join
+        lu = bcast_if_small(
+            labels.select(F.col("vid").alias("u"), F.col("comp").alias("cu")),
+            n_v,
         )
-        lv = labels.select(
-            F.col("vid").alias("v"), F.col("comp").alias("cv")
+        lv = bcast_if_small(
+            labels.select(F.col("vid").alias("v"), F.col("comp").alias("cv")),
+            n_v,
         )
         # convergence probe rides the checkpoint materialization — one
         # job per round, and the count doubles as the gear signal
@@ -130,8 +204,13 @@ def _msf_loop(graph, weight_col, max_rounds, stats, gear, u, v):
         # of each MUTUAL pair roots itself (each merge tree contains
         # exactly one mutual pair — its globally-lightest edge is
         # selected from both sides under the total order)
-        other = sel.select(
-            F.col("comp").alias("b_comp"), F.col("oc").alias("b_oc")
+        # sel/other/parent are component-keyed (≤ n_v rows, shrinking
+        # geometrically) — broadcast-gated like the label joins
+        other = bcast_if_small(
+            sel.select(
+                F.col("comp").alias("b_comp"), F.col("oc").alias("b_oc")
+            ),
+            n_v,
         )
         parent = fresh_checkpoint(
             sel.join(
@@ -155,8 +234,11 @@ def _msf_loop(graph, weight_col, max_rounds, stats, gear, u, v):
         # and counted inside the checkpoint job — no jumped ⨝ parent
         # comparison join, no second action per jump
         for _ in range(max_rounds):
-            grand = parent.select(
-                F.col("comp").alias("g_comp"), F.col("par").alias("g_par")
+            grand = bcast_if_small(
+                parent.select(
+                    F.col("comp").alias("g_comp"), F.col("par").alias("g_par")
+                ),
+                n_v,
             )
             jumped, _, n_moved = fresh_checkpoint_count(
                 parent.join(
@@ -176,7 +258,10 @@ def _msf_loop(graph, weight_col, max_rounds, stats, gear, u, v):
                 break
         labels = fresh_checkpoint(
             labels.join(
-                parent.select(F.col("comp"), F.col("par").alias("_new")),
+                bcast_if_small(
+                    parent.select(F.col("comp"), F.col("par").alias("_new")),
+                    n_v,
+                ),
                 "comp",
                 "left",
             ).select("vid", F.coalesce("_new", "comp").alias("comp"))

@@ -82,3 +82,154 @@ def clean_corpus(
             ).alias("split"),
         )
     )
+
+
+def clean_corpus_dsir(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    select_fraction: float = 0.25,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    lo: float = -4.0,
+    hi: float = 6.0,
+    n_bins: int = 50,
+    val_fraction: float = 0.1,
+    seed: int = 42,
+    gopher_kwargs: dict | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Scored training-set selection — the end-to-end "select the
+    training mixture" pass (VERDICT r6 task 5), composing the package's
+    already-oracled pieces:
+
+    1. **Hard gate**: the published Gopher rule battery
+       (:func:`giraph_spark.functions.text.gopher_rules`, thresholds via
+       ``gopher_kwargs``) — cheap scan-fused rejection ahead of any
+       hashing, exactly like :func:`clean_corpus`'s quality stage.
+    2. **Scoring**: DSIR log-importance weights of the gate's survivors
+       against the ``target`` exemplar relation
+       (:func:`giraph_spark.functions.sampling.dsir_importance`; the
+       raw-corpus LM is built from the survivors — the population
+       actually being resampled).
+    3. **Resampling, not a hard cutoff** (the DSIR paper's estimator):
+       each survivor's sampling score is its log-importance plus
+       deterministic Gumbel noise ``-ln(-ln(u))`` with ``u`` derived
+       from the md5 id-hash (the portable ``_bucket`` machinery), so
+       keeping the top scores samples ∝ the importance weights — the
+       Gumbel-top-k identity — while staying a pure function of
+       (id, seed) that any SQL engine replays.
+    4. **Threshold calibration** via
+       :func:`giraph_spark.functions.profile.threshold_metrics`: the
+       sampling scores are histogrammed on the FIXED ``[lo, hi)`` grid
+       and the selection threshold is the smallest bin edge keeping at
+       most ``select_fraction`` of the scored survivors (falling back
+       to the top edge if the top bin alone exceeds the budget) —
+       relational end to end, no driver-side quantile collect.
+    5. **Split**: keepers get the hash-of-id train/val assignment.
+
+    Returns ``(id, status, log_importance, sampling_score, split)``
+    with ``status ∈ {'removed_gopher', 'removed_dsir', 'kept'}``;
+    documents the scorer cannot score (zero n-grams) are
+    ``removed_dsir`` with NULL scores — undecidable is never kept.
+
+    Scale shape: gate = zero-shuffle projection; DSIR = one explode +
+    partial-agg per relation with ≤ ``n_buckets``-row broadcast LM
+    tables; calibration = ONE histogram scan + suffix sums over
+    ``n_bins`` rows; the chosen threshold is a broadcast single-row
+    cross join. Nothing quadratic, nothing collected."""
+    from .profile import threshold_metrics
+    from .sampling import BUCKETS, _bucket, dsir_importance
+    from .text import gopher_rules
+
+    gate = gopher_rules(
+        df, text_col=text_col, id_col=id_col, **(gopher_kwargs or {})
+    ).select(F.col(id_col), "passed")
+    survivors = df.select(F.col(id_col), F.col(text_col)).join(
+        gate.where("passed").select(id_col), id_col, "left_semi"
+    )
+    scored = dsir_importance(
+        survivors,
+        target.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        portable=portable,
+    ).select(
+        id_col,
+        # zero-gram documents carry a NULL weight — leave it NULL so
+        # they fall out at the threshold comparison, never mid-pack
+        F.col("log_importance"),
+    )
+    # the Gumbel hash MUST be independent of the split hash: reusing
+    # _bucket(id, seed) for both would hand every val-destined id
+    # (bucket < val_fraction·BUCKETS ⇒ small u ⇒ the lowest noise) a
+    # systematic selection penalty, silently skewing the kept set away
+    # from the val split — hence the distinct seed salt here
+    u = (_bucket(id_col, seed + 1_000_003) + F.lit(0.5)) / F.lit(
+        float(BUCKETS)
+    )
+    scored = scored.withColumn(
+        "sampling_score",
+        F.round(F.col("log_importance") - F.log(-F.log(u)), 6),
+    )
+    curve = threshold_metrics(
+        scored.withColumn("_pos", F.lit(1)),
+        "sampling_score",
+        "_pos",
+        lo=lo,
+        hi=hi,
+        n_bins=n_bins,
+    )
+    thr = (
+        curve.agg(
+            F.min(
+                F.when(
+                    F.col("n_pred_pos")
+                    <= F.floor(
+                        F.lit(float(select_fraction))
+                        * (F.col("tp") + F.col("fn"))
+                    ),
+                    F.col("threshold"),
+                )
+            ).alias("_ok"),
+            F.max("threshold").alias("_top"),
+        )
+        .select(F.coalesce("_ok", "_top").alias("_thr"))
+    )
+    thresh = int(val_fraction * BUCKETS)
+    status = (
+        F.when(F.col("_passed").isNull(), F.lit("removed_gopher"))
+        .when(
+            F.col("sampling_score").isNull()
+            | (F.col("sampling_score") < F.col("_thr")),
+            F.lit("removed_dsir"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(
+            gate.where("passed").select(
+                F.col(id_col), F.lit(True).alias("_passed")
+            ),
+            id_col,
+            "left",
+        )
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.col(id_col),
+            status.alias("status"),
+            "log_importance",
+            "sampling_score",
+            F.when(
+                status == "kept",
+                F.when(
+                    _bucket(id_col, seed) < thresh, F.lit("val")
+                ).otherwise(F.lit("train")),
+            ).alias("split"),
+        )
+    )

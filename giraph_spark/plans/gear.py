@@ -94,3 +94,22 @@ class LoopGear:
                 "spark.sql.shuffle.partitions", str(self.cur)
             )
         return self.cur
+
+
+# Driver-known broadcast gate for round loops: the loops learn exact row
+# counts from each fresh_checkpoint_count fold, so they can decide
+# broadcasts EXACTLY where AQE would have to guess from stale estimates
+# (and AQE is off inside the loops anyway — see LoopGear). 4M few-column
+# rows ≈ tens of MB serialized: trivially within executor memory on any
+# target cluster, far below Spark's 8 GB broadcast ceiling.
+BROADCAST_ROWS = 4_000_000
+
+
+def bcast_if_small(df, n_rows: int, limit: int = BROADCAST_ROWS):
+    """``F.broadcast(df)`` when the caller KNOWS df has ≤ limit rows
+    (from a fold count), else df unchanged. A broadcast side turns the
+    loop's delta anti-joins / state updates into map-side hash joins —
+    zero exchange, the cached big side never moves."""
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if n_rows <= limit else df

@@ -112,30 +112,29 @@ def test_key_fingerprints_match_committed_snapshot():
 
 
 def test_changed_keys_reenter_driver_window():
-    """Every key whose revision is the CURRENT round (changed since its
-    last driver check) must sort inside the driver's 50-key window, so
-    r(N) driver evidence never silently covers r(N-1) code. When MORE
-    keys changed than the window holds (an edit to a widely-imported
-    module re-flags its whole dependency cone), the weaker invariant
-    holds: the window must be filled entirely with changed/never-checked
-    keys, led by the longest-unchecked ones."""
+    """Every key whose driver evidence is INVALID — its implementation
+    fingerprint moved after its last driver check, in ANY round — must
+    sort inside the driver's 50-key window, so stale evidence never
+    silently covers newer code. When MORE such keys exist than the
+    window holds (an edit to a widely-imported module re-flags its
+    whole dependency cone; the overflow then drains over successive
+    rounds), the weaker invariant holds: the window must be filled
+    entirely with changed/never-checked keys, led by the
+    longest-unchecked ones."""
     revs = _key_revs()
-    rnd = revs["round"]
     hist = _history()
 
     def last_checked(k):
         return max(hist.get(k, {0}) or {0})
 
     changed = [
-        k
-        for k, v in revs["revs"].items()
-        if v["rev"] >= rnd and v["rev"] > last_checked(k)
+        k for k, v in revs["revs"].items() if v["rev"] > last_checked(k)
     ]
     ks = list(entry_mod.queries())
     if len(changed) <= DRIVER_WINDOW:
         late = [k for k in changed if k in ks and ks.index(k) >= DRIVER_WINDOW]
         assert not late, (
-            f"keys changed in r{rnd} pushed past the driver window: {late}"
+            f"evidence-invalid keys pushed past the driver window: {late}"
         )
     else:
         window = ks[:DRIVER_WINDOW]
