@@ -1570,6 +1570,74 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(d, min_words=20, min_required_words=1)
 
 
+def _q_decode_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-coverage rollup (VERDICT r6 task 4) over a corpus mixing
+    all five real containers (mixed_media_from_docs), undecodable
+    text blobs ('~'-prefixed so no magic matches; every doc_id % 7 == 0)
+    and IHDR-only truncated PNGs (doc_id % 11 == 0: header metadata
+    parses, content decode fails) — so every coverage outcome occurs:
+    full decode, meta-only, and unknown. Counts are exactly replayable
+    from the fixture's id arithmetic (n_bytes projected out, the
+    compressed-container size precedent of multimodal_metadata)."""
+    from giraph_spark.functions.multimodal import (
+        bmp_media_from_docs,
+        decode_coverage,
+        gif_pixels_media_from_docs,
+        jpeg_media_from_docs,
+        png_media_from_docs,
+        wav_media_from_docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # container cycles by doc_id % 5 over the CONTENT-real generators
+    # (the mixed_media fixture's jpeg/gif are deliberately header-only
+    # and would null out the content tier)
+    slices = [
+        (bmp_media_from_docs, 0),
+        (png_media_from_docs, 1),
+        (gif_pixels_media_from_docs, 2),
+        (jpeg_media_from_docs, 3),
+        (wav_media_from_docs, 4),
+    ]
+    base = None
+    for fixture, k in slices:
+        part = (
+            fixture(docs)
+            .where(F.col("media_id") % 5 == k)
+            .select("media_id", "modality", "payload")
+        )
+        base = part if base is None else base.unionByName(part)
+    text_rows = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id").cast("long") + F.lit(10_000_000)).alias(
+            "media_id"
+        ),
+        F.lit("image").alias("modality"),
+        F.encode(F.concat(F.lit("~"), F.col("text")), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    trunc = (
+        png_media_from_docs(docs)
+        .where(F.col("media_id") % 11 == 0)
+        .select(
+            (F.col("media_id") + F.lit(20_000_000)).alias("media_id"),
+            "modality",
+            F.expr("substring(payload, 1, 33)").alias("payload"),
+        )
+    )
+    return decode_coverage(
+        base.unionByName(text_rows).unionByName(trunc)
+    ).select(
+        "modality",
+        "format",
+        "n_media",
+        "n_meta_decoded",
+        "n_content_decoded",
+        "n_meta_null",
+        "n_content_null",
+    )
+
+
 def _q_clean_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scored training-set selection (VERDICT r6 task 5): Gopher hard
     gate -> DSIR importance weights vs the source='src18' target domain
@@ -2150,6 +2218,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "dsir_importance": _q_dsir_importance,
         "clean_corpus_dsir": _q_clean_corpus_dsir,
+        "decode_coverage": _q_decode_coverage,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
@@ -4111,6 +4180,40 @@ SELECT d2.doc_id,
 FROM (SELECT DISTINCT doc_id FROM d) d2
 LEFT JOIN per_doc p ON p.doc_id = d2.doc_id"""
 
+    # decode_coverage twin: the fixture's container choice, the
+    # undecodable-text rows, and the truncated PNGs are all pure id
+    # arithmetic, so every (modality, format) count is closed-form —
+    # the oracle never touches a byte
+    decode_coverage_sql = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+c AS (
+  SELECT
+    COUNT(*) FILTER (id % 5 = 0) AS bmp,
+    COUNT(*) FILTER (id % 5 = 1) AS png,
+    COUNT(*) FILTER (id % 5 = 2) AS gif,
+    COUNT(*) FILTER (id % 5 = 3) AS jpg,
+    COUNT(*) FILTER (id % 5 = 4) AS wav,
+    COUNT(*) FILTER (id % 7 = 0) AS unk,
+    COUNT(*) FILTER (id % 11 = 0) AS tr
+  FROM d
+)
+SELECT modality, format,
+       CAST(n_media AS BIGINT) AS n_media,
+       CAST(n_meta_decoded AS BIGINT) AS n_meta_decoded,
+       CAST(n_content_decoded AS BIGINT) AS n_content_decoded,
+       CAST(n_media - n_meta_decoded AS BIGINT) AS n_meta_null,
+       CAST(n_media - n_content_decoded AS BIGINT) AS n_content_null
+FROM (
+  SELECT 'image' AS modality, 'bmp' AS format,
+         bmp AS n_media, bmp AS n_meta_decoded, bmp AS n_content_decoded
+  FROM c
+  UNION ALL SELECT 'image', 'png', png + tr, png + tr, png FROM c
+  UNION ALL SELECT 'image', 'gif', gif, gif, gif FROM c
+  UNION ALL SELECT 'image', 'jpeg', jpg, jpg, jpg FROM c
+  UNION ALL SELECT 'audio', 'wav', wav, wav, wav FROM c
+  UNION ALL SELECT 'image', 'unknown', unk, 0, 0 FROM c
+)"""
+
     # clean_corpus_dsir twin: Gopher gate (raw text, min_words=20,
     # min_required_words=1) -> DSIR LMs built from the gate's survivors
     # vs the src18 target -> Gumbel noise from the seed-1000045 md5
@@ -5336,6 +5439,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "gopher_rules": gopher_rules_sql,
         "dsir_importance": dsir_sql,
         "clean_corpus_dsir": clean_corpus_dsir_sql,
+        "decode_coverage": decode_coverage_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,
         "jpeg_pixel_stats": jpeg_pixel_stats_sql,

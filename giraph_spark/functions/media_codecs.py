@@ -1270,3 +1270,26 @@ def make_gif_pixels(
         blocks += bytes([len(chunk)]) + chunk
     blocks.append(0)
     return header + table + desc + bytes(blocks) + b"\x3b"
+
+
+def sniff_format(payload: bytes | None) -> str | None:
+    """Container name from magic bytes alone (no header parse): 'png' /
+    'jpeg' / 'gif' / 'bmp' / 'wav', or None when no supported magic
+    matches. The cheap first tier of decode-coverage accounting — a
+    payload can sniff successfully and still fail its header or content
+    decode (truncated file, unsupported sub-format), which is exactly
+    the distinction :func:`giraph_spark.functions.multimodal.
+    decode_coverage` counts."""
+    if not payload:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return None

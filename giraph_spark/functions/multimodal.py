@@ -69,9 +69,11 @@ def set_content_decoder(
     _CONTENT_DECODERS[modality] = fn
 
 
-def _default_content_decoder(modality: str):
-    if modality in _CONTENT_DECODERS:
-        return _CONTENT_DECODERS[modality]
+def _stdlib_content_decoder(modality: str):
+    """The zero-dependency content decoders that ship by default —
+    module-level and stateless, so UDF closures may safely reference it
+    BY NAME (executors re-import it; there is no registry state to
+    lose)."""
     if modality == "image":
         from .media_codecs import image_pixel_stats
 
@@ -81,6 +83,12 @@ def _default_content_decoder(modality: str):
 
         return wav_sample_stats
     return None
+
+
+def _default_content_decoder(modality: str):
+    if modality in _CONTENT_DECODERS:
+        return _CONTENT_DECODERS[modality]
+    return _stdlib_content_decoder(modality)
 
 
 def decode_metadata(
@@ -106,6 +114,13 @@ def decode_metadata(
         "media_id long, modality string, width long, height long, "
         "n_frames long, duration_s double, n_bytes long"
     )
+    # snapshot the registry ON THE DRIVER: the closure must carry the
+    # registered decoder functions BY VALUE. Referencing the module
+    # global from inside the UDF pickles the lookup by name, and the
+    # executor's re-imported module has an EMPTY registry — set_decoder
+    # would be silently ignored (found by the escape-hatch test,
+    # tests/test_coverage_gaps.py)
+    registered = dict(_DECODERS)
 
     def decode_batches(
         worker_decoders: dict[str, Callable],
@@ -119,7 +134,7 @@ def decode_metadata(
             # it must never abort the whole corpus decode job
             try:
                 return worker_decoders.get(
-                    mod, _DECODERS.get(mod, decode_media_header)
+                    mod, registered.get(mod, decode_media_header)
                 )(payload)
             except Exception:
                 return {}
@@ -181,10 +196,13 @@ def pixel_stats(df: DataFrame) -> DataFrame:
         "mean_r double, mean_g double, mean_b double, "
         "min_px long, max_px long, n_bytes long"
     )
+    # driver-side registry snapshot — see decode_metadata: the
+    # registered decoders must travel to the executors BY VALUE
+    overrides = dict(_CONTENT_DECODERS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def safe(mod, payload):
-            fn = _default_content_decoder(mod)
+            fn = overrides.get(mod) or _stdlib_content_decoder(mod)
             if fn is None:
                 return {}
             try:
@@ -233,10 +251,12 @@ def audio_stats(df: DataFrame) -> DataFrame:
         "n_channels long, n_samples long, duration_s double, "
         "rms double, peak double, n_bytes long"
     )
+    # driver-side registry snapshot — see decode_metadata
+    overrides = dict(_CONTENT_DECODERS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def safe(mod, payload):
-            fn = _default_content_decoder(mod)
+            fn = overrides.get(mod) or _stdlib_content_decoder(mod)
             if fn is None:
                 return {}
             try:
@@ -620,4 +640,107 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         ).alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         F.lit("synthetic").alias("source"),
+    )
+
+
+def decode_coverage(df: DataFrame) -> DataFrame:
+    """Decode-coverage accounting for a media corpus (VERDICT r6 task
+    4): per ``(modality, format)`` — format sniffed from magic bytes —
+    how many blobs there are, how many pass the header-metadata decode,
+    how many pass the content decode (pixel/sample stats), and the
+    byte volume. The data-card number a multimodal ingest needs before
+    training: "we can read 96% of the images by count, the nulls are
+    all progressive JPEG" is this relation, not a guess.
+
+    Returns ``(modality, format, n_media, n_meta_decoded,
+    n_content_decoded, n_meta_null, n_content_null, total_bytes)`` with
+    ``format='unknown'`` for payloads matching no supported magic.
+    Decoder resolution mirrors the stats surfaces exactly —
+    :func:`set_decoder` / :func:`set_content_decoder` overrides first,
+    then the stdlib sniffers/decoders — so a library decoder registered
+    through the escape hatch is counted as coverage the moment it is
+    plugged in.
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` pass over the
+    payloads that emits PER-BATCH PARTIAL aggregates (a few rows per
+    batch, never per blob), then a tiny groupBy over ≤
+    modalities × formats rows — the payload bytes cross no shuffle."""
+    out_schema = (
+        "modality string, format string, n_media long, "
+        "n_meta_decoded long, n_content_decoded long, total_bytes long"
+    )
+    # driver-side registry snapshots — see decode_metadata: coverage
+    # must count exactly what the stats surfaces would decode, including
+    # decoders registered through the escape hatch
+    meta_registered = dict(_DECODERS)
+    content_overrides = dict(_CONTENT_DECODERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import decode_media_header, sniff_format
+
+        def meta_ok(mod, payload):
+            try:
+                m = meta_registered.get(mod, decode_media_header)(payload)
+                return bool(m)
+            except Exception:
+                return False
+
+        def content_ok(mod, payload):
+            fn = content_overrides.get(mod) or _stdlib_content_decoder(mod)
+            if fn is None:
+                return False
+            try:
+                return bool(fn(payload))
+            except Exception:
+                return False
+
+        for pdf in batches:
+            agg: dict[tuple[str, str], list[int]] = {}
+            for mod, payload in zip(
+                pdf["modality"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                key = (mod, sniff_format(payload) or "unknown")
+                row = agg.setdefault(key, [0, 0, 0, 0])
+                row[0] += 1
+                row[1] += meta_ok(mod, payload)
+                row[2] += content_ok(mod, payload)
+                row[3] += len(payload) if payload is not None else 0
+            yield pd.DataFrame(
+                {
+                    "modality": [k[0] for k in agg],
+                    "format": [k[1] for k in agg],
+                    "n_media": [v[0] for v in agg.values()],
+                    "n_meta_decoded": [v[1] for v in agg.values()],
+                    "n_content_decoded": [v[2] for v in agg.values()],
+                    "total_bytes": [v[3] for v in agg.values()],
+                }
+            )
+
+    partial = df.select("media_id", "modality", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+    return (
+        partial.groupBy("modality", "format")
+        .agg(
+            F.sum("n_media").cast("long").alias("n_media"),
+            F.sum("n_meta_decoded").cast("long").alias("n_meta_decoded"),
+            F.sum("n_content_decoded")
+            .cast("long")
+            .alias("n_content_decoded"),
+            F.sum("total_bytes").cast("long").alias("total_bytes"),
+        )
+        .select(
+            "modality",
+            "format",
+            "n_media",
+            "n_meta_decoded",
+            "n_content_decoded",
+            (F.col("n_media") - F.col("n_meta_decoded"))
+            .cast("long")
+            .alias("n_meta_null"),
+            (F.col("n_media") - F.col("n_content_decoded"))
+            .cast("long")
+            .alias("n_content_null"),
+            "total_bytes",
+        )
     )

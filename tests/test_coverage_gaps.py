@@ -239,3 +239,107 @@ def test_trace_vertices_and_assert_invariant(spark):
         from giraph_spark import pregel
 
         pregel(g, **pregel_kwargs)
+
+
+def test_content_decoder_escape_hatch_reaches_executors(spark):
+    """set_content_decoder must flow into the executor-side UDF: the
+    registries are driver-side module globals, so the stats closures
+    must snapshot them BY VALUE at plan-build time (referencing the
+    module global from the UDF resolves against the executor's
+    re-imported — empty — registry, silently ignoring the
+    registration; this test reproduced exactly that before the fix).
+    Also proves decode_coverage counts hatch-registered decoders."""
+    from giraph_spark.functions import multimodal as mm
+
+    def seven_decoder(payload: bytes):
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a jpeg")
+        return {
+            "width": 7, "height": 7, "mean_r": 1.0, "mean_g": 2.0,
+            "mean_b": 3.0, "min_px": 0, "max_px": 9,
+        }
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8fakejpeg"))],
+        "media_id long, modality string, payload binary",
+    )
+    try:
+        mm.set_content_decoder("image", seven_decoder)
+        row = mm.pixel_stats(df).collect()[0]
+        assert (row["width"], row["mean_b"], row["max_px"]) == (7, 3.0, 9)
+        cov = {
+            (r["modality"], r["format"]): r
+            for r in mm.decode_coverage(df).collect()
+        }
+        assert cov[("image", "jpeg")]["n_content_decoded"] == 1
+    finally:
+        mm._CONTENT_DECODERS.clear()
+    # after unregistering, the stdlib tier rejects the fake jpeg again
+    assert mm.pixel_stats(df).collect()[0]["width"] is None
+
+
+def test_metadata_decoder_escape_hatch_reaches_executors(spark):
+    """set_decoder (header-metadata registry) has the same
+    snapshot-by-value requirement as the content registry."""
+    from giraph_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(5, "video", bytearray(b"\x00\x00\x00 ftypisom....")),],
+        "media_id long, modality string, payload binary",
+    )
+    try:
+        mm.set_decoder(
+            "video",
+            lambda p: {"width": 640, "height": 480, "n_frames": 24,
+                       "duration_s": 1.0},
+        )
+        row = mm.decode_metadata(df).collect()[0]
+        assert (row["width"], row["n_frames"]) == (640, 24)
+    finally:
+        mm._DECODERS.clear()
+    assert mm.decode_metadata(df).collect()[0]["width"] is None
+
+
+def test_pil_third_party_content_decoder(spark):
+    """The escape hatch with an ACTUAL third-party library (VERDICT r6
+    task 4): register a Pillow-backed content decoder and decode a
+    format the stdlib tier rejects. Skipped where Pillow is absent —
+    the wiring itself is covered by the snapshot tests above."""
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from giraph_spark.functions import multimodal as mm
+
+    def pil_pixel_stats(payload: bytes):
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        a = np.asarray(img)
+        return {
+            "width": img.width, "height": img.height,
+            "mean_r": float(a[..., 0].mean()),
+            "mean_g": float(a[..., 1].mean()),
+            "mean_b": float(a[..., 2].mean()),
+            "min_px": int(a.min()), "max_px": int(a.max()),
+        }
+
+    # an interlaced (Adam7) PNG: the stdlib decoder REJECTS it by
+    # design; Pillow decodes it
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3), (10, 20, 30)).save(
+        buf, format="PNG", interlace=True
+    )
+    df = spark.createDataFrame(
+        [(9, "image", bytearray(buf.getvalue()))],
+        "media_id long, modality string, payload binary",
+    )
+    assert mm.pixel_stats(df).collect()[0]["width"] is None
+    try:
+        mm.set_content_decoder("image", pil_pixel_stats)
+        row = mm.pixel_stats(df).collect()[0]
+        assert (row["width"], row["height"]) == (4, 3)
+        assert row["mean_b"] == 30.0
+    finally:
+        mm._CONTENT_DECODERS.clear()
