@@ -785,10 +785,28 @@ def stress_extras() -> None:
         (scc.py:21)."""
         g0, half = (3 * n) // 4, n // 2
         v = spark.range(n).select(F.col("id").cast("long").alias("id"))
-        giant = spark.range(g0, n).select(
+        ring = spark.range(g0, n).select(
             F.col("id").alias("src"),
             (F.lit(g0) + (F.col("id") + 1 - g0) % (n - g0)).alias("dst"),
         )
+        # chords keep the giant component ONE SCC (the ring already
+        # strongly connects it) while collapsing its diameter from n/4
+        # to O(log n) — FW-BW traversals are diameter-bound, and scc()
+        # now fails loudly rather than silently splitting a component
+        # whose diameter exceeds max_supersteps
+        chords = (
+            spark.range(g0, n)
+            .where(F.pmod(F.col("id"), F.lit(8)) == 0)
+            .select(
+                F.col("id").alias("src"),
+                (
+                    F.lit(g0)
+                    + F.pmod(F.col("id") * 2654435761, F.lit(n - g0))
+                ).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        giant = ring.unionAll(chords)
 
         def tri_cycles(lo, hi):
             off = F.col("id") - lo
@@ -870,7 +888,26 @@ def stress_extras() -> None:
             "maximal_independent_set",
             lambda s: maximal_independent_set(g_undir, stats=s),
         )
-        run("scc_layered", lambda s: scc(layered, stats=s))
+        t0 = time.monotonic()
+        stats_scc: dict = {}
+        comp = scc(layered, stats=stats_scc).persist()
+        n_rows = comp.count()
+        sizes = comp.groupBy("scc").count()
+        n_sccs, max_scc = sizes.agg(
+            F.count(F.lit(1)), F.max("count")
+        ).first()
+        comp.unpersist()
+        # closed-form truth for the layered fixture: the giant ring is
+        # one SCC of n/4 vertices — a wrong (split) answer is visible
+        # right in the counters, not just a row count
+        r["scc_layered"] = {
+            "sec": round(time.monotonic() - t0, 3),
+            "rows": n_rows,
+            "n_sccs": n_sccs,
+            "max_scc_size": max_scc,
+            "expected_max_scc": n_v - (3 * n_v) // 4,
+            **stats_scc,
+        }
         edges.unpersist()
         out[f"x{scale}"] = r
     names = [

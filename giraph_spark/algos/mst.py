@@ -112,6 +112,7 @@ def minimum_spanning_forest(
     weight_col: str = "weight",
     max_rounds: int = 40,
     stats: dict | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Exact minimum spanning forest of the undirected graph induced by
     ``graph.edges``: edges are canonicalized to ``u = least(src, dst) <
@@ -120,35 +121,61 @@ def minimum_spanning_forest(
     any directed/asymmetric relation is accepted as-is. Returns the
     forest edge relation ``(u, v, weight)`` — one spanning tree per
     connected component, ``n_vertices − n_components`` rows, unique
-    under the (weight, u, v) total order."""
+    under the (weight, u, v) total order.
+
+    ``assume_canonical=True`` declares the edge relation ALREADY
+    canonical (``src < dst``, unique, lightest parallel edge kept —
+    e.g. a table written by :func:`save_msf_input`): the canonicalize
+    groupBy and the input checkpoint are skipped, so a bucketed scan's
+    hash partitioning flows straight into round 1's ``u``-side join —
+    zero input exchange on the edge relation (plan-asserted in
+    tests/test_mst.py). The repeated-run storage layout."""
     src, dst = graph.src_col, graph.dst_col
     u = F.least(F.col(src), F.col(dst))
     v = F.greatest(F.col(src), F.col(dst))
     spark = graph.edges.sparkSession
     with LoopGear(spark) as gear:
         return _msf_loop(
-            graph, weight_col, max_rounds, stats, gear, u, v
+            graph, weight_col, max_rounds, stats, gear, u, v,
+            assume_canonical,
         )
 
 
-def _msf_loop(graph, weight_col, max_rounds, stats, gear, u, v):
+def _msf_loop(
+    graph, weight_col, max_rounds, stats, gear, u, v, assume_canonical
+):
     src, dst = graph.src_col, graph.dst_col
-    live = fresh_checkpoint(
-        graph.edges.where(F.col(src) != F.col(dst))
-        .select(
-            u.cast("long").alias("u"),
-            v.cast("long").alias("v"),
+    if assume_canonical:
+        # keep the relation LAZY over its (possibly bucketed) scan: a
+        # checkpoint here would wrap it in a LogicalRDD with unknown
+        # partitioning and forfeit the storage layout
+        live = graph.edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
             F.col(weight_col).cast("double").alias("w"),
         )
-        .groupBy("u", "v")
-        .agg(F.min("w").alias("w"))
-    )
-    labels, n_v, _ = fresh_checkpoint_count(
-        graph.vertices.select(
+        labels = graph.vertices.select(
             F.col(graph.id_col).cast("long").alias("vid"),
             F.col(graph.id_col).cast("long").alias("comp"),
         )
-    )
+        n_v = graph.vertices.count()
+    else:
+        live = fresh_checkpoint(
+            graph.edges.where(F.col(src) != F.col(dst))
+            .select(
+                u.cast("long").alias("u"),
+                v.cast("long").alias("v"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .groupBy("u", "v")
+            .agg(F.min("w").alias("w"))
+        )
+        labels, n_v, _ = fresh_checkpoint_count(
+            graph.vertices.select(
+                F.col(graph.id_col).cast("long").alias("vid"),
+                F.col(graph.id_col).cast("long").alias("comp"),
+            )
+        )
     gear.floor_rows = n_v  # the per-round O(V) label rewrite
     forest = None
 

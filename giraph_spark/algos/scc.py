@@ -29,7 +29,23 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.checkpoint import fresh_checkpoint_count
-from ..pregel import MSG, pregel
+from ..pregel import MSG, PregelMetrics, pregel
+
+
+def _converged_or_raise(m: PregelMetrics, phase: str, cap: int) -> None:
+    """A traversal pregel that runs straight into its superstep cap with
+    messages still in flight has NOT converged — its state is a partial
+    propagation, and using it would assign WRONG components (a giant
+    cycle, diameter n, silently splits into arcs). Fail loudly instead,
+    like k_core/k_truss on an unfinished peel."""
+    steps = m.supersteps
+    if len(steps) >= cap and steps[-1]["messages"] > 0:
+        raise RuntimeError(
+            f"scc: {phase} traversal hit max_supersteps={cap} with "
+            "messages still in flight — the component structure needs "
+            "more supersteps (its diameter exceeds the cap); raise "
+            "max_supersteps"
+        )
 
 
 def scc(
@@ -69,8 +85,10 @@ def scc(
         sub = Graph(remaining, e, id_col, src, dst)
 
         # Phase 1: forward max-coloring (FORWARD_TRAVERSAL)
+        m_fwd = PregelMetrics()
         colored = pregel(
             sub,
+            metrics=m_fwd,
             initial={"_color": F.col(id_col).cast("long")},
             update=lambda ctx: {
                 "_color": F.greatest(F.col("_color"), F.col(MSG)),
@@ -83,12 +101,15 @@ def scc(
             vote_to_halt=F.lit(True),
             max_supersteps=max_supersteps,
         ).select(id_col, "_color")
+        _converged_or_raise(m_fwd, "forward", max_supersteps)
 
         # Phase 2: backward membership flood within color class
         # (BACKWARD_TRAVERSAL): roots send color along reversed edges.
         csub = Graph(colored, e, id_col, src, dst)
+        m_bwd = PregelMetrics()
         member = pregel(
             csub,
+            metrics=m_bwd,
             initial={"_member": F.col("_color") == F.col(id_col)},
             update=lambda ctx: {
                 "_member": F.col("_member")
@@ -111,6 +132,7 @@ def scc(
             vote_to_halt=F.lit(True),
             max_supersteps=max_supersteps,
         ).select(id_col, "_color", "_member")
+        _converged_or_raise(m_bwd, "backward", max_supersteps)
 
         found = member.filter(F.col("_member")).select(
             id_col, F.col("_color").cast("long").alias(scc_col)

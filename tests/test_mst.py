@@ -87,3 +87,63 @@ def test_msf_empty_graph(spark):
     vertices = spark.createDataFrame([(1,), (2,)], "id long")
     edges = spark.createDataFrame([], "src long, dst long, weight double")
     assert minimum_spanning_forest(Graph(vertices, edges)).count() == 0
+
+
+def test_msf_bucketed_canonical_input_zero_input_exchange(spark, sf_dir):
+    """VERDICT r6 task 7: a canonical-edge table written once by
+    save_msf_input enters the MSF loop with ZERO input exchange — the
+    canonicalize groupBy comes from storage, and round 1's u-side join
+    reads the bucketing from both scans (plan-asserted, mirroring the
+    kernel's bucketed-layout test) — while assume_canonical=True
+    produces the exact forest of the from-scratch path."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from giraph_spark.algos.mst import (
+        load_msf_input,
+        minimum_spanning_forest,
+        save_msf_input,
+    )
+    from giraph_spark.plans.fixtures import trade_graph
+
+    g = trade_graph(spark, sf_dir, directed=True)
+    save_msf_input(g, "msf_bucket_test", buckets=4)
+    try:
+        loaded = load_msf_input(spark, "msf_bucket_test")
+        assert loaded.edges_layout == ("u", 4)
+        assert loaded.vertices_layout == ("id", 4)
+
+        # round-1 u-side join shape: both sides read their bucketing
+        # from storage — no Exchange anywhere in the join plan
+        live = loaded.edges.select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        lu = loaded.vertices.select(
+            F.col("id").cast("long").alias("u"),
+            F.col("id").cast("long").alias("cu"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            live.hint("shuffle_hash").join(lu, "u").explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count("Bucketed: true") == 2
+        assert "Exchange" not in plan
+
+        got = {
+            (r["u"], r["v"]): r["weight"]
+            for r in minimum_spanning_forest(
+                loaded, assume_canonical=True
+            ).collect()
+        }
+        want = {
+            (r["u"], r["v"]): r["weight"]
+            for r in minimum_spanning_forest(g).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS msf_bucket_test_vertices")
+        spark.sql("DROP TABLE IF EXISTS msf_bucket_test_edges")
