@@ -796,7 +796,7 @@ def stress_extras() -> None:
         # whose diameter exceeds max_supersteps
         chords = (
             spark.range(g0, n)
-            .where(F.pmod(F.col("id"), F.lit(8)) == 0)
+            .where(F.pmod(F.col("id"), F.lit(2)) == 0)
             .select(
                 F.col("id").alias("src"),
                 (
@@ -890,7 +890,7 @@ def stress_extras() -> None:
         )
         t0 = time.monotonic()
         stats_scc: dict = {}
-        comp = scc(layered, stats=stats_scc).persist()
+        comp = scc(layered, max_supersteps=400, stats=stats_scc).persist()
         n_rows = comp.count()
         sizes = comp.groupBy("scc").count()
         n_sccs, max_scc = sizes.agg(

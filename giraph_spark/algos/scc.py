@@ -57,7 +57,9 @@ def scc(
 ) -> DataFrame:
     """Returns ``(id, scc)`` where ``scc`` = max vertex id of the strongly
     connected component. ``stats``, if given, records ``rounds`` (FW-BW
-    layers peeled — the reference's phase-machine cycle count)."""
+    layers peeled — the reference's phase-machine cycle count) and
+    ``supersteps`` (total across all forward+backward traversals — the
+    diameter-bound quantity the scale-stress harness tracks)."""
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
 
     remaining = graph.vertices.select(id_col)
@@ -133,6 +135,12 @@ def scc(
             max_supersteps=max_supersteps,
         ).select(id_col, "_color", "_member")
         _converged_or_raise(m_bwd, "backward", max_supersteps)
+        if stats is not None:
+            stats["supersteps"] = (
+                stats.get("supersteps", 0)
+                + m_fwd.num_supersteps
+                + m_bwd.num_supersteps
+            )
 
         found = member.filter(F.col("_member")).select(
             id_col, F.col("_color").cast("long").alias(scc_col)
