@@ -1704,6 +1704,26 @@ def _q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_png_interlaced_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7 decode end-to-end (r7: interlace joined the zero-dep
+    envelope): the same solid-color PNGs as png_pixel_stats written in
+    the seven-pass layout with filters cycling over PASS rows — the
+    decoder unfilters each pass independently and scatters it onto the
+    grid, so the closed-form stats oracle is IDENTICAL to the
+    sequential key's."""
+    from giraph_spark.functions.multimodal import (
+        pixel_stats,
+        png_media_from_docs,
+    )
+
+    return pixel_stats(
+        png_media_from_docs(_docs(spark, sf_dir), interlace=True)
+    ).select(
+        "media_id", "modality", "width", "height",
+        "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+    )
+
+
 def _q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode end-to-end: solid-gray DCT-coded JPEGs
     generated from doc ids (all-ones quant table makes the constant
@@ -2221,6 +2241,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_coverage": _q_decode_coverage,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
+        "png_interlaced_pixel_stats": _q_png_interlaced_pixel_stats,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         "gif_pixel_stats": _q_gif_pixel_stats,
         "wav_audio_stats": _q_wav_audio_stats,
@@ -5442,6 +5463,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "decode_coverage": decode_coverage_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,
+        "png_interlaced_pixel_stats": png_pixel_stats_sql,
         "jpeg_pixel_stats": jpeg_pixel_stats_sql,
         "gif_pixel_stats": gif_pixel_stats_sql,
         "wav_audio_stats": wav_audio_stats_sql,

@@ -158,6 +158,59 @@ def parse_bmp_pixels(payload: bytes):
     return h, width, px[:, :, :3]
 
 
+#: Adam7 pass grid (x_start, y_start, x_step, y_step), PNG spec §8.2 —
+#: together the seven passes tile the plane exactly once
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, n_rows: int, stride: int, bpp: int):
+    """Undo the five PNG scanline filters (spec §9) over ``n_rows``
+    consecutive scanlines of ``stride`` bytes starting at ``pos`` —
+    shared by the sequential path (one call) and each Adam7 pass (its
+    filters reference the previous row of the SAME pass). Returns
+    ``(uint8 array (n_rows, stride), next pos)``."""
+    import numpy as np
+
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    for y in range(n_rows):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        cur = line.astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-recon
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]                          # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out, pos
+
+
 def parse_png_pixels(payload: bytes):
     """Full CONTENT decode of a PNG with zero codec deps (stdlib zlib +
     struct + numpy): returns ``(height, width, pixels)`` with ``pixels``
@@ -172,11 +225,10 @@ def parse_png_pixels(payload: bytes):
     palette (3, resolved through the PLTE chunk to RGB), gray+alpha
     (4), RGBA (6); compression method 0 and filter method 0 only (the
     only values the PNG spec defines, but a nonzero byte means a
-    format we cannot decode); interlace method 0 (non-interlaced) only
-    — Adam7 (1) reorders scanlines into seven passes, so reading its
-    stream as sequential rows would decode WRONG non-null pixels
-    rather than fail. Register a library decoder for anything outside
-    this envelope."""
+    format we cannot decode); interlace methods 0 (sequential) and
+    1 (Adam7 — each of the seven passes unfiltered independently and
+    scattered onto the full grid, spec §8.2). Register a library
+    decoder for anything outside this envelope."""
     import numpy as np
 
     if not payload.startswith(PNG_SIGNATURE):
@@ -208,10 +260,8 @@ def parse_png_pixels(payload: bytes):
                     "unsupported PNG compression/filter method "
                     f"({compression}/{filter_method})"
                 )
-            if interlace != 0:
-                # Adam7 pass layout would be misread as sequential
-                # scanlines -> wrong pixels, not an error; reject early
-                raise ValueError("interlaced (Adam7) PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
         elif tag == b"PLTE":
             plte = body
         elif tag == b"IDAT":
@@ -237,38 +287,29 @@ def parse_png_pixels(payload: bytes):
     bpp = channels * sample_bytes  # filter offset unit (spec: bytes)
     raw = zlib.decompress(b"".join(idat))
     stride = width * bpp
-    if len(raw) < height * (stride + 1):
-        raise ValueError("truncated PNG scanline data")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
-        pos += stride + 1
-        cur = line.astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
-        if ftype == 0:  # None
-            rec = cur
-        elif ftype == 2:  # Up
-            rec = (cur + prev) % 256
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-recon
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0  # left
-                b = prev[x]                          # up
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) // 2
-                else:  # Paeth
-                    c = prev[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                rec[x] = (cur[x] + pred) % 256
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = rec.astype(np.uint8)
+    if interlace == 0:
+        if len(raw) < height * (stride + 1):
+            raise ValueError("truncated PNG scanline data")
+        out, _ = _png_unfilter(raw, 0, height, stride, bpp)
+    else:
+        # Adam7 (PNG spec §8.2): seven sub-images, each its OWN
+        # filtered scanline sequence (filters reference the previous
+        # row of the SAME pass), scattered onto the full grid by the
+        # pass's (x0, y0, dx, dy). Passes whose sub-image is empty
+        # contribute no bytes at all — not even filter bytes.
+        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            if len(raw) < pos + ph * (pstride + 1):
+                raise ValueError("truncated PNG scanline data")
+            arr, pos = _png_unfilter(raw, pos, ph, pstride, bpp)
+            px[y0::dy, x0::dx, :] = arr.reshape(ph, pw, bpp)
+        out = px.reshape(height, stride)
     if sample_bytes == 2:
         out = out[:, ::2]  # MSB of each 16-bit sample = spec scaling to 8-bit
     px = out.reshape(height, width, channels)
@@ -474,6 +515,7 @@ def make_png(
     rows: list[bytes] | None = None,
     channels: int = 1,
     filters: list[int] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """A valid minimal 8-bit PNG. ``rows`` optionally supplies the RAW
     (unfiltered) pixel bytes — ``height`` strings of ``width·channels``
@@ -482,12 +524,16 @@ def make_png(
     scanline filter (0–4, default all 0) and the encoder applies the
     spec's difference so a conforming decoder reconstructs ``rows``
     exactly — the test harness for :func:`parse_png_pixels`' filter
-    reconstruction. Default remains the 8-bit grayscale zero image."""
+    reconstruction. ``interlace=True`` writes the Adam7 pass layout
+    (spec §8.2: seven sub-images, each its own filtered scanline
+    sequence, empty passes omitted entirely); the per-row ``filters``
+    then index PASS rows in stream order — the encode-side twin of the
+    decoder's interlaced path. Default remains the 8-bit grayscale
+    zero image."""
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = width * channels
     if rows is None:
         rows = [b"\x00" * stride] * height
-    filters = filters if filters is not None else [0] * height
     if len(rows) != height or any(len(r) != stride for r in rows):
         raise ValueError("rows must be height strings of width*channels bytes")
 
@@ -499,29 +545,72 @@ def make_png(
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    raw = bytearray()
-    prev = bytes(stride)
-    for y, (cur, f) in enumerate(zip(rows, filters)):
-        raw.append(f)
-        for x in range(stride):
-            a = cur[x - channels] if x >= channels else 0
-            b = prev[x]
-            c = prev[x - channels] if x >= channels else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = b
-            elif f == 3:
-                pred = (a + b) // 2
-            else:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-            raw.append((cur[x] - pred) % 256)
-        prev = cur
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    def filter_rows(seq_rows: list[bytes], fs: list[int]) -> bytearray:
+        out = bytearray()
+        w = len(seq_rows[0]) if seq_rows else 0
+        prev = bytes(w)
+        for cur, f in zip(seq_rows, fs):
+            out.append(f)
+            for x in range(w):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                out.append((cur[x] - pred) % 256)
+            prev = cur
+        return out
+
+    if not interlace:
+        fs = filters if filters is not None else [0] * height
+        raw = filter_rows(rows, fs)
+    else:
+        # Adam7: extract each pass's sub-image and filter it as its own
+        # scanline sequence (prev row = previous row of the SAME pass)
+        pass_rows: list[bytes] = []
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for j in range(ph):
+                full = rows[y0 + j * dy]
+                pass_rows.append(
+                    b"".join(
+                        full[(x0 + i * dx) * channels :][:channels]
+                        for i in range(pw)
+                    )
+                )
+        fs = filters if filters is not None else [0] * len(pass_rows)
+        if len(fs) != len(pass_rows):
+            raise ValueError(
+                f"interlaced filters must cover {len(pass_rows)} pass rows"
+            )
+        # pass rows have varying widths — filter each pass separately
+        raw = bytearray()
+        k = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            raw += filter_rows(pass_rows[k : k + ph], fs[k : k + ph])
+            k += ph
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, int(interlace)
+    )
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)

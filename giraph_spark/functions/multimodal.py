@@ -382,18 +382,29 @@ def bmp_media_from_docs(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def png_media_from_docs(docs: DataFrame) -> DataFrame:
+def png_media_from_docs(docs: DataFrame, interlace: bool = False) -> DataFrame:
     """Deterministic REAL-PNG media table derived from ``documents``:
     per doc a solid-color 8-bit RGB PNG with ``width = 1 + id % 7``,
     ``height = 1 + id % 4``, RGB ``(id·13 % 256, id·7 % 256,
     id % 256)`` and the scanline FILTER cycling ``y % 5`` over the
     rows — solid content keeps every statistic a closed-form function
     of the id while still forcing the decoder through all five filter
-    reconstructions. The PNG twin of :func:`bmp_media_from_docs`."""
+    reconstructions. The PNG twin of :func:`bmp_media_from_docs`.
+    ``interlace=True`` writes the same images in the Adam7 pass layout
+    (filters cycling over PASS rows), driving the decoder's interlaced
+    path with the identical closed-form stats."""
     ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .media_codecs import make_png
+        from .media_codecs import ADAM7_PASSES, make_png
+
+        def n_pass_rows(w: int, h: int) -> int:
+            return sum(
+                (h - y0 + dy - 1) // dy
+                for (x0, y0, dx, dy) in ADAM7_PASSES
+                if (w - x0 + dx - 1) // dx > 0
+                and (h - y0 + dy - 1) // dy > 0
+            )
 
         for pdf in batches:
             payloads = []
@@ -401,10 +412,12 @@ def png_media_from_docs(docs: DataFrame) -> DataFrame:
                 mid = int(mid)
                 w, h = 1 + mid % 7, 1 + mid % 4
                 row = bytes([mid * 13 % 256, mid * 7 % 256, mid % 256]) * w
+                n_rows = n_pass_rows(w, h) if interlace else h
                 payloads.append(
                     make_png(
                         w, h, rows=[row] * h, channels=3,
-                        filters=[y % 5 for y in range(h)],
+                        filters=[y % 5 for y in range(n_rows)],
+                        interlace=interlace,
                     )
                 )
             yield pd.DataFrame(

@@ -155,3 +155,64 @@ def test_jpeg_restart_interval_roundtrip(bw, bh, ri, data):
     assert (hh, ww) == (bh * 8, bw * 8)
     got = [int(px[by * 8, bx * 8, 0]) for by in range(bh) for bx in range(bw)]
     assert got == blocks
+
+
+def test_png_adam7_interlace_round_trip():
+    """Adam7 (interlace 1) is now INSIDE the decode envelope: the
+    encoder writes the seven-pass layout (empty passes omitted, each
+    pass its own filtered scanline sequence) and the decoder scatters
+    the unfiltered passes back onto the grid — pixels must equal the
+    sequential encoding of the same image for every size class
+    (single-pixel, sub-8x8 images with most passes empty, all channel
+    counts) and with every filter type inside the passes."""
+    import random
+
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import (
+        ADAM7_PASSES,
+        make_png,
+        parse_png_pixels,
+    )
+
+    cover = np.zeros((8, 8), int)
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        cover[y0::dy, x0::dx] += 1
+    assert (cover == 1).all(), "Adam7 passes must tile the plane once"
+
+    rng = random.Random(7)
+    for _ in range(60):
+        w, h = rng.randint(1, 13), rng.randint(1, 13)
+        ch = rng.choice([1, 2, 3, 4])
+        rows = [
+            bytes(rng.randrange(256) for _ in range(w * ch))
+            for _ in range(h)
+        ]
+        want = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, ch)
+        _, _, seq = parse_png_pixels(make_png(w, h, rows=rows, channels=ch))
+        _, _, inter = parse_png_pixels(
+            make_png(w, h, rows=rows, channels=ch, interlace=True)
+        )
+        assert np.array_equal(seq, want)
+        assert np.array_equal(inter, want), (w, h, ch)
+    # filtered pass rows (all five filter types, within-pass reference)
+    for _ in range(40):
+        w, h = rng.randint(1, 9), rng.randint(1, 9)
+        ch = rng.choice([1, 3])
+        rows = [
+            bytes(rng.randrange(256) for _ in range(w * ch))
+            for _ in range(h)
+        ]
+        n_pass_rows = sum(
+            (h - y0 + dy - 1) // dy
+            for (x0, y0, dx, dy) in ADAM7_PASSES
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        )
+        fs = [rng.randrange(5) for _ in range(n_pass_rows)]
+        _, _, inter = parse_png_pixels(
+            make_png(
+                w, h, rows=rows, channels=ch, interlace=True, filters=fs
+            )
+        )
+        want = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, ch)
+        assert np.array_equal(inter, want), (w, h, ch)

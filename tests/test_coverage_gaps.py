@@ -325,21 +325,22 @@ def test_pil_third_party_content_decoder(spark):
             "min_px": int(a.min()), "max_px": int(a.max()),
         }
 
-    # an interlaced (Adam7) PNG: the stdlib decoder REJECTS it by
-    # design; Pillow decodes it
+    # a progressive JPEG: the stdlib baseline decoder REJECTS it by
+    # design (spectral selection needs a progressive scan machine);
+    # Pillow decodes it
     buf = io.BytesIO()
     Image.new("RGB", (4, 3), (10, 20, 30)).save(
-        buf, format="PNG", interlace=True
+        buf, format="JPEG", progressive=True, quality=95
     )
     df = spark.createDataFrame(
         [(9, "image", bytearray(buf.getvalue()))],
         "media_id long, modality string, payload binary",
     )
-    assert mm.pixel_stats(df).collect()[0]["width"] is None
+    assert mm.pixel_stats(df).collect()[0]["mean_r"] is None
     try:
         mm.set_content_decoder("image", pil_pixel_stats)
         row = mm.pixel_stats(df).collect()[0]
         assert (row["width"], row["height"]) == (4, 3)
-        assert row["mean_b"] == 30.0
+        assert abs(row["mean_b"] - 30.0) <= 3.0  # JPEG is lossy
     finally:
         mm._CONTENT_DECODERS.clear()
