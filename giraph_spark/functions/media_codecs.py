@@ -410,24 +410,29 @@ def parse_wav(payload: bytes) -> dict[str, Any]:
 
 
 def parse_wav_samples(payload: bytes):
-    """Full CONTENT decode of a PCM WAV with zero codec deps (struct +
-    numpy): returns ``(sample_rate, n_channels, samples)`` where
-    ``samples`` is a float64 array normalized to [-1, 1] (frames ×
-    channels flattened; 8-bit unsigned and 16-bit signed PCM — the two
-    layouts the RIFF spec defines for linear PCM). Raises ``ValueError``
-    for non-PCM codecs or truncated data."""
+    """Full CONTENT decode of a linear-PCM / IEEE-float WAV with zero
+    codec deps (struct + numpy): returns ``(sample_rate, n_channels,
+    samples)`` where ``samples`` is a float64 array normalized to
+    [-1, 1] (frames × channels flattened). Supported sample layouts:
+    integer PCM at 8 (unsigned) / 16 / 24 / 32 bits (signed LE) and
+    IEEE float at 32 / 64 bits (format code 3), in either a plain fmt
+    chunk or a WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapper, whose SubFormat
+    GUID's leading code selects the real layout. Compressed codecs
+    (ADPCM, MP3-in-WAV, ...) raise ``ValueError``."""
     import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     i, n = 12, len(payload)
     fmt = None
+    fmt_body = b""
     data = None
     while i + 8 <= n:
         cid = payload[i : i + 4]
         size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
         if cid == b"fmt " and i + 8 + 16 <= n:
-            fmt = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+            fmt_body = payload[i + 8 : i + 8 + size]
+            fmt = struct.unpack("<HHIIHH", fmt_body[:16])
         elif cid == b"data":
             if i + 8 + size > n:
                 raise ValueError("truncated WAV data chunk")
@@ -436,19 +441,58 @@ def parse_wav_samples(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1:
-        raise ValueError("non-PCM WAV not supported")
-    if bits == 8:  # unsigned, midpoint 128
-        samples = (
-            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
-        ) / 128.0
-    elif bits == 16:  # signed little-endian
-        samples = (
-            np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.float64)
-            / 32768.0
-        )
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the leading
+        # u16 of the SubFormat GUID (fmt body offset 24: after the
+        # 16-byte base, cbSize u16, valid-bits u16, channel-mask u32)
+        if len(fmt_body) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+    if audio_format == 1:
+        if bits == 8:  # unsigned, midpoint 128
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                - 128.0
+            ) / 128.0
+        elif bits == 16:  # signed little-endian
+            samples = (
+                np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(
+                    np.float64
+                )
+                / 32768.0
+            )
+        elif bits == 24:  # 3-byte signed little-endian
+            usable = len(data) - len(data) % 3
+            b = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+            raw = (
+                b[:, 0].astype(np.int64)
+                | (b[:, 1].astype(np.int64) << 8)
+                | (b[:, 2].astype(np.int64) << 16)
+            )
+            raw -= (raw >> 23) << 24  # sign-extend bit 23
+            samples = raw.astype(np.float64) / 8388608.0
+        elif bits == 32:
+            samples = (
+                np.frombuffer(data[: len(data) & ~3], dtype="<i4").astype(
+                    np.float64
+                )
+                / 2147483648.0
+            )
+        else:
+            raise ValueError(f"unsupported PCM width {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(
+                data[: len(data) & ~3], dtype="<f4"
+            ).astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(
+                data[: len(data) - len(data) % 8], dtype="<f8"
+            ).astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float width {bits}")
     else:
-        raise ValueError(f"unsupported PCM width {bits}")
+        raise ValueError(f"compressed WAV codec {audio_format} not supported")
     return sample_rate, n_channels, samples
 
 
@@ -672,14 +716,37 @@ def make_jpeg(width: int, height: int) -> bytes:
 
 
 def make_wav(
-    duration_s: float, sample_rate: int = 8000, data: bytes | None = None
+    duration_s: float,
+    sample_rate: int = 8000,
+    data: bytes | None = None,
+    bits: int = 8,
+    audio_format: int = 1,
+    extensible: bool = False,
 ) -> bytes:
-    """A valid minimal 8-bit mono PCM WAV of the given duration; ``data``
-    optionally supplies the raw unsigned-8-bit sample bytes (midpoint
-    0x80), overriding the silent default of ``duration_s`` samples."""
+    """A valid minimal mono WAV of the given duration; ``data``
+    optionally supplies the raw sample bytes (for the 8-bit default:
+    unsigned with midpoint 0x80), overriding the silent default of
+    ``duration_s`` samples. ``bits``/``audio_format`` select the sample
+    layout (1 = integer PCM at 8/16/24/32, 3 = IEEE float at 32/64);
+    ``extensible=True`` wraps it in a WAVE_FORMAT_EXTENSIBLE fmt chunk
+    whose SubFormat GUID carries the real code — the layouts
+    :func:`parse_wav_samples` decodes."""
+    step = bits // 8
     if data is None:
-        data = b"\x80" * int(duration_s * sample_rate)
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+        data = (b"\x80" if bits == 8 else b"\x00" * step) * int(
+            duration_s * sample_rate
+        )
+    block = step
+    base_code = 0xFFFE if extensible else audio_format
+    fmt = struct.pack(
+        "<HHIIHH", base_code, 1, sample_rate, sample_rate * block, block, bits
+    )
+    if extensible:
+        # cbSize=22, wValidBitsPerSample, dwChannelMask, SubFormat GUID
+        # (format code + the fixed KSDATAFORMAT tail)
+        fmt += struct.pack("<HHI", 22, bits, 0x4) + struct.pack(
+            "<H", audio_format
+        ) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body

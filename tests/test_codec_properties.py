@@ -216,3 +216,45 @@ def test_png_adam7_interlace_round_trip():
         )
         want = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, ch)
         assert np.array_equal(inter, want), (w, h, ch)
+
+
+def test_wav_float_and_wide_pcm_layouts_round_trip():
+    """r7 WAV envelope extension: integer PCM at 24/32 bits, IEEE float
+    at 32/64 bits, and the WAVE_FORMAT_EXTENSIBLE wrapper (real code in
+    the SubFormat GUID) all decode to the normalized sample array;
+    compressed codecs still reject-to-ValueError."""
+    import numpy as np
+    import pytest
+
+    from giraph_spark.functions.media_codecs import (
+        make_wav,
+        parse_wav_samples,
+    )
+
+    vals = np.linspace(-0.9, 0.9, 64)
+    cases = [
+        (1, 16, (vals * 32768).clip(-32768, 32767).astype("<i2").tobytes(),
+         False, 1e-4),
+        (1, 24, b"".join(
+            int(int(x) & 0xFFFFFF).to_bytes(3, "little")
+            for x in (vals * 8388608).clip(-8388608, 8388607).astype(np.int64)
+        ), False, 1e-6),
+        (1, 32, (vals * 2147483648).clip(-2**31, 2**31 - 1)
+         .astype("<i4").tobytes(), False, 1e-8),
+        (3, 32, vals.astype("<f4").tobytes(), False, 1e-6),
+        (3, 64, vals.astype("<f8").tobytes(), False, 0.0),
+        (3, 32, vals.astype("<f4").tobytes(), True, 1e-6),
+        (1, 16, (vals * 32768).clip(-32768, 32767).astype("<i2").tobytes(),
+         True, 1e-4),
+    ]
+    for fmt, bits, enc, ext, tol in cases:
+        rate, ch, s = parse_wav_samples(
+            make_wav(0, 8000, data=enc, bits=bits, audio_format=fmt,
+                     extensible=ext)
+        )
+        assert (rate, ch) == (8000, 1)
+        assert np.abs(s - vals).max() <= tol, (fmt, bits, ext)
+    with pytest.raises(ValueError, match="compressed WAV codec"):
+        parse_wav_samples(
+            make_wav(0, 8000, data=b"\x00" * 10, bits=8, audio_format=2)
+        )
