@@ -271,54 +271,78 @@ def parse_png_pixels(payload: bytes):
         i += 12 + length  # length + tag + body + crc
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if bit_depth not in (8, 16):
-        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if bit_depth in (1, 2, 4):
+        # packed sub-byte samples: legal for grayscale and palette only
+        if color_type not in (0, 3):
+            raise ValueError(
+                f"bit depth {bit_depth} illegal for color type {color_type}"
+            )
+    elif bit_depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
     if color_type == 3:
-        if bit_depth != 8:
-            # palette entries are 8-bit; 16-bit palette images are
-            # illegal per the spec, packed sub-byte depths unsupported
-            raise ValueError("palette PNG supported at bit depth 8 only")
+        if bit_depth == 16:
+            raise ValueError("16-bit palette PNG is illegal per the spec")
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/odd PLTE chunk")
-    sample_bytes = bit_depth // 8
-    bpp = channels * sample_bytes  # filter offset unit (spec: bytes)
+    bits_pp = channels * bit_depth
+    # filter offset unit (spec §9: bytes per pixel, rounded UP to one)
+    filter_bpp = max(1, bits_pp // 8)
+
+    def stride_of(w: int) -> int:
+        return (w * bits_pp + 7) // 8
+
+    def rows_to_samples(arr, w: int):
+        """(rows, stride_of(w)) unfiltered bytes -> (rows, w, channels)
+        uint8 samples: MSB truncation for 16-bit (the spec's own
+        sample-depth scaling), MSB-first bit unpacking for 1/2/4."""
+        if bit_depth >= 8:
+            sb = bit_depth // 8
+            px8 = arr.reshape(arr.shape[0], w * channels, sb)[:, :, 0]
+            return px8.reshape(arr.shape[0], w, channels)
+        bits = np.unpackbits(arr, axis=1)[:, : w * bit_depth]
+        vals = bits.reshape(arr.shape[0], w, bit_depth).astype(np.uint16)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
+        return (vals * weights).sum(axis=2).astype(np.uint8)[:, :, None]
+
     raw = zlib.decompress(b"".join(idat))
-    stride = width * bpp
     if interlace == 0:
+        stride = stride_of(width)
         if len(raw) < height * (stride + 1):
             raise ValueError("truncated PNG scanline data")
-        out, _ = _png_unfilter(raw, 0, height, stride, bpp)
+        arr, _ = _png_unfilter(raw, 0, height, stride, filter_bpp)
+        px = rows_to_samples(arr, width)
     else:
         # Adam7 (PNG spec §8.2): seven sub-images, each its OWN
         # filtered scanline sequence (filters reference the previous
-        # row of the SAME pass), scattered onto the full grid by the
-        # pass's (x0, y0, dx, dy). Passes whose sub-image is empty
-        # contribute no bytes at all — not even filter bytes.
-        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        # row of the SAME pass; sub-byte packing restarts per pass
+        # row), scattered onto the full grid by the pass's
+        # (x0, y0, dx, dy). Passes whose sub-image is empty contribute
+        # no bytes at all — not even filter bytes.
+        px = np.zeros((height, width, channels), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in ADAM7_PASSES:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * bpp
+            pstride = stride_of(pw)
             if len(raw) < pos + ph * (pstride + 1):
                 raise ValueError("truncated PNG scanline data")
-            arr, pos = _png_unfilter(raw, pos, ph, pstride, bpp)
-            px[y0::dy, x0::dx, :] = arr.reshape(ph, pw, bpp)
-        out = px.reshape(height, stride)
-    if sample_bytes == 2:
-        out = out[:, ::2]  # MSB of each 16-bit sample = spec scaling to 8-bit
-    px = out.reshape(height, width, channels)
+            arr, pos = _png_unfilter(raw, pos, ph, pstride, filter_bpp)
+            px[y0::dy, x0::dx, :] = rows_to_samples(arr, pw)
     if color_type == 3:
         table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= table.shape[0]:
             raise ValueError("PNG palette index out of range")
         px = table[idx]
+    elif color_type == 0 and bit_depth < 8:
+        # spec sample-depth scaling: 0..2^d-1 -> 0..255 exactly
+        # (255/(2^d-1) is integral for d in {1, 2, 4}: 255, 85, 17)
+        px = px * np.uint8(255 // ((1 << bit_depth) - 1))
     return height, width, px
 
 
@@ -560,26 +584,41 @@ def make_png(
     channels: int = 1,
     filters: list[int] | None = None,
     interlace: bool = False,
+    bit_depth: int = 8,
+    palette: "list[tuple[int, int, int]] | None" = None,
 ) -> bytes:
-    """A valid minimal 8-bit PNG. ``rows`` optionally supplies the RAW
-    (unfiltered) pixel bytes — ``height`` strings of ``width·channels``
-    bytes, top row first; ``channels`` picks the color type (1=gray,
-    2=gray+alpha, 3=RGB, 4=RGBA); ``filters`` selects the per-row
-    scanline filter (0–4, default all 0) and the encoder applies the
-    spec's difference so a conforming decoder reconstructs ``rows``
-    exactly — the test harness for :func:`parse_png_pixels`' filter
-    reconstruction. ``interlace=True`` writes the Adam7 pass layout
-    (spec §8.2: seven sub-images, each its own filtered scanline
-    sequence, empty passes omitted entirely); the per-row ``filters``
-    then index PASS rows in stream order — the encode-side twin of the
-    decoder's interlaced path. Default remains the 8-bit grayscale
-    zero image."""
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    """A valid minimal PNG. ``rows`` optionally supplies the RAW
+    (unfiltered) SAMPLE bytes — ``height`` strings of ``width·channels``
+    bytes, top row first, one byte per sample even at sub-byte depths
+    (each value < 2^bit_depth; the encoder packs them); ``channels``
+    picks the color type (1=gray, 2=gray+alpha, 3=RGB, 4=RGBA) unless
+    ``palette`` is given (color type 3 with a PLTE chunk; rows are then
+    palette indices, channels must be 1); ``filters`` selects the
+    per-row scanline filter (0–4, default all 0) and the encoder
+    applies the spec's difference so a conforming decoder reconstructs
+    ``rows`` exactly — the test harness for :func:`parse_png_pixels`'
+    filter reconstruction. ``bit_depth`` ∈ {1, 2, 4, 8} (sub-byte legal
+    for gray/palette only, packed MSB-first per row). ``interlace=True``
+    writes the Adam7 pass layout (spec §8.2: seven sub-images, each its
+    own filtered scanline sequence, empty passes omitted entirely); the
+    per-row ``filters`` then index PASS rows in stream order. Default
+    remains the 8-bit grayscale zero image."""
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("palette PNG rows are single-channel indices")
+        color_type = 3
+    else:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"make_png bit depth {bit_depth} unsupported")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError("sub-byte depth legal for gray/palette only")
     stride = width * channels
     if rows is None:
         rows = [b"\x00" * stride] * height
     if len(rows) != height or any(len(r) != stride for r in rows):
         raise ValueError("rows must be height strings of width*channels bytes")
+    bpp = max(1, channels * bit_depth // 8)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -589,6 +628,24 @@ def make_png(
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
+    def pack(sample_row: bytes) -> bytes:
+        """One byte per sample -> the spec's MSB-first packed bytes."""
+        if bit_depth == 8:
+            return sample_row
+        acc = bytearray()
+        bitbuf, nbits = 0, 0
+        for v in sample_row:
+            if v >= 1 << bit_depth:
+                raise ValueError(f"sample {v} exceeds bit depth {bit_depth}")
+            bitbuf = (bitbuf << bit_depth) | v
+            nbits += bit_depth
+            if nbits == 8:
+                acc.append(bitbuf)
+                bitbuf, nbits = 0, 0
+        if nbits:
+            acc.append(bitbuf << (8 - nbits))
+        return bytes(acc)
+
     def filter_rows(seq_rows: list[bytes], fs: list[int]) -> bytearray:
         out = bytearray()
         w = len(seq_rows[0]) if seq_rows else 0
@@ -596,9 +653,9 @@ def make_png(
         for cur, f in zip(seq_rows, fs):
             out.append(f)
             for x in range(w):
-                a = cur[x - channels] if x >= channels else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if f == 0:
                     pred = 0
                 elif f == 1:
@@ -619,10 +676,11 @@ def make_png(
 
     if not interlace:
         fs = filters if filters is not None else [0] * height
-        raw = filter_rows(rows, fs)
+        raw = filter_rows([pack(r) for r in rows], fs)
     else:
         # Adam7: extract each pass's sub-image and filter it as its own
-        # scanline sequence (prev row = previous row of the SAME pass)
+        # scanline sequence (prev row = previous row of the SAME pass;
+        # sub-byte packing restarts per pass row)
         pass_rows: list[bytes] = []
         for x0, y0, dx, dy in ADAM7_PASSES:
             pw = (width - x0 + dx - 1) // dx
@@ -632,9 +690,11 @@ def make_png(
             for j in range(ph):
                 full = rows[y0 + j * dy]
                 pass_rows.append(
-                    b"".join(
-                        full[(x0 + i * dx) * channels :][:channels]
-                        for i in range(pw)
+                    pack(
+                        b"".join(
+                            full[(x0 + i * dx) * channels :][:channels]
+                            for i in range(pw)
+                        )
                     )
                 )
         fs = filters if filters is not None else [0] * len(pass_rows)
@@ -653,14 +713,14 @@ def make_png(
             raw += filter_rows(pass_rows[k : k + ph], fs[k : k + ph])
             k += ph
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, int(interlace)
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, int(interlace)
     )
-    return (
-        PNG_SIGNATURE
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
+    out = PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(
+            b"PLTE", b"".join(bytes(rgb) for rgb in palette)
+        )
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
 def make_gif(width: int, height: int, n_frames: int = 1) -> bytes:

@@ -258,3 +258,52 @@ def test_wav_float_and_wide_pcm_layouts_round_trip():
         parse_wav_samples(
             make_wav(0, 8000, data=b"\x00" * 10, bits=8, audio_format=2)
         )
+
+
+def test_png_subbyte_depths_round_trip():
+    """r7 PNG envelope extension: packed 1/2/4-bit depths (grayscale
+    scaled by the spec's exact 255/(2^d−1); palette indices resolved
+    through PLTE) decode correctly in both the sequential and Adam7
+    layouts — packing is MSB-first and restarts per (pass) row."""
+    import random
+
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import (
+        make_png,
+        parse_png_pixels,
+    )
+
+    rng = random.Random(3)
+    for _ in range(40):
+        w, h = rng.randint(1, 13), rng.randint(1, 13)
+        d = rng.choice([1, 2, 4])
+        inter = rng.random() < 0.5
+        vals = [[rng.randrange(1 << d) for _ in range(w)] for _ in range(h)]
+        _, _, px = parse_png_pixels(
+            make_png(
+                w, h, rows=[bytes(r) for r in vals], channels=1,
+                bit_depth=d, interlace=inter,
+            )
+        )
+        scale = 255 // ((1 << d) - 1)
+        want = (np.array(vals, np.uint8)[:, :, None] * scale).astype(np.uint8)
+        assert np.array_equal(px, want), (w, h, d, inter)
+    for _ in range(40):
+        w, h = rng.randint(1, 11), rng.randint(1, 11)
+        d = rng.choice([1, 2, 4, 8])
+        inter = rng.random() < 0.5
+        npal = min(1 << d, 7)
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(npal)
+        ]
+        vals = [[rng.randrange(npal) for _ in range(w)] for _ in range(h)]
+        _, _, px = parse_png_pixels(
+            make_png(
+                w, h, rows=[bytes(r) for r in vals], channels=1,
+                bit_depth=d, palette=pal, interlace=inter,
+            )
+        )
+        want = np.array(pal, np.uint8)[np.array(vals)]
+        assert np.array_equal(px, want), (w, h, d, inter)
