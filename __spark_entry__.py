@@ -1704,6 +1704,23 @@ def _q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF header metadata (r7: the video modality joins the
+    zero-dep sniffer tier): real minimal BMFF files (ftyp + moov/mvhd +
+    one visual trak with tkhd 16.16 dims and an stts) whose duration /
+    frame size / frame count are closed-form id functions — the oracle
+    replays every field without touching a byte. Sample decode remains
+    honestly out of scope (set_content_decoder('video', ...))."""
+    from giraph_spark.functions.multimodal import (
+        decode_metadata,
+        mp4_media_from_docs,
+    )
+
+    return decode_metadata(mp4_media_from_docs(_docs(spark, sf_dir))).select(
+        "media_id", "modality", "width", "height", "n_frames", "duration_s"
+    )
+
+
 def _q_png_interlaced_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Adam7 decode end-to-end (r7: interlace joined the zero-dep
     envelope): the same solid-color PNGs as png_pixel_stats written in
@@ -2241,6 +2258,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_coverage": _q_decode_coverage,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
+        "mp4_metadata": _q_mp4_metadata,
         "png_interlaced_pixel_stats": _q_png_interlaced_pixel_stats,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         "gif_pixel_stats": _q_gif_pixel_stats,
@@ -4488,6 +4506,15 @@ FROM g"""
 
     # PNG twin: solid color -> stats are pure id functions; the cycling
     # scanline filters only exercise the decoder, never the values
+
+    mp4_metadata_sql = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'video' AS modality,
+       CAST(16 * (1 + CAST(doc_id AS BIGINT) % 8) AS BIGINT) AS width,
+       CAST(16 * (1 + CAST(doc_id AS BIGINT) % 5) AS BIGINT) AS height,
+       CAST(1 + CAST(doc_id AS BIGINT) % 24 AS BIGINT) AS n_frames,
+       (1 + CAST(doc_id AS BIGINT) % 20) / 2.0 AS duration_s
+FROM documents"""
     png_pixel_stats_sql = """
 WITH g AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -5463,6 +5490,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "decode_coverage": decode_coverage_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,
+        "mp4_metadata": mp4_metadata_sql,
         "png_interlaced_pixel_stats": png_pixel_stats_sql,
         "jpeg_pixel_stats": jpeg_pixel_stats_sql,
         "gif_pixel_stats": gif_pixel_stats_sql,

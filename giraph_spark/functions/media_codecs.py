@@ -541,7 +541,122 @@ def wav_sample_stats(payload: bytes) -> dict[str, Any]:
     }
 
 
-_SNIFFERS = (parse_png, parse_jpeg, parse_gif, parse_bmp, parse_wav)
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Iterate ISO BMFF boxes in payload[start:end] as
+    ``(type, body_start, body_end)``; handles 64-bit largesize and
+    size=0 (box extends to the end of the enclosing box)."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", payload[i : i + 4])[0]
+        tag = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = struct.unpack(">Q", payload[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError("bad MP4 box size")
+        yield tag, body, i + size
+        i += size
+
+
+def parse_mp4(payload: bytes) -> dict[str, Any]:
+    """ISO BMFF (MP4/MOV/M4A) HEADER metadata from the box tree — the
+    honest no-demux tier for the video modality: duration from
+    ``moov/mvhd`` (timescale + duration, versions 0 and 1), frame size
+    from the first visual track's ``tkhd`` (16.16 fixed-point width /
+    height; audio-only files report NULL dims), and frame count from
+    that track's ``stts`` sample counts when present. SAMPLE DATA is
+    never touched — content decode still requires a registered demuxer
+    (``set_content_decoder('video', ...)``)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file")
+    duration_s = None
+    width = height = None
+    n_frames = None
+
+    def walk_trak(lo, hi):
+        nonlocal width, height, n_frames
+        t_w = t_h = None
+        t_frames = None
+        for tag, b, e in _mp4_boxes(payload, lo, hi):
+            if tag == b"tkhd" and e - b >= 4:
+                ver = payload[b]
+                # v0: 4 flags + 2×u32 times + u32 id + u32 rsvd +
+                # u32 duration ... dims are the LAST 8 bytes
+                if e - b >= 84:
+                    t_w = struct.unpack(">I", payload[e - 8 : e - 4])[0] / 65536
+                    t_h = struct.unpack(">I", payload[e - 4 : e])[0] / 65536
+                del ver
+            elif tag == b"mdia":
+                for t2, b2, e2 in _mp4_boxes(payload, b, e):
+                    if t2 == b"minf":
+                        for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
+                            if t3 == b"stbl":
+                                for t4, b4, e4 in _mp4_boxes(
+                                    payload, b3, e3
+                                ):
+                                    if t4 == b"stts" and e4 - b4 >= 8:
+                                        n = struct.unpack(
+                                            ">I", payload[b4 + 4 : b4 + 8]
+                                        )[0]
+                                        tot = 0
+                                        p = b4 + 8
+                                        for _ in range(n):
+                                            if p + 8 > e4:
+                                                break
+                                            tot += struct.unpack(
+                                                ">I", payload[p : p + 4]
+                                            )[0]
+                                            p += 8
+                                        t_frames = tot
+        # first track with nonzero visual dims wins
+        if t_w and t_h and width is None:
+            width, height = int(round(t_w)), int(round(t_h))
+            n_frames = t_frames
+
+    saw_moov = False
+    for tag, b, e in _mp4_boxes(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        saw_moov = True
+        for t1, b1, e1 in _mp4_boxes(payload, b, e):
+            if t1 == b"mvhd" and e1 - b1 >= 4:
+                ver = payload[b1]
+                if ver == 1 and e1 - b1 >= 28 + 4:
+                    timescale = struct.unpack(
+                        ">I", payload[b1 + 20 : b1 + 24]
+                    )[0]
+                    duration = struct.unpack(
+                        ">Q", payload[b1 + 24 : b1 + 32]
+                    )[0]
+                elif e1 - b1 >= 20 + 4:
+                    timescale = struct.unpack(
+                        ">I", payload[b1 + 12 : b1 + 16]
+                    )[0]
+                    duration = struct.unpack(
+                        ">I", payload[b1 + 16 : b1 + 20]
+                    )[0]
+                else:
+                    continue
+                if timescale:
+                    duration_s = round(duration / timescale, 3)
+            elif t1 == b"trak":
+                walk_trak(b1, e1)
+    if not saw_moov:
+        raise ValueError("MP4 missing moov box")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "duration_s": duration_s,
+    }
+
+
+_SNIFFERS = (parse_png, parse_jpeg, parse_gif, parse_bmp, parse_wav, parse_mp4)
 
 
 def decode_media_header(payload: bytes) -> dict[str, Any]:
@@ -565,12 +680,14 @@ def register_header_decoders() -> None:
     image and audio modalities. Since the sniffer became
     ``decode_metadata``'s DEFAULT resolution tier this is a no-op for
     behavior — kept as the explicit-registration API (and so existing
-    pipelines calling it keep working); video containers (MP4 et al.)
-    still require a real demuxer via ``set_decoder('video', ...)``."""
+    pipelines calling it keep working); MP4/ISO-BMFF HEADER metadata is
+    in the tier (:func:`parse_mp4`), while video SAMPLE decode still
+    requires a real demuxer via ``set_content_decoder('video', ...)``."""
     from .multimodal import set_decoder
 
     set_decoder("image", decode_media_header)
     set_decoder("audio", decode_media_header)
+    set_decoder("video", decode_media_header)
 
 
 # ---------------------------------------------------------------- test
@@ -810,6 +927,66 @@ def make_wav(
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_mp4(
+    duration_s: float,
+    timescale: int = 1000,
+    width: int | None = None,
+    height: int | None = None,
+    n_frames: int | None = None,
+) -> bytes:
+    """A valid minimal ISO BMFF file: ``ftyp`` + ``moov/mvhd`` carrying
+    the duration, plus — when ``width``/``height`` are given — one
+    visual ``trak`` with a spec-size ``tkhd`` (16.16 fixed dims) and an
+    ``stts`` holding ``n_frames`` samples. No mdat: the header-metadata
+    surface :func:`parse_mp4` reads is complete without sample data."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    dur = int(round(duration_s * timescale))
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"              # version 0 + flags
+        + b"\x00" * 8                      # ctime/mtime
+        + struct.pack(">II", timescale, dur)
+        + b"\x00\x01\x00\x00"              # rate 1.0
+        + b"\x01\x00" + b"\x00" * 10       # volume + reserved
+        + b"\x00" * 36                     # matrix
+        + b"\x00" * 24                     # predefined
+        + struct.pack(">I", 2),            # next track id
+    )
+    moov_body = mvhd
+    if width is not None and height is not None:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"            # version 0 + enabled flags
+            + b"\x00" * 8                    # ctime/mtime
+            + struct.pack(">I", 1)           # track id
+            + b"\x00" * 4                    # reserved
+            + struct.pack(">I", dur)
+            + b"\x00" * 8                    # reserved
+            + b"\x00" * 8                    # layer/altgroup/volume/rsvd
+            + b"\x00" * 36                   # matrix
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        stts_entries = (
+            struct.pack(">II", n_frames, 1) if n_frames else b""
+        )
+        stts = box(
+            b"stts",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">I", 1 if n_frames else 0)
+            + stts_entries,
+        )
+        stbl = box(b"stbl", stts)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", minf)
+        moov_body += box(b"trak", tkhd + mdia)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
+        b"moov", moov_body
+    )
 
 
 # ------------------------------------------------------------------ JPEG
@@ -1508,4 +1685,6 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "wav"
     if payload[:2] == b"BM":
         return "bmp"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None

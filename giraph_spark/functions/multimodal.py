@@ -5,18 +5,21 @@ The Spark-side plumbing (schemas, batch iteration, partition sizing) is
 real and tested. Decoding has two tiers, BOTH real by default:
 
 - **Container-header decode** (:func:`decode_metadata`) — pure-Python
-  parsers for PNG / JPEG / GIF / BMP dimensions and WAV duration
+  parsers for PNG / JPEG / GIF / BMP dimensions, WAV duration, and
+  MP4/ISO-BMFF duration + frame size + frame count
   (:mod:`giraph_spark.functions.media_codecs`) sniff the payload by
   magic bytes as the DEFAULT resolution tier; no external codec
   library involved. A payload no parser recognizes yields a
   null-metadata row (``n_bytes`` still recorded) — there is NO fake
   fallback anywhere: a null always means "undecodable here", never
   fabricated content.
-- **Pixel/sample decode** — REAL for uncompressed BMP and 8-bit PNG
-  (all five scanline filters) via :func:`pixel_stats`
+- **Pixel/sample decode** — REAL for uncompressed BMP, PNG (all five
+  scanline filters, Adam7 interlace, 1/2/4/8/16-bit depths, palette),
+  baseline JPEG, and GIF via :func:`pixel_stats`
   (:func:`giraph_spark.functions.media_codecs.image_pixel_stats`,
-  stdlib zlib + struct + numpy, zero codec deps), and for PCM WAV via
-  :func:`audio_stats`. Other containers require
+  stdlib zlib + struct + numpy, zero codec deps), and for linear
+  PCM / IEEE-float WAV via :func:`audio_stats`. Other codecs
+  (progressive JPEG, video sample data, compressed audio) require
   PIL/ffmpeg-class libraries not available in this environment; plug
   one in via ``set_content_decoder`` (stats surface) or
   ``set_decoder`` (metadata surface) — registered decoders outrank
@@ -105,11 +108,12 @@ def decode_metadata(
     ``preApplication`` path for loading real codec state), then decoders
     registered with :func:`set_decoder`, then the REAL magic-byte
     sniffers (:func:`giraph_spark.functions.media_codecs.
-    decode_media_header` — PNG/JPEG/GIF/BMP headers, WAV duration, all
-    stdlib ``struct``). A payload outside that envelope (e.g. an MP4,
-    which needs a real demuxer) yields a null-metadata row with
-    ``n_bytes`` still recorded — the same no-fake contract as
-    :func:`pixel_stats`: null means undecodable, never fabricated."""
+    decode_media_header` — PNG/JPEG/GIF/BMP headers, WAV duration,
+    MP4/ISO-BMFF box-tree duration + frame size + frame count, all
+    stdlib ``struct``). A payload outside that envelope (e.g. a
+    Matroska file) yields a null-metadata row with ``n_bytes`` still
+    recorded — the same no-fake contract as :func:`pixel_stats`: null
+    means undecodable, never fabricated."""
     out_schema = (
         "media_id long, modality string, width long, height long, "
         "n_frames long, duration_s double, n_bytes long"
@@ -757,3 +761,42 @@ def decode_coverage(df: DataFrame) -> DataFrame:
             "total_bytes",
         )
     )
+
+
+def mp4_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic MP4 media table derived from ``documents``: per doc
+    a real minimal ISO BMFF file (ftyp + moov/mvhd + one visual trak)
+    with ``duration = (1 + id % 20)/2 s``, ``width = 16·(1 + id % 8)``,
+    ``height = 16·(1 + id % 5)`` and ``n_frames = 1 + id % 24`` — every
+    header field :func:`decode_metadata` extracts is a closed-form id
+    function. The video-modality member of the fixture family
+    (bmp/png/gif/jpeg/wav twins above)."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_mp4
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].to_numpy():
+                mid = int(mid)
+                payloads.append(
+                    make_mp4(
+                        (1 + mid % 20) / 2.0,
+                        timescale=1000,
+                        width=16 * (1 + mid % 8),
+                        height=16 * (1 + mid % 5),
+                        n_frames=1 + mid % 24,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "video",
+                    "payload": payloads,
+                    "mime": "video/mp4",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -307,3 +307,47 @@ def test_png_subbyte_depths_round_trip():
         )
         want = np.array(pal, np.uint8)[np.array(vals)]
         assert np.array_equal(px, want), (w, h, d, inter)
+
+
+def test_mp4_header_metadata():
+    """r7: MP4/ISO-BMFF joins the header-sniffer tier — duration from
+    mvhd (v0 and v1), frame size from the first visual tkhd, frame
+    count from its stts; audio-only files report NULL dims; truncated
+    boxes and non-BMFF payloads reject with ValueError."""
+    import struct
+
+    import pytest
+
+    from giraph_spark.functions.media_codecs import (
+        decode_media_header,
+        make_mp4,
+        parse_mp4,
+        sniff_format,
+    )
+
+    p = make_mp4(12.5, timescale=600, width=640, height=360, n_frames=300)
+    assert sniff_format(p) == "mp4"
+    got = parse_mp4(p)
+    assert got == {
+        "width": 640, "height": 360, "n_frames": 300, "duration_s": 12.5
+    }
+    assert decode_media_header(p) == got
+    # audio-only: no trak, dims/frames NULL, duration real
+    assert parse_mp4(make_mp4(3.0)) == {
+        "width": None, "height": None, "n_frames": None, "duration_s": 3.0
+    }
+    # version-1 mvhd (64-bit times), hand-built
+    mvhd_v1 = (
+        b"\x01\x00\x00\x00" + b"\x00" * 16
+        + struct.pack(">I", 1000) + struct.pack(">Q", 2500)
+    )
+    def box(tag, body):
+        return struct.pack(">I", len(body) + 8) + tag + body
+    p1 = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(
+        b"moov", box(b"mvhd", mvhd_v1)
+    )
+    assert parse_mp4(p1)["duration_s"] == 2.5
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError):
+        parse_mp4(p[:40])  # truncated mid-box
