@@ -1721,6 +1721,26 @@ def _q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode end-to-end (r7: SOF2 joined the
+    zero-dep envelope): the jpeg_pixel_stats images re-encoded as
+    progressive streams (spectral selection + successive approximation,
+    DC and AC refinement scans) — identical closed-form oracle, so a
+    hash match proves the progressive scan machine reconstructs the
+    exact coefficients."""
+    from giraph_spark.functions.multimodal import (
+        jpeg_progressive_media_from_docs,
+        pixel_stats,
+    )
+
+    return pixel_stats(
+        jpeg_progressive_media_from_docs(_docs(spark, sf_dir))
+    ).select(
+        "media_id", "modality", "width", "height",
+        "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+    )
+
+
 def _q_png_interlaced_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Adam7 decode end-to-end (r7: interlace joined the zero-dep
     envelope): the same solid-color PNGs as png_pixel_stats written in
@@ -2259,6 +2279,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
         "mp4_metadata": _q_mp4_metadata,
+        "jpeg_progressive_pixel_stats": _q_jpeg_progressive_pixel_stats,
         "png_interlaced_pixel_stats": _q_png_interlaced_pixel_stats,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         "gif_pixel_stats": _q_gif_pixel_stats,
@@ -5491,6 +5512,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,
         "mp4_metadata": mp4_metadata_sql,
+        "jpeg_progressive_pixel_stats": jpeg_pixel_stats_sql,
         "png_interlaced_pixel_stats": png_pixel_stats_sql,
         "jpeg_pixel_stats": jpeg_pixel_stats_sql,
         "gif_pixel_stats": gif_pixel_stats_sql,

@@ -1104,20 +1104,210 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def parse_jpeg_pixels(payload: bytes):
-    """Full CONTENT decode of a baseline sequential JPEG with zero codec
-    deps (stdlib struct + numpy): returns ``(height, width, pixels)``
-    with ``pixels`` uint8 of shape (height, width, 3) in RGB order
-    (grayscale replicated).
+def _decode_baseline_scan(
+    reader, stores, scan_meta, geom, restart_interval
+):
+    """One SOF0/1 interleaved scan: fills each component's ZIGZAG-space
+    coefficient store (bh, bw, 64) in MCU order."""
+    mcus_x, mcus_y = geom
+    preds = [0] * len(scan_meta)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                reader.restart()
+                preds = [0] * len(scan_meta)
+            mcu_count += 1
+            for ci, (store, h_i, v_i, dct, act) in enumerate(scan_meta):
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        zz = store[my * v_i + by, mx * h_i + bx]
+                        t = reader.decode(dct)
+                        diff = _extend(reader.bits(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _extend(reader.bits(s), s)
+                            k += 1
 
-    Supported envelope: SOF0 baseline (8-bit, Huffman, non-progressive),
-    1 or 3 components, any sampling factors expressible as integer
-    upsampling (covers 4:4:4 / 4:2:2 / 4:2:0), restart intervals (DRI /
-    RSTn). Progressive (SOF2), arithmetic coding, 12-bit precision and
-    CMYK raise ``ValueError`` — the caller surfaces that as a null-stats
-    row, never fabricated pixels. Per-blob Python+numpy work: sized for
-    corpus media thumbnails/smallish images; register a library decoder
-    via ``set_content_decoder`` for bulk photographic decode."""
+
+def _decode_dc_scan(
+    reader, scan_meta, geom, ah, al, restart_interval, used_grid
+):
+    """Progressive DC scan (Ss=Se=0). First pass (Ah=0): Huffman-coded
+    diffs of the Al-shifted DC values, ``coef = pred << Al``;
+    refinement (Ah>0): one appended bit per block, ``coef |= bit<<Al``
+    (T.81 G.1.2.1 — exact under two's-complement arithmetic shifts).
+    Interleaved (MCU order) when the scan has several components, else
+    the single component's OWN block grid."""
+    mcus_x, mcus_y = geom
+    preds = [0] * len(scan_meta)
+    unit = 0
+
+    def maybe_restart():
+        nonlocal preds
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.restart()
+            preds = [0] * len(scan_meta)
+
+    if len(scan_meta) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                unit += 1
+                for ci, (store, h_i, v_i, dct, _act) in enumerate(scan_meta):
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            zz = store[my * v_i + by, mx * h_i + bx]
+                            if ah == 0:
+                                t = reader.decode(dct)
+                                diff = (
+                                    _extend(reader.bits(t), t) if t else 0
+                                )
+                                preds[ci] += diff
+                                zz[0] = preds[ci] << al
+                            elif reader.bit():
+                                zz[0] = int(zz[0]) | (1 << al)
+    else:
+        store, _h, _v, dct, _act = scan_meta[0]
+        used_w, used_h = used_grid
+        for by in range(used_h):
+            for bx in range(used_w):
+                maybe_restart()
+                unit += 1
+                zz = store[by, bx]
+                if ah == 0:
+                    t = reader.decode(dct)
+                    diff = _extend(reader.bits(t), t) if t else 0
+                    preds[0] += diff
+                    zz[0] = preds[0] << al
+                elif reader.bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+
+
+def _decode_ac_scan(
+    reader, store, act, ss, se, ah, al, restart_interval, used_grid
+):
+    """Progressive AC scan (single component, band Ss..Se). First pass
+    (Ah=0): EOB-run / ZRL / ``value << Al`` coding; refinement (Ah>0):
+    the T.81 G.1.2.3 correction-bit algorithm (newly significant
+    coefficients arrive as ±1<<Al, every nonzero coefficient crossed
+    spends one appended-magnitude bit). Block order over the
+    component's own grid; restarts reset the EOB run."""
+    used_w, used_h = used_grid
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for by in range(used_h):
+        for bx in range(used_w):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            unit += 1
+            zz = store[by, bx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run overflow")
+                    zz[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            s_val = 0  # ZRL: no new coefficient
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "bad JPEG refinement magnitude"
+                                )
+                            s_val = p1 if reader.bit() else m1
+                        while k <= se:
+                            c = int(zz[k])
+                            if c != 0:
+                                if reader.bit() and (c & p1) == 0:
+                                    zz[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    if s_val:
+                                        zz[k] = s_val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = int(zz[k])
+                        if c != 0 and reader.bit() and (c & p1) == 0:
+                            zz[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def _skip_to_marker(payload: bytes, pos: int) -> int:
+    """Advance past any leftover entropy padding to the next true
+    marker (skipping stuffed 0xFF00 and stray fill bytes)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("JPEG ended without EOI")
+
+
+def parse_jpeg_pixels(payload: bytes):
+    """Full CONTENT decode of a sequential-baseline OR progressive JPEG
+    with zero codec deps (stdlib struct + numpy): returns ``(height,
+    width, pixels)`` with ``pixels`` uint8 of shape (height, width, 3)
+    in RGB order (grayscale replicated).
+
+    Supported envelope: SOF0/1 baseline and SOF2 progressive (spectral
+    selection AND successive approximation, DC + AC refinement scans,
+    EOB runs), 8-bit, Huffman, 1 or 3 components, any sampling factors
+    expressible as integer upsampling (covers 4:4:4 / 4:2:2 / 4:2:0),
+    restart intervals (DRI / RSTn), DHT/DQT/DRI between scans.
+    Arithmetic coding, hierarchical/lossless processes, 12-bit
+    precision and CMYK raise ``ValueError`` — the caller surfaces that
+    as a null-stats row, never fabricated pixels. Decode strategy: ONE
+    persistent zigzag-space coefficient store per component filled by
+    every scan (baseline = the one interleaved scan), then a single
+    vectorized dequant + IDCT + upsample + color convert."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -1125,11 +1315,14 @@ def parse_jpeg_pixels(payload: bytes):
     qt: dict[int, "np.ndarray"] = {}
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
-    frame = None  # (H, W, [(cid, h, v, tq)])
+    frame = None  # (H, W, [(cid, h, v, tq)], progressive)
     restart_interval = 0
+    stores: dict[int, "np.ndarray"] = {}  # cid -> (bh, bw, 64) zigzag
+    used: dict[int, tuple[int, int]] = {}  # cid -> (used_bw, used_bh)
+    geom = None
+    saw_scan = False
     i = 2
     n = len(payload)
-    scan = None
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("corrupt JPEG marker chain")
@@ -1137,6 +1330,8 @@ def parse_jpeg_pixels(payload: bytes):
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
         body = payload[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -1162,11 +1357,13 @@ def parse_jpeg_pixels(payload: bytes):
                     counts, symbols
                 )
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline & ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
             h_img, w_img = struct.unpack(">HH", body[1:5])
+            if h_img == 0 or w_img == 0:
+                raise ValueError("JPEG zero dimensions")
             ncomp = body[5]
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {ncomp}")
@@ -1174,114 +1371,132 @@ def parse_jpeg_pixels(payload: bytes):
             for c in range(ncomp):
                 cid, hv, tq_c = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq_c))
-            frame = (h_img, w_img, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _cid, h_i, v_i, _tq in comps:
+                if h_i == 0 or v_i == 0 or hmax % h_i or vmax % v_i:
+                    # np.repeat upsampling needs integer ratios; a
+                    # 3:2-style layout would silently decode misaligned
+                    # chroma otherwise
+                    raise ValueError(
+                        f"unsupported JPEG sampling ratio ({h_i}x{v_i} vs "
+                        f"{hmax}x{vmax} max) — register a library decoder"
+                    )
+            mcus_x = -(-w_img // (8 * hmax))
+            mcus_y = -(-h_img // (8 * vmax))
+            geom = (mcus_x, mcus_y)
+            for cid, h_i, v_i, _tq in comps:
+                stores[cid] = np.zeros(
+                    (mcus_y * v_i, mcus_x * h_i, 64), dtype=np.int32
+                )
+                used[cid] = (
+                    -(-(w_img * h_i) // (hmax * 8)),
+                    -(-(h_img * v_i) // (vmax * 8)),
+                )
+            frame = (h_img, w_img, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG coding process (progressive/arithmetic/"
-                "lossless) — register a library decoder"
+                "unsupported JPEG coding process (arithmetic/lossless/"
+                "hierarchical) — register a library decoder"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            _h, _w, comps, progressive = frame
+            by_cid = {c[0]: c for c in comps}
             ns = body[0]
             scan_comps = []
             for c in range(ns):
                 cs, td_ta = body[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append((cs, td_ta >> 4, td_ta & 0xF))
-            scan = (scan_comps, i + 2 + seg_len)
-            break
-        elif marker == 0xD9:  # EOI before any scan
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            reader = _BitReader(payload, i + 2 + seg_len)
+            try:
+                if not progressive:
+                    if ns != len(comps):
+                        raise ValueError("JPEG partial scans not supported")
+                    scan_meta = [
+                        (
+                            stores[cs],
+                            by_cid[cs][1],
+                            by_cid[cs][2],
+                            dc_tables[td],
+                            ac_tables[ta],
+                        )
+                        for cs, td, ta in scan_comps
+                    ]
+                    _decode_baseline_scan(
+                        reader, stores, scan_meta, geom, restart_interval
+                    )
+                elif ss == 0:  # DC scan (first or refinement)
+                    if se != 0:
+                        raise ValueError("JPEG DC scan with Se != 0")
+                    scan_meta = [
+                        (
+                            stores[cs],
+                            by_cid[cs][1],
+                            by_cid[cs][2],
+                            dc_tables[td] if ah == 0 else None,
+                            None,
+                        )
+                        for cs, td, _ta in scan_comps
+                    ]
+                    _decode_dc_scan(
+                        reader, scan_meta, geom, ah, al, restart_interval,
+                        used[scan_comps[0][0]],
+                    )
+                else:  # AC scan: exactly one component
+                    if ns != 1:
+                        raise ValueError(
+                            "JPEG progressive AC scan must be single-component"
+                        )
+                    cs, _td, ta = scan_comps[0]
+                    _decode_ac_scan(
+                        reader, stores[cs], ac_tables[ta], ss, se, ah, al,
+                        restart_interval, used[cs],
+                    )
+            except _MarkerReached as m:
+                if m.marker != 0xD9:
+                    raise ValueError(
+                        f"unexpected JPEG marker 0x{m.marker:02x}"
+                    )
+                saw_scan = True
+                break
+            except IndexError:
+                raise ValueError("truncated JPEG entropy data") from None
+            saw_scan = True
+            i = _skip_to_marker(payload, reader.pos)
+            continue
         i += 2 + seg_len
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
-    h_img, w_img, comps = frame
-    if h_img == 0 or w_img == 0:
-        raise ValueError("JPEG zero dimensions")
-    scan_comps, data_pos = scan
-    if len(scan_comps) != len(comps):
-        raise ValueError("JPEG partial scans not supported")
+    h_img, w_img, comps, _prog = frame
 
+    # dequant + de-zigzag + IDCT, one vectorized pass per component
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    for _cid, h_i, v_i, _tq in comps:
-        if h_i == 0 or v_i == 0 or hmax % h_i or vmax % v_i:
-            # np.repeat upsampling needs integer ratios; a 3:2-style
-            # layout would silently decode misaligned chroma otherwise
-            raise ValueError(
-                f"unsupported JPEG sampling ratio ({h_i}x{v_i} vs "
-                f"{hmax}x{vmax} max) — register a library decoder"
-            )
-    mcus_x = -(-w_img // (8 * hmax))
-    mcus_y = -(-h_img // (8 * vmax))
     basis = _idct_basis()
-    by_cid = {c[0]: c for c in comps}
-    planes = []
-    plane_meta = []  # (h_i, v_i, quant, dc_tbl, ac_tbl, blocks_w)
-    for cs, td, ta in scan_comps:
-        _, h_i, v_i, tq_c = by_cid[cs]
-        bw, bh = mcus_x * h_i, mcus_y * v_i
-        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
-        plane_meta.append(
-            (h_i, v_i, qt[tq_c][np.argsort(_ZIGZAG)], dc_tables[td],
-             ac_tables[ta], bw)
-        )
-
-    reader = _BitReader(payload, data_pos)
-    preds = [0] * len(scan_comps)
-    mcu_count = 0
-    try:
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_count and (
-                    mcu_count % restart_interval == 0
-                ):
-                    reader.restart()
-                    preds = [0] * len(scan_comps)
-                mcu_count += 1
-                for ci, (h_i, v_i, quant, dct, act, _bw) in enumerate(
-                    plane_meta
-                ):
-                    for by in range(v_i):
-                        for bx in range(h_i):
-                            zz = np.zeros(64, dtype=np.int32)
-                            t = reader.decode(dct)
-                            diff = _extend(reader.bits(t), t) if t else 0
-                            preds[ci] += diff
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = reader.decode(act)
-                                r, s = rs >> 4, rs & 0xF
-                                if s == 0:
-                                    if r == 15:  # ZRL: 16 zeros
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("JPEG AC run overflow")
-                                zz[k] = _extend(reader.bits(s), s)
-                                k += 1
-                            coeff = np.zeros(64, dtype=np.float64)
-                            coeff[_ZIGZAG] = zz * quant[_ZIGZAG]
-                            block = (
-                                basis.T @ coeff.reshape(8, 8) @ basis
-                            ) + 128.0
-                            y0 = (my * v_i + by) * 8
-                            x0 = (mx * h_i + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    except _MarkerReached as m:
-        if m.marker != 0xD9:  # anything but EOI mid-scan is corruption
-            raise ValueError(f"unexpected JPEG marker 0x{m.marker:02x}")
-    except IndexError:
-        raise ValueError("truncated JPEG entropy data") from None
-
-    # upsample chroma to full resolution, crop, color-convert
+    inv_zig = np.argsort(np.array(_ZIGZAG))
+    del inv_zig  # zigzag placement done by fancy-index below
     full = []
-    for (h_i, v_i, *_rest), plane in zip(plane_meta, planes):
-        up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
+    for cid, h_i, v_i, tq_c in comps:
+        zz = stores[cid]
+        deq = zz.astype(np.float64) * qt[tq_c].astype(np.float64)
+        natural = np.zeros_like(deq)
+        natural[..., _ZIGZAG] = deq
+        bh, bw = zz.shape[0], zz.shape[1]
+        blocks = natural.reshape(bh, bw, 8, 8)
+        spatial = (
+            np.einsum("ab,ywbc,cd->ywad", basis.T, blocks, basis) + 128.0
+        )
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        up = np.repeat(
+            np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1
+        )
         full.append(up[:h_img, :w_img])
     if len(full) == 1:
         y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
@@ -1443,6 +1658,451 @@ def make_jpeg_baseline(
                     preds[ci] = code_block(cur, preds[ci])
     flush_bits()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def make_jpeg_progressive(
+    width: int,
+    height: int,
+    coeffs=None,
+    gray: int = 128,
+    scans: "list[tuple[int, int, int, int]] | None" = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """A REAL decodable PROGRESSIVE (SOF2) grayscale JPEG: ``coeffs``
+    optionally supplies the quantized DCT coefficients as an int array
+    of shape (blocks_y, blocks_x, 64) in ZIGZAG order (all-ones quant
+    table, so they pass through dequantization unchanged); default is
+    the solid-``gray`` image. ``scans`` is the progression script as
+    ``(Ss, Se, Ah, Al)`` tuples — the default exercises spectral
+    selection AND successive approximation with DC and AC refinement
+    scans (the shape libjpeg emits). Encoding follows T.81 G.1.2 /
+    the jcphuff conventions: DC first codes diffs of the
+    arithmetically-shifted values, DC refinement appends one bit per
+    block, AC first uses EOB-run coding of magnitude-shifted values,
+    AC refinement emits newly-significant ±1 coefficients with
+    buffered correction bits for the already-significant ones crossed.
+    Flat Huffman tables (code == symbol at 9 bits) keep the encoder
+    trivial while remaining fully spec-conformant for any decoder."""
+    import numpy as np
+
+    bx_n, by_n = -(-width // 8), -(-height // 8)
+    if coeffs is None:
+        coeffs = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        coeffs[:, :, 0] = 8 * (int(gray) - 128)
+    else:
+        coeffs = np.asarray(coeffs, dtype=np.int64)
+        if coeffs.shape != (by_n, bx_n, 64):
+            raise ValueError(
+                f"coeffs must have shape ({by_n}, {bx_n}, 64)"
+            )
+    if scans is None:
+        scans = [
+            (0, 0, 0, 1),    # DC first, one bit withheld
+            (1, 5, 0, 2),    # AC low band, two bits withheld
+            (6, 63, 0, 2),   # AC high band
+            (1, 63, 2, 1),   # AC refinement 2 -> 1
+            (1, 63, 1, 0),   # AC refinement 1 -> 0
+            (0, 0, 1, 0),    # DC refinement
+        ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += (
+        b"\xff\xc2"  # SOF2: progressive
+        + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        + struct.pack("BBB", 1, 0x11, 0)
+    )
+    # flat Huffman tables (DC class 0 id 0, AC class 1 id 0): 255 codes
+    # of length 9 (code == symbol) + symbol 255 at length 10 — canonical,
+    # prefix-free, and the all-ones max-length code stays unused
+    counts = bytes([0] * 8 + [255, 1] + [0] * 6)
+    syms = bytes(range(256))
+    for tc in (0x00, 0x10):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + 256)
+            + bytes([tc])
+            + counts
+            + syms
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((value >> k) & 1)
+
+    def sym(s: int) -> None:
+        if s < 255:
+            put(s, 9)
+        else:
+            put(0x3FE, 10)
+
+    def flush_bits() -> None:
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per T.81 F.1.2.3
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+
+    blocks = coeffs.reshape(-1, 64)
+    n_blocks = blocks.shape[0]
+    rst_idx = 0
+
+    def emit_restart():
+        nonlocal rst_idx
+        flush_bits()
+        out.append(0xFF)
+        out.append(0xD0 + rst_idx)
+        rst_idx = (rst_idx + 1) % 8
+
+    for ss, se, ah, al in scans:
+        out += (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + struct.pack("BB", 1, 0x00)
+            + bytes([ss, se, (ah << 4) | al])
+        )
+        if ss == 0:  # DC scan
+            pred = 0
+            for bi in range(n_blocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    emit_restart()
+                    pred = 0
+                v = int(blocks[bi, 0])
+                if ah == 0:
+                    sh = v >> al
+                    diff = sh - pred
+                    pred = sh
+                    t = abs(diff).bit_length()
+                    sym(t)
+                    if t:
+                        put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                else:
+                    put((v >> al) & 1, 1)
+            flush_bits()
+            continue
+        # AC scan
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                sym(nb << 4)
+                if nb:
+                    put(eobrun - (1 << nb), nb)
+                eobrun = 0
+            bits.extend(eob_bits)
+            eob_bits.clear()
+
+        for bi in range(n_blocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eobrun()
+                emit_restart()
+            zz = blocks[bi]
+            if ah == 0:
+                # first pass: magnitude-shifted values, EOB-run coding
+                t = [
+                    (abs(int(zz[k])) >> al) * (1 if zz[k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                last = -1
+                for j, v in enumerate(t):
+                    if v:
+                        last = j
+                if last < 0:
+                    flush_pending = eobrun == 0x7FFF
+                    eobrun += 1
+                    if flush_pending:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                r = 0
+                for j in range(last + 1):
+                    v = t[j]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        sym(0xF0)  # ZRL
+                        r -= 16
+                    s = abs(v).bit_length()
+                    sym((r << 4) | s)
+                    put(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if last < se - ss:
+                    eobrun += 1
+            else:
+                # refinement: T.81 G.1.2.3 with jcphuff's buffered bits
+                absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = -1
+                for j, a in enumerate(absval):
+                    if a == 1:
+                        eob = j
+                r = 0
+                br: list[int] = []
+                for j, a in enumerate(absval):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and j <= eob:
+                        flush_eobrun()
+                        sym(0xF0)
+                        r -= 16
+                        bits.extend(br)
+                        br.clear()
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    # newly significant (magnitude exactly 1 here)
+                    flush_eobrun()
+                    sym((r << 4) | 1)
+                    put(1 if zz[ss + j] > 0 else 0, 1)
+                    bits.extend(br)
+                    br.clear()
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    eob_bits.extend(br)
+                    if eobrun == 0x7FFF or len(eob_bits) > 900:
+                        flush_eobrun()
+        flush_eobrun()
+        flush_bits()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def make_jpeg_progressive_color(
+    width: int,
+    height: int,
+    comps: "list[tuple]",
+    scans: "list[tuple[int | None, int, int, int, int]] | None" = None,
+) -> bytes:
+    """PROGRESSIVE color (YCbCr) twin of :func:`make_jpeg_progressive`:
+    ``comps`` is three ``(coeffs, h, v)`` tuples — per-component
+    quantized DCT coefficients of shape (blocks_y, blocks_x, 64) in
+    zigzag order over that component's OWN used block grid
+    (``ceil(dim·f/fmax/8)``), with sampling factors. ``scans`` entries
+    are ``(ci, Ss, Se, Ah, Al)``; ``ci=None`` marks the interleaved
+    DC scan over all three components in MCU order (DC refinements
+    too), AC scans name one component. Exercises the two decode paths
+    a grayscale stream cannot: MCU-interleaved DC and used-grid
+    (non-MCU-padded) AC block order for the full-resolution component.
+    """
+    import numpy as np
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x, mcus_y = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    grids = []
+    arrs = []
+    for coeffs, h_i, v_i in comps:
+        uw = -(-(width * h_i) // (hmax * 8))
+        uh = -(-(height * v_i) // (vmax * 8))
+        a = np.asarray(coeffs, dtype=np.int64)
+        if a.shape != (uh, uw, 64):
+            raise ValueError(f"component coeffs must be ({uh}, {uw}, 64)")
+        grids.append((uw, uh))
+        arrs.append(a)
+    if scans is None:
+        scans = [
+            (None, 0, 0, 0, 1),
+            (0, 1, 5, 0, 2), (1, 1, 63, 0, 1), (2, 1, 63, 0, 1),
+            (0, 6, 63, 0, 2),
+            (0, 1, 63, 2, 1),
+            (None, 0, 0, 1, 0),
+            (0, 1, 63, 1, 0), (1, 1, 63, 1, 0), (2, 1, 63, 1, 0),
+        ]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += (
+        b"\xff\xc2"
+        + struct.pack(">HBHHB", 8 + 9, 8, height, width, 3)
+        + b"".join(
+            struct.pack("BBB", 1 + ci, (h_i << 4) | v_i, 0)
+            for ci, (_a, h_i, v_i) in enumerate(comps)
+        )
+    )
+    counts = bytes([0] * 8 + [255, 1] + [0] * 6)
+    syms = bytes(range(256))
+    for tc in (0x00, 0x10):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + 256)
+            + bytes([tc])
+            + counts
+            + syms
+        )
+
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((value >> k) & 1)
+
+    def sym(s: int) -> None:
+        if s < 255:
+            put(s, 9)
+        else:
+            put(0x3FE, 10)
+
+    def flush_bits() -> None:
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+
+    def dc_value(ci, by, bx):
+        """DC coefficient at MCU-grid block (by, bx) of component ci —
+        MCU padding replicates the used grid's edge block, mirroring
+        what a real encoder does with edge-extended padding blocks.
+        The DECODER stores whatever the stream says for pad blocks and
+        crops them away, so replication keeps diffs simple AND the
+        used-region values exact."""
+        uw, uh = grids[ci]
+        return int(arrs[ci][min(by, uh - 1), min(bx, uw - 1), 0])
+
+    for ci_sel, ss, se, ah, al in scans:
+        if ci_sel is None:  # interleaved DC scan, all components
+            out += (
+                b"\xff\xda"
+                + struct.pack(">HB", 6 + 6, 3)
+                + b"".join(struct.pack("BB", 1 + c, 0) for c in range(3))
+                + bytes([ss, se, (ah << 4) | al])
+            )
+            preds = [0, 0, 0]
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (_a, h_i, v_i) in enumerate(comps):
+                        for by in range(v_i):
+                            for bx in range(h_i):
+                                v = dc_value(
+                                    ci, my * v_i + by, mx * h_i + bx
+                                )
+                                if ah == 0:
+                                    sh = v >> al
+                                    diff = sh - preds[ci]
+                                    preds[ci] = sh
+                                    t = abs(diff).bit_length()
+                                    sym(t)
+                                    if t:
+                                        put(
+                                            diff
+                                            if diff >= 0
+                                            else diff + (1 << t) - 1,
+                                            t,
+                                        )
+                                else:
+                                    put((v >> al) & 1, 1)
+            flush_bits()
+            continue
+        # single-component AC scan over the USED grid
+        out += (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + struct.pack("BB", 1 + ci_sel, 0x00)
+            + bytes([ss, se, (ah << 4) | al])
+        )
+        uw, uh = grids[ci_sel]
+        blocks = arrs[ci_sel].reshape(-1, 64)
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                sym(nb << 4)
+                if nb:
+                    put(eobrun - (1 << nb), nb)
+                eobrun = 0
+            bits.extend(eob_bits)
+            eob_bits.clear()
+
+        for bi in range(uw * uh):
+            zz = blocks[bi]
+            if ah == 0:
+                t = [
+                    (abs(int(zz[k])) >> al) * (1 if zz[k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                last = -1
+                for j, v in enumerate(t):
+                    if v:
+                        last = j
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                r = 0
+                for j in range(last + 1):
+                    v = t[j]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        sym(0xF0)
+                        r -= 16
+                    s = abs(v).bit_length()
+                    sym((r << 4) | s)
+                    put(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if last < se - ss:
+                    eobrun += 1
+            else:
+                absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = -1
+                for j, a in enumerate(absval):
+                    if a == 1:
+                        eob = j
+                r = 0
+                br: list[int] = []
+                for j, a in enumerate(absval):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and j <= eob:
+                        flush_eobrun()
+                        sym(0xF0)
+                        r -= 16
+                        bits.extend(br)
+                        br.clear()
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    flush_eobrun()
+                    sym((r << 4) | 1)
+                    put(1 if zz[ss + j] > 0 else 0, 1)
+                    bits.extend(br)
+                    br.clear()
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    eob_bits.extend(br)
+                    if eobrun == 0x7FFF or len(eob_bits) > 900:
+                        flush_eobrun()
+        flush_eobrun()
+        flush_bits()
+    out += b"\xff\xd9"
     return bytes(out)
 
 

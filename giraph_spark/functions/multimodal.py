@@ -15,14 +15,15 @@ real and tested. Decoding has two tiers, BOTH real by default:
   fabricated content.
 - **Pixel/sample decode** — REAL for uncompressed BMP, PNG (all five
   scanline filters, Adam7 interlace, 1/2/4/8/16-bit depths, palette),
-  baseline JPEG, and GIF via :func:`pixel_stats`
+  baseline AND progressive JPEG (spectral selection + successive
+  approximation), and GIF via :func:`pixel_stats`
   (:func:`giraph_spark.functions.media_codecs.image_pixel_stats`,
   stdlib zlib + struct + numpy, zero codec deps), and for linear
   PCM / IEEE-float WAV via :func:`audio_stats`. Other codecs
-  (progressive JPEG, video sample data, compressed audio) require
-  PIL/ffmpeg-class libraries not available in this environment; plug
-  one in via ``set_content_decoder`` (stats surface) or
-  ``set_decoder`` (metadata surface) — registered decoders outrank
+  (arithmetic/12-bit/CMYK JPEG, video sample data, compressed audio)
+  require PIL/ffmpeg-class libraries not available in this
+  environment; plug one in via ``set_content_decoder`` (stats surface)
+  or ``set_decoder`` (metadata surface) — registered decoders outrank
   the built-in sniffers, so a library decoder extends the envelope
   without changing any default behavior.
 
@@ -795,6 +796,38 @@ def mp4_media_from_docs(docs: DataFrame) -> DataFrame:
                     "modality": "video",
                     "payload": payloads,
                     "mime": "video/mp4",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def jpeg_progressive_media_from_docs(docs: DataFrame) -> DataFrame:
+    """PROGRESSIVE twin of :func:`jpeg_media_from_docs`: the same
+    solid-gray images (``width = 3 + id % 12``, ``height = 2 + id % 9``,
+    gray ``id % 256``) encoded as SOF2 streams through the default
+    successive-approximation script (DC first/refine + banded AC
+    first/refine scans) — so the decoder's progressive paths are driven
+    end-to-end under the identical closed-form stats oracle."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_jpeg_progressive
+
+        for pdf in batches:
+            payloads = [
+                make_jpeg_progressive(
+                    3 + int(mid) % 12, 2 + int(mid) % 9, gray=int(mid) % 256
+                )
+                for mid in pdf["media_id"].to_numpy()
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
                     "source": "documents",
                 }
             )

@@ -351,3 +351,135 @@ def test_mp4_header_metadata():
         parse_mp4(b"\x00\x00\x00\x08free")
     with pytest.raises(ValueError):
         parse_mp4(p[:40])  # truncated mid-box
+
+
+def _jpeg_ground_truth_gray(coeffs, h_img, w_img):
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import _ZIGZAG, _idct_basis
+
+    basis = _idct_basis()
+    by, bx, _ = coeffs.shape
+    nat = np.zeros((by, bx, 64))
+    nat[..., _ZIGZAG] = coeffs.astype(np.float64)
+    blocks = nat.reshape(by, bx, 8, 8)
+    spatial = np.einsum("ab,ywbc,cd->ywad", basis.T, blocks, basis) + 128.0
+    plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    y = np.clip(np.round(plane[:h_img, :w_img]), 0, 255).astype(np.uint8)
+    return np.repeat(y[:, :, None], 3, axis=2)
+
+
+def test_jpeg_progressive_round_trip():
+    """r7: progressive (SOF2) JPEG joins the zero-dependency decode
+    envelope. The encoder emits real progression scripts (spectral
+    selection, successive approximation, DC+AC refinement, EOB runs,
+    restart intervals); decoded pixels must equal the ground-truth
+    IDCT of the coefficient array — an oracle independent of the
+    entropy decode under test."""
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import (
+        make_jpeg_progressive,
+        parse_jpeg_pixels,
+    )
+
+    # solid gray through the default successive-approximation script
+    h, w, px = parse_jpeg_pixels(make_jpeg_progressive(13, 9, gray=77))
+    assert (h, w) == (9, 13) and (px == 77).all()
+
+    scripts = [
+        None,
+        [(0, 0, 0, 3), (1, 63, 0, 3), (1, 63, 3, 2), (1, 63, 2, 1),
+         (1, 63, 1, 0), (0, 0, 1, 2), (0, 0, 1, 1), (0, 0, 1, 0)],
+        [(0, 0, 0, 0), (1, 2, 0, 0), (3, 10, 0, 0), (11, 63, 0, 0)],
+    ]
+    rng = np.random.default_rng(11)
+    for trial in range(24):
+        w_img = int(rng.integers(1, 40))
+        h_img = int(rng.integers(1, 40))
+        by, bx = -(-h_img // 8), -(-w_img // 8)
+        c = np.zeros((by, bx, 64), np.int64)
+        density = [0.01, 0.5, 0.15][trial % 3]  # EOB runs / dense / mixed
+        mask = rng.random((by, bx, 64)) < density
+        c[mask] = rng.integers(-2000, 2001, mask.sum())
+        c[:, :, 0] = rng.integers(-1016, 1016, (by, bx))
+        p = make_jpeg_progressive(
+            w_img, h_img, coeffs=c,
+            scans=scripts[trial % len(scripts)],
+            restart_interval=int(rng.integers(0, 4)),
+        )
+        h, w, px = parse_jpeg_pixels(p)
+        assert (h, w) == (h_img, w_img)
+        assert np.array_equal(px, _jpeg_ground_truth_gray(c, h_img, w_img))
+
+
+def test_jpeg_progressive_color_round_trip():
+    """Color progressive: the MCU-interleaved DC scan and the USED
+    (non-MCU-padded) block grids of subsampled layouts — the two decode
+    paths grayscale streams cannot reach. Ground truth mirrors the
+    dequant/IDCT/upsample/YCbCr pipeline on the true coefficients."""
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import (
+        _ZIGZAG,
+        _idct_basis,
+        make_jpeg_progressive_color,
+        parse_jpeg_pixels,
+    )
+
+    basis = _idct_basis()
+
+    def plane_of(coeffs):
+        by, bx, _ = coeffs.shape
+        nat = np.zeros((by, bx, 64))
+        nat[..., _ZIGZAG] = coeffs.astype(np.float64)
+        blocks = nat.reshape(by, bx, 8, 8)
+        sp = np.einsum("ab,ywbc,cd->ywad", basis.T, blocks, basis) + 128.0
+        return sp.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+    rng = np.random.default_rng(5)
+    for trial in range(12):
+        w_img = int(rng.integers(1, 50))
+        h_img = int(rng.integers(1, 50))
+        sampling = [
+            [(2, 2), (1, 1), (1, 1)],
+            [(1, 1), (1, 1), (1, 1)],
+            [(2, 1), (1, 1), (1, 1)],
+        ][trial % 3]
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        comps = []
+        for h_i, v_i in sampling:
+            uw = -(-(w_img * h_i) // (hmax * 8))
+            uh = -(-(h_img * v_i) // (vmax * 8))
+            c = np.zeros((uh, uw, 64), np.int64)
+            mask = rng.random((uh, uw, 64)) < 0.2
+            c[mask] = rng.integers(-300, 301, mask.sum())
+            c[:, :, 0] = rng.integers(-1016, 1016, (uh, uw))
+            comps.append((c, h_i, v_i))
+        h, w, px = parse_jpeg_pixels(
+            make_jpeg_progressive_color(w_img, h_img, comps)
+        )
+        full = []
+        for coeffs, h_i, v_i in comps:
+            up = np.repeat(
+                np.repeat(plane_of(coeffs), vmax // v_i, axis=0),
+                hmax // h_i, axis=1,
+            )
+            full.append(up[:h_img, :w_img])
+        y, cb, cr = full
+        want = np.clip(
+            np.round(
+                np.stack(
+                    [
+                        y + 1.402 * (cr - 128.0),
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                        y + 1.772 * (cb - 128.0),
+                    ],
+                    axis=2,
+                )
+            ),
+            0, 255,
+        ).astype(np.uint8)
+        assert (h, w) == (h_img, w_img)
+        assert np.array_equal(px, want), (w_img, h_img, sampling)

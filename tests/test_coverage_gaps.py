@@ -303,8 +303,10 @@ def test_metadata_decoder_escape_hatch_reaches_executors(spark):
 def test_pil_third_party_content_decoder(spark):
     """The escape hatch with an ACTUAL third-party library (VERDICT r6
     task 4): register a Pillow-backed content decoder and decode a
-    format the stdlib tier rejects. Skipped where Pillow is absent —
-    the wiring itself is covered by the snapshot tests above."""
+    format the stdlib tier rejects (CMYK JPEG — 4 components + the
+    Adobe transform stay out of the zero-dep envelope by design).
+    Skipped where Pillow is absent — the wiring itself is covered by
+    the snapshot tests above."""
     import pytest
 
     Image = pytest.importorskip("PIL.Image")
@@ -325,13 +327,8 @@ def test_pil_third_party_content_decoder(spark):
             "min_px": int(a.min()), "max_px": int(a.max()),
         }
 
-    # a progressive JPEG: the stdlib baseline decoder REJECTS it by
-    # design (spectral selection needs a progressive scan machine);
-    # Pillow decodes it
     buf = io.BytesIO()
-    Image.new("RGB", (4, 3), (10, 20, 30)).save(
-        buf, format="JPEG", progressive=True, quality=95
-    )
+    Image.new("CMYK", (4, 3), (10, 20, 30, 0)).save(buf, format="JPEG")
     df = spark.createDataFrame(
         [(9, "image", bytearray(buf.getvalue()))],
         "media_id long, modality string, payload binary",
@@ -341,6 +338,39 @@ def test_pil_third_party_content_decoder(spark):
         mm.set_content_decoder("image", pil_pixel_stats)
         row = mm.pixel_stats(df).collect()[0]
         assert (row["width"], row["height"]) == (4, 3)
-        assert abs(row["mean_b"] - 30.0) <= 3.0  # JPEG is lossy
     finally:
         mm._CONTENT_DECODERS.clear()
+
+
+def test_progressive_jpeg_cross_validates_against_pillow():
+    """r7: the zero-dep PROGRESSIVE decode against a real libjpeg
+    stream (via Pillow): a Pillow-written progressive JPEG must decode
+    within IDCT-rounding distance of Pillow's own pixels — the decoder
+    pair can't share a convention bug with libjpeg. Skipped where
+    Pillow is absent; the entropy layer is independently pinned by the
+    ground-truth-IDCT round trips in test_codec_properties."""
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from giraph_spark.functions.media_codecs import parse_jpeg_pixels
+
+    rng = np.random.default_rng(17)
+    for size in [(16, 16), (37, 23), (8, 64)]:
+        arr = rng.integers(0, 256, (size[1], size[0], 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGB").save(
+            buf, format="JPEG", progressive=True, quality=92
+        )
+        h, w, px = parse_jpeg_pixels(buf.getvalue())
+        ref = np.asarray(
+            Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+        ).astype(np.int32)
+        assert (h, w) == (size[1], size[0])
+        # libjpeg's fixed-point IDCT vs our float IDCT: small per-pixel
+        # deltas are expected; systematic decode errors are not
+        assert np.abs(px.astype(np.int32) - ref).max() <= 4
+        assert np.abs(px.astype(np.int32) - ref).mean() <= 1.0
