@@ -362,6 +362,33 @@ def pipeline() -> None:
     timings["gif_pixel_stats"], rows["gif_pixel_stats"] = run(
         lambda: pixel_stats(gif_pixels_media_from_docs(docs)).count()
     )
+    from giraph_spark.functions.multimodal import (
+        decode_coverage,
+        decode_metadata,
+        jpeg_progressive_media_from_docs,
+        mixed_media_from_docs,
+        mp4_media_from_docs,
+    )
+
+    timings["jpeg_progressive_pixel_stats"], rows[
+        "jpeg_progressive_pixel_stats"
+    ] = run(
+        lambda: pixel_stats(jpeg_progressive_media_from_docs(docs)).count()
+    )
+    timings["mp4_metadata"], rows["mp4_metadata"] = run(
+        lambda: decode_metadata(mp4_media_from_docs(docs)).count()
+    )
+    timings["decode_coverage"], rows["decode_coverage"] = run(
+        lambda: decode_coverage(mixed_media_from_docs(docs)).count()
+    )
+    from giraph_spark.functions.pipeline import clean_corpus_dsir
+
+    timings["clean_corpus_dsir"], rows["clean_corpus_dsir"] = run(
+        lambda: clean_corpus_dsir(
+            docs.select("doc_id", "text"),
+            docs.where(F.col("source") == "src18").select("doc_id", "text"),
+        ).count()
+    )
     from giraph_spark.functions.dedup import dedup_corpus, minhash_lsh_pairs
 
     d2 = docs.select("doc_id", "text")

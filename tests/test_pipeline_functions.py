@@ -889,24 +889,30 @@ def test_pixel_stats_decodes_png_and_bmp(spark):
     assert got[2]["mean_r"] == 50.0 and got[2]["mean_b"] == 0.0
 
 
-def test_interlaced_png_rejected_not_misdecoded(spark):
-    """An Adam7-interlaced PNG must raise in parse_png_pixels (ADVICE r5:
-    its pass layout misread as sequential scanlines can decode to WRONG
-    non-null stats) and surface as a null-stats row in pixel_stats —
-    never fabricated pixels."""
+def test_mislabeled_interlace_png_errors_not_misdecoded(spark):
+    """r7 update: Adam7 PNGs now DECODE (the round-trip property tests
+    in test_codec_properties pin them), so the r5 hazard inverts — a
+    SEQUENTIAL stream whose IHDR lies about being interlaced is corrupt
+    input and must error (the Adam7 pass layout needs more bytes than
+    the sequential stream carries here), surfacing as a null-stats row
+    in pixel_stats, never fabricated pixels. A genuinely interlaced
+    encoding of the same image decodes to the true pixels."""
     import struct
     import zlib
 
+    import numpy as np
     import pytest as _pytest
 
     from giraph_spark.functions.media_codecs import make_png, parse_png_pixels
     from giraph_spark.functions.multimodal import MEDIA_SCHEMA, pixel_stats
 
     png = bytearray(make_png(4, 4, channels=3, rows=[b"\x10" * 12] * 4))
-    png[28] = 1  # IHDR interlace byte -> Adam7
+    png[28] = 1  # IHDR interlace byte -> Adam7 (stream stays sequential)
     body = bytes(png[12:29])  # tag + 13-byte IHDR body
     png[29:33] = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
-    with _pytest.raises(ValueError, match="interlaced"):
+    # the misread lands on a data byte where a pass expects a filter
+    # byte (or runs out of bytes) — either way a loud error
+    with _pytest.raises(ValueError, match="truncated|bad PNG filter"):
         parse_png_pixels(bytes(png))
     df = spark.createDataFrame(
         [(1, "image", bytes(png), "image/png", "t")], MEDIA_SCHEMA
@@ -914,6 +920,12 @@ def test_interlaced_png_rejected_not_misdecoded(spark):
     row = pixel_stats(df).first()
     assert row["mean_r"] is None and row["width"] is None
     assert row["n_bytes"] == len(png)
+    # the honestly-interlaced twin decodes
+    good = make_png(
+        4, 4, channels=3, rows=[b"\x10" * 12] * 4, interlace=True
+    )
+    _, _, px = parse_png_pixels(good)
+    assert np.array_equal(px, np.full((4, 4, 3), 0x10, np.uint8))
 
 
 def test_pca_components_k_out_of_range(spark):
@@ -1087,11 +1099,18 @@ def test_jpeg_baseline_decode_unit():
         assert (hh, ww) == (13, 20)
         assert tuple(px[5, 5]) == expected_rgb(*ycc)
         assert (px == px[0, 0]).all()
-    # progressive SOF2 is outside the envelope -> ValueError, not garbage
+    # SOF2 is now IN the envelope (r7) — but a baseline stream whose
+    # SOF marker is flipped to progressive is STILL malformed (its
+    # full-band interleaved scan is illegal as a progressive DC scan)
+    # and must error, not decode garbage
     pay = bytearray(make_jpeg_baseline(8, 8))
     idx = pay.find(b"\xff\xc0")
     pay[idx + 1] = 0xC2
-    with _pytest.raises(ValueError, match="progressive"):
+    with _pytest.raises(ValueError, match="DC scan with Se"):
+        parse_jpeg_pixels(bytes(pay))
+    # arithmetic coding stays out of the envelope
+    pay[idx + 1] = 0xC9
+    with _pytest.raises(ValueError, match="arithmetic"):
         parse_jpeg_pixels(bytes(pay))
     s = jpeg_pixel_stats(make_jpeg_baseline(9, 9, gray=42))
     assert s["mean_r"] == 42.0 and s["min_px"] == s["max_px"] == 42
