@@ -506,3 +506,40 @@ def test_loop_gear_resizes_and_restores(spark):
         pass
     assert conf.get("spark.sql.shuffle.partitions") == parts0
     assert conf.get("spark.sql.adaptive.enabled") == aqe0
+
+
+def test_bcast_if_small_plan_shapes(spark):
+    """The loops' count-gated broadcast (plans/gear.py bcast_if_small)
+    must actually change the physical join: under the limit the delta
+    anti-join goes map-side (BroadcastHashJoin — the big cached side
+    never moves), over the limit it falls back to a shuffle join. The
+    stats side is checkpoint-fresh (no size estimate), so ONLY the
+    explicit hint can produce the broadcast — this pins the gate as
+    load-bearing."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from giraph_spark.plans.checkpoint import fresh_checkpoint
+    from giraph_spark.plans.gear import bcast_if_small
+
+    big = fresh_checkpoint(
+        spark.range(1000).select(F.col("id").alias("src"))
+    )
+    delta = fresh_checkpoint(spark.range(10).select(F.col("id").alias("src")))
+
+    def plan_of(j):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        return buf.getvalue()
+
+    gated = big.join(bcast_if_small(delta, 10), on="src", how="left_anti")
+    assert "BroadcastHashJoin" in plan_of(gated)
+    ungated = big.join(
+        bcast_if_small(delta, 10, limit=5), on="src", how="left_anti"
+    )
+    p = plan_of(ungated)
+    assert "BroadcastHashJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
