@@ -1638,6 +1638,55 @@ def _q_decode_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text ingest (r7): every document's text round-trips
+    through a per-row codec cycling gzip / zlib / plain / raw-deflate
+    by doc_id % 5, with the fifth class a deliberately corrupt blob
+    (invalid UTF-8 + invalid deflate) that must yield a NULL text and
+    codec='unknown'. The oracle replays text and codec from the
+    documents view alone — the compression happens and is undone
+    entirely on the Spark side (n_bytes projected out: compressed
+    sizes are not closed-form)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from giraph_spark.functions.text import decompress_text
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import zlib
+
+        for pdf in batches:
+            payloads = []
+            for mid, text in zip(
+                pdf["doc_id"].to_numpy(), pdf["text"].to_numpy()
+            ):
+                raw = str(text).encode("utf-8")
+                k = int(mid) % 5
+                if k == 0:
+                    payloads.append(gzip.compress(raw, mtime=0))
+                elif k == 1:
+                    payloads.append(zlib.compress(raw))
+                elif k == 2:
+                    payloads.append(raw)
+                elif k == 3:
+                    co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+                    payloads.append(co.compress(raw) + co.flush())
+                else:
+                    payloads.append(b"\xff\xff" + raw[:8])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return decompress_text(blobs).select("doc_id", "text", "codec")
+
+
 def _q_clean_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scored training-set selection (VERDICT r6 task 5): Gopher hard
     gate -> DSIR importance weights vs the source='src18' target domain
@@ -2275,6 +2324,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "dsir_importance": _q_dsir_importance,
         "clean_corpus_dsir": _q_clean_corpus_dsir,
+        "decompress_text": _q_decompress_text,
         "decode_coverage": _q_decode_coverage,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
@@ -4280,6 +4330,15 @@ FROM (
     # bucket -> histogram-calibrated threshold (50 bins on [-4, 6),
     # keep <= 25% of scored) -> seed-42 split. Mirrors dsir_sql /
     # gopher_rules_sql / threshold_metrics piece for piece.
+
+    decompress_text_sql = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN CAST(doc_id AS BIGINT) % 5 = 4 THEN NULL ELSE text END
+         AS text,
+       CASE CAST(doc_id AS BIGINT) % 5
+            WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib' WHEN 2 THEN 'plain'
+            WHEN 3 THEN 'deflate' ELSE 'unknown' END AS codec
+FROM documents"""
     clean_corpus_dsir_sql = f"""
 WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source FROM documents
@@ -5508,6 +5567,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "gopher_rules": gopher_rules_sql,
         "dsir_importance": dsir_sql,
         "clean_corpus_dsir": clean_corpus_dsir_sql,
+        "decompress_text": decompress_text_sql,
         "decode_coverage": decode_coverage_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,

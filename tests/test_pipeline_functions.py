@@ -1478,3 +1478,41 @@ def test_threshold_metrics_closed_form(spark):
         df.where("score < 0"), "score", "label", lo=0.0, hi=4.0, n_bins=4
     ).collect()
     assert all(r.precision is None and r.n_pred_pos == 0 for r in empty)
+
+
+def test_decompress_text_codecs_and_bomb_guard(spark):
+    """r7 ingest op: per-row gzip/zlib/plain/raw-deflate sniffed and
+    decompressed; corrupt blobs and decompression bombs yield NULL text
+    (codec + n_bytes still recorded), never an executor OOM or a job
+    abort."""
+    import gzip
+    import zlib
+
+    from giraph_spark.functions.text import decompress_text
+
+    msg = "hello compressed world " * 10
+    raw = msg.encode()
+    co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    deflate = co.compress(raw) + co.flush()
+    bomb = zlib.compress(b"\x00" * 50_000_000)  # ~48 KB -> 50 MB
+    rows = [
+        (0, bytearray(gzip.compress(raw))),
+        (1, bytearray(zlib.compress(raw))),
+        (2, bytearray(raw)),
+        (3, bytearray(deflate)),
+        (4, bytearray(b"\xff\xfe corrupt")),
+        (5, bytearray(bomb)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in decompress_text(df, max_ratio=100).collect()
+    }
+    assert [out[i]["codec"] for i in range(6)] == [
+        "gzip", "zlib", "plain", "deflate", "unknown", "zlib"
+    ]
+    for i in range(4):
+        assert out[i]["text"] == msg
+    assert out[4]["text"] is None
+    assert out[5]["text"] is None  # capped, not inflated
+    assert out[5]["n_bytes"] == len(bomb)
