@@ -1753,6 +1753,27 @@ def _q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-FRAME content decode (r7: the pandas-UDF stage
+    frame_sample_plan plans for): animated GIFs with 1 + id % 7 solid
+    frames, sampled at every_n=2 / max_frames=3 (frames 0, 2, 4 where
+    they exist), each frame's pixel stats a closed-form (id, frame)
+    function through a real multi-image LZW decode."""
+    from giraph_spark.functions.multimodal import (
+        frame_pixel_stats,
+        gif_animation_media_from_docs,
+    )
+
+    return frame_pixel_stats(
+        gif_animation_media_from_docs(_docs(spark, sf_dir)),
+        every_n=2,
+        max_frames=3,
+    ).select(
+        "media_id", "modality", "frame_index", "width", "height",
+        "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+    )
+
+
 def _q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP4/ISO-BMFF header metadata (r7: the video modality joins the
     zero-dep sniffer tier): real minimal BMFF files (ftyp + moov/mvhd +
@@ -2325,6 +2346,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": _q_dsir_importance,
         "clean_corpus_dsir": _q_clean_corpus_dsir,
         "decompress_text": _q_decompress_text,
+        "gif_frame_stats": _q_gif_frame_stats,
         "decode_coverage": _q_decode_coverage,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
@@ -4587,6 +4609,24 @@ FROM g"""
     # PNG twin: solid color -> stats are pure id functions; the cycling
     # scanline filters only exercise the decoder, never the values
 
+
+    gif_frame_stats_sql = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+f AS (
+  SELECT id, UNNEST([0, 2, 4]) AS j FROM d
+)
+SELECT id AS media_id, 'image' AS modality,
+       CAST(j AS BIGINT) AS frame_index,
+       CAST(2 + id % 6 AS BIGINT) AS width,
+       CAST(2 + id % 4 AS BIGINT) AS height,
+       CAST((id * 5 + 37 * j) % 256 AS DOUBLE) AS mean_r,
+       CAST((id * 11 + 13 * j) % 256 AS DOUBLE) AS mean_g,
+       CAST((id * 3 + 7 * j) % 256 AS DOUBLE) AS mean_b,
+       LEAST((id * 5 + 37 * j) % 256, (id * 11 + 13 * j) % 256,
+             (id * 3 + 7 * j) % 256) AS min_px,
+       GREATEST((id * 5 + 37 * j) % 256, (id * 11 + 13 * j) % 256,
+                (id * 3 + 7 * j) % 256) AS max_px
+FROM f WHERE j < 1 + id % 7"""
     mp4_metadata_sql = """
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        'video' AS modality,
@@ -5568,6 +5608,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "dsir_importance": dsir_sql,
         "clean_corpus_dsir": clean_corpus_dsir_sql,
         "decompress_text": decompress_text_sql,
+        "gif_frame_stats": gif_frame_stats_sql,
         "decode_coverage": decode_coverage_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,

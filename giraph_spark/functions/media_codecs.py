@@ -2107,13 +2107,26 @@ def make_jpeg_progressive_color(
 
 
 def parse_gif_pixels(payload: bytes):
-    """Full CONTENT decode of the FIRST frame of a GIF with zero codec
-    deps (stdlib + numpy): LZW decompression of the image data, palette
-    resolution through the global (or frame-local) color table. Returns
-    ``(height, width, pixels)`` with ``pixels`` uint8 (height, width, 3)
-    RGB. Interlaced frames are de-interlaced (the GIF four-pass row
-    order). Raises ``ValueError`` for truncated/corrupt streams — the
-    caller surfaces that as a null-stats row."""
+    """Full CONTENT decode of the FIRST frame of a GIF — see
+    :func:`iter_gif_frames` for the per-frame generator this draws
+    from. Returns ``(height, width, pixels)``."""
+    for h, w, px in iter_gif_frames(payload):
+        return h, w, px
+    raise ValueError("GIF has no image data")
+
+
+def iter_gif_frames(payload: bytes):
+    """Generator over EVERY frame of a GIF with zero codec deps
+    (stdlib + numpy): per image descriptor, LZW decompression + palette
+    resolution through the global (or frame-local) color table,
+    yielding ``(height, width, pixels)`` with ``pixels`` uint8
+    (height, width, 3) RGB. Frames are decoded as their OWN pixel
+    rects — no canvas compositing/disposal (per-frame content stats,
+    not animation playback). Interlaced frames are de-interlaced (the
+    GIF four-pass row order). Lazy: a caller sampling early frames
+    never pays for the tail. Raises ``ValueError`` for
+    truncated/corrupt streams — the caller surfaces that as a
+    null-stats row."""
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -2180,12 +2193,11 @@ def parse_gif_pixels(payload: bytes):
                 for src, dst in enumerate(rows):
                     out[dst] = img[src]
                 img = out
-            return h, w, table[img]
+            yield h, w, table[img]
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
-    raise ValueError("GIF has no image data")
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
@@ -2271,24 +2283,30 @@ def make_gif_pixels(
     palette: "list[tuple[int, int, int]]",
     indices: "bytes | None" = None,
     interlaced: bool = False,
+    frames: "list[bytes] | None" = None,
 ) -> bytes:
-    """A REAL decodable GIF frame: ``indices`` (row-major palette
-    indices, default all 0) LZW-coded with the clear-per-symbol scheme —
-    a conforming stream in which every code stays at its minimum width
+    """A REAL decodable GIF: ``indices`` (row-major palette indices,
+    default all 0) LZW-coded with the clear-per-symbol scheme — a
+    conforming stream in which every code stays at its minimum width
     (a CLEAR before each literal keeps the dictionary empty), so the
     encoder needs no variable-width machinery while any conforming
-    decoder reproduces ``indices`` exactly. The content-level twin of
-    :func:`make_gif` (which emits header-only minimal frames), and the
-    fixture for :func:`parse_gif_pixels`."""
+    decoder reproduces ``indices`` exactly. ``frames`` optionally
+    supplies SEVERAL index planes (an animation sharing the global
+    palette, one image block each) — the fixture for
+    :func:`iter_gif_frames`. The content-level twin of :func:`make_gif`
+    (which emits header-only minimal frames)."""
     n_colors = max(len(palette), 2)
     size_bits = max((n_colors - 1).bit_length(), 1)
     table_n = 1 << size_bits
-    if indices is None:
-        indices = bytes(width * height)
-    if len(indices) != width * height:
-        raise ValueError("indices must have width*height entries")
-    if max(indices, default=0) >= len(palette):
-        raise ValueError("index out of palette range")
+    if frames is None:
+        if indices is None:
+            indices = bytes(width * height)
+        frames = [indices]
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("indices must have width*height entries")
+        if max(fr, default=0) >= len(palette):
+            raise ValueError("index out of palette range")
     header = (
         b"GIF89a"
         + struct.pack("<HH", width, height)
@@ -2299,30 +2317,33 @@ def make_gif_pixels(
     )
     iflags = 0x40 if interlaced else 0
     desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + bytes([iflags])
-    min_code = max(size_bits, 2)
-    clear, eoi = 1 << min_code, (1 << min_code) + 1
-    code_size = min_code + 1
-    codes = [clear]
-    for v in indices:
-        codes += [v, clear]
-    codes[-1] = eoi  # final clear -> end-of-information
-    acc = nbits = 0
-    stream = bytearray()
-    for c in codes:
-        acc |= c << nbits
-        nbits += code_size
-        while nbits >= 8:
+    out = bytearray(header + table)
+    for fr in frames:
+        min_code = max(size_bits, 2)
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        code_size = min_code + 1
+        codes = [clear]
+        for v in fr:
+            codes += [v, clear]
+        codes[-1] = eoi  # final clear -> end-of-information
+        acc = nbits = 0
+        stream = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += code_size
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
             stream.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    if nbits:
-        stream.append(acc & 0xFF)
-    blocks = bytearray([min_code])
-    for i in range(0, len(stream), 255):
-        chunk = stream[i : i + 255]
-        blocks += bytes([len(chunk)]) + chunk
-    blocks.append(0)
-    return header + table + desc + bytes(blocks) + b"\x3b"
+        blocks = bytearray([min_code])
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            blocks += bytes([len(chunk)]) + chunk
+        blocks.append(0)
+        out += desc + bytes(blocks)
+    return bytes(out) + b"\x3b"
 
 
 def sniff_format(payload: bytes | None) -> str | None:

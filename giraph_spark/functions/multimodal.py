@@ -833,3 +833,142 @@ def jpeg_progressive_media_from_docs(docs: DataFrame) -> DataFrame:
             )
 
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def frame_pixel_stats(
+    df: DataFrame, every_n: int = 10, max_frames: int = 8
+) -> DataFrame:
+    """Sampled-frame CONTENT decode — the pandas-UDF stage
+    :func:`frame_sample_plan` plans for: per media blob, decode the
+    frames at indices ``0, every_n, 2·every_n, …`` (at most
+    ``max_frames`` — the exact sampling rule the plan emits) and return
+    one row per sampled frame with per-channel pixel statistics:
+    ``(media_id, modality, frame_index, width, height, mean_r, mean_g,
+    mean_b, min_px, max_px)``. Multi-frame decode is REAL for GIF
+    (:func:`giraph_spark.functions.media_codecs.iter_gif_frames` —
+    lazy, so sampling early frames never decodes the tail; each frame
+    is its own pixel rect, no canvas compositing); single-frame
+    containers (PNG/BMP/JPEG) contribute frame 0 through the standard
+    content decoder; an undecodable payload yields ONE null-stats row
+    (``frame_index`` NULL) — the no-fake contract.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass; output rows ≤
+    ``max_frames`` per blob, payload bytes cross no shuffle."""
+    import numpy as np
+
+    out_schema = (
+        "media_id long, modality string, frame_index long, "
+        "width long, height long, mean_r double, mean_g double, "
+        "mean_b double, min_px long, max_px long"
+    )
+    overrides = dict(_CONTENT_DECODERS)  # by-value, see decode_metadata
+
+    def stats_of(px: "np.ndarray") -> list:
+        return [
+            float(px[..., 0].mean()),
+            float(px[..., 1].mean()),
+            float(px[..., 2].mean()),
+            int(px.min()),
+            int(px.max()),
+        ]
+
+    def rows_for(mid, mod, payload):
+        from .media_codecs import iter_gif_frames, sniff_format
+
+        null_row = [mid, mod, None, None, None, None, None, None, None, None]
+        if payload is None:
+            return [null_row]
+        fmt = sniff_format(bytes(payload))
+        wanted = list(range(0, max_frames * every_n, every_n))
+        if fmt == "gif":
+            out = []
+            try:
+                for j, (h, w, px) in enumerate(iter_gif_frames(bytes(payload))):
+                    if j > wanted[-1]:
+                        break
+                    if j in wanted:
+                        out.append([mid, mod, j, w, h, *stats_of(px)])
+            except Exception:
+                return out or [null_row]
+            return out or [null_row]
+        fn = overrides.get(mod) or _stdlib_content_decoder(mod)
+        if fn is None:
+            return [null_row]
+        try:
+            s = fn(bytes(payload))
+        except Exception:
+            return [null_row]
+        if not s or s.get("mean_r") is None:
+            return [null_row]
+        return [
+            [
+                mid, mod, 0, s.get("width"), s.get("height"),
+                s.get("mean_r"), s.get("mean_g"), s.get("mean_b"),
+                s.get("min_px"), s.get("max_px"),
+            ]
+        ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "modality", "frame_index", "width", "height",
+            "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+        ]
+        for pdf in batches:
+            rows: list = []
+            for mid, mod, payload in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["modality"].to_numpy(),
+                pdf["payload"].to_numpy(),
+            ):
+                rows.extend(rows_for(int(mid), mod, payload))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "modality", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def gif_animation_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic ANIMATED-GIF media table derived from ``documents``:
+    per doc a ``width = 2 + id % 6`` × ``height = 2 + id % 4`` GIF with
+    ``n_frames = 1 + id % 7`` solid frames sharing one 8-color global
+    palette, frame ``j`` filled with palette color
+    ``((id·5 + 37·j) % 256, (id·11 + 13·j) % 256, (id·3 + 7·j) % 256)``
+    — every sampled-frame statistic is a closed-form (id, j) function.
+    The multi-frame fixture for :func:`frame_pixel_stats`."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_gif_pixels
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].to_numpy():
+                mid = int(mid)
+                w, h = 2 + mid % 6, 2 + mid % 4
+                n = 1 + mid % 7
+                pal = [
+                    (
+                        (mid * 5 + 37 * j) % 256,
+                        (mid * 11 + 13 * j) % 256,
+                        (mid * 3 + 7 * j) % 256,
+                    )
+                    for j in range(8)
+                ]
+                payloads.append(
+                    make_gif_pixels(
+                        w, h, pal,
+                        frames=[bytes([j] * (w * h)) for j in range(n)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/gif",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -1516,3 +1516,38 @@ def test_decompress_text_codecs_and_bomb_guard(spark):
     assert out[4]["text"] is None
     assert out[5]["text"] is None  # capped, not inflated
     assert out[5]["n_bytes"] == len(bomb)
+
+
+def test_frame_pixel_stats_sampling_and_fallbacks(spark):
+    """r7: frame_pixel_stats decodes the SAMPLED frames of animated
+    GIFs (lazy per-frame LZW — the decode stage frame_sample_plan plans
+    for), falls back to frame 0 via the standard content decoder for
+    single-frame containers, and yields one null row for undecodable
+    payloads."""
+    from giraph_spark.functions.media_codecs import (
+        make_bmp,
+        make_gif_pixels,
+    )
+    from giraph_spark.functions.multimodal import frame_pixel_stats
+
+    pal = [(10, 20, 30), (200, 100, 50), (0, 255, 0), (1, 2, 3), (9, 9, 9)]
+    anim = make_gif_pixels(
+        3, 2, pal, frames=[bytes([j] * 6) for j in range(5)]
+    )
+    bmp = make_bmp(2, 2, rows=[bytes([5, 6, 7] * 2)] * 2)
+    rows = [
+        (1, "image", bytearray(anim)),
+        (2, "image", bytearray(bmp)),
+        (3, "image", bytearray(b"not media")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary"
+    )
+    out = frame_pixel_stats(df, every_n=2, max_frames=2).collect()
+    by_key = {(r["media_id"], r["frame_index"]): r for r in out}
+    # GIF: frames 0 and 2 sampled (every_n=2, max 2), frame 4 NOT
+    assert set(by_key) == {(1, 0), (1, 2), (2, 0), (3, None)}
+    assert by_key[(1, 0)]["mean_r"] == 10.0
+    assert by_key[(1, 2)]["mean_g"] == 255.0
+    assert (by_key[(2, 0)]["width"], by_key[(2, 0)]["mean_b"]) == (2, 5.0)
+    assert by_key[(3, None)]["mean_r"] is None
