@@ -1656,6 +1656,19 @@ def _q_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
+    blobs = _compressed_blobs(docs)
+    return decompress_text(blobs).select("doc_id", "text", "codec")
+
+
+def _compressed_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload): the per-row codec-cycling
+    compression fixture shared by decompress_text and
+    clean_corpus_compressed — gzip / zlib / plain / raw-deflate by
+    doc_id % 5, with the fifth class a deliberately corrupt blob
+    (invalid UTF-8 + invalid deflate) that must decode to NULL."""
+    from collections.abc import Iterator
+
+    import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gzip
@@ -1683,8 +1696,32 @@ def _q_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
             )
 
-    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
-    return decompress_text(blobs).select("doc_id", "text", "codec")
+    return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def _q_clean_corpus_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET-shard-to-training-set story in one call (r8, VERDICT r7
+    task 6): the clean_corpus fixture corpus (documents ∪ perturbed
+    re-renders so dedup has real work) compressed per row through the
+    decompress_text codec cycle — gzip / zlib / plain / raw-deflate by
+    doc_id % 5, fifth class corrupt — then decompress → quality gate →
+    exact dedup → split, with the corrupt rows landing as
+    status='removed_undecodable'. The oracle replays the disposition
+    from the documents view alone: compression happens and is undone
+    entirely Spark-side."""
+    from giraph_spark.functions.pipeline import clean_corpus_compressed
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    perturbed = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" !! ")).alias("text"),
+    )
+    blobs = _compressed_blobs(d.unionByName(perturbed))
+    return clean_corpus_compressed(blobs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status", "split"
+    )
 
 
 def _q_clean_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1788,6 +1825,30 @@ def _q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return decode_metadata(mp4_media_from_docs(_docs(spark, sf_dir))).select(
         "media_id", "modality", "width", "height", "n_frames", "duration_s"
+    )
+
+
+def _q_mp4_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 sampled-frame plan from the stts/stsz sample tables (r8,
+    VERDICT r7 task 5 — the video modality gets the GIF path's
+    sampled-frame plan): two-run variable-duration stts, per-sample
+    stsz, and an mdhd media timescale distinct from the movie's, so
+    every planned frame's (timestamp, size) is a closed-form (id, j)
+    function through a real box-tree walk — run-length arithmetic,
+    never a per-sample expansion (giraph_spark/functions/
+    media_codecs.py mp4_sample_plan)."""
+    from giraph_spark.functions.multimodal import (
+        mp4_frame_plan,
+        mp4_sampled_media_from_docs,
+    )
+
+    return mp4_frame_plan(
+        mp4_sampled_media_from_docs(_docs(spark, sf_dir)),
+        every_n=4,
+        max_frames=8,
+    ).select(
+        "media_id", "frame_index", "t_ticks", "timescale",
+        "t_seconds", "size_bytes",
     )
 
 
@@ -2303,6 +2364,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bracha_toueg_deadlock": _q_deadlock,
         "exact_duplicates": _q_exact_dups,
         "clean_corpus": _q_clean_corpus,
+        "clean_corpus_compressed": _q_clean_corpus_compressed,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
@@ -2351,6 +2413,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
         "mp4_metadata": _q_mp4_metadata,
+        "mp4_frame_plan": _q_mp4_frame_plan,
         "jpeg_progressive_pixel_stats": _q_jpeg_progressive_pixel_stats,
         "png_interlaced_pixel_stats": _q_png_interlaced_pixel_stats,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
@@ -3996,6 +4059,55 @@ SELECT doc_id, status,
        END AS split
 FROM disp"""
 
+    # clean_corpus over compressed shards: the corrupt codec class
+    # (doc_id % 5 = 4 — both original and +10M perturbed ids, 10M ≡ 0
+    # mod 5) decodes to NULL and lands as removed_undecodable; the
+    # quality/dedup/split pipeline runs over the DECODED subset only,
+    # so a passer whose only lower-id twin is corrupt is kept
+    clean_corpus_compressed_sql = f"""
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, ' ' || text || ' !! ' AS text
+    FROM documents WHERE doc_id % 20 = 0
+),
+dec AS (SELECT doc_id, text FROM docs2 WHERE doc_id % 5 <> 4),
+q AS ({quality_sql.replace("FROM documents", "FROM dec")}),
+r AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens >= 5 THEN 0 ELSE 1 END)
+       + (CASE WHEN n_tokens <= 100000 THEN 0 ELSE 1 END)
+       + (CASE WHEN alpha_ratio >= 0.6 THEN 0 ELSE 1 END)
+       + (CASE WHEN digit_ratio <= 0.3 THEN 0 ELSE 1 END)
+       + (CASE WHEN stopword_ratio >= 0.05 THEN 0 ELSE 1 END) AS n_fail
+  FROM q),
+pass AS (SELECT doc_id FROM r WHERE n_fail = 0),
+h AS (
+  SELECT d.doc_id, md5({norm}) AS hh
+  FROM dec d JOIN pass p ON p.doc_id = d.doc_id
+),
+keep AS (SELECT hh, MIN(doc_id) AS keep_id FROM h GROUP BY hh),
+disp AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CASE WHEN p.doc_id IS NULL THEN 'removed_quality'
+              WHEN d.doc_id <> k.keep_id THEN 'removed_duplicate'
+              ELSE 'kept' END AS status
+  FROM dec d
+  LEFT JOIN pass p ON p.doc_id = d.doc_id
+  LEFT JOIN h ON h.doc_id = d.doc_id
+  LEFT JOIN keep k ON k.hh = h.hh
+)
+SELECT doc_id, status,
+       CASE WHEN status = 'kept'
+            THEN CASE WHEN {_bucket_sql()} < 1000 THEN 'val' ELSE 'train' END
+       END AS split
+FROM disp
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'removed_undecodable' AS status,
+       CAST(NULL AS VARCHAR) AS split
+FROM docs2 WHERE doc_id % 5 = 4"""
+
     train_val_split_sql = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN {_bucket_sql()} < 1000 THEN 'val' ELSE 'train' END AS split
@@ -4635,6 +4747,34 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(1 + CAST(doc_id AS BIGINT) % 24 AS BIGINT) AS n_frames,
        (1 + CAST(doc_id AS BIGINT) % 20) / 2.0 AS duration_s
 FROM documents"""
+
+    # mp4_frame_plan fixture closed form (mp4_sampled_media_from_docs):
+    # n = 1 + id % 29 samples, first n1 = (n+1)//2 at dt_a ticks, rest
+    # at dt_a + 40; size_j = 200 + (id·13 + 7j) % 100; media timescale
+    # 1200 + (id % 4)·600. Sampled at every_n=4 / max_frames=8 → j in
+    # {0,4,…,28} below n (n ≤ 29 ⇒ never more than 8 frames)
+    mp4_frame_plan_sql = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+p AS (
+  SELECT id,
+         1 + id % 29 AS n,
+         CAST(FLOOR((2 + id % 29) / 2) AS BIGINT) AS n1,
+         100 + (id % 7) * 10 AS dt_a,
+         1200 + (id % 4) * 600 AS ts
+  FROM d
+),
+f AS (SELECT p.*, UNNEST([0, 4, 8, 12, 16, 20, 24, 28]) AS j FROM p)
+SELECT id AS media_id,
+       CAST(j AS BIGINT) AS frame_index,
+       CAST(CASE WHEN j < n1 THEN j * dt_a
+            ELSE n1 * dt_a + (j - n1) * (dt_a + 40) END AS BIGINT)
+         AS t_ticks,
+       CAST(ts AS BIGINT) AS timescale,
+       CAST(CASE WHEN j < n1 THEN j * dt_a
+            ELSE n1 * dt_a + (j - n1) * (dt_a + 40) END AS DOUBLE)
+         / CAST(ts AS DOUBLE) AS t_seconds,
+       CAST(200 + (id * 13 + 7 * j) % 100 AS BIGINT) AS size_bytes
+FROM f WHERE j < n"""
     png_pixel_stats_sql = """
 WITH g AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -5613,6 +5753,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,
         "mp4_metadata": mp4_metadata_sql,
+        "mp4_frame_plan": mp4_frame_plan_sql,
         "jpeg_progressive_pixel_stats": jpeg_pixel_stats_sql,
         "png_interlaced_pixel_stats": png_pixel_stats_sql,
         "jpeg_pixel_stats": jpeg_pixel_stats_sql,
@@ -5621,6 +5762,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "multimodal_frame_plan": frame_plan_sql,
         "exact_duplicates": exact_dups_sql,
         "clean_corpus": clean_corpus_sql,
+        "clean_corpus_compressed": clean_corpus_compressed_sql,
         "ngram_jaccard_pairs": ngram_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
         "fuzzy_decontaminate": fuzzy_decon_sql,

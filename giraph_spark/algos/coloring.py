@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..plans.checkpoint import fresh_checkpoint_count
-from ..plans.gear import LoopGear, bcast_if_small
+from ..plans.gear import ARRAY_ELEM_BYTES, LoopGear, bcast_if_small
 
 
 def graph_coloring(
@@ -120,12 +120,21 @@ def graph_coloring(
             # from state via both edge endpoints, so the wave's output
             # joins state with a derivative of itself — the inherited
             # size estimate would square per wave (plans/checkpoint.py).
-            # per_v has ≤ n_unc rows — broadcast it once the live set is
-            # small and the O(V) state side never shuffles at all
+            # per_v has ≤ n_unc rows, but its _taken arrays make it
+            # wide: each live in-edge contributes at most one element,
+            # so n_live × elem-bytes bounds the array payload exactly —
+            # pass it so the byte gate sees the true size (a row-count
+            # gate alone would happily broadcast GBs on a high-degree
+            # graph). Broadcast once it fits and the O(V) state side
+            # never shuffles at all
             prev_unc = n_unc
             state, _, n_unc = fresh_checkpoint_count(
                 state.join(
-                    bcast_if_small(per_v, prev_unc), on=id_col, how="left"
+                    bcast_if_small(
+                        per_v, prev_unc, extra_bytes=ARRAY_ELEM_BYTES * n_live
+                    ),
+                    on=id_col,
+                    how="left",
                 ).select(
                     id_col,
                     F.when(F.col("_color").isNotNull(), F.col("_color"))

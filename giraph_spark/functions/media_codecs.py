@@ -656,6 +656,132 @@ def parse_mp4(payload: bytes) -> dict[str, Any]:
     }
 
 
+def mp4_sample_plan(
+    payload: bytes, every_n: int = 10, max_frames: int = 8
+) -> dict[str, Any]:
+    """Sampled-frame plan for an ISO BMFF file from its ``stts``/
+    ``stsz`` sample tables — the video-modality analog of the GIF
+    sampled-frame path, still with NO sample-data decode: which frames
+    a decode stage should fetch (indices ``0, every_n, 2·every_n, …``,
+    at most ``max_frames``), each with its start timestamp in media
+    ticks and its encoded byte size.
+
+    Returns ``{"timescale": int, "n_samples": int, "frames":
+    [(frame_index, t_ticks, size_bytes | None), ...]}``. The timestamp
+    unit is the track's ``mdhd`` media timescale when present, else the
+    movie ``mvhd`` timescale (the ISO 14496-12 fallback order);
+    ``size_bytes`` is None when the file carries no ``stsz``.
+
+    Scale shape: ``stts`` is run-length — (count, delta) pairs — and
+    this walks the RUNS, never expanding per-sample, so cost is
+    O(runs + sampled frames) and a hostile table claiming 2³¹ samples
+    costs nothing; ``stsz`` per-sample sizes are read by direct offset,
+    no table materialization."""
+    if every_n < 1 or max_frames < 1:
+        raise ValueError("every_n and max_frames must be >= 1")
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file")
+    mvhd_ts = None
+    found: dict[str, Any] = {}
+
+    def read_stbl(lo, hi, media_ts):
+        runs: list[tuple[int, int]] = []
+        stsz = None
+        for t4, b4, e4 in _mp4_boxes(payload, lo, hi):
+            if t4 == b"stts" and e4 - b4 >= 8:
+                n = struct.unpack(">I", payload[b4 + 4 : b4 + 8])[0]
+                p = b4 + 8
+                for _ in range(n):
+                    if p + 8 > e4:
+                        break
+                    cnt, delta = struct.unpack(">II", payload[p : p + 8])
+                    if cnt:
+                        runs.append((cnt, delta))
+                    p += 8
+            elif t4 == b"stsz" and e4 - b4 >= 12:
+                uniform, count = struct.unpack(
+                    ">II", payload[b4 + 4 : b4 + 12]
+                )
+                stsz = (uniform, count, b4 + 12, e4)
+        if runs and "runs" not in found:
+            found.update(runs=runs, stsz=stsz, media_ts=media_ts)
+
+    def walk_trak(lo, hi):
+        t_w = t_h = None
+        media_ts = None
+        stbl_span = None
+        for tag, b, e in _mp4_boxes(payload, lo, hi):
+            if tag == b"tkhd" and e - b >= 84:
+                t_w = struct.unpack(">I", payload[e - 8 : e - 4])[0]
+                t_h = struct.unpack(">I", payload[e - 4 : e])[0]
+            elif tag == b"mdia":
+                for t2, b2, e2 in _mp4_boxes(payload, b, e):
+                    if t2 == b"mdhd" and e2 - b2 >= 24:
+                        ver = payload[b2]
+                        # v0: flags4+ctime4+mtime4 then timescale;
+                        # v1: flags4+ctime8+mtime8 then timescale
+                        off = 24 if ver == 1 else 16
+                        if e2 - b2 >= off + 4:
+                            media_ts = struct.unpack(
+                                ">I", payload[b2 + off - 4 : b2 + off]
+                            )[0]
+                    elif t2 == b"minf":
+                        for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
+                            if t3 == b"stbl":
+                                stbl_span = (b3, e3)
+        # same track-selection rule as parse_mp4: first visual track
+        if t_w and t_h and stbl_span is not None:
+            read_stbl(*stbl_span, media_ts)
+
+    for tag, b, e in _mp4_boxes(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        for t1, b1, e1 in _mp4_boxes(payload, b, e):
+            if t1 == b"mvhd" and e1 - b1 >= 20:
+                ver = payload[b1]
+                off = 24 if ver == 1 else 16
+                if e1 - b1 >= off:
+                    mvhd_ts = struct.unpack(
+                        ">I", payload[b1 + off - 4 : b1 + off]
+                    )[0]
+            elif t1 == b"trak" and "runs" not in found:
+                walk_trak(b1, e1)
+    if "runs" not in found:
+        raise ValueError("MP4 has no visual sample table")
+    ts = found["media_ts"] or mvhd_ts
+    if not ts:
+        raise ValueError("MP4 has no timescale")
+    runs = found["runs"]
+    n_samples = sum(cnt for cnt, _ in runs)
+
+    def size_of(j: int):
+        if found["stsz"] is None:
+            return None
+        uniform, count, tab, end = found["stsz"]
+        if j >= count:
+            return None
+        if uniform:
+            return uniform
+        p = tab + 4 * j
+        if p + 4 > end:
+            return None
+        return struct.unpack(">I", payload[p : p + 4])[0]
+
+    frames = []
+    run_i, before, ticks = 0, 0, 0  # samples/ticks preceding runs[run_i]
+    j = 0
+    while j < n_samples and len(frames) < max_frames:
+        while run_i < len(runs) and before + runs[run_i][0] <= j:
+            cnt, delta = runs[run_i]
+            before += cnt
+            ticks += cnt * delta
+            run_i += 1
+        t = ticks + (j - before) * runs[run_i][1]
+        frames.append((j, t, size_of(j)))
+        j += every_n
+    return {"timescale": ts, "n_samples": n_samples, "frames": frames}
+
+
 _SNIFFERS = (parse_png, parse_jpeg, parse_gif, parse_bmp, parse_wav, parse_mp4)
 
 
@@ -935,12 +1061,23 @@ def make_mp4(
     width: int | None = None,
     height: int | None = None,
     n_frames: int | None = None,
+    stts_runs: list[tuple[int, int]] | None = None,
+    frame_sizes: list[int] | None = None,
+    media_timescale: int | None = None,
 ) -> bytes:
     """A valid minimal ISO BMFF file: ``ftyp`` + ``moov/mvhd`` carrying
     the duration, plus — when ``width``/``height`` are given — one
     visual ``trak`` with a spec-size ``tkhd`` (16.16 fixed dims) and an
     ``stts`` holding ``n_frames`` samples. No mdat: the header-metadata
-    surface :func:`parse_mp4` reads is complete without sample data."""
+    surface :func:`parse_mp4` reads is complete without sample data.
+
+    ``stts_runs`` writes a REAL run-length time-to-sample table
+    (``[(sample_count, sample_delta_ticks), ...]`` — overrides the
+    uniform ``n_frames``×1-tick default); ``frame_sizes`` adds an
+    ``stsz`` per-sample size table (or a uniform-size ``stsz`` when all
+    sizes are equal); ``media_timescale`` adds an ``mdhd`` so the
+    track's tick unit differs from the movie's, the layout
+    :func:`mp4_sample_table` resolves."""
 
     def box(tag: bytes, body: bytes) -> bytes:
         return struct.pack(">I", len(body) + 8) + tag + body
@@ -971,18 +1108,48 @@ def make_mp4(
             + b"\x00" * 36                   # matrix
             + struct.pack(">II", width << 16, height << 16),
         )
-        stts_entries = (
-            struct.pack(">II", n_frames, 1) if n_frames else b""
+        if stts_runs is not None:
+            runs = list(stts_runs)
+        elif n_frames:
+            runs = [(n_frames, 1)]
+        else:
+            runs = []
+        stts_entries = b"".join(
+            struct.pack(">II", cnt, delta) for cnt, delta in runs
         )
         stts = box(
             b"stts",
             b"\x00\x00\x00\x00"
-            + struct.pack(">I", 1 if n_frames else 0)
+            + struct.pack(">I", len(runs))
             + stts_entries,
         )
-        stbl = box(b"stbl", stts)
+        stbl_body = stts
+        if frame_sizes is not None:
+            uniform = (
+                frame_sizes[0]
+                if frame_sizes and len(set(frame_sizes)) == 1
+                else 0
+            )
+            stsz_body = b"\x00\x00\x00\x00" + struct.pack(
+                ">II", uniform, len(frame_sizes)
+            )
+            if not uniform:
+                stsz_body += b"".join(
+                    struct.pack(">I", s) for s in frame_sizes
+                )
+            stbl_body += box(b"stsz", stsz_body)
+        stbl = box(b"stbl", stbl_body)
         minf = box(b"minf", stbl)
-        mdia = box(b"mdia", minf)
+        mdia_body = b""
+        if media_timescale is not None:
+            mdia_body += box(
+                b"mdhd",
+                b"\x00\x00\x00\x00"            # version 0 + flags
+                + b"\x00" * 8                    # ctime/mtime
+                + struct.pack(">II", media_timescale, dur)
+                + b"\x55\xc4\x00\x00",           # language + predefined
+            )
+        mdia = box(b"mdia", mdia_body + minf)
         moov_body += box(b"trak", tkhd + mdia)
     return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
         b"moov", moov_body

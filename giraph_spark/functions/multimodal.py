@@ -661,7 +661,10 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     )
 
 
-def decode_coverage(df: DataFrame) -> DataFrame:
+def decode_coverage(
+    df: DataFrame,
+    decoder_setup: Callable[[], dict[str, Callable]] | None = None,
+) -> DataFrame:
     """Decode-coverage accounting for a media corpus (VERDICT r6 task
     4): per ``(modality, format)`` — format sniffed from magic bytes —
     how many blobs there are, how many pass the header-metadata decode,
@@ -673,11 +676,13 @@ def decode_coverage(df: DataFrame) -> DataFrame:
     Returns ``(modality, format, n_media, n_meta_decoded,
     n_content_decoded, n_meta_null, n_content_null, total_bytes)`` with
     ``format='unknown'`` for payloads matching no supported magic.
-    Decoder resolution mirrors the stats surfaces exactly —
-    :func:`set_decoder` / :func:`set_content_decoder` overrides first,
-    then the stdlib sniffers/decoders — so a library decoder registered
-    through the escape hatch is counted as coverage the moment it is
-    plugged in.
+    Decoder resolution mirrors the stats surfaces exactly — the
+    ``decoder_setup`` per-executor-worker tier first (the same
+    once-per-worker codec-state path :func:`decode_metadata` consults
+    first, ADVICE r7), then :func:`set_decoder` /
+    :func:`set_content_decoder` overrides, then the stdlib
+    sniffers/decoders — so a library decoder registered through either
+    escape hatch is counted as coverage the moment it is plugged in.
 
     Scale shape: ONE Arrow-batched ``mapInPandas`` pass over the
     payloads that emits PER-BATCH PARTIAL aggregates (a few rows per
@@ -693,12 +698,17 @@ def decode_coverage(df: DataFrame) -> DataFrame:
     meta_registered = dict(_DECODERS)
     content_overrides = dict(_CONTENT_DECODERS)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def coverage_batches(
+        worker_decoders: dict[str, Callable],
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         from .media_codecs import decode_media_header, sniff_format
 
         def meta_ok(mod, payload):
             try:
-                m = meta_registered.get(mod, decode_media_header)(payload)
+                m = worker_decoders.get(
+                    mod, meta_registered.get(mod, decode_media_header)
+                )(payload)
                 return bool(m)
             except Exception:
                 return False
@@ -734,9 +744,19 @@ def decode_coverage(df: DataFrame) -> DataFrame:
                 }
             )
 
-    partial = df.select("media_id", "modality", "payload").mapInPandas(
-        run, schema=out_schema
-    )
+    cols = df.select("media_id", "modality", "payload")
+    if decoder_setup is not None:
+        from ..worker import map_in_pandas_with_setup
+
+        partial = map_in_pandas_with_setup(
+            cols, coverage_batches, out_schema, decoder_setup
+        )
+    else:
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            yield from coverage_batches({}, batches)
+
+        partial = cols.mapInPandas(run, schema=out_schema)
     return (
         partial.groupBy("modality", "format")
         .agg(
@@ -788,6 +808,125 @@ def mp4_media_from_docs(docs: DataFrame) -> DataFrame:
                         width=16 * (1 + mid % 8),
                         height=16 * (1 + mid % 5),
                         n_frames=1 + mid % 24,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "video",
+                    "payload": payloads,
+                    "mime": "video/mp4",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def mp4_frame_plan(
+    df: DataFrame, every_n: int = 10, max_frames: int = 8
+) -> DataFrame:
+    """Sampled-frame plan for the VIDEO modality from MP4 ``stts``/
+    ``stsz`` sample tables (VERDICT r7 task 5) — the MP4 twin of the
+    GIF path's :func:`frame_sample_plan` → :func:`frame_pixel_stats`
+    pair, with NO sample-data decode: per blob, the frames a decode
+    stage should fetch (indices ``0, every_n, …``, at most
+    ``max_frames``), each with its start timestamp and encoded byte
+    size straight from the box tree. Returns ``(media_id, frame_index,
+    t_ticks, timescale, t_seconds, size_bytes)``; an undecodable
+    payload or one without a visual sample table yields ONE null-plan
+    row — the no-fake contract. ``size_bytes`` is NULL when the file
+    carries no ``stsz``.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass; per blob the
+    run-length ``stts`` is walked, never expanded (a hostile table
+    claiming 2³¹ samples costs O(runs), see
+    :func:`giraph_spark.functions.media_codecs.mp4_sample_plan`), and
+    ``stsz`` sizes are direct offset reads; output rows ≤ max_frames
+    per blob, payload bytes cross no shuffle."""
+    if every_n < 1 or max_frames < 1:
+        raise ValueError(
+            f"every_n and max_frames must be >= 1, got every_n={every_n} "
+            f"max_frames={max_frames}"
+        )
+    out_schema = (
+        "media_id long, frame_index long, t_ticks long, timescale long, "
+        "t_seconds double, size_bytes long"
+    )
+
+    def rows_for(mid, payload):
+        from .media_codecs import mp4_sample_plan
+
+        null_row = [mid, None, None, None, None, None]
+        if payload is None:
+            return [null_row]
+        try:
+            plan = mp4_sample_plan(
+                bytes(payload), every_n=every_n, max_frames=max_frames
+            )
+        except Exception:
+            return [null_row]
+        ts = plan["timescale"]
+        return [
+            [mid, j, t, ts, t / ts, size]
+            for j, t, size in plan["frames"]
+        ] or [null_row]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_index", "t_ticks", "timescale",
+            "t_seconds", "size_bytes",
+        ]
+        for pdf in batches:
+            rows: list = []
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                rows.extend(rows_for(int(mid), payload))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def mp4_sampled_media_from_docs(docs: DataFrame) -> DataFrame:
+    """MP4 fixture family member with REAL sample tables: per doc a
+    minimal ISO BMFF file whose visual track carries a two-run ``stts``
+    (``n = 1 + id % 29`` samples: the first ``(n+1)//2`` at
+    ``dt_a = 100 + (id % 7)·10`` ticks, the rest at ``dt_a + 40``), a
+    per-sample ``stsz`` (``size_j = 200 + (id·13 + 7·j) % 100``) and an
+    ``mdhd`` media timescale ``1200 + (id % 4)·600`` distinct from the
+    movie timescale — every planned frame's timestamp and size is a
+    closed-form (id, j) function through a real box-tree walk. The
+    fixture for :func:`mp4_frame_plan`."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import make_mp4
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].to_numpy():
+                mid = int(mid)
+                n = 1 + mid % 29
+                n1 = (n + 1) // 2
+                dt_a = 100 + (mid % 7) * 10
+                runs = [(n1, dt_a)]
+                if n > n1:
+                    runs.append((n - n1, dt_a + 40))
+                payloads.append(
+                    make_mp4(
+                        1.0,
+                        timescale=1000,
+                        width=16 * (1 + mid % 4),
+                        height=16,
+                        stts_runs=runs,
+                        frame_sizes=[
+                            200 + (mid * 13 + 7 * j) % 100
+                            for j in range(n)
+                        ],
+                        media_timescale=1200 + (mid % 4) * 600,
                     )
                 )
             yield pd.DataFrame(
@@ -855,6 +994,15 @@ def frame_pixel_stats(
     Scale shape: one Arrow-batched ``mapInPandas`` pass; output rows ≤
     ``max_frames`` per blob, payload bytes cross no shuffle."""
     import numpy as np
+
+    # fail fast ON THE DRIVER: every_n=0 or max_frames=0 would make the
+    # sampled-index list empty and crash wanted[-1] inside the executor
+    # (ADVICE r7) — a plan-build ValueError beats a mid-job stage abort
+    if every_n < 1 or max_frames < 1:
+        raise ValueError(
+            f"every_n and max_frames must be >= 1, got every_n={every_n} "
+            f"max_frames={max_frames}"
+        )
 
     out_schema = (
         "media_id long, modality string, frame_index long, "

@@ -84,6 +84,68 @@ def clean_corpus(
     )
 
 
+def clean_corpus_compressed(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    seed: int = 42,
+    quality_kwargs: dict | None = None,
+    encoding: str = "utf-8",
+    max_ratio: int = 1000,
+    persist_decoded: bool = True,
+) -> DataFrame:
+    """:func:`clean_corpus` for COMPRESSED shards (VERDICT r7 task 6):
+    the WET-shard-to-training-set story in one call. Stage 0 is
+    :func:`giraph_spark.functions.text.decompress_text` (per-row codec
+    sniff + bomb-capped inflate); its NULL-text rows — corrupt,
+    truncated, bomb-capped, or undecodable payloads — flow into the
+    disposition as ``status='removed_undecodable'`` (NULL split), and
+    only genuinely decoded text pays the quality gate and dedup
+    hashing. Returns ``(id, status, split)`` with status ∈
+    {removed_undecodable, removed_quality, removed_duplicate, kept}.
+
+    Scale shape: decompression is the expensive per-blob stage and the
+    disposition reads its output twice (quality/dedup branch + the
+    undecodable branch), so the decoded frame is persisted
+    MEMORY_AND_DISK by default — the idiomatic Spark stage barrier for
+    an expensive UDF feeding multiple consumers (``persist_decoded=
+    False`` to recompute instead; the caller owns unpersist timing
+    either way). Everything downstream is :func:`clean_corpus`'s own
+    shape: zero-shuffle gate, one hash-groupBy dedup, projection
+    split."""
+    from .text import decompress_text
+
+    dec = decompress_text(
+        df,
+        payload_col=payload_col,
+        id_col=id_col,
+        encoding=encoding,
+        max_ratio=max_ratio,
+    )
+    if persist_decoded:
+        from pyspark import StorageLevel
+
+        dec = dec.persist(StorageLevel.MEMORY_AND_DISK)
+    decoded = dec.where(F.col("text").isNotNull()).select(
+        F.col(id_col), F.col("text")
+    )
+    disp = clean_corpus(
+        decoded,
+        text_col="text",
+        id_col=id_col,
+        val_fraction=val_fraction,
+        seed=seed,
+        quality_kwargs=quality_kwargs,
+    )
+    undecodable = dec.where(F.col("text").isNull()).select(
+        F.col(id_col),
+        F.lit("removed_undecodable").alias("status"),
+        F.lit(None).cast("string").alias("split"),
+    )
+    return disp.unionByName(undecodable)
+
+
 def clean_corpus_dsir(
     df: DataFrame,
     target: DataFrame,

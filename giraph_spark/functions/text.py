@@ -771,6 +771,12 @@ def decompress_text(
         out = d.decompress(b, cap)
         if d.unconsumed_tail:
             raise ValueError("decompression ratio cap exceeded")
+        if not d.eof:
+            # all input consumed but the stream never reached its end
+            # marker: a TRUNCATED payload. Without this check zlib
+            # happily returns the partial prefix, violating the
+            # null-on-corrupt contract above (ADVICE r7).
+            raise ValueError("truncated compressed stream")
         return out.decode(encoding)
 
     def one(payload):

@@ -99,17 +99,68 @@ class LoopGear:
 # Driver-known broadcast gate for round loops: the loops learn exact row
 # counts from each fresh_checkpoint_count fold, so they can decide
 # broadcasts EXACTLY where AQE would have to guess from stale estimates
-# (and AQE is off inside the loops anyway — see LoopGear). 4M few-column
-# rows ≈ tens of MB serialized: trivially within executor memory on any
-# target cluster, far below Spark's 8 GB broadcast ceiling.
-BROADCAST_ROWS = 4_000_000
+# (and AQE is off inside the loops anyway — see LoopGear). The gate is
+# BYTES, not rows: a row cap alone is wrong for array-bearing relations
+# (coloring's per-vertex ``_taken`` sets can hold up to palette-size
+# entries per row, so 4M rows may be GBs, not tens of MB). Narrow loop
+# rows (two ids + a weight) serialize to a few tens of bytes including
+# hash-relation overhead; callers with variable-width columns pass the
+# element total via ``extra_bytes``.
+ROW_BYTES_NARROW = 32
+ARRAY_ELEM_BYTES = 8
+_LIMIT_FLOOR = 64 << 20
+_LIMIT_CAP = 1 << 30
+_MEM_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
 
-def bcast_if_small(df, n_rows: int, limit: int = BROADCAST_ROWS):
-    """``F.broadcast(df)`` when the caller KNOWS df has ≤ limit rows
-    (from a fold count), else df unchanged. A broadcast side turns the
-    loop's delta anti-joins / state updates into map-side hash joins —
-    zero exchange, the cached big side never moves."""
+def broadcast_limit_bytes(spark=None) -> int:
+    """Broadcast-size budget for the loop gate: 1/16 of the configured
+    driver memory (the broadcast is built and held driver-side before
+    shipping), clamped to [64 MiB, 1 GiB] — always far below Spark's
+    8 GB broadcast ceiling. Falls back to 256 MiB when the driver
+    memory setting is absent or unparsable."""
+    mem = None
+    if spark is not None:
+        try:
+            mem = spark.conf.get("spark.driver.memory", None)
+        except Exception:
+            mem = None
+    if not mem:
+        return 256 << 20
+    m = str(mem).strip().lower()
+    try:
+        if m[-1] in _MEM_SUFFIX:
+            nbytes = int(float(m[:-1]) * _MEM_SUFFIX[m[-1]])
+        else:
+            nbytes = int(m)  # plain bytes per Spark's conf grammar
+    except (ValueError, IndexError):
+        return 256 << 20
+    return max(_LIMIT_FLOOR, min(_LIMIT_CAP, nbytes // 16))
+
+
+def bcast_if_small(
+    df,
+    n_rows: int,
+    row_bytes: int = ROW_BYTES_NARROW,
+    extra_bytes: int = 0,
+    limit_bytes: int | None = None,
+):
+    """``F.broadcast(df)`` when the caller KNOWS df's estimated size
+    (``n_rows × row_bytes + extra_bytes``, counts from a fold) fits the
+    driver-memory-derived budget, else df unchanged. A broadcast side
+    turns the loop's delta anti-joins / state updates into map-side
+    hash joins — zero exchange, the cached big side never moves.
+
+    ``extra_bytes`` carries variable-width payload the row estimate
+    can't see: for an array column, pass ``ARRAY_ELEM_BYTES × total
+    elements across all rows`` (often exactly known, e.g. coloring's
+    ``_taken`` sets hold at most one entry per live in-edge)."""
     from pyspark.sql import functions as F
 
-    return F.broadcast(df) if n_rows <= limit else df
+    if limit_bytes is None:
+        limit_bytes = broadcast_limit_bytes(df.sparkSession)
+    return (
+        F.broadcast(df)
+        if n_rows * row_bytes + extra_bytes <= limit_bytes
+        else df
+    )

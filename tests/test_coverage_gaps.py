@@ -342,6 +342,71 @@ def test_pil_third_party_content_decoder(spark):
         mm._CONTENT_DECODERS.clear()
 
 
+def test_third_party_decoder_contract_without_library(spark):
+    """The escape-hatch CONTRACT pinned without any third-party
+    dependency (VERDICT r7 task 3 — the Pillow twins above skip in this
+    sandbox, so this runs everywhere): an ARITHMETIC-coded JPEG (SOF9)
+    is meta-decodable (dims come from the SOF header) but rejected by
+    the stdlib content tier BY DESIGN; a vendored plain-function
+    "library" decoder registered through set_content_decoder turns it
+    content-decodable, and decode_coverage's (meta, content) counters
+    show exactly that transition — the data-card story end-to-end."""
+    import struct
+
+    from giraph_spark.functions import multimodal as mm
+    from giraph_spark.functions.media_codecs import parse_jpeg
+
+    # SOI + SOF9 (arithmetic sequential): precision 8, 5×4, 1 component
+    sof9 = (
+        b"\xff\xc9"
+        + struct.pack(">H", 2 + 6 + 3)
+        + b"\x08"
+        + struct.pack(">HH", 4, 5)
+        + b"\x01"
+        + b"\x01\x11\x00"
+    )
+    payload = b"\xff\xd8" + sof9 + b"\xff\xd9"
+    meta = parse_jpeg(payload)
+    assert (meta["width"], meta["height"]) == (5, 4)
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, modality string, payload binary",
+    )
+
+    def cov_of(frame):
+        return {
+            (r["modality"], r["format"]): r for r in frame.collect()
+        }[("image", "jpeg")]
+
+    # before: meta yes (SOF dims), content no (arithmetic rejected)
+    before = cov_of(mm.decode_coverage(df))
+    assert before["n_meta_decoded"] == 1
+    assert before["n_content_decoded"] == 0
+    assert mm.pixel_stats(df).collect()[0]["mean_r"] is None
+
+    def vendored_arith_decoder(payload: bytes):
+        # stands in for a real libjpeg binding: plain function, no
+        # import — what the contract requires of a third-party decoder
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a jpeg")
+        return {
+            "width": 5, "height": 4, "mean_r": 12.0, "mean_g": 34.0,
+            "mean_b": 56.0, "min_px": 1, "max_px": 250,
+        }
+
+    try:
+        mm.set_content_decoder("image", vendored_arith_decoder)
+        after = cov_of(mm.decode_coverage(df))
+        assert after["n_content_decoded"] == 1
+        row = mm.pixel_stats(df).collect()[0]
+        assert (row["width"], row["mean_g"], row["max_px"]) == (5, 34.0, 250)
+    finally:
+        mm._CONTENT_DECODERS.clear()
+    # unregistered again: back out of the envelope
+    assert cov_of(mm.decode_coverage(df))["n_content_decoded"] == 0
+
+
 def test_progressive_jpeg_cross_validates_against_pillow():
     """r7: the zero-dep PROGRESSIVE decode against a real libjpeg
     stream (via Pillow): a Pillow-written progressive JPEG must decode

@@ -1495,6 +1495,7 @@ def test_decompress_text_codecs_and_bomb_guard(spark):
     co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
     deflate = co.compress(raw) + co.flush()
     bomb = zlib.compress(b"\x00" * 50_000_000)  # ~48 KB -> 50 MB
+    truncated = gzip.compress(raw)[:-8]  # stream cut mid-flight
     rows = [
         (0, bytearray(gzip.compress(raw))),
         (1, bytearray(zlib.compress(raw))),
@@ -1502,20 +1503,26 @@ def test_decompress_text_codecs_and_bomb_guard(spark):
         (3, bytearray(deflate)),
         (4, bytearray(b"\xff\xfe corrupt")),
         (5, bytearray(bomb)),
+        (6, bytearray(truncated)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {
         r["doc_id"]: r
         for r in decompress_text(df, max_ratio=100).collect()
     }
-    assert [out[i]["codec"] for i in range(6)] == [
-        "gzip", "zlib", "plain", "deflate", "unknown", "zlib"
+    assert [out[i]["codec"] for i in range(7)] == [
+        "gzip", "zlib", "plain", "deflate", "unknown", "zlib", "gzip"
     ]
     for i in range(4):
         assert out[i]["text"] == msg
     assert out[4]["text"] is None
     assert out[5]["text"] is None  # capped, not inflated
     assert out[5]["n_bytes"] == len(bomb)
+    # ADVICE r7: a truncated stream must degrade to the NULL row, not
+    # silently return the decoded prefix (zlib returns partial output
+    # without complaint unless .eof is checked)
+    assert out[6]["text"] is None
+    assert out[6]["n_bytes"] == len(truncated)
 
 
 def test_frame_pixel_stats_sampling_and_fallbacks(spark):
@@ -1551,3 +1558,89 @@ def test_frame_pixel_stats_sampling_and_fallbacks(spark):
     assert by_key[(1, 2)]["mean_g"] == 255.0
     assert (by_key[(2, 0)]["width"], by_key[(2, 0)]["mean_b"]) == (2, 5.0)
     assert by_key[(3, None)]["mean_r"] is None
+    # ADVICE r7: degenerate sampling params fail fast at plan-build
+    # time instead of an IndexError inside the executor
+    for bad in ({"max_frames": 0}, {"every_n": 0}):
+        with pytest.raises(ValueError, match=">= 1"):
+            frame_pixel_stats(df, **bad)
+
+
+def test_mp4_frame_plan_from_sample_tables(spark):
+    """r8 (VERDICT r7 task 5): the video modality's sampled-frame plan
+    reads the real stts/stsz box tables — variable-duration runs give
+    non-uniform timestamps, per-sample stsz gives sizes, mdhd overrides
+    the movie timescale, and a non-MP4 payload yields one null-plan
+    row. No sample data exists in the fixture at all (no mdat)."""
+    from giraph_spark.functions.media_codecs import make_mp4
+    from giraph_spark.functions.multimodal import mp4_frame_plan
+
+    mp4 = make_mp4(
+        5.0, timescale=1000, width=32, height=16,
+        stts_runs=[(3, 100), (9, 250)],
+        frame_sizes=[1000 + j for j in range(12)],
+        media_timescale=2000,
+    )
+    no_stsz = make_mp4(1.0, width=8, height=8, n_frames=40)
+    rows = [
+        (1, bytearray(mp4)),
+        (2, bytearray(no_stsz)),
+        (3, bytearray(b"RIFF not an mp4")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = mp4_frame_plan(df, every_n=5, max_frames=3).collect()
+    by_key = {(r["media_id"], r["frame_index"]): r for r in out}
+    assert set(by_key) == {
+        (1, 0), (1, 5), (1, 10), (2, 0), (2, 5), (2, 10), (3, None),
+    }
+    # run arithmetic: j=5 -> 3*100 + 2*250 = 800 ticks; j=10 -> 2050
+    r5 = by_key[(1, 5)]
+    assert (r5["t_ticks"], r5["timescale"], r5["size_bytes"]) == (
+        800, 2000, 1005,
+    )
+    assert r5["t_seconds"] == 800 / 2000
+    assert by_key[(1, 10)]["t_ticks"] == 300 + 7 * 250
+    # uniform 1-tick stts, no stsz -> size NULL, mvhd timescale
+    r2 = by_key[(2, 5)]
+    assert (r2["t_ticks"], r2["timescale"], r2["size_bytes"]) == (
+        5, 1000, None,
+    )
+    assert [r["media_id"] for r in out if r["frame_index"] is None] == [3]
+    with pytest.raises(ValueError, match=">= 1"):
+        mp4_frame_plan(df, every_n=0)
+
+
+def test_clean_corpus_compressed_dispositions(spark):
+    """r8 (VERDICT r7 task 6): the WET-shard story in one call —
+    decompress (per-row codec sniff) feeds the clean_corpus gate/dedup/
+    split, with corrupt AND truncated payloads landing as
+    removed_undecodable (NULL split) instead of polluting the quality
+    tier, and duplicates deduped on the DECODED text."""
+    import gzip
+    import zlib
+
+    from giraph_spark.functions.pipeline import clean_corpus_compressed
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day for running in the sun with friends"
+    )
+    junk = "1234 5678 9012 !!!"
+    rows = [
+        (1, bytearray(gzip.compress(good.encode()))),
+        (2, bytearray(zlib.compress(("  " + good + "  ").encode()))),
+        (3, bytearray(junk.encode())),
+        (4, bytearray(b"\xff\xfe corrupt")),
+        (5, bytearray(gzip.compress(good.encode())[:-6])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: (r["status"], r["split"])
+        for r in clean_corpus_compressed(df).collect()
+    }
+    assert len(out) == 5
+    assert out[1][0] == "kept" and out[1][1] in ("train", "val")
+    # doc 2 normalizes to doc 1's text -> duplicate, keeper is min id
+    assert out[2] == ("removed_duplicate", None)
+    assert out[3] == ("removed_quality", None)
+    assert out[4] == ("removed_undecodable", None)
+    assert out[5] == ("removed_undecodable", None)  # truncated gzip

@@ -538,8 +538,60 @@ def test_bcast_if_small_plan_shapes(spark):
     gated = big.join(bcast_if_small(delta, 10), on="src", how="left_anti")
     assert "BroadcastHashJoin" in plan_of(gated)
     ungated = big.join(
-        bcast_if_small(delta, 10, limit=5), on="src", how="left_anti"
+        bcast_if_small(delta, 10, limit_bytes=5), on="src", how="left_anti"
     )
     p = plan_of(ungated)
     assert "BroadcastHashJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_bcast_gate_is_byte_aware(spark):
+    """A wide/array-bearing relation must NOT broadcast on row count
+    alone (ADVICE r7: coloring's per_v _taken arrays can reach GBs at
+    palette-size entries per row). extra_bytes carries the array
+    payload into the gate; a small row count with a huge element total
+    stays un-broadcast, and the budget derives from driver memory."""
+    from pyspark.sql import functions as F
+
+    from giraph_spark.plans.gear import (
+        ARRAY_ELEM_BYTES,
+        bcast_if_small,
+        broadcast_limit_bytes,
+    )
+
+    limit = broadcast_limit_bytes(spark)
+    assert (64 << 20) <= limit <= (1 << 30)
+    wide = spark.range(10).select(F.col("id").alias("src"))
+    # few rows, but an element total that blows any sane budget
+    out = bcast_if_small(
+        wide, 10, extra_bytes=ARRAY_ELEM_BYTES * (1 << 40)
+    )
+    assert "hint" not in out._jdf.queryExecution().logical().toString().lower()
+    # same relation with an honest small payload broadcasts
+    out2 = bcast_if_small(wide, 10, extra_bytes=ARRAY_ELEM_BYTES * 100)
+    assert (
+        "hint"
+        in out2._jdf.queryExecution().logical().toString().lower()
+    )
+
+
+def test_broadcast_limit_parses_memory_grammar():
+    from giraph_spark.plans.gear import broadcast_limit_bytes
+
+    class _Conf:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self, k, d=None):
+            return self.v
+
+    class _S:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert broadcast_limit_bytes(_S("4g")) == (4 << 30) // 16
+    assert broadcast_limit_bytes(_S("128g")) == 1 << 30  # capped
+    assert broadcast_limit_bytes(_S("512m")) == 64 << 20  # floored
+    assert broadcast_limit_bytes(_S("not-a-size")) == 256 << 20
+    assert broadcast_limit_bytes(_S(None)) == 256 << 20
+    assert broadcast_limit_bytes(None) == 256 << 20

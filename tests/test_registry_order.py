@@ -111,6 +111,32 @@ def test_key_fingerprints_match_committed_snapshot():
     )
 
 
+def test_no_key_staler_than_window_math_allows():
+    """Rotation-hygiene bound as a failing test (VERDICT r7 task 7):
+    with a 50-key window over a registry of R keys, a full lap takes
+    ceil(R / 50) rounds, so no checked key's evidence may be more than
+    that many rounds behind the latest recorded round. The r4-stale
+    vector keys sat exactly at this bound going into r8 (7 − 4 = 3 =
+    ceil(138/50)); if the registry outgrows the window or a key is
+    crowded out for a full lap, this fails instead of the staleness
+    living only in VERDICT prose."""
+    hist = _history()
+    if not hist:
+        return
+    latest = max(r for rounds in hist.values() for r in rounds)
+    n_keys = len(entry_mod.queries())
+    lap = -(-n_keys // DRIVER_WINDOW)
+    over = {
+        k: max(hist[k])
+        for k in entry_mod.queries()
+        if k in hist and latest - max(hist[k]) > lap
+    }
+    assert not over, (
+        f"keys with driver evidence older than the {lap}-round lap bound "
+        f"(latest recorded round r{latest}): {over}"
+    )
+
+
 def test_changed_keys_reenter_driver_window():
     """Every key whose driver evidence is INVALID — its implementation
     fingerprint moved after its last driver check, in ANY round — must

@@ -110,3 +110,39 @@ def test_decode_metadata_with_worker_decoder_setup(spark):
     others = out[out["modality"] != "image"]
     assert others["width"].isna().all()
     assert (others["n_bytes"] > 0).all()
+
+
+def test_decode_coverage_with_worker_decoder_setup(spark):
+    """ADVICE r7: decode_coverage must consult the decoder_setup
+    per-worker tier FIRST, matching decode_metadata's resolution order
+    — a codec supplied via worker setup counts as meta coverage for its
+    modality, while the other modalities' opaque payloads stay
+    undecodable."""
+    from giraph_spark.functions.multimodal import (
+        decode_coverage,
+        synthetic_media,
+    )
+
+    def setup():
+        def image_decoder(payload: bytes):
+            return {"width": 1, "height": 1}
+
+        return {"image": image_decoder}
+
+    media = synthetic_media(spark, n=30)
+    cov = {
+        r["modality"]: r
+        for r in decode_coverage(media, decoder_setup=setup).collect()
+    }
+    # 30 synthetic blobs cycle image/audio/video; payloads match no
+    # magic, so format='unknown' everywhere and only the worker-tier
+    # image decoder produces meta coverage
+    assert cov["image"]["n_meta_decoded"] == cov["image"]["n_media"] == 10
+    assert cov["image"]["format"] == "unknown"
+    assert cov["audio"]["n_meta_decoded"] == 0
+    assert cov["video"]["n_meta_decoded"] == 0
+    # without the setup tier the same corpus has zero image coverage
+    plain = {
+        r["modality"]: r for r in decode_coverage(media).collect()
+    }
+    assert plain["image"]["n_meta_decoded"] == 0
