@@ -132,6 +132,18 @@ def main() -> None:
         extras_q, extras_c = _run_extras(spark, SF_DIR)
     except Exception as ex:  # pragma: no cover - records, not masks
         extras_q, extras_c = {}, {"error": f"{type(ex).__name__}: {ex}"}
+    # pipeline tier in the bench of record (VERDICT r7 task 2 — the
+    # extras-tier treatment applied to the remaining tier): per-operator
+    # OUTPUT ROW COUNTS are its counters analog. Same failure contract:
+    # degrade to an error field, never lose the headline record.
+    try:
+        pipe_q, pipe_rows, pipe_in = _run_pipeline(spark, SF_DIR)
+    except Exception as ex:  # pragma: no cover - records, not masks
+        pipe_q, pipe_rows, pipe_in = (
+            {},
+            {"error": f"{type(ex).__name__}: {ex}"},
+            {},
+        )
     print(
         json.dumps(
             {
@@ -144,6 +156,12 @@ def main() -> None:
                     "total": round(sum(extras_q.values()), 3),
                     "queries": extras_q,
                     "counters": extras_c,
+                },
+                "pipeline": {
+                    "total": round(sum(pipe_q.values()), 3),
+                    "queries": pipe_q,
+                    "rows": pipe_rows,
+                    "inputs": pipe_in,
                 },
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": int(CPUS),
@@ -260,27 +278,14 @@ def stress() -> None:
     spark.stop()
 
 
-def pipeline() -> None:
-    """Pipeline-operator bench (``python bench.py --pipeline``): the
-    LLM-training-data operators at $SPARK_GRAFT_SF_DIR — the measured
-    evidence behind BASELINE.md's pipeline table. Production hash mode
-    (xxhash64) where the operator offers one; one JSON line out."""
-    from pyspark.sql import SparkSession
+def _run_pipeline(spark, sf_dir: str) -> tuple[dict, dict, dict]:
+    """The LLM-training-data pipeline tier, runnable on a caller-owned
+    session: (timings, per-operator OUTPUT ROW COUNTS — the tier's
+    counters analog: a semantics regression in any operator moves a
+    recorded row count, a perf regression moves a timing — and input
+    sizes). Production hash mode (xxhash64) where the operator offers
+    one."""
     from pyspark.sql import functions as F
-
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("giraph-spark-pipeline-bench")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "32g")
-        .config("spark.cleaner.periodicGC.interval", "2min")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
     from giraph_spark.functions.multimodal import (
         audio_stats,
@@ -302,9 +307,9 @@ def pipeline() -> None:
         unigram_logprob,
     )
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
     embs = (
-        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias(
@@ -402,6 +407,60 @@ def pipeline() -> None:
     timings["dedup_corpus"], rows["dedup_corpus"] = run(
         lambda: dedup_corpus(d2).count()
     )
+    # r8 additions: sampled-frame content decode (GIF), the MP4
+    # stts/stsz frame plan, and the compressed-shard clean_corpus
+    from giraph_spark.functions.multimodal import (
+        frame_pixel_stats,
+        gif_animation_media_from_docs,
+        mp4_frame_plan,
+        mp4_sampled_media_from_docs,
+    )
+    from giraph_spark.functions.pipeline import clean_corpus_compressed
+
+    timings["gif_frame_stats"], rows["gif_frame_stats"] = run(
+        lambda: frame_pixel_stats(
+            gif_animation_media_from_docs(docs), every_n=2, max_frames=3
+        ).count()
+    )
+    timings["mp4_frame_plan"], rows["mp4_frame_plan"] = run(
+        lambda: mp4_frame_plan(
+            mp4_sampled_media_from_docs(docs), every_n=4, max_frames=8
+        ).count()
+    )
+    import __spark_entry__ as entry_mod
+
+    timings["clean_corpus_compressed"], rows["clean_corpus_compressed"] = run(
+        lambda: clean_corpus_compressed(
+            entry_mod._compressed_blobs(docs.select("doc_id", "text"))
+        ).count()
+    )
+    inputs = {"docs": n_docs, "embeddings": n_embs}
+    docs.unpersist()
+    embs.unpersist()
+    return timings, rows, inputs
+
+
+def pipeline() -> None:
+    """Standalone pipeline-tier run (``python bench.py --pipeline``) —
+    the measured evidence behind BASELINE.md's pipeline table; the same
+    tier rides the DEFAULT bench output (main) as the "pipeline"
+    section."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-pipeline-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings, rows, inputs = _run_pipeline(spark, SF_DIR)
     print(
         json.dumps(
             {
@@ -410,7 +469,7 @@ def pipeline() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "rows": rows,
-                "inputs": {"docs": n_docs, "embeddings": n_embs},
+                "inputs": inputs,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": int(CPUS),
             }

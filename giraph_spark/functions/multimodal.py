@@ -302,7 +302,10 @@ def frame_sample_plan(
     index list from metadata (pure expressions — the decode of those
     frames is the pandas-UDF stage above). Demonstrates the
     metadata-first pattern: the payload column is untouched, so column
-    pruning keeps this scan cheap."""
+    pruning keeps this scan cheap. For MP4 the index list rides
+    decode_metadata's stts-derived ``n_frames``; when per-frame
+    TIMESTAMPS and byte sizes are needed, use :func:`mp4_frame_plan`,
+    which walks the stts/stsz run-length tables directly."""
     meta = decode_metadata(df)
     idxs = F.slice(
         F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)),

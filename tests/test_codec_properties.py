@@ -353,6 +353,65 @@ def test_mp4_header_metadata():
         parse_mp4(p[:40])  # truncated mid-box
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    runs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),
+            st.integers(min_value=1, max_value=5000),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    every_n=st.integers(min_value=1, max_value=13),
+    max_frames=st.integers(min_value=1, max_value=10),
+    media_ts=st.one_of(st.none(), st.integers(min_value=1, max_value=90000)),
+    with_sizes=st.booleans(),
+    data=st.data(),
+)
+def test_mp4_sample_plan_roundtrip_vs_expansion(
+    runs, every_n, max_frames, media_ts, with_sizes, data
+):
+    """r8: mp4_sample_plan's run-length walk must agree with the naive
+    per-sample expansion on every (runs, every_n, max_frames) it will
+    ever see — timestamps are prefix sums over the expanded deltas,
+    sizes index the stsz table, the timescale resolves mdhd-first with
+    the mvhd fallback."""
+    from giraph_spark.functions.media_codecs import make_mp4, mp4_sample_plan
+
+    n = sum(c for c, _ in runs)
+    sizes = (
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=1 << 20),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        if with_sizes
+        else None
+    )
+    payload = make_mp4(
+        1.0, timescale=777, width=8, height=8,
+        stts_runs=runs, frame_sizes=sizes, media_timescale=media_ts,
+    )
+    plan = mp4_sample_plan(payload, every_n=every_n, max_frames=max_frames)
+    # ground truth by brute expansion
+    deltas = [d for c, d in runs for _ in range(c)]
+    t = 0
+    times = []
+    for d in deltas:
+        times.append(t)
+        t += d
+    want = [
+        (j, times[j], sizes[j] if sizes is not None else None)
+        for j in range(0, n, every_n)
+    ][:max_frames]
+    assert plan["n_samples"] == n
+    assert plan["timescale"] == (media_ts or 777)
+    assert plan["frames"] == want
+
+
 def _jpeg_ground_truth_gray(coeffs, h_img, w_img):
     import numpy as np
 
