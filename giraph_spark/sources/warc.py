@@ -1,0 +1,227 @@
+"""WARC / WET crawl-shard reader — the container tier above
+``decompress_text`` (VERDICT r7 task 6's ingest story completed at the
+SOURCE level): web-scale training corpora arrive as WARC files (ISO
+28500) whose records are usually stored as one concatenated gzip member
+per record, and this module turns a directory of them into a records
+DataFrame ready for ``clean_corpus`` / ``clean_corpus_compressed``.
+
+Spark shape: ``spark.read.format("binaryFile")`` gives one row per
+file (path, length, content); ONE Arrow-batched ``mapInPandas`` pass
+walks each file's gzip-member chain (``zlib`` incremental API,
+``unused_data`` hand-off between members — no temp files, no
+re-buffering) and parses the WARC record grammar per member. Output
+rows carry the few header fields a pipeline filters on plus the raw
+payload bytes; Catalyst column pruning drops the payload for
+header-only queries.
+
+Parallelism is PER FILE — the honest unit for WARC, because
+concatenated gzip members are not splittable without an external index
+(real crawls ship ~100k files of ~1 GB, so file-level parallelism
+saturates any cluster; a single giant file is the documented
+degenerate case). Per-record decompression is bomb-capped the same way
+``decompress_text`` is; a corrupt tail yields ONE null-record row for
+the file (record fields NULL, ``error`` set) after the records that
+did parse — the package's no-fake contract: null means undecodable,
+never silently dropped bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "file string, record_index long, warc_type string, target_uri string, "
+    "record_id string, content_type string, content_length long, "
+    "payload binary, error string"
+)
+
+#: WARC header names surfaced as columns (lowercased per RFC-style
+#: case-insensitive field names)
+_HDR_TYPE = "warc-type"
+_HDR_URI = "warc-target-uri"
+_HDR_ID = "warc-record-id"
+_HDR_CTYPE = "content-type"
+_HDR_CLEN = "content-length"
+
+
+def _iter_gzip_members(blob: bytes, max_member_bytes: int):
+    """Yield each decompressed gzip member of a concatenated-member
+    file (the WARC-at-rest layout). Incremental zlib with a per-member
+    output cap — a hostile member must fail its record, not OOM the
+    executor. Raises ValueError on a corrupt or truncated member."""
+    import zlib
+
+    rest = blob
+    while rest:
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out = d.decompress(rest, max_member_bytes)
+        if d.unconsumed_tail:
+            raise ValueError("gzip member exceeds max_record_bytes")
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        yield out
+        rest = d.unused_data
+
+
+def _parse_record(chunk: bytes):
+    """One WARC record from ``chunk``: version line, header lines to
+    the blank line, then Content-Length payload bytes. Returns
+    (headers dict, payload, bytes_consumed)."""
+    if not chunk.startswith(b"WARC/"):
+        raise ValueError("missing WARC version line")
+    head_end = chunk.find(b"\r\n\r\n")
+    if head_end < 0:
+        raise ValueError("unterminated WARC header block")
+    headers: dict[str, str] = {}
+    for line in chunk[:head_end].split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    try:
+        clen = int(headers[_HDR_CLEN])
+    except (KeyError, ValueError):
+        raise ValueError("WARC record without a valid Content-Length")
+    body_start = head_end + 4
+    if body_start + clen > len(chunk):
+        raise ValueError("WARC payload truncated")
+    payload = chunk[body_start : body_start + clen]
+    consumed = body_start + clen
+    # the mandatory two CRLF record separators, when present
+    if chunk[consumed : consumed + 4] == b"\r\n\r\n":
+        consumed += 4
+    return headers, payload, consumed
+
+
+def _records_of_file(path: str, blob: bytes, max_record_bytes: int):
+    """All rows for one WARC file: parsed records, then one null-record
+    error row if (and only if) the tail is corrupt."""
+    rows = []
+    idx = 0
+
+    def emit(headers, payload):
+        nonlocal idx
+        rows.append(
+            [
+                path,
+                idx,
+                headers.get(_HDR_TYPE),
+                headers.get(_HDR_URI),
+                headers.get(_HDR_ID),
+                headers.get(_HDR_CTYPE),
+                len(payload),
+                payload,
+                None,
+            ]
+        )
+        idx += 1
+
+    try:
+        if blob[:2] == b"\x1f\x8b":
+            # gzip-member-per-record (the at-rest layout). A member may
+            # legally hold several records back to back; walk each.
+            for member in _iter_gzip_members(blob, max_record_bytes):
+                while member.strip(b"\r\n"):
+                    headers, payload, used = _parse_record(member)
+                    emit(headers, payload)
+                    member = member[used:]
+        else:
+            rest = blob
+            while rest.strip(b"\r\n"):
+                headers, payload, used = _parse_record(rest)
+                emit(headers, payload)
+                rest = rest[used:]
+    except ValueError as ex:
+        rows.append(
+            [path, None, None, None, None, None, None, None, str(ex)]
+        )
+    return rows
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    max_record_bytes: int = 64 << 20,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Read a WARC/WET file or directory into a records DataFrame:
+    ``(file, record_index, warc_type, target_uri, record_id,
+    content_type, content_length, payload, error)``. Handles both
+    gzip-member-per-record files (``*.warc.gz`` / ``*.wet.gz``) and
+    uncompressed WARC; files may mix record types (warcinfo, request,
+    response, conversion, …) — filter on ``warc_type``.
+
+    ``max_record_bytes`` caps per-member decompression (bomb guard);
+    ``path_glob`` forwards to binaryFile's ``pathGlobFilter``."""
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    files = reader.load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "file", "record_index", "warc_type", "target_uri",
+            "record_id", "content_type", "content_length", "payload",
+            "error",
+        ]
+        for pdf in batches:
+            rows: list = []
+            for p, blob in zip(
+                pdf["path"].to_numpy(), pdf["content"].to_numpy()
+            ):
+                rows.extend(
+                    _records_of_file(str(p), bytes(blob), max_record_bytes)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def make_warc(
+    records: list[tuple[dict[str, str], bytes]],
+    gzip_members: bool = True,
+) -> bytes:
+    """WARC fixture ENCODER (the make_mp4/make_png convention: tests
+    and oracles build real files, the reader proves itself by
+    round-trip): each ``(headers, payload)`` becomes one spec-shaped
+    record — version line, headers + computed Content-Length, blank
+    line, payload, two CRLF separators — stored as its own gzip member
+    when ``gzip_members`` (the crawl at-rest layout), else
+    concatenated plain."""
+    import gzip
+
+    out = []
+    for headers, payload in records:
+        head = b"WARC/1.0\r\n"
+        for k, v in headers.items():
+            head += f"{k}: {v}\r\n".encode("latin-1")
+        head += f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        rec = head + payload + b"\r\n\r\n"
+        out.append(gzip.compress(rec, mtime=0) if gzip_members else rec)
+    return b"".join(out)
+
+
+def wet_documents(
+    records: DataFrame, encoding: str = "utf-8"
+) -> DataFrame:
+    """WET conversion records → a ``documents``-shaped frame
+    ``(doc_id, url, text)`` ready for ``clean_corpus`` /
+    ``gopher_rules`` / dedup: filters ``warc_type='conversion'``
+    (WET's extracted-text records), decodes the payload as text, and
+    derives a deterministic 63-bit ``doc_id`` from the record id (the
+    same xxhash64 the samplers key on — stable under re-reads and
+    re-partitioning). Pure expressions on top of :func:`read_warc`;
+    payload bytes never cross a shuffle."""
+    return (
+        records.where(F.col("warc_type") == "conversion")
+        .select(
+            F.abs(F.xxhash64(F.col("record_id"))).alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("payload"), encoding).alias("text"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""WARC/WET source reader (r8): round-trip through real files on disk
+via the binaryFile source, both at-rest layouts, corruption isolation,
+the decompression bomb cap, and the WET → clean_corpus composition."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from giraph_spark.sources.warc import (
+    make_warc,
+    read_warc,
+    wet_documents,
+)
+
+
+def _sample_records():
+    return [
+        (
+            {"WARC-Type": "warcinfo", "Content-Type": "application/warc-fields"},
+            b"software: test-crawler/1.0\r\n",
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://example.org/a",
+                "WARC-Record-ID": "<urn:uuid:aaa>",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\n\r\n<html>hi</html>",
+        ),
+        (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Target-URI": "http://example.org/a",
+                "WARC-Record-ID": "<urn:uuid:bbb>",
+                "Content-Type": "text/plain",
+            },
+            "the quick brown fox jumps over the lazy dog and it is a "
+            "fine day for running in the sun".encode(),
+        ),
+    ]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_warc_roundtrip_both_layouts(spark, tmp_path, gz):
+    ext = "warc.gz" if gz else "warc"
+    (tmp_path / f"shard0.{ext}").write_bytes(
+        make_warc(_sample_records(), gzip_members=gz)
+    )
+    rows = sorted(
+        read_warc(spark, str(tmp_path)).collect(),
+        key=lambda r: r["record_index"],
+    )
+    assert [r["warc_type"] for r in rows] == [
+        "warcinfo", "response", "conversion",
+    ]
+    assert rows[1]["target_uri"] == "http://example.org/a"
+    assert rows[1]["record_id"] == "<urn:uuid:aaa>"
+    assert bytes(rows[2]["payload"]).startswith(b"the quick brown fox")
+    assert all(r["error"] is None for r in rows)
+    assert all(
+        r["content_length"] == len(bytes(r["payload"])) for r in rows
+    )
+
+
+def test_warc_multi_record_member_and_corrupt_tail(spark, tmp_path):
+    recs = _sample_records()
+    # members may hold several records back to back: pack all three in
+    # one gzip member, then append a corrupt member
+    one_member = gzip.compress(make_warc(recs, gzip_members=False), mtime=0)
+    good = gzip.compress(
+        make_warc([recs[1]], gzip_members=False), mtime=0
+    )
+    corrupt = good[:-7]  # truncated member
+    (tmp_path / "multi.warc.gz").write_bytes(one_member)
+    (tmp_path / "corrupt.warc.gz").write_bytes(good + corrupt)
+    out = read_warc(spark, str(tmp_path)).collect()
+    multi = [r for r in out if r["file"].endswith("multi.warc.gz")]
+    assert sorted(r["record_index"] for r in multi) == [0, 1, 2]
+    bad = sorted(
+        (r for r in out if r["file"].endswith("corrupt.warc.gz")),
+        key=lambda r: (r["record_index"] is None, r["record_index"]),
+    )
+    # the intact member's record parses; the truncated tail yields ONE
+    # null-record row carrying the error, never silent loss
+    assert bad[0]["warc_type"] == "response" and bad[0]["error"] is None
+    assert bad[1]["record_index"] is None
+    assert "truncated" in bad[1]["error"]
+
+
+def test_warc_bomb_cap(spark, tmp_path):
+    bomb = [({"WARC-Type": "conversion"}, b"\x00" * 5_000_000)]
+    (tmp_path / "bomb.warc.gz").write_bytes(make_warc(bomb))
+    out = read_warc(
+        spark, str(tmp_path), max_record_bytes=1_000_000
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["record_index"] is None
+    assert "max_record_bytes" in out[0]["error"]
+
+
+def test_wet_documents_feed_clean_corpus(spark, tmp_path):
+    """The end-to-end source story: WET shard on disk → conversion
+    records → documents frame → clean_corpus disposition. Non-text
+    record types never reach the corpus; doc_id is a stable hash of
+    the record id."""
+    from giraph_spark.functions.pipeline import clean_corpus
+
+    (tmp_path / "crawl.wet.gz").write_bytes(make_warc(_sample_records()))
+    docs = wet_documents(read_warc(spark, str(tmp_path)))
+    rows = docs.collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "http://example.org/a"
+    assert rows[0]["text"].startswith("the quick brown fox")
+    assert rows[0]["doc_id"] >= 0
+    disp = clean_corpus(docs.select("doc_id", "text")).collect()
+    assert len(disp) == 1 and disp[0]["status"] == "kept"
+    # determinism of the derived id across re-reads
+    again = wet_documents(read_warc(spark, str(tmp_path))).collect()
+    assert again[0]["doc_id"] == rows[0]["doc_id"]
