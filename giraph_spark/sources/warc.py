@@ -143,6 +143,29 @@ def _records_of_file(path: str, blob: bytes, max_record_bytes: int):
     return rows
 
 
+def _records_map(max_record_bytes: int):
+    """The one Arrow pass shared by the batch and streaming readers:
+    ``(path, content)`` file rows in, WARC record rows out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "file", "record_index", "warc_type", "target_uri",
+            "record_id", "content_type", "content_length", "payload",
+            "error",
+        ]
+        for pdf in batches:
+            rows: list = []
+            for p, blob in zip(
+                pdf["path"].to_numpy(), pdf["content"].to_numpy()
+            ):
+                rows.extend(
+                    _records_of_file(str(p), bytes(blob), max_record_bytes)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return run
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -162,24 +185,48 @@ def read_warc(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _records_map(max_record_bytes), schema=WARC_SCHEMA
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
-            "file", "record_index", "warc_type", "target_uri",
-            "record_id", "content_type", "content_length", "payload",
-            "error",
-        ]
-        for pdf in batches:
-            rows: list = []
-            for p, blob in zip(
-                pdf["path"].to_numpy(), pdf["content"].to_numpy()
-            ):
-                rows.extend(
-                    _records_of_file(str(p), bytes(blob), max_record_bytes)
-                )
-            yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(run, schema=WARC_SCHEMA)
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    max_record_bytes: int = 64 << 20,
+    path_glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous-crawl variant of :func:`read_warc`: a STREAMING
+    records DataFrame over a directory where WARC/WET shards keep
+    landing. Structured Streaming's file source tracks which files
+    each micro-batch has processed (exactly-once per file given a
+    checkpoint location on the query), so a crawler dropping shards
+    into ``path`` becomes a continuous record feed with no extra
+    bookkeeping here — the same ``binaryFile`` relation, ``readStream``
+    instead of ``read``, and the identical Arrow record-walk pass.
+
+    Composes unchanged with :func:`wet_documents` (pure expressions)
+    and from there with ``streaming.events.dedup_stream`` /
+    ``near_dup_stream`` for continuous corpus construction; file-level
+    parallelism is the unit, as in the batch reader.
+    ``max_files_per_trigger`` bounds each micro-batch (the streaming
+    analog of input-split sizing — pick it so one batch's files fit
+    the cluster's aggregate Arrow memory)."""
+    # streaming file sources demand an explicit schema; binaryFile's
+    # is fixed by the format
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _records_map(max_record_bytes), schema=WARC_SCHEMA
+    )
 
 
 def make_warc(
@@ -225,3 +272,90 @@ def wet_documents(
             F.decode(F.col("payload"), encoding).alias("text"),
         )
     )
+
+
+WARC_MANIFEST_SCHEMA = "path string, records long, bytes long"
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    uri_col: str | None = "url",
+    warc_type: str = "conversion",
+    shards: int | None = None,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """WARC/WET SINK — the inverse of :func:`wet_documents`: a
+    documents-shaped frame becomes one WET shard per partition in
+    ``out_dir`` (``part-NNNNN.wet[.gz]``), each row one conversion
+    record (``WARC-Record-ID: <urn:doc:{id}>``, optional
+    ``WARC-Target-URI``), serialized through the same
+    :func:`make_warc` grammar the reader round-trips. Returns a lazy
+    MANIFEST DataFrame ``(path, records, bytes)`` — one row per shard
+    written; materializing the manifest (count/collect/write) executes
+    the write, standard Spark sink semantics.
+
+    Scale shape: one pass, no shuffle unless ``shards`` asks for a
+    repartition; each shard is built member-by-member per Arrow batch
+    (gzip-member-per-record concatenates, so the shard is never
+    buffered twice) and written atomically (temp file + rename), so a
+    retried task rewrites its shard idempotently instead of appending.
+    ``out_dir`` must be storage every executor can reach (shared FS /
+    fuse mount) — the same contract as any file sink. Size ``shards``
+    so one shard ≈ the crawl-standard ~1 GB. Null-``text`` rows are
+    undecodable upstream by package contract and are skipped (they are
+    accounted in ``clean_corpus``'s disposition, not silently lost
+    here — the manifest's ``records`` counts only written rows)."""
+    import os
+
+    sel = [F.col(id_col).cast("string"), F.col(text_col)]
+    sel.append(
+        F.col(uri_col) if uri_col else F.lit(None).cast("string")
+    )
+    rows = df.where(F.col(text_col).isNotNull()).select(
+        sel[0].alias("_id"), sel[1].alias("_text"), sel[2].alias("_uri")
+    )
+    if shards is not None:
+        rows = rows.repartition(shards)
+    ext = "wet.gz" if gzip_members else "wet"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts: list[bytes] = []
+        n = 0
+        for pdf in batches:
+            recs = []
+            for did, text, uri in zip(
+                pdf["_id"].to_numpy(),
+                pdf["_text"].to_numpy(),
+                pdf["_uri"].to_numpy(),
+            ):
+                headers = {
+                    "WARC-Type": warc_type,
+                    "WARC-Record-ID": f"<urn:doc:{did}>",
+                    "Content-Type": "text/plain",
+                }
+                if uri is not None:
+                    headers["WARC-Target-URI"] = str(uri)
+                recs.append((headers, str(text).encode("utf-8")))
+            if recs:
+                parts.append(make_warc(recs, gzip_members=gzip_members))
+                n += len(recs)
+        cols = ["path", "records", "bytes"]
+        if n == 0:
+            yield pd.DataFrame([], columns=cols)
+            return
+        blob = b"".join(parts)
+        final = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        tmp = final + ".inprogress"
+        os.makedirs(out_dir, exist_ok=True)
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, final)
+        yield pd.DataFrame([[final, n, len(blob)]], columns=cols)
+
+    return rows.mapInPandas(run, schema=WARC_MANIFEST_SCHEMA)
