@@ -624,6 +624,113 @@ def stress_docs() -> None:
     spark.stop()
 
 
+def stress_warc() -> None:
+    """WARC/WET source throughput (``python bench.py --stress-warc``):
+    materializes the $SPARK_GRAFT_SF_DIR documents corpus as real
+    at-rest WET shards (write_warc, gzip-member-per-record), then
+    measures the ingest path at 1× and K×: record parse rate and MB/s
+    through read_warc, and the end-to-end corpus build
+    (wet_documents → clean_corpus disposition). Replicas word-salt the
+    text (the stress_docs trick: disjoint shingle sets, dedup work
+    scales honestly) and shard count grows ∝ scale so per-shard size —
+    the reader's non-splittable unit — stays constant; the ratio then
+    measures pipeline scaling, not gzip-member length. Size via
+    $SPARK_GRAFT_STRESS_WARC_K (default 10)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    k_rep = int(os.environ.get("SPARK_GRAFT_STRESS_WARC_K", "10"))
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-stress-warc")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from giraph_spark.functions.pipeline import clean_corpus
+    from giraph_spark.sources.warc import read_warc, wet_documents, write_warc
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    workdir = tempfile.mkdtemp(prefix="warc_stress_")
+
+    def replicate(k: int):
+        rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep")
+        return docs.select("doc_id", "text", rep).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n_docs)).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1q"), F.col("rep").cast("string")),
+            ).alias("text"),
+        )
+
+    out: dict[str, dict] = {}
+    for scale in (1, k_rep):
+        shard_dir = os.path.join(workdir, f"x{scale}")
+        manifest = write_warc(
+            replicate(scale), shard_dir,
+            uri_col=None, shards=int(CPUS) * scale,
+        ).collect()
+        mb = round(sum(m["bytes"] for m in manifest) / 1e6, 2)
+        r: dict[str, float | int] = {
+            "shards": len(manifest),
+            "records": sum(m["records"] for m in manifest),
+            "mb_at_rest": mb,
+        }
+        t0 = time.monotonic()
+        parsed = read_warc(spark, shard_dir).agg(
+            F.count("*").alias("n"),
+            F.sum("content_length").alias("payload_bytes"),
+        ).first()
+        r["read_sec"] = round(time.monotonic() - t0, 3)
+        assert parsed["n"] == r["records"], "reader lost records"
+        r["read_mb_per_sec"] = round(mb / r["read_sec"], 1)
+        r["read_recs_per_sec"] = round(r["records"] / r["read_sec"])
+        t0 = time.monotonic()
+        disp = clean_corpus(
+            wet_documents(read_warc(spark, shard_dir))
+            .select("doc_id", "text")
+        )
+        n_disp = disp.count()
+        r["ingest_sec"] = round(time.monotonic() - t0, 3)
+        assert n_disp == r["records"], "disposition must cover every record"
+        r["ingest_recs_per_sec"] = round(r["records"] / r["ingest_sec"])
+        out[f"x{scale}"] = r
+    shutil.rmtree(workdir, ignore_errors=True)
+    one, big = out["x1"], out[f"x{k_rep}"]
+    ratios = {
+        m: round(big[m] / one[m], 2) if one[m] else None
+        for m in ("read_sec", "ingest_sec")
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "stress_warc",
+                "value": round(big["read_sec"] + big["ingest_sec"], 3),
+                "unit": "sec",
+                "k": k_rep,
+                "scales": out,
+                "ratios_vs_1x": ratios,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
 def stress_stream() -> None:
     """Streaming-tier throughput (``python bench.py --stress-stream``):
     drives the stateful streaming operators over the sf events/documents
@@ -1034,7 +1141,9 @@ def stress_extras() -> None:
 
 
 if __name__ == "__main__":
-    if "--stress-stream" in sys.argv:
+    if "--stress-warc" in sys.argv:
+        stress_warc()
+    elif "--stress-stream" in sys.argv:
         stress_stream()
     elif "--stress-extras" in sys.argv:
         stress_extras()
