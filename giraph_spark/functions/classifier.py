@@ -1,0 +1,162 @@
+"""Trained quality classifier — the fasttext-style tier of corpus
+filtering (CCNet / LLaMA-pipeline style: label a small seed set, train
+a linear classifier over hashed bag-of-words(+bigrams), score the
+whole corpus, keep above a threshold). Complements the package's
+statistical tiers: heuristic gates (``text.gopher_rules`` /
+``quality_filter``), LM scoring (``text.unigram_logprob``, CCNet
+perplexity buckets ``text.quality_buckets``), and importance weights
+(``sampling.dsir_importance``) — this is the *supervised* path those
+pipelines layer on top.
+
+Spark shape for 100 TB: feature extraction is pure expressions
+(lowercase → whitespace split → optional ``zip_with`` bigrams) feeding
+``pyspark.ml.feature.HashingTF`` (JVM, one pass, no vocabulary state
+to build or broadcast — the hashing trick is what makes this work at
+corpus scale); training is ``pyspark.ml`` LogisticRegression (L-BFGS,
+each iteration one tree-aggregated gradient pass over the LABELED set,
+which is small by construction — the corpus itself is only ever
+*scored*, one stateless JVM pass, no shuffle). Nothing here collects
+the corpus to the driver; the only driver-side state is the trained
+coefficient vector (``num_features`` floats), well under broadcast
+budgets at the fasttext-conventional 2^18 buckets.
+
+No driver key: L-BFGS coefficients are float-iteration artifacts with
+no closed-form SQL oracle; the gate is property-based (separable
+corpus → high holdout accuracy; save/load round-trip; scoring is a
+deterministic function of the model).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(col: Column, bigrams: bool) -> Column:
+    """Lowercased whitespace tokens, optionally augmented with joined
+    word bigrams (fasttext's default recipe) — pure expressions, no
+    tokenizer state."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    if not bigrams:
+        return toks
+    bi = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws("_", a, b),
+    )
+    # zip_with pads the shorter side with null → concat_ws yields the
+    # bare last token again; harmless duplicate weight, but drop it to
+    # keep the feature space exactly tokens ∪ bigrams
+    bi = F.slice(bi, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.concat(toks, bi)
+
+
+@dataclass
+class QualityClassifier:
+    """A trained quality model: the fitted ``pyspark.ml`` pipeline
+    stages plus the feature recipe they were trained with (scoring
+    must rebuild features identically)."""
+
+    model: object  # pyspark.ml.classification.LogisticRegressionModel
+    num_features: int
+    bigrams: bool
+
+    def save(self, path: str) -> None:
+        """Persist via pyspark.ml's native writer plus a tiny recipe
+        sidecar (the part the model object doesn't carry)."""
+        import json
+        import os
+
+        self.model.write().overwrite().save(os.path.join(path, "lr"))
+        with open(os.path.join(path, "recipe.json"), "w") as f:
+            json.dump(
+                {"num_features": self.num_features, "bigrams": self.bigrams}, f
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "QualityClassifier":
+        import json
+        import os
+
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        with open(os.path.join(path, "recipe.json")) as f:
+            recipe = json.load(f)
+        return cls(
+            model=LogisticRegressionModel.load(os.path.join(path, "lr")),
+            **recipe,
+        )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 18,
+    bigrams: bool = True,
+    max_iter: int = 60,
+    reg_param: float = 1e-4,
+) -> QualityClassifier:
+    """Fit the fasttext-style linear quality model on a LABELED seed
+    set (``label`` ∈ {0.0, 1.0}; 1 = keep-worthy). The seed set is
+    small by design (positives = a trusted corpus sample, negatives =
+    raw-crawl sample — the CCNet construction); only scoring ever
+    touches the full corpus."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    tf = HashingTF(
+        inputCol="_toks", outputCol="_features", numFeatures=num_features
+    )
+    feats = tf.transform(
+        labeled.select(
+            F.col(label_col).cast("double").alias("_label"),
+            _tokens(F.col(text_col), bigrams).alias("_toks"),
+        )
+    )
+    lr = LogisticRegression(
+        featuresCol="_features",
+        labelCol="_label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+    )
+    return QualityClassifier(
+        model=lr.fit(feats), num_features=num_features, bigrams=bigrams
+    )
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    clf: QualityClassifier,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Score a corpus with a trained model: adds ``out_col`` =
+    P(keep-worthy) ∈ [0,1]. One stateless JVM pass (hashing + a dot
+    product against the broadcast coefficient vector); every input
+    column is preserved, so this composes with ``quality_filter`` /
+    ``clean_corpus``-style gating and ``profile.threshold_metrics`` for
+    threshold calibration against a labeled holdout."""
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    tf = HashingTF(
+        inputCol="_toks",
+        outputCol="_features",
+        numFeatures=clf.num_features,
+    )
+    feats = tf.transform(
+        df.withColumn("_toks", _tokens(F.col(text_col), clf.bigrams))
+    )
+    scored = clf.model.transform(feats)
+    return scored.withColumn(
+        out_col, vector_to_array(F.col(clf.model.getProbabilityCol()))[1]
+    ).drop(
+        "_toks", "_features",
+        clf.model.getPredictionCol(),
+        clf.model.getRawPredictionCol(),
+        clf.model.getProbabilityCol(),
+    )
