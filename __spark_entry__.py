@@ -1332,6 +1332,22 @@ def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_buckets(scored, thresholds=(-3.404, -3.4))
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed bigram LM scoring with the CCNet train/score
+    split: the LM is trained on the even-doc_id half (the 'trusted'
+    corpus stand-in), every document is scored against it — unseen
+    contexts degrade to ln(1/V), short/NULL docs score NULL."""
+    from giraph_spark.functions.lm import bigram_logprob
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lm = d.where(F.col("doc_id") % 2 == 0)
+    return bigram_logprob(d, lm_df=lm, k=1.0).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "logprob",
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing plan (window=256): per-source running token
     sum in doc-id order; each doc assigned the sequence it starts in."""
@@ -2394,6 +2410,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_duplicate_ngrams": _q_scrub_duplicate_ngrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "perplexity_buckets": _q_perplexity_buckets,
         "pack_sequences": _q_pack_sequences,
         "identity": _q_identity,
@@ -5697,6 +5714,49 @@ scored AS (
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
        s.logprob
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
+        # bigram LM, add-1 smoothing, trained on the even-doc_id half
+        # and scored over every document; positional self-join builds
+        # the oracle's bigrams (the Spark side uses zip_with — the
+        # cross-engine match proves the expression construction)
+        "bigram_logprob": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split({norm}, ' ')) AS term,
+         generate_subscripts(string_split({norm}, ' '), 1) AS pos
+  FROM documents
+),
+tt AS (SELECT doc_id, term, pos FROM toks WHERE term <> ''),
+doc_bi AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tt a JOIN tt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+lm_tt AS (SELECT * FROM tt WHERE doc_id % 2 = 0),
+lm_bi AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(COUNT(*) AS DOUBLE) AS c2
+  FROM lm_tt a JOIN lm_tt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+lm_uni AS (
+  SELECT term AS w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM lm_tt GROUP BY 1
+),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v FROM lm_tt
+),
+scored AS (
+  SELECT d.doc_id, COUNT(*) AS n_bigrams,
+         ROUND(AVG(ln(
+           (COALESCE(b.c2, 0) + 1.0)
+           / (COALESCE(u.c1, 0) + 1.0 * (SELECT v FROM vocab))
+         )), 6) AS logprob
+  FROM doc_bi d
+  LEFT JOIN lm_bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+  LEFT JOIN lm_uni u ON u.w1 = d.w1
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.logprob + 0.0 AS logprob
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         # same LM + frozen-threshold CASE on the rounded score (the
         # bucket is a pure function of the already-oracle-checked

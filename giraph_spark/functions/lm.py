@@ -1,0 +1,111 @@
+"""N-gram language-model scoring — the CCNet perplexity-gate family
+one order above ``text.unigram_logprob``. Separate module by design:
+LM scoring carries its own train/score corpus split (the classifier
+module's seed-set pattern applied to counts), and keeping it out of
+``text.py`` keeps the big expression-only module's change surface
+(and its 30+ driver keys' evidence fingerprints) stable while the LM
+tier grows.
+
+Scale notes are on each function; everything here is expression-only
+DataFrame code (no UDFs), so the scoring pass fuses with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import normalize_text
+
+
+def bigram_logprob(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-k-smoothed
+    bigram LM — the CCNet-style perplexity gate one order up from
+    :func:`unigram_logprob`, with the construction those pipelines
+    actually use: TRAIN the LM on a trusted corpus (``lm_df``), SCORE a
+    different one (``df``). ``P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V)``
+    with ``V`` the LM vocabulary size, so unseen contexts degrade to
+    ``1/V`` instead of −inf. ``lm_df=None`` self-scores (outlier
+    detection, like the unigram op). Returns
+    ``(id, n_bigrams, logprob)``; documents with fewer than two tokens
+    (or NULL text) score NULL, never fabricated.
+
+    Scale shape: bigrams are built by pure expressions (``zip_with``
+    over the token array — no positional self-join on the exploded
+    relation) then exploded once; the LM is two partial-aggregated
+    groupBys (|bigram types| + |unigram types| rows, distributed), the
+    vocabulary size is a broadcast single row, and scoring is two hash
+    joins on term keys + one per-doc partial-aggregated mean."""
+    lm_src = df if lm_df is None else lm_df
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def bigrams(arr):
+        n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+        pair = F.zip_with(
+            arr,
+            F.slice(arr, 2, n1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        # drop zip_with's null-padded tail; '' tokens only occur for
+        # empty text (normalize collapses whitespace), where n1 = 0
+        return F.when(
+            (F.size(arr) >= 2) & (F.element_at(arr, 1) != ""),
+            F.slice(pair, 1, n1),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    doc_bi = df.select(
+        F.col(id_col), F.explode(bigrams(toks)).alias("_bi")
+    ).select(id_col, "_bi.w1", "_bi.w2")
+    lm_bi = (
+        lm_src.select(F.explode(bigrams(toks)).alias("_bi"))
+        .select("_bi.w1", "_bi.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c2"))
+    )
+    lm_terms = lm_src.select(
+        F.explode(toks).alias("w1")
+    ).where(F.col("w1") != "")
+    lm_uni = lm_terms.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("double").alias("_c1")
+    )
+    vocab = lm_terms.agg(
+        F.count_distinct("w1").cast("double").alias("_v")
+    )
+    scored = (
+        doc_bi.join(lm_bi, ["w1", "w2"], "left")
+        .join(lm_uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce("_c2", F.lit(0.0)) + F.lit(k))
+                        / (
+                            F.coalesce("_c1", F.lit(0.0))
+                            + F.lit(k) * F.col("_v")
+                        )
+                    )
+                ),
+                6,
+            ).alias("logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            (F.col("logprob") + F.lit(0.0)).alias("logprob"),
+        )
+    )

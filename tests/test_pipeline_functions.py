@@ -587,6 +587,41 @@ def test_unigram_logprob_flags_atypical_doc(spark):
     assert all(abs(out[i] - out[0]) < 1e-9 for i in range(9))
 
 
+def test_bigram_logprob_closed_form(spark):
+    """Hand-computed add-1 bigram scores under a cross-corpus LM:
+    seen bigram (c2+1)/(c1+V), unseen context ln(1/V), <2-token and
+    NULL docs score NULL with n_bigrams=0."""
+    import math
+
+    from giraph_spark.functions.lm import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat"),
+            (3, "unknownword anotherunknown thing"),
+            (4, "solo"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    lm = docs.where("doc_id <= 2")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob"])
+        for r in bigram_logprob(docs, lm_df=lm).collect()
+    }
+    # LM: c(the)=3, c(the,cat)=2, V=5 {the,cat,sat,on,mat}
+    assert out[2] == (1, round(math.log((2 + 1) / (3 + 5)), 6))
+    # both bigrams of doc 3 have unseen contexts -> ln(1/V)
+    assert out[3] == (2, round(math.log(1 / 5), 6))
+    assert out[4] == (0, None)
+    assert out[5] == (0, None)
+    assert out[6] == (0, None)
+    # self-scored path (lm_df=None) runs and covers every doc
+    assert bigram_logprob(docs).count() == 6
+
+
 def test_bmp_pixel_decode_unit():
     """Real content decode: known pixel values round-trip through the
     struct+numpy BMP parser in both storage orientations, with row
