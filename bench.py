@@ -434,6 +434,14 @@ def _run_pipeline(spark, sf_dir: str) -> tuple[dict, dict, dict]:
             entry_mod._compressed_blobs(docs.select("doc_id", "text"))
         ).count()
     )
+    # r8 addition: cross-corpus bigram LM scoring (LM on the even half)
+    from giraph_spark.functions.lm import bigram_logprob
+
+    timings["bigram_logprob"], rows["bigram_logprob"] = run(
+        lambda: bigram_logprob(
+            d2, lm_df=d2.where(F.col("doc_id") % 2 == 0)
+        ).count()
+    )
     inputs = {"docs": n_docs, "embeddings": n_embs}
     docs.unpersist()
     embs.unpersist()

@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 WARC_SCHEMA = (
@@ -271,6 +271,124 @@ def wet_documents(
             F.col("target_uri").alias("url"),
             F.decode(F.col("payload"), encoding).alias("text"),
         )
+    )
+
+
+def http_records(
+    records: DataFrame, encoding: str = "utf-8"
+) -> DataFrame:
+    """Parse WARC ``response`` records' HTTP envelopes — the raw-crawl
+    path (WET ships extracted text; WARC response records carry the
+    full ``HTTP/1.x`` message). Pure expressions: decode, split the
+    head at the first blank line, pull status/headers/body. Returns
+    ``(file, record_index, target_uri, record_id, status,
+    http_headers map<string,string>, mime, body)``; a payload without
+    an HTTP envelope yields NULL status/headers and the whole decoded
+    payload as ``body`` (never dropped). Header names lowercase; the
+    first occurrence wins (``map_from_entries`` keeps duplicates'
+    first value the lookup result is defined on)."""
+    txt = F.decode(F.col("payload"), encoding)
+    has_env = txt.startswith("HTTP/")
+    head_end = F.instr(txt, "\r\n\r\n")
+    head = F.substring(txt, 1, head_end - 1)
+    body = F.when(
+        has_env & (head_end > 0), F.substr(txt, head_end + F.lit(4))
+    ).otherwise(txt)
+    status = F.when(
+        has_env,
+        F.regexp_extract(txt, r"^HTTP/[0-9.]+ (\d{3})", 1).cast("int"),
+    )
+    hdr_lines = F.filter(
+        F.slice(
+            F.split(head, "\r\n"),
+            2,
+            F.greatest(F.size(F.split(head, "\r\n")) - 1, F.lit(0)),
+        ),
+        lambda l: l.contains(":"),
+    )
+    headers = F.when(
+        has_env & (head_end > 0),
+        F.map_from_entries(
+            F.transform(
+                hdr_lines,
+                lambda l: F.struct(
+                    F.lower(F.trim(F.substring_index(l, ":", 1))).alias(
+                        "key"
+                    ),
+                    F.trim(
+                        F.substr(
+                            l, F.instr(l, ":") + F.lit(1), F.length(l)
+                        )
+                    ).alias("value"),
+                ),
+            )
+        ),
+    )
+    mime = F.substring_index(
+        F.coalesce(
+            F.element_at(headers, "content-type"), F.col("content_type")
+        ),
+        ";",
+        1,
+    )
+    return records.where(F.col("warc_type") == "response").select(
+        "file",
+        "record_index",
+        "target_uri",
+        "record_id",
+        status.alias("status"),
+        headers.alias("http_headers"),
+        F.trim(mime).alias("mime"),
+        body.alias("body"),
+    )
+
+
+def html_to_text(col: Column) -> Column:
+    """Baseline HTML→text as one expression chain (the crude-but-
+    standard regex tier real pipelines start from before a structural
+    extractor): drop script/style/comment blocks, break block-level
+    tags to newlines, strip remaining tags, decode the common
+    entities, collapse runs of blanks. Deterministic and JVM-side —
+    at 100 TB this fuses with the scan like every other text op."""
+    c = F.regexp_replace(
+        col, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+    )
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)[^>]*>",
+        "\n",
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # trim() strips spaces only; edge newlines need the regex form
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def warc_documents(
+    records: DataFrame, encoding: str = "utf-8"
+) -> DataFrame:
+    """Raw-WARC analog of :func:`wet_documents`: HTTP-200 ``text/html``
+    response records → ``(doc_id, url, text)`` with
+    :func:`html_to_text` extraction — the full crawl-to-corpus path
+    when no WET sidecar exists. Same stable xxhash64 doc ids; rows
+    whose extraction comes out empty carry NULL text (undecodable by
+    contract — ``clean_corpus`` dispositions them, nothing silently
+    drops)."""
+    h = http_records(records, encoding)
+    text = html_to_text(F.col("body"))
+    return h.where(
+        (F.col("status") == 200) & (F.col("mime") == "text/html")
+    ).select(
+        F.abs(F.xxhash64(F.col("record_id"))).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.when(text != "", text).alias("text"),
     )
 
 

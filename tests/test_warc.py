@@ -168,6 +168,76 @@ def test_warc_stream_matches_batch(spark, tmp_path):
     assert streamed == batch and len(streamed) == 2
 
 
+def test_http_records_and_html_documents(spark, tmp_path):
+    """The raw-crawl path: response records' HTTP envelopes parsed by
+    pure expressions, HTML extracted to text, non-200/non-html rows
+    gated out, envelope-less payloads preserved as body."""
+    from giraph_spark.sources.warc import http_records, warc_documents
+
+    html = (
+        b"<html><head><style>p {color: red}</style>"
+        b"<script>var x = '<p>not text</p>';</script></head>"
+        b"<body><h1>Title</h1><!-- hidden --><p>First &amp; second "
+        b"paragraph.</p><div>Tail line</div></body></html>"
+    )
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://example.org/page",
+                "WARC-Record-ID": "<urn:uuid:h1>",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"X-Test: yes\r\n\r\n" + html,
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://example.org/missing",
+                "WARC-Record-ID": "<urn:uuid:h2>",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone",
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://example.org/raw",
+                "WARC-Record-ID": "<urn:uuid:h3>",
+                "Content-Type": "text/plain",
+            },
+            b"no http envelope here",
+        ),
+        (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Record-ID": "<urn:uuid:h4>",
+            },
+            b"wet text ignored by the response path",
+        ),
+    ]
+    (tmp_path / "crawl.warc.gz").write_bytes(make_warc(recs))
+    records = read_warc(spark, str(tmp_path))
+
+    h = {r["record_id"]: r for r in http_records(records).collect()}
+    assert set(h) == {"<urn:uuid:h1>", "<urn:uuid:h2>", "<urn:uuid:h3>"}
+    ok = h["<urn:uuid:h1>"]
+    assert ok["status"] == 200 and ok["mime"] == "text/html"
+    assert ok["http_headers"]["x-test"] == "yes"
+    assert ok["body"].startswith("<html>")
+    assert h["<urn:uuid:h2>"]["status"] == 404
+    raw = h["<urn:uuid:h3>"]
+    assert raw["status"] is None and raw["body"] == "no http envelope here"
+    assert raw["mime"] == "text/plain"  # falls back to the WARC header
+
+    docs = warc_documents(records).collect()
+    assert len(docs) == 1  # 404 and envelope-less rows gated out
+    assert docs[0]["url"] == "http://example.org/page"
+    assert docs[0]["text"] == "Title\nFirst & second paragraph.\nTail line"
+    assert docs[0]["doc_id"] >= 0
+
+
 def test_write_warc_roundtrip(spark, tmp_path):
     """Sink inverse: documents frame → WET shards → reader → the same
     (id, url, text) set; manifest accounts every written record and
