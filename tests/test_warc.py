@@ -8,7 +8,11 @@ import gzip
 
 import pytest
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from giraph_spark.sources.warc import (
+    _records_of_file,
     make_warc,
     read_warc,
     read_warc_stream,
@@ -270,3 +274,72 @@ def test_write_warc_roundtrip(spark, tmp_path):
     assert files and all(
         f.read_bytes()[:2] == b"\x1f\x8b" for f in files
     )
+
+
+# ---- record-grammar property tests (pure functions, no Spark) ----
+
+_hdr_val = st.text(
+    alphabet=st.characters(
+        codec="latin-1", exclude_characters="\r\n"
+    ),
+    min_size=0,
+    max_size=40,
+).map(str.strip)
+
+_record = st.tuples(
+    st.fixed_dictionaries(
+        {"WARC-Type": st.sampled_from(["response", "conversion", "request"])},
+        optional={
+            "WARC-Target-URI": _hdr_val,
+            "WARC-Record-ID": _hdr_val,
+            "Content-Type": _hdr_val,
+        },
+    ),
+    st.binary(min_size=0, max_size=300),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(recs=st.lists(_record, min_size=1, max_size=8), gz=st.booleans())
+def test_warc_grammar_roundtrip_property(recs, gz):
+    """Any header/payload combination (arbitrary BINARY payloads
+    included — payload bytes must never be scanned for separators)
+    round-trips make_warc → _records_of_file exactly, in order, with
+    no error row."""
+    rows = _records_of_file(
+        "f", make_warc(recs, gzip_members=gz), max_record_bytes=1 << 20
+    )
+    assert [r[1] for r in rows] == list(range(len(recs)))
+    assert all(r[8] is None for r in rows)
+    for (headers, payload), row in zip(recs, rows):
+        assert row[2] == headers["WARC-Type"]
+        # absent header → NULL; present-but-empty → "" (both normalize)
+        assert (row[3] or "") == (headers.get("WARC-Target-URI") or "")
+        assert row[6] == len(payload) and row[7] == payload
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    recs=st.lists(_record, min_size=1, max_size=5),
+    cut=st.integers(min_value=1, max_value=200),
+)
+def test_warc_truncation_isolates_tail_property(recs, cut):
+    """Cutting bytes off the end of a gzip-member shard never corrupts
+    the already-complete members: every fully-retained record parses
+    identically, and the damaged tail yields exactly one error row."""
+    import gzip as _gz
+
+    members = [
+        _gz.compress(make_warc([r], gzip_members=False), mtime=0)
+        for r in recs
+    ]
+    blob = b"".join(members)
+    cut = min(cut, len(members[-1]) - 1)  # always damage the last member
+    rows = _records_of_file("f", blob[: len(blob) - cut], 1 << 20)
+    good = [r for r in rows if r[8] is None]
+    bad = [r for r in rows if r[8] is not None]
+    assert len(bad) == 1 and bad[0][1] is None
+    # the intact prefix members all parsed (the last is damaged)
+    assert len(good) == len(recs) - 1
+    for (headers, payload), row in zip(recs[:-1], good):
+        assert row[2] == headers["WARC-Type"] and row[7] == payload
