@@ -57,6 +57,12 @@ from .sampling import (
     train_val_split,
     word_ngrams,
 )
+from .lm import bigram_logprob
+from .classifier import (
+    QualityClassifier,
+    score_quality_classifier,
+    train_quality_classifier,
+)
 from .multimodal import (
     decode_metadata,
     frame_sample_plan,

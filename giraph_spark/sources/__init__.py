@@ -7,6 +7,15 @@ Spark's job).
 """
 
 from .generators import uniform_random_graph, watts_strogatz_graph
+from .warc import (
+    http_records,
+    html_to_text,
+    read_warc,
+    read_warc_stream,
+    warc_documents,
+    wet_documents,
+    write_warc,
+)
 from .readers import (
     combine_vertex_values,
     load_graph,
@@ -55,4 +64,11 @@ __all__ = [
     "write_graphviz",
     "uniform_random_graph",
     "watts_strogatz_graph",
+    "read_warc",
+    "read_warc_stream",
+    "wet_documents",
+    "warc_documents",
+    "http_records",
+    "html_to_text",
+    "write_warc",
 ]
