@@ -58,6 +58,15 @@ from .sampling import (
     word_ngrams,
 )
 from .lm import bigram_logprob
+from .urls import (
+    cap_per_host,
+    dedup_by_url,
+    filter_blocked_domains,
+    normalize_url,
+    registered_domain,
+    url_host,
+    url_parts,
+)
 from .classifier import (
     QualityClassifier,
     score_quality_classifier,

@@ -1,0 +1,207 @@
+"""URL operators for crawl-corpus curation — the RefinedWeb-style
+tier that runs BEFORE text ever gets scored: parse, canonicalize,
+dedup-by-URL, blocklist, and per-host caps. Everything is
+expression-only (regexp + array ops over the query string), so at
+100 TB these fuse with the scan like the text gates; the only
+shuffles are the dedup groupBy and the cap's per-host rank, and the
+blocklist join broadcasts (blocklists are thousands of rows).
+
+Honest scope note: ``registered_domain`` is a last-N-labels
+heuristic, not the Public Suffix List (no data dependency in this
+package); multi-label public suffixes (``co.uk``) need ``levels=3``
+or a real PSL feed — the parameter exists for exactly that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that never change content: analytics/click tracking
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
+    "ref", "referrer",
+)
+
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*):\/\/([^\/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def url_parts(col: Column) -> Column:
+    """Split a URL into ``struct(scheme, host, port, path, query)`` —
+    one regexp per field, NULL struct fields where the URL doesn't
+    parse (scheme-less strings parse to an all-NULL struct: garbage
+    in, NULL out, never a guessed host)."""
+    scheme = F.lower(F.regexp_extract(col, _URL_RE, 1))
+    authority = F.regexp_extract(col, _URL_RE, 2)
+    # userinfo@host:port — strip userinfo FIRST (a password may itself
+    # contain ':'), then split host from port; try_cast tolerates a
+    # malformed port instead of failing the task
+    hostport = F.substring_index(authority, "@", -1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        hostport.contains(":"),
+        F.substring_index(hostport, ":", -1).try_cast("int"),
+    )
+    path = F.regexp_extract(col, _URL_RE, 3)
+    query = F.regexp_extract(col, _URL_RE, 4)
+    blank = F.lit(None).cast("string")
+    return F.when(
+        scheme != "",
+        F.struct(
+            scheme.alias("scheme"),
+            F.when(host != "", host).alias("host"),
+            port.alias("port"),
+            F.when(path != "", path).alias("path"),
+            F.when(query != "", query).alias("query"),
+        ),
+    ).otherwise(
+        F.struct(
+            blank.alias("scheme"),
+            blank.alias("host"),
+            F.lit(None).cast("int").alias("port"),
+            blank.alias("path"),
+            blank.alias("query"),
+        )
+    )
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host with any port and a leading ``www.`` stripped —
+    the grouping key for per-site statistics and caps."""
+    h = url_parts(col).getField("host")
+    return F.when(
+        h.startswith("www."), F.substr(h, F.lit(5), F.length(h))
+    ).otherwise(h)
+
+
+def registered_domain(col: Column, levels: int = 2) -> Column:
+    """Last-``levels``-labels domain heuristic (``a.b.example.com`` →
+    ``example.com``): the blocklist/cap key one level above host. See
+    the module note — this is NOT the PSL; raise ``levels`` for
+    multi-label suffixes."""
+    return F.substring_index(url_host(col), ".", -levels)
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL for exact URL-dedup: lowercase scheme+host, strip
+    ``www.``, default ports and fragments, drop tracking parameters
+    (``TRACKING_PARAMS``), sort the surviving query parameters, and
+    normalize an empty path to ``/``. Pure expressions (the query
+    string is split → filtered → sorted → rejoined with array ops).
+    NULL for unparseable URLs — dedup must not bucket garbage
+    together."""
+    p = url_parts(col)
+    scheme, host = p.getField("scheme"), p.getField("host")
+    host = F.when(
+        host.startswith("www."), F.substr(host, F.lit(5), F.length(host))
+    ).otherwise(host)
+    port = p.getField("port")
+    default = ((scheme == "http") & (port == 80)) | (
+        (scheme == "https") & (port == 443)
+    )
+    portstr = F.when(
+        port.isNotNull() & ~default, F.concat(F.lit(":"), port.cast("string"))
+    ).otherwise(F.lit(""))
+    path = F.coalesce(p.getField("path"), F.lit("/"))
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(p.getField("query"), F.lit("")), "&"),
+            lambda kv: (kv != "")
+            & ~F.lower(F.substring_index(kv, "=", 1)).isin(
+                *TRACKING_PARAMS
+            ),
+        )
+    )
+    qstr = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme.isNotNull() & host.isNotNull(),
+        F.concat(scheme, F.lit("://"), host, portstr, path, qstr),
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact URL dedup: one row per :func:`normalize_url` value, the
+    lowest id kept (re-crawls of the same page collapse before any
+    text work runs). Unparseable URLs pass through untouched — they
+    were never provably the same page. One partial-aggregated groupBy;
+    scales like ``count(*)``."""
+    norm = normalize_url(F.col(url_col)).alias("_norm")
+    with_norm = df.select("*", norm)
+    keep = (
+        with_norm.where(F.col("_norm").isNotNull())
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return (
+        with_norm.join(keep, id_col, "left_semi")
+        .unionByName(with_norm.where(F.col("_norm").isNull()))
+        .drop("_norm")
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: Sequence[str] | DataFrame,
+    url_col: str = "url",
+    levels: int = 2,
+) -> DataFrame:
+    """Drop rows whose registered domain is on a blocklist (RefinedWeb
+    runs a ~4.6M-entry one). ``blocked``: a Python sequence or a
+    one-column DataFrame of domains. Broadcast anti-join on
+    :func:`registered_domain` — blocklists are small next to the
+    corpus; rows with no parseable host are KEPT (the quality gates
+    judge them, a blocklist can only speak about domains it names)."""
+    spark = df.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame(
+            [(d,) for d in blocked], "_blocked_domain string"
+        )
+    else:
+        blocked = blocked.toDF("_blocked_domain")
+    bl = blocked.select(F.lower("_blocked_domain").alias("_blocked_domain"))
+    dom = registered_domain(F.col(url_col), levels).alias("_dom")
+    return (
+        df.select("*", dom)
+        .join(
+            F.broadcast(bl),
+            F.col("_dom") == F.col("_blocked_domain"),
+            "left_anti",
+        )
+        .drop("_dom")
+    )
+
+
+def cap_per_host(
+    df: DataFrame,
+    n: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    levels: int = 2,
+    n_shards: int = 1,
+) -> DataFrame:
+    """At most ``n`` documents per registered domain, hash-ranked —
+    the real-host version of ``sampling.cap_per_group`` (same exact
+    sharded two-phase top-n underneath, so giant hosts never serialize
+    through one task). NULL-host rows pass through uncapped."""
+    from .sampling import cap_per_group
+
+    dom = registered_domain(F.col(url_col), levels).alias("_dom")
+    with_dom = df.select("*", dom)
+    hosted = with_dom.where(F.col("_dom").isNotNull())
+    kept = cap_per_group(
+        hosted, group_col="_dom", n=n, n_shards=n_shards, id_col=id_col
+    ).select(id_col)
+    return (
+        hosted.join(kept, id_col, "left_semi")
+        .unionByName(with_dom.where(F.col("_dom").isNull()))
+        .drop("_dom")
+    )

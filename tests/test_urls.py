@@ -1,0 +1,133 @@
+"""URL curation tier: parse/canonicalize closed forms, URL dedup,
+domain blocklist, per-host caps (incl. shard-invariance via the
+underlying exact top-n)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from giraph_spark.functions.urls import (
+    cap_per_host,
+    dedup_by_url,
+    filter_blocked_domains,
+    normalize_url,
+    registered_domain,
+    url_host,
+    url_parts,
+)
+
+
+def test_url_parts_and_host_closed_forms(spark):
+    cases = {
+        "https://www.Example.COM:8443/A/b?x=1#frag": (
+            "https", "www.example.com", 8443, "/A/b", "x=1", "example.com",
+        ),
+        "http://user:pw@sub.site.org/path": (
+            "http", "sub.site.org", None, "/path", None, "sub.site.org",
+        ),
+        "ftp://files.example.net": (
+            "ftp", "files.example.net", None, None, None, "files.example.net",
+        ),
+        "not a url at all": (None, None, None, None, None, None),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {
+        r["url"]: r
+        for r in df.select(
+            "url",
+            url_parts(F.col("url")).alias("p"),
+            url_host(F.col("url")).alias("h"),
+        ).collect()
+    }
+    for u, (sch, host, port, path, query, _) in cases.items():
+        p = out[u]["p"]
+        assert (p["scheme"], p["host"], p["port"], p["path"], p["query"]) == (
+            sch, host, port, path, query,
+        ), u
+    assert out["https://www.Example.COM:8443/A/b?x=1#frag"]["h"] == "example.com"
+    assert out["not a url at all"]["h"] is None
+
+
+def test_registered_domain_levels(spark):
+    df = spark.createDataFrame(
+        [("https://a.b.example.com/x",), ("https://news.bbc.co.uk/y",)],
+        "url string",
+    )
+    got = df.select(
+        registered_domain(F.col("url")).alias("d2"),
+        registered_domain(F.col("url"), levels=3).alias("d3"),
+    ).collect()
+    assert (got[0]["d2"], got[0]["d3"]) == ("example.com", "b.example.com")
+    # the documented PSL caveat: co.uk needs levels=3
+    assert (got[1]["d2"], got[1]["d3"]) == ("co.uk", "bbc.co.uk")
+
+
+def test_normalize_url_canonical_forms(spark):
+    pairs = [
+        # tracking params dropped, survivors sorted, www + default port
+        # stripped, fragment dropped, empty path -> /
+        (
+            "HTTPS://WWW.Site.com:443/p?utm_source=x&b=2&a=1#top",
+            "https://site.com/p?a=1&b=2",
+        ),
+        ("http://site.com", "http://site.com/"),
+        ("http://site.com:8080/q?gclid=abc", "http://site.com:8080/q"),
+        ("garbage", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in pairs], "url string")
+    got = [
+        r["n"]
+        for r in df.select(normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    assert got == [want for _, want in pairs]
+
+
+def test_dedup_by_url_keeps_lowest_id_and_passes_garbage(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "https://www.site.com/p?utm_source=a"),
+            (1, "https://site.com/p"),
+            (2, "https://site.com/other"),
+            (7, "%%%not-a-url"),
+            (8, "%%%not-a-url"),  # same garbage: NOT collapsed
+        ],
+        "doc_id long, url string",
+    )
+    got = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
+    assert got == [1, 2, 7, 8]
+
+
+def test_filter_blocked_domains(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.bad.com/x"),
+            (2, "https://good.org/y"),
+            (3, "no host here"),
+        ],
+        "doc_id long, url string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in filter_blocked_domains(df, ["bad.com", "worse.net"]).collect()
+    )
+    assert got == [2, 3]  # hostless rows pass through
+    # DataFrame-shaped blocklist behaves identically
+    bl = spark.createDataFrame([("bad.com",)], "d string")
+    got2 = sorted(
+        r["doc_id"] for r in filter_blocked_domains(df, bl).collect()
+    )
+    assert got2 == [2, 3]
+
+
+def test_cap_per_host_exact_and_shard_invariant(spark):
+    rows = [
+        (i, f"https://h{i % 3}.example{i % 3}.com/p{i}") for i in range(60)
+    ] + [(100, "nohost")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    a = cap_per_host(df, n=4)
+    b = cap_per_host(df, n=4, n_shards=8)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b  # the sharded top-n is exact
+    assert len(ids_a) == 3 * 4 + 1 and 100 in ids_a
+    assert set(a.columns) == {"doc_id", "url"}
