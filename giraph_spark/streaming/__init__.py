@@ -7,6 +7,7 @@ same operators (degrees, aggregations, sessionization) expressed over
 logic continuously.
 """
 
+from .corpus import clean_corpus_stream
 from .events import (
     event_counts_stream,
     funnel_stream,
@@ -25,4 +26,5 @@ __all__ = [
     "dedup_stream",
     "sessionize_stream",
     "funnel_stream",
+    "clean_corpus_stream",
 ]

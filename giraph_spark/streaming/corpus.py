@@ -1,0 +1,83 @@
+"""Streaming corpus construction — the continuous counterpart of
+``functions.pipeline.clean_corpus``, closing the loop on the crawl
+story: ``sources.warc.read_warc_stream`` → ``wet_documents`` →
+:func:`clean_corpus_stream` → parquet sink is a standing query that
+turns landing crawl shards into a dispositioned training corpus.
+
+Division of labor mirrors production pipelines (and the module's
+``dedup_stream`` doc): the quality gate and split assignment are
+STATELESS expressions (identical to the batch pass — literally the
+same ``quality_filter`` code runs, so thresholds can never diverge);
+only exact dedup is stateful, bounded by the watermark
+(``dropDuplicatesWithinWatermark`` on the normalized-text hash).
+Duplicates separated by more than the watermark horizon are the batch
+``clean_corpus`` re-pass's job — streaming state stays bounded at
+ingestion scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import normalize_text
+from ..functions.sampling import BUCKETS, _bucket
+from ..functions.text import quality_filter
+
+
+def clean_corpus_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    val_fraction: float = 0.1,
+    seed: int = 42,
+    quality_kwargs: dict | None = None,
+) -> DataFrame:
+    """Streaming disposition over a documents stream carrying an
+    event-time column (shard landing time): every input row flows to
+    the output with ``status`` ∈ {'removed_quality', 'kept'} and a
+    deterministic ``split`` ('train'/'val', NULL for removed) — except
+    watermark-horizon duplicates, which ``dropDuplicatesWithinWatermark``
+    removes from the 'kept' branch (streaming cannot name a duplicate
+    without holding both rows; the batch pass labels them
+    'removed_duplicate' on the re-run).
+
+    Plan shape: the watermark is applied ONCE upstream, then the
+    stream branches — the rejection branch is pure projection (no
+    state), the keep branch adds the content-hash dedup operator whose
+    state is bounded by the horizon — and unions back. The gate runs
+    through the SAME ``quality_filter`` as batch via a struct-packed
+    passthrough (no stream-stream self-join, no duplicated
+    thresholds)."""
+    ws = docs.withWatermark(ts_col, watermark)
+    # pack every column through quality_filter's id slot: the gate is a
+    # pure projection, so the whole row rides along instead of joining
+    # the gated ids back (a stream-stream join this design never needs)
+    packed = ws.select(
+        F.struct(*[F.col(c) for c in docs.columns]).alias("_row"),
+        F.col(text_col),
+    )
+    gated = quality_filter(packed, text_col=text_col, id_col="_row").select(
+        "_row.*", "passed"
+    )
+    thresh = int(val_fraction * BUCKETS)
+    rejected = gated.where(~F.col("passed")).select(
+        *docs.columns,
+        F.lit("removed_quality").alias("status"),
+        F.lit(None).cast("string").alias("split"),
+    )
+    kept = (
+        gated.where(F.col("passed"))
+        .withColumn("_h", F.md5(normalize_text(F.col(text_col))))
+        .dropDuplicatesWithinWatermark(["_h"])
+        .select(
+            *docs.columns,
+            F.lit("kept").alias("status"),
+            F.when(
+                _bucket(id_col, seed) < thresh, F.lit("val")
+            ).otherwise(F.lit("train")).alias("split"),
+        )
+    )
+    return kept.unionByName(rejected)

@@ -1,0 +1,78 @@
+"""clean_corpus_stream: the streaming disposition agrees with the
+batch pass on the quality gate and on WHICH CONTENT survives dedup
+(streaming keeps first-arrival, batch keeps lowest id — same kept
+content set), with split assignment identical for surviving ids."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from giraph_spark.functions.pipeline import clean_corpus
+from giraph_spark.streaming.corpus import clean_corpus_stream
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and it is a fine day "
+    "for running in the sun with all of the other animals of the field"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD + " one", 1000),
+        (2, GOOD + " two", 1010),
+        (3, GOOD + " one", 1020),   # exact duplicate of doc 1 (later ts)
+        (4, "zz zz", 1030),         # fails the gate
+        (5, GOOD + " three", 1040),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, tsec long"
+    ).select(
+        "doc_id", "text", F.timestamp_seconds("tsec").alias("ts")
+    )
+
+
+def test_clean_corpus_stream_matches_batch_semantics(spark, tmp_path):
+    docs = _docs(spark)
+    src = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    q = (
+        clean_corpus_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("corpus_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql("select * from corpus_stream_t").collect()
+    }
+
+    batch = {
+        r["doc_id"]: r for r in clean_corpus(docs.select("doc_id", "text")).collect()
+    }
+
+    # the stateless gate is the SAME code: rejection sets must be equal
+    assert {i for i, r in got.items() if r["status"] == "removed_quality"} == {
+        i for i, r in batch.items() if r["status"] == "removed_quality"
+    } == {4}
+    # dedup: exactly one of {1, 3} (same content) survives the stream;
+    # batch keeps the lowest id deterministically
+    kept_stream = {i for i, r in got.items() if r["status"] == "kept"}
+    assert len(kept_stream & {1, 3}) == 1
+    assert {2, 5} <= kept_stream
+    # every input row is accounted for except the dropped duplicate
+    assert len(got) == 4
+    # split is a pure id-hash: identical to batch for every kept id
+    for i in kept_stream:
+        if batch[i]["status"] == "kept":
+            assert got[i]["split"] == batch[i]["split"]
+        assert got[i]["split"] in ("train", "val")
+    assert got[4]["split"] is None
+    # original columns ride through
+    assert {"doc_id", "text", "ts", "status", "split"} == set(
+        spark.sql("select * from corpus_stream_t").columns
+    )
