@@ -143,9 +143,12 @@ def _records_of_file(path: str, blob: bytes, max_record_bytes: int):
     return rows
 
 
-def _records_map(max_record_bytes: int):
+def _records_map(max_record_bytes: int, keep_mtime: bool = False):
     """The one Arrow pass shared by the batch and streaming readers:
-    ``(path, content)`` file rows in, WARC record rows out."""
+    ``(path, content[, modificationTime])`` file rows in, WARC record
+    rows out — with ``keep_mtime`` every record carries its shard's
+    landing time (the event-time column streaming dispositions
+    watermark on)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -153,14 +156,24 @@ def _records_map(max_record_bytes: int):
             "record_id", "content_type", "content_length", "payload",
             "error",
         ]
+        if keep_mtime:
+            cols = cols + ["shard_ts"]
         for pdf in batches:
             rows: list = []
-            for p, blob in zip(
-                pdf["path"].to_numpy(), pdf["content"].to_numpy()
+            mtimes = (
+                pdf["modificationTime"].to_numpy()
+                if keep_mtime
+                else [None] * len(pdf)
+            )
+            for p, blob, mt in zip(
+                pdf["path"].to_numpy(), pdf["content"].to_numpy(), mtimes
             ):
-                rows.extend(
-                    _records_of_file(str(p), bytes(blob), max_record_bytes)
+                recs = _records_of_file(
+                    str(p), bytes(blob), max_record_bytes
                 )
+                if keep_mtime:
+                    recs = [r + [mt] for r in recs]
+                rows.extend(recs)
             yield pd.DataFrame(rows, columns=cols)
 
     return run
@@ -171,6 +184,7 @@ def read_warc(
     path: str,
     max_record_bytes: int = 64 << 20,
     path_glob: str | None = None,
+    keep_mtime: bool = False,
 ) -> DataFrame:
     """Read a WARC/WET file or directory into a records DataFrame:
     ``(file, record_index, warc_type, target_uri, record_id,
@@ -180,13 +194,20 @@ def read_warc(
     response, conversion, …) — filter on ``warc_type``.
 
     ``max_record_bytes`` caps per-member decompression (bomb guard);
-    ``path_glob`` forwards to binaryFile's ``pathGlobFilter``."""
+    ``path_glob`` forwards to binaryFile's ``pathGlobFilter``;
+    ``keep_mtime`` appends a ``shard_ts`` timestamp column (the file's
+    modification time — landing time for crawl shards, the event-time
+    axis the streaming dispositions watermark on)."""
     reader = spark.read.format("binaryFile")
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
-    files = reader.load(path).select("path", "content")
+    cols = ["path", "content"] + (
+        ["modificationTime"] if keep_mtime else []
+    )
+    files = reader.load(path).select(*cols)
+    schema = WARC_SCHEMA + (", shard_ts timestamp" if keep_mtime else "")
     return files.mapInPandas(
-        _records_map(max_record_bytes), schema=WARC_SCHEMA
+        _records_map(max_record_bytes, keep_mtime), schema=schema
     )
 
 
@@ -196,6 +217,7 @@ def read_warc_stream(
     max_record_bytes: int = 64 << 20,
     path_glob: str | None = None,
     max_files_per_trigger: int | None = None,
+    keep_mtime: bool = False,
 ) -> DataFrame:
     """Continuous-crawl variant of :func:`read_warc`: a STREAMING
     records DataFrame over a directory where WARC/WET shards keep
@@ -223,9 +245,13 @@ def read_warc_stream(
         reader = reader.option("pathGlobFilter", path_glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    files = reader.load(path).select("path", "content")
+    cols = ["path", "content"] + (
+        ["modificationTime"] if keep_mtime else []
+    )
+    files = reader.load(path).select(*cols)
+    schema = WARC_SCHEMA + (", shard_ts timestamp" if keep_mtime else "")
     return files.mapInPandas(
-        _records_map(max_record_bytes), schema=WARC_SCHEMA
+        _records_map(max_record_bytes, keep_mtime), schema=schema
     )
 
 
@@ -263,15 +289,17 @@ def wet_documents(
     derives a deterministic 63-bit ``doc_id`` from the record id (the
     same xxhash64 the samplers key on — stable under re-reads and
     re-partitioning). Pure expressions on top of :func:`read_warc`;
-    payload bytes never cross a shuffle."""
-    return (
-        records.where(F.col("warc_type") == "conversion")
-        .select(
-            F.abs(F.xxhash64(F.col("record_id"))).alias("doc_id"),
-            F.col("target_uri").alias("url"),
-            F.decode(F.col("payload"), encoding).alias("text"),
-        )
-    )
+    payload bytes never cross a shuffle. A ``shard_ts`` column (from
+    the readers' ``keep_mtime``) rides through as ``ts`` — the
+    event-time axis ``clean_corpus_stream`` watermarks on."""
+    cols = [
+        F.abs(F.xxhash64(F.col("record_id"))).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), encoding).alias("text"),
+    ]
+    if "shard_ts" in records.columns:
+        cols.append(F.col("shard_ts").alias("ts"))
+    return records.where(F.col("warc_type") == "conversion").select(*cols)
 
 
 def http_records(
@@ -331,16 +359,19 @@ def http_records(
         ";",
         1,
     )
-    return records.where(F.col("warc_type") == "response").select(
-        "file",
-        "record_index",
-        "target_uri",
-        "record_id",
+    cols = [
+        F.col("file"),
+        F.col("record_index"),
+        F.col("target_uri"),
+        F.col("record_id"),
         status.alias("status"),
         headers.alias("http_headers"),
         F.trim(mime).alias("mime"),
         body.alias("body"),
-    )
+    ]
+    if "shard_ts" in records.columns:
+        cols.append(F.col("shard_ts"))
+    return records.where(F.col("warc_type") == "response").select(*cols)
 
 
 def html_to_text(col: Column) -> Column:
@@ -383,13 +414,16 @@ def warc_documents(
     drops)."""
     h = http_records(records, encoding)
     text = html_to_text(F.col("body"))
-    return h.where(
-        (F.col("status") == 200) & (F.col("mime") == "text/html")
-    ).select(
+    cols = [
         F.abs(F.xxhash64(F.col("record_id"))).alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.when(text != "", text).alias("text"),
-    )
+    ]
+    if "shard_ts" in h.columns:
+        cols.append(F.col("shard_ts").alias("ts"))
+    return h.where(
+        (F.col("status") == 200) & (F.col("mime") == "text/html")
+    ).select(*cols)
 
 
 WARC_MANIFEST_SCHEMA = "path string, records long, bytes long"

@@ -31,6 +31,62 @@ def _docs(spark):
     )
 
 
+def test_crawl_shards_to_corpus_composition(spark, tmp_path):
+    """The whole standing query: WET shards landing in a directory →
+    read_warc_stream(keep_mtime) → wet_documents (shard_ts rides
+    through as ts) → clean_corpus_stream → sink. A duplicate document
+    in a later shard is dropped by the horizon dedup; a junk document
+    is dispositioned, not lost."""
+    import os
+
+    from giraph_spark.sources.warc import make_warc, read_warc_stream, wet_documents
+
+    def rec(rid, text):
+        return (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Target-URI": f"http://t/{rid}",
+                "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                "Content-Type": "text/plain",
+            },
+            text.encode(),
+        )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "s0.wet.gz").write_bytes(
+        make_warc([rec("a", GOOD + " one"), rec("b", "zz zz")])
+    )
+    (src / "s1.wet.gz").write_bytes(
+        make_warc([rec("c", GOOD + " one"), rec("d", GOOD + " two")])
+    )
+    os.utime(src / "s0.wet.gz", (1000, 1000))
+    os.utime(src / "s1.wet.gz", (2000, 2000))
+
+    records = read_warc_stream(
+        spark, str(src), max_files_per_trigger=1, keep_mtime=True
+    )
+    docs = wet_documents(records)
+    assert docs.columns == ["doc_id", "url", "text", "ts"]
+    q = (
+        clean_corpus_stream(docs, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("crawl_corpus_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        r["url"]: r["status"]
+        for r in spark.sql("select * from crawl_corpus_t").collect()
+    }
+    # duplicate content "GOOD one" arrives in both shards: one survives
+    assert sum(1 for u in ("http://t/a", "http://t/c") if u in out) == 1
+    assert out["http://t/b"] == "removed_quality"
+    assert out["http://t/d"] == "kept"
+
+
 def test_clean_corpus_stream_matches_batch_semantics(spark, tmp_path):
     docs = _docs(spark)
     src = tmp_path / "docs"
