@@ -768,6 +768,7 @@ def stress_stream() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from giraph_spark.plans.fixtures import read_events
+    from giraph_spark.streaming.corpus import clean_corpus_stream
     from giraph_spark.streaming.events import (
         dedup_stream,
         near_dup_stream,
@@ -837,6 +838,11 @@ def stress_stream() -> None:
         lambda: near_dup_stream(doc_stream), "neardup", n_docs
     )
     timings["near_dup_stream"] = {"sec": sec, "rows_per_sec": rps}
+    sec, rps = run_query(
+        lambda: clean_corpus_stream(doc_stream, watermark="2 hours"),
+        "corpus", n_docs,
+    )
+    timings["clean_corpus_stream"] = {"sec": sec, "rows_per_sec": rps}
     shutil.rmtree(workdir, ignore_errors=True)
     print(
         json.dumps(
