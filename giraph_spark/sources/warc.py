@@ -374,13 +374,21 @@ def http_records(
     return records.where(F.col("warc_type") == "response").select(*cols)
 
 
-def html_to_text(col: Column) -> Column:
+def html_to_text(col: Column, max_chars: int = 1 << 20) -> Column:
     """Baseline HTML→text as one expression chain (the crude-but-
     standard regex tier real pipelines start from before a structural
     extractor): drop script/style/comment blocks, break block-level
     tags to newlines, strip remaining tags, decode the common
     entities, collapse runs of blanks. Deterministic and JVM-side —
-    at 100 TB this fuses with the scan like every other text op."""
+    at 100 TB this fuses with the scan like every other text op.
+
+    ``max_chars`` truncates the input first: the lazy-dot-all block
+    patterns backtrack quadratically on a hostile page that opens a
+    ``<script>`` and never closes it, so unbounded input would let one
+    crafted document stall an executor core. 1 MiB of HTML is beyond
+    the training-text horizon anyway; legitimate longer pages lose
+    their tail, never their task."""
+    col = F.substring(col, 1, max_chars)
     c = F.regexp_replace(
         col, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
     )

@@ -595,3 +595,57 @@ def test_broadcast_limit_parses_memory_grammar():
     assert broadcast_limit_bytes(_S("not-a-size")) == 256 << 20
     assert broadcast_limit_bytes(_S(None)) == 256 << 20
     assert broadcast_limit_bytes(None) == 256 << 20
+
+
+def test_r8_tier_plan_shapes(spark, sf_dir):
+    """Plan assertions for the round-8 operators: bigram_logprob joins
+    on term equality only (zip_with builds bigrams — a positional
+    self-join or cartesian in this plan means the expression
+    construction degenerated); the URL blocklist broadcasts; URL dedup
+    is hash joins + one aggregate, never a sort-based collapse of the
+    whole corpus; the classifier's scoring pass stays join-free."""
+    from giraph_spark.functions.lm import bigram_logprob
+    from giraph_spark.functions.urls import dedup_by_url, filter_blocked_domains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lm_plan = _formatted_plan(
+        bigram_logprob(docs, lm_df=docs.where("doc_id % 2 = 0"))
+    )
+    assert "CartesianProduct" not in lm_plan
+    # exactly ONE nested-loop join is by design: the broadcast of the
+    # single-row vocabulary size (the unigram op's pattern); a second
+    # would mean the bigram relation itself degenerated to all-pairs
+    # (formatted explain prints each node twice: tree + detail header)
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", lm_plan)) == 1
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/d/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl_plan = _formatted_plan(
+        filter_blocked_domains(urls, ["h1.example.com"], levels=3)
+    )
+    assert "BroadcastHashJoin" in bl_plan or "BroadcastExchange" in bl_plan
+    dd_plan = _formatted_plan(dedup_by_url(urls))
+    assert "CartesianProduct" not in dd_plan
+    assert "BroadcastNestedLoopJoin" not in dd_plan
+
+    from giraph_spark.functions.classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    labeled = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 2 == 0).cast("double").alias("label")
+    )
+    clf = train_quality_classifier(labeled, num_features=1 << 10, max_iter=2)
+    score_plan = _formatted_plan(score_quality_classifier(docs, clf))
+    for op in ("Join", "Exchange", "CartesianProduct"):
+        assert op not in score_plan, op  # scoring is one stateless pass
