@@ -57,6 +57,7 @@ from .sampling import (
     train_val_split,
     word_ngrams,
 )
+from .datacard import data_card
 from .lm import bigram_logprob
 from .urls import (
     cap_per_host,

@@ -1,0 +1,131 @@
+"""Data-card generator — one relation that states what a corpus
+snapshot IS (the dataset-card tables real releases publish): corpus
+accounting per source×lang, text quality/length distribution, media
+decode coverage, embedding column health, and the dedup headline
+numbers. Output is the tall ``(section, metric, group, value)`` form
+so one sink (parquet, dashboard, markdown renderer) serves every
+section.
+
+Scale shape: each section is one of the package's existing
+partial-aggregated operators — this module adds NO new scan patterns,
+it unions their (tiny) aggregate outputs. The corpus is read once per
+section; every section's shuffle moves rows ∝ groups, never ∝ corpus.
+Sections are opt-in by passing the relevant frame, so a text-only
+snapshot costs no media scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA_HINT = "(section string, metric string, group string, value string)"
+
+
+def _tall(df: DataFrame, section: str, group_cols: list[str]) -> DataFrame:
+    """Unpivot an aggregate relation into the card's tall form: every
+    non-group column becomes one (metric, value) row tagged with the
+    stringified group key."""
+    metrics = [c for c in df.columns if c not in group_cols]
+    group = (
+        F.concat_ws(
+            "/", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in group_cols]
+        )
+        if group_cols
+        else F.lit("")
+    )
+    n = len(metrics)
+    return df.select(
+        F.lit(section).alias("section"),
+        F.expr(
+            "stack({}, {})".format(
+                n,
+                ", ".join(
+                    f"'{m}', cast(`{m}` as string)" for m in metrics
+                ),
+            )
+        ).alias("metric", "value"),
+        group.alias("group"),
+    ).select("section", "metric", "group", "value")
+
+
+def data_card(
+    docs: DataFrame | None = None,
+    media: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Build the card for whichever frames the snapshot has:
+
+    - ``docs`` → ``corpus`` (per source×lang doc/token/char totals,
+      via ``text.corpus_stats``), ``quality`` (share passing the
+      Gopher/C4 gate + token-count profile via ``profile_columns``),
+      and ``dedup`` (exact-duplicate groups/docs — the headline
+      "how much of this snapshot is copies");
+    - ``media`` (``(doc_id, modality, payload)``) → ``media`` section:
+      ``multimodal.decode_coverage`` per modality×format;
+    - ``embeddings`` (``(vec_id, embedding)``) → ``embeddings``
+      section: count, dimension, null/ragged rows.
+
+    Returns the union, tall: ``(section, metric, group, value)``."""
+    from .multimodal import decode_coverage
+    from .profile import profile_columns
+    from .text import corpus_stats, quality_filter, token_count
+
+    parts: list[DataFrame] = []
+    if docs is not None:
+        present = [c for c in group_cols if c in docs.columns]
+        parts.append(
+            _tall(corpus_stats(docs, tuple(present), text_col), "corpus", present)
+        )
+        gate = quality_filter(docs, text_col, id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("passed").cast("long")).alias("n_pass_gate"),
+            F.round(F.avg(F.col("passed").cast("double")), 6).alias(
+                "gate_pass_rate"
+            ),
+        )
+        parts.append(_tall(gate, "quality", []))
+        toks = docs.select(
+            F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+        )
+        parts.append(
+            _tall(
+                profile_columns(toks, ["n_tokens"]).drop("column"),
+                "quality",
+                [],
+            )
+        )
+        from .dedup import exact_duplicates
+
+        dup = exact_duplicates(docs.select(id_col, text_col)).agg(
+            F.count(F.lit(1)).cast("long").alias("dup_groups"),
+            F.coalesce(F.sum(F.col("n_docs") - 1), F.lit(0))
+            .cast("long")
+            .alias("dup_docs_removable"),
+        )
+        parts.append(_tall(dup, "dedup", []))
+    if media is not None:
+        parts.append(
+            _tall(
+                decode_coverage(media), "media", ["modality", "format"]
+            )
+        )
+    if embeddings is not None:
+        emb = embeddings.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min(F.size("embedding")).cast("long").alias("dim_min"),
+            F.max(F.size("embedding")).cast("long").alias("dim_max"),
+            F.sum(F.col("embedding").isNull().cast("long")).alias("n_null"),
+        )  # ragged column ⇔ dim_min != dim_max; nulls counted apart
+        parts.append(_tall(emb, "embeddings", []))
+    if not parts:
+        raise ValueError(
+            f"data_card needs at least one frame; output is {_SCHEMA_HINT}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

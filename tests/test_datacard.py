@@ -1,0 +1,89 @@
+"""data_card: section coverage, closed-form values on a controlled
+corpus, opt-in sections, and agreement with the operators it wraps."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.functions.datacard import data_card
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and it is a fine day "
+    "for running in the sun with all of the other animals"
+)
+
+
+def _card_map(card):
+    return {
+        (r["section"], r["metric"], r["group"]): r["value"]
+        for r in card.collect()
+    }
+
+
+def test_data_card_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, GOOD + " one", "web", "en"),
+            (2, GOOD + " one", "web", "en"),   # exact duplicate of 1
+            (3, GOOD + " two", "books", "en"),
+            (4, "zz zz", "web", "de"),          # fails the gate
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    card = data_card(docs=docs)
+    m = _card_map(card)
+    assert m[("corpus", "n_docs", "web/en")] == "2"
+    assert m[("corpus", "n_docs", "books/en")] == "1"
+    assert m[("quality", "n_pass_gate", "")] == "3"
+    assert m[("quality", "gate_pass_rate", "")] == "0.75"
+    assert m[("dedup", "dup_groups", "")] == "1"
+    assert m[("dedup", "dup_docs_removable", "")] == "1"
+    # the token profile rides profile_columns: n_rows present
+    assert m[("quality", "n_rows", "")] == "4"
+    assert card.columns == ["section", "metric", "group", "value"]
+
+
+def test_data_card_sections_opt_in(spark):
+    embs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    m = _card_map(data_card(embeddings=embs))
+    assert m[("embeddings", "n_vectors", "")] == "3"
+    assert m[("embeddings", "dim_min", "")] == "2"
+    assert m[("embeddings", "dim_max", "")] == "2"
+    assert m[("embeddings", "n_null", "")] == "1"
+    assert {k[0] for k in m} == {"embeddings"}
+    with pytest.raises(ValueError):
+        data_card()
+
+
+def test_data_card_media_matches_decode_coverage(spark):
+    from giraph_spark.functions.multimodal import (
+        decode_coverage,
+        media_from_docs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = media_from_docs(docs)
+    m = _card_map(data_card(media=media))
+    want = decode_coverage(media).collect()
+    for r in want:
+        g = f"{r['modality']}/{r['format']}"
+        assert m[("media", "n_media", g)] == str(r["n_media"])
+        assert m[("media", "n_content_decoded", g)] == str(
+            r["n_content_decoded"]
+        )
+
+
+def test_data_card_groups_without_lang_column(spark):
+    docs = spark.createDataFrame(
+        [(1, GOOD, "web"), (2, GOOD + " x", None)],
+        "doc_id long, text string, source string",
+    )
+    m = _card_map(data_card(docs=docs))
+    # lang column absent -> grouping degrades to source only; NULL
+    # group values render as the explicit empty marker
+    assert m[("corpus", "n_docs", "web")] == "1"
+    assert m[("corpus", "n_docs", "∅")] == "1"
