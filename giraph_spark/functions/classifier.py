@@ -37,8 +37,10 @@ from pyspark.sql import functions as F
 def _tokens(col: Column, bigrams: bool) -> Column:
     """Lowercased whitespace tokens, optionally augmented with joined
     word bigrams (fasttext's default recipe) — pure expressions, no
-    tokenizer state."""
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    tokenizer state. NULL text coalesces to the empty token list:
+    HashingTF NPEs on a null array, and the package produces NULL-text
+    rows by contract (undecodable payloads)."""
+    toks = F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+")
     if not bigrams:
         return toks
     bi = F.zip_with(
@@ -111,7 +113,9 @@ def train_quality_classifier(
         inputCol="_toks", outputCol="_features", numFeatures=num_features
     )
     feats = tf.transform(
-        labeled.select(
+        # a NULL-text row carries no trainable signal; drop rather
+        # than let it train the intercept as an empty document
+        labeled.where(F.col(text_col).isNotNull()).select(
             F.col(label_col).cast("double").alias("_label"),
             _tokens(F.col(text_col), bigrams).alias("_toks"),
         )
@@ -152,8 +156,14 @@ def score_quality_classifier(
         df.withColumn("_toks", _tokens(F.col(text_col), clf.bigrams))
     )
     scored = clf.model.transform(feats)
+    # NULL text is undecodable upstream by package contract: it scores
+    # NULL, never the empty-document probability
     return scored.withColumn(
-        out_col, vector_to_array(F.col(clf.model.getProbabilityCol()))[1]
+        out_col,
+        F.when(
+            F.col(text_col).isNotNull(),
+            vector_to_array(F.col(clf.model.getProbabilityCol()))[1],
+        ),
     ).drop(
         "_toks", "_features",
         clf.model.getPredictionCol(),

@@ -100,7 +100,9 @@ def data_card(
         )
         from .dedup import exact_duplicates
 
-        dup = exact_duplicates(docs.select(id_col, text_col)).agg(
+        dup = exact_duplicates(
+            docs.select(id_col, text_col), text_col=text_col, id_col=id_col
+        ).agg(
             F.count(F.lit(1)).cast("long").alias("dup_groups"),
             F.coalesce(F.sum(F.col("n_docs") - 1), F.lit(0))
             .cast("long")

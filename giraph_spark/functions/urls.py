@@ -19,11 +19,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: query parameters that never change content: analytics/click tracking
+#: query parameters that never change content: analytics/click
+#: tracking only. Deliberately NOT ``ref``/``referrer`` — on many
+#: sites ``?ref=<branch>``/``?ref=<id>`` selects content, and folding
+#: it would make dedup_by_url delete distinct documents as copies.
 TRACKING_PARAMS = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term",
     "utm_content", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
-    "ref", "referrer",
 )
 
 _URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*):\/\/([^\/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
@@ -38,12 +40,26 @@ def url_parts(col: Column) -> Column:
     authority = F.regexp_extract(col, _URL_RE, 2)
     # userinfo@host:port — strip userinfo FIRST (a password may itself
     # contain ':'), then split host from port; try_cast tolerates a
-    # malformed port instead of failing the task
+    # malformed port instead of failing the task. IPv6 literals keep
+    # their brackets out of the ':' split: [2001:db8::1]:8080 parses
+    # to host 2001:db8::1 / port 8080 (a '[' with no ']' is garbage →
+    # NULL host, per the module contract).
     hostport = F.substring_index(authority, "@", -1)
-    host = F.lower(F.substring_index(hostport, ":", 1))
+    v6 = F.regexp_extract(hostport, r"^\[([^\]]+)\]", 1)
+    is_v6 = hostport.startswith("[")
+    host = F.when(is_v6, F.when(v6 != "", F.lower(v6))).otherwise(
+        F.lower(F.substring_index(hostport, ":", 1))
+    )
     port = F.when(
-        hostport.contains(":"),
-        F.substring_index(hostport, ":", -1).try_cast("int"),
+        is_v6,
+        F.regexp_extract(hostport, r"^\[[^\]]+\]:(\d+)$", 1).try_cast(
+            "int"
+        ),
+    ).otherwise(
+        F.when(
+            hostport.contains(":"),
+            F.substring_index(hostport, ":", -1).try_cast("int"),
+        )
     )
     path = F.regexp_extract(col, _URL_RE, 3)
     query = F.regexp_extract(col, _URL_RE, 4)

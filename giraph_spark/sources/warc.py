@@ -67,17 +67,19 @@ def _iter_gzip_members(blob: bytes, max_member_bytes: int):
         rest = d.unused_data
 
 
-def _parse_record(chunk: bytes):
-    """One WARC record from ``chunk``: version line, header lines to
-    the blank line, then Content-Length payload bytes. Returns
-    (headers dict, payload, bytes_consumed)."""
-    if not chunk.startswith(b"WARC/"):
+def _parse_record(chunk: bytes, off: int):
+    """One WARC record from ``chunk`` starting at ``off``: version
+    line, header lines to the blank line, then Content-Length payload
+    bytes. Returns (headers dict, payload, next_offset). Offset-based
+    on purpose — reslicing the shrinking tail per record would make a
+    multi-record buffer O(n²) in bytes."""
+    if chunk[off : off + 5] != b"WARC/":
         raise ValueError("missing WARC version line")
-    head_end = chunk.find(b"\r\n\r\n")
+    head_end = chunk.find(b"\r\n\r\n", off)
     if head_end < 0:
         raise ValueError("unterminated WARC header block")
     headers: dict[str, str] = {}
-    for line in chunk[:head_end].split(b"\r\n")[1:]:
+    for line in chunk[off:head_end].split(b"\r\n")[1:]:
         k, sep, v = line.partition(b":")
         if sep:
             headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
@@ -98,9 +100,30 @@ def _parse_record(chunk: bytes):
     return headers, payload, consumed
 
 
+def _skip_crlf(chunk: bytes, off: int) -> int:
+    """Advance past any stray CR/LF padding between records."""
+    while off < len(chunk) and chunk[off] in (0x0D, 0x0A):
+        off += 1
+    return off
+
+
+def _walk_records(chunk: bytes, emit) -> None:
+    """Parse every record in ``chunk`` back to back via the offset
+    walk (no tail reslicing)."""
+    off = _skip_crlf(chunk, 0)
+    while off < len(chunk):
+        headers, payload, off = _parse_record(chunk, off)
+        emit(headers, payload)
+        off = _skip_crlf(chunk, off)
+
+
 def _records_of_file(path: str, blob: bytes, max_record_bytes: int):
     """All rows for one WARC file: parsed records, then one null-record
-    error row if (and only if) the tail is corrupt."""
+    error row if (and only if) the tail is corrupt. Catches zlib
+    errors too — a bit-flipped (not just truncated) member must yield
+    the error row, never fail the task."""
+    import zlib
+
     rows = []
     idx = 0
 
@@ -126,17 +149,10 @@ def _records_of_file(path: str, blob: bytes, max_record_bytes: int):
             # gzip-member-per-record (the at-rest layout). A member may
             # legally hold several records back to back; walk each.
             for member in _iter_gzip_members(blob, max_record_bytes):
-                while member.strip(b"\r\n"):
-                    headers, payload, used = _parse_record(member)
-                    emit(headers, payload)
-                    member = member[used:]
+                _walk_records(member, emit)
         else:
-            rest = blob
-            while rest.strip(b"\r\n"):
-                headers, payload, used = _parse_record(rest)
-                emit(headers, payload)
-                rest = rest[used:]
-    except ValueError as ex:
+            _walk_records(blob, emit)
+    except (ValueError, zlib.error) as ex:
         rows.append(
             [path, None, None, None, None, None, None, None, str(ex)]
         )
@@ -313,8 +329,10 @@ def http_records(
     http_headers map<string,string>, mime, body)``; a payload without
     an HTTP envelope yields NULL status/headers and the whole decoded
     payload as ``body`` (never dropped). Header names lowercase; the
-    first occurrence wins (``map_from_entries`` keeps duplicates'
-    first value the lookup result is defined on)."""
+    first occurrence wins — duplicate names (Set-Cookie in virtually
+    every real crawl) are deduped BEFORE ``map_from_entries``, whose
+    default dedup policy would otherwise throw on them. ``mime`` is
+    lowercased (header values are case-insensitive per RFC 9110)."""
     txt = F.decode(F.col("payload"), encoding)
     has_env = txt.startswith("HTTP/")
     head_end = F.instr(txt, "\r\n\r\n")
@@ -334,30 +352,35 @@ def http_records(
         ),
         lambda l: l.contains(":"),
     )
-    headers = F.when(
-        has_env & (head_end > 0),
-        F.map_from_entries(
-            F.transform(
-                hdr_lines,
-                lambda l: F.struct(
-                    F.lower(F.trim(F.substring_index(l, ":", 1))).alias(
-                        "key"
-                    ),
-                    F.trim(
-                        F.substr(
-                            l, F.instr(l, ":") + F.lit(1), F.length(l)
-                        )
-                    ).alias("value"),
-                ),
-            )
+    entries = F.transform(
+        hdr_lines,
+        lambda l: F.struct(
+            F.lower(F.trim(F.substring_index(l, ":", 1))).alias("key"),
+            F.trim(
+                F.substr(l, F.instr(l, ":") + F.lit(1), F.length(l))
+            ).alias("value"),
         ),
     )
-    mime = F.substring_index(
-        F.coalesce(
-            F.element_at(headers, "content-type"), F.col("content_type")
+    # first occurrence of each name wins; O(h²) over ~20 header lines
+    first_wins = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, 1, i),
+            lambda prev: prev.getField("key") == e.getField("key"),
         ),
-        ";",
-        1,
+    )
+    headers = F.when(
+        has_env & (head_end > 0), F.map_from_entries(first_wins)
+    )
+    mime = F.lower(
+        F.substring_index(
+            F.coalesce(
+                F.element_at(headers, "content-type"),
+                F.col("content_type"),
+            ),
+            ";",
+            1,
+        )
     )
     cols = [
         F.col("file"),
@@ -398,9 +421,11 @@ def html_to_text(col: Column, max_chars: int = 1 << 20) -> Column:
         "\n",
     )
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    # '&amp;' must decode LAST: a page displaying '&lt;' ships
+    # '&amp;lt;', and decoding '&amp;' first would double-unescape it
     for ent, ch in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-        ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.regexp_replace(c, r"[ \t]+", " ")

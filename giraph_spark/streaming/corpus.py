@@ -59,9 +59,9 @@ def clean_corpus_stream(
         F.struct(*[F.col(c) for c in docs.columns]).alias("_row"),
         F.col(text_col),
     )
-    gated = quality_filter(packed, text_col=text_col, id_col="_row").select(
-        "_row.*", "passed"
-    )
+    gated = quality_filter(
+        packed, text_col=text_col, id_col="_row", **(quality_kwargs or {})
+    ).select("_row.*", "passed")
     thresh = int(val_fraction * BUCKETS)
     rejected = gated.where(~F.col("passed")).select(
         *docs.columns,

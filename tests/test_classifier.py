@@ -98,3 +98,25 @@ def test_threshold_calibration_composes(spark, labeled):
     # on its own training set a separable model must reach a bin with
     # both precision and recall near 1
     assert any(r["precision"] > 0.98 and r["recall"] > 0.98 for r in pr)
+
+
+def test_null_text_scores_null_never_crashes(spark, labeled):
+    """NULL text is the package's undecodable marker: training drops
+    those rows, scoring emits NULL probability — neither NPEs inside
+    HashingTF."""
+    from pyspark.sql import functions as F
+
+    with_null = labeled.unionByName(
+        labeled.limit(1).select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("label"),
+        )
+    )
+    clf = train_quality_classifier(with_null, num_features=1 << 12, max_iter=5)
+    scored = score_quality_classifier(with_null, clf)
+    nulls = scored.where(F.col("text").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0]["quality_prob"] is None
+    assert scored.where(F.col("quality_prob").isNotNull()).count() == (
+        with_null.count() - 1
+    )

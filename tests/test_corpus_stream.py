@@ -132,3 +132,26 @@ def test_clean_corpus_stream_matches_batch_semantics(spark, tmp_path):
     assert {"doc_id", "text", "ts", "status", "split"} == set(
         spark.sql("select * from corpus_stream_t").columns
     )
+
+
+def test_clean_corpus_stream_forwards_quality_kwargs(spark, tmp_path):
+    """Tightened thresholds must reach the gate: with min_tokens above
+    every document's length, everything is removed_quality."""
+    docs = _docs(spark)
+    src = tmp_path / "docs_q"
+    docs.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    q = (
+        clean_corpus_stream(
+            stream, watermark="1 hour", quality_kwargs={"min_tokens": 500}
+        )
+        .writeStream.format("memory")
+        .queryName("corpus_stream_kwargs_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from corpus_stream_kwargs_t").collect()
+    assert len(rows) == 5
+    assert all(r["status"] == "removed_quality" for r in rows)

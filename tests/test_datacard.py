@@ -87,3 +87,13 @@ def test_data_card_groups_without_lang_column(spark):
     # group values render as the explicit empty marker
     assert m[("corpus", "n_docs", "web")] == "1"
     assert m[("corpus", "n_docs", "∅")] == "1"
+
+
+def test_data_card_custom_column_names(spark):
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD)], "id long, body string"
+    )
+    m = _card_map(data_card(docs=docs, text_col="body", id_col="id"))
+    # the dedup section must honor the custom names end to end
+    assert m[("dedup", "dup_groups", "")] == "1"
+    assert m[("quality", "n_pass_gate", "")] == "2"

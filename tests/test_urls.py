@@ -131,3 +131,33 @@ def test_cap_per_host_exact_and_shard_invariant(spark):
     assert ids_a == ids_b  # the sharded top-n is exact
     assert len(ids_a) == 3 * 4 + 1 and 100 in ids_a
     assert set(a.columns) == {"doc_id", "url"}
+
+
+def test_url_parts_ipv6_and_ref_preserved(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://[2001:db8::1]:8080/x",),
+            ("http://[::1]/y",),
+            ("http://[broken/z",),
+            ("https://host.org/f?ref=main",),
+            ("https://host.org/f?ref=dev",),
+        ],
+        "url string",
+    )
+    got = df.select(
+        "url",
+        url_parts(F.col("url")).alias("p"),
+        normalize_url(F.col("url")).alias("n"),
+    ).collect()
+    by = {r["url"]: r for r in got}
+    p6 = by["http://[2001:db8::1]:8080/x"]["p"]
+    assert (p6["host"], p6["port"]) == ("2001:db8::1", 8080)
+    assert by["http://[::1]/y"]["p"]["host"] == "::1"
+    # '[' without ']' is garbage: NULL host, NULL normalized form
+    assert by["http://[broken/z"]["p"]["host"] is None
+    assert by["http://[broken/z"]["n"] is None
+    # ref is content-bearing: the two URLs must NOT normalize together
+    assert (
+        by["https://host.org/f?ref=main"]["n"]
+        != by["https://host.org/f?ref=dev"]["n"]
+    )

@@ -343,3 +343,53 @@ def test_warc_truncation_isolates_tail_property(recs, cut):
     assert len(good) == len(recs) - 1
     for (headers, payload), row in zip(recs[:-1], good):
         assert row[2] == headers["WARC-Type"] and row[7] == payload
+
+
+def test_http_records_duplicate_headers_and_case(spark, tmp_path):
+    """Real-crawl shapes: duplicate header names (Set-Cookie) must not
+    crash map building (first occurrence wins), an uppercase
+    Content-Type still routes into warc_documents, and entity-escaped
+    entities decode once, not twice."""
+    from giraph_spark.sources.warc import http_records, warc_documents
+
+    page = (
+        b"<html><body><p>literal &amp;lt; stays escaped-once</p>"
+        b"</body></html>"
+    )
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://example.org/dup",
+                "WARC-Record-ID": "<urn:uuid:dup>",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: TEXT/HTML; charset=utf-8\r\n"
+            b"Set-Cookie: a=1\r\nSet-Cookie: b=2\r\n\r\n" + page,
+        ),
+    ]
+    (tmp_path / "dup.warc.gz").write_bytes(make_warc(recs))
+    records = read_warc(spark, str(tmp_path))
+    h = http_records(records).collect()
+    assert len(h) == 1
+    assert h[0]["http_headers"]["set-cookie"] == "a=1"  # first wins
+    assert h[0]["mime"] == "text/html"  # lowercased
+    docs = warc_documents(records).collect()
+    assert len(docs) == 1
+    assert docs[0]["text"] == "literal &lt; stays escaped-once"
+
+
+def test_warc_bitflip_member_yields_error_row(spark, tmp_path):
+    """A corrupt-in-the-middle (not truncated) gzip member raises
+    zlib.error, which must degrade to the one null-record error row —
+    never fail the task."""
+    recs = _sample_records()
+    blob = bytearray(make_warc([recs[1]]))
+    blob[len(blob) // 2] ^= 0xFF  # bit-flip mid-deflate-stream
+    good = make_warc([recs[2]])
+    (tmp_path / "flip.warc.gz").write_bytes(good + bytes(blob))
+    out = read_warc(spark, str(tmp_path)).collect()
+    ok = [r for r in out if r["error"] is None]
+    bad = [r for r in out if r["error"] is not None]
+    assert len(ok) == 1 and ok[0]["warc_type"] == "conversion"
+    assert len(bad) == 1 and bad[0]["record_index"] is None
