@@ -67,28 +67,37 @@ class QualityClassifier:
 
     def save(self, path: str) -> None:
         """Persist via pyspark.ml's native writer plus a tiny recipe
-        sidecar (the part the model object doesn't carry)."""
-        import json
+        sidecar (the part the model object doesn't carry). The recipe
+        goes through the same Spark JSON sink as the model, so one
+        ``hdfs://``/``s3a://``/local path holds BOTH halves — a local
+        ``open()`` would silently put the sidecar on a different
+        filesystem than the model on any cluster path."""
         import os
 
+        from pyspark.sql import SparkSession
+
         self.model.write().overwrite().save(os.path.join(path, "lr"))
-        with open(os.path.join(path, "recipe.json"), "w") as f:
-            json.dump(
-                {"num_features": self.num_features, "bigrams": self.bigrams}, f
-            )
+        spark = SparkSession.getActiveSession()
+        spark.createDataFrame(
+            [(int(self.num_features), bool(self.bigrams))],
+            "num_features long, bigrams boolean",
+        ).coalesce(1).write.mode("overwrite").json(
+            os.path.join(path, "recipe")
+        )
 
     @classmethod
     def load(cls, path: str) -> "QualityClassifier":
-        import json
         import os
 
         from pyspark.ml.classification import LogisticRegressionModel
+        from pyspark.sql import SparkSession
 
-        with open(os.path.join(path, "recipe.json")) as f:
-            recipe = json.load(f)
+        spark = SparkSession.getActiveSession()
+        r = spark.read.json(os.path.join(path, "recipe")).first()
         return cls(
             model=LogisticRegressionModel.load(os.path.join(path, "lr")),
-            **recipe,
+            num_features=int(r["num_features"]),
+            bigrams=bool(r["bigrams"]),
         )
 
 

@@ -767,17 +767,30 @@ def decompress_text(
         # incremental decompress with a hard output cap: a hostile
         # 1 KB -> 10 GB bomb must yield a null row, not an executor OOM
         cap = max(1 << 20, max_ratio * len(b))
-        d = zlib.decompressobj(wbits=wbits)
-        out = d.decompress(b, cap)
-        if d.unconsumed_tail:
-            raise ValueError("decompression ratio cap exceeded")
-        if not d.eof:
-            # all input consumed but the stream never reached its end
-            # marker: a TRUNCATED payload. Without this check zlib
-            # happily returns the partial prefix, violating the
-            # null-on-corrupt contract above (ADVICE r7).
-            raise ValueError("truncated compressed stream")
-        return out.decode(encoding)
+        parts = []
+        total = 0
+        data = b
+        while True:
+            d = zlib.decompressobj(wbits=wbits)
+            out = d.decompress(data, cap - total)
+            if d.unconsumed_tail:
+                raise ValueError("decompression ratio cap exceeded")
+            if not d.eof:
+                # all input consumed but the stream never reached its
+                # end marker: a TRUNCATED payload. Without this check
+                # zlib happily returns the partial prefix, violating
+                # the null-on-corrupt contract above (ADVICE r7).
+                raise ValueError("truncated compressed stream")
+            parts.append(out)
+            total += len(out)
+            if not d.unused_data:
+                break
+            # concatenated members (a whole .gz shard as one payload)
+            # decode to the concatenation, per the gzip spec — bytes
+            # after the first member must never be silently dropped;
+            # non-member trailing garbage fails the row instead
+            data = d.unused_data
+        return b"".join(parts).decode(encoding)
 
     def one(payload):
         if payload is None:

@@ -121,6 +121,12 @@ def normalize_url(col: Column) -> Column:
     portstr = F.when(
         port.isNotNull() & ~default, F.concat(F.lit(":"), port.cast("string"))
     ).otherwise(F.lit(""))
+    # IPv6 hosts must re-bracket: without brackets, host:port text is
+    # ambiguous ('[::1]:8080' vs '[::1:8080]' would collide) and the
+    # canonical form wouldn't re-parse through url_parts
+    host = F.when(
+        host.contains(":"), F.concat(F.lit("["), host, F.lit("]"))
+    ).otherwise(host)
     path = F.coalesce(p.getField("path"), F.lit("/"))
     params = F.array_sort(
         F.filter(

@@ -128,11 +128,16 @@ def broadcast_limit_bytes(spark=None) -> int:
     if not mem:
         return 256 << 20
     m = str(mem).strip().lower()
+    # Spark's JVM-memory grammar: optional single-letter suffix (k/m/
+    # g/t) or two-letter (kb/mb/gb/tb), and a UNITLESS value means
+    # MiB (JavaUtils.byteStringAsMb) — not bytes
+    if m.endswith("b") and len(m) >= 2 and m[-2] in _MEM_SUFFIX:
+        m = m[:-1]
     try:
         if m[-1] in _MEM_SUFFIX:
             nbytes = int(float(m[:-1]) * _MEM_SUFFIX[m[-1]])
         else:
-            nbytes = int(m)  # plain bytes per Spark's conf grammar
+            nbytes = int(m) << 20  # unitless = MiB per Spark's grammar
     except (ValueError, IndexError):
         return 256 << 20
     return max(_LIMIT_FLOOR, min(_LIMIT_CAP, nbytes // 16))

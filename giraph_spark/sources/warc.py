@@ -175,12 +175,15 @@ def _records_map(max_record_bytes: int, keep_mtime: bool = False):
         if keep_mtime:
             cols = cols + ["shard_ts"]
         for pdf in batches:
-            rows: list = []
             mtimes = (
                 pdf["modificationTime"].to_numpy()
                 if keep_mtime
                 else [None] * len(pdf)
             )
+            # one yield PER FILE: an Arrow batch may pack several ~GB
+            # shards, and accumulating all their decompressed payloads
+            # before the first yield would hold the whole batch's
+            # expansion in memory at once
             for p, blob, mt in zip(
                 pdf["path"].to_numpy(), pdf["content"].to_numpy(), mtimes
             ):
@@ -189,8 +192,7 @@ def _records_map(max_record_bytes: int, keep_mtime: bool = False):
                 )
                 if keep_mtime:
                     recs = [r + [mt] for r in recs]
-                rows.extend(recs)
-            yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(recs, columns=cols)
 
     return run
 
@@ -311,11 +313,25 @@ def wet_documents(
     cols = [
         F.abs(F.xxhash64(F.col("record_id"))).alias("doc_id"),
         F.col("target_uri").alias("url"),
-        F.decode(F.col("payload"), encoding).alias("text"),
+        _decode_payload(F.col("payload"), encoding).alias("text"),
     ]
     if "shard_ts" in records.columns:
         cols.append(F.col("shard_ts").alias("ts"))
     return records.where(F.col("warc_type") == "conversion").select(*cols)
+
+
+def _decode_payload(col: Column, encoding: str) -> Column:
+    """Payload bytes → string with the package's null-means-undecodable
+    contract. ``F.decode`` THROWS on malformed bytes under ANSI mode
+    (Spark 4 default) — one binary body in a real crawl would abort the
+    whole job — so the UTF-8 path (the overwhelming default) goes
+    through the lenient cast + ``try_validate_utf8``: invalid bytes
+    yield NULL, never an exception. Non-UTF-8 encodings still use
+    ``decode`` (no try_ variant exists); callers picking one accept
+    its strictness."""
+    if encoding.lower().replace("-", "") == "utf8":
+        return F.try_validate_utf8(col.cast("string"))
+    return F.decode(col, encoding)
 
 
 def http_records(
@@ -333,7 +349,7 @@ def http_records(
     every real crawl) are deduped BEFORE ``map_from_entries``, whose
     default dedup policy would otherwise throw on them. ``mime`` is
     lowercased (header values are case-insensitive per RFC 9110)."""
-    txt = F.decode(F.col("payload"), encoding)
+    txt = _decode_payload(F.col("payload"), encoding)
     has_env = txt.startswith("HTTP/")
     head_end = F.instr(txt, "\r\n\r\n")
     head = F.substring(txt, 1, head_end - 1)
@@ -417,7 +433,7 @@ def html_to_text(col: Column, max_chars: int = 1 << 20) -> Column:
     )
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(
-        c, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)[^>]*>",
+        c, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)\b[^>]*>",
         "\n",
     )
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
@@ -510,37 +526,47 @@ def write_warc(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        parts: list[bytes] = []
+        final = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        tmp = final + ".inprogress"
         n = 0
-        for pdf in batches:
-            recs = []
-            for did, text, uri in zip(
-                pdf["_id"].to_numpy(),
-                pdf["_text"].to_numpy(),
-                pdf["_uri"].to_numpy(),
-            ):
-                headers = {
-                    "WARC-Type": warc_type,
-                    "WARC-Record-ID": f"<urn:doc:{did}>",
-                    "Content-Type": "text/plain",
-                }
-                if uri is not None:
-                    headers["WARC-Target-URI"] = str(uri)
-                recs.append((headers, str(text).encode("utf-8")))
-            if recs:
-                parts.append(make_warc(recs, gzip_members=gzip_members))
-                n += len(recs)
+        nbytes = 0
+        f = None
+        try:
+            for pdf in batches:
+                recs = []
+                for did, text, uri in zip(
+                    pdf["_id"].to_numpy(),
+                    pdf["_text"].to_numpy(),
+                    pdf["_uri"].to_numpy(),
+                ):
+                    headers = {
+                        "WARC-Type": warc_type,
+                        "WARC-Record-ID": f"<urn:doc:{did}>",
+                        "Content-Type": "text/plain",
+                    }
+                    if uri is not None:
+                        headers["WARC-Target-URI"] = str(uri)
+                    recs.append((headers, str(text).encode("utf-8")))
+                if recs:
+                    # stream each Arrow batch's members straight to the
+                    # temp file: peak memory is one batch, not the
+                    # whole ~1 GB shard joined in RAM (the temp-file +
+                    # rename still makes retries atomic)
+                    part = make_warc(recs, gzip_members=gzip_members)
+                    if f is None:
+                        os.makedirs(out_dir, exist_ok=True)
+                        f = open(tmp, "wb")
+                    f.write(part)
+                    n += len(recs)
+                    nbytes += len(part)
+        finally:
+            if f is not None:
+                f.close()
         cols = ["path", "records", "bytes"]
         if n == 0:
             yield pd.DataFrame([], columns=cols)
             return
-        blob = b"".join(parts)
-        final = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
-        tmp = final + ".inprogress"
-        os.makedirs(out_dir, exist_ok=True)
-        with open(tmp, "wb") as f:
-            f.write(blob)
         os.replace(tmp, final)
-        yield pd.DataFrame([[final, n, len(blob)]], columns=cols)
+        yield pd.DataFrame([[final, n, nbytes]], columns=cols)
 
     return rows.mapInPandas(run, schema=WARC_MANIFEST_SCHEMA)

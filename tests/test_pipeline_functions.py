@@ -1679,3 +1679,25 @@ def test_clean_corpus_compressed_dispositions(spark):
     assert out[3] == ("removed_quality", None)
     assert out[4] == ("removed_undecodable", None)
     assert out[5] == ("removed_undecodable", None)  # truncated gzip
+
+
+def test_decompress_text_concatenated_members(spark):
+    """A payload that is a whole multi-member gzip shard decodes to the
+    CONCATENATION (gzip spec) — bytes after the first member must never
+    silently vanish; trailing garbage still nulls the row."""
+    import gzip as _gz
+
+    from giraph_spark.functions.text import decompress_text
+
+    two = _gz.compress(b"first half ", mtime=0) + _gz.compress(
+        b"second half", mtime=0
+    )
+    junk = _gz.compress(b"ok", mtime=0) + b"\x1f\x8b\xff garbage"
+    df = spark.createDataFrame(
+        [(1, bytearray(two)), (2, bytearray(junk))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decompress_text(df).collect()}
+    assert out[1]["text"] == "first half second half"
+    assert out[1]["codec"] == "gzip"
+    assert out[2]["text"] is None  # corrupt second member -> null row

@@ -649,3 +649,30 @@ def test_r8_tier_plan_shapes(spark, sf_dir):
     score_plan = _formatted_plan(score_quality_classifier(docs, clf))
     for op in ("Join", "Exchange", "CartesianProduct"):
         assert op not in score_plan, op  # scoring is one stateless pass
+
+
+def test_broadcast_limit_parses_spark_memory_grammar():
+    """spark.driver.memory follows the JVM grammar: unitless = MiB
+    (NOT bytes), one- and two-letter suffixes both legal. Misreading
+    unitless as bytes collapsed every budget to the floor and
+    suppressed the loop broadcasts the gate exists to allow."""
+    from giraph_spark.plans.gear import broadcast_limit_bytes
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, k, d=None):
+            return self._v
+
+    class _Spark:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    gib = 1 << 30
+    assert broadcast_limit_bytes(_Spark("8192")) == (8192 << 20) // 16
+    assert broadcast_limit_bytes(_Spark("16g")) == gib  # cap
+    assert broadcast_limit_bytes(_Spark("512mb")) == 64 << 20  # floor
+    assert broadcast_limit_bytes(_Spark("2gb")) == (2 << 30) // 16
+    assert broadcast_limit_bytes(_Spark("nonsense")) == 256 << 20
+    assert broadcast_limit_bytes(None) == 256 << 20

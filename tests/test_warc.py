@@ -7,6 +7,7 @@ from __future__ import annotations
 import gzip
 
 import pytest
+from pyspark.sql import functions as F
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -393,3 +394,45 @@ def test_warc_bitflip_member_yields_error_row(spark, tmp_path):
     bad = [r for r in out if r["error"] is not None]
     assert len(ok) == 1 and ok[0]["warc_type"] == "conversion"
     assert len(bad) == 1 and bad[0]["record_index"] is None
+
+
+def test_invalid_utf8_payload_yields_null_not_job_abort(spark, tmp_path):
+    """ANSI-mode F.decode throws on malformed bytes; the document
+    mappers must instead yield NULL text for a non-UTF-8 payload (the
+    null-means-undecodable contract) while other rows decode."""
+    recs = [
+        (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Record-ID": "<urn:uuid:bin>",
+                "Content-Type": "text/plain",
+            },
+            b"\xff\xfe not utf8 \x80\x81",
+        ),
+        _sample_records()[2],
+    ]
+    (tmp_path / "mixed.wet.gz").write_bytes(make_warc(recs))
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in wet_documents(read_warc(spark, str(tmp_path))).collect()
+    }
+    assert len(rows) == 2
+    texts = sorted((t is None) for t in rows.values())
+    assert texts == [False, True]  # one decodes, one is NULL
+
+
+def test_html_to_text_tag_name_boundary(spark):
+    """<pre>/<link>/<track> must not be treated as block tags (their
+    names merely start with p/li/tr)."""
+    from giraph_spark.sources.warc import html_to_text
+
+    got = (
+        spark.range(1)
+        .select(
+            html_to_text(
+                F.lit("<link rel=x>alpha<pre>beta</pre>gamma<p>delta</p>")
+            ).alias("t")
+        )
+        .first()["t"]
+    )
+    assert got == "alpha beta gamma\ndelta"
