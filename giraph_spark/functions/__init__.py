@@ -57,6 +57,7 @@ from .sampling import (
     train_val_split,
     word_ngrams,
 )
+from .bpe import bpe_encode, train_bpe
 from .datacard import data_card
 from .lm import bigram_logprob
 from .urls import (
