@@ -125,9 +125,11 @@ def train_bpe(
     result is deterministic and partitioning-invariant. Stops early
     when no pair reaches ``min_pair_count`` (merging hapax pairs only
     memorizes the corpus)."""
+    import gc
+
     sym = fresh_checkpoint(_symbolize(_word_freq(df, text_col)))
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
+    for rnd in range(num_merges):
         best = (
             _pair_counts(sym)
             .orderBy(F.col("count").desc(), F.col("a"), F.col("b"))
@@ -138,7 +140,14 @@ def train_bpe(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        sym = fresh_checkpoint(_apply_merge(sym, a, b))
+        prev, sym = sym, fresh_checkpoint(_apply_merge(sym, a, b))
+        # the pregel loop-hygiene pattern: drop the superseded round's
+        # state so ContextCleaner frees its localCheckpoint blocks
+        # instead of accumulating num_merges copies of the |V|-row
+        # relation in the block manager
+        prev.unpersist()
+        if (rnd + 1) % 20 == 0:
+            gc.collect()
     return merges
 
 
@@ -180,8 +189,11 @@ def bpe_encode(
     ws_re = re.compile(r"\s+")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict = {}
         for pdf in batches:
+            # per BATCH, as documented: a per-task cache would grow by
+            # every distinct word the task ever sees (unbounded on web
+            # text); per-batch keeps memory ∝ one Arrow batch's vocab
+            cache: dict = {}
             out = []
             for did, text in zip(
                 pdf["_id"].to_numpy(), pdf["_text"].to_numpy()

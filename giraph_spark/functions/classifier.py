@@ -93,11 +93,22 @@ class QualityClassifier:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        r = spark.read.json(os.path.join(path, "recipe")).first()
+        try:
+            r = spark.read.json(os.path.join(path, "recipe")).first()
+            recipe = {
+                "num_features": int(r["num_features"]),
+                "bigrams": bool(r["bigrams"]),
+            }
+        except Exception:
+            # fallback: the flat recipe.json sidecar an earlier save()
+            # wrote via local open() — artifacts must stay loadable
+            import json
+
+            with open(os.path.join(path, "recipe.json")) as fh:
+                recipe = json.load(fh)
         return cls(
             model=LogisticRegressionModel.load(os.path.join(path, "lr")),
-            num_features=int(r["num_features"]),
-            bigrams=bool(r["bigrams"]),
+            **recipe,
         )
 
 

@@ -771,6 +771,11 @@ def decompress_text(
         total = 0
         data = b
         while True:
+            if total >= cap:
+                # zlib treats max_length=0 as UNLIMITED — reaching the
+                # cap exactly must fail here, or a bomb second member
+                # would decompress uncapped
+                raise ValueError("decompression ratio cap exceeded")
             d = zlib.decompressobj(wbits=wbits)
             out = d.decompress(data, cap - total)
             if d.unconsumed_tail:

@@ -128,14 +128,16 @@ def broadcast_limit_bytes(spark=None) -> int:
     if not mem:
         return 256 << 20
     m = str(mem).strip().lower()
-    # Spark's JVM-memory grammar: optional single-letter suffix (k/m/
-    # g/t) or two-letter (kb/mb/gb/tb), and a UNITLESS value means
-    # MiB (JavaUtils.byteStringAsMb) — not bytes
+    # Spark's JVM-memory grammar: optional suffix b/k/m/g/t (or
+    # kb/mb/gb/tb), and a UNITLESS value means MiB
+    # (JavaUtils.byteStringAsMb) — not bytes
     if m.endswith("b") and len(m) >= 2 and m[-2] in _MEM_SUFFIX:
         m = m[:-1]
     try:
         if m[-1] in _MEM_SUFFIX:
             nbytes = int(float(m[:-1]) * _MEM_SUFFIX[m[-1]])
+        elif m[-1] == "b":
+            nbytes = int(m[:-1])  # plain-'b' suffix = bytes
         else:
             nbytes = int(m) << 20  # unitless = MiB per Spark's grammar
     except (ValueError, IndexError):

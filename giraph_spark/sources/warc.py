@@ -525,12 +525,18 @@ def write_warc(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         final = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
-        tmp = final + ".inprogress"
+        # temp name carries the task ATTEMPT id: speculative/retried
+        # attempts of the same partition must never interleave writes
+        # into one temp file; whichever os.replace lands last wins a
+        # complete shard either way
+        tmp = f"{final}.inprogress-{ctx.taskAttemptId()}"
         n = 0
         nbytes = 0
         f = None
+        renamed = False
         try:
             for pdf in batches:
                 recs = []
@@ -559,14 +565,21 @@ def write_warc(
                     f.write(part)
                     n += len(recs)
                     nbytes += len(part)
+            if f is not None:
+                f.close()
+                f = None
+                os.replace(tmp, final)
+                renamed = True
         finally:
             if f is not None:
                 f.close()
+            if not renamed and os.path.exists(tmp):
+                # a failed attempt must not leak its partial shard
+                os.remove(tmp)
         cols = ["path", "records", "bytes"]
         if n == 0:
             yield pd.DataFrame([], columns=cols)
             return
-        os.replace(tmp, final)
         yield pd.DataFrame([[final, n, nbytes]], columns=cols)
 
     return rows.mapInPandas(run, schema=WARC_MANIFEST_SCHEMA)

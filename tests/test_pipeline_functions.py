@@ -1701,3 +1701,24 @@ def test_decompress_text_concatenated_members(spark):
     assert out[1]["text"] == "first half second half"
     assert out[1]["codec"] == "gzip"
     assert out[2]["text"] is None  # corrupt second member -> null row
+
+
+def test_decompress_text_cap_boundary_second_member_bomb(spark):
+    """zlib treats max_length=0 as unlimited: a first member expanding
+    to EXACTLY the cap must not let a bomb second member decompress
+    uncapped — the row nulls instead."""
+    import gzip as _gz
+    import zlib as _zl
+
+    from giraph_spark.functions.text import decompress_text
+
+    body = b"A" * (1 << 20)  # == the 1 MiB cap floor for tiny inputs
+    exact = _gz.compress(body, mtime=0)
+    bomb = _gz.compress(b"\x00" * (64 << 20), mtime=0)
+    df = spark.createDataFrame(
+        [(1, bytearray(exact + bomb))], "doc_id long, payload binary"
+    )
+    # the cap floor is max(1 MiB, ratio * payload); payload here is
+    # small, so member 1 reaches the cap exactly -> must null, not OOM
+    out = decompress_text(df, max_ratio=1).collect()[0]
+    assert out["text"] is None

@@ -676,3 +676,21 @@ def test_broadcast_limit_parses_spark_memory_grammar():
     assert broadcast_limit_bytes(_Spark("2gb")) == (2 << 30) // 16
     assert broadcast_limit_bytes(_Spark("nonsense")) == 256 << 20
     assert broadcast_limit_bytes(None) == 256 << 20
+
+
+def test_broadcast_limit_plain_bytes_suffix():
+    from giraph_spark.plans.gear import broadcast_limit_bytes
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, k, d=None):
+            return self._v
+
+    class _Spark:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    # 1 GiB expressed in Spark's plain-bytes form -> 64 MiB floor
+    assert broadcast_limit_bytes(_Spark("1073741824b")) == 64 << 20
