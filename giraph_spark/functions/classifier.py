@@ -37,10 +37,14 @@ from pyspark.sql import functions as F
 def _tokens(col: Column, bigrams: bool) -> Column:
     """Lowercased whitespace tokens, optionally augmented with joined
     word bigrams (fasttext's default recipe) — pure expressions, no
-    tokenizer state. NULL text coalesces to the empty token list:
-    HashingTF NPEs on a null array, and the package produces NULL-text
-    rows by contract (undecodable payloads)."""
-    toks = F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+")
+    tokenizer state. NULL/empty text yields a GENUINELY empty token
+    list: HashingTF NPEs on a null array, and split of '' returns
+    [''] — one spurious empty-string token that would hash to a real
+    feature — so empties are removed and an empty document trains/
+    scores intercept-only, per the undecodable-payload contract."""
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+"), ""
+    )
     if not bigrams:
         return toks
     bi = F.zip_with(

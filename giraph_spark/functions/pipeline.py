@@ -94,6 +94,7 @@ def clean_corpus_compressed(
     encoding: str = "utf-8",
     max_ratio: int = 1000,
     persist_decoded: bool = True,
+    decoded_handle: list | None = None,
 ) -> DataFrame:
     """:func:`clean_corpus` for COMPRESSED shards (VERDICT r7 task 6):
     the WET-shard-to-training-set story in one call. Stage 0 is
@@ -110,10 +111,14 @@ def clean_corpus_compressed(
     undecodable branch), so the decoded frame is persisted
     MEMORY_AND_DISK by default — the idiomatic Spark stage barrier for
     an expensive UDF feeding multiple consumers (``persist_decoded=
-    False`` to recompute instead; the caller owns unpersist timing
-    either way). Everything downstream is :func:`clean_corpus`'s own
-    shape: zero-shuffle gate, one hash-groupBy dedup, projection
-    split."""
+    False`` to recompute instead). NOTE the cache lifetime: Spark's
+    CacheManager retains the persisted decoded corpus until somebody
+    unpersists it, so repeated calls in a long-lived session would
+    accumulate cached copies. Pass a list as ``decoded_handle`` to
+    receive the persisted frame (appended before return) and call
+    ``handle.unpersist()`` once the disposition is materialized;
+    without a handle the cache lives until session end /
+    ``spark.catalog.clearCache()``."""
     from .text import decompress_text
 
     dec = decompress_text(
@@ -127,6 +132,8 @@ def clean_corpus_compressed(
         from pyspark import StorageLevel
 
         dec = dec.persist(StorageLevel.MEMORY_AND_DISK)
+        if decoded_handle is not None:
+            decoded_handle.append(dec)
     decoded = dec.where(F.col("text").isNotNull()).select(
         F.col(id_col), F.col("text")
     )

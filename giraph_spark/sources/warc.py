@@ -215,7 +215,16 @@ def read_warc(
     ``path_glob`` forwards to binaryFile's ``pathGlobFilter``;
     ``keep_mtime`` appends a ``shard_ts`` timestamp column (the file's
     modification time — landing time for crawl shards, the event-time
-    axis the streaming dispositions watermark on)."""
+    axis the streaming dispositions watermark on).
+
+    Arrow input bound: one input partition's rows share a single
+    2 GiB (int32-offset) Arrow binary buffer on the way into Python.
+    binaryFile packs whole files into partitions up to
+    ``spark.sql.files.maxPartitionBytes`` (128 MiB default — safe);
+    if the session raised it past 1 GiB, this reader spreads to one
+    file per partition (the only case it pays a shuffle of the raw
+    bytes). A SINGLE member over 2 GiB is one Arrow row and cannot be
+    split — that needs ``spark.sql.execution.arrow.useLargeVarTypes``."""
     reader = spark.read.format("binaryFile")
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
@@ -223,10 +232,47 @@ def read_warc(
         ["modificationTime"] if keep_mtime else []
     )
     files = reader.load(path).select(*cols)
+    files = _bound_arrow_input(spark, files)
     schema = WARC_SCHEMA + (", shard_ts timestamp" if keep_mtime else "")
     return files.mapInPandas(
         _records_map(max_record_bytes, keep_mtime), schema=schema
     )
+
+
+def _parse_byte_conf(v: str) -> int:
+    """Spark byte-string conf → bytes (the JavaUtils.byteStringAs
+    grammar subset Spark itself writes: optional b/k/m/g/t suffix,
+    case-insensitive, unitless means BYTES for maxPartitionBytes)."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s.strip()) * mult
+
+
+def _bound_arrow_input(spark: SparkSession, files: DataFrame) -> DataFrame:
+    """See :func:`read_warc`'s Arrow-input-bound note: when the session
+    packs file partitions past 1 GiB, spread the file frame to one file
+    per round-robin partition so no Arrow input batch can overflow its
+    int32 binary-offset space. The file count comes from a pruned
+    path-only scan (binaryFile only reads content when the projected
+    schema asks for it), so the guard costs a listing, not a read."""
+    try:
+        mpb = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:
+        return files
+    if mpb <= (1 << 30):
+        return files
+    n = files.select("path").count()
+    return files.repartition(max(n, 1))
 
 
 def read_warc_stream(
@@ -252,7 +298,11 @@ def read_warc_stream(
     parallelism is the unit, as in the batch reader.
     ``max_files_per_trigger`` bounds each micro-batch (the streaming
     analog of input-split sizing — pick it so one batch's files fit
-    the cluster's aggregate Arrow memory)."""
+    the cluster's aggregate Arrow memory). The batch reader's
+    one-file-per-partition Arrow guard cannot count files in a stream;
+    with GB-scale shards keep ``spark.sql.files.maxPartitionBytes`` at
+    its ≤1 GiB default so no packed partition can overflow an Arrow
+    input batch's 2 GiB binary-offset space."""
     # streaming file sources demand an explicit schema; binaryFile's
     # is fixed by the format
     reader = spark.readStream.format("binaryFile").schema(
@@ -311,13 +361,22 @@ def wet_documents(
     the readers' ``keep_mtime``) rides through as ``ts`` — the
     event-time axis ``clean_corpus_stream`` watermarks on."""
     cols = [
-        F.abs(F.xxhash64(F.col("record_id"))).alias("doc_id"),
+        _doc_id(F.col("record_id")).alias("doc_id"),
         F.col("target_uri").alias("url"),
         _decode_payload(F.col("payload"), encoding).alias("text"),
     ]
     if "shard_ts" in records.columns:
         cols.append(F.col("shard_ts").alias("ts"))
     return records.where(F.col("warc_type") == "conversion").select(*cols)
+
+
+def _doc_id(col: Column) -> Column:
+    """Deterministic 63-bit doc id from a record id: xxhash64 with the
+    sign bit MASKED, not ``abs``-ed — under ANSI mode (Spark 4 default)
+    ``abs(Long.MIN_VALUE)`` throws ARITHMETIC_OVERFLOW, so one record
+    in ~2^64 hashing to the minimum long would abort the whole job;
+    the mask is total and a true uniform 63-bit id."""
+    return F.xxhash64(col).bitwiseAND(F.lit((1 << 63) - 1))
 
 
 def _decode_payload(col: Column, encoding: str) -> Column:
@@ -413,6 +472,76 @@ def http_records(
     return records.where(F.col("warc_type") == "response").select(*cols)
 
 
+#: the named references the extractor decodes (HTML's overwhelming
+#: head in real crawl text); everything else named passes through
+_NAMED_REFS = (
+    ("nbsp", " "), ("lt", "<"), ("gt", ">"),
+    ("quot", "\""), ("amp", "&"), ("apos", "'"),
+)
+
+
+def _decode_entities(c: Column) -> Column:
+    """Decode character references — the named head (``&amp;`` family)
+    and the numeric forms ``&#8217;`` / ``&#x2019;``, the most common
+    real-crawl entities — in ONE left-to-right pass, still
+    expression-only: split the text on the reference pattern, map each
+    captured reference (named → table, numeric → ``format_string``'s
+    ``%c``, java.util.Formatter takes a full-Unicode code point int,
+    unlike ``F.char``'s mod-256), and interleave the pieces back.
+
+    The single pass is what makes escaped markup decode exactly once:
+    ``&amp;lt;`` and ``&#38;lt;`` both consume the leading reference,
+    leave ``lt;`` as literal text, and emit ``&lt;`` — a sequential
+    replace chain would re-decode the freshly produced ``&``. Invalid
+    numeric references (code 0, surrogates, > U+10FFFF, or overlong
+    digit runs that would overflow) keep their literal text — a
+    malformed page costs nothing, never an executor-killing
+    IllegalFormatCodePointException. Cost is one split + one
+    extract_all + one transform over input already capped by
+    ``html_to_text``'s ``max_chars``."""
+    ref = r"&(#(?:[0-9]+|[xX][0-9a-fA-F]+)|nbsp|lt|gt|quot|amp|apos);"
+    parts = F.split(c, ref, -1)
+    refs = F.regexp_extract_all(c, F.lit(ref), F.lit(1))
+
+    def decode_numeric(e: Column) -> Column:
+        d = F.substr(e, F.lit(2))  # strip the leading '#'
+        is_hex = F.lower(F.substring(d, 1, 1)) == "x"
+        # ≤7 chars covers every valid code point (1114111 / x10FFFF)
+        # and bounds conv/cast away from 64-bit overflow wraparound
+        n = F.when(
+            F.length(d) <= 7,
+            F.when(
+                is_hex, F.conv(F.substr(d, F.lit(2)), 16, 10)
+            ).otherwise(d),
+        ).try_cast("long")
+        valid = (
+            n.isNotNull()
+            & (n >= 1)
+            & (n <= 0x10FFFF)
+            & ~((n >= 0xD800) & (n <= 0xDFFF))
+        )
+        return F.when(
+            valid, F.format_string("%c", n.cast("int"))
+        ).otherwise(F.concat(F.lit("&"), e, F.lit(";")))
+
+    def decode_one(e: Column) -> Column:
+        out = decode_numeric(e)
+        for name, ch in _NAMED_REFS:
+            out = F.when(e == name, F.lit(ch)).otherwise(out)
+        return out
+
+    # split(-1) yields exactly len(refs)+1 pieces, so the padded
+    # zip never meets a NULL (concat of a NULL would null the row)
+    return F.array_join(
+        F.zip_with(
+            parts,
+            F.concat(F.transform(refs, decode_one), F.array(F.lit(""))),
+            lambda p, d: F.concat(p, d),
+        ),
+        "",
+    )
+
+
 def html_to_text(col: Column, max_chars: int = 1 << 20) -> Column:
     """Baseline HTML→text as one expression chain (the crude-but-
     standard regex tier real pipelines start from before a structural
@@ -437,13 +566,7 @@ def html_to_text(col: Column, max_chars: int = 1 << 20) -> Column:
         "\n",
     )
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
-    # '&amp;' must decode LAST: a page displaying '&lt;' ships
-    # '&amp;lt;', and decoding '&amp;' first would double-unescape it
-    for ent, ch in (
-        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
-    ):
-        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = _decode_entities(c)
     c = F.regexp_replace(c, r"[ \t]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{2,}", "\n")
@@ -464,7 +587,7 @@ def warc_documents(
     h = http_records(records, encoding)
     text = html_to_text(F.col("body"))
     cols = [
-        F.abs(F.xxhash64(F.col("record_id"))).alias("doc_id"),
+        _doc_id(F.col("record_id")).alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.when(text != "", text).alias("text"),
     ]
@@ -487,6 +610,7 @@ def write_warc(
     warc_type: str = "conversion",
     shards: int | None = None,
     gzip_members: bool = True,
+    mode: str = "error",
 ) -> DataFrame:
     """WARC/WET SINK — the inverse of :func:`wet_documents`: a
     documents-shaped frame becomes one WET shard per partition in
@@ -508,8 +632,53 @@ def write_warc(
     so one shard ≈ the crawl-standard ~1 GB. Null-``text`` rows are
     undecodable upstream by package contract and are skipped (they are
     accounted in ``clean_corpus``'s disposition, not silently lost
-    here — the manifest's ``records`` counts only written rows)."""
+    here — the manifest's ``records`` counts only written rows).
+
+    ``mode`` gives the sink job-level overwrite semantics (per-task
+    atomicity alone cannot: a re-run with fewer shards would leave the
+    earlier run's higher-numbered ``part-*`` files for a later read to
+    silently mix into the corpus). ``"error"`` (default) refuses an
+    ``out_dir`` that already holds shards; ``"overwrite"`` deletes the
+    prior run's ``part-*.wet[.gz]`` and stale ``*.inprogress-*`` files
+    first; ``"append"`` (incremental corpus growth) numbers the new
+    shards PAST the highest existing one, so runs never collide —
+    concurrent appends into one directory still can, serialize those.
+    Validation/cleanup happens at CALL time on the driver, not when
+    the lazy manifest materializes — plan two writes into one
+    directory and the second check sees the pre-run state."""
+    import fnmatch
     import os
+    import re
+
+    if mode not in ("error", "overwrite", "append"):
+        raise ValueError(f"mode must be error|overwrite|append, got {mode!r}")
+    part_start = 0
+    if os.path.isdir(out_dir):
+        stale = [
+            name
+            for name in os.listdir(out_dir)
+            if fnmatch.fnmatch(name, "part-*.wet")
+            or fnmatch.fnmatch(name, "part-*.wet.gz")
+            or ".inprogress-" in name
+        ]
+        if stale and mode == "error":
+            raise ValueError(
+                f"write_warc: {out_dir} already holds {len(stale)} shard "
+                "file(s); pass mode='overwrite' to replace them or "
+                "mode='append' to add past them"
+            )
+        if mode == "overwrite":
+            for name in stale:
+                os.remove(os.path.join(out_dir, name))
+        elif mode == "append":
+            idx = [
+                int(m.group(1))
+                for m in (
+                    re.match(r"part-(\d{5})\.", name) for name in stale
+                )
+                if m
+            ]
+            part_start = max(idx) + 1 if idx else 0
 
     sel = [F.col(id_col).cast("string"), F.col(text_col)]
     sel.append(
@@ -526,7 +695,7 @@ def write_warc(
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        pid = ctx.partitionId()
+        pid = part_start + ctx.partitionId()
         final = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
         # temp name carries the task ATTEMPT id: speculative/retried
         # attempts of the same partition must never interleave writes

@@ -120,3 +120,63 @@ def test_null_text_scores_null_never_crashes(spark, labeled):
     assert scored.where(F.col("quality_prob").isNotNull()).count() == (
         with_null.count() - 1
     )
+
+
+def test_empty_text_tokens_are_empty_and_intercept_only(spark):
+    """split('') returns [''] — one spurious empty-string token that
+    would hash to a real feature — so _tokens must remove empties:
+    empty/whitespace-only/NULL text all tokenize to [] and therefore
+    score identically (intercept-only), not through a junk feature."""
+    row = spark.range(1).select(
+        _tokens(F.lit(""), bigrams=True).alias("a"),
+        _tokens(F.lit("   "), bigrams=True).alias("b"),
+        _tokens(F.lit(None).cast("string"), bigrams=False).alias("c"),
+    ).first()
+    assert row["a"] == [] and row["b"] == [] and row["c"] == []
+
+
+def test_cross_session_score_determinism(spark, labeled, tmp_path):
+    """The documented oracle boundary (VERDICT r8 task 5): HashingTF's
+    murmur3 is not in the portable-md5 family the DuckDB oracles
+    replay, so the classifier's correctness pin is DETERMINISM —
+    scoring is one stateless pass (murmur3 hash + broadcast
+    coefficient dot product, fixed per-row op order), so a saved model
+    re-scored in two FRESH sessions must produce bit-identical
+    probabilities. Two subprocess sessions, full-repr compare."""
+    import os
+    import subprocess
+    import sys
+
+    clf = train_quality_classifier(labeled, num_features=1 << 12, max_iter=10)
+    clf.save(str(tmp_path / "model"))
+    script = tmp_path / "rescore.py"
+    script.write_text(
+        "import sys\n"
+        "from pyspark.sql import SparkSession, functions as F\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.sql.shuffle.partitions', '2')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "from giraph_spark.functions.classifier import (\n"
+        "    QualityClassifier, score_quality_classifier)\n"
+        "clf = QualityClassifier.load(sys.argv[1])\n"
+        "docs = (spark.read.parquet(\n"
+        "    '/root/testdata/sf0.001/documents.parquet')\n"
+        "    .select('doc_id', 'text').where(F.col('doc_id') < 40))\n"
+        "rows = score_quality_classifier(docs, clf)\\\n"
+        "    .select('doc_id', 'quality_prob').collect()\n"
+        "print('SCORES=' + repr(sorted(\n"
+        "    (r['doc_id'], repr(r['quality_prob'])) for r in rows)))\n"
+    )
+    outs = []
+    for _ in range(2):
+        r = subprocess.run(
+            [sys.executable, str(script), str(tmp_path / "model")],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            env={**os.environ, "PYTHONPATH": "/root/repo"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("SCORES=")]
+        assert line, r.stdout[-2000:]
+        outs.append(line[0])
+    assert outs[0] == outs[1]
+    assert "None" not in outs[0]  # every doc actually scored

@@ -1722,3 +1722,35 @@ def test_decompress_text_cap_boundary_second_member_bomb(spark):
     # small, so member 1 reaches the cap exactly -> must null, not OOM
     out = decompress_text(df, max_ratio=1).collect()[0]
     assert out["text"] is None
+
+
+def test_clean_corpus_compressed_decoded_handle_unpersist(spark):
+    """The cache-lifetime contract (r8 ADVICE): the persisted decoded
+    corpus is reachable through decoded_handle so the caller can
+    unpersist once the disposition is materialized — without it the
+    CacheManager would retain every call's decoded frame for the
+    session's lifetime."""
+    import gzip
+
+    from giraph_spark.functions.pipeline import clean_corpus_compressed
+
+    text = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day for running in the sun with friends"
+    )
+    df = spark.createDataFrame(
+        [(i, bytearray(gzip.compress(f"{text} {i}".encode())))
+         for i in range(6)],
+        "doc_id long, payload binary",
+    )
+    handle: list = []
+    disp = clean_corpus_compressed(df, decoded_handle=handle)
+    assert len(handle) == 1
+    assert disp.count() == 6  # materialize, then release
+    assert handle[0].storageLevel.useMemory
+    handle[0].unpersist(blocking=True)
+    assert not handle[0].storageLevel.useMemory
+    # no handle requested + persistence off → nothing to release
+    handle2: list = []
+    clean_corpus_compressed(df, persist_decoded=False, decoded_handle=handle2)
+    assert handle2 == []

@@ -436,3 +436,166 @@ def test_html_to_text_tag_name_boundary(spark):
         .first()["t"]
     )
     assert got == "alpha beta gamma\ndelta"
+
+
+# ---- r9: ADVICE fixes + entity extension ----
+
+
+def test_doc_id_sign_mask_not_abs(spark):
+    """doc_id must be the sign-bit MASK of xxhash64, never abs: abs of
+    Long.MIN_VALUE throws ARITHMETIC_OVERFLOW under ANSI mode, and the
+    mask differs from abs on every negative hash — pin the contract on
+    ids whose raw hash is negative."""
+    from giraph_spark.sources.warc import _doc_id
+
+    rows = (
+        spark.createDataFrame(
+            [(f"<urn:x:{i}>",) for i in range(512)], "record_id string"
+        )
+        .select(
+            _doc_id(F.col("record_id")).alias("d"),
+            F.xxhash64("record_id").alias("raw"),
+        )
+        .collect()
+    )
+    neg = [r for r in rows if r["raw"] < 0]
+    assert neg, "fixture must exercise negative raw hashes"
+    mask = (1 << 63) - 1
+    for r in rows:
+        assert r["d"] == (r["raw"] & mask) and r["d"] >= 0
+
+
+_ENT_PIECES = st.lists(
+    st.one_of(
+        # literal text: no '&' (reference starts), no whitespace (the
+        # collapse stage), no '<'/'>' (tag stripping)
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_characters="&<>\r\n\t \x0b\x0c",
+                exclude_categories=("Z", "C"),
+            ),
+            min_size=1,
+            max_size=8,
+        ).map(lambda t: ("lit", t)),
+        # valid numeric reference to a printable non-space code point
+        st.integers(min_value=0x21, max_value=0x10FFFF)
+        .filter(lambda n: not (0xD800 <= n <= 0xDFFF))
+        .filter(lambda n: n not in (0x7F,) and chr(n).isprintable())
+        .filter(lambda n: chr(n) not in "&<>")
+        .flatmap(
+            lambda n: st.sampled_from(
+                [("num", n, f"&#{n};"), ("num", n, f"&#x{n:x};"), ("num", n, f"&#X{n:X};")]
+            )
+        ),
+        # named reference (the decoded table, minus whitespace-y nbsp
+        # and the angle brackets that tag-stripping would eat)
+        st.sampled_from(
+            [("named", "&quot;", '"'), ("named", "&apos;", "'"), ("named", "&amp;#x;", "&#x;")]
+        ),
+        # invalid references stay literal
+        st.sampled_from(
+            [("bad", "&#0;"), ("bad", "&#xD800;"), ("bad", "&#x110000;"),
+             ("bad", "&#99999999999;"), ("bad", "&#;"), ("bad", "&bogus;")]
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(pieces=_ENT_PIECES)
+def test_entity_decode_property(spark, pieces):
+    """Mixed named/numeric/invalid references interleaved with literal
+    text decode in one left-to-right pass: valid references become
+    their code point, invalid ones stay literal, and escaped markup
+    ('&amp;#x;') decodes exactly once."""
+    from giraph_spark.sources.warc import html_to_text
+
+    html, want = [], []
+    for p in pieces:
+        if p[0] == "lit":
+            html.append(p[1])
+            want.append(p[1])
+        elif p[0] == "num":
+            html.append(p[2])
+            want.append(chr(p[1]))
+        elif p[0] == "named":
+            html.append(p[1])
+            want.append(p[2])
+        else:
+            html.append(p[1])
+            want.append(p[1])
+    got = (
+        spark.range(1)
+        .select(html_to_text(F.lit("".join(html))).alias("t"))
+        .first()["t"]
+    )
+    assert got == "".join(want)
+
+
+def test_write_warc_mode_semantics(spark, tmp_path):
+    """Job-level overwrite semantics: a re-run into a non-empty out_dir
+    refuses by default, mode='overwrite' removes the earlier run's
+    shards (so fewer new shards cannot mix with stale high-numbered
+    ones), mode='append' keeps the documented mixing behavior."""
+    docs = spark.createDataFrame(
+        [(i, f"http://e.x/{i}", f"text number {i} alpha beta") for i in range(8)],
+        "doc_id long, url string, text string",
+    )
+    out = str(tmp_path / "s")
+    assert sum(
+        m["records"] for m in write_warc(docs, out, shards=4).collect()
+    ) == 8
+    with pytest.raises(ValueError, match="already holds 4 shard"):
+        write_warc(docs, out)
+    # overwrite with FEWER shards: stale part-00002/3 must be gone
+    man = write_warc(docs, out, shards=1, mode="overwrite").collect()
+    assert sum(m["records"] for m in man) == 8
+    import os
+
+    assert sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    ) == ["part-00000.wet.gz"]
+    back = wet_documents(read_warc(spark, out))
+    assert back.count() == 8
+    # append numbers PAST the existing shard: no collision, corpus grows
+    write_warc(docs.withColumn("doc_id", F.col("doc_id") + 100),
+               out, shards=2, mode="append").collect()
+    assert sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    ) == ["part-00000.wet.gz", "part-00001.wet.gz", "part-00002.wet.gz"]
+    assert wet_documents(read_warc(spark, out)).count() == 16
+    with pytest.raises(ValueError, match="error|overwrite|append"):
+        write_warc(docs, out, mode="clobber")
+
+
+def test_parse_byte_conf_and_arrow_bound(spark, tmp_path):
+    """The Arrow-input guard: byte-string confs parse per Spark's
+    grammar, the default 128m packing stays shuffle-free, and a >1 GiB
+    maxPartitionBytes session spreads to one file per partition."""
+    from giraph_spark.sources.warc import _parse_byte_conf
+
+    assert _parse_byte_conf("128m") == 128 << 20
+    assert _parse_byte_conf("134217728") == 134217728
+    assert _parse_byte_conf("2g") == 2 << 30
+    assert _parse_byte_conf("1GB") == 1 << 30
+    assert _parse_byte_conf(" 4k ") == 4 << 10
+    assert _parse_byte_conf("512b") == 512
+
+    for i in range(3):
+        (tmp_path / f"f{i}.wet.gz").write_bytes(make_warc(_sample_records()))
+    conf = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "4g")
+        big = read_warc(spark, str(tmp_path))
+        # one file per partition → 3 partitions feed the record walk
+        assert big.rdd.getNumPartitions() == 3
+        assert big.count() == 3 * len(_sample_records())
+    finally:
+        spark.conf.set(conf, old)
+    # default conf: no repartition node in the plan (shuffle-free read)
+    plan = read_warc(spark, str(tmp_path))._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning" not in plan
