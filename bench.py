@@ -144,31 +144,99 @@ def main() -> None:
             {"error": f"{type(ex).__name__}: {ex}"},
             {},
         )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "counters": counters,
-                "extras": {
-                    "total": round(sum(extras_q.values()), 3),
-                    "queries": extras_q,
-                    "counters": extras_c,
-                },
-                "pipeline": {
-                    "total": round(sum(pipe_q.values()), 3),
-                    "queries": pipe_q,
-                    "rows": pipe_rows,
-                    "inputs": pipe_in,
-                },
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "cpus": int(CPUS),
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "counters": counters,
+        "extras": {
+            "total": round(sum(extras_q.values()), 3),
+            "queries": extras_q,
+            "counters": extras_c,
+        },
+        "pipeline": {
+            "total": round(sum(pipe_q.values()), 3),
+            "queries": pipe_q,
+            "rows": pipe_rows,
+            "inputs": pipe_in,
+        },
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": int(CPUS),
+    }
+    # parse-proof record (VERDICT r8 task 1): the driver keeps only the
+    # LAST ~2000 chars of stdout and parses the tail, and the r8 detail
+    # line outgrew that window (BENCH_r08.json "parsed": null — the
+    # headline number of record was lost). So: full detail FIRST (and
+    # mirrored to BENCH_DETAIL_LAST.json so per-superstep profiles and
+    # the per-operator row map never depend on a tail window), then one
+    # COMPACT summary JSON as the final stdout line — headline value,
+    # per-query timings, kernel/extras counters, pipeline total + a
+    # row-map checksum. No per-superstep arrays, no per-operator maps.
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL_LAST.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass  # a read-only checkout must not take the record down
+    print(json.dumps(_compact_summary(detail)))
     spark.stop()
+
+
+def _compact_summary(detail: dict) -> dict:
+    """The bench line of record: everything BASELINE.md's
+    counters-equality methodology compares, compressed to fit a ~2000
+    char stdout tail with a wide margin (≈900 chars at the r8 shape).
+    Kernel counters keep supersteps/messages (dropping the sssp
+    per-superstep array), extras keep per-loop rows+rounds, and the
+    pipeline's per-operator row map — its counters analog — is pinned
+    by an md5 checksum over its sorted JSON (bit-identical rows ⇔
+    identical checksum), with the full map in the detail record."""
+    import hashlib
+
+    kern = {
+        name: {"s": c.get("supersteps"), "m": c.get("messages")}
+        for name, c in detail.get("counters", {}).items()
+    }
+    ex = detail.get("extras", {})
+    loops = {}
+    extras_out = {"total": ex.get("total"), "counters": loops}
+    for name, c in ex.get("counters", {}).items():
+        if name == "error":
+            extras_out["error"] = c
+        elif isinstance(c, dict):
+            loops[name] = {
+                k: v for k, v in c.items() if isinstance(v, (int, float))
+            }
+    pipe = detail.get("pipeline", {})
+    rows = pipe.get("rows", {})
+    pipe_out = {
+        "total": pipe.get("total"),
+        "n_ops": len(pipe.get("queries", {})),
+        "rows_md5": hashlib.md5(
+            json.dumps(rows, sort_keys=True).encode()
+        ).hexdigest()[:12],
+    }
+    if isinstance(rows, dict) and "error" in rows:
+        pipe_out["error"] = rows["error"]
+    return {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "queries": detail["queries"],
+        "counters": kern,
+        "extras": extras_out,
+        "pipeline": pipe_out,
+        "sf": detail.get("sf"),
+        "cpus": detail.get("cpus"),
+        "detail": "BENCH_DETAIL_LAST.json",
+    }
 
 
 def stress() -> None:
