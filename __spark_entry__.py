@@ -2222,6 +2222,155 @@ def _q_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- crawl-curation (r9) queries --
+
+
+def _q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb-style URL tier end-to-end (functions/urls.py):
+    a deterministic messy-URL fixture (uppercase schemes/hosts, www
+    prefixes, default + real ports, tracking params, scrambled query
+    order, fragments, planted duplicates, outright garbage) →
+    normalize_url + dedup_by_url → broadcast blocklist →
+    sharded per-registered-domain cap. The fixture derives CONTENT
+    components from ``eff`` (doc_id with %10==9 folded onto its even
+    neighbor — the planted dup pairs) and NOISE components from the
+    raw doc_id, so normalization must erase exactly the noise; the
+    oracle reconstructs the canonical form from the same arithmetic,
+    pinning the whole normalization algebra value-by-value."""
+    from giraph_spark.functions.urls import (
+        cap_per_host,
+        dedup_by_url,
+        filter_blocked_domains,
+        normalize_url,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    eff = F.when(did % 10 == 9, did - 1).otherwise(did)
+    scheme = F.when(eff % 4 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    www = F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host = F.concat(
+        F.lit("h"), (eff % 7).cast("string"),
+        F.lit(".site"), (eff % 13).cast("string"), F.lit(".example"),
+    )
+    host = F.when(did % 2 == 0, F.upper(host)).otherwise(host)
+    port = (
+        F.when(eff % 11 == 0, F.lit(":8080"))  # content: survives
+        .when(
+            (did % 5 == 0) & (eff % 4 == 0), F.lit(":443")
+        )  # noise: default
+        .when(did % 5 == 0, F.lit(":80"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(eff % 17 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), (eff % 10).cast("string"))
+    )
+    bq = (eff % 4).cast("string")  # the real 'b' parameter value
+    query = (
+        F.when(
+            eff % 3 == 0,
+            F.when(did % 6 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        )
+        .when(
+            eff % 3 == 1,
+            F.when(
+                did % 2 == 0, F.concat(F.lit("?a=1&b="), bq)
+            ).otherwise(F.concat(F.lit("?b="), bq, F.lit("&a=1&utm_medium=m"))),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("?b="), bq,
+                F.when(did % 6 == 1, F.lit("&gclid=g")).otherwise(F.lit("")),
+            )
+        )
+    )
+    frag = F.when(did % 8 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    url = F.when(
+        did % 29 == 0, F.concat(F.lit("not a url "), did.cast("string"))
+    ).otherwise(F.concat(scheme, F.lit("://"), www, host, port, path, query, frag))
+    urls = d.select(did.cast("long").alias("doc_id"), url.alias("url"))
+    curated = cap_per_host(
+        filter_blocked_domains(
+            dedup_by_url(urls),
+            blocked=["site4.example", "site7.example"],
+        ),
+        n=12,
+        n_shards=4,
+    )
+    return curated.select(
+        "doc_id", "url", normalize_url(F.col("url")).alias("norm_url")
+    )
+
+
+def _q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingest round-trip as the correctness pin: documents →
+    WET shards on disk (write_warc, gzip-member-per-record) →
+    read_warc → wet_documents → the quality gate. Output keys on the
+    URL (the ids are re-derived hashes), so every value — the decoded
+    text's length and its gate verdict — must survive the full
+    serialize/parse/decode path byte-exactly for the DuckDB oracle
+    (which never sees a WARC byte) to agree. The write materializes at
+    call time; each call uses a fresh temp dir (sources/warc.py)."""
+    import tempfile
+
+    from giraph_spark.functions.text import quality_filter
+    from giraph_spark.sources.warc import read_warc, wet_documents, write_warc
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    ).where(F.col("text").isNotNull())
+    out = tempfile.mkdtemp(prefix="giraph_spark_wet_ingest_")
+    write_warc(d, out, shards=4).collect()  # execute the sink
+    docs = wet_documents(read_warc(spark, out))
+    qf = quality_filter(docs, text_col="text", id_col="doc_id")
+    return (
+        docs.join(qf, "doc_id")
+        .select(
+            "url",
+            F.length("text").cast("long").alias("n_chars"),
+            F.col("n_fail").cast("long").alias("n_fail"),
+            "passed",
+        )
+    )
+
+
+def _q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card relation over the sf docs + embeddings
+    (functions/datacard.py): corpus accounting per source×lang, the
+    quality-gate share, the token-count profile, the exact-dup
+    headline, and embedding-column health — one tall string relation
+    whose every value (fixed six-decimal canonical form for
+    fractions) the oracle reproduces section by section."""
+    from giraph_spark.functions.datacard import data_card
+
+    return data_card(
+        docs=_docs(spark, sf_dir), embeddings=_embs(spark, sf_dir)
+    )
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (functions/bpe.py): the first 8 merge
+    decisions learned from the corpus — each one an argmax over the
+    frequency-weighted adjacent-pair counts of the evolving symbol
+    relation, ties broken lexicographically. The oracle unrolls the
+    same 8 rounds in SQL (the package's standard unrolled-loop oracle
+    form), including the left-to-right non-overlapping merge
+    application, so the full sequential training trajectory is
+    value-pinned, not just the final vocabulary."""
+    from giraph_spark.functions.bpe import train_bpe
+
+    merges = train_bpe(_docs(spark, sf_dir), num_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    )
+
+
 def _driver_check_history() -> dict[str, tuple[int, int]]:
     """Per-key (times_checked, last_round_checked) from committed CORRECTNESS_r*.json.
 
@@ -2453,6 +2602,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_before_purchase": _q_asof_view_before_purchase,
         "views_before_purchase_1h": _q_views_before_purchase_1h,
         "event_rollup": _q_event_rollup,
+        "url_curation": _q_url_curation,
+        "wet_ingest": _q_wet_ingest,
+        "data_card": _q_data_card,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -5677,6 +5830,244 @@ FROM sp{UNROLL_K} WHERE val < 'infinity'::DOUBLE"""
     )
     sssp_paths_sql = "\n".join(sp_parts)
 
+    # -------- crawl-curation (r9) oracles --------
+    # url_curation: the fixture derives CONTENT from eff (dup pairs
+    # fold %10==9 onto the even neighbor) and NOISE from doc_id, so
+    # the canonical form is reconstructible from the same arithmetic —
+    # no URL parsing in the oracle, which is exactly the point: the
+    # Spark side must parse/normalize its way back to this closed form.
+    _uc_host = "'h' || (eff % 7) || '.site' || (eff % 13) || '.example'"
+    url_curation_sql = f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS eff
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 29 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+    ELSE
+      (CASE WHEN eff % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+      || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+      || (CASE WHEN doc_id % 2 = 0 THEN upper({_uc_host})
+               ELSE {_uc_host} END)
+      || (CASE WHEN eff % 11 = 0 THEN ':8080'
+               WHEN doc_id % 5 = 0 AND eff % 4 = 0 THEN ':443'
+               WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+      || (CASE WHEN eff % 17 = 0 THEN '' ELSE '/p/' || (eff % 10) END)
+      || (CASE WHEN eff % 3 = 0 THEN
+                 (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x' ELSE '' END)
+               WHEN eff % 3 = 1 THEN
+                 (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=' || (eff % 4)
+                       ELSE '?b=' || (eff % 4) || '&a=1&utm_medium=m' END)
+               ELSE '?b=' || (eff % 4)
+                    || (CASE WHEN doc_id % 6 = 1 THEN '&gclid=g' ELSE '' END)
+          END)
+      || (CASE WHEN doc_id % 8 = 0 THEN '#sec2' ELSE '' END)
+    END AS url,
+    CASE WHEN doc_id % 29 = 0 THEN NULL ELSE
+      (CASE WHEN eff % 4 = 0 THEN 'https' ELSE 'http' END)
+      || '://' || {_uc_host}
+      || (CASE WHEN eff % 11 = 0 THEN ':8080' ELSE '' END)
+      || (CASE WHEN eff % 17 = 0 THEN '/' ELSE '/p/' || (eff % 10) END)
+      || (CASE WHEN eff % 3 = 0 THEN ''
+               WHEN eff % 3 = 1 THEN '?a=1&b=' || (eff % 4)
+               ELSE '?b=' || (eff % 4) END)
+    END AS norm_url,
+    CASE WHEN doc_id % 29 = 0 THEN NULL
+         ELSE 'site' || (eff % 13) || '.example' END AS dom
+  FROM u
+), keep AS (
+  SELECT norm_url, MIN(doc_id) AS kid FROM built
+  WHERE norm_url IS NOT NULL GROUP BY 1
+), ded AS (
+  SELECT b.doc_id, b.url, b.norm_url, b.dom
+  FROM built b JOIN keep k ON b.norm_url = k.norm_url AND b.doc_id = k.kid
+  UNION ALL
+  SELECT doc_id, url, norm_url, dom FROM built WHERE norm_url IS NULL
+), bl AS (
+  SELECT * FROM ded
+  WHERE dom IS NULL OR dom NOT IN ('site4.example', 'site7.example')
+), capd AS (
+  SELECT doc_id, url, norm_url,
+         ROW_NUMBER() OVER (
+           PARTITION BY dom ORDER BY {_bucket_sql()}, doc_id) AS rnk
+  FROM bl WHERE dom IS NOT NULL
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url, norm_url
+FROM capd WHERE rnk <= 12
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url, norm_url
+FROM bl WHERE dom IS NULL"""
+
+    # wet_ingest: the oracle never sees a WARC byte — it states what
+    # the gate must say about the ORIGINAL text; the Spark side gets
+    # there only if serialize → gzip → parse → decode is byte-exact
+    wet_ingest_sql = f"""
+WITH q AS ({quality_sql}),
+r AS (
+  SELECT doc_id,
+         CAST((CASE WHEN n_tokens >= 5 THEN 0 ELSE 1 END)
+            + (CASE WHEN n_tokens <= 100000 THEN 0 ELSE 1 END)
+            + (CASE WHEN alpha_ratio >= 0.6 THEN 0 ELSE 1 END)
+            + (CASE WHEN digit_ratio <= 0.3 THEN 0 ELSE 1 END)
+            + (CASE WHEN stopword_ratio >= 0.05 THEN 0 ELSE 1 END)
+           AS BIGINT) AS n_fail
+  FROM q)
+SELECT 'https://' || d.source || '.example/d/' || CAST(d.doc_id AS VARCHAR)
+         AS url,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       r.n_fail,
+       r.n_fail = 0 AS passed
+FROM documents d JOIN r ON r.doc_id = d.doc_id
+WHERE d.text IS NOT NULL"""
+
+    # data_card: every section replayed; fractional metrics are the
+    # card's fixed six-decimal canonical form → printf('%.6f', …)
+    _dc_group = "source || '/' || lang"
+    data_card_sql = f"""
+WITH corpus AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({ws_tokens}) AS BIGINT) AS total_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1, 2
+), q AS ({quality_sql}),
+r AS (
+  SELECT doc_id, n_tokens,
+         (CASE WHEN n_tokens >= 5 THEN 0 ELSE 1 END)
+       + (CASE WHEN n_tokens <= 100000 THEN 0 ELSE 1 END)
+       + (CASE WHEN alpha_ratio >= 0.6 THEN 0 ELSE 1 END)
+       + (CASE WHEN digit_ratio <= 0.3 THEN 0 ELSE 1 END)
+       + (CASE WHEN stopword_ratio >= 0.05 THEN 0 ELSE 1 END) AS n_fail
+  FROM q),
+gate AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_gate,
+         printf('%.6f', ROUND(AVG(CASE WHEN n_fail = 0 THEN 1.0
+                                       ELSE 0.0 END), 6)) AS gate_pass_rate
+  FROM r),
+prof AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN n_tokens IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(COUNT(DISTINCT n_tokens) AS BIGINT) AS n_distinct,
+         printf('%.6f', ROUND(MIN(CAST(n_tokens AS DOUBLE)), 6)) AS min_val,
+         printf('%.6f', ROUND(MAX(CAST(n_tokens AS DOUBLE)), 6)) AS max_val,
+         printf('%.6f', ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6)) AS mean,
+         printf('%.6f', ROUND(STDDEV_SAMP(CAST(n_tokens AS DOUBLE)), 6))
+           AS stddev
+  FROM r),
+dup AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS dup_groups,
+         CAST(COALESCE(SUM(n_docs - 1), 0) AS BIGINT) AS dup_docs_removable
+  FROM (SELECT md5({norm}) AS h, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+),
+emb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(MIN(len(embedding)) AS BIGINT) AS dim_min,
+         CAST(MAX(len(embedding)) AS BIGINT) AS dim_max,
+         CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null
+  FROM embeddings)
+SELECT 'corpus' AS section, 'n_docs' AS metric, {_dc_group} AS "group",
+       CAST(n_docs AS VARCHAR) AS value FROM corpus
+UNION ALL SELECT 'corpus', 'total_tokens', {_dc_group},
+       CAST(total_tokens AS VARCHAR) FROM corpus
+UNION ALL SELECT 'corpus', 'total_chars', {_dc_group},
+       CAST(total_chars AS VARCHAR) FROM corpus
+UNION ALL SELECT 'quality', 'n_docs', '', CAST(n_docs AS VARCHAR) FROM gate
+UNION ALL SELECT 'quality', 'n_pass_gate', '',
+       CAST(n_pass_gate AS VARCHAR) FROM gate
+UNION ALL SELECT 'quality', 'gate_pass_rate', '', gate_pass_rate FROM gate
+UNION ALL SELECT 'quality', 'n_rows', '', CAST(n_rows AS VARCHAR) FROM prof
+UNION ALL SELECT 'quality', 'n_null', '', CAST(n_null AS VARCHAR) FROM prof
+UNION ALL SELECT 'quality', 'n_distinct', '',
+       CAST(n_distinct AS VARCHAR) FROM prof
+UNION ALL SELECT 'quality', 'min_val', '', min_val FROM prof
+UNION ALL SELECT 'quality', 'max_val', '', max_val FROM prof
+UNION ALL SELECT 'quality', 'mean', '', mean FROM prof
+UNION ALL SELECT 'quality', 'stddev', '', stddev FROM prof
+UNION ALL SELECT 'dedup', 'dup_groups', '',
+       CAST(dup_groups AS VARCHAR) FROM dup
+UNION ALL SELECT 'dedup', 'dup_docs_removable', '',
+       CAST(dup_docs_removable AS VARCHAR) FROM dup
+UNION ALL SELECT 'embeddings', 'n_vectors', '',
+       CAST(n_vectors AS VARCHAR) FROM emb
+UNION ALL SELECT 'embeddings', 'dim_min', '', CAST(dim_min AS VARCHAR) FROM emb
+UNION ALL SELECT 'embeddings', 'dim_max', '', CAST(dim_max AS VARCHAR) FROM emb
+UNION ALL SELECT 'embeddings', 'n_null', '', CAST(n_null AS VARCHAR) FROM emb"""
+
+    # bpe_merges: the standard unrolled-loop oracle applied to BPE —
+    # per round: pair counts over the evolving symbol arrays, the
+    # (count DESC, a, b) argmax, and the left-to-right non-overlapping
+    # merge (fold semantics: fired(i) = match(i) AND NOT fired(i-1) ⇔
+    # odd rank within each island of consecutive match positions)
+    def _bpe_oracle(k: int) -> str:
+        parts = [
+            f"""WITH wf AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split({norm}, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+), s0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_append(
+           list_transform(range(1, length(word)),
+                          i -> substr(word, CAST(i AS INTEGER), 1)),
+           substr(word, length(word), 1) || '▁') AS syms
+  FROM wf
+)"""
+        ]
+        for t in range(1, k + 1):
+            parts.append(
+                f""", p{t} AS (
+  SELECT p.a AS a, p.b AS b, SUM(freq) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+             i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p
+    FROM s{t - 1}
+  ) GROUP BY 1, 2
+), m{t} AS MATERIALIZED (
+  SELECT a, b FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1
+), mp{t} AS (
+  SELECT word, i,
+         ROW_NUMBER() OVER (
+           PARTITION BY word, i - r ORDER BY i) AS rn
+  FROM (
+    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS r
+    FROM (
+      SELECT s.word AS word,
+             unnest(list_filter(range(1, len(s.syms)),
+               i -> s.syms[i] = m.a AND s.syms[i + 1] = m.b)) AS i
+      FROM s{t - 1} s CROSS JOIN m{t} m
+    )
+  )
+), sel{t} AS (
+  SELECT word, list(i) AS sel FROM mp{t} WHERE rn % 2 = 1 GROUP BY 1
+), s{t} AS MATERIALIZED (
+  SELECT s.word, s.freq,
+    list_filter(
+      list_transform(range(1, len(s.syms) + 1), i ->
+        CASE WHEN list_contains(COALESCE(q.sel, []), i)
+               THEN s.syms[i] || s.syms[i + 1]
+             WHEN list_contains(COALESCE(q.sel, []), i - 1) THEN NULL
+             ELSE s.syms[i] END),
+      x -> x IS NOT NULL) AS syms
+  FROM s{t - 1} s LEFT JOIN sel{t} q USING (word)
+)"""
+            )
+        parts.append(
+            "\n"
+            + "\nUNION ALL\n".join(
+                f"SELECT CAST({t - 1} AS BIGINT) AS rank, a, b FROM m{t}"
+                for t in range(1, k + 1)
+            )
+        )
+        return "\n".join(parts)
+
+    bpe_merges_sql = _bpe_oracle(8)
+
     return {
         "lpa_communities": lpa_sql,
         "lpa_weighted": lpa_weighted_sql,
@@ -5862,6 +6253,10 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "asof_view_before_purchase": asof_sql,
         "views_before_purchase_1h": range_count_sql,
         "event_rollup": event_rollup_sql,
+        "url_curation": url_curation_sql,
+        "wet_ingest": wet_ingest_sql,
+        "data_card": data_card_sql,
+        "bpe_merges": bpe_merges_sql,
         "scc": scc_sql,
         "maximal_independent_set": mis_sql,
         "graph_coloring": coloring_sql,

@@ -510,6 +510,25 @@ def _run_pipeline(spark, sf_dir: str) -> tuple[dict, dict, dict]:
             d2, lm_df=d2.where(F.col("doc_id") % 2 == 0)
         ).count()
     )
+    # r9 addition (VERDICT r8 task 4): BPE train + encode in the
+    # record. train's "rows" counter is the merge count (its full
+    # value trajectory is the bpe_merges driver key); encode's counter
+    # is TOTAL TOKENS — a change in any merge decision or in the
+    # greedy application moves it.
+    from giraph_spark.functions.bpe import bpe_encode, train_bpe
+
+    bpe_state: dict = {}
+
+    def _train():
+        bpe_state["merges"] = train_bpe(d2, num_merges=40)
+        return len(bpe_state["merges"])
+
+    timings["train_bpe"], rows["train_bpe"] = run(_train)
+    timings["bpe_encode"], rows["bpe_encode"] = run(
+        lambda: bpe_encode(d2, bpe_state["merges"])
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
     inputs = {"docs": n_docs, "embeddings": n_embs}
     docs.unpersist()
     embs.unpersist()

@@ -25,8 +25,25 @@ _SCHEMA_HINT = "(section string, metric string, group string, value string)"
 def _tall(df: DataFrame, section: str, group_cols: list[str]) -> DataFrame:
     """Unpivot an aggregate relation into the card's tall form: every
     non-group column becomes one (metric, value) row tagged with the
-    stringified group key."""
+    stringified group key. Fractional (float/double) metrics render as
+    FIXED six-decimal strings ('0.120000', never Java's scientific
+    '1.0E-4'): a card is read by humans and diffed across engines —
+    the canonical form is what lets a plain ``printf('%.6f', …)``
+    reproduce every value (counts stay plain integer casts)."""
+    frac = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    }
     metrics = [c for c in df.columns if c not in group_cols]
+
+    def render(m: str) -> str:
+        if m in frac:
+            # format_number is fixed-decimal but groups thousands with
+            # commas; strip them to keep the value machine-parseable
+            return f"regexp_replace(format_number(`{m}`, 6), ',', '')"
+        return f"cast(`{m}` as string)"
+
     group = (
         F.concat_ws(
             "/", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in group_cols]
@@ -39,10 +56,7 @@ def _tall(df: DataFrame, section: str, group_cols: list[str]) -> DataFrame:
         F.lit(section).alias("section"),
         F.expr(
             "stack({}, {})".format(
-                n,
-                ", ".join(
-                    f"'{m}', cast(`{m}` as string)" for m in metrics
-                ),
+                n, ", ".join(f"'{m}', {render(m)}" for m in metrics)
             )
         ).alias("metric", "value"),
         group.alias("group"),

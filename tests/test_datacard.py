@@ -36,7 +36,8 @@ def test_data_card_closed_form(spark):
     assert m[("corpus", "n_docs", "web/en")] == "2"
     assert m[("corpus", "n_docs", "books/en")] == "1"
     assert m[("quality", "n_pass_gate", "")] == "3"
-    assert m[("quality", "gate_pass_rate", "")] == "0.75"
+    # fixed six-decimal canonical form (printf('%.6f')-replayable)
+    assert m[("quality", "gate_pass_rate", "")] == "0.750000"
     assert m[("dedup", "dup_groups", "")] == "1"
     assert m[("dedup", "dup_docs_removable", "")] == "1"
     # the token profile rides profile_columns: n_rows present
