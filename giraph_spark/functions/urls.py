@@ -227,3 +227,270 @@ def cap_per_host(
         .unionByName(with_dom.where(F.col("_dom").isNull()))
         .drop("_dom")
     )
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "body",
+    base_col: str = "url",
+) -> DataFrame:
+    """Crawl-frontier extraction: one row per ``href`` found in the
+    HTML column, resolved against the page's own URL — the operator
+    that turns a fetched page batch into the next fetch list (feed the
+    output straight into ``normalize_url``/``dedup_by_url``/
+    ``filter_robots_disallowed``). Expression-only: one
+    ``regexp_extract_all`` for quoted hrefs, one ``explode``, and a
+    resolution CASE (absolute kept, ``//host``-protocol-relative and
+    ``/path``-root-relative resolved from the base URL's parts,
+    other-scheme links like ``mailto:`` dropped).
+
+    Honest scope: relative paths (``a/b.html``) resolve against the
+    base DIRECTORY without RFC 3986 dot-segment normalization
+    (``../`` survives textually), and unquoted ``href=x`` attributes
+    are not extracted — both documented, neither blocks frontier
+    construction. Output keeps the base row's columns plus ``link``."""
+    hrefs = F.expr(
+        rf"""concat(
+            regexp_extract_all({html_col}, 'href\\s*=\\s*"([^"]*)"', 1),
+            regexp_extract_all({html_col}, "href\\s*=\\s*'([^']*)'", 1)
+        )"""
+    )
+    base = url_parts(F.col(base_col))
+    scheme = base.getField("scheme")
+    host = base.getField("host")
+    port = base.getField("port")
+    origin = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(
+            port.isNotNull(), F.concat(F.lit(":"), port.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    # base directory = path up to (and including) the last '/'
+    path = F.coalesce(base.getField("path"), F.lit("/"))
+    basedir = F.regexp_replace(path, r"[^/]*$", "")
+    raw = F.col("_raw_link")
+    link = (
+        F.when(raw.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), raw)
+        .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))
+        .when(raw.startswith("/"), F.concat(origin, raw))
+        .when(
+            raw.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None)
+        )  # other scheme (mailto:, javascript:) — not a fetchable page
+        .when(raw.startswith("#"), F.lit(None))  # same-page fragment
+        .when(raw != "", F.concat(origin, basedir, raw))
+    )
+    return (
+        df.select("*", F.explode(hrefs).alias("_raw_link"))
+        .select("*", link.alias("link"))
+        .where(F.col("link").isNotNull())
+        .drop("_raw_link")
+    )
+
+
+def parse_robots(
+    df: DataFrame, text_col: str = "text", host_col: str = "host"
+) -> DataFrame:
+    """robots.txt corpus → rules relation ``(host, agent, rule,
+    pattern, pattern_len)`` per RFC 9309's group grammar: a group is a
+    run of consecutive ``User-agent`` lines followed by its
+    ``Allow``/``Disallow`` lines (multiple agents share the group's
+    rules; a later ``User-agent`` run starts the next group). Comments
+    (``#``) and unknown directives (Crawl-delay, Sitemap, …) are
+    ignored; an empty ``Disallow:`` value — the classic allow-all
+    idiom — parses to no rule at all, exactly RFC behavior.
+
+    All relational: posexplode the lines, a running sum over a window
+    assigns group ids (a ``User-agent`` line whose predecessor is not
+    one starts a group), then agents×rules join within the group.
+    robots.txt files are small; the window partitions by host, so no
+    global sort exists anywhere."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
+            "idx", "line"
+        ),
+    ).select(
+        "host",
+        "idx",
+        # strip comments, then split 'Key: value' on the FIRST colon
+        F.trim(
+            F.regexp_replace(F.col("line"), r"#.*$", "")
+        ).alias("clean"),
+    ).select(
+        "host",
+        "idx",
+        F.lower(F.trim(F.substring_index(F.col("clean"), ":", 1))).alias(
+            "key"
+        ),
+        F.trim(
+            F.expr("substring(clean, instr(clean, ':') + 1)")
+        ).alias("val"),
+        F.col("clean").contains(":").alias("has_colon"),
+    ).where(F.col("has_colon"))
+    w = Window.partitionBy("host").orderBy("idx")
+    tagged = lines.select(
+        "host",
+        "idx",
+        "key",
+        "val",
+        (
+            (F.col("key") == "user-agent")
+            & (F.lag("key", 1, "").over(w) != "user-agent")
+        ).cast("long").alias("starts_group"),
+    ).select(
+        "host",
+        "idx",
+        "key",
+        "val",
+        F.sum("starts_group").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+    agents = (
+        tagged.where(F.col("key") == "user-agent")
+        .select("host", "grp", F.lower(F.col("val")).alias("agent"))
+        .distinct()
+    )
+    rules = tagged.where(
+        F.col("key").isin("allow", "disallow") & (F.col("val") != "")
+    ).select(
+        "host",
+        "grp",
+        F.col("key").alias("rule"),
+        F.col("val").alias("pattern"),
+        F.length("val").cast("long").alias("pattern_len"),
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "rule", "pattern", "pattern_len"
+    )
+
+
+def _robots_pattern_regex(pattern: Column) -> Column:
+    """RFC 9309 path pattern → anchored Java regex: every regex
+    metacharacter except ``*`` escaped, ``*`` → ``.*``, and a TRAILING
+    ``$`` (escaped by the first step) restored as the end anchor. The
+    result always prefix-anchors with ``^`` — robots patterns match
+    from the first path byte."""
+    esc = F.regexp_replace(pattern, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    anchored = F.when(
+        pattern.endswith("$"),
+        F.concat(F.substring(wild, 1, F.length(wild) - 2), F.lit("$")),
+    ).otherwise(wild)
+    return F.concat(F.lit("^"), anchored)
+
+
+def robots_verdict(
+    df: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply a parsed robots rules relation (:func:`parse_robots`) to
+    a URL frame: adds ``robots_allowed`` per RFC 9309 precedence —
+    the group matching ``agent`` exactly governs if the host has one,
+    else the ``*`` group; among matching rules the LONGEST pattern
+    wins and a length tie goes to ``allow``; no matching rule (or no
+    robots.txt for the host) means allowed. Rows with no parseable
+    host are allowed (nothing to look up — the quality gates judge
+    them).
+
+    Shape: the rules relation is crawl-scale-small next to the URL
+    corpus, so it broadcasts (left join — a URL never disappears, it
+    only gains a verdict); matching is per joined pair — the
+    wildcard-free common case is a ``startswith`` (pure prefix
+    compare), wildcard/anchor patterns pay a per-pair regex. The
+    verdict is one max(struct) partial aggregation, no window over
+    the corpus. Note the aggregation groups by ALL of ``df``'s
+    columns, so rows identical in every column collapse to one (set
+    semantics — URL frames are deduped upstream in this pipeline)."""
+    from pyspark.sql.window import Window
+
+    a = agent.lower()
+    strip_www = lambda h: F.when(  # noqa: E731 — tiny local shaping
+        h.startswith("www."), F.substr(h, F.lit(5), F.length(h))
+    ).otherwise(h)
+    named = robots.select(
+        strip_www(F.lower(F.col("host"))).alias("_rhost"),
+        F.lower(F.col("agent")).alias("agent"),
+        "rule",
+        "pattern",
+        "pattern_len",
+    ).where(F.col("agent").isin(a, "*"))
+    has_exact = F.max((F.col("agent") == a).cast("int")).over(
+        Window.partitionBy("_rhost")
+    )
+    applicable = (
+        named.select("*", has_exact.alias("_has_exact"))
+        .where(
+            ((F.col("_has_exact") == 1) & (F.col("agent") == a))
+            | ((F.col("_has_exact") == 0) & (F.col("agent") == "*"))
+        )
+        .select(
+            "_rhost",
+            "rule",
+            "pattern",
+            "pattern_len",
+            _robots_pattern_regex(F.col("pattern")).alias("_re"),
+            (~F.col("pattern").rlike(r"[*$]")).alias("_plain"),
+        )
+    )
+    p = url_parts(F.col(url_col))
+    pathq = F.concat(
+        F.coalesce(p.getField("path"), F.lit("/")),
+        F.when(
+            p.getField("query").isNotNull(),
+            F.concat(F.lit("?"), p.getField("query")),
+        ).otherwise(F.lit("")),
+    )
+    base = df.select(
+        "*", url_host(F.col(url_col)).alias("_uhost"), pathq.alias("_pathq")
+    )
+    joined = base.join(
+        F.broadcast(applicable),
+        F.col("_uhost") == F.col("_rhost"),
+        "left",
+    )
+    rule_matches = F.when(
+        F.col("_plain"), F.col("_pathq").startswith(F.col("pattern"))
+    ).otherwise(F.expr("_pathq RLIKE _re"))
+    # longest pattern wins, allow wins a length tie — one max(struct);
+    # NULL (no robots for the host / no rule matched) means allowed
+    verdict = F.max(
+        F.when(
+            F.col("_rhost").isNotNull() & rule_matches,
+            F.struct(
+                F.col("pattern_len").alias("l"),
+                (F.col("rule") == "allow").cast("int").alias("a"),
+            ),
+        )
+    )
+    keys = list(df.columns)
+    return (
+        joined.groupBy(*keys)
+        .agg(verdict.alias("_best"))
+        .select(
+            *keys,
+            F.coalesce(F.col("_best.a") == 1, F.lit(True)).alias(
+                "robots_allowed"
+            ),
+        )
+    )
+
+
+def filter_robots_disallowed(
+    df: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep only the URLs :func:`robots_verdict` allows for ``agent``
+    — the polite-crawler gate between frontier extraction and
+    fetching."""
+    return robots_verdict(df, robots, agent, url_col).where(
+        F.col("robots_allowed")
+    ).drop("robots_allowed")

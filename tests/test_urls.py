@@ -161,3 +161,194 @@ def test_url_parts_ipv6_and_ref_preserved(spark):
         by["https://host.org/f?ref=main"]["n"]
         != by["https://host.org/f?ref=dev"]["n"]
     )
+
+
+# ---- r9: crawl frontier (links) + politeness (robots.txt) ----
+
+ROBOTS_FIXTURE = """# fixture per RFC 9309
+User-agent: googlebot
+Disallow: /private/
+Allow: /private/ok.html
+
+User-agent: mybot
+User-agent: otherbot
+Disallow: /tmp/*
+Disallow: /exact.html$
+Allow: /tmp/keep/
+Crawl-delay: 10
+
+User-agent: *
+Disallow: /
+Allow: /public
+"""
+
+
+def _rules(spark):
+    from giraph_spark.functions.urls import parse_robots
+
+    rb = spark.createDataFrame(
+        [
+            ("example.com", ROBOTS_FIXTURE),
+            ("empty.org", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, text string",
+    )
+    return parse_robots(rb)
+
+
+def test_parse_robots_group_grammar(spark):
+    """RFC 9309 grouping: consecutive User-agent lines share the
+    group's rules, comments and unknown directives (Crawl-delay) are
+    ignored, and the empty-Disallow allow-all idiom yields no rule."""
+    rules = _rules(spark).collect()
+    by_agent = {}
+    for r in rules:
+        by_agent.setdefault((r["host"], r["agent"]), set()).add(
+            (r["rule"], r["pattern"], r["pattern_len"])
+        )
+    mybot = by_agent[("example.com", "mybot")]
+    assert mybot == by_agent[("example.com", "otherbot")]  # shared group
+    assert mybot == {
+        ("disallow", "/tmp/*", 6),
+        ("disallow", "/exact.html$", 12),
+        ("allow", "/tmp/keep/", 10),
+    }
+    assert by_agent[("example.com", "*")] == {
+        ("disallow", "/", 1),
+        ("allow", "/public", 7),
+    }
+    assert ("empty.org", "*") not in by_agent  # empty Disallow: no rule
+
+
+def test_robots_verdict_precedence(spark):
+    """Longest pattern wins, allow wins a length tie class, the exact
+    agent group overrides '*', '$' anchors, no-robots and unparseable
+    hosts are allowed."""
+    from giraph_spark.functions.urls import (
+        filter_robots_disallowed,
+        robots_verdict,
+    )
+
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://example.com/tmp/x.html"),
+            (2, "https://example.com/tmp/keep/y"),
+            (3, "https://www.example.com/exact.html"),
+            (4, "https://example.com/exact.html?q=1"),
+            (5, "https://example.com/private/ok.html"),
+            (6, "https://unknown.net/anything"),
+            (7, "https://empty.org/whatever"),
+            (8, "not a url 8"),
+            (9, "https://example.com/"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in robots_verdict(urls, rules, agent="MyBot").collect()
+    }
+    assert got == {
+        1: False,  # Disallow /tmp/*
+        2: True,   # Allow /tmp/keep/ (10) beats /tmp/* (6)
+        3: False,  # $-anchored exact match (www stripped)
+        4: True,   # $ anchor does not match with a query string
+        5: True,   # googlebot's group does not govern mybot
+        6: True,   # no robots.txt for the host
+        7: True,   # allow-all idiom
+        8: True,   # unparseable: nothing to look up
+        9: True,   # no mybot rule matches '/'
+    }
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_robots_disallowed(urls, rules, "mybot").collect()
+    )
+    assert kept == [2, 4, 5, 6, 7, 8, 9]
+    # a bot with no specific group falls to '*': Disallow / governs,
+    # Allow /public (7) beats Disallow / (1)
+    star = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in robots_verdict(urls, rules, agent="strangerbot").collect()
+    }
+    assert star[1] is False and star[9] is False and star[6] is True
+    pub = robots_verdict(
+        spark.createDataFrame(
+            [(10, "https://example.com/public/x")], "doc_id long, url string"
+        ),
+        rules,
+        "strangerbot",
+    ).first()
+    assert pub["robots_allowed"] is True
+
+
+def test_extract_links_resolution(spark):
+    """href extraction + resolution: absolute kept, protocol-relative
+    and root-relative resolved from the base, directory-relative joins
+    the base dir, mailto/javascript/fragment dropped, both quote
+    styles, non-default port preserved in the origin."""
+    from giraph_spark.functions.urls import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://ex.com:8080/a/b/page.html",
+                '<a href="https://other.com/abs">x</a>'
+                " <a href='//cdn.ex.com/js'>y</a>"
+                ' <a href="/root.html">z</a>'
+                ' <a href="rel/f.html">r</a>'
+                ' <a href="mailto:a@b.c">m</a>'
+                ' <a href="javascript:void(0)">j</a>'
+                ' <a href="#frag">f</a>',
+            ),
+            ("https://no-links.org/", "<p>nothing here</p>"),
+        ],
+        "url string, body string",
+    )
+    out = extract_links(pages).collect()
+    assert sorted(r["link"] for r in out) == [
+        "https://cdn.ex.com/js",
+        "https://ex.com:8080/a/b/rel/f.html",
+        "https://ex.com:8080/root.html",
+        "https://other.com/abs",
+    ]
+    # base columns ride through; the no-link page contributes no rows
+    assert all(r["url"] == "https://ex.com:8080/a/b/page.html" for r in out)
+
+
+def test_extract_links_feeds_curation(spark):
+    """The frontier composition: extract → normalize/dedup → robots
+    gate, all expression-tier — the crawl loop's inner relation."""
+    from giraph_spark.functions.urls import (
+        dedup_by_url,
+        extract_links,
+        filter_robots_disallowed,
+        parse_robots,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://example.com/dir/",
+                '<a href="/tmp/x">a</a> <a href="/ok?utm_source=t&k=1">b</a>'
+                ' <a href="/ok?k=1">c</a>',
+            )
+        ],
+        "url string, body string",
+    )
+    frontier = extract_links(pages).select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("link").alias("url"),
+    )
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("example.com", "User-agent: *\nDisallow: /tmp/\n")],
+            "host string, text string",
+        )
+    )
+    out = dedup_by_url(
+        filter_robots_disallowed(frontier, rules, agent="anybot")
+    ).collect()
+    # /tmp/x blocked; the two /ok variants normalize together → one row
+    assert len(out) == 1 and out[0]["url"].startswith(
+        "https://example.com/ok"
+    )
