@@ -2310,7 +2310,11 @@ def _q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     text's length and its gate verdict — must survive the full
     serialize/parse/decode path byte-exactly for the DuckDB oracle
     (which never sees a WARC byte) to agree. The write materializes at
-    call time; each call uses a fresh temp dir (sources/warc.py)."""
+    call time into ONE deterministic per-process-per-sf temp dir with
+    ``mode="overwrite"`` — repeated sweep invocations replace the same
+    4 shards instead of accumulating a corpus copy per run."""
+    import hashlib
+    import os
     import tempfile
 
     from giraph_spark.functions.text import quality_filter
@@ -2324,8 +2328,13 @@ def _q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
         "text",
     ).where(F.col("text").isNotNull())
-    out = tempfile.mkdtemp(prefix="giraph_spark_wet_ingest_")
-    write_warc(d, out, shards=4).collect()  # execute the sink
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "giraph_spark_wet_ingest_{}_{}".format(
+            os.getpid(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ),
+    )
+    write_warc(d, out, shards=4, mode="overwrite").collect()
     docs = wet_documents(read_warc(spark, out))
     qf = quality_filter(docs, text_col="text", id_col="doc_id")
     return (

@@ -84,13 +84,19 @@ def url_parts(col: Column) -> Column:
     )
 
 
-def url_host(col: Column) -> Column:
-    """Lowercased host with any port and a leading ``www.`` stripped —
-    the grouping key for per-site statistics and caps."""
-    h = url_parts(col).getField("host")
+def _strip_www(h: Column) -> Column:
+    """Drop one leading ``www.`` label from an already-lowercased host
+    — THE shared www rule (url_host, normalize_url, robots_verdict all
+    key on it; one definition so they can never diverge)."""
     return F.when(
         h.startswith("www."), F.substr(h, F.lit(5), F.length(h))
     ).otherwise(h)
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host with any port and a leading ``www.`` stripped —
+    the grouping key for per-site statistics and caps."""
+    return _strip_www(url_parts(col).getField("host"))
 
 
 def registered_domain(col: Column, levels: int = 2) -> Column:
@@ -111,9 +117,7 @@ def normalize_url(col: Column) -> Column:
     together."""
     p = url_parts(col)
     scheme, host = p.getField("scheme"), p.getField("host")
-    host = F.when(
-        host.startswith("www."), F.substr(host, F.lit(5), F.length(host))
-    ).otherwise(host)
+    host = _strip_www(host)
     port = p.getField("port")
     default = ((scheme == "http") & (port == 80)) | (
         (scheme == "https") & (port == 443)
@@ -248,11 +252,14 @@ def extract_links(
     base DIRECTORY without RFC 3986 dot-segment normalization
     (``../`` survives textually), and unquoted ``href=x`` attributes
     are not extracted — both documented, neither blocks frontier
-    construction. Output keeps the base row's columns plus ``link``."""
+    construction. Output keeps the base row's columns plus ``link``.
+    Attribute names match case-insensitively (legacy ``HREF=`` markup)
+    and values are whitespace-trimmed per the HTML spec before
+    resolution (a newline-wrapped href must not glue onto the base)."""
     hrefs = F.expr(
         rf"""concat(
-            regexp_extract_all({html_col}, 'href\\s*=\\s*"([^"]*)"', 1),
-            regexp_extract_all({html_col}, "href\\s*=\\s*'([^']*)'", 1)
+            regexp_extract_all({html_col}, '(?i)href\\s*=\\s*"([^"]*)"', 1),
+            regexp_extract_all({html_col}, "(?i)href\\s*=\\s*'([^']*)'", 1)
         )"""
     )
     base = url_parts(F.col(base_col))
@@ -270,7 +277,7 @@ def extract_links(
     # base directory = path up to (and including) the last '/'
     path = F.coalesce(base.getField("path"), F.lit("/"))
     basedir = F.regexp_replace(path, r"[^/]*$", "")
-    raw = F.col("_raw_link")
+    raw = F.regexp_replace(F.col("_raw_link"), r"^\s+|\s+$", "")
     link = (
         F.when(raw.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), raw)
         .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))
@@ -279,6 +286,8 @@ def extract_links(
             raw.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None)
         )  # other scheme (mailto:, javascript:) — not a fetchable page
         .when(raw.startswith("#"), F.lit(None))  # same-page fragment
+        # query-only ref: RFC 3986 §5.3 keeps the FULL base path
+        .when(raw.startswith("?"), F.concat(origin, path, raw))
         .when(raw != "", F.concat(origin, basedir, raw))
     )
     return (
@@ -298,21 +307,31 @@ def parse_robots(
     ``Allow``/``Disallow`` lines (multiple agents share the group's
     rules; a later ``User-agent`` run starts the next group). Comments
     (``#``) and unknown directives (Crawl-delay, Sitemap, …) are
-    ignored; an empty ``Disallow:`` value — the classic allow-all
-    idiom — parses to no rule at all, exactly RFC behavior.
+    ignored, and a leading UTF-8 BOM is stripped (BOM-prefixed
+    robots.txt is common in the wild and would otherwise corrupt the
+    FIRST ``User-agent`` key, silently dropping the whole first
+    group's rules). An empty ``Disallow:`` value — the classic
+    allow-all idiom — contributes no rule, but the GROUP still emits
+    one all-NULL-rule row per agent: "this agent was addressed, with
+    zero restrictions" must survive into :func:`robots_verdict`'s
+    group selection, or an explicit exemption would fall back to the
+    ``*`` group and invert into a denial.
 
     All relational: posexplode the lines, a running sum over a window
     assigns group ids (a ``User-agent`` line whose predecessor is not
-    one starts a group), then agents×rules join within the group.
+    one starts a group), then agents⟕rules within the group.
     robots.txt files are small; the window partitions by host, so no
     global sort exists anywhere."""
     from pyspark.sql.window import Window
 
     lines = df.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
-            "idx", "line"
-        ),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.col(text_col), "^\ufeff", ""),
+                r"\r?\n",
+            )
+        ).alias("idx", "line"),
     ).select(
         "host",
         "idx",
@@ -364,7 +383,9 @@ def parse_robots(
         F.col("val").alias("pattern"),
         F.length("val").cast("long").alias("pattern_len"),
     )
-    return agents.join(rules, ["host", "grp"]).select(
+    # LEFT join: a group with zero rules (empty-Disallow exemption)
+    # still emits its agents, with NULL rule/pattern
+    return agents.join(rules, ["host", "grp"], "left").select(
         "host", "agent", "rule", "pattern", "pattern_len"
     )
 
@@ -411,32 +432,32 @@ def robots_verdict(
     from pyspark.sql.window import Window
 
     a = agent.lower()
-    strip_www = lambda h: F.when(  # noqa: E731 — tiny local shaping
-        h.startswith("www."), F.substr(h, F.lit(5), F.length(h))
-    ).otherwise(h)
     named = robots.select(
-        strip_www(F.lower(F.col("host"))).alias("_rhost"),
-        F.lower(F.col("agent")).alias("agent"),
-        "rule",
-        "pattern",
-        "pattern_len",
-    ).where(F.col("agent").isin(a, "*"))
-    has_exact = F.max((F.col("agent") == a).cast("int")).over(
+        _strip_www(F.lower(F.col("host"))).alias("_rhost"),
+        F.lower(F.col("agent")).alias("_ragent"),
+        F.col("rule").alias("_rrule"),
+        F.col("pattern").alias("_rpattern"),
+        F.col("pattern_len").alias("_rplen"),
+    ).where(F.col("_ragent").isin(a, "*"))
+    has_exact = F.max((F.col("_ragent") == a).cast("int")).over(
         Window.partitionBy("_rhost")
     )
+    # NULL-rule rows (a group whose only directive was the allow-all
+    # empty Disallow) participate in group SELECTION — their presence
+    # is what makes the exact-agent group govern — but never match
     applicable = (
         named.select("*", has_exact.alias("_has_exact"))
         .where(
-            ((F.col("_has_exact") == 1) & (F.col("agent") == a))
-            | ((F.col("_has_exact") == 0) & (F.col("agent") == "*"))
+            ((F.col("_has_exact") == 1) & (F.col("_ragent") == a))
+            | ((F.col("_has_exact") == 0) & (F.col("_ragent") == "*"))
         )
         .select(
             "_rhost",
-            "rule",
-            "pattern",
-            "pattern_len",
-            _robots_pattern_regex(F.col("pattern")).alias("_re"),
-            (~F.col("pattern").rlike(r"[*$]")).alias("_plain"),
+            "_rrule",
+            "_rpattern",
+            "_rplen",
+            _robots_pattern_regex(F.col("_rpattern")).alias("_re"),
+            (~F.col("_rpattern").rlike(r"[*$]")).alias("_plain"),
         )
     )
     p = url_parts(F.col(url_col))
@@ -456,16 +477,17 @@ def robots_verdict(
         "left",
     )
     rule_matches = F.when(
-        F.col("_plain"), F.col("_pathq").startswith(F.col("pattern"))
+        F.col("_plain"), F.col("_pathq").startswith(F.col("_rpattern"))
     ).otherwise(F.expr("_pathq RLIKE _re"))
     # longest pattern wins, allow wins a length tie — one max(struct);
-    # NULL (no robots for the host / no rule matched) means allowed
+    # NULL (no robots for the host / no rule matched / a rule-less
+    # exemption group) means allowed
     verdict = F.max(
         F.when(
-            F.col("_rhost").isNotNull() & rule_matches,
+            F.col("_rpattern").isNotNull() & rule_matches,
             F.struct(
-                F.col("pattern_len").alias("l"),
-                (F.col("rule") == "allow").cast("int").alias("a"),
+                F.col("_rplen").alias("l"),
+                (F.col("_rrule") == "allow").cast("int").alias("a"),
             ),
         )
     )

@@ -217,14 +217,16 @@ def read_warc(
     modification time — landing time for crawl shards, the event-time
     axis the streaming dispositions watermark on).
 
-    Arrow input bound: one input partition's rows share a single
-    2 GiB (int32-offset) Arrow binary buffer on the way into Python.
-    binaryFile packs whole files into partitions up to
-    ``spark.sql.files.maxPartitionBytes`` (128 MiB default — safe);
-    if the session raised it past 1 GiB, this reader spreads to one
-    file per partition (the only case it pays a shuffle of the raw
-    bytes). A SINGLE member over 2 GiB is one Arrow row and cannot be
-    split — that needs ``spark.sql.execution.arrow.useLargeVarTypes``."""
+    Arrow input bound: one Arrow batch's binary column shares a 2 GiB
+    (int32-offset) buffer on the way into Python, but Spark 4 cuts
+    input batches by BYTES (``spark.sql.execution.arrow.
+    maxBytesPerBatch``, 64 MiB default — measured here: a 160 MB
+    4-file partition arrives as 2-row batches), so a batch is bounded
+    by that cap plus ONE row no matter how many files a partition
+    packs — no repartition/shuffle guard is needed or used. The
+    remaining limit is a SINGLE member near 2 GiB (one Arrow row,
+    unsplittable): that needs
+    ``spark.sql.execution.arrow.useLargeVarTypes``."""
     reader = spark.read.format("binaryFile")
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
@@ -232,47 +234,10 @@ def read_warc(
         ["modificationTime"] if keep_mtime else []
     )
     files = reader.load(path).select(*cols)
-    files = _bound_arrow_input(spark, files)
     schema = WARC_SCHEMA + (", shard_ts timestamp" if keep_mtime else "")
     return files.mapInPandas(
         _records_map(max_record_bytes, keep_mtime), schema=schema
     )
-
-
-def _parse_byte_conf(v: str) -> int:
-    """Spark byte-string conf → bytes (the JavaUtils.byteStringAs
-    grammar subset Spark itself writes: optional b/k/m/g/t suffix,
-    case-insensitive, unitless means BYTES for maxPartitionBytes)."""
-    s = v.strip().lower()
-    mult = 1
-    for suf, m in (
-        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
-        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
-        ("b", 1),
-    ):
-        if s.endswith(suf):
-            s, mult = s[: -len(suf)], m
-            break
-    return int(s.strip()) * mult
-
-
-def _bound_arrow_input(spark: SparkSession, files: DataFrame) -> DataFrame:
-    """See :func:`read_warc`'s Arrow-input-bound note: when the session
-    packs file partitions past 1 GiB, spread the file frame to one file
-    per round-robin partition so no Arrow input batch can overflow its
-    int32 binary-offset space. The file count comes from a pruned
-    path-only scan (binaryFile only reads content when the projected
-    schema asks for it), so the guard costs a listing, not a read."""
-    try:
-        mpb = _parse_byte_conf(
-            spark.conf.get("spark.sql.files.maxPartitionBytes")
-        )
-    except Exception:
-        return files
-    if mpb <= (1 << 30):
-        return files
-    n = files.select("path").count()
-    return files.repartition(max(n, 1))
 
 
 def read_warc_stream(
@@ -299,10 +264,8 @@ def read_warc_stream(
     ``max_files_per_trigger`` bounds each micro-batch (the streaming
     analog of input-split sizing — pick it so one batch's files fit
     the cluster's aggregate Arrow memory). The batch reader's
-    one-file-per-partition Arrow guard cannot count files in a stream;
-    with GB-scale shards keep ``spark.sql.files.maxPartitionBytes`` at
-    its ≤1 GiB default so no packed partition can overflow an Arrow
-    input batch's 2 GiB binary-offset space."""
+    Arrow-input-bound note applies unchanged: byte-capped input
+    batches, single members near 2 GiB need ``useLargeVarTypes``."""
     # streaming file sources demand an explicit schema; binaryFile's
     # is fixed by the format
     reader = spark.readStream.format("binaryFile").schema(
@@ -671,10 +634,13 @@ def write_warc(
             for name in stale:
                 os.remove(os.path.join(out_dir, name))
         elif mode == "append":
+            # \d+ not \d{5}: the writer's own %05d names grow to six
+            # digits past partition 99999, and missing one would make
+            # the next append restart below the real maximum
             idx = [
                 int(m.group(1))
                 for m in (
-                    re.match(r"part-(\d{5})\.", name) for name in stale
+                    re.match(r"part-(\d+)\.", name) for name in stale
                 )
                 if m
             ]

@@ -217,7 +217,9 @@ def test_parse_robots_group_grammar(spark):
         ("disallow", "/", 1),
         ("allow", "/public", 7),
     }
-    assert ("empty.org", "*") not in by_agent  # empty Disallow: no rule
+    # empty Disallow: the GROUP survives (one NULL-rule row — group
+    # selection needs it), but contributes no matchable rule
+    assert by_agent[("empty.org", "*")] == {(None, None, None)}
 
 
 def test_robots_verdict_precedence(spark):
@@ -352,3 +354,94 @@ def test_extract_links_feeds_curation(spark):
     assert len(out) == 1 and out[0]["url"].startswith(
         "https://example.com/ok"
     )
+
+
+def test_robots_exemption_group_not_erased(spark):
+    """The 'exempt this bot' idiom: an agent-specific group whose only
+    directive is the allow-all empty Disallow must still GOVERN that
+    agent — falling back to a '*' Disallow:/ would invert an explicit
+    exemption into a total ban."""
+    from giraph_spark.functions.urls import parse_robots, robots_verdict
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [
+                (
+                    "site.example",
+                    "User-agent: mybot\nDisallow:\n\n"
+                    "User-agent: *\nDisallow: /\n",
+                )
+            ],
+            "host string, text string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://site.example/anything")], "doc_id long, url string"
+    )
+    mine = robots_verdict(urls, rules, "mybot").first()
+    other = robots_verdict(urls, rules, "someone").first()
+    assert mine["robots_allowed"] is True
+    assert other["robots_allowed"] is False
+
+
+def test_parse_robots_strips_utf8_bom(spark):
+    """A BOM-prefixed robots.txt (common in the wild) must not corrupt
+    the first User-agent key and silently drop the first group."""
+    from giraph_spark.functions.urls import parse_robots, robots_verdict
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("b.example", "﻿User-agent: *\nDisallow: /private/\n")],
+            "host string, text string",
+        )
+    )
+    assert rules.count() == 1
+    got = robots_verdict(
+        spark.createDataFrame(
+            [(1, "https://b.example/private/x"), (2, "https://b.example/ok")],
+            "doc_id long, url string",
+        ),
+        rules,
+        "anybot",
+    ).collect()
+    verdicts = {r["doc_id"]: r["robots_allowed"] for r in got}
+    assert verdicts == {1: False, 2: True}
+
+
+def test_robots_verdict_survives_column_collisions(spark):
+    """A URL frame that already carries 'pattern'/'agent'/'rule'
+    columns must not collide with the broadcast rules side."""
+    from giraph_spark.functions.urls import robots_verdict
+
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [(1, "https://example.com/tmp/x", "p", "a", "r")],
+        "doc_id long, url string, pattern string, agent string, rule string",
+    )
+    out = robots_verdict(urls, rules, "mybot").collect()
+    assert len(out) == 1 and out[0]["robots_allowed"] is False
+    assert out[0]["pattern"] == "p"  # caller's column untouched
+
+
+def test_extract_links_edge_shapes(spark):
+    """Legacy uppercase HREF=, whitespace-wrapped values (HTML spec
+    strips them), and query-only references resolving against the FULL
+    base path per RFC 3986 §5.3."""
+    from giraph_spark.functions.urls import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://h.example/a/list.html",
+                '<A HREF="/upper.html">u</A>'
+                ' <a href="\n  /about\n">w</a>'
+                ' <a href="?page=2">q</a>',
+            )
+        ],
+        "url string, body string",
+    )
+    assert sorted(r["link"] for r in extract_links(pages).collect()) == [
+        "https://h.example/a/list.html?page=2",
+        "https://h.example/about",
+        "https://h.example/upper.html",
+    ]

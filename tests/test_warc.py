@@ -571,31 +571,62 @@ def test_write_warc_mode_semantics(spark, tmp_path):
         write_warc(docs, out, mode="clobber")
 
 
-def test_parse_byte_conf_and_arrow_bound(spark, tmp_path):
-    """The Arrow-input guard: byte-string confs parse per Spark's
-    grammar, the default 128m packing stays shuffle-free, and a >1 GiB
-    maxPartitionBytes session spreads to one file per partition."""
-    from giraph_spark.sources.warc import _parse_byte_conf
-
-    assert _parse_byte_conf("128m") == 128 << 20
-    assert _parse_byte_conf("134217728") == 134217728
-    assert _parse_byte_conf("2g") == 2 << 30
-    assert _parse_byte_conf("1GB") == 1 << 30
-    assert _parse_byte_conf(" 4k ") == 4 << 10
-    assert _parse_byte_conf("512b") == 512
+def test_read_warc_shuffle_free_and_byte_capped_input(spark, tmp_path):
+    """The reader must stay shuffle-free (no repartition guard — Spark 4
+    cuts Arrow INPUT batches by bytes, so packed multi-file partitions
+    cannot overflow the 2 GiB int32 offset space), and the byte cap is
+    demonstrably in effect: a one-partition multi-file frame reaches the
+    Python worker as multiple batches once rows exceed the cap."""
+    import pandas as pd
+    from pyspark.sql import functions as F
 
     for i in range(3):
         (tmp_path / f"f{i}.wet.gz").write_bytes(make_warc(_sample_records()))
-    conf = "spark.sql.files.maxPartitionBytes"
-    old = spark.conf.get(conf)
-    try:
-        spark.conf.set(conf, "4g")
-        big = read_warc(spark, str(tmp_path))
-        # one file per partition → 3 partitions feed the record walk
-        assert big.rdd.getNumPartitions() == 3
-        assert big.count() == 3 * len(_sample_records())
-    finally:
-        spark.conf.set(conf, old)
-    # default conf: no repartition node in the plan (shuffle-free read)
     plan = read_warc(spark, str(tmp_path))._jdf.queryExecution().toString()
     assert "RoundRobinPartitioning" not in plan
+    assert "Exchange" not in plan
+
+    # byte-capped input batching (the property the reader's Arrow note
+    # relies on): 4 x 2MB rows in ONE partition with a 4MB cap arrive
+    # in >1 batch, never one 8MB batch
+    conf = "spark.sql.execution.arrow.maxBytesPerBatch"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, str(4 << 20) + "b")
+        df = (
+            spark.range(4)
+            .select(F.expr("cast(repeat('x', 2097152) as binary)").alias("b"))
+            .coalesce(1)
+        )
+
+        def probe(batches):
+            for pdf in batches:
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        counts = sorted(
+            r["n"] for r in df.mapInPandas(probe, "n long").collect()
+        )
+        assert sum(counts) == 4 and len(counts) > 1, counts
+    finally:
+        spark.conf.set(conf, old)
+
+
+def test_write_warc_append_six_digit_shards(spark, tmp_path):
+    """Append numbering must parse EXISTING six-digit shard names
+    (f'part-{pid:05d}' grows past five digits at pid 100000) — a
+    5-digit-only parse would restart below the maximum and overwrite."""
+    import gzip
+    import os
+
+    out = tmp_path / "s"
+    out.mkdir()
+    # a prior run left a six-digit shard (simulated; content irrelevant
+    # to numbering, but make it a real one-record member so reads work)
+    (out / "part-100000.wet.gz").write_bytes(make_warc(_sample_records()[2:]))
+    docs = spark.createDataFrame(
+        [(1, "http://e.x/1", "alpha beta gamma")],
+        "doc_id long, url string, text string",
+    )
+    write_warc(docs, str(out), shards=1, mode="append").collect()
+    names = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert names == ["part-100000.wet.gz", "part-100001.wet.gz"]
