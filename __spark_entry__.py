@@ -2310,9 +2310,11 @@ def _q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     text's length and its gate verdict — must survive the full
     serialize/parse/decode path byte-exactly for the DuckDB oracle
     (which never sees a WARC byte) to agree. The write materializes at
-    call time into ONE deterministic per-process-per-sf temp dir with
-    ``mode="overwrite"`` — repeated sweep invocations replace the same
-    4 shards instead of accumulating a corpus copy per run."""
+    call time into ONE deterministic per-sf temp dir with
+    ``mode="overwrite"`` — repeated invocations, across processes and
+    rounds, replace the same 4 shards instead of accumulating corpus
+    copies in /tmp (the shards are deterministic, so a concurrent
+    sweep overwrites them with identical bytes)."""
     import hashlib
     import os
     import tempfile
@@ -2330,9 +2332,8 @@ def _q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("text").isNotNull())
     out = os.path.join(
         tempfile.gettempdir(),
-        "giraph_spark_wet_ingest_{}_{}".format(
-            os.getpid(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        ),
+        "giraph_spark_wet_ingest_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
     write_warc(d, out, shards=4, mode="overwrite").collect()
     docs = wet_documents(read_warc(spark, out))

@@ -265,6 +265,12 @@ def extract_links(
     base = url_parts(F.col(base_col))
     scheme = base.getField("scheme")
     host = base.getField("host")
+    # IPv6 literals must RE-BRACKET into the origin (normalize_url's
+    # rule): without brackets 'http://2001:db8::1:8080/x' re-parses to
+    # a NULL host and the resolved link is frontier garbage
+    host = F.when(
+        host.contains(":"), F.concat(F.lit("["), host, F.lit("]"))
+    ).otherwise(host)
     port = base.getField("port")
     origin = F.concat(
         scheme,
@@ -321,9 +327,16 @@ def parse_robots(
     assigns group ids (a ``User-agent`` line whose predecessor is not
     one starts a group), then agents⟕rules within the group.
     robots.txt files are small; the window partitions by host, so no
-    global sort exists anywhere."""
+    global sort exists anywhere. The input is first reduced to ONE
+    text per host (deterministic ``min``): two rows for the same host
+    would collide their line indexes inside one window partition and
+    nondeterministically interleave the files' lines — a caller with
+    fetch timestamps should pre-select the fetch they want."""
     from pyspark.sql.window import Window
 
+    df = df.groupBy(F.col(host_col)).agg(
+        F.min(F.col(text_col)).alias(text_col)
+    )
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(
@@ -420,15 +433,15 @@ def robots_verdict(
     host are allowed (nothing to look up — the quality gates judge
     them).
 
-    Shape: the rules relation is crawl-scale-small next to the URL
-    corpus, so it broadcasts (left join — a URL never disappears, it
-    only gains a verdict); matching is per joined pair — the
-    wildcard-free common case is a ``startswith`` (pure prefix
-    compare), wildcard/anchor patterns pay a per-pair regex. The
-    verdict is one max(struct) partial aggregation, no window over
-    the corpus. Note the aggregation groups by ALL of ``df``'s
-    columns, so rows identical in every column collapse to one (set
-    semantics — URL frames are deduped upstream in this pipeline)."""
+    Shape: the verdict is computed on the DISTINCT ``(host, path)``
+    pairs only — the rules relation broadcasts onto that slim key
+    relation (the wildcard-free common case is a ``startswith``
+    prefix compare, wildcard/anchor patterns pay a per-pair regex),
+    one max(struct) partial aggregation resolves precedence, and the
+    result joins back to ``df`` by the same two short keys. The
+    original frame's columns are never shuffle keys and never
+    aggregated — wide body columns and map-typed columns ride
+    through untouched, and duplicate rows stay duplicate rows."""
     from pyspark.sql.window import Window
 
     a = agent.lower()
@@ -471,7 +484,10 @@ def robots_verdict(
     base = df.select(
         "*", url_host(F.col(url_col)).alias("_uhost"), pathq.alias("_pathq")
     )
-    joined = base.join(
+    pairs = base.select("_uhost", "_pathq").where(
+        F.col("_uhost").isNotNull()
+    ).distinct()
+    joined = pairs.join(
         F.broadcast(applicable),
         F.col("_uhost") == F.col("_rhost"),
         "left",
@@ -491,16 +507,21 @@ def robots_verdict(
             ),
         )
     )
-    keys = list(df.columns)
-    return (
-        joined.groupBy(*keys)
+    verdicts = (
+        joined.groupBy("_uhost", "_pathq")
         .agg(verdict.alias("_best"))
         .select(
-            *keys,
-            F.coalesce(F.col("_best.a") == 1, F.lit(True)).alias(
-                "robots_allowed"
+            "_uhost",
+            "_pathq",
+            (F.coalesce(F.col("_best.a") == 1, F.lit(True))).alias(
+                "_allowed"
             ),
         )
+    )
+    # NULL-host rows never joined (nothing to look up) → allowed
+    return base.join(verdicts, ["_uhost", "_pathq"], "left").select(
+        *df.columns,
+        F.coalesce(F.col("_allowed"), F.lit(True)).alias("robots_allowed"),
     )
 
 

@@ -469,13 +469,18 @@ def _decode_entities(c: Column) -> Column:
     def decode_numeric(e: Column) -> Column:
         d = F.substr(e, F.lit(2))  # strip the leading '#'
         is_hex = F.lower(F.substring(d, 1, 1)) == "x"
-        # ≤7 chars covers every valid code point (1114111 / x10FFFF)
-        # and bounds conv/cast away from 64-bit overflow wraparound
+        # leading zeros are VALID HTML ('&#00000065;' is 'A') — strip
+        # them BEFORE the length guard, which then only rejects digit
+        # runs whose value must exceed U+10FFFF (6 hex / 7 dec chars
+        # cover it), bounding conv/cast away from 64-bit wraparound
+        digits = F.regexp_replace(
+            F.when(is_hex, F.substr(d, F.lit(2))).otherwise(d),
+            r"^0+",
+            "",
+        )
         n = F.when(
-            F.length(d) <= 7,
-            F.when(
-                is_hex, F.conv(F.substr(d, F.lit(2)), 16, 10)
-            ).otherwise(d),
+            F.length(digits) <= F.when(is_hex, F.lit(6)).otherwise(F.lit(7)),
+            F.when(is_hex, F.conv(digits, 16, 10)).otherwise(digits),
         ).try_cast("long")
         valid = (
             n.isNotNull()
@@ -617,21 +622,29 @@ def write_warc(
         raise ValueError(f"mode must be error|overwrite|append, got {mode!r}")
     part_start = 0
     if os.path.isdir(out_dir):
-        stale = [
+        names = os.listdir(out_dir)
+        # COMPLETE shards vs dead temp files from a killed prior run:
+        # only real shards refuse mode='error' or advance append
+        # numbering; leftover '.inprogress-*' files never completed a
+        # rename, hold no data of record, and are cleared on overwrite
+        existing = [
             name
-            for name in os.listdir(out_dir)
-            if fnmatch.fnmatch(name, "part-*.wet")
-            or fnmatch.fnmatch(name, "part-*.wet.gz")
-            or ".inprogress-" in name
+            for name in names
+            if ".inprogress-" not in name
+            and (
+                fnmatch.fnmatch(name, "part-*.wet")
+                or fnmatch.fnmatch(name, "part-*.wet.gz")
+            )
         ]
-        if stale and mode == "error":
+        inprog = [name for name in names if ".inprogress-" in name]
+        if existing and mode == "error":
             raise ValueError(
-                f"write_warc: {out_dir} already holds {len(stale)} shard "
+                f"write_warc: {out_dir} already holds {len(existing)} shard "
                 "file(s); pass mode='overwrite' to replace them or "
                 "mode='append' to add past them"
             )
         if mode == "overwrite":
-            for name in stale:
+            for name in existing + inprog:
                 os.remove(os.path.join(out_dir, name))
         elif mode == "append":
             # \d+ not \d{5}: the writer's own %05d names grow to six
@@ -640,7 +653,7 @@ def write_warc(
             idx = [
                 int(m.group(1))
                 for m in (
-                    re.match(r"part-(\d+)\.", name) for name in stale
+                    re.match(r"part-(\d+)\.", name) for name in existing
                 )
                 if m
             ]

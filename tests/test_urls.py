@@ -445,3 +445,67 @@ def test_extract_links_edge_shapes(spark):
         "https://h.example/about",
         "https://h.example/upper.html",
     ]
+
+
+def test_parse_robots_duplicate_host_rows_deterministic(spark):
+    """Two rows for one host (re-fetch) must not interleave their
+    lines: the input reduces to ONE deterministic text per host."""
+    from giraph_spark.functions.urls import parse_robots, robots_verdict
+
+    rb = spark.createDataFrame(
+        [
+            ("d.example", "User-agent: *\nDisallow: /a/\n"),
+            ("d.example", "User-agent: googlebot\nDisallow: /\n"),
+        ],
+        "host string, text string",
+    )
+    rules = parse_robots(rb).collect()
+    # min(text) picks the googlebot variant ('User-agent: *' > 'User-agent: g')
+    texts = {(r["agent"], r["rule"], r["pattern"]) for r in rules}
+    assert texts in (
+        {("googlebot", "disallow", "/")},
+        {("*", "disallow", "/a/")},
+    )
+    # and the choice is stable across evaluations
+    again = {(r["agent"], r["rule"], r["pattern"]) for r in parse_robots(rb).collect()}
+    assert texts == again
+
+
+def test_robots_verdict_preserves_duplicates_and_complex_columns(spark):
+    """The verdict is computed on distinct (host, path) pairs and
+    joined back: duplicate rows stay duplicates and map-typed columns
+    ride through (a group-by-all-columns would collapse or throw)."""
+    from giraph_spark.functions.urls import robots_verdict
+
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://example.com/tmp/x", {"h": "v"}),
+            (1, "https://example.com/tmp/x", {"h": "v"}),  # exact dup
+        ],
+        "doc_id long, url string, meta map<string,string>",
+    )
+    out = robots_verdict(urls, rules, "mybot").collect()
+    assert len(out) == 2  # duplicates preserved
+    assert all(r["robots_allowed"] is False for r in out)
+    assert all(r["meta"] == {"h": "v"} for r in out)
+
+
+def test_extract_links_ipv6_base_rebrackets(spark):
+    """Root-/query-relative links from an IPv6-literal base must
+    re-bracket the host, or the resolved URL re-parses to NULL host
+    and leaks garbage into the frontier."""
+    from giraph_spark.functions.urls import extract_links, normalize_url
+
+    pages = spark.createDataFrame(
+        [("http://[2001:db8::1]:8080/a/", '<a href="/x">l</a>')],
+        "url string, body string",
+    )
+    out = extract_links(pages).collect()
+    assert [r["link"] for r in out] == ["http://[2001:db8::1]:8080/x"]
+    norm = (
+        extract_links(pages)
+        .select(normalize_url(F.col("link")).alias("n"))
+        .first()["n"]
+    )
+    assert norm == "http://[2001:db8::1]:8080/x"  # re-parses cleanly

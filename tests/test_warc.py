@@ -630,3 +630,47 @@ def test_write_warc_append_six_digit_shards(spark, tmp_path):
     write_warc(docs, str(out), shards=1, mode="append").collect()
     names = sorted(f for f in os.listdir(out) if f.startswith("part-"))
     assert names == ["part-100000.wet.gz", "part-100001.wet.gz"]
+
+
+def test_entity_zero_padded_numeric_refs(spark):
+    """Leading zeros are valid HTML: '&#00000065;' is 'A' — the length
+    guard must reject only runs whose VALUE exceeds U+10FFFF."""
+    from giraph_spark.sources.warc import html_to_text
+
+    got = (
+        spark.range(1)
+        .select(
+            html_to_text(
+                F.lit("&#00000065;&#x0000041;&#000000000;&#x000110000;")
+            ).alias("t")
+        )
+        .first()["t"]
+    )
+    # two zero-padded valid refs decode; code 0 and the >U+10FFFF hex
+    # stay literal
+    assert got == "AA&#000000000;&#x000110000;"
+
+
+def test_write_warc_inprogress_leftovers_not_shards(spark, tmp_path):
+    """Dead '.inprogress-*' temp files from a killed run are not
+    shards: mode='error' proceeds, append numbering ignores them, and
+    overwrite clears them."""
+    import os
+
+    out = tmp_path / "s"
+    out.mkdir()
+    (out / "part-00007.wet.gz.inprogress-42").write_bytes(b"dead")
+    docs = spark.createDataFrame(
+        [(1, "http://e.x/1", "alpha beta gamma")],
+        "doc_id long, url string, text string",
+    )
+    # error mode must NOT refuse: no complete shard exists
+    write_warc(docs, str(out), shards=1).collect()
+    names = sorted(os.listdir(out))
+    assert names == ["part-00000.wet.gz", "part-00007.wet.gz.inprogress-42"]
+    # append numbers from real shards (max 0 -> next 1), not the dead temp
+    write_warc(docs, str(out), shards=1, mode="append").collect()
+    assert "part-00001.wet.gz" in os.listdir(out)
+    # overwrite clears shards AND the dead temp
+    write_warc(docs, str(out), shards=1, mode="overwrite").collect()
+    assert sorted(os.listdir(out)) == ["part-00000.wet.gz"]
