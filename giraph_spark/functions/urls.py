@@ -114,8 +114,22 @@ def normalize_url(col: Column) -> Column:
     normalize an empty path to ``/``. Pure expressions (the query
     string is split → filtered → sorted → rejoined with array ops).
     NULL for unparseable URLs — dedup must not bucket garbage
-    together."""
-    p = url_parts(col)
+    together.
+
+    Plan-size note: this references its input ~50× through the parts
+    struct — cheap when ``col`` is a table column, multiplicative when
+    it is itself a deep expression. Composition-heavy frame functions
+    should project :func:`url_parts` into a column first and use
+    :func:`_canonical_from_parts` on the ATTRIBUTE (the two-project
+    shape ``new_frontier`` uses — Catalyst keeps non-cheap multi-
+    referenced projections un-inlined, so the tree stays linear)."""
+    return _canonical_from_parts(url_parts(col))
+
+
+def _canonical_from_parts(p: Column) -> Column:
+    """:func:`normalize_url`'s body over an already-computed parts
+    struct — pass a struct COLUMN (attribute) to keep plan size linear
+    in composed pipelines."""
     scheme, host = p.getField("scheme"), p.getField("host")
     host = _strip_www(host)
     port = p.getField("port")
@@ -537,3 +551,91 @@ def filter_robots_disallowed(
     return robots_verdict(df, robots, agent, url_col).where(
         F.col("robots_allowed")
     ).drop("robots_allowed")
+
+
+def latest_captures(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-crawl collapse: one row per :func:`normalize_url` value, the
+    LATEST capture kept (max ``(ts, id)`` — the id breaks timestamp
+    ties deterministically). The recency twin of :func:`dedup_by_url`
+    (which keeps the lowest id — right for one snapshot, wrong across
+    snapshots where the newest fetch supersedes): point it at a months-
+    deep WARC archive's ``wet_documents(keep_mtime=True)`` output and
+    the survivors ARE the current corpus. Unparseable URLs pass
+    through untouched. One ``max_by`` partial-aggregated groupBy plus
+    an id semi-join; scales like ``count(*)``."""
+    norm = normalize_url(F.col(url_col)).alias("_norm")
+    with_norm = df.select("*", norm)
+    keep = (
+        with_norm.where(F.col("_norm").isNotNull())
+        .groupBy("_norm")
+        .agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col(ts_col), F.col(id_col))
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
+    return (
+        with_norm.join(keep, id_col, "left_semi")
+        .unionByName(with_norm.where(F.col("_norm").isNull()))
+        .drop("_norm")
+    )
+
+
+def new_frontier(
+    pages: DataFrame,
+    known_urls: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    agent: str = "*",
+    html_col: str = "body",
+    base_col: str = "url",
+) -> DataFrame:
+    """One crawl-loop step, composed: fetched pages → extracted links
+    → canonical form → (optional) robots gate → distinct → (optional)
+    anti-join against the already-known URL set. Returns a one-column
+    ``url`` frame of NEW canonical URLs to fetch next — feed it to the
+    fetcher, union the result into ``known_urls``, repeat.
+
+    ``known_urls``: a one-column frame of CANONICAL (normalize_url)
+    forms — exactly what this function emits, so the loop composes
+    with itself. Shape: everything is the already-profiled operators
+    (expression extraction, broadcast robots rules, one distinct on
+    the slim canonical-url relation, one anti-join against the known
+    set — at crawl scale that join is the big one and shuffles only
+    URL strings, never page bytes).
+
+    Two deliberate plan-shape moves (measured — the naive composition
+    OOM'd a 6 GiB driver on FIVE rows from optimizer/codegen tree
+    blowup, not data):
+
+    - canonicalization uses the two-project ATTRIBUTE shape
+      (``url_parts`` projected once, :func:`_canonical_from_parts`
+      over the struct attribute) so the extract expression is never
+      re-inlined ~50× into the canonical form, and the null-filter +
+      distinct run ABOVE the checkpoint boundary so predicate pushdown
+      cannot re-inline the canonical expression either;
+    - the canonical-url relation is ``localCheckpoint``-ed (lazily):
+      :func:`robots_verdict` joins two derivations of its input and
+      the anti-join adds a third consumer — without the checkpoint
+      each would RE-READ and re-extract every page; with it the pages
+      are read once and the slim URL list (the small relation at
+      crawl scale) is what's shared."""
+    links = extract_links(pages, html_col=html_col, base_col=base_col)
+    cand = (
+        links.select(url_parts(F.col("link")).alias("_p"))
+        .select(_canonical_from_parts(F.col("_p")).alias("url"))
+        .localCheckpoint(eager=False)
+        .where(F.col("url").isNotNull())
+        .distinct()
+    )
+    if robots is not None:
+        cand = filter_robots_disallowed(cand, robots, agent)
+    if known_urls is not None:
+        known = known_urls.toDF("url")
+        cand = cand.join(known, "url", "left_anti")
+    return cand

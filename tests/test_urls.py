@@ -509,3 +509,123 @@ def test_extract_links_ipv6_base_rebrackets(spark):
         .first()["n"]
     )
     assert norm == "http://[2001:db8::1]:8080/x"  # re-parses cleanly
+
+
+def test_latest_captures_keeps_newest(spark):
+    """Across crawl snapshots the NEWEST capture of a page wins (ts,
+    id tie-break), variants that normalize together collapse, and
+    unparseable URLs ride through."""
+    from datetime import datetime
+
+    from giraph_spark.functions.urls import latest_captures
+
+    t = datetime(2026, 1, 1)
+    t2 = datetime(2026, 2, 1)
+    df = spark.createDataFrame(
+        [
+            (1, "https://site.com/p", t),
+            (2, "https://www.site.com/p?utm_source=x", t2),  # same page, newer
+            (3, "https://site.com/other", t),
+            (4, "%%garbage", t),
+            (5, "https://site.com/tie", t),
+            (6, "https://site.com/tie", t),  # ts tie → max id wins
+        ],
+        "doc_id long, url string, ts timestamp",
+    )
+    got = sorted(r["doc_id"] for r in latest_captures(df).collect())
+    assert got == [2, 3, 4, 6]
+
+
+def test_new_frontier_full_loop_step(spark):
+    """The composed crawl step: extract → canonicalize → robots gate →
+    distinct → anti-join against known. Output is canonical, so the
+    loop composes with its own output."""
+    from giraph_spark.functions.urls import new_frontier, parse_robots
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://example.com/dir/",
+                '<a href="/new1">a</a> <a href="/new1#x">a2</a>'
+                ' <a href="/tmp/blocked">b</a> <a href="/known">k</a>'
+                ' <a href="https://Other.com/n?utm_source=s">o</a>',
+            )
+        ],
+        "url string, body string",
+    )
+    robots = parse_robots(
+        spark.createDataFrame(
+            [("example.com", "User-agent: *\nDisallow: /tmp/\n")],
+            "host string, text string",
+        )
+    )
+    known = spark.createDataFrame(
+        [("https://example.com/known",)], "url string"
+    )
+    got = sorted(
+        r["url"]
+        for r in new_frontier(pages, known_urls=known, robots=robots).collect()
+    )
+    assert got == [
+        "https://example.com/new1",   # fragment variant collapsed
+        "https://other.com/n",        # canonicalized, tracking dropped
+    ]
+    # without known/robots: everything canonical and distinct
+    all_got = new_frontier(pages).count()
+    assert all_got == 4
+
+
+def test_extract_links_composes_on_streams(spark, tmp_path):
+    """extract_links is pure expressions, so the frontier extraction
+    runs UNCHANGED on the streaming WARC reader — the continuous-crawl
+    loop's extract stage (streamed results == batch results)."""
+    from giraph_spark.sources.warc import (
+        http_records,
+        make_warc,
+        read_warc,
+        read_warc_stream,
+    )
+    from giraph_spark.functions.urls import extract_links
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    page = b'<html><a href="/a">a</a><a href="https://x.org/b">b</a></html>'
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/start",
+                "WARC-Record-ID": "<urn:s1>",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page,
+        )
+    ]
+    (src / "s0.warc.gz").write_bytes(make_warc(recs))
+
+    def links_of(records):
+        pages = http_records(records).select(
+            F.col("target_uri").alias("url"), "body"
+        )
+        return extract_links(pages).select("link")
+
+    stream_q = (
+        links_of(read_warc_stream(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("frontier_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream_q.awaitTermination(120)
+    streamed = sorted(
+        r["link"]
+        for r in spark.sql("select * from frontier_stream_t").collect()
+    )
+    batch = sorted(
+        r["link"] for r in links_of(read_warc(spark, str(src))).collect()
+    )
+    assert streamed == batch == [
+        "https://example.com/a",
+        "https://x.org/b",
+    ]
