@@ -629,3 +629,36 @@ def test_extract_links_composes_on_streams(spark, tmp_path):
         "https://example.com/a",
         "https://x.org/b",
     ]
+
+
+def test_robots_and_frontier_plan_shape(spark):
+    """Plan assertions for the politeness tier: the rules side joins
+    as a BROADCAST (never a corpus shuffle), and new_frontier's page
+    relation appears exactly once in the physical plan (the checkpoint
+    shares the slim URL list across the verdict's join sides and the
+    anti-join instead of re-extracting pages per consumer)."""
+    from giraph_spark.functions.urls import new_frontier, robots_verdict
+
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [(1, "https://example.com/tmp/x")], "doc_id long, url string"
+    )
+    plan = (
+        robots_verdict(urls, rules, "mybot")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    pages = spark.createDataFrame(
+        [("https://example.com/", '<a href="/x">x</a>')],
+        "url string, body string",
+    )
+    known = spark.createDataFrame([("https://example.com/k",)], "url string")
+    fr = new_frontier(pages, known_urls=known, robots=rules)
+    fplan = fr._jdf.queryExecution().executedPlan().toString()
+    # the page extraction was cut off by the checkpoint: the executed
+    # plan consumes the checkpointed RDD (regexp_extract_all — the
+    # extraction — must not appear once per downstream consumer)
+    assert fplan.count("Scan ExistingRDD") >= 1
+    assert fplan.count("regexp_extract_all") == 0
