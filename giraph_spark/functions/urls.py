@@ -165,27 +165,41 @@ def _canonical_from_parts(p: Column) -> Column:
     )
 
 
+def _keep_by_norm(df: DataFrame, url_col: str, id_col: str, keep_agg):
+    """The shared keeper shape of :func:`dedup_by_url` and
+    :func:`latest_captures`: group rows by canonical URL, let
+    ``keep_agg`` pick ONE winning id per group, semi-join the winners
+    back. Rows with an unparseable URL or a NULL id pass through
+    untouched — neither is provably the same page as anything (and a
+    NULL id could never survive the id semi-join: without the guard a
+    NULL-id row WINNING its group would silently delete every capture
+    of that page)."""
+    norm = normalize_url(F.col(url_col)).alias("_norm")
+    with_norm = df.select("*", norm)
+    decidable = F.col("_norm").isNotNull() & F.col(id_col).isNotNull()
+    keep = (
+        with_norm.where(decidable)
+        .groupBy("_norm")
+        .agg(keep_agg.alias(id_col))
+        .select(id_col)
+    )
+    return (
+        with_norm.where(decidable)
+        .join(keep, id_col, "left_semi")
+        .unionByName(with_norm.where(~decidable))
+        .drop("_norm")
+    )
+
+
 def dedup_by_url(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact URL dedup: one row per :func:`normalize_url` value, the
     lowest id kept (re-crawls of the same page collapse before any
-    text work runs). Unparseable URLs pass through untouched — they
-    were never provably the same page. One partial-aggregated groupBy;
-    scales like ``count(*)``."""
-    norm = normalize_url(F.col(url_col)).alias("_norm")
-    with_norm = df.select("*", norm)
-    keep = (
-        with_norm.where(F.col("_norm").isNotNull())
-        .groupBy("_norm")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    return (
-        with_norm.join(keep, id_col, "left_semi")
-        .unionByName(with_norm.where(F.col("_norm").isNull()))
-        .drop("_norm")
-    )
+    text work runs). Unparseable URLs (and NULL-id rows) pass through
+    untouched — they were never provably the same page. One
+    partial-aggregated groupBy; scales like ``count(*)``."""
+    return _keep_by_norm(df, url_col, id_col, F.min(id_col))
 
 
 def filter_blocked_domains(
@@ -563,27 +577,18 @@ def latest_captures(
     LATEST capture kept (max ``(ts, id)`` — the id breaks timestamp
     ties deterministically). The recency twin of :func:`dedup_by_url`
     (which keeps the lowest id — right for one snapshot, wrong across
-    snapshots where the newest fetch supersedes): point it at a months-
-    deep WARC archive's ``wet_documents(keep_mtime=True)`` output and
-    the survivors ARE the current corpus. Unparseable URLs pass
-    through untouched. One ``max_by`` partial-aggregated groupBy plus
-    an id semi-join; scales like ``count(*)``."""
-    norm = normalize_url(F.col(url_col)).alias("_norm")
-    with_norm = df.select("*", norm)
-    keep = (
-        with_norm.where(F.col("_norm").isNotNull())
-        .groupBy("_norm")
-        .agg(
-            F.max_by(
-                F.col(id_col), F.struct(F.col(ts_col), F.col(id_col))
-            ).alias(id_col)
-        )
-        .select(id_col)
-    )
-    return (
-        with_norm.join(keep, id_col, "left_semi")
-        .unionByName(with_norm.where(F.col("_norm").isNull()))
-        .drop("_norm")
+    snapshots where the newest fetch supersedes), same shared keeper
+    shape: point it at ``wet_documents(read_warc(..., keep_mtime=
+    True))`` output — the ``ts`` column comes from the READER's
+    ``keep_mtime`` — and the survivors ARE the current corpus.
+    Unparseable URLs and NULL-id rows pass through untouched. One
+    ``max_by`` partial-aggregated groupBy plus an id semi-join; scales
+    like ``count(*)``."""
+    return _keep_by_norm(
+        df,
+        url_col,
+        id_col,
+        F.max_by(F.col(id_col), F.struct(F.col(ts_col), F.col(id_col))),
     )
 
 
@@ -607,7 +612,15 @@ def new_frontier(
     (expression extraction, broadcast robots rules, one distinct on
     the slim canonical-url relation, one anti-join against the known
     set — at crawl scale that join is the big one and shuffles only
-    URL strings, never page bytes).
+    URL strings, never page bytes). The anti-join runs BEFORE the
+    robots gate: at steady state most extracted links are already
+    known, and verdicting rows the anti-join discards is pure waste.
+    One documented consequence: robots-DISALLOWED URLs are never
+    returned, so the caller never adds them to ``known_urls`` and they
+    re-enter candidate evaluation whenever later pages link them — if
+    that re-verdict cost matters at your scale, union the PRE-robots
+    candidates (``new_frontier(pages, known, robots=None)``) into
+    ``known_urls`` instead and gate separately.
 
     Two deliberate plan-shape moves (measured — the naive composition
     OOM'd a 6 GiB driver on FIVE rows from optimizer/codegen tree
@@ -633,9 +646,9 @@ def new_frontier(
         .where(F.col("url").isNotNull())
         .distinct()
     )
-    if robots is not None:
-        cand = filter_robots_disallowed(cand, robots, agent)
     if known_urls is not None:
         known = known_urls.toDF("url")
         cand = cand.join(known, "url", "left_anti")
+    if robots is not None:
+        cand = filter_robots_disallowed(cand, robots, agent)
     return cand

@@ -617,7 +617,10 @@ def test_extract_links_composes_on_streams(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    stream_q.awaitTermination(120)
+    try:
+        assert stream_q.awaitTermination(120), "stream did not finish"
+    finally:
+        stream_q.stop()
     streamed = sorted(
         r["link"]
         for r in spark.sql("select * from frontier_stream_t").collect()
@@ -662,3 +665,33 @@ def test_robots_and_frontier_plan_shape(spark):
     # extraction — must not appear once per downstream consumer)
     assert fplan.count("Scan ExistingRDD") >= 1
     assert fplan.count("regexp_extract_all") == 0
+
+
+def test_keeper_null_id_rows_pass_through(spark):
+    """A NULL-id row must never WIN a group (it would be unjoinable
+    and silently delete every capture of the page) nor be collapsed —
+    like unparseable URLs, NULL ids pass through untouched, in both
+    keeper twins."""
+    from datetime import datetime
+
+    from giraph_spark.functions.urls import dedup_by_url, latest_captures
+
+    t1, t2 = datetime(2026, 1, 1), datetime(2026, 2, 1)
+    df = spark.createDataFrame(
+        [
+            (1, "https://s.com/p", t1),
+            (None, "https://s.com/p", t2),  # newest but id-less
+            (7, "https://s.com/q", t1),
+            (None, "https://s.com/only-null", t1),
+        ],
+        "doc_id long, url string, ts timestamp",
+    )
+    lc = {(r["doc_id"], r["url"]) for r in latest_captures(df).collect()}
+    assert lc == {
+        (1, "https://s.com/p"),      # /p survives (the id-ful capture)
+        (7, "https://s.com/q"),
+        (None, "https://s.com/p"),   # id-less rows ride through
+        (None, "https://s.com/only-null"),
+    }
+    dd = dedup_by_url(df.select("doc_id", "url")).collect()
+    assert len(dd) == 4 and sum(r["doc_id"] is None for r in dd) == 2
