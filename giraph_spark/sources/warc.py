@@ -435,11 +435,23 @@ def http_records(
     return records.where(F.col("warc_type") == "response").select(*cols)
 
 
-#: the named references the extractor decodes (HTML's overwhelming
-#: head in real crawl text); everything else named passes through
+#: the named references the extractor decodes — the markup five plus
+#: the typographic head that dominates real crawl text (quotes,
+#: dashes, ellipsis, legal marks, currency). Everything else named
+#: passes through literally; the alternation in ``_decode_entities``
+#: is GENERATED from this table so the two can never drift.
 _NAMED_REFS = (
     ("nbsp", " "), ("lt", "<"), ("gt", ">"),
     ("quot", "\""), ("amp", "&"), ("apos", "'"),
+    ("mdash", "—"), ("ndash", "–"), ("hellip", "…"),
+    ("lsquo", "‘"), ("rsquo", "’"),
+    ("ldquo", "“"), ("rdquo", "”"),
+    ("copy", "©"), ("reg", "®"), ("trade", "™"),
+    ("deg", "°"), ("middot", "·"), ("bull", "•"),
+    ("laquo", "«"), ("raquo", "»"), ("sect", "§"),
+    ("euro", "€"), ("pound", "£"), ("cent", "¢"),
+    ("yen", "¥"), ("times", "×"), ("divide", "÷"),
+    ("plusmn", "±"),
 )
 
 
@@ -462,7 +474,8 @@ def _decode_entities(c: Column) -> Column:
     IllegalFormatCodePointException. Cost is one split + one
     extract_all + one transform over input already capped by
     ``html_to_text``'s ``max_chars``."""
-    ref = r"&(#(?:[0-9]+|[xX][0-9a-fA-F]+)|nbsp|lt|gt|quot|amp|apos);"
+    names = "|".join(name for name, _ in _NAMED_REFS)
+    ref = rf"&(#(?:[0-9]+|[xX][0-9a-fA-F]+)|{names});"
     parts = F.split(c, ref, -1)
     refs = F.regexp_extract_all(c, F.lit(ref), F.lit(1))
 

@@ -491,7 +491,11 @@ _ENT_PIECES = st.lists(
         # named reference (the decoded table, minus whitespace-y nbsp
         # and the angle brackets that tag-stripping would eat)
         st.sampled_from(
-            [("named", "&quot;", '"'), ("named", "&apos;", "'"), ("named", "&amp;#x;", "&#x;")]
+            [("named", "&quot;", '"'), ("named", "&apos;", "'"),
+             ("named", "&amp;#x;", "&#x;"), ("named", "&mdash;", "—"),
+             ("named", "&rsquo;", "’"), ("named", "&hellip;", "…"),
+             ("named", "&copy;", "©"), ("named", "&euro;", "€"),
+             ("named", "&copyright;", "&copyright;")]  # not in the table
         ),
         # invalid references stay literal
         st.sampled_from(
