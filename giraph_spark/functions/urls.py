@@ -652,3 +652,82 @@ def new_frontier(
     if robots is not None:
         cand = filter_robots_disallowed(cand, robots, agent)
     return cand
+
+
+def robots_sitemaps(
+    df: DataFrame, text_col: str = "text", host_col: str = "host"
+) -> DataFrame:
+    """The ``Sitemap:`` lines of a robots.txt corpus → ``(host,
+    sitemap_url)`` — RFC 9309 treats them as group-independent, so
+    this is a plain line filter (no group machinery): the discovery
+    hook between politeness and :func:`sitemap_urls`. Absolute URLs
+    only, per the sitemaps protocol; one row per declaration,
+    duplicates preserved (they are distinct declarations)."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(
+                F.regexp_replace(F.col(text_col), "^﻿", ""),
+                r"\r?\n",
+            )
+        ).alias("line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("line"), r"#.*$", ""))
+    is_sm = F.lower(F.trim(F.substring_index(clean, ":", 1))) == "sitemap"
+    url = F.trim(F.expr(
+        "substring(trim(regexp_replace(line, '#.*$', '')),"
+        " instr(trim(regexp_replace(line, '#.*$', '')), ':') + 1)"
+    ))
+    return (
+        lines.where(is_sm)
+        .select("host", url.alias("sitemap_url"))
+        .where(F.col("sitemap_url").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+    )
+
+
+def sitemap_urls(
+    df: DataFrame, xml_col: str = "xml", base_col: str | None = None
+) -> DataFrame:
+    """Sitemap XML → one row per ``<loc>`` entry, tagged ``kind`` =
+    ``'url'`` (a page, from ``<url>`` blocks) or ``'sitemap'`` (a
+    child sitemap, from ``<sitemap>`` blocks in an index file) so the
+    caller can recurse on index files and feed pages to the frontier.
+    Expression-only (the sitemaps protocol is flat enough that one
+    block-scoped extraction per kind is exact for well-formed files);
+    entity-escaped ampersands in locs decode (the protocol REQUIRES
+    escaping them). Keeps the base row's other columns."""
+    def locs(block: str) -> Column:
+        # <loc> inside the named block only: non-greedy block capture,
+        # then loc extraction within it
+        return F.expr(
+            f"""flatten(transform(
+                regexp_extract_all({xml_col},
+                    '(?s)<{block}>(.*?)</{block}>', 1),
+                b -> regexp_extract_all(b,
+                    '(?s)<loc>\\\\s*(.*?)\\\\s*</loc>', 1)))"""
+        )
+
+    def unescape(c: Column) -> Column:
+        # '&amp;' decodes LAST: an escaped '&amp;lt;' must become the
+        # literal '&lt;', never double-decode to '<'
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return c
+    tagged = F.concat(
+        F.transform(
+            locs("url"),
+            lambda u: F.struct(F.lit("url").alias("kind"), u.alias("loc")),
+        ),
+        F.transform(
+            locs("sitemap"),
+            lambda u: F.struct(
+                F.lit("sitemap").alias("kind"), u.alias("loc")
+            ),
+        ),
+    )
+    out = df.select("*", F.explode(tagged).alias("_e")).select(
+        "*",
+        F.col("_e.kind").alias("kind"),
+        unescape(F.col("_e.loc")).alias("loc"),
+    ).drop("_e", xml_col)
+    return out

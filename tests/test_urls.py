@@ -695,3 +695,61 @@ def test_keeper_null_id_rows_pass_through(spark):
     }
     dd = dedup_by_url(df.select("doc_id", "url")).collect()
     assert len(dd) == 4 and sum(r["doc_id"] is None for r in dd) == 2
+
+
+def test_sitemap_discovery(spark):
+    """robots.txt Sitemap: lines → sitemap_urls over both file kinds
+    (index + urlset) → the frontier; escaped ampersands in <loc>
+    decode exactly once."""
+    from giraph_spark.functions.urls import robots_sitemaps, sitemap_urls
+
+    rb = spark.createDataFrame(
+        [
+            (
+                "example.com",
+                "User-agent: *\nDisallow: /tmp/\n"
+                "Sitemap: https://example.com/sitemap.xml  # comment\n"
+                "sitemap: https://example.com/news.xml\n"
+                "Sitemap: not-absolute.xml\n",
+            )
+        ],
+        "host string, text string",
+    )
+    sm = sorted(r["sitemap_url"] for r in robots_sitemaps(rb).collect())
+    assert sm == [
+        "https://example.com/news.xml",
+        "https://example.com/sitemap.xml",
+    ]
+
+    index = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>https://example.com/s1.xml</loc>"
+        "<lastmod>2026-01-01</lastmod></sitemap>"
+        "<sitemap><loc> https://example.com/s2.xml </loc></sitemap>"
+        "</sitemapindex>"
+    )
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://example.com/p?a=1&amp;b=2</loc>"
+        "<priority>0.5</priority></url>"
+        "<url><loc>https://example.com/q</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("https://example.com/sitemap.xml", index),
+         ("https://example.com/s1.xml", urlset)],
+        "src string, xml string",
+    )
+    got = {
+        (r["src"], r["kind"], r["loc"])
+        for r in sitemap_urls(df, xml_col="xml").collect()
+    }
+    assert got == {
+        ("https://example.com/sitemap.xml", "sitemap",
+         "https://example.com/s1.xml"),
+        ("https://example.com/sitemap.xml", "sitemap",
+         "https://example.com/s2.xml"),
+        ("https://example.com/s1.xml", "url",
+         "https://example.com/p?a=1&b=2"),
+        ("https://example.com/s1.xml", "url", "https://example.com/q"),
+    }
