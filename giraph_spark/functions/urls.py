@@ -365,15 +365,7 @@ def parse_robots(
     df = df.groupBy(F.col(host_col)).agg(
         F.min(F.col(text_col)).alias(text_col)
     )
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(
-            F.split(
-                F.regexp_replace(F.col(text_col), "^\ufeff", ""),
-                r"\r?\n",
-            )
-        ).alias("idx", "line"),
-    ).select(
+    lines = _robots_lines(df, text_col, host_col).select(
         "host",
         "idx",
         # strip comments, then split 'Key: value' on the FIRST colon
@@ -654,6 +646,21 @@ def new_frontier(
     return cand
 
 
+def _robots_lines(df: DataFrame, text_col: str, host_col: str) -> DataFrame:
+    """Shared robots.txt line tokenization (:func:`parse_robots` and
+    :func:`robots_sitemaps` must never drift): strip a leading UTF-8
+    BOM, split on ``\\r?\\n``, posexplode to ``(host, idx, line)``."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.col(text_col), "^\ufeff", ""),
+                r"\r?\n",
+            )
+        ).alias("idx", "line"),
+    )
+
+
 def robots_sitemaps(
     df: DataFrame, text_col: str = "text", host_col: str = "host"
 ) -> DataFrame:
@@ -663,21 +670,10 @@ def robots_sitemaps(
     hook between politeness and :func:`sitemap_urls`. Absolute URLs
     only, per the sitemaps protocol; one row per declaration,
     duplicates preserved (they are distinct declarations)."""
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.explode(
-            F.split(
-                F.regexp_replace(F.col(text_col), "^﻿", ""),
-                r"\r?\n",
-            )
-        ).alias("line"),
-    )
+    lines = _robots_lines(df, text_col, host_col)
     clean = F.trim(F.regexp_replace(F.col("line"), r"#.*$", ""))
     is_sm = F.lower(F.trim(F.substring_index(clean, ":", 1))) == "sitemap"
-    url = F.trim(F.expr(
-        "substring(trim(regexp_replace(line, '#.*$', '')),"
-        " instr(trim(regexp_replace(line, '#.*$', '')), ':') + 1)"
-    ))
+    url = F.trim(F.substr(clean, F.instr(clean, ":") + 1))
     return (
         lines.where(is_sm)
         .select("host", url.alias("sitemap_url"))
@@ -685,17 +681,30 @@ def robots_sitemaps(
     )
 
 
-def sitemap_urls(
-    df: DataFrame, xml_col: str = "xml", base_col: str | None = None
-) -> DataFrame:
+def sitemap_urls(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     """Sitemap XML → one row per ``<loc>`` entry, tagged ``kind`` =
     ``'url'`` (a page, from ``<url>`` blocks) or ``'sitemap'`` (a
     child sitemap, from ``<sitemap>`` blocks in an index file) so the
     caller can recurse on index files and feed pages to the frontier.
     Expression-only (the sitemaps protocol is flat enough that one
-    block-scoped extraction per kind is exact for well-formed files);
-    entity-escaped ampersands in locs decode (the protocol REQUIRES
-    escaping them). Keeps the base row's other columns."""
+    block-scoped extraction per kind is exact for well-formed files).
+    Locs decode through the single-pass character-reference decoder
+    (``sources.warc._decode_entities``) — the protocol requires
+    escaping all five XML-special characters (``&amp; &apos; &quot;
+    &lt; &gt;``) and permits numeric references, and every one must
+    decode exactly once. Keeps the base row's other columns, which
+    therefore must not already be named ``kind`` or ``loc`` (raises —
+    a caller recursing on index files renames the previous pass's
+    columns first)."""
+    clash = {"kind", "loc"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"sitemap_urls emits {sorted(clash)}; rename the input "
+            "column(s) first (the recursion case carries a prior "
+            "pass's loc)"
+        )
+    from ..sources.warc import _decode_entities
+
     def locs(block: str) -> Column:
         # <loc> inside the named block only: non-greedy block capture,
         # then loc extraction within it
@@ -707,12 +716,7 @@ def sitemap_urls(
                     '(?s)<loc>\\\\s*(.*?)\\\\s*</loc>', 1)))"""
         )
 
-    def unescape(c: Column) -> Column:
-        # '&amp;' decodes LAST: an escaped '&amp;lt;' must become the
-        # literal '&lt;', never double-decode to '<'
-        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
-            c = F.replace(c, F.lit(ent), F.lit(ch))
-        return c
+    unescape = _decode_entities
     tagged = F.concat(
         F.transform(
             locs("url"),

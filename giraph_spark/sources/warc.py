@@ -505,11 +505,16 @@ def _decode_entities(c: Column) -> Column:
             valid, F.format_string("%c", n.cast("int"))
         ).otherwise(F.concat(F.lit("&"), e, F.lit(";")))
 
+    # flat literal-map lookup, NOT a chained CaseWhen: 29 nested whens
+    # each wrapping the numeric-decode expression would multiply the
+    # per-element tree ~30× (this module's plan-size lesson applies to
+    # expression DEPTH too); try_element_at is one node and NULL-safe
+    named_map = F.create_map(
+        *[F.lit(x) for pair in _NAMED_REFS for x in pair]
+    )
+
     def decode_one(e: Column) -> Column:
-        out = decode_numeric(e)
-        for name, ch in _NAMED_REFS:
-            out = F.when(e == name, F.lit(ch)).otherwise(out)
-        return out
+        return F.coalesce(F.try_element_at(named_map, e), decode_numeric(e))
 
     # split(-1) yields exactly len(refs)+1 pieces, so the padded
     # zip never meets a NULL (concat of a NULL would null the row)

@@ -753,3 +753,24 @@ def test_sitemap_discovery(spark):
          "https://example.com/p?a=1&b=2"),
         ("https://example.com/s1.xml", "url", "https://example.com/q"),
     }
+
+
+def test_sitemap_loc_full_xml_unescape_and_collision_guard(spark):
+    """All five protocol-required escapes (and numeric refs) decode in
+    locs exactly once; a frame already carrying kind/loc raises the
+    documented rename error."""
+    import pytest as _pytest
+
+    from giraph_spark.functions.urls import sitemap_urls
+
+    xml = (
+        "<urlset><url><loc>https://e.com/o&apos;brien?q=&quot;x&quot;"
+        "&amp;p=&#47;s&amp;amp;stay</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([("s", xml)], "src string, xml string")
+    got = sitemap_urls(df).first()["loc"]
+    assert got == 'https://e.com/o\'brien?q="x"&p=/s&amp;stay'
+    with _pytest.raises(ValueError, match="rename the input"):
+        sitemap_urls(
+            spark.createDataFrame([("a", "b")], "loc string, xml string")
+        )
