@@ -66,8 +66,15 @@ from .urls import (
     filter_blocked_domains,
     normalize_url,
     registered_domain,
+    registered_domain_psl,
     url_host,
     url_parts,
+)
+from .pii import pii_features, pii_rate, redact_pii
+from .paragraphs import (
+    dedup_paragraphs,
+    duplicate_paragraph_stats,
+    split_paragraphs,
 )
 from .classifier import (
     QualityClassifier,

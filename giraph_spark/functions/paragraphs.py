@@ -1,0 +1,137 @@
+"""Paragraph-granularity operators: split, cross-corpus paragraph
+dedup (the CCNet recipe), and duplicate-paragraph accounting.
+
+The reference has no document surface at all (data is vertices,
+``giraph-core/src/main/java/org/apache/giraph/graph/Vertex.java:34``);
+this module extends the LLM-data-pipeline tier. ``functions/text.py``'s
+``repetition_features`` measures duplication WITHIN a document
+(Gopher rules); this module removes duplication ACROSS the corpus at
+paragraph granularity — the CCNet/RefinedWeb step that strips shared
+boilerplate (cookie banners, nav footers, license blurbs) that
+document-level hashing can never catch because the surrounding text
+differs.
+
+Semantics (CCNet): normalize each paragraph (trim, lowercase,
+collapse whitespace), hash it, and keep only the FIRST occurrence
+corpus-wide — first = smallest ``(doc_id, para_idx)``, a total order
+so the result is deterministic and independent of partitioning.
+Every later copy is dropped from its document; documents left with
+zero surviving paragraphs drop out entirely.
+
+Scale shape: split+explode fuses with the scan (no shuffle);
+first-occurrence is ONE partial-aggregated ``groupBy(hash)`` with a
+``min(struct)`` (map-side combine shrinks each partition to its
+distinct hashes before the exchange); the keep-join re-shuffles both
+sides on the hash (AQE picks the strategy); reassembly is one
+``groupBy(doc_id)`` over SURVIVING paragraphs. Shuffle volume is
+∝ paragraphs (hashes + winners), never ∝ corpus bytes², and no
+window function ever sees the whole corpus in one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: paragraph boundary: one-or-more blank lines (CR tolerated).
+PARA_SEP = r"\r?\n[ \t]*(\r?\n)+"
+
+
+def _norm_hash(p: Column) -> Column:
+    """Normalized-content hash: md5 over trimmed, lowercased,
+    whitespace-collapsed paragraph text (same normalization family as
+    ``text.fingerprint``)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(p), r"\s+", " ")))
+
+
+def split_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = PARA_SEP,
+) -> DataFrame:
+    """Explode documents into ``(doc_id, para_idx, paragraph)`` rows,
+    dropping whitespace-only paragraphs. ``para_idx`` is the
+    paragraph's ordinal in the ORIGINAL split (gaps where empties were
+    dropped), so reassembly order is stable. Scan-fused: no shuffle.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+                "para_idx", "paragraph"
+            ),
+        )
+        .where(F.trim(F.col("paragraph")) != "")
+        .select(id_col, F.col("para_idx").cast("long"), "paragraph")
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = PARA_SEP,
+) -> DataFrame:
+    """Cross-corpus paragraph dedup (CCNet): keep each distinct
+    normalized paragraph's first occurrence (min ``(doc_id,
+    para_idx)``), drop every later copy, and reassemble the survivors
+    with ``"\\n\\n"``. Returns ``(doc_id, text, n_paragraphs,
+    n_kept)``; documents whose every paragraph was a later copy (or
+    whitespace-only) are dropped.
+    """
+    paras = split_paragraphs(df, text_col, id_col, sep).select(
+        "*", _norm_hash(F.col("paragraph")).alias("_h")
+    )
+    firsts = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_first")
+    )
+    kept = paras.join(firsts, "_h").where(
+        (F.col(f"_first.{id_col}") == F.col(id_col))
+        & (F.col("_first.para_idx") == F.col("para_idx"))
+    )
+    n_orig = (
+        split_paragraphs(df, text_col, id_col, sep)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    )
+    docs = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("para_idx", "paragraph"))
+                ),
+                lambda s: s.getField("paragraph"),
+            ),
+            "\n\n",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return docs.join(n_orig, id_col).select(
+        id_col, text_col, "n_paragraphs", "n_kept"
+    )
+
+
+def duplicate_paragraph_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = PARA_SEP,
+) -> DataFrame:
+    """Corpus accounting for the tier: one row
+    ``(n_paragraphs, n_distinct, n_duplicate, duplicate_fraction)``.
+    Two partial-aggregated passes over the exploded relation; shuffle
+    ∝ distinct hashes.
+    """
+    paras = split_paragraphs(df, text_col, id_col, sep).select(
+        _norm_hash(F.col("paragraph")).alias("_h")
+    )
+    per_hash = paras.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    return per_hash.agg(
+        F.sum("_n").alias("n_paragraphs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("_n") - F.count(F.lit(1))).alias("n_duplicate"),
+        ((F.sum("_n") - F.count(F.lit(1))) / F.sum("_n")).alias(
+            "duplicate_fraction"
+        ),
+    )

@@ -1,0 +1,138 @@
+"""PII detection and redaction for training-corpus curation.
+
+The reference has no text-curation surface (its unit of data is a
+vertex, ``giraph-core/src/main/java/org/apache/giraph/graph/Vertex.java:34``);
+this module belongs to the LLM-data-pipeline tier next to
+``functions/text.py`` and ``functions/urls.py``. The recipe is the
+public C4/Dolma/BigCode cleanup shape: regex tiers for e-mail
+addresses, IPv4 addresses, phone-ish numbers, and long ID-like digit
+runs, surfaced two ways — per-document counts (a curation feature)
+and in-place redaction to placeholder tokens (the scrub).
+
+Scale shape: everything here is a pure JVM expression
+(``regexp_extract_all`` / ``regexp_replace``) — zero Python, zero
+shuffle; the counts and the redaction both fuse with the scan, and
+:func:`pii_rate` is one partial-aggregated ``groupBy`` whose shuffle
+is ∝ groups, never ∝ corpus. At 100 TB this tier costs one pass.
+
+Pattern portability: the patterns avoid lookarounds, backreferences,
+and inline flags, so the SAME pattern text runs identically under
+Java regex (Spark executors) and RE2 (the DuckDB oracles) — both
+engines scan leftmost-first, non-overlapping.
+
+Honest scope: these are heuristics, not validators. ``IPV4`` accepts
+octets > 255; ``PHONE`` matches separator-grouped digit runs (it will
+happily match an ISO date like ``2026-08-16`` or the tail of an IPv4
+— redaction order puts IPV4 first so dotted quads are already gone);
+``ID_NUMBER`` is any 9+-digit word. That is the C4-family trade-off:
+cheap, recall-leaning, replayable. Counts in :func:`pii_features` are
+computed independently on the RAW text, so one span can contribute to
+two kinds; :func:`redact_pii` counts on the progressively redacted
+text, so its per-kind counts never double-bill a span.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: ordered (kind, pattern, placeholder) tiers. Order matters for
+#: :func:`redact_pii`: earlier tiers consume their spans before later
+#: ones see the text (EMAIL before PHONE so an address's digits are
+#: gone; IPV4 before PHONE so dotted quads don't count as phones;
+#: PHONE before ID_NUMBER so grouped digits don't merge into an ID).
+PII_TIERS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\(?\d{2,4}\)?[ .-]\d{3,4}[ .-]\d{3,4}\b", "<PHONE>"),
+    ("id_number", r"\b\d{9,}\b", "<ID>"),
+)
+
+_KINDS = tuple(k for k, _, _ in PII_TIERS)
+
+
+def _count(col: Column, pattern: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(pattern), F.lit(0))
+    ).cast("long")
+
+
+def pii_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII counts on the raw text:
+    ``(doc_id, n_email, n_ipv4, n_phone, n_id_number, n_pii)``.
+
+    Each kind is counted independently (a phone inside an e-mail
+    counts for both — see the module note); ``n_pii`` is their sum.
+    NULL text counts 0. One projection, no shuffle.
+    """
+    col = F.col(text_col)
+    counts = [
+        _count(col, pat).alias(f"n_{kind}") for kind, pat, _ in PII_TIERS
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = sum(F.col(f"n_{k}") for k in _KINDS)
+    return out.select("*", total.cast("long").alias("n_pii"))
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: Sequence[str] | None = None,
+) -> DataFrame:
+    """Replace PII spans with placeholder tokens, in tier order.
+
+    The text column is rewritten in place; per-kind redaction counts
+    land in ``n_redacted_<kind>`` columns, each counted on the text
+    AFTER the earlier tiers ran (so a span redacted as ``<EMAIL>``
+    is never also billed as a phone). ``kinds`` restricts to a subset
+    of :data:`PII_TIERS` kinds, keeping tier order.
+
+    Single projection: the chained ``regexp_replace`` stays one
+    whole-stage-codegen pass however many tiers run.
+    """
+    wanted = set(_KINDS if kinds is None else kinds)
+    unknown = wanted - set(_KINDS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat, token in PII_TIERS:
+        if kind not in wanted:
+            continue
+        counts.append(_count(cur, pat).alias(f"n_redacted_{kind}"))
+        cur = F.regexp_replace(cur, F.lit(pat), F.lit(token))
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, cur.alias(text_col), *counts)
+
+
+def pii_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level PII accounting, optionally per group (source,
+    language, …): ``(group?, n_docs, docs_with_pii, pii_doc_rate,
+    n_email, n_ipv4, n_phone, n_id_number)`` — the data-card row for
+    this tier. One partial-aggregated pass; shuffle ∝ groups.
+    """
+    col = F.col(text_col)
+    per_doc = [
+        _count(col, pat).alias(f"_n_{kind}") for kind, pat, _ in PII_TIERS
+    ]
+    keys = [group_col] if group_col else []
+    flagged = sum(F.col(f"_n_{k}") for k in _KINDS)
+    staged = df.select(*keys, *per_doc, (flagged > 0).alias("_has"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_has").cast("long")).alias("docs_with_pii"),
+        (F.sum(F.col("_has").cast("long")) / F.count(F.lit(1))).alias(
+            "pii_doc_rate"
+        ),
+    ] + [F.sum(f"_n_{k}").alias(f"n_{k}") for k in _KINDS]
+    if group_col:
+        return staged.groupBy(group_col).agg(*aggs)
+    return staged.agg(*aggs)

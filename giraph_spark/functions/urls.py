@@ -10,6 +10,10 @@ Honest scope note: ``registered_domain`` is a last-N-labels
 heuristic, not the Public Suffix List (no data dependency in this
 package); multi-label public suffixes (``co.uk``) need ``levels=3``
 or a real PSL feed — the parameter exists for exactly that.
+:func:`registered_domain_psl` closes the common-case gap with a
+static snapshot of the most frequent two-label public suffixes
+(``PSL_MULTI_SUFFIXES``) and accepts a caller-supplied suffix set for
+a real PSL feed.
 """
 
 from __future__ import annotations
@@ -103,8 +107,120 @@ def registered_domain(col: Column, levels: int = 2) -> Column:
     """Last-``levels``-labels domain heuristic (``a.b.example.com`` →
     ``example.com``): the blocklist/cap key one level above host. See
     the module note — this is NOT the PSL; raise ``levels`` for
-    multi-label suffixes."""
+    multi-label suffixes, or use :func:`registered_domain_psl` for
+    the common-case snapshot."""
     return F.substring_index(url_host(col), ".", -levels)
+
+
+#: static snapshot (2026-08) of the most common TWO-LABEL public
+#: suffixes from the (public) Mozilla Public Suffix List — the ccTLD
+#: second-level registries under which names are registered
+#: (``news.bbc.co.uk`` registers ``bbc.co.uk``, not ``co.uk``). NOT
+#: the full PSL (~9k rules, wildcard/exception grammar): a frozen
+#: common-case table; pass a caller-maintained set to
+#: :func:`registered_domain_psl` to override or extend it.
+PSL_MULTI_SUFFIXES: tuple[str, ...] = tuple(sorted(
+    f"{second}.{cc}"
+    for cc, seconds in {
+        "uk": ("co", "org", "me", "net", "ltd", "plc", "ac", "gov", "sch", "nhs"),
+        "au": ("com", "net", "org", "edu", "gov", "asn", "id"),
+        "nz": ("co", "net", "org", "ac", "govt", "school", "geek", "gen", "kiwi", "maori"),
+        "jp": ("co", "ne", "or", "ac", "go", "ad", "ed", "gr", "lg"),
+        "kr": ("co", "ne", "or", "re", "pe", "go", "ac", "hs", "ms", "es", "sc", "kg", "mil"),
+        "cn": ("com", "net", "org", "gov", "edu", "ac", "mil"),
+        "tw": ("com", "net", "org", "edu", "gov", "idv", "game", "ebiz", "club"),
+        "hk": ("com", "net", "org", "edu", "gov", "idv"),
+        "sg": ("com", "net", "org", "edu", "gov", "per"),
+        "in": ("co", "net", "org", "firm", "gen", "ind", "ac", "edu", "res", "gov", "nic", "mil"),
+        "br": ("com", "net", "org", "gov", "edu", "art", "blog", "eco", "emp", "esp", "etc", "eti", "far", "flog", "imb", "ind", "inf"),
+        "mx": ("com", "net", "org", "edu", "gob"),
+        "ar": ("com", "net", "org", "edu", "gob", "int", "mil", "tur"),
+        "za": ("co", "net", "org", "web", "ac", "edu", "gov", "law", "mil", "nom"),
+        "tr": ("com", "net", "org", "edu", "gov", "mil", "bel", "pol", "av", "dr", "k12", "name", "gen", "web", "tv", "bbs", "info", "biz"),
+        "my": ("com", "net", "org", "edu", "gov", "mil", "name"),
+        "id": ("co", "net", "or", "web", "ac", "sch", "go", "mil", "my", "biz", "desa", "ponpes"),
+        "ph": ("com", "net", "org", "edu", "gov", "mil", "ngo", "i"),
+        "th": ("co", "in", "or", "ac", "go", "mi", "net"),
+        "vn": ("com", "net", "org", "edu", "gov", "int", "ac", "biz", "info", "name", "pro", "health"),
+        "il": ("co", "org", "net", "ac", "gov", "muni", "k12", "idf"),
+        "sa": ("com", "net", "org", "edu", "gov", "med", "pub", "sch"),
+        "ae": ("co", "net", "org", "ac", "gov", "mil", "sch"),
+        "eg": ("com", "net", "org", "edu", "gov", "mil", "name", "sci"),
+        "pk": ("com", "net", "org", "edu", "gov", "mil", "fam", "biz", "web", "gok", "gon", "gop", "gos"),
+        "ng": ("com", "net", "org", "edu", "gov", "mil", "name", "sch", "mobi", "i"),
+        "ke": ("co", "or", "ne", "go", "ac", "sc", "me", "mobi", "info"),
+        "co": ("com", "net", "org", "edu", "gov", "mil", "nom", "arts", "firm", "info", "int", "rec", "web"),
+        "pe": ("com", "net", "org", "edu", "gob", "mil", "nom"),
+        "ec": ("com", "net", "org", "edu", "gob", "gov", "mil", "fin", "med", "pro", "info", "k12"),
+        "uy": ("com", "net", "org", "edu", "gub", "mil"),
+        "ve": ("com", "net", "org", "co", "edu", "gob", "mil", "info", "web", "e12", "firm", "gov", "int", "rec", "store", "tec"),
+        "bo": ("com", "net", "org", "edu", "gob", "mil", "int", "tv", "web", "academia", "agro", "arte", "blog"),
+        "py": ("com", "net", "org", "edu", "gov", "mil", "coop"),
+        "do": ("com", "net", "org", "edu", "gob", "gov", "mil", "sld", "art", "web"),
+        "gt": ("com", "net", "org", "edu", "gob", "mil", "ind"),
+        "ni": ("com", "net", "org", "edu", "gob", "mil", "co", "ac", "biz", "info", "int", "in", "web"),
+        "pa": ("com", "net", "org", "edu", "gob", "ac", "sld", "abo", "ing", "med", "nom"),
+        "sv": ("com", "org", "edu", "gob", "red"),
+        "hn": ("com", "net", "org", "edu", "gob", "mil"),
+        "cr": ("co", "ac", "ed", "fi", "go", "or", "sa"),
+        "ru": ("com", "net", "org", "edu", "gov", "int", "mil", "ac", "pp", "msk", "spb"),
+        "ua": ("com", "net", "org", "edu", "gov", "in", "kiev", "lviv", "odessa", "kharkov", "dp"),
+        "pl": ("com", "net", "org", "edu", "gov", "mil", "info", "biz", "waw", "wroc", "krakow", "poznan", "gda", "slask"),
+        "gr": ("com", "net", "org", "edu", "gov"),
+        "cy": ("com", "net", "org", "biz", "ekloges", "ltd", "name", "parliament", "press", "pro", "tm", "ac", "gov"),
+        "mt": ("com", "net", "org", "edu", "gov"),
+        "lv": ("com", "net", "org", "edu", "gov", "mil", "asn", "conf", "id"),
+    }.items()
+    for second in seconds
+))
+
+
+def _psl_domain_from_host(host: Column, suffixes: Sequence[str]) -> Column:
+    """:func:`registered_domain_psl`'s branch logic over a host
+    reference that is CHEAP to repeat (a lambda variable or plain
+    attribute — ``host`` is referenced five times here)."""
+    n = F.size(F.split(host, r"\."))
+    last2 = F.substring_index(host, ".", -2)
+    last3 = F.substring_index(host, ".", -3)
+    # single isin reference: the inner when yields NULL for a host
+    # that IS a listed suffix (no registrable part, PSL semantics)
+    return F.when(last2.isin(*suffixes), F.when(n >= 3, last3)).otherwise(
+        F.when(host.isNotNull(), last2)
+    )
+
+
+def registered_domain_psl(
+    col: Column, suffixes: Sequence[str] = PSL_MULTI_SUFFIXES
+) -> Column:
+    """Registered domain with multi-label public-suffix awareness:
+    when a host's last two labels form a known public suffix
+    (``co.uk`` → ``bbc.co.uk``) take three labels, else two — the
+    drop-in upgrade over :func:`registered_domain` for blocklists and
+    host caps. ``suffixes`` defaults to the built-in
+    :data:`PSL_MULTI_SUFFIXES` snapshot; pass a set built from a real
+    PSL feed to widen it. A host that IS a listed suffix (exactly
+    ``co.uk``) has no registrable part → NULL, matching PSL
+    semantics.
+
+    Plan-size note (measured): the branch logic needs the host five
+    times, and a naive composition inlines the URL-parse tree at
+    every reference — the two-project attribute shape is NOT enough
+    here because filter pushdown / column pruning inside consumers
+    like ``cap_per_host``'s windowed top-n re-inline the projection,
+    which blew the generated sorter method past Janino's 64 KB limit
+    (whole-stage codegen silently fell back to interpreted). Fix is
+    an expression-level let: ``transform`` over a ONE-element array
+    binds the parsed host to a lambda variable (cheap to repeat), so
+    the parse tree exists exactly once no matter how the optimizer
+    clones the enclosing expression. The 457-entry membership is one
+    ``InSet`` hash probe; the higher-order function evaluates via
+    Catalyst's interpreted path, pennies next to the regexp parse.
+    """
+    bound = F.transform(
+        F.array(url_host(col)),
+        lambda h: _psl_domain_from_host(h, suffixes),
+    )
+    return F.element_at(bound, 1)
 
 
 def normalize_url(col: Column) -> Column:
@@ -207,11 +323,14 @@ def filter_blocked_domains(
     blocked: Sequence[str] | DataFrame,
     url_col: str = "url",
     levels: int = 2,
+    psl: bool = False,
 ) -> DataFrame:
     """Drop rows whose registered domain is on a blocklist (RefinedWeb
     runs a ~4.6M-entry one). ``blocked``: a Python sequence or a
     one-column DataFrame of domains. Broadcast anti-join on
-    :func:`registered_domain` — blocklists are small next to the
+    :func:`registered_domain` (``psl=True`` → the
+    :func:`registered_domain_psl` snapshot instead, so ``bbc.co.uk``
+    entries match as intended) — blocklists are small next to the
     corpus; rows with no parseable host are KEPT (the quality gates
     judge them, a blocklist can only speak about domains it names)."""
     spark = df.sparkSession
@@ -222,9 +341,13 @@ def filter_blocked_domains(
     else:
         blocked = blocked.toDF("_blocked_domain")
     bl = blocked.select(F.lower("_blocked_domain").alias("_blocked_domain"))
-    dom = registered_domain(F.col(url_col), levels).alias("_dom")
+    dom_fn = (
+        registered_domain_psl(F.col(url_col))
+        if psl
+        else registered_domain(F.col(url_col), levels)
+    )
     return (
-        df.select("*", dom)
+        df.select("*", dom_fn.alias("_dom"))
         .join(
             F.broadcast(bl),
             F.col("_dom") == F.col("_blocked_domain"),
@@ -241,15 +364,22 @@ def cap_per_host(
     id_col: str = "doc_id",
     levels: int = 2,
     n_shards: int = 1,
+    psl: bool = False,
 ) -> DataFrame:
     """At most ``n`` documents per registered domain, hash-ranked —
     the real-host version of ``sampling.cap_per_group`` (same exact
     sharded two-phase top-n underneath, so giant hosts never serialize
-    through one task). NULL-host rows pass through uncapped."""
+    through one task). ``psl=True`` groups by
+    :func:`registered_domain_psl` (so ``*.co.uk`` sites aren't all
+    one capped "host"). NULL-host rows pass through uncapped."""
     from .sampling import cap_per_group
 
-    dom = registered_domain(F.col(url_col), levels).alias("_dom")
-    with_dom = df.select("*", dom)
+    dom_fn = (
+        registered_domain_psl(F.col(url_col))
+        if psl
+        else registered_domain(F.col(url_col), levels)
+    )
+    with_dom = df.select("*", dom_fn.alias("_dom"))
     hosted = with_dom.where(F.col("_dom").isNotNull())
     kept = cap_per_group(
         hosted, group_col="_dom", n=n, n_shards=n_shards, id_col=id_col

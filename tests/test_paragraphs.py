@@ -1,0 +1,130 @@
+"""Paragraph tier: split closed forms, CCNet cross-corpus paragraph
+dedup (first occurrence wins, deterministic under repartitioning),
+corpus stats, and DuckDB oracle parity (window-replay of the
+min-struct first-occurrence rule; registry keys queue for r10)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from giraph_spark.functions.paragraphs import (
+    dedup_paragraphs,
+    duplicate_paragraph_stats,
+    split_paragraphs,
+)
+
+BANNER = "This site uses cookies.\nAccept to continue."
+LICENSE = "Text available under CC-BY-4.0."
+DOCS = [
+    (1, f"{BANNER}\n\nAlpha body paragraph one.\n\nAlpha closing thoughts.", "web"),
+    (2, f"{BANNER}\n\nBeta unique middle.\n\n{LICENSE}", "web"),
+    (3, f"Gamma standalone text.\n\n{LICENSE}", "web"),
+    (4, f"{BANNER}", "web"),  # nothing but the banner → doc drops out
+    (5, "  \n\n   \n\n", "web"),  # whitespace-only → drops out
+    (6, None, "web"),  # NULL text → drops out
+    (7, "Delta has one paragraph only.", "books"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_split_paragraphs_closed_form(docs_df):
+    rows = split_paragraphs(docs_df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["para_idx"], r["paragraph"]))
+    assert [p for _, p in sorted(by_doc[1])] == [
+        BANNER,
+        "Alpha body paragraph one.",
+        "Alpha closing thoughts.",
+    ]
+    assert len(by_doc[2]) == 3 and len(by_doc[3]) == 2
+    assert 5 not in by_doc and 6 not in by_doc  # empty / NULL vanish
+    assert by_doc[7] == [(0, "Delta has one paragraph only.")]
+
+
+def test_dedup_paragraphs_first_occurrence_wins(docs_df):
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs_df).collect()}
+    # doc 1 is the banner's first occurrence (smallest doc_id) → keeps all 3
+    assert got[1]["text"].startswith(BANNER)
+    assert got[1]["n_paragraphs"] == 3 and got[1]["n_kept"] == 3
+    # doc 2 loses the banner but owns the license's first occurrence
+    assert got[2]["text"] == f"Beta unique middle.\n\n{LICENSE}"
+    assert (got[2]["n_paragraphs"], got[2]["n_kept"]) == (3, 2)
+    # doc 3 loses the license to doc 2
+    assert got[3]["text"] == "Gamma standalone text."
+    assert (got[3]["n_paragraphs"], got[3]["n_kept"]) == (2, 1)
+    # doc 4's only paragraph is a later banner copy → doc drops out
+    assert 4 not in got and 5 not in got and 6 not in got
+    assert got[7]["text"] == "Delta has one paragraph only."
+
+
+def test_dedup_paragraphs_partitioning_invariant(docs_df):
+    base = sorted(
+        (r["doc_id"], r["text"]) for r in dedup_paragraphs(docs_df).collect()
+    )
+    shuffled = sorted(
+        (r["doc_id"], r["text"])
+        for r in dedup_paragraphs(docs_df.repartition(7)).collect()
+    )
+    assert base == shuffled
+
+
+def test_duplicate_paragraph_stats(docs_df):
+    row = duplicate_paragraph_stats(docs_df).collect()[0]
+    # paragraphs: doc1=3, doc2=3, doc3=2, doc4=1, doc7=1 → 10 total;
+    # banner appears 3×, license 2× → 7 distinct, 3 duplicates
+    assert row["n_paragraphs"] == 10
+    assert row["n_distinct"] == 7
+    assert row["n_duplicate"] == 3
+    assert row["duplicate_fraction"] == pytest.approx(0.3)
+
+
+def test_dedup_paragraphs_oracle_parity(spark, docs_df):
+    """DuckDB replays the whole disposition: split with ordinality,
+    normalize-hash, first-occurrence window, ordered reassembly."""
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(DOCS, columns=["doc_id", "text", "source"]))
+    want = con.execute(
+        r"""
+        WITH parts AS (
+          SELECT doc_id,
+                 regexp_split_to_array(coalesce(text, ''),
+                                       '\r?\n[ \t]*(\r?\n)+') AS ps
+          FROM docs
+        ), paras AS (
+          SELECT doc_id,
+                 generate_subscripts(ps, 1) - 1 AS para_idx,
+                 unnest(ps) AS paragraph
+          FROM parts
+        ), nonempty AS (
+          SELECT doc_id, para_idx, paragraph,
+                 md5(lower(regexp_replace(trim(paragraph), '\s+', ' ', 'g'))) AS h
+          FROM paras WHERE trim(paragraph) <> ''
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY h ORDER BY doc_id, para_idx) AS rn
+          FROM nonempty
+        ), orig AS (
+          SELECT doc_id, count(*) AS n_paragraphs FROM nonempty GROUP BY doc_id
+        )
+        SELECT r.doc_id,
+               string_agg(r.paragraph, chr(10) || chr(10)
+                          ORDER BY r.para_idx) AS text,
+               any_value(o.n_paragraphs) AS n_paragraphs,
+               count(*) AS n_kept
+        FROM ranked r JOIN orig o USING (doc_id)
+        WHERE r.rn = 1
+        GROUP BY r.doc_id
+        ORDER BY r.doc_id
+        """
+    ).fetchdf()
+    got = dedup_paragraphs(docs_df).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )

@@ -1,0 +1,129 @@
+"""PII tier: per-doc counts, redaction order, corpus rate, and
+DuckDB oracle parity (the same RE2/Java-portable patterns replayed on
+the same fixture — the pre-registration parity pass; registry keys
+queue for the r10 driver window)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from giraph_spark.functions.pii import (
+    PII_TIERS,
+    pii_features,
+    pii_rate,
+    redact_pii,
+)
+
+DOCS = [
+    (1, "Write to alice@example.com or bob.smith+tag@mail.co.uk today.", "web"),
+    (2, "Server at 192.168.100.200 answered; backup at 10.0.0.1.", "web"),
+    (3, "Call +1 (415) 555-0123 or 020 7946 0958 now.", "books"),
+    (4, "Account 123456789 and card 4111111111111111 on file.", "books"),
+    (5, "No personal data here, just prose about weather.", "web"),
+    (6, None, "web"),
+    (7, "mixed: eve@corp.net from 8.8.8.8 ref 987654321012", "web"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_pii_features_closed_form(docs_df):
+    got = {r["doc_id"]: r for r in pii_features(docs_df).collect()}
+    assert got[1]["n_email"] == 2
+    assert got[1]["n_ipv4"] == 0 and got[1]["n_pii"] == 2
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["n_phone"] >= 1  # heuristic: at least the +1 (415) form
+    assert got[4]["n_id_number"] == 2  # 9-digit account + 16-digit card
+    assert got[5]["n_pii"] == 0
+    assert got[6]["n_pii"] == 0  # NULL text counts zero
+    assert got[7]["n_email"] == 1 and got[7]["n_ipv4"] == 1
+    assert got[7]["n_id_number"] == 1
+
+
+def test_redact_pii_order_and_tokens(docs_df):
+    got = {r["doc_id"]: r for r in redact_pii(docs_df).collect()}
+    assert got[1]["text"] == "Write to <EMAIL> or <EMAIL> today."
+    # IPv4 runs before PHONE, so dotted quads never half-match as phones
+    assert "<IP>" in got[2]["text"] and "<PHONE>" not in got[2]["text"]
+    assert got[2]["n_redacted_ipv4"] == 2 and got[2]["n_redacted_phone"] == 0
+    assert "<PHONE>" in got[3]["text"]
+    assert "<ID>" in got[4]["text"] and "123456789" not in got[4]["text"]
+    # kinds subset keeps only the named tiers
+    sub = {
+        r["doc_id"]: r
+        for r in redact_pii(docs_df, kinds=["email"]).collect()
+    }
+    assert "<EMAIL>" in sub[1]["text"] and "192.168.100.200" in sub[2]["text"]
+    assert "n_redacted_ipv4" not in sub[1].asDict()
+
+
+def test_redact_pii_unknown_kind_raises(docs_df):
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        redact_pii(docs_df, kinds=["email", "ssn"])
+
+
+def test_pii_rate_grouped(docs_df):
+    rows = {r["source"]: r for r in pii_rate(docs_df, group_col="source").collect()}
+    assert rows["web"]["n_docs"] == 5
+    assert rows["web"]["docs_with_pii"] == 3  # docs 1, 2, 7
+    assert rows["books"]["docs_with_pii"] == 2
+    total = pii_rate(docs_df).collect()[0]
+    assert total["n_docs"] == 7 and total["docs_with_pii"] == 5
+    assert total["pii_doc_rate"] == pytest.approx(5 / 7)
+
+
+def test_pii_features_oracle_parity(spark, docs_df):
+    """Same fixture, same patterns, DuckDB RE2 vs Spark Java regex —
+    counts must agree bit-for-bit (the patterns are written to the
+    common subset of both engines)."""
+    con = duckdb.connect()
+    con.register(
+        "docs", pd.DataFrame(DOCS, columns=["doc_id", "text", "source"])
+    )
+    # DuckDB '...' literals are NOT escape-processed: backslashes pass
+    # straight through to RE2, so only quotes need doubling.
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(coalesce(text, ''), '{}')) AS BIGINT)"
+        " AS n_{}".format(pat.replace("'", "''"), kind)
+        for kind, pat, _ in PII_TIERS
+    )
+    want = con.execute(
+        f"SELECT doc_id, {counts} FROM docs ORDER BY doc_id"
+    ).fetchdf()
+    got = (
+        pii_features(docs_df)
+        .drop("n_pii")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
+def test_redact_pii_oracle_parity(spark, docs_df):
+    con = duckdb.connect()
+    con.register(
+        "docs", pd.DataFrame(DOCS, columns=["doc_id", "text", "source"])
+    )
+    expr = "text"
+    for _, pat, token in PII_TIERS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{token}', 'g')"
+    want = con.execute(
+        f"SELECT doc_id, {expr} AS text FROM docs ORDER BY doc_id"
+    ).fetchdf()
+    got = (
+        redact_pii(docs_df)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )

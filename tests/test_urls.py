@@ -774,3 +774,65 @@ def test_sitemap_loc_full_xml_unescape_and_collision_guard(spark):
         sitemap_urls(
             spark.createDataFrame([("a", "b")], "loc string, xml string")
         )
+
+
+def test_registered_domain_psl_snapshot(spark):
+    """Multi-label public suffixes take three labels; plain TLDs two;
+    a bare public suffix has no registrable part (NULL, PSL
+    semantics); unparseable hosts stay NULL."""
+    from giraph_spark.functions.urls import registered_domain_psl
+
+    cases = {
+        "https://news.bbc.co.uk/story": "bbc.co.uk",
+        "https://www.example.com/a": "example.com",
+        "https://a.b.shop.com.br/x": "shop.com.br",
+        "https://docs.example.io/": "example.io",
+        "https://co.uk/": None,
+        "not a url": None,
+        "https://deep.sub.portal.gov.in/z": "portal.gov.in",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["d"]
+        for r in df.select(
+            "url", registered_domain_psl(F.col("url")).alias("d")
+        ).collect()
+    }
+    for u, want in cases.items():
+        assert got[u] == want, u
+
+
+def test_registered_domain_psl_custom_suffixes_and_caps(spark):
+    """A caller-supplied suffix feed overrides the snapshot, and the
+    psl=True switches on filter_blocked_domains / cap_per_host group
+    by the PSL domain."""
+    from giraph_spark.functions.urls import (
+        cap_per_host,
+        filter_blocked_domains,
+        registered_domain_psl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://a.web.lan/x"), (2, "https://b.web.lan/y")],
+        "doc_id long, url string",
+    )
+    got = df.select(
+        registered_domain_psl(F.col("url"), suffixes=("web.lan",)).alias("d")
+    ).collect()
+    assert {r["d"] for r in got} == {"a.web.lan", "b.web.lan"}
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://one.bbc.co.uk/a"),
+            (2, "https://two.bbc.co.uk/b"),
+            (3, "https://guardian.co.uk/c"),
+        ],
+        "doc_id long, url string",
+    )
+    # heuristic (levels=2) lumps everything under co.uk; psl=True
+    # blocks only the named registered domain
+    blocked = filter_blocked_domains(urls, ["bbc.co.uk"], psl=True)
+    assert {r["doc_id"] for r in blocked.collect()} == {3}
+    capped = cap_per_host(urls, n=1, psl=True)
+    kept = {r["doc_id"] for r in capped.collect()}
+    assert 3 in kept and len(kept & {1, 2}) == 1
