@@ -70,6 +70,8 @@ def data_card(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_cols: tuple[str, ...] = ("source", "lang"),
+    pii: bool = False,
+    paragraphs: bool = False,
 ) -> DataFrame:
     """Build the card for whichever frames the snapshot has:
 
@@ -78,6 +80,12 @@ def data_card(
       Gopher/C4 gate + token-count profile via ``profile_columns``),
       and ``dedup`` (exact-duplicate groups/docs — the headline
       "how much of this snapshot is copies");
+    - ``pii=True`` adds a ``pii`` section over ``docs``
+      (``functions.pii.pii_rate``: doc rate + per-kind counts) and
+      ``paragraphs=True`` a ``paragraphs`` section
+      (``functions.paragraphs.duplicate_paragraph_stats``: cross-doc
+      duplicate-paragraph fraction) — both opt-in so existing card
+      replays are byte-stable;
     - ``media`` (``(doc_id, modality, payload)``) → ``media`` section:
       ``multimodal.decode_coverage`` per modality×format;
     - ``embeddings`` (``(vec_id, embedding)``) → ``embeddings``
@@ -123,6 +131,22 @@ def data_card(
             .alias("dup_docs_removable"),
         )
         parts.append(_tall(dup, "dedup", []))
+        if pii:
+            from .pii import pii_rate
+
+            parts.append(
+                _tall(pii_rate(docs, text_col).drop("n_docs"), "pii", [])
+            )
+        if paragraphs:
+            from .paragraphs import duplicate_paragraph_stats
+
+            parts.append(
+                _tall(
+                    duplicate_paragraph_stats(docs, text_col, id_col),
+                    "paragraphs",
+                    [],
+                )
+            )
     if media is not None:
         parts.append(
             _tall(

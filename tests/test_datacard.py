@@ -98,3 +98,32 @@ def test_data_card_custom_column_names(spark):
     # the dedup section must honor the custom names end to end
     assert m[("dedup", "dup_groups", "")] == "1"
     assert m[("quality", "n_pass_gate", "")] == "2"
+
+
+def test_data_card_pii_and_paragraph_sections(spark):
+    """Opt-in pii/paragraphs sections: closed-form values, six-decimal
+    canonical fractions, and byte-stable default (flags off → no new
+    sections)."""
+    para = "Shared cookie banner paragraph."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{para}\n\nWrite alice@example.com now.", "web", "en"),
+            (2, f"{para}\n\nUnique body at 10.0.0.1 here.", "web", "en"),
+            (3, "Clean document, nothing sensitive.", "books", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    card = data_card(docs=docs, pii=True, paragraphs=True)
+    m = _card_map(card)
+    assert m[("pii", "docs_with_pii", "")] == "2"
+    assert m[("pii", "n_email", "")] == "1"
+    assert m[("pii", "n_ipv4", "")] == "1"
+    assert m[("pii", "pii_doc_rate", "")] == "0.666667"
+    # paragraphs: 5 total (2+2+1), banner duplicated once
+    assert m[("paragraphs", "n_paragraphs", "")] == "5"
+    assert m[("paragraphs", "n_duplicate", "")] == "1"
+    assert m[("paragraphs", "duplicate_fraction", "")] == "0.200000"
+    # defaults unchanged: no pii/paragraphs rows without the flags
+    base = data_card(docs=docs)
+    sections = {r["section"] for r in base.collect()}
+    assert "pii" not in sections and "paragraphs" not in sections
