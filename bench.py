@@ -529,6 +529,43 @@ def _run_pipeline(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         .agg(F.sum("n_tokens"))
         .collect()[0][0]
     )
+    # r9 additions: PII scrub, cross-corpus paragraph dedup, PSL-aware
+    # host cap. redact_pii's counter is TOTAL redactions — the sf docs
+    # are synthetic clean prose, so the honest value is 0 and the
+    # counter pins "no false positives on clean text" as a semantics
+    # invariant (any regex-tier drift that starts matching prose moves
+    # it); dedup_paragraphs' counter is surviving docs (the synthetic
+    # corpus has exact-duplicate texts, all single-paragraph); the cap
+    # rides a deterministic URL column derived from doc ids.
+    from giraph_spark.functions.paragraphs import dedup_paragraphs
+    from giraph_spark.functions.pii import redact_pii
+    from giraph_spark.functions.urls import cap_per_host
+
+    def _redact():
+        red = redact_pii(d2)
+        kinds = [c for c in red.columns if c.startswith("n_redacted_")]
+        total = red.agg(
+            F.sum(sum(F.col(c) for c in kinds))
+        ).collect()[0][0]
+        return int(total or 0)
+
+    timings["redact_pii"], rows["redact_pii"] = run(_redact)
+    timings["dedup_paragraphs"], rows["dedup_paragraphs"] = run(
+        lambda: dedup_paragraphs(d2).count()
+    )
+    urls_df = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".bbc.co.uk/p/"))
+            .otherwise(F.lit(".example.com/p/")),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    timings["cap_per_host_psl"], rows["cap_per_host_psl"] = run(
+        lambda: cap_per_host(urls_df, n=20, n_shards=4, psl=True).count()
+    )
     inputs = {"docs": n_docs, "embeddings": n_embs}
     docs.unpersist()
     embs.unpersist()

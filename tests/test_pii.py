@@ -127,3 +127,45 @@ def test_redact_pii_oracle_parity(spark, docs_df):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_redact_pii_composes_on_streams(spark, tmp_path):
+    """The scrub is a stateless projection, so it rides a streaming
+    frame unchanged — the continuous-ingest path can redact before the
+    disposition sink. Streamed output must equal the batch scrub."""
+    import pandas as pd_
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pdf = pd_.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "mail bob@site.org or call (415) 555-0123",
+                "plain prose only",
+            ],
+        }
+    )
+    pdf.to_parquet(src / "p0.parquet")
+    batch_df = spark.read.parquet(str(src))
+    want = {
+        r["doc_id"]: r["text"] for r in redact_pii(batch_df).collect()
+    }
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = (
+        redact_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql("select * from pii_stream_t").collect()
+    }
+    assert got == want
+    assert "<EMAIL>" in got[1] and "<PHONE>" in got[1]
