@@ -127,11 +127,12 @@ def duplicate_paragraph_stats(
         _norm_hash(F.col("paragraph")).alias("_h")
     )
     per_hash = paras.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    total = F.coalesce(F.sum("_n"), F.lit(0))  # empty corpus → 0, not NULL
     return per_hash.agg(
-        F.sum("_n").alias("n_paragraphs"),
+        total.alias("n_paragraphs"),
         F.count(F.lit(1)).alias("n_distinct"),
-        (F.sum("_n") - F.count(F.lit(1))).alias("n_duplicate"),
-        ((F.sum("_n") - F.count(F.lit(1))) / F.sum("_n")).alias(
+        (total - F.count(F.lit(1))).alias("n_duplicate"),
+        ((total - F.count(F.lit(1))) / F.sum("_n")).alias(
             "duplicate_fraction"
         ),
     )

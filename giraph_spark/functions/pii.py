@@ -21,10 +21,12 @@ Java regex (Spark executors) and RE2 (the DuckDB oracles) — both
 engines scan leftmost-first, non-overlapping.
 
 Honest scope: these are heuristics, not validators. ``IPV4`` accepts
-octets > 255; ``PHONE`` matches separator-grouped digit runs (it will
-happily match an ISO date like ``2026-08-16`` or the tail of an IPv4
-— redaction order puts IPV4 first so dotted quads are already gone);
-``ID_NUMBER`` is any 9+-digit word. That is the C4-family trade-off:
+octets > 255; ``PHONE`` matches separator-grouped digit runs whose
+middle/last groups have 3-4 digits (so it takes the head of a dotted
+quad like ``192.168.100`` — redaction order puts IPV4 first so those
+are already gone — but NOT an ISO date, whose 2-digit month fails the
+``{3,4}`` groups); ``ID_NUMBER`` is any 9+-digit word. That is the
+C4-family trade-off:
 cheap, recall-leaning, replayable. Counts in :func:`pii_features` are
 computed independently on the RAW text, so one span can contribute to
 two kinds; :func:`redact_pii` counts on the progressively redacted
@@ -89,7 +91,9 @@ def redact_pii(
     land in ``n_redacted_<kind>`` columns, each counted on the text
     AFTER the earlier tiers ran (so a span redacted as ``<EMAIL>``
     is never also billed as a phone). ``kinds`` restricts to a subset
-    of :data:`PII_TIERS` kinds, keeping tier order.
+    of :data:`PII_TIERS` kinds, keeping tier order. NULL text stays
+    NULL. Column order is preserved (the text column is rewritten in
+    its original position; the count columns append).
 
     Single projection: the chained ``regexp_replace`` stays one
     whole-stage-codegen pass however many tiers run.
@@ -105,8 +109,11 @@ def redact_pii(
             continue
         counts.append(_count(cur, pat).alias(f"n_redacted_{kind}"))
         cur = F.regexp_replace(cur, F.lit(pat), F.lit(token))
-    others = [c for c in df.columns if c != text_col]
-    return df.select(*others, cur.alias(text_col), *counts)
+    cols = [
+        cur.alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols, *counts)
 
 
 def pii_rate(
