@@ -63,7 +63,9 @@ from .lm import bigram_logprob
 from .urls import (
     cap_per_host,
     dedup_by_url,
+    domain_authority,
     filter_blocked_domains,
+    host_graph,
     normalize_url,
     registered_domain,
     registered_domain_psl,

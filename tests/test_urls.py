@@ -4,6 +4,8 @@ underlying exact top-n)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from giraph_spark.functions.urls import (
@@ -836,3 +838,76 @@ def test_registered_domain_psl_custom_suffixes_and_caps(spark):
     capped = cap_per_host(urls, n=1, psl=True)
     kept = {r["doc_id"] for r in capped.collect()}
     assert 3 in kept and len(kept & {1, 2}) == 1
+
+
+def test_host_graph_closed_form(spark):
+    """Pages → weighted registered-domain edge relation: link counts
+    aggregate, intra-domain links and unparseable hrefs drop, PSL
+    domains group *.co.uk sites correctly."""
+    from giraph_spark.functions.urls import host_graph
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://news.bbc.co.uk/a",
+                '<a href="https://example.com/1"></a>'
+                '<a href="https://www.example.com/2"></a>'
+                '<a href="https://sport.bbc.co.uk/b"></a>'  # intra-domain
+                '<a href="/local"></a>',                    # intra-domain
+            ),
+            (
+                "https://example.com/x",
+                '<a href="https://news.bbc.co.uk/c"></a>'
+                '<a href="mailto:x@y.z"></a>',              # dropped scheme
+            ),
+        ],
+        "url string, body string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in host_graph(pages).collect()
+    }
+    assert got == {
+        ("bbc.co.uk", "example.com"): 2.0,
+        ("example.com", "bbc.co.uk"): 1.0,
+    }
+
+
+def test_domain_authority_matches_pagerank_on_host_graph(spark):
+    """The composition is exactly weighted+dangling PageRank over
+    host_graph's edges — the two halves of the package agreeing. A
+    domain that is only linked TO (no fetched pages) ranks as a
+    dangling vertex; the most-linked domain wins."""
+    from giraph_spark.algos.pagerank import pagerank
+    from giraph_spark.functions.urls import domain_authority, host_graph
+    from giraph_spark.graph import Graph, vertices_from_edges
+
+    body_to_hub = '<a href="https://hub.org/h"></a>'
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", body_to_hub),
+            ("https://b.net/1", body_to_hub),
+            ("https://c.io/1", body_to_hub + '<a href="https://a.com/2"></a>'),
+            ("https://hub.org/h", '<a href="https://a.com/3"></a>'),
+        ],
+        "url string, body string",
+    )
+    auth = {
+        r["domain"]: r["authority"]
+        for r in domain_authority(pages, iterations=15).collect()
+    }
+    edges = host_graph(pages)
+    g = Graph(vertices_from_edges(edges), edges)
+    want = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            g, iterations=15, weighted=True, dangling=True
+        ).collect()
+    }
+    assert set(auth) == set(want) == {"a.com", "b.net", "c.io", "hub.org"}
+    for d in want:
+        assert auth[d] == pytest.approx(want[d], rel=1e-12), d
+    # hub.org receives from three domains; b.net from none
+    assert auth["hub.org"] == max(auth.values())
+    assert auth["b.net"] == min(auth.values())
+    assert sum(auth.values()) == pytest.approx(1.0, rel=1e-6)
