@@ -6,6 +6,7 @@ All functions consume/produce DataFrames; formats mirror the reference's
 Spark's job).
 """
 
+from .cdx import cdx_shards, latest_cdx_captures, read_cdx
 from .generators import uniform_random_graph, watts_strogatz_graph
 from .warc import (
     http_records,
@@ -67,6 +68,9 @@ __all__ = [
     "read_warc",
     "read_warc_stream",
     "wet_documents",
+    "cdx_shards",
+    "latest_cdx_captures",
+    "read_cdx",
     "warc_documents",
     "http_records",
     "html_to_text",

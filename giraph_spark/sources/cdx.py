@@ -1,0 +1,126 @@
+"""CDXJ capture-index source — the scale lever for crawl corpora.
+
+A web archive ships two things: WARC shards (the bytes, ~1 GB each)
+and a CDX(J) index — one small line per capture naming its URL, SURT
+key, timestamp, MIME, HTTP status, content digest, and WHERE it lives
+(``filename`` + ``offset`` + ``length`` inside the shard). At 100 TB
+the index is the only thing you can afford to scan exhaustively:
+curation predicates (domain allowlists, MIME/status gates, dedup by
+digest, snapshot windows) run on the INDEX, and only the shards that
+still matter are handed to ``sources.warc.read_warc``. This module is
+that path: parse the index, push the predicates, emit the shard list.
+
+Format (CDXJ, the Common Crawl / pywb layout): each line is
+``<SURT urlkey> <14-digit timestamp> <JSON body>``, e.g. ::
+
+    org,example)/page 20260801093000 {"url": "https://example.com/page",
+      "mime": "text/html", "status": "200", "digest": "sha1:ABC...",
+      "length": "1043", "offset": "384", "filename": "shards/x.warc.gz"}
+
+The reference has no index surface (its inputs are splittable Hadoop
+formats, ``giraph-core/.../io/formats/``); this belongs to the
+LLM-pipeline tier next to the WARC source.
+
+Scale shape: ``spark.read.text`` on the (splittable, often .gz-per-
+shard) index files; ONE projection does the two ``substring_index``
+splits + ``from_json`` — no Python, no shuffle. ``cdx_shards`` is one
+partial-aggregated groupBy over the filtered index (output ∝ shards).
+Honest scope: ``offset``/``length`` are parsed and carried so callers
+with range-read storage can fetch single members, but this package's
+WARC reader is shard-granular (binaryFile has no byte-range API) —
+the pruning win here is WHICH SHARDS get read at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: JSON body fields of a CDXJ capture line. Numeric fields arrive as
+#: JSON strings in the wild (Common Crawl writes them quoted) — parse
+#: as string, cast after.
+_CDX_JSON_SCHEMA = (
+    "url string, mime string, status string, digest string, "
+    "length string, offset string, filename string, languages string, "
+    "encoding string, redirect string"
+)
+
+CDX_SCHEMA = (
+    "urlkey string, ts timestamp, url string, mime string, status int, "
+    "digest string, length bigint, offset bigint, filename string, "
+    "languages string, encoding string, redirect string, error string"
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read CDXJ index files into a captures DataFrame
+    (:data:`CDX_SCHEMA`). Malformed lines (no JSON body, unparseable
+    timestamp) yield a row with NULL fields and the raw line in
+    ``error`` — an index scan must never die on one corrupt line.
+    Comment/header lines (``!`` prefix, pywb convention) are dropped.
+    """
+    lines = spark.read.text(path).where(
+        (F.trim("value") != "") & ~F.col("value").startswith("!")
+    )
+    # urlkey = first space-separated field; ts = second; body = the
+    # rest (may itself contain spaces — JSON). substring_index slices,
+    # no array build; a short line degrades to empty body → error row.
+    urlkey = F.substring_index("value", " ", 1)
+    ts_raw = F.substring_index(F.substring_index("value", " ", 2), " ", -1)
+    body = F.expr(
+        "substring(value, length(substring_index(value, ' ', 2)) + 2)"
+    )
+    j = F.from_json(body, _CDX_JSON_SCHEMA)
+    # try_to_timestamp: a garbage second field must become an error ROW
+    # (ANSI to_timestamp would abort the whole index scan on one line)
+    ts = F.try_to_timestamp(ts_raw, F.lit("yyyyMMddHHmmss"))
+    ok = ts.isNotNull() & j.isNotNull() & j.getField("url").isNotNull()
+    return lines.select(
+        F.when(ok, urlkey).alias("urlkey"),
+        F.when(ok, ts).alias("ts"),
+        *[
+            F.when(ok, j.getField(f)).alias(f)
+            for f in ("url", "mime")
+        ],
+        F.when(ok, j.getField("status").try_cast("int")).alias("status"),
+        F.when(ok, j.getField("digest")).alias("digest"),
+        F.when(ok, j.getField("length").try_cast("bigint")).alias("length"),
+        F.when(ok, j.getField("offset").try_cast("bigint")).alias("offset"),
+        *[
+            F.when(ok, j.getField(f)).alias(f)
+            for f in ("filename", "languages", "encoding", "redirect")
+        ],
+        F.when(~ok, F.col("value")).alias("error"),
+    )
+
+
+def latest_cdx_captures(cdx: DataFrame) -> DataFrame:
+    """Newest capture per ``urlkey`` (the SURT key is the index's own
+    canonical form): one ``max(struct(ts, …))`` partial aggregation —
+    the index-side twin of ``urls.latest_captures``, run BEFORE any
+    shard is read. Error rows drop (they name no capture)."""
+    cols = [c for c in cdx.columns if c not in ("urlkey", "error")]
+    picked = (
+        cdx.where(F.col("error").isNull())
+        .groupBy("urlkey")
+        .agg(F.max(F.struct("ts", *[c for c in cols if c != "ts"])).alias("_c"))
+    )
+    return picked.select("urlkey", *[F.col(f"_c.{c}").alias(c) for c in cols])
+
+
+def cdx_shards(cdx: DataFrame) -> DataFrame:
+    """Collapse a (filtered) capture relation to the shard fetch list:
+    ``(filename, n_captures, bytes)`` — the handoff to
+    ``read_warc(path, path_glob=…)`` or to a storage-side range
+    fetcher. One partial-aggregated groupBy; output ∝ shards. Run your
+    curation predicates on the INDEX first — this relation is the
+    entire point of having one (read 3 shards, not 30,000).
+    """
+    return (
+        cdx.where(F.col("error").isNull() & F.col("filename").isNotNull())
+        .groupBy("filename")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.sum("length").alias("bytes"),
+        )
+    )

@@ -1,0 +1,131 @@
+"""CDXJ capture-index source: parse closed forms, corrupt-line
+contract, newest-capture collapse, shard handoff, and the index →
+read_warc pruning composition (registry key queued for a later
+window)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.sources.cdx import cdx_shards, latest_cdx_captures, read_cdx
+
+LINES = [
+    # two captures of the same urlkey, newest wins in latest_cdx_captures
+    'org,example)/page 20260801093000 {"url": "https://example.com/page",'
+    ' "mime": "text/html", "status": "200", "digest": "sha1:AAA",'
+    ' "length": "1000", "offset": "0", "filename": "shards/a.warc.gz"}',
+    'org,example)/page 20260815120000 {"url": "https://example.com/page",'
+    ' "mime": "text/html", "status": "200", "digest": "sha1:BBB",'
+    ' "length": "1100", "offset": "384", "filename": "shards/b.warc.gz"}',
+    'uk,co,bbc)/story 20260810000000 {"url": "https://bbc.co.uk/story",'
+    ' "mime": "text/html", "status": "404", "digest": "sha1:CCC",'
+    ' "length": "500", "offset": "0", "filename": "shards/a.warc.gz"}',
+    "! this is a pywb header comment",
+    "garbage line with no json",
+    'net,junk)/x 2026BADSTAMP {"url": "https://junk.net/x", "filename": "s.warc.gz"}',
+]
+
+
+@pytest.fixture(scope="module")
+def cdx_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cdx")
+    (d / "part-0.cdxj.gz").write_bytes(
+        gzip.compress(("\n".join(LINES) + "\n").encode())
+    )
+    return str(d)
+
+
+def test_read_cdx_closed_form(spark, cdx_dir):
+    rows = read_cdx(spark, cdx_dir).collect()
+    good = {r["digest"]: r for r in rows if r["error"] is None}
+    errs = [r for r in rows if r["error"] is not None]
+    assert set(good) == {"sha1:AAA", "sha1:BBB", "sha1:CCC"}
+    a = good["sha1:AAA"]
+    assert a["urlkey"] == "org,example)/page"
+    assert a["url"] == "https://example.com/page"
+    assert (a["status"], a["length"], a["offset"]) == (200, 1000, 0)
+    assert a["filename"] == "shards/a.warc.gz"
+    assert a["ts"].strftime("%Y%m%d%H%M%S") == "20260801093000"
+    # comment dropped entirely; garbage + bad timestamp → error rows
+    # carrying the raw line, all capture fields NULL
+    assert len(errs) == 2
+    assert {e["error"].split(" ")[0] for e in errs} == {"garbage", "net,junk)/x"}
+    assert all(e["url"] is None and e["filename"] is None for e in errs)
+
+
+def test_latest_cdx_captures_newest_wins(spark, cdx_dir):
+    cdx = read_cdx(spark, cdx_dir)
+    latest = {r["urlkey"]: r for r in latest_cdx_captures(cdx).collect()}
+    assert len(latest) == 2
+    assert latest["org,example)/page"]["digest"] == "sha1:BBB"
+    assert latest["uk,co,bbc)/story"]["digest"] == "sha1:CCC"
+
+
+def test_cdx_shards_after_index_predicates(spark, cdx_dir):
+    """The pruning story: curation predicates run on the index, the
+    shard list collapses to only what still matters."""
+    cdx = read_cdx(spark, cdx_dir)
+    all_shards = {
+        r["filename"]: (r["n_captures"], r["bytes"])
+        for r in cdx_shards(cdx).collect()
+    }
+    assert all_shards == {
+        "shards/a.warc.gz": (2, 1500),
+        "shards/b.warc.gz": (1, 1100),
+    }
+    ok_only = cdx.where(F.col("status") == 200)
+    pruned = {r["filename"] for r in cdx_shards(ok_only).collect()}
+    assert pruned == {"shards/a.warc.gz", "shards/b.warc.gz"}
+    recent = cdx.where(F.col("ts") >= F.lit("2026-08-15"))
+    assert {r["filename"] for r in cdx_shards(recent).collect()} == {
+        "shards/b.warc.gz"
+    }
+
+
+def test_cdx_prunes_warc_read(spark, tmp_path):
+    """End to end: write two WET shards, index them, filter the index
+    to one domain, and read ONLY the named shard via path_glob — the
+    other shard's bytes are never touched."""
+    from giraph_spark.sources.warc import make_warc, read_warc
+
+    def rec(rid, uri, text):
+        return (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Target-URI": uri,
+                "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                "Content-Type": "text/plain",
+            },
+            text.encode(),
+        )
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    (shards / "s0.wet.gz").write_bytes(
+        make_warc([rec("a", "https://keep.org/1", "keep me")])
+    )
+    (shards / "s1.wet.gz").write_bytes(
+        make_warc([rec("b", "https://drop.net/1", "drop me")])
+    )
+    idx = "\n".join(
+        [
+            'org,keep)/1 20260801000000 {"url": "https://keep.org/1",'
+            ' "status": "200", "length": "7", "offset": "0",'
+            ' "filename": "s0.wet.gz"}',
+            'net,drop)/1 20260801000000 {"url": "https://drop.net/1",'
+            ' "status": "200", "length": "7", "offset": "0",'
+            ' "filename": "s1.wet.gz"}',
+        ]
+    )
+    (tmp_path / "index.cdxj").write_text(idx + "\n")
+    cdx = read_cdx(spark, str(tmp_path / "index.cdxj"))
+    wanted = cdx.where(F.col("url").startswith("https://keep.org"))
+    names = [r["filename"] for r in cdx_shards(wanted).collect()]
+    assert names == ["s0.wet.gz"]
+    glob = "{" + ",".join(names) + "}" if len(names) > 1 else names[0]
+    recs = read_warc(spark, str(shards), path_glob=glob)
+    uris = [r["target_uri"] for r in recs.collect()]
+    assert uris == ["https://keep.org/1"]
