@@ -86,29 +86,35 @@ def dedup_paragraphs(
     firsts = paras.groupBy("_h").agg(
         F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_first")
     )
-    kept = paras.join(firsts, "_h").where(
-        (F.col(f"_first.{id_col}") == F.col(id_col))
-        & (F.col("_first.para_idx") == F.col("para_idx"))
+    # one exploded relation carries BOTH counters and survivors: the
+    # winner flag rides every paragraph through a single per-doc
+    # aggregation (collect_list drops the NULLed losers), so the input
+    # is scanned once — a count-origin re-scan + second join would
+    # double the corpus read for two long columns
+    flagged = paras.join(firsts, "_h").select(
+        id_col,
+        "para_idx",
+        F.when(
+            (F.col(f"_first.{id_col}") == F.col(id_col))
+            & (F.col("_first.para_idx") == F.col("para_idx")),
+            F.struct("para_idx", "paragraph"),
+        ).alias("_won"),
     )
-    n_orig = (
-        split_paragraphs(df, text_col, id_col, sep)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_paragraphs"))
-    )
-    docs = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("para_idx", "paragraph"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_won")),
+                    lambda s: s.getField("paragraph"),
                 ),
-                lambda s: s.getField("paragraph"),
-            ),
-            "\n\n",
-        ).alias(text_col),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return docs.join(n_orig, id_col).select(
-        id_col, text_col, "n_paragraphs", "n_kept"
+                "\n\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.count("_won").alias("n_kept"),
+        )
+        .where(F.col("n_kept") > 0)
+        .select(id_col, text_col, "n_paragraphs", "n_kept")
     )
 
 
