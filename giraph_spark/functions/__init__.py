@@ -62,6 +62,7 @@ from .datacard import data_card
 from .lm import bigram_logprob
 from .urls import (
     cap_per_host,
+    crawl_delays,
     dedup_by_url,
     domain_authority,
     filter_blocked_domains,

@@ -462,34 +462,15 @@ def extract_links(
     )
 
 
-def parse_robots(
+def _robots_groups(
     df: DataFrame, text_col: str = "text", host_col: str = "host"
 ) -> DataFrame:
-    """robots.txt corpus → rules relation ``(host, agent, rule,
-    pattern, pattern_len)`` per RFC 9309's group grammar: a group is a
-    run of consecutive ``User-agent`` lines followed by its
-    ``Allow``/``Disallow`` lines (multiple agents share the group's
-    rules; a later ``User-agent`` run starts the next group). Comments
-    (``#``) and unknown directives (Crawl-delay, Sitemap, …) are
-    ignored, and a leading UTF-8 BOM is stripped (BOM-prefixed
-    robots.txt is common in the wild and would otherwise corrupt the
-    FIRST ``User-agent`` key, silently dropping the whole first
-    group's rules). An empty ``Disallow:`` value — the classic
-    allow-all idiom — contributes no rule, but the GROUP still emits
-    one all-NULL-rule row per agent: "this agent was addressed, with
-    zero restrictions" must survive into :func:`robots_verdict`'s
-    group selection, or an explicit exemption would fall back to the
-    ``*`` group and invert into a denial.
-
-    All relational: posexplode the lines, a running sum over a window
-    assigns group ids (a ``User-agent`` line whose predecessor is not
-    one starts a group), then agents⟕rules within the group.
-    robots.txt files are small; the window partitions by host, so no
-    global sort exists anywhere. The input is first reduced to ONE
-    text per host (deterministic ``min``): two rows for the same host
-    would collide their line indexes inside one window partition and
-    nondeterministically interleave the files' lines — a caller with
-    fetch timestamps should pre-select the fetch they want."""
+    """Shared RFC 9309 group grammar (:func:`parse_robots` and
+    :func:`crawl_delays` must never drift): one text per host
+    (deterministic ``min`` collapse), comment-stripped ``Key: value``
+    lines, and a per-host running-sum group id — a ``User-agent``
+    line whose predecessor is not one starts the next group. Returns
+    ``(host, idx, key, val, grp)``."""
     from pyspark.sql.window import Window
 
     df = df.groupBy(F.col(host_col)).agg(
@@ -514,7 +495,7 @@ def parse_robots(
         F.col("clean").contains(":").alias("has_colon"),
     ).where(F.col("has_colon"))
     w = Window.partitionBy("host").orderBy("idx")
-    tagged = lines.select(
+    return lines.select(
         "host",
         "idx",
         "key",
@@ -532,6 +513,38 @@ def parse_robots(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("grp"),
     )
+
+
+def parse_robots(
+    df: DataFrame, text_col: str = "text", host_col: str = "host"
+) -> DataFrame:
+    """robots.txt corpus → rules relation ``(host, agent, rule,
+    pattern, pattern_len)`` per RFC 9309's group grammar: a group is a
+    run of consecutive ``User-agent`` lines followed by its
+    ``Allow``/``Disallow`` lines (multiple agents share the group's
+    rules; a later ``User-agent`` run starts the next group). Comments
+    (``#``) and non-rule directives are ignored here (``Crawl-delay``
+    → :func:`crawl_delays`, ``Sitemap`` → :func:`robots_sitemaps`),
+    and a leading UTF-8 BOM is stripped (BOM-prefixed
+    robots.txt is common in the wild and would otherwise corrupt the
+    FIRST ``User-agent`` key, silently dropping the whole first
+    group's rules). An empty ``Disallow:`` value — the classic
+    allow-all idiom — contributes no rule, but the GROUP still emits
+    one all-NULL-rule row per agent: "this agent was addressed, with
+    zero restrictions" must survive into :func:`robots_verdict`'s
+    group selection, or an explicit exemption would fall back to the
+    ``*`` group and invert into a denial.
+
+    All relational: posexplode the lines, a running sum over a window
+    assigns group ids (a ``User-agent`` line whose predecessor is not
+    one starts a group), then agents⟕rules within the group.
+    robots.txt files are small; the window partitions by host, so no
+    global sort exists anywhere. The input is first reduced to ONE
+    text per host (deterministic ``min``): two rows for the same host
+    would collide their line indexes inside one window partition and
+    nondeterministically interleave the files' lines — a caller with
+    fetch timestamps should pre-select the fetch they want."""
+    tagged = _robots_groups(df, text_col, host_col)
     agents = (
         tagged.where(F.col("key") == "user-agent")
         .select("host", "grp", F.lower(F.col("val")).alias("agent"))
@@ -550,6 +563,61 @@ def parse_robots(
     # still emits its agents, with NULL rule/pattern
     return agents.join(rules, ["host", "grp"], "left").select(
         "host", "agent", "rule", "pattern", "pattern_len"
+    )
+
+
+def crawl_delays(
+    df: DataFrame,
+    agent: str,
+    text_col: str = "text",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host politeness rate for ``agent`` from a robots.txt corpus:
+    ``(host, crawl_delay)`` seconds — the number a distributed
+    fetcher's per-host token bucket runs on. Group selection matches
+    :func:`robots_verdict`'s precedence: the group(s) naming ``agent``
+    exactly govern if the host has any, else the ``*`` group(s); a
+    governing group WITHOUT a delay means no row (the specific group
+    replaces ``*`` entirely — no fallback mixing, the de-facto
+    crawler behavior). Within the governing groups the LAST directive
+    wins (max line idx); unparseable values (``Crawl-delay: fast``)
+    are dropped. Crawl-delay is not in RFC 9309 — it's the de-facto
+    extension most registries honor; same shared grammar as
+    :func:`parse_robots` (one text per host, BOM-stripped).
+
+    Scale: one window pass over small robots texts + two slim joins;
+    output ∝ hosts that set a delay.
+    """
+    a = agent.lower()
+    tagged = _robots_groups(df, text_col, host_col)
+    named = tagged.where(
+        (F.col("key") == "user-agent")
+    ).select(
+        "host", "grp", F.lower(F.col("val")).alias("_agent")
+    ).where(F.col("_agent").isin(a, "*"))
+    has_exact = named.groupBy("host").agg(
+        F.max((F.col("_agent") == a).cast("int")).alias("_has_exact")
+    )
+    governing = (
+        named.join(has_exact, "host")
+        .where(
+            ((F.col("_has_exact") == 1) & (F.col("_agent") == a))
+            | ((F.col("_has_exact") == 0) & (F.col("_agent") == "*"))
+        )
+        .select("host", "grp")
+        .distinct()
+    )
+    delays = tagged.where(F.col("key") == "crawl-delay").select(
+        "host",
+        "grp",
+        "idx",
+        F.col("val").try_cast("double").alias("_delay"),
+    ).where(F.col("_delay").isNotNull())
+    return (
+        delays.join(governing, ["host", "grp"])
+        .groupBy("host")
+        .agg(F.max(F.struct("idx", "_delay")).alias("_m"))
+        .select("host", F.col("_m._delay").alias("crawl_delay"))
     )
 
 

@@ -911,3 +911,35 @@ def test_domain_authority_matches_pagerank_on_host_graph(spark):
     assert auth["hub.org"] == max(auth.values())
     assert auth["b.net"] == min(auth.values())
     assert sum(auth.values()) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_crawl_delays_precedence_and_last_wins(spark):
+    """Exact-agent group governs (no * fallback once it exists), last
+    directive in the governing groups wins, unparseable values drop,
+    hosts without a delay emit no row."""
+    from giraph_spark.functions.urls import crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            # exact group with delay 2; * group with delay 9 (ignored)
+            ("a.com", "User-agent: mybot\nCrawl-delay: 2\n"
+                      "User-agent: *\nCrawl-delay: 9\n"),
+            # only * group
+            ("b.com", "User-agent: *\nCrawl-delay: 0.5\nDisallow: /x\n"),
+            # exact group WITHOUT delay replaces * entirely → no row
+            ("c.com", "User-agent: mybot\nDisallow: /y\n"
+                      "User-agent: *\nCrawl-delay: 7\n"),
+            # last directive wins within the governing group
+            ("d.com", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 4\n"),
+            # unparseable value drops
+            ("e.com", "User-agent: *\nCrawl-delay: fast\n"),
+            # no delay at all
+            ("f.com", "User-agent: *\nDisallow: /z\n"),
+        ],
+        "host string, text string",
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in crawl_delays(robots, "MyBot").collect()
+    }
+    assert got == {"a.com": 2.0, "b.com": 0.5, "d.com": 4.0}
