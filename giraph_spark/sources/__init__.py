@@ -6,7 +6,7 @@ All functions consume/produce DataFrames; formats mirror the reference's
 Spark's job).
 """
 
-from .cdx import cdx_shards, latest_cdx_captures, read_cdx
+from .cdx import cdx_shards, latest_cdx_captures, read_cdx, read_cdx_stream
 from .generators import uniform_random_graph, watts_strogatz_graph
 from .warc import (
     http_records,
@@ -71,6 +71,7 @@ __all__ = [
     "cdx_shards",
     "latest_cdx_captures",
     "read_cdx",
+    "read_cdx_stream",
     "warc_documents",
     "http_records",
     "html_to_text",

@@ -52,14 +52,11 @@ CDX_SCHEMA = (
 )
 
 
-def read_cdx(spark: SparkSession, path: str) -> DataFrame:
-    """Read CDXJ index files into a captures DataFrame
-    (:data:`CDX_SCHEMA`). Malformed lines (no JSON body, unparseable
-    timestamp) yield a row with NULL fields and the raw line in
-    ``error`` — an index scan must never die on one corrupt line.
-    Comment/header lines (``!`` prefix, pywb convention) are dropped.
-    """
-    lines = spark.read.text(path).where(
+def _captures(lines: DataFrame) -> DataFrame:
+    """The CDXJ line → capture-row projection shared by
+    :func:`read_cdx` and :func:`read_cdx_stream` (pure expressions, so
+    it runs identically on batch and streaming frames)."""
+    lines = lines.where(
         (F.trim("value") != "") & ~F.col("value").startswith("!")
     )
     # urlkey = first space-separated field; ts = second; body = the
@@ -92,6 +89,36 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
         ],
         F.when(~ok, F.col("value")).alias("error"),
     )
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read CDXJ index files into a captures DataFrame
+    (:data:`CDX_SCHEMA`). Malformed lines (no JSON body, unparseable
+    timestamp) yield a row with NULL fields and the raw line in
+    ``error`` — an index scan must never die on one corrupt line.
+    Comment/header lines (``!`` prefix, pywb convention) are dropped.
+    """
+    return _captures(spark.read.text(path))
+
+
+def read_cdx_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous-crawl variant of :func:`read_cdx`: a STREAMING
+    captures frame over a directory where index shards keep landing —
+    the natural pairing with ``sources.warc.read_warc_stream`` when
+    the archive publishes indexes alongside shards (Common Crawl
+    does). Exactly-once per file given a checkpointed query; the same
+    pure-expression projection, so downstream index predicates and
+    :func:`cdx_shards` (with the stream aggregated per trigger via
+    ``foreachBatch``) compose unchanged.
+    """
+    reader = spark.readStream.schema("value string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _captures(reader.text(path))
 
 
 def latest_cdx_captures(cdx: DataFrame) -> DataFrame:

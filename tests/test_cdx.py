@@ -129,3 +129,29 @@ def test_cdx_prunes_warc_read(spark, tmp_path):
     recs = read_warc(spark, str(shards), path_glob=glob)
     uris = [r["target_uri"] for r in recs.collect()]
     assert uris == ["https://keep.org/1"]
+
+
+def test_read_cdx_stream_matches_batch(spark, cdx_dir, tmp_path):
+    """The streaming reader is the same projection on a streaming text
+    source: availableNow over the same files must equal the batch
+    read row-for-row."""
+    from giraph_spark.sources.cdx import read_cdx_stream
+
+    def canon(rows):
+        return sorted(
+            (r["urlkey"] or "", r["digest"] or "", r["error"] or "")
+            for r in rows
+        )
+
+    want = canon(read_cdx(spark, cdx_dir).collect())
+    q = (
+        read_cdx_stream(spark, cdx_dir, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("cdx_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = canon(spark.sql("select * from cdx_stream_t").collect())
+    assert got == want and len(got) == 5
