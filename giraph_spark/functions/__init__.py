@@ -59,6 +59,7 @@ from .sampling import (
 )
 from .bpe import bpe_encode, train_bpe
 from .datacard import data_card
+from .export import write_training_shards
 from .lm import bigram_logprob
 from .urls import (
     cap_per_host,

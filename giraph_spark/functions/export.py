@@ -1,0 +1,85 @@
+"""Training-set export — the last mile from a curated corpus to what
+a dataloader mounts: a FIXED number of roughly-equal shards in a
+deterministic global shuffle order.
+
+The reference's output side is format writers keyed by vertex
+(``giraph-core/.../io/formats/``); a training export has two extra
+contracts those never needed:
+
+- **Fixed shard count, shuffled order.** Dataloaders stripe workers
+  over shard files and rely on within-shard order being a global
+  shuffle, not corpus order (a source-sorted corpus read in order
+  would feed a model one domain at a time).
+- **Determinism independent of input layout.** Re-running the export
+  after a repartition/backfill must produce byte-identical shard
+  membership and order, or training runs aren't reproducible. Both
+  assignment and order therefore derive from ``xxhash64(id, seed)``
+  — a pure function of the ROW, never of partition placement (the
+  same invariance rule the samplers in ``functions/sampling.py``
+  follow; ``repartition(n)`` round-robin would be layout-dependent).
+
+Scale shape: one projection + ONE shuffle (`repartition` on the shard
+id, so every shard's rows land in exactly one task) + a within-
+partition sort; no global sort, no driver collection. Shard sizes
+concentrate tightly around corpus/n_shards (hash balance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    seed: int = 0,
+    fmt: str = "parquet",
+    id_col: str = "doc_id",
+    mode: str = "error",
+) -> DataFrame:
+    """Write ``df`` as ``n_shards`` deterministically shuffled shards
+    under ``out_dir/shard=K/`` (``fmt``: ``parquet`` or ``json`` =
+    JSONL, the two formats dataloaders mount) and return the LAZY
+    per-shard manifest ``(shard, n_rows)`` — materializing it runs a
+    count job, the write itself happens eagerly here.
+
+    Shard assignment is ``pmod(xxhash64(id, seed), n_shards)`` and
+    within-shard order is ``xxhash64(id, seed+1)``: both pure row
+    functions, so membership and order are reproducible across
+    re-runs, input repartitioning, and cluster sizes; a different
+    ``seed`` is a fresh global shuffle. Rows must carry a non-NULL
+    ``id_col`` (NULL hashes constant → one shard silently fattens);
+    this raises up front if the column is missing and excludes the
+    internal columns from the written schema. ``mode`` forwards to
+    the writer (``error``/``overwrite``/``append`` — append re-runs
+    with the same seed double rows, the manifest is the check).
+    """
+    if id_col not in df.columns:
+        raise ValueError(
+            f"write_training_shards: id_col {id_col!r} not in {df.columns}"
+        )
+    if n_shards < 1:
+        raise ValueError("write_training_shards: n_shards must be >= 1")
+    if fmt not in ("parquet", "json"):
+        raise ValueError(
+            f"write_training_shards: fmt must be parquet or json, got {fmt!r}"
+        )
+    staged = df.select(
+        "*",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.xxhash64(F.col(id_col), F.lit(seed + 1)).alias("_ord"),
+    )
+    (
+        staged.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ord")
+        .drop("_ord")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .format(fmt)
+        .save(out_dir)
+    )
+    return staged.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))

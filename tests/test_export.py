@@ -1,0 +1,99 @@
+"""Training-shard export: shard layout, deterministic global shuffle
+(layout- and rerun-invariant), within-shard order, JSONL variant,
+manifest agreement, and validation errors."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.functions.export import write_training_shards
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read_shards(spark, out):
+    return spark.read.parquet(out)
+
+
+def test_shard_layout_and_manifest(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, n_shards=8, seed=7)
+    m = {r["shard"]: r["n_rows"] for r in manifest.collect()}
+    assert set(m) == set(range(8))
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) == 8
+    back = _read_shards(spark, out)
+    assert back.count() == docs.count() == sum(m.values())
+    # every shard dir holds exactly one data file (one task per shard)
+    for d in dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if not f.startswith(("_", "."))
+        ]
+        assert len(files) == 1, d
+    # hash balance: no shard more than 2x the mean at 500 docs / 8
+    mean = docs.count() / 8
+    assert max(m.values()) < 2 * mean and min(m.values()) > 0
+
+
+def test_determinism_layout_and_rerun_invariant(spark, docs, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, a, n_shards=4, seed=3)
+    write_training_shards(docs.repartition(13), b, n_shards=4, seed=3)
+    fa = _read_shards(spark, a).select("doc_id", "shard").toPandas()
+    fb = _read_shards(spark, b).select("doc_id", "shard").toPandas()
+    ka = sorted(map(tuple, fa.values.tolist()))
+    kb = sorted(map(tuple, fb.values.tolist()))
+    assert ka == kb
+    # a different seed is a different shuffle
+    c = str(tmp_path / "c")
+    write_training_shards(docs, c, n_shards=4, seed=4)
+    fc = _read_shards(spark, c).select("doc_id", "shard").toPandas()
+    kc = sorted(map(tuple, fc.values.tolist()))
+    assert kc != ka
+
+
+def test_within_shard_order_is_hash_order(spark, docs, tmp_path):
+    out = str(tmp_path / "o")
+    write_training_shards(docs, out, n_shards=2, seed=11)
+    for shard in (0, 1):
+        got = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/shard={shard}").collect()
+        ]
+        want = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/shard={shard}")
+            .orderBy(F.xxhash64("doc_id", F.lit(12)))
+            .collect()
+        ]
+        assert got == want and got != sorted(got)
+
+
+def test_jsonl_variant(spark, docs, tmp_path):
+    out = str(tmp_path / "j")
+    write_training_shards(
+        docs.select("doc_id", "text"), out, n_shards=2, seed=1, fmt="json"
+    )
+    d = os.path.join(out, "shard=0")
+    fname = next(f for f in os.listdir(d) if f.endswith(".json"))
+    with open(os.path.join(d, fname)) as fh:
+        first = json.loads(fh.readline())
+    assert set(first) == {"doc_id", "text"}
+
+
+def test_validation_errors(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="id_col"):
+        write_training_shards(docs.drop("doc_id"), str(tmp_path / "x"), 2)
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(docs, str(tmp_path / "y"), 0)
+    with pytest.raises(ValueError, match="fmt"):
+        write_training_shards(docs, str(tmp_path / "z"), 2, fmt="csvish")
