@@ -60,6 +60,11 @@ def write_training_shards(
         raise ValueError(
             f"write_training_shards: id_col {id_col!r} not in {df.columns}"
         )
+    if "shard" in df.columns or "_ord" in df.columns:
+        raise ValueError(
+            "write_training_shards: input already has a 'shard'/'_ord' "
+            "column — rename it (shard is this writer's partition key)"
+        )
     if n_shards < 1:
         raise ValueError("write_training_shards: n_shards must be >= 1")
     if fmt not in ("parquet", "json"):

@@ -97,3 +97,10 @@ def test_validation_errors(spark, docs, tmp_path):
         write_training_shards(docs, str(tmp_path / "y"), 0)
     with pytest.raises(ValueError, match="fmt"):
         write_training_shards(docs, str(tmp_path / "z"), 2, fmt="csvish")
+
+
+def test_shard_column_collision_raises(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="rename the input"):
+        write_training_shards(
+            docs.withColumn("shard", F.lit(1)), str(tmp_path / "w"), 2
+        )
