@@ -100,7 +100,7 @@ def test_validation_errors(spark, docs, tmp_path):
 
 
 def test_shard_column_collision_raises(spark, docs, tmp_path):
-    with pytest.raises(ValueError, match="rename the input"):
+    with pytest.raises(ValueError, match="partition key"):
         write_training_shards(
             docs.withColumn("shard", F.lit(1)), str(tmp_path / "w"), 2
         )
