@@ -88,9 +88,11 @@ def dedup_paragraphs(
     )
     # one exploded relation carries BOTH counters and survivors: the
     # winner flag rides every paragraph through a single per-doc
-    # aggregation (collect_list drops the NULLed losers), so the input
-    # is scanned once — a count-origin re-scan + second join would
-    # double the corpus read for two long columns
+    # aggregation (collect_list drops the NULLed losers). Plan shape:
+    # two scan branches (the pair relation and its first-occurrence
+    # aggregate — the join's two sides) and exactly three exchanges
+    # (groupBy hash, the join's probe side, groupBy doc); a separate
+    # origin-count pass would add a third scan and a fourth exchange
     flagged = paras.join(firsts, "_h").select(
         id_col,
         "para_idx",

@@ -128,3 +128,21 @@ def test_dedup_paragraphs_oracle_parity(spark, docs_df):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_dedup_paragraphs_plan_shape(spark, sf_dir):
+    """Plan-shape contract on the real parquet source: TWO scan
+    branches (the pair relation and its first-occurrence aggregate —
+    the self-join's sides; the winner-flag design removed the third,
+    a separate origin-count pass), EXACTLY three exchanges (groupBy
+    hash, join probe side, groupBy doc), and no window anywhere."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        dedup_paragraphs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange") == 3
+    assert "Window" not in plan

@@ -169,3 +169,20 @@ def test_redact_pii_composes_on_streams(spark, tmp_path):
     }
     assert got == want
     assert "<EMAIL>" in got[1] and "<PHONE>" in got[1]
+
+
+def test_pii_plans_are_scan_fused(spark, docs_df):
+    """Plan-shape contract: features and redaction are pure
+    projections (zero Exchange — they must fuse with the scan at
+    100 TB), and pii_rate's only exchange is the final aggregation."""
+    feat_plan = pii_features(docs_df)._jdf.queryExecution().executedPlan().toString()
+    red_plan = redact_pii(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in feat_plan
+    assert "Exchange" not in red_plan
+    rate_plan = (
+        pii_rate(docs_df, group_col="source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert rate_plan.count("Exchange") <= 1
