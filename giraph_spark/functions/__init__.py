@@ -58,6 +58,7 @@ from .sampling import (
     word_ngrams,
 )
 from .bpe import bpe_encode, train_bpe
+from .crawl import crawl_rounds
 from .datacard import data_card
 from .export import write_training_shards
 from .lm import bigram_logprob

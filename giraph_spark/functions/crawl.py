@@ -1,0 +1,110 @@
+"""The crawl loop as a driver — BFS over the web graph with the
+curation algebra as the loop body.
+
+This is the crawl-tier analog of ``giraph_spark.pregel``: an
+iterative frontier expansion where each round's plan is rebuilt from
+a checkpointed state frame (the known-URL set), so lineage never
+compounds across rounds — the exact discipline the Pregel kernel
+uses (``plans/checkpoint.py``), applied to the ``urls.new_frontier``
+step. Fetching is NOT this package's job (no HTTP client belongs in
+a Spark operator); the caller injects ``fetch(urls) -> pages`` —
+against a live fleet in production, against an at-rest snapshot
+(join into a WARC-derived pages table) for replays and tests.
+
+Reference scope: the reference has no crawl surface at all — its
+closest analog is the BSP superstep loop
+(``giraph-core/.../graph/ComputeCallable.java``), which is exactly
+the shape borrowed here: frontier = active set, fetch = compute,
+new_frontier = message delivery, known set = halted-vertex state.
+
+Scale shape per round: one caller fetch, the profiled
+``new_frontier`` composition (expression link extraction, broadcast
+robots, one distinct, one anti-join on URL strings), a union into
+the known set, and ONE eager localCheckpoint each for the frontier
+and the known set — O(rounds) checkpoints of slim one-column
+relations; page bytes are never in loop state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .urls import new_frontier, normalize_url
+
+
+def crawl_rounds(
+    fetch: Callable[[DataFrame], DataFrame],
+    seeds: DataFrame,
+    rounds: int,
+    robots: DataFrame | None = None,
+    agent: str = "*",
+    html_col: str = "body",
+) -> DataFrame:
+    """Run up to ``rounds`` BFS frontier expansions from ``seeds`` and
+    return every fetched page as ``(url, <fetch columns…>,
+    crawl_round)``.
+
+    ``fetch``: maps a one-column canonical ``url`` frame to a pages
+    frame that keeps the ``url`` column and carries at least
+    ``html_col``; URLs the fetcher cannot produce (dead links) may
+    simply be absent from its output — they stay in the known set and
+    are never retried. ``seeds`` is any one-column URL frame; it is
+    canonicalized with the same :func:`urls.normalize_url` the loop
+    emits, so seed and discovered forms dedup against each other.
+    ``robots`` (a :func:`urls.parse_robots` relation) gates every
+    round including the seeds — a polite crawler never fetches a
+    disallowed URL, seed or not.
+
+    The loop stops early when a frontier comes back empty (the one
+    per-round action is that count — bounded by ``rounds``, the
+    crawl-tier twin of the kernel's halt check).
+    """
+    if rounds < 1:
+        raise ValueError("crawl_rounds: rounds must be >= 1")
+    seed_col = seeds.columns[0]
+    frontier = (
+        seeds.select(normalize_url(F.col(seed_col)).alias("url"))
+        .where(F.col("url").isNotNull())
+        .distinct()
+    )
+    if robots is not None:
+        from .urls import filter_robots_disallowed
+
+        frontier = filter_robots_disallowed(frontier, robots, agent)
+    frontier = frontier.localCheckpoint(eager=True)
+    known = frontier
+    out: DataFrame | None = None
+    for r in range(rounds):
+        if frontier.isEmpty():
+            break
+        pages = fetch(frontier)
+        if "url" not in pages.columns or html_col not in pages.columns:
+            raise ValueError(
+                f"crawl_rounds: fetch must return 'url' and {html_col!r} "
+                f"columns, got {pages.columns}"
+            )
+        tagged = pages.select(
+            "*", F.lit(r).cast("int").alias("crawl_round")
+        ).localCheckpoint(eager=True)
+        out = tagged if out is None else out.unionByName(tagged)
+        if r == rounds - 1:
+            break  # the last round's links would never be fetched
+        frontier = new_frontier(
+            tagged.drop("crawl_round"),
+            known_urls=known,
+            robots=robots,
+            agent=agent,
+            html_col=html_col,
+        ).localCheckpoint(eager=True)
+        known = known.unionByName(frontier).localCheckpoint(eager=True)
+    if out is None:
+        # zero fetchable seeds: empty frame with the contract columns
+        return frontier.select(
+            "url",
+            F.lit(None).cast("string").alias(html_col),
+            F.lit(None).cast("int").alias("crawl_round"),
+        )
+    return out

@@ -1,0 +1,102 @@
+"""crawl_rounds: BFS over a synthetic at-rest web via an injected
+fetch callback — round assignment, no-refetch, robots gating (seeds
+included), dead links tolerated, early halt on an empty frontier."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.functions.crawl import crawl_rounds
+
+# a five-page web: seed → a → b → c (chain) with a side link a → blocked
+WEB = {
+    "https://site.org/": '<a href="https://site.org/a"></a>',
+    "https://site.org/a": '<a href="https://site.org/b"></a>'
+    '<a href="https://blocked.org/secret"></a>'
+    '<a href="https://site.org/"></a>',  # back-link: must not refetch
+    "https://site.org/b": '<a href="https://site.org/c"></a>'
+    '<a href="https://site.org/dead"></a>',  # dead: fetcher can't produce
+    "https://site.org/c": "terminal page, no links",
+    "https://blocked.org/secret": "never fetched",
+}
+
+
+@pytest.fixture(scope="module")
+def web_df(spark):
+    return spark.createDataFrame(
+        [(u, h) for u, h in WEB.items()], "url string, body string"
+    )
+
+
+def _fetch(web_df):
+    def fetch(urls):
+        return urls.join(web_df, "url")
+
+    return fetch
+
+
+def test_bfs_rounds_and_no_refetch(spark, web_df):
+    seeds = spark.createDataFrame([("https://site.org/",)], "url string")
+    got = {
+        r["url"]: r["crawl_round"]
+        for r in crawl_rounds(_fetch(web_df), seeds, rounds=10).collect()
+    }
+    # chain depth: seed r0, a r1, b r2, c r3; blocked.org fetched at r2
+    # (no robots); dead link never appears; nothing fetched twice
+    assert got == {
+        "https://site.org/": 0,
+        "https://site.org/a": 1,
+        "https://site.org/b": 2,
+        "https://blocked.org/secret": 2,
+        "https://site.org/c": 3,
+    }
+
+
+def test_robots_gate_covers_seeds_and_discovered(spark, web_df):
+    from giraph_spark.functions.urls import parse_robots
+
+    robots = parse_robots(
+        spark.createDataFrame(
+            [("blocked.org", "User-agent: *\nDisallow: /\n")],
+            "host string, text string",
+        )
+    )
+    seeds = spark.createDataFrame(
+        [("https://site.org/",), ("https://blocked.org/secret",)],
+        "url string",
+    )
+    got = {
+        r["url"]
+        for r in crawl_rounds(
+            _fetch(web_df), seeds, rounds=10, robots=robots
+        ).collect()
+    }
+    assert "https://blocked.org/secret" not in got  # seed gated too
+    assert "https://site.org/c" in got
+
+
+def test_round_cap_stops_expansion(spark, web_df):
+    seeds = spark.createDataFrame([("https://site.org/",)], "url string")
+    got = {
+        r["url"]: r["crawl_round"]
+        for r in crawl_rounds(_fetch(web_df), seeds, rounds=2).collect()
+    }
+    assert set(got.values()) == {0, 1}
+    assert "https://site.org/b" not in got
+
+
+def test_empty_seeds_and_validation(spark, web_df):
+    empty = spark.createDataFrame([("not a url",)], "url string")
+    out = crawl_rounds(_fetch(web_df), empty, rounds=3)
+    assert out.count() == 0
+    assert {"url", "body", "crawl_round"} <= set(out.columns)
+    with pytest.raises(ValueError, match="rounds"):
+        crawl_rounds(_fetch(web_df), empty, rounds=0)
+
+    def bad_fetch(urls):
+        return urls.select(F.col("url").alias("page_url"))
+
+    seeds = spark.createDataFrame([("https://site.org/",)], "url string")
+    with pytest.raises(ValueError, match="fetch must return"):
+        crawl_rounds(bad_fetch, seeds, rounds=1)
