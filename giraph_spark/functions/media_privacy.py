@@ -1,0 +1,130 @@
+"""Metadata scrubbing for media payloads — the multimodal half of the
+PII tier (``functions/pii.py`` is the text half).
+
+Real crawled images carry Exif blocks with GPS coordinates, owner
+names, and device serials; training-set releases strip them (the
+LAION/Dolma-style pipelines run an Exif scrub before anything else
+touches image bytes). For JPEG that scrub is purely structural: Exif,
+XMP, IPTC, and comments live in their own marker segments (APP1,
+APP13, COM) between SOI and SOS, so dropping those segments and
+copying everything else byte-for-byte removes the metadata WITHOUT
+re-encoding — pixels are untouched, which the tests prove by decoding
+before and after.
+
+Design mirrors the decode surface (``functions/multimodal.py``): one
+Arrow-batched ``mapInPandas`` pass, per-blob try/except so a corrupt
+payload yields an unscrubbed passthrough row with ``scrub_error`` set
+— a scrub must never abort a task, but it must also never CLAIM a
+scrub it could not perform (the no-fake contract, inverted: the flag
+says what actually happened). Non-JPEG payloads pass through with
+``n_stripped = 0`` and no error — other containers keep metadata in
+places a structural walk can't safely excise (PNG tEXt chunks are the
+one exception worth adding next; video needs a remux).
+
+Reference scope: none — the reference has no media surface; this
+extends the LLM-pipeline tier.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+#: JPEG marker segments that carry metadata, never pixels: APP1
+#: (Exif/XMP), APP13 (Photoshop IRB / IPTC), COM (comments). APP0
+#: (JFIF) and APP14 (Adobe color transform) stay — decoders read them.
+_STRIP_MARKERS = frozenset({0xE1, 0xED, 0xFE})
+
+
+def strip_jpeg_metadata(payload: bytes) -> tuple[bytes, int, int]:
+    """Drop metadata segments from one JPEG: returns ``(clean_bytes,
+    n_stripped_segments, bytes_removed)``. Byte-identical copy apart
+    from the dropped segments; everything from SOS onward (entropy
+    data + EOI) is copied verbatim. Raises on non-JPEG or a corrupt
+    marker chain (callers decide the fallback)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    out = bytearray(b"\xff\xd8")
+    i, n = 2, len(payload)
+    n_stripped = removed = 0
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker chain")
+        marker = payload[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            out += payload[i : i + 2]
+            i += 2
+            continue
+        if marker == 0xDA:  # SOS: entropy-coded data follows, copy all
+            out += payload[i:]
+            return bytes(out), n_stripped, removed
+        if i + 4 > n:
+            raise ValueError("truncated JPEG segment header")
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        end = i + 2 + seg_len
+        if seg_len < 2 or end > n:
+            raise ValueError("truncated JPEG segment")
+        if marker in _STRIP_MARKERS:
+            n_stripped += 1
+            removed += 2 + seg_len
+        else:
+            out += payload[i:end]
+        i = end
+    raise ValueError("JPEG has no SOS marker")
+
+
+def strip_media_metadata(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Scrub metadata from a media frame in place: the payload column
+    is rewritten (JPEG: Exif/IPTC/COM segments excised, pixels
+    byte-identical) and three columns append — ``n_stripped`` segment
+    count, ``stripped_bytes``, and ``scrub_error`` (NULL when the
+    scrub ran or was a clean non-JPEG passthrough; the parse error
+    string when the payload LOOKED like a JPEG but its chain was
+    corrupt, in which case the original bytes pass through untouched).
+
+    One Arrow-batched ``mapInPandas`` pass — same scale shape as the
+    decode surface; column order is preserved.
+    """
+    cols = df.columns
+    if payload_col not in cols:
+        raise ValueError(
+            f"strip_media_metadata: {payload_col!r} not in {cols}"
+        )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", n_stripped long, stripped_bytes long, scrub_error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cleaned, n_s, b_s, errs = [], [], [], []
+            for payload in pdf[payload_col].to_numpy():
+                if payload is None or len(payload) < 2 or bytes(payload[:2]) != b"\xff\xd8":
+                    cleaned.append(payload)
+                    n_s.append(0)
+                    b_s.append(0)
+                    errs.append(None)
+                    continue
+                try:
+                    c, k, b = strip_jpeg_metadata(bytes(payload))
+                    cleaned.append(c)
+                    n_s.append(k)
+                    b_s.append(b)
+                    errs.append(None)
+                except Exception as ex:  # corrupt chain → passthrough
+                    cleaned.append(payload)
+                    n_s.append(0)
+                    b_s.append(0)
+                    errs.append(str(ex))
+            res = pdf.copy()
+            res[payload_col] = cleaned
+            res["n_stripped"] = pd.array(n_s, dtype="int64")
+            res["stripped_bytes"] = pd.array(b_s, dtype="int64")
+            res["scrub_error"] = errs
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)

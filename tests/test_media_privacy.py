@@ -1,0 +1,87 @@
+"""JPEG metadata scrub: Exif/IPTC/COM segments excised with pixels
+byte-provably untouched, idempotence, passthrough and corrupt-chain
+contracts, and the Arrow frame surface."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from giraph_spark.functions.media_codecs import (
+    jpeg_pixel_stats,
+    make_jpeg_baseline,
+    make_png,
+)
+from giraph_spark.functions.media_privacy import (
+    strip_jpeg_metadata,
+    strip_media_metadata,
+)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_with_metadata() -> tuple[bytes, bytes, int]:
+    """A real decodable JPEG with Exif + IPTC + comment spliced in
+    after SOI; returns (dirty, exif_body, metadata_bytes)."""
+    clean = make_jpeg_baseline(8, 8)
+    exif = b"Exif\x00\x00" + b"MM\x00\x2a" + b"\x00" * 8 + b"GPSLAT 51.5"
+    iptc = b"Photoshop 3.0\x008BIM" + b"\x00" * 6
+    com = b"shot on my phone, call 555-0123"
+    meta = _seg(0xE1, exif) + _seg(0xED, iptc) + _seg(0xFE, com)
+    dirty = clean[:2] + meta + clean[2:]
+    return dirty, exif, len(meta)
+
+
+def test_strip_removes_metadata_pixels_identical():
+    dirty, exif, meta_len = _jpeg_with_metadata()
+    assert exif in dirty
+    before = jpeg_pixel_stats(dirty)  # decoder skips unknown segments
+    clean, n_stripped, removed = strip_jpeg_metadata(dirty)
+    assert n_stripped == 3 and removed == meta_len
+    assert exif not in clean and b"GPSLAT" not in clean
+    assert b"call 555-0123" not in clean
+    assert len(clean) == len(dirty) - meta_len
+    after = jpeg_pixel_stats(clean)
+    assert after == before  # pixels provably untouched
+    # idempotent: a second pass strips nothing
+    again, n2, r2 = strip_jpeg_metadata(clean)
+    assert (n2, r2) == (0, 0) and again == clean
+
+
+def test_strip_rejects_non_jpeg_and_corrupt_chain():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        strip_jpeg_metadata(make_png(2, 2))
+    with pytest.raises(ValueError):
+        strip_jpeg_metadata(b"\xff\xd8\x00garbage-after-soi")
+
+
+def test_strip_media_metadata_frame(spark):
+    dirty, exif, meta_len = _jpeg_with_metadata()
+    png = make_png(2, 2)
+    corrupt = b"\xff\xd8\x00nope"
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(dirty)), (2, "image", bytearray(png)),
+         (3, "image", bytearray(corrupt)), (4, "image", None)],
+        "media_id long, modality string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in strip_media_metadata(df).collect()}
+    assert rows[1]["n_stripped"] == 3
+    assert rows[1]["stripped_bytes"] == meta_len
+    assert rows[1]["scrub_error"] is None
+    assert exif not in bytes(rows[1]["payload"])
+    # non-JPEG: clean passthrough, no error
+    assert bytes(rows[2]["payload"]) == png and rows[2]["scrub_error"] is None
+    assert rows[2]["n_stripped"] == 0
+    # JPEG-looking but corrupt: original bytes ride through, error set
+    assert bytes(rows[3]["payload"]) == corrupt
+    assert rows[3]["scrub_error"] is not None
+    # NULL payload: passthrough row
+    assert rows[4]["payload"] is None and rows[4]["n_stripped"] == 0
+    # column order preserved + three appended
+    assert strip_media_metadata(df).columns == [
+        "media_id", "modality", "payload",
+        "n_stripped", "stripped_bytes", "scrub_error",
+    ]
