@@ -61,7 +61,11 @@ from .bpe import bpe_encode, train_bpe
 from .crawl import crawl_rounds
 from .datacard import data_card
 from .export import write_training_shards
-from .media_privacy import strip_jpeg_metadata, strip_media_metadata
+from .media_privacy import (
+    strip_jpeg_metadata,
+    strip_media_metadata,
+    strip_png_metadata,
+)
 from .lm import bigram_logprob
 from .urls import (
     cap_per_host,

@@ -16,10 +16,12 @@ Arrow-batched ``mapInPandas`` pass, per-blob try/except so a corrupt
 payload yields an unscrubbed passthrough row with ``scrub_error`` set
 — a scrub must never abort a task, but it must also never CLAIM a
 scrub it could not perform (the no-fake contract, inverted: the flag
-says what actually happened). Non-JPEG payloads pass through with
-``n_stripped = 0`` and no error — other containers keep metadata in
-places a structural walk can't safely excise (PNG tEXt chunks are the
-one exception worth adding next; video needs a remux).
+says what actually happened). PNG gets the same structural treatment
+(tEXt/zTXt/iTXt/eXIf/tIME chunks excised, IDAT untouched, CRCs left
+valid because whole chunks are dropped, never edited). Payloads in
+other containers pass through with ``n_stripped = 0`` and no error —
+they keep metadata in places a structural walk can't safely excise
+(video needs a remux).
 
 Reference scope: none — the reference has no media surface; this
 extends the LLM-pipeline tier.
@@ -76,16 +78,52 @@ def strip_jpeg_metadata(payload: bytes) -> tuple[bytes, int, int]:
     raise ValueError("JPEG has no SOS marker")
 
 
+#: PNG ancillary chunks that carry metadata, never pixels: textual
+#: chunks (tEXt/zTXt/iTXt — where Exif-style camera data and XMP live
+#: in the wild), the dedicated eXIf chunk, and tIME (last-modified).
+_PNG_STRIP_CHUNKS = frozenset({b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"})
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def strip_png_metadata(payload: bytes) -> tuple[bytes, int, int]:
+    """Drop metadata chunks from one PNG: returns ``(clean_bytes,
+    n_stripped_chunks, bytes_removed)``. Whole chunks are dropped,
+    never edited, so every surviving CRC stays valid and IDAT is
+    byte-identical. Raises on non-PNG or a truncated chunk chain."""
+    if len(payload) < 16 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    out = bytearray(_PNG_SIG)
+    i, n = 8, len(payload)
+    n_stripped = removed = 0
+    while i + 8 <= n:
+        length = struct.unpack(">I", payload[i : i + 4])[0]
+        ctype = payload[i + 4 : i + 8]
+        end = i + 12 + length  # len + type + data + crc
+        if end > n:
+            raise ValueError("truncated PNG chunk")
+        if ctype in _PNG_STRIP_CHUNKS:
+            n_stripped += 1
+            removed += end - i
+        else:
+            out += payload[i:end]
+        if ctype == b"IEND":
+            return bytes(out), n_stripped, removed
+        i = end
+    raise ValueError("PNG has no IEND chunk")
+
+
 def strip_media_metadata(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
     """Scrub metadata from a media frame in place: the payload column
-    is rewritten (JPEG: Exif/IPTC/COM segments excised, pixels
-    byte-identical) and three columns append — ``n_stripped`` segment
-    count, ``stripped_bytes``, and ``scrub_error`` (NULL when the
-    scrub ran or was a clean non-JPEG passthrough; the parse error
-    string when the payload LOOKED like a JPEG but its chain was
-    corrupt, in which case the original bytes pass through untouched).
+    is rewritten (JPEG: Exif/IPTC/COM segments; PNG: textual/eXIf/tIME
+    chunks — pixels byte-identical either way) and three columns
+    append — ``n_stripped`` segment/chunk count, ``stripped_bytes``,
+    and ``scrub_error`` (NULL when the scrub ran or was a clean
+    unknown-container passthrough; the parse error string when the
+    payload LOOKED like a JPEG/PNG but its structure was corrupt, in
+    which case the original bytes pass through untouched).
 
     One Arrow-batched ``mapInPandas`` pass — same scale shape as the
     decode surface; column order is preserved.
@@ -103,19 +141,24 @@ def strip_media_metadata(
         for pdf in batches:
             cleaned, n_s, b_s, errs = [], [], [], []
             for payload in pdf[payload_col].to_numpy():
-                if payload is None or len(payload) < 2 or bytes(payload[:2]) != b"\xff\xd8":
+                raw = bytes(payload) if payload is not None else None
+                if raw is not None and raw[:2] == b"\xff\xd8":
+                    scrub = strip_jpeg_metadata
+                elif raw is not None and raw[:8] == _PNG_SIG:
+                    scrub = strip_png_metadata
+                else:
                     cleaned.append(payload)
                     n_s.append(0)
                     b_s.append(0)
                     errs.append(None)
                     continue
                 try:
-                    c, k, b = strip_jpeg_metadata(bytes(payload))
+                    c, k, b = scrub(raw)
                     cleaned.append(c)
                     n_s.append(k)
                     b_s.append(b)
                     errs.append(None)
-                except Exception as ex:  # corrupt chain → passthrough
+                except Exception as ex:  # corrupt structure → passthrough
                     cleaned.append(payload)
                     n_s.append(0)
                     b_s.append(0)

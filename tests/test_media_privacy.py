@@ -85,3 +85,67 @@ def test_strip_media_metadata_frame(spark):
         "media_id", "modality", "payload",
         "n_stripped", "stripped_bytes", "scrub_error",
     ]
+
+
+def _png_with_metadata() -> tuple[bytes, bytes]:
+    """The package's own PNG with tEXt + eXIf chunks spliced after
+    IHDR; returns (dirty, clean_original)."""
+    import zlib
+
+    from giraph_spark.functions.media_codecs import make_png
+
+    clean = make_png(3, 2)
+
+    def chunk(t: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + t
+            + data
+            + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF)
+        )
+
+    ihdr_end = 8 + 12 + 13
+    dirty = (
+        clean[:ihdr_end]
+        + chunk(b"tEXt", b"Author\x00Jane GPS 51.5")
+        + chunk(b"eXIf", b"MM\x00\x2a")
+        + clean[ihdr_end:]
+    )
+    return dirty, clean
+
+
+def test_strip_png_metadata_byte_exact_roundtrip():
+    from giraph_spark.functions.media_codecs import png_pixel_stats
+    from giraph_spark.functions.media_privacy import strip_png_metadata
+
+    dirty, clean_orig = _png_with_metadata()
+    assert b"Jane GPS" in dirty
+    before = png_pixel_stats(dirty)
+    cleaned, k, removed = strip_png_metadata(dirty)
+    assert (k, removed) == (2, len(dirty) - len(clean_orig))
+    assert cleaned == clean_orig  # byte-exact: whole chunks dropped
+    assert png_pixel_stats(cleaned) == before
+    again, k2, _ = strip_png_metadata(cleaned)
+    assert k2 == 0 and again == cleaned
+    # cutting mid-IEND leaves less than a chunk header → no IEND seen;
+    # cutting mid-chunk-data → truncated chunk. Both must raise.
+    with pytest.raises(ValueError, match="no IEND"):
+        strip_png_metadata(dirty[:-6])
+    with pytest.raises(ValueError, match="truncated"):
+        strip_png_metadata(dirty[: 8 + 12 + 13 + 9])
+
+
+def test_strip_media_metadata_frame_png(spark):
+    from giraph_spark.functions.media_privacy import _PNG_SIG
+
+    dirty, clean_orig = _png_with_metadata()
+    corrupt_png = _PNG_SIG + b"\x00\x00\x00\x0dIHDRshort"
+    df = spark.createDataFrame(
+        [(1, bytearray(dirty)), (2, bytearray(corrupt_png))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in strip_media_metadata(df).collect()}
+    assert bytes(rows[1]["payload"]) == clean_orig
+    assert rows[1]["n_stripped"] == 2 and rows[1]["scrub_error"] is None
+    assert bytes(rows[2]["payload"]) == corrupt_png
+    assert rows[2]["scrub_error"] is not None
