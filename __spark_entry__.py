@@ -2479,7 +2479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: `registered_domain_psl` (functions/urls.py — IN-list replay), and
 #: flipping `data_card`'s pii=/paragraphs= flags on with the matching
 #: oracle sections. Register ≤3 per round unless the verdict frees the
-#: window.
+#: window. Later-r9 additions also queued (pytest-only for now, pick
+#: by window budget): `cdx_shards` over a derived CDXJ fixture
+#: (sources/cdx.py — string slicing + JSON, DuckDB-replayable),
+#: `write_training_shards`'s manifest (functions/export.py — pmod/
+#: xxhash64 shard math replays via the portable-hash pattern only if
+#: given a portable mode; otherwise rows-only), `crawl_rounds` /
+#: `host_graph` / `domain_authority` / `crawl_delays` /
+#: `strip_media_metadata` (fixture-driven; authority is
+#: pagerank-oracle material, the scrubs are closed-form).
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": _q_pagerank(weighted=False, dangling=False),

@@ -703,6 +703,15 @@ def stress_docs() -> None:
             lambda: minhash_lsh_pairs(d, verify_threshold=None).count()
         )
         r["dedup_sec"], r["dedup_keepers"] = run(lambda: dedup_corpus(d).count())
+        # r9 paragraph tier: word-salted replicas have disjoint
+        # normalized paragraphs, so survivors must be exactly k × the
+        # 1× survivors and the cost profile is the exact-dedup shape
+        # (explode + hash groupBy + join + reassembly), never pairwise
+        from giraph_spark.functions.paragraphs import dedup_paragraphs
+
+        r["para_sec"], r["para_docs"] = run(
+            lambda: dedup_paragraphs(d).count()
+        )
         # SemDeDup's own scaling rule: cells ∝ corpus, occupancy constant
         cells = 16 * scale
         sd = semdedup(e, num_cells=cells).persist()
@@ -733,6 +742,8 @@ def stress_docs() -> None:
             "lsh_sec",
             "lsh_candidates",
             "dedup_sec",
+            "para_sec",
+            "para_docs",
             "semdedup_sec",
             "semdedup2_sec",
         )
