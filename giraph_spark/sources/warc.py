@@ -27,7 +27,7 @@ never silently dropped bytes.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -117,11 +117,24 @@ def _walk_records(chunk: bytes, emit) -> None:
         off = _skip_crlf(chunk, off)
 
 
-def _records_of_file(path: str, blob: bytes, max_record_bytes: int):
+def _records_of_file(
+    path: str,
+    blob: bytes,
+    max_record_bytes: int,
+    types: frozenset[str] | None = None,
+):
     """All rows for one WARC file: parsed records, then one null-record
     error row if (and only if) the tail is corrupt. Catches zlib
     errors too — a bit-flipped (not just truncated) member must yield
-    the error row, never fail the task."""
+    the error row, never fail the task.
+
+    ``types`` (lowercased WARC-Type names) is the reader's record-type
+    pushdown: non-matching records are dropped HERE, before their
+    payload bytes ever enter an Arrow batch — on a real crawl WARC
+    (request + response + metadata per capture) a response-only read
+    serializes ~⅓ of the bytes to the JVM. ``record_index`` still
+    counts every record in the file, so indexes stay stable references
+    whatever the filter (gaps = filtered records)."""
     import zlib
 
     rows = []
@@ -129,11 +142,15 @@ def _records_of_file(path: str, blob: bytes, max_record_bytes: int):
 
     def emit(headers, payload):
         nonlocal idx
+        wtype = headers.get(_HDR_TYPE)
+        if types is not None and (wtype or "").lower() not in types:
+            idx += 1
+            return
         rows.append(
             [
                 path,
                 idx,
-                headers.get(_HDR_TYPE),
+                wtype,
                 headers.get(_HDR_URI),
                 headers.get(_HDR_ID),
                 headers.get(_HDR_CTYPE),
@@ -159,12 +176,17 @@ def _records_of_file(path: str, blob: bytes, max_record_bytes: int):
     return rows
 
 
-def _records_map(max_record_bytes: int, keep_mtime: bool = False):
+def _records_map(
+    max_record_bytes: int,
+    keep_mtime: bool = False,
+    warc_types: frozenset[str] | None = None,
+):
     """The one Arrow pass shared by the batch and streaming readers:
     ``(path, content[, modificationTime])`` file rows in, WARC record
     rows out — with ``keep_mtime`` every record carries its shard's
     landing time (the event-time column streaming dispositions
-    watermark on)."""
+    watermark on). ``warc_types`` is the record-type pushdown (see
+    :func:`_records_of_file`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -188,7 +210,7 @@ def _records_map(max_record_bytes: int, keep_mtime: bool = False):
                 pdf["path"].to_numpy(), pdf["content"].to_numpy(), mtimes
             ):
                 recs = _records_of_file(
-                    str(p), bytes(blob), max_record_bytes
+                    str(p), bytes(blob), max_record_bytes, warc_types
                 )
                 if keep_mtime:
                     recs = [r + [mt] for r in recs]
@@ -203,6 +225,7 @@ def read_warc(
     max_record_bytes: int = 64 << 20,
     path_glob: str | None = None,
     keep_mtime: bool = False,
+    warc_types: Sequence[str] | None = None,
 ) -> DataFrame:
     """Read a WARC/WET file or directory into a records DataFrame:
     ``(file, record_index, warc_type, target_uri, record_id,
@@ -213,6 +236,12 @@ def read_warc(
 
     ``max_record_bytes`` caps per-member decompression (bomb guard);
     ``path_glob`` forwards to binaryFile's ``pathGlobFilter``;
+    ``warc_types`` (e.g. ``("response",)``, case-insensitive) drops
+    non-matching records INSIDE the walker, before their payloads
+    enter an Arrow batch — the record-type pushdown (a real crawl WARC
+    is request+response+metadata per capture; a response-only read
+    serializes ~1/3 of the bytes). ``record_index`` keeps counting all
+    records, so indexes are stable whatever the filter;
     ``keep_mtime`` appends a ``shard_ts`` timestamp column (the file's
     modification time — landing time for crawl shards, the event-time
     axis the streaming dispositions watermark on).
@@ -235,8 +264,13 @@ def read_warc(
     )
     files = reader.load(path).select(*cols)
     schema = WARC_SCHEMA + (", shard_ts timestamp" if keep_mtime else "")
+    wt = (
+        frozenset(t.lower() for t in warc_types)
+        if warc_types is not None
+        else None
+    )
     return files.mapInPandas(
-        _records_map(max_record_bytes, keep_mtime), schema=schema
+        _records_map(max_record_bytes, keep_mtime, wt), schema=schema
     )
 
 
@@ -247,6 +281,7 @@ def read_warc_stream(
     path_glob: str | None = None,
     max_files_per_trigger: int | None = None,
     keep_mtime: bool = False,
+    warc_types: Sequence[str] | None = None,
 ) -> DataFrame:
     """Continuous-crawl variant of :func:`read_warc`: a STREAMING
     records DataFrame over a directory where WARC/WET shards keep
@@ -265,7 +300,9 @@ def read_warc_stream(
     analog of input-split sizing — pick it so one batch's files fit
     the cluster's aggregate Arrow memory). The batch reader's
     Arrow-input-bound note applies unchanged: byte-capped input
-    batches, single members near 2 GiB need ``useLargeVarTypes``."""
+    batches, single members near 2 GiB need ``useLargeVarTypes``;
+    ``warc_types`` is the same record-type pushdown as the batch
+    reader's."""
     # streaming file sources demand an explicit schema; binaryFile's
     # is fixed by the format
     reader = spark.readStream.format("binaryFile").schema(
@@ -281,8 +318,13 @@ def read_warc_stream(
     )
     files = reader.load(path).select(*cols)
     schema = WARC_SCHEMA + (", shard_ts timestamp" if keep_mtime else "")
+    wt = (
+        frozenset(t.lower() for t in warc_types)
+        if warc_types is not None
+        else None
+    )
     return files.mapInPandas(
-        _records_map(max_record_bytes, keep_mtime), schema=schema
+        _records_map(max_record_bytes, keep_mtime, wt), schema=schema
     )
 
 

@@ -678,3 +678,50 @@ def test_write_warc_inprogress_leftovers_not_shards(spark, tmp_path):
     # overwrite clears shards AND the dead temp
     write_warc(docs, str(out), shards=1, mode="overwrite").collect()
     assert sorted(os.listdir(out)) == ["part-00000.wet.gz"]
+
+
+def test_warc_types_pushdown(spark, tmp_path):
+    """Record-type pushdown: non-matching records never become rows
+    (their payloads never enter Arrow), record_index keeps counting
+    ALL records so references stay stable, match is case-insensitive,
+    and the corrupt-tail error row still arrives under a filter."""
+    from giraph_spark.sources.warc import make_warc, read_warc
+
+    def rec(wtype, rid, body):
+        return (
+            {
+                "WARC-Type": wtype,
+                "WARC-Target-URI": f"http://t/{rid}",
+                "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                "Content-Type": "text/plain",
+            },
+            body,
+        )
+
+    shard = make_warc(
+        [
+            rec("request", "q0", b"GET / HTTP/1.1"),
+            rec("Response", "r0", b"HTTP/1.1 200 OK\r\n\r\nhello"),
+            rec("metadata", "m0", b"fetch-ms: 3"),
+            rec("response", "r1", b"HTTP/1.1 404 Not Found\r\n\r\n"),
+        ]
+    )
+    p = tmp_path / "s0.warc.gz"
+    p.write_bytes(shard)
+    rows = read_warc(
+        spark, str(tmp_path), warc_types=("RESPONSE",)
+    ).collect()
+    assert [(r["record_index"], r["warc_type"]) for r in rows] == [
+        (1, "Response"),
+        (3, "response"),
+    ]
+    # unfiltered read still sees all four
+    assert read_warc(spark, str(tmp_path)).count() == 4
+    # corrupt tail: error row survives the filter
+    (tmp_path / "s1.warc.gz").write_bytes(shard + b"\x1f\x8b\x00bad")
+    errs = (
+        read_warc(spark, str(tmp_path), warc_types=("response",))
+        .where("error IS NOT NULL")
+        .collect()
+    )
+    assert len(errs) == 1 and errs[0]["file"].endswith("s1.warc.gz")
