@@ -1,0 +1,137 @@
+"""Property tests for the byte-level r9 parsers: the JPEG/PNG
+metadata scrubs (random metadata layouts → strip is idempotent,
+pixels survive, only listed segments leave) and the CDXJ line parser
+(random field contents round-trip or degrade to error rows, never
+crash)."""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from giraph_spark.functions.media_codecs import (
+    jpeg_pixel_stats,
+    make_jpeg_baseline,
+    make_png,
+    png_pixel_stats,
+)
+from giraph_spark.functions.media_privacy import (
+    _PNG_STRIP_CHUNKS,
+    _STRIP_MARKERS,
+    strip_jpeg_metadata,
+    strip_png_metadata,
+)
+
+_seg_body = st.binary(min_size=0, max_size=64)
+# APPn + COM markers: strippable (E1, ED, FE) and keepable (E0, E2…)
+_jpeg_markers = st.sampled_from(
+    [0xE0, 0xE1, 0xE2, 0xE5, 0xEC, 0xED, 0xEE, 0xFE]
+)
+
+
+def _jseg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_jpeg_markers, _seg_body), max_size=6))
+def test_jpeg_strip_property(segs):
+    base = make_jpeg_baseline(8, 8)
+    meta = b"".join(_jseg(m, b) for m, b in segs)
+    dirty = base[:2] + meta + base[2:]
+    before = jpeg_pixel_stats(dirty)
+    clean, n_stripped, removed = strip_jpeg_metadata(dirty)
+    want_strip = [(m, b) for m, b in segs if m in _STRIP_MARKERS]
+    assert n_stripped == len(want_strip)
+    assert removed == sum(len(b) + 4 for _, b in want_strip)
+    assert jpeg_pixel_stats(clean) == before  # pixels always survive
+    again, n2, r2 = strip_jpeg_metadata(clean)
+    assert (n2, r2) == (0, 0) and again == clean  # idempotent
+    # keepable segments all survive byte-for-byte
+    for m, b in segs:
+        if m not in _STRIP_MARKERS:
+            assert _jseg(m, b) in clean
+
+
+_png_types = st.sampled_from(
+    [b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME", b"gAMA", b"sRGB", b"pHYs"]
+)
+
+
+def _pchunk(t: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + t
+        + data
+        + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_png_types, _seg_body), max_size=6))
+def test_png_strip_property(chunks):
+    base = make_png(3, 2)
+    ihdr_end = 8 + 12 + 13
+    meta = b"".join(_pchunk(t, b) for t, b in chunks)
+    dirty = base[:ihdr_end] + meta + base[ihdr_end:]
+    before = png_pixel_stats(dirty)
+    clean, n_stripped, removed = strip_png_metadata(dirty)
+    want_strip = [(t, b) for t, b in chunks if t in _PNG_STRIP_CHUNKS]
+    assert n_stripped == len(want_strip)
+    assert removed == sum(len(b) + 12 for _, b in want_strip)
+    assert png_pixel_stats(clean) == before
+    again, n2, _ = strip_png_metadata(clean)
+    assert n2 == 0 and again == clean
+    for t, b in chunks:
+        if t not in _PNG_STRIP_CHUNKS:
+            assert _pchunk(t, b) in clean
+
+
+_urlkey = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Nd"), whitelist_characters=",)/."
+    ),
+    min_size=1,
+    max_size=24,
+).filter(lambda s: " " not in s)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    keys=st.lists(_urlkey, min_size=1, max_size=8),
+    lens=st.lists(st.integers(0, 10_000_000), min_size=8, max_size=8),
+)
+def test_cdx_line_roundtrip_property(spark, keys, lens):
+    """Well-formed CDXJ lines round-trip every field; the parser never
+    raises whatever the (space-free) urlkey content."""
+    from giraph_spark.sources.cdx import read_cdx
+
+    lines = []
+    for i, k in enumerate(keys):
+        body = {
+            "url": f"https://x.example/{i}",
+            "status": "200",
+            "length": str(lens[i % 8]),
+            "offset": str(i),
+            "filename": f"s{i}.warc.gz",
+        }
+        lines.append(f"{k} 2026081{i % 10}000000 {json.dumps(body)}")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "i.cdxj")
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        rows = read_cdx(spark, p).collect()
+    assert len(rows) == len(lines)
+    by_off = {r["offset"]: r for r in rows if r["error"] is None}
+    assert len(by_off) == len({i for i in range(len(keys))})
+    for i, k in enumerate(keys):
+        r = by_off[i]
+        assert r["urlkey"] == k
+        assert r["length"] == lens[i % 8]
+        assert r["filename"] == f"s{i}.warc.gz"
