@@ -58,7 +58,7 @@ from .sampling import (
     word_ngrams,
 )
 from .bpe import bpe_encode, train_bpe
-from .crawl import crawl_rounds
+from .crawl import crawl_rounds, schedule_frontier
 from .datacard import data_card
 from .export import write_training_shards
 from .media_privacy import (

@@ -108,3 +108,60 @@ def crawl_rounds(
             F.lit(None).cast("int").alias("crawl_round"),
         )
     return out
+
+
+def schedule_frontier(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay: float = 1.0,
+    window_s: float = 60.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Turn a frontier into politeness-respecting fetch waves:
+    ``(url, host, crawl_delay, fetch_wave)`` where wave ``k`` holds
+    the URLs a fetcher honoring per-host delays may start inside the
+    k-th ``window_s``-second window — host position × delay ÷ window.
+    ``delays`` is a :func:`urls.crawl_delays` relation (hosts absent
+    from it, or with ``delays=None``, use ``default_delay``).
+
+    Per-host order is ``xxhash64(url)`` — deterministic and
+    layout-independent (the export writer's rule), so re-planning the
+    same frontier yields the same waves. The per-host ``row_number``
+    window shuffles by host; a host's URLs landing in one task is the
+    honest shape — politeness makes a single host SEQUENTIAL by
+    definition (a million-URL host at 1 s delay is ~12 days of waves;
+    the skewed task just numbers them). Feed wave ``k`` to the
+    fetcher, then wave ``k+1`` — or partition the output by
+    ``fetch_wave`` and drain it as a schedule table.
+    """
+    from pyspark.sql.window import Window
+
+    from .urls import url_host
+
+    if window_s <= 0 or default_delay < 0:
+        raise ValueError(
+            "schedule_frontier: window_s must be > 0, default_delay >= 0"
+        )
+    with_host = frontier.select(
+        "*", url_host(F.col(url_col)).alias("host")
+    )
+    if delays is not None:
+        d = delays.select(
+            F.col("host"), F.col("crawl_delay").alias("_delay")
+        )
+        with_host = with_host.join(d, "host", "left")
+    else:
+        with_host = with_host.select(
+            "*", F.lit(None).cast("double").alias("_delay")
+        )
+    delay = F.coalesce(F.col("_delay"), F.lit(float(default_delay)))
+    w = Window.partitionBy("host").orderBy(F.xxhash64(F.col(url_col)))
+    pos = F.row_number().over(w) - 1
+    return with_host.select(
+        F.col(url_col),
+        "host",
+        delay.alias("crawl_delay"),
+        F.floor(pos * delay / F.lit(float(window_s)))
+        .cast("long")
+        .alias("fetch_wave"),
+    )

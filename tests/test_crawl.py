@@ -100,3 +100,47 @@ def test_empty_seeds_and_validation(spark, web_df):
     seeds = spark.createDataFrame([("https://site.org/",)], "url string")
     with pytest.raises(ValueError, match="fetch must return"):
         crawl_rounds(bad_fetch, seeds, rounds=1)
+
+
+def test_schedule_frontier_waves(spark):
+    """Wave math: delay 2 s / window 10 s → 5 URLs per wave per host;
+    a host without a delay row uses the default; deterministic under
+    repartitioning; NULL-host rows get default-delay waves too."""
+    from giraph_spark.functions.crawl import schedule_frontier
+    from giraph_spark.functions.urls import crawl_delays
+
+    robots = spark.createDataFrame(
+        [("slow.org", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, text string",
+    )
+    delays = crawl_delays(robots, "mybot")
+    urls = [(f"https://slow.org/p{i}",) for i in range(12)] + [
+        (f"https://fast.net/p{i}",) for i in range(4)
+    ]
+    frontier = spark.createDataFrame(urls, "url string")
+    out = schedule_frontier(
+        frontier, delays, default_delay=1.0, window_s=10.0
+    )
+    rows = out.collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    slow = by_host["slow.org"]
+    assert all(r["crawl_delay"] == 2.0 for r in slow)
+    # 12 URLs at 2 s in 10 s windows: waves 0,0,0,0,0,1,...,2,2
+    waves = sorted(r["fetch_wave"] for r in slow)
+    assert waves == [0] * 5 + [1] * 5 + [2] * 2
+    fast = by_host["fast.net"]
+    assert all(r["crawl_delay"] == 1.0 for r in fast)
+    assert sorted(r["fetch_wave"] for r in fast) == [0, 0, 0, 0]
+    # layout invariance
+    again = sorted(
+        (r["url"], r["fetch_wave"])
+        for r in schedule_frontier(
+            frontier.repartition(7), delays, default_delay=1.0,
+            window_s=10.0,
+        ).collect()
+    )
+    assert again == sorted((r["url"], r["fetch_wave"]) for r in rows)
+    with pytest.raises(ValueError, match="window_s"):
+        schedule_frontier(frontier, None, window_s=0)
