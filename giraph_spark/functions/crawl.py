@@ -42,6 +42,8 @@ def crawl_rounds(
     robots: DataFrame | None = None,
     agent: str = "*",
     html_col: str = "body",
+    robots_refresh: Callable[[DataFrame], DataFrame] | None = None,
+    robots_refresh_every: int = 1,
 ) -> DataFrame:
     """Run up to ``rounds`` BFS frontier expansions from ``seeds`` and
     return every fetched page as ``(url, <fetch columns…>,
@@ -58,22 +60,40 @@ def crawl_rounds(
     round including the seeds — a polite crawler never fetches a
     disallowed URL, seed or not.
 
+    ``robots_refresh`` is the RFC 9309 §2.4 cache-expiry hook: a long
+    crawl must refetch robots.txt (24 h bound), which a static
+    relation can't express. When set, every ``robots_refresh_every``
+    rounds the hook is called with the one-column ``host`` frame of
+    the candidate frontier's distinct hosts and must return a FULL
+    replacement rules relation (:func:`urls.parse_robots` shape) —
+    re-parse what the fleet just refetched for those hosts, union in
+    the cached rest. The refreshed relation gates the very frontier
+    whose hosts it saw, so a mid-crawl disallow takes effect before
+    the next fetch. The rules row count is folded once per relation
+    (not per round) and forwarded to the verdict's broadcast gate.
+
     The loop stops early when a frontier comes back empty (the one
     per-round action is that count — bounded by ``rounds``, the
     crawl-tier twin of the kernel's halt check).
     """
+    from .urls import filter_robots_disallowed
+
     if rounds < 1:
         raise ValueError("crawl_rounds: rounds must be >= 1")
+    if robots_refresh_every < 1:
+        raise ValueError("crawl_rounds: robots_refresh_every must be >= 1")
     seed_col = seeds.columns[0]
+    # any upper bound is safe for the broadcast gate (urls.robots_verdict)
+    rules_count = robots.count() if robots is not None else None
     frontier = (
         seeds.select(normalize_url(F.col(seed_col)).alias("url"))
         .where(F.col("url").isNotNull())
         .distinct()
     )
     if robots is not None:
-        from .urls import filter_robots_disallowed
-
-        frontier = filter_robots_disallowed(frontier, robots, agent)
+        frontier = filter_robots_disallowed(
+            frontier, robots, agent, rules_count=rules_count
+        )
     frontier = frontier.localCheckpoint(eager=True)
     known = frontier
     out: DataFrame | None = None
@@ -92,13 +112,31 @@ def crawl_rounds(
         out = tagged if out is None else out.unionByName(tagged)
         if r == rounds - 1:
             break  # the last round's links would never be fetched
-        frontier = new_frontier(
+        # pre-robots candidates (anti-joined against known): the same
+        # composition new_frontier(…, robots=…) runs, split so the
+        # refresh hook can interpose between discovery and the gate
+        cand = new_frontier(
             tagged.drop("crawl_round"),
             known_urls=known,
-            robots=robots,
-            agent=agent,
+            robots=None,
             html_col=html_col,
-        ).localCheckpoint(eager=True)
+        )
+        if robots_refresh is not None and (r + 1) % robots_refresh_every == 0:
+            from .urls import url_host
+
+            cand = cand.localCheckpoint(eager=True)
+            hosts = (
+                cand.select(url_host(F.col("url")).alias("host"))
+                .where(F.col("host").isNotNull())
+                .distinct()
+            )
+            robots = robots_refresh(hosts)
+            rules_count = robots.count() if robots is not None else None
+        if robots is not None:
+            cand = filter_robots_disallowed(
+                cand, robots, agent, rules_count=rules_count
+            )
+        frontier = cand.localCheckpoint(eager=True)
         known = known.unionByName(frontier).localCheckpoint(eager=True)
     if out is None:
         # zero fetchable seeds: empty frame with the contract columns
@@ -141,6 +179,19 @@ def schedule_frontier(
     if window_s <= 0 or default_delay < 0:
         raise ValueError(
             "schedule_frontier: window_s must be > 0, default_delay >= 0"
+        )
+    clash = {"host", "crawl_delay", "fetch_wave", "_delay"} & set(
+        frontier.columns
+    ) - {url_col}
+    if clash:
+        # the scheduler appends host/_delay and emits crawl_delay/
+        # fetch_wave; a frontier already carrying one would alias into
+        # an ambiguous-reference error at the delays join (the same
+        # guard write_training_shards applies to 'shard'/'_ord')
+        raise ValueError(
+            f"schedule_frontier: input already has {sorted(clash)} "
+            "column(s) — rename them (these are this scheduler's "
+            "output/internal names)"
         )
     with_host = frontier.select(
         "*", url_host(F.col(url_col)).alias("host")

@@ -38,6 +38,7 @@ def write_training_shards(
     fmt: str = "parquet",
     id_col: str = "doc_id",
     mode: str = "error",
+    portable: bool = False,
 ) -> DataFrame:
     """Write ``df`` as ``n_shards`` deterministically shuffled shards
     under ``out_dir/shard=K/`` (``fmt``: ``parquet`` or ``json`` =
@@ -49,12 +50,26 @@ def write_training_shards(
     within-shard order is ``xxhash64(id, seed+1)``: both pure row
     functions, so membership and order are reproducible across
     re-runs, input repartitioning, and cluster sizes; a different
-    ``seed`` is a fresh global shuffle. Rows must carry a non-NULL
+    ``seed`` is a fresh global shuffle. ``portable=True`` derives both
+    from the md5-based :func:`~giraph_spark.functions.hashing.
+    portable_hash60` instead — ~5× dearer per row but replayable in
+    any engine with md5 (the SQL-oracle property the sampler family
+    shares); membership and order are equally layout-independent in
+    both modes. Rows must carry a non-NULL
     ``id_col`` (NULL hashes constant → one shard silently fattens);
     this raises up front if the column is missing and excludes the
     internal columns from the written schema. ``mode`` forwards to
     the writer (``error``/``overwrite``/``append`` — append re-runs
     with the same seed double rows, the manifest is the check).
+
+    Manifest honesty note: the returned manifest is a lazy aggregate
+    over the INPUT lineage, not over the written files — materializing
+    it RECOMPUTES the shard assignment from ``df``. For the
+    deterministic inputs this writer requires that is the same answer;
+    if your upstream is nondeterministic (unseeded sample/limit, a
+    source that changed between write and count), audit the bytes of
+    record instead: ``spark.read.format(fmt).load(out_dir)
+    .groupBy("shard").count()``.
     """
     if id_col not in df.columns:
         raise ValueError(
@@ -71,12 +86,21 @@ def write_training_shards(
         raise ValueError(
             f"write_training_shards: fmt must be parquet or json, got {fmt!r}"
         )
+    if portable:
+        from .hashing import portable_hash60
+
+        sid = F.col(id_col).cast("string")
+        shard = F.pmod(portable_hash60(sid, seed), F.lit(n_shards))
+        ord_ = portable_hash60(sid, seed + 1)
+    else:
+        shard = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards)
+        )
+        ord_ = F.xxhash64(F.col(id_col), F.lit(seed + 1))
     staged = df.select(
         "*",
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
-        .cast("int")
-        .alias("shard"),
-        F.xxhash64(F.col(id_col), F.lit(seed + 1)).alias("_ord"),
+        shard.cast("int").alias("shard"),
+        ord_.alias("_ord"),
     )
     (
         staged.repartition(n_shards, "shard")

@@ -55,6 +55,15 @@ def strip_jpeg_metadata(payload: bytes) -> tuple[bytes, int, int]:
     while i + 2 <= n:
         if payload[i] != 0xFF:
             raise ValueError("corrupt JPEG marker chain")
+        # runs of 0xFF fill bytes before a marker are legal padding
+        # (ISO 10918-1 §B.1.1.2); without skipping them the 0xFF
+        # "marker" would fall into the length-segment branch and
+        # misparse a valid padded file
+        while i + 2 <= n and payload[i + 1] == 0xFF:
+            out.append(0xFF)
+            i += 1
+        if i + 2 > n:
+            break
         marker = payload[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             out += payload[i : i + 2]

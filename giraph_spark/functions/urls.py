@@ -10,10 +10,11 @@ Honest scope note: ``registered_domain`` is a last-N-labels
 heuristic, not the Public Suffix List (no data dependency in this
 package); multi-label public suffixes (``co.uk``) need ``levels=3``
 or a real PSL feed — the parameter exists for exactly that.
-:func:`registered_domain_psl` closes the common-case gap with a
-static snapshot of the most frequent two-label public suffixes
-(``PSL_MULTI_SUFFIXES``) and accepts a caller-supplied suffix set for
-a real PSL feed.
+:func:`registered_domain_psl` closes the gap: a static snapshot of
+the most frequent two-label public suffixes (``PSL_MULTI_SUFFIXES``)
+as the zero-config default, and the full PSL rule grammar (plain /
+wildcard ``*.ck`` / exception ``!www.ck`` rules at any label depth)
+when a caller feeds the real Mozilla list's lines.
 """
 
 from __future__ import annotations
@@ -116,9 +117,9 @@ def registered_domain(col: Column, levels: int = 2) -> Column:
 #: suffixes from the (public) Mozilla Public Suffix List — the ccTLD
 #: second-level registries under which names are registered
 #: (``news.bbc.co.uk`` registers ``bbc.co.uk``, not ``co.uk``). NOT
-#: the full PSL (~9k rules, wildcard/exception grammar): a frozen
-#: common-case table; pass a caller-maintained set to
-#: :func:`registered_domain_psl` to override or extend it.
+#: the full ~9k-rule PSL: a frozen common-case table; pass the real
+#: list's lines to :func:`registered_domain_psl` (full grammar —
+#: wildcards, exceptions, comments — is parsed) to override it.
 PSL_MULTI_SUFFIXES: tuple[str, ...] = tuple(sorted(
     f"{second}.{cc}"
     for cc, seconds in {
@@ -175,32 +176,106 @@ PSL_MULTI_SUFFIXES: tuple[str, ...] = tuple(sorted(
 ))
 
 
-def _psl_domain_from_host(host: Column, suffixes: Sequence[str]) -> Column:
+def _parse_psl_rules(
+    suffixes: Sequence[str],
+) -> tuple[dict[int, list[str]], dict[int, list[str]], dict[int, list[str]]]:
+    """Split a PSL-format rule feed into ``(exact, wildcard,
+    exception)`` rule sets keyed by label count — the real Mozilla
+    list's grammar (publicsuffix.org/list): plain suffixes
+    (``co.uk``), wildcards (``*.ck`` — any single label under the
+    suffix is itself a public suffix), and exceptions (``!www.ck`` —
+    that host is registrable despite a covering wildcard). Comment
+    (``//``) and blank lines are tolerated so a caller can feed the
+    genuine file's lines verbatim; rules are lowercased (the list is
+    already punycode-encoded — IDN hosts compare literally)."""
+    exact: dict[int, list[str]] = {}
+    wild: dict[int, list[str]] = {}
+    exc: dict[int, list[str]] = {}
+    for rule in suffixes:
+        r = rule.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            h = r[1:]
+            exc.setdefault(h.count(".") + 1, []).append(h)
+        elif r.startswith("*."):
+            s = r[2:]
+            wild.setdefault(s.count(".") + 1, []).append(s)
+        else:
+            exact.setdefault(r.count(".") + 1, []).append(r)
+    return exact, wild, exc
+
+
+def _psl_domain_from_host(
+    host: Column,
+    rules: tuple[
+        dict[int, list[str]], dict[int, list[str]], dict[int, list[str]]
+    ],
+) -> Column:
     """:func:`registered_domain_psl`'s branch logic over a host
     reference that is CHEAP to repeat (a lambda variable or plain
-    attribute — ``host`` is referenced five times here)."""
+    attribute — ``host`` is referenced once per distinct label count
+    here). PSL precedence, compiled to one CASE chain: exception
+    rules win outright (the matched host IS the registered domain),
+    else the LONGEST matching suffix rule (exact k labels, or
+    wildcard suffix of k-1 labels plus the one ``*`` label) decides
+    the public-suffix length, else the default ``*`` rule (one
+    label). A matched branch whose host has no extra label yields
+    NULL — a host that IS a public suffix has no registrable part —
+    and the when-chain makes that terminal (it must not fall through
+    to the default branch). Membership tests are ``isin`` over
+    literal lists → one InSet hash probe each."""
+    exact, wild, exc = rules
     n = F.size(F.split(host, r"\."))
-    last2 = F.substring_index(host, ".", -2)
-    last3 = F.substring_index(host, ".", -3)
-    # single isin reference: the inner when yields NULL for a host
-    # that IS a listed suffix (no registrable part, PSL semantics)
-    return F.when(last2.isin(*suffixes), F.when(n >= 3, last3)).otherwise(
-        F.when(host.isNotNull(), last2)
-    )
+
+    def last(k: int) -> Column:
+        return F.substring_index(host, ".", -k)
+
+    expr: Column | None = None
+
+    def add(cond: Column, value: Column) -> None:
+        nonlocal expr
+        expr = F.when(cond, value) if expr is None else expr.when(cond, value)
+
+    # label-count equality makes an explicit n>=k guard redundant for
+    # the equality probes (a shorter host's last-k IS the whole host,
+    # which can never string-equal a k-label rule); wildcards DO need
+    # n >= k: the '*' consumes a real label
+    for k in sorted(exc, reverse=True):
+        add(last(k).isin(*exc[k]), last(k))
+    for pl in sorted({*exact} | {m + 1 for m in wild}, reverse=True):
+        conds = []
+        if pl in exact:
+            conds.append(last(pl).isin(*exact[pl]))
+        if pl - 1 in wild:
+            conds.append((n >= pl) & last(pl - 1).isin(*wild[pl - 1]))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        add(cond, F.when(n >= pl + 1, last(pl + 1)))
+    default = F.when(host.isNotNull(), last(2))
+    return default if expr is None else expr.otherwise(default)
 
 
 def registered_domain_psl(
     col: Column, suffixes: Sequence[str] = PSL_MULTI_SUFFIXES
 ) -> Column:
-    """Registered domain with multi-label public-suffix awareness:
-    when a host's last two labels form a known public suffix
-    (``co.uk`` → ``bbc.co.uk``) take three labels, else two — the
-    drop-in upgrade over :func:`registered_domain` for blocklists and
-    host caps. ``suffixes`` defaults to the built-in
-    :data:`PSL_MULTI_SUFFIXES` snapshot; pass a set built from a real
-    PSL feed to widen it. A host that IS a listed suffix (exactly
-    ``co.uk``) has no registrable part → NULL, matching PSL
-    semantics.
+    """Registered domain with public-suffix awareness: the longest
+    matching suffix rule decides how many labels the public suffix
+    holds, and the registered domain is that plus one (``co.uk`` →
+    ``bbc.co.uk``) — the drop-in upgrade over
+    :func:`registered_domain` for blocklists and host caps.
+    ``suffixes`` defaults to the built-in :data:`PSL_MULTI_SUFFIXES`
+    snapshot (plain two-label rules); it accepts the REAL Mozilla PSL
+    grammar — plain rules at any label depth, wildcards (``*.ck``),
+    exceptions (``!www.ck``), comment/blank lines — so mounting the
+    genuine ~9k-line list gives genuine semantics
+    (:func:`_parse_psl_rules`). IDN hosts are compared literally in
+    punycode form, matching the list's own encoding. A host that IS a
+    listed suffix (exactly ``co.uk``; any single label under a
+    wildcard) has no registrable part → NULL, matching PSL semantics;
+    hosts matching no rule fall to the default one-label rule (two
+    labels kept).
 
     Plan-size note (measured): the branch logic needs the host five
     times, and a naive composition inlines the URL-parse tree at
@@ -216,9 +291,10 @@ def registered_domain_psl(
     ``InSet`` hash probe; the higher-order function evaluates via
     Catalyst's interpreted path, pennies next to the regexp parse.
     """
+    rules = _parse_psl_rules(suffixes)
     bound = F.transform(
         F.array(url_host(col)),
-        lambda h: _psl_domain_from_host(h, suffixes),
+        lambda h: _psl_domain_from_host(h, rules),
     )
     return F.element_at(bound, 1)
 
@@ -318,12 +394,36 @@ def dedup_by_url(
     return _keep_by_norm(df, url_col, id_col, F.min(id_col))
 
 
+def _domain_fn(url_col: str, levels: int, psl: bool, suffixes):
+    """Shared registered-domain column picker for the blocklist/cap
+    pair. ``psl=True`` ignores ``levels`` by construction (the PSL
+    decides label counts) — a caller passing BOTH a non-default
+    ``levels`` and ``psl=True`` gets a loud error instead of a
+    silently dropped intent; ``suffixes`` forwards a caller-maintained
+    PSL feed (raises when given without ``psl=True`` for the same
+    reason)."""
+    if psl and levels != 2:
+        raise ValueError(
+            "psl=True derives label counts from the suffix list; the "
+            f"levels={levels} argument would be silently ignored — "
+            "drop it, or use psl=False for the fixed-levels heuristic"
+        )
+    if suffixes is not None and not psl:
+        raise ValueError("suffixes= requires psl=True")
+    if psl:
+        if suffixes is not None:
+            return registered_domain_psl(F.col(url_col), suffixes)
+        return registered_domain_psl(F.col(url_col))
+    return registered_domain(F.col(url_col), levels)
+
+
 def filter_blocked_domains(
     df: DataFrame,
     blocked: Sequence[str] | DataFrame,
     url_col: str = "url",
     levels: int = 2,
     psl: bool = False,
+    suffixes: Sequence[str] | None = None,
 ) -> DataFrame:
     """Drop rows whose registered domain is on a blocklist (RefinedWeb
     runs a ~4.6M-entry one). ``blocked``: a Python sequence or a
@@ -341,11 +441,7 @@ def filter_blocked_domains(
     else:
         blocked = blocked.toDF("_blocked_domain")
     bl = blocked.select(F.lower("_blocked_domain").alias("_blocked_domain"))
-    dom_fn = (
-        registered_domain_psl(F.col(url_col))
-        if psl
-        else registered_domain(F.col(url_col), levels)
-    )
+    dom_fn = _domain_fn(url_col, levels, psl, suffixes)
     return (
         df.select("*", dom_fn.alias("_dom"))
         .join(
@@ -365,6 +461,7 @@ def cap_per_host(
     levels: int = 2,
     n_shards: int = 1,
     psl: bool = False,
+    suffixes: Sequence[str] | None = None,
 ) -> DataFrame:
     """At most ``n`` documents per registered domain, hash-ranked —
     the real-host version of ``sampling.cap_per_group`` (same exact
@@ -374,11 +471,7 @@ def cap_per_host(
     one capped "host"). NULL-host rows pass through uncapped."""
     from .sampling import cap_per_group
 
-    dom_fn = (
-        registered_domain_psl(F.col(url_col))
-        if psl
-        else registered_domain(F.col(url_col), levels)
-    )
+    dom_fn = _domain_fn(url_col, levels, psl, suffixes)
     with_dom = df.select("*", dom_fn.alias("_dom"))
     hosted = with_dom.where(F.col("_dom").isNotNull())
     kept = cap_per_group(
@@ -641,6 +734,7 @@ def robots_verdict(
     robots: DataFrame,
     agent: str,
     url_col: str = "url",
+    rules_count: int | None = None,
 ) -> DataFrame:
     """Apply a parsed robots rules relation (:func:`parse_robots`) to
     a URL frame: adds ``robots_allowed`` per RFC 9309 precedence —
@@ -652,14 +746,27 @@ def robots_verdict(
     them).
 
     Shape: the verdict is computed on the DISTINCT ``(host, path)``
-    pairs only — the rules relation broadcasts onto that slim key
+    pairs only — the rules relation joins onto that slim key
     relation (the wildcard-free common case is a ``startswith``
     prefix compare, wildcard/anchor patterns pay a per-pair regex),
     one max(struct) partial aggregation resolves precedence, and the
     result joins back to ``df`` by the same two short keys. The
     original frame's columns are never shuffle keys and never
     aggregated — wide body columns and map-typed columns ride
-    through untouched, and duplicate rows stay duplicate rows."""
+    through untouched, and duplicate rows stay duplicate rows.
+
+    The rules side broadcasts only when it FITS: an unconditional
+    ``F.broadcast`` is right at every blocklist-ish scale but a
+    broad-crawl robots corpus (10⁸ hosts × a few rules × pattern +
+    compiled-regex strings) is tens of GB, and forcing it would OOM
+    the driver — so the join goes through the byte-budgeted
+    ``plans.gear.bcast_if_small`` gate (driver-memory-derived limit),
+    falling back to a plain shuffle hash join keyed on the same slim
+    host key. The row count the gate needs is one cheap fold over the
+    rules relation; callers applying one robots relation repeatedly
+    (the crawl loop) pass ``rules_count`` to pay that fold once — any
+    UPPER bound (e.g. the raw robots relation's row count) is safe:
+    overestimating can only skip a broadcast, never force one."""
     from pyspark.sql.window import Window
 
     a = agent.lower()
@@ -705,8 +812,14 @@ def robots_verdict(
     pairs = base.select("_uhost", "_pathq").where(
         F.col("_uhost").isNotNull()
     ).distinct()
+    from ..plans.gear import bcast_if_small
+
+    if rules_count is None:
+        rules_count = applicable.count()
+    # ~256 B/row: host + rule + pattern + its compiled-regex twin,
+    # plus hash-relation overhead — robots patterns are short paths
     joined = pairs.join(
-        F.broadcast(applicable),
+        bcast_if_small(applicable, n_rows=rules_count, row_bytes=256),
         F.col("_uhost") == F.col("_rhost"),
         "left",
     )
@@ -748,11 +861,13 @@ def filter_robots_disallowed(
     robots: DataFrame,
     agent: str,
     url_col: str = "url",
+    rules_count: int | None = None,
 ) -> DataFrame:
     """Keep only the URLs :func:`robots_verdict` allows for ``agent``
     — the polite-crawler gate between frontier extraction and
-    fetching."""
-    return robots_verdict(df, robots, agent, url_col).where(
+    fetching. ``rules_count`` forwards to the verdict's broadcast
+    gate (see :func:`robots_verdict`)."""
+    return robots_verdict(df, robots, agent, url_col, rules_count).where(
         F.col("robots_allowed")
     ).drop("robots_allowed")
 

@@ -144,3 +144,75 @@ def test_schedule_frontier_waves(spark):
     assert again == sorted((r["url"], r["fetch_wave"]) for r in rows)
     with pytest.raises(ValueError, match="window_s"):
         schedule_frontier(frontier, None, window_s=0)
+
+
+def test_schedule_frontier_column_collision_raises(spark):
+    """The scheduler appends host/_delay and emits crawl_delay/
+    fetch_wave — a frontier already carrying one of those names must
+    raise loudly (pre-r10 it aliased into an ambiguous-reference
+    error at the delays join), mirroring write_training_shards'
+    shard/_ord guard."""
+    from giraph_spark.functions.crawl import schedule_frontier
+
+    f = spark.createDataFrame(
+        [("https://a.org/x", "stale")], "url string, host string"
+    )
+    with pytest.raises(ValueError, match="host"):
+        schedule_frontier(f, None)
+    f2 = spark.createDataFrame(
+        [("https://a.org/x", 3)], "url string, fetch_wave int"
+    )
+    with pytest.raises(ValueError, match="fetch_wave"):
+        schedule_frontier(f2, None)
+
+
+def test_robots_refresh_mid_crawl(spark, web_df):
+    """RFC 9309 §2.4 cache-expiry hook: the refresh callable is
+    invoked with the candidate frontier's distinct hosts and its
+    returned rules relation replaces the old one BEFORE that frontier
+    is gated — a mid-crawl disallow takes effect (blocked.org is
+    allowed at seed time, disallowed by the refresh, and never
+    fetched), and the hook sees exactly the hosts each round
+    surfaced."""
+    from giraph_spark.functions.urls import parse_robots
+
+    allow_all = parse_robots(
+        spark.createDataFrame(
+            [("blocked.org", "User-agent: *\nDisallow:\n")],
+            "host string, text string",
+        )
+    )
+    seen_hosts: list[set[str]] = []
+
+    def refresh(hosts):
+        seen_hosts.append({r["host"] for r in hosts.collect()})
+        return parse_robots(
+            spark.createDataFrame(
+                [("blocked.org", "User-agent: *\nDisallow: /\n")],
+                "host string, text string",
+            )
+        )
+
+    seeds = spark.createDataFrame([("https://site.org/",)], "url string")
+    got = {
+        r["url"]: r["crawl_round"]
+        for r in crawl_rounds(
+            _fetch(web_df),
+            seeds,
+            rounds=10,
+            robots=allow_all,
+            robots_refresh=refresh,
+        ).collect()
+    }
+    # without the refresh, blocked.org/secret is fetched at round 2
+    # (test_bfs_rounds_and_no_refetch); the refreshed disallow stops it
+    assert "https://blocked.org/secret" not in got
+    assert got["https://site.org/c"] == 3
+    # round 1's candidates include the blocked host; later rounds see
+    # only the chain host
+    assert any("blocked.org" in s for s in seen_hosts)
+    with pytest.raises(ValueError, match="robots_refresh_every"):
+        crawl_rounds(
+            _fetch(web_df), seeds, rounds=2, robots_refresh=refresh,
+            robots_refresh_every=0,
+        )

@@ -149,3 +149,25 @@ def test_strip_media_metadata_frame_png(spark):
     assert rows[1]["n_stripped"] == 2 and rows[1]["scrub_error"] is None
     assert bytes(rows[2]["payload"]) == corrupt_png
     assert rows[2]["scrub_error"] is not None
+
+
+def test_strip_jpeg_skips_fill_bytes():
+    """Runs of 0xFF fill bytes before a marker are legal padding (ISO
+    10918-1 B.1.1.2); the scrub must skip them and still excise the
+    metadata segment that follows — not degrade to an unscrubbed
+    passthrough (the pre-r10 bug: the fill byte fell into the
+    length-segment branch and misparsed)."""
+    clean = make_jpeg_baseline(8, 8)
+    exif = b"Exif\x00\x00MM\x00\x2a" + b"\x00" * 8 + b"GPSLAT 51.5"
+    # SOI, three fill bytes, then the Exif APP1 segment, then the rest
+    padded = clean[:2] + b"\xff\xff\xff" + _seg(0xE1, exif) + clean[2:]
+    out, n_stripped, removed = strip_jpeg_metadata(padded)
+    assert n_stripped == 1 and removed == len(_seg(0xE1, exif))
+    assert b"GPSLAT" not in out
+    # fill bytes survive (byte-identity apart from dropped segments)
+    assert out == clean[:2] + b"\xff\xff\xff" + clean[2:]
+    assert jpeg_pixel_stats(out[:2] + out[5:]) == jpeg_pixel_stats(clean)
+    # fill bytes mid-chain (before a kept segment) also parse
+    kept = clean[:2] + b"\xff" + clean[2:]
+    out2, n2, r2 = strip_jpeg_metadata(kept)
+    assert (n2, r2) == (0, 0) and out2 == kept

@@ -943,3 +943,119 @@ def test_crawl_delays_precedence_and_last_wins(spark):
         for r in crawl_delays(robots, "MyBot").collect()
     }
     assert got == {"a.com": 2.0, "b.com": 0.5, "d.com": 4.0}
+
+
+def test_registered_domain_psl_full_grammar(spark):
+    """The real PSL grammar on a caller feed: wildcard rules
+    (``*.ck`` — every single label under the suffix is itself a
+    public suffix), exception rules (``!www.ck`` — registrable
+    despite the wildcard), multi-depth plain rules, comment/blank
+    lines tolerated, and punycode hosts compared literally (the
+    list's own encoding)."""
+    from giraph_spark.functions.urls import registered_domain_psl
+
+    feed = (
+        "// comment line",
+        "",
+        "co.uk",
+        "*.ck",
+        "!www.ck",
+        "act.edu.au",  # 3-label plain rule
+        "xn--p1ai",    # punycode TLD rule (.рф)
+    )
+    cases = {
+        # wildcard: foo.ck is a public suffix → bar.foo.ck registers
+        "https://a.bar.foo.ck/x": "bar.foo.ck",
+        "https://bar.foo.ck/x": "bar.foo.ck",
+        # host IS a wildcard-made suffix → no registrable part
+        "https://foo.ck/x": None,
+        # exception beats the wildcard: www.ck itself registers
+        # (url_host strips the www. label first → bare 'ck' rides the
+        # default rule, which keeps single-label hosts as themselves —
+        # the module's documented localhost behavior)
+        "https://www.ck/x": "ck",
+        "https://sub.www.ck/x": "www.ck",
+        # 3-label plain rule → four labels kept
+        "https://dept.school.act.edu.au/": "school.act.edu.au",
+        "https://act.edu.au/": None,
+        # punycode passthrough: literal label compare
+        "https://xn--e1afmkfd.xn--p1ai/": "xn--e1afmkfd.xn--p1ai",
+        # unlisted stays on the default rule
+        "https://www.example.com/": "example.com",
+        "https://bbc.co.uk/": "bbc.co.uk",
+        "https://co.uk/": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["d"]
+        for r in df.select(
+            "url", registered_domain_psl(F.col("url"), feed).alias("d")
+        ).collect()
+    }
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_psl_levels_conflict_and_suffixes_passthrough(spark):
+    """psl=True derives label counts from the list, so a non-default
+    levels= must raise (it was silently ignored pre-r10), suffixes=
+    without psl=True must raise, and suffixes= forwards the caller
+    feed through both the blocklist and the cap."""
+    import pytest
+
+    from giraph_spark.functions.urls import (
+        cap_per_host,
+        filter_blocked_domains,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.web.lan/x"),
+            (2, "https://b.web.lan/y"),
+            (3, "https://c.web.lan/z"),
+        ],
+        "doc_id long, url string",
+    )
+    with pytest.raises(ValueError, match="levels=3"):
+        cap_per_host(urls, n=1, levels=3, psl=True)
+    with pytest.raises(ValueError, match="levels=4"):
+        filter_blocked_domains(urls, ["x.example"], levels=4, psl=True)
+    with pytest.raises(ValueError, match="requires psl=True"):
+        cap_per_host(urls, n=1, suffixes=("web.lan",))
+    # with the feed, each x.web.lan is its own registered domain
+    blocked = filter_blocked_domains(
+        urls, ["a.web.lan"], psl=True, suffixes=("web.lan",)
+    )
+    assert {r["doc_id"] for r in blocked.collect()} == {2, 3}
+    capped = cap_per_host(urls, n=1, psl=True, suffixes=("web.lan",))
+    assert {r["doc_id"] for r in capped.collect()} == {1, 2, 3}
+
+
+def test_robots_verdict_broadcast_gate(spark):
+    """VERDICT r9 task 3: the rules side broadcasts when its
+    estimated bytes fit the driver budget (the fixture scale) and
+    falls back to a shuffle join when the caller-declared count blows
+    the budget — F.broadcast is no longer unconditional, so a
+    web-scale robots corpus can't OOM the driver."""
+    from giraph_spark.functions.urls import robots_verdict
+
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [(1, "https://example.com/tmp/x")], "doc_id long, url string"
+    )
+    small = (
+        robots_verdict(urls, rules, "mybot")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in small
+    # a declared web-scale rules count (any upper bound is safe) must
+    # pick a non-broadcast strategy for the rules join
+    big = (
+        robots_verdict(urls, rules, "mybot", rules_count=10**9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert big.count("BroadcastHashJoin") < small.count("BroadcastHashJoin")
+    # verdicts still identical either way
+    a = robots_verdict(urls, rules, "mybot").collect()
+    b = robots_verdict(urls, rules, "mybot", rules_count=10**9).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
