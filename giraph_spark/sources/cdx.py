@@ -25,10 +25,14 @@ Scale shape: ``spark.read.text`` on the (splittable, often .gz-per-
 shard) index files; ONE projection does the two ``substring_index``
 splits + ``from_json`` — no Python, no shuffle. ``cdx_shards`` is one
 partial-aggregated groupBy over the filtered index (output ∝ shards).
-Honest scope: ``offset``/``length`` are parsed and carried so callers
-with range-read storage can fetch single members, but this package's
-WARC reader is shard-granular (binaryFile has no byte-range API) —
-the pruning win here is WHICH SHARDS get read at all.
+``offset``/``length`` feed two fetch paths: :func:`cdx_shards` emits
+the pruned whole-shard list for ``sources.warc.read_warc`` (the
+common case — selectivity above ~1 record/shard), and
+``sources.warc.read_warc_members`` range-reads single gzip members
+straight from the filtered capture relation (the sparse case — one
+domain across 30k shards pays exactly its members' bytes, not the
+shards'). binaryFile has no byte-range API, so the member path goes
+through pyarrow's filesystem layer instead.
 """
 
 from __future__ import annotations

@@ -274,6 +274,144 @@ def read_warc(
     )
 
 
+WARC_MEMBER_SCHEMA = (
+    "file string, offset long, record_index long, warc_type string, "
+    "target_uri string, record_id string, content_type string, "
+    "content_length long, payload binary, fetch_bytes long, error string"
+)
+
+
+def read_warc_members(
+    captures: DataFrame,
+    max_record_bytes: int = 64 << 20,
+    base_dir: str | None = None,
+    filename_col: str = "filename",
+    offset_col: str = "offset",
+    length_col: str = "length",
+) -> DataFrame:
+    """Range-read SINGLE WARC members named by a CDX capture relation
+    (``sources.cdx.read_cdx`` carries ``filename``/``offset``/
+    ``length`` for exactly this) — the last 100 TB IO lever past
+    :func:`~giraph_spark.sources.cdx.cdx_shards`' shard pruning: when
+    an index selection is sparser than ~1 record/shard, whole-shard
+    reads still pay the full shard bytes; this fetches exactly the
+    ``length`` bytes of each selected capture's gzip member and
+    nothing else. Returns one row per WARC record found in the range
+    (a member legally holds several): ``(file, offset, record_index,
+    <warc header columns>, payload, fetch_bytes, error)`` — ``offset``
+    echoes the capture's so callers join back to the index row;
+    ``record_index`` counts within the member (member-local — the
+    shard-global index would need the skipped bytes); ``fetch_bytes``
+    is the bytes actually range-read (= ``length``), the honest IO
+    accounting. A capture whose range is missing, truncated, or
+    unparseable yields ONE null-record row with ``error`` set — an
+    index with a stale entry must never abort the fetch job.
+
+    Storage access is ``pyarrow.fs`` (``FileSystem.from_uri`` for
+    scheme-ful filenames — s3/hdfs/gcs resolve wherever pyarrow has a
+    driver — plain local paths otherwise); ``base_dir`` prefixes
+    RELATIVE index filenames (Common Crawl indexes name shards
+    archive-root-relative). Executor-side, Arrow-batched: rows are
+    grouped by filename within each batch so one input file opens
+    once per batch; parallelism is the captures relation's
+    partitioning — ``repartition`` it to spread a hot shard's
+    captures. NULL filename/offset/length rows yield error rows.
+    """
+    import zlib
+
+    cols = [
+        F.col(filename_col).cast("string").alias("_f"),
+        F.col(offset_col).cast("long").alias("_o"),
+        F.col(length_col).cast("long").alias("_l"),
+    ]
+    rows_in = captures.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyarrow import fs as pafs
+
+        out_cols = [
+            "file", "offset", "record_index", "warc_type", "target_uri",
+            "record_id", "content_type", "content_length", "payload",
+            "fetch_bytes", "error",
+        ]
+
+        def resolve(fname: str):
+            path = fname
+            if base_dir is not None and "://" not in fname and not fname.startswith("/"):
+                path = base_dir.rstrip("/") + "/" + fname
+            if "://" in path:
+                filesystem, p = pafs.FileSystem.from_uri(path)
+            else:
+                filesystem, p = pafs.LocalFileSystem(), path
+            return filesystem, p
+
+        for pdf in batches:
+            rows = []
+            # group by filename: one open per file per batch
+            order = pdf.sort_values("_f", kind="stable")
+            cur_name, handle = None, None
+            for fname, off, ln in zip(
+                order["_f"].to_numpy(),
+                order["_o"].to_numpy(),
+                order["_l"].to_numpy(),
+            ):
+                def err_row(msg: str) -> list:
+                    return [
+                        fname, None if pd.isna(off) else int(off), None,
+                        None, None, None, None, None, None, None, msg,
+                    ]
+
+                if fname is None or pd.isna(off) or pd.isna(ln):
+                    rows.append(err_row("capture without filename/offset/length"))
+                    continue
+                off_i, ln_i = int(off), int(ln)
+                try:
+                    if fname != cur_name:
+                        if handle is not None:
+                            handle.close()
+                        filesystem, p = resolve(str(fname))
+                        handle = filesystem.open_input_file(p)
+                        cur_name = fname
+                    handle.seek(off_i)
+                    data = handle.read(ln_i)
+                    if len(data) < ln_i:
+                        raise ValueError(
+                            f"range [{off_i}, {off_i + ln_i}) past EOF"
+                        )
+                    idx = 0
+
+                    def emit(headers, payload):
+                        nonlocal idx
+                        rows.append(
+                            [
+                                fname, off_i, idx,
+                                headers.get(_HDR_TYPE),
+                                headers.get(_HDR_URI),
+                                headers.get(_HDR_ID),
+                                headers.get(_HDR_CTYPE),
+                                len(payload), payload, ln_i, None,
+                            ]
+                        )
+                        idx += 1
+
+                    if data[:2] == b"\x1f\x8b":
+                        for member in _iter_gzip_members(
+                            data, max_record_bytes
+                        ):
+                            _walk_records(member, emit)
+                    else:
+                        _walk_records(data, emit)
+                    if idx == 0:
+                        rows.append(err_row("range held no WARC record"))
+                except (ValueError, zlib.error, OSError) as ex:
+                    rows.append(err_row(str(ex)))
+            if handle is not None:
+                handle.close()
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return rows_in.mapInPandas(run, schema=WARC_MEMBER_SCHEMA)
+
+
 def read_warc_stream(
     spark: SparkSession,
     path: str,
