@@ -2353,13 +2353,18 @@ def _q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset-card relation over the sf docs + embeddings
     (functions/datacard.py): corpus accounting per source×lang, the
     quality-gate share, the token-count profile, the exact-dup
-    headline, and embedding-column health — one tall string relation
-    whose every value (fixed six-decimal canonical form for
-    fractions) the oracle reproduces section by section."""
+    headline, embedding-column health, and (r10 — the r9 queue's
+    last item) the PII-rate and duplicate-paragraph sections — one
+    tall string relation whose every value (fixed six-decimal
+    canonical form for fractions) the oracle reproduces section by
+    section."""
     from giraph_spark.functions.datacard import data_card
 
     return data_card(
-        docs=_docs(spark, sf_dir), embeddings=_embs(spark, sf_dir)
+        docs=_docs(spark, sf_dir),
+        embeddings=_embs(spark, sf_dir),
+        pii=True,
+        paragraphs=True,
     )
 
 
@@ -2378,6 +2383,414 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, a string, b string",
+    )
+
+
+# --------------------------------- r10 crawl/curation driver keys --
+# (the r9 queue drained: PII, paragraph dedup, PSL cap, robots
+# verdict, CDX shards, shard manifest, host graph, domain authority,
+# crawl delays — each fixture derives every value from doc_id
+# arithmetic so the DuckDB oracle replays it closed-form.)
+
+
+def _pii_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministically planted PII suffixes — one
+    kind per doc_id residue class, every span reconstructible from
+    arithmetic (the oracle re-plants and re-redacts the same text)."""
+    did = F.col("doc_id")
+    planted = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@mail"), (did % 5).cast("string"),
+                F.lit(".example now"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit(".0."), (did % 100).cast("string"), F.lit(" up"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit(" call +1 (415) 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" ref "),
+                F.lpad((did % 1000000000).cast("string"), 9, "0"),
+                F.lit("9 done"),
+            )
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), planted).alias("text"),
+        "source",
+    )
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII scrub (functions/pii.py:83): tiered regexp_replace with
+    per-kind counts on the progressively redacted text. Patterns are
+    Java∩RE2-portable by design (module docstring), so the oracle runs
+    the SAME pattern text through DuckDB's RE2 — redacted text and all
+    four counters must agree byte-for-byte."""
+    from giraph_spark.functions.pii import redact_pii
+
+    return redact_pii(_pii_fixture(spark, sf_dir)).drop("source")
+
+
+def _q_pii_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts on the RAW text (functions/pii.py:64)
+    — each kind counted independently, n_pii the sum; the detection
+    twin of redact_pii's scrub counts (which bill post-redaction)."""
+    from giraph_spark.functions.pii import pii_features
+
+    return pii_features(_pii_fixture(spark, sf_dir))
+
+
+def _q_pii_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII accounting per source (functions/pii.py:119): doc
+    counts, flagged-doc share, per-kind span totals — the data-card
+    row for the tier, grouped so the shuffle is ∝ sources."""
+    from giraph_spark.functions.pii import pii_rate
+
+    out = pii_rate(_pii_fixture(spark, sf_dir), group_col="source")
+    return out.select(
+        "source", "n_docs", "docs_with_pii",
+        F.round(F.col("pii_doc_rate"), 6).alias("pii_doc_rate"),
+        "n_email", "n_ipv4", "n_phone", "n_id_number",
+    )
+
+
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet cross-corpus paragraph dedup (functions/paragraphs.py:70)
+    over documents wrapped in shared banner/footer paragraphs (the
+    boilerplate document-level hashing can never catch): first
+    occurrence wins corpus-wide, survivors reassemble in order, empty
+    documents drop. The oracle replays the whole disposition as a
+    window (the in-repo parity test's form) over the same fixture."""
+    from giraph_spark.functions.paragraphs import dedup_paragraphs
+
+    did = F.col("doc_id")
+    fixture = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.concat(F.lit("shared banner "), (did % 7).cast("string")),
+            F.coalesce(F.col("text"), F.lit("empty body")),
+            F.concat(F.lit("standard footer "), (did % 3).cast("string")),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(fixture)
+
+
+def _q_cap_per_host_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain cap with PSL grouping (functions/urls.py
+    cap_per_host(psl=True)): multi-label public suffixes (co.uk,
+    com.au) must group at three labels, plain TLDs at two, www strips
+    — the oracle reconstructs each URL's registered domain from the
+    fixture arithmetic and replays the cap's portable-hash rank."""
+    from giraph_spark.functions.urls import cap_per_host
+
+    did = F.col("doc_id")
+    dom = (
+        F.when(did % 4 == 0, F.concat(F.lit("alpha"), (did % 6).cast("string"), F.lit(".co.uk")))
+        .when(did % 4 == 1, F.concat(F.lit("beta"), (did % 6).cast("string"), F.lit(".com")))
+        .when(did % 4 == 2, F.concat(F.lit("gamma"), (did % 6).cast("string"), F.lit(".com.au")))
+        .otherwise(F.concat(F.lit("delta"), (did % 6).cast("string"), F.lit(".io")))
+    )
+    prefix = F.when(did % 5 == 0, F.lit("www.")).otherwise(
+        F.concat(F.lit("sub"), (did % 3).cast("string"), F.lit("."))
+    )
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), prefix, dom, F.lit("/p/"), did.cast("string")
+        ).alias("url"),
+    )
+    return cap_per_host(urls, n=8, psl=True)
+
+
+def _robots_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared robots fixture for the verdict/delay keys: ten hosts in
+    three policy classes — (0) a ``*`` group with prefix, longer-allow,
+    and wildcard+anchor rules plus a crawl delay; (1) an exact-agent
+    group (which must SUPERSEDE the host's deny-all ``*`` group) with
+    an invalid then a valid crawl delay (last valid wins); (2) no
+    robots.txt at all. URLs cover every rule arm per host."""
+    from giraph_spark.functions.urls import parse_robots
+
+    did = F.col("doc_id")
+    hnum = did % 10
+    host = F.concat(F.lit("h"), hnum.cast("string"), F.lit(".example"))
+    path = (
+        F.when(did % 5 == 0, F.lit("/private/x"))
+        .when(did % 5 == 1, F.lit("/private/okay"))
+        .when(did % 5 == 2, F.concat(F.lit("/p/"), did.cast("string")))
+        .when(did % 5 == 3, F.concat(F.lit("/tmp/"), did.cast("string"), F.lit(".pdf")))
+        .otherwise(F.lit("/"))
+    )
+    # lazy-checkpoint the built URLs: robots_verdict derives _uhost +
+    # _pathq from its url column (~5 parse-tree references), and with
+    # the deep CASE/concat fixture inlined at each one the verdict's
+    # hashAgg codegen blows Janino's 64 KB method limit (measured —
+    # silent interpreted fallback). The RDD boundary makes url an
+    # attribute, the new_frontier plan-shape lesson applied here.
+    urls = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    ).localCheckpoint(eager=False)
+    text0 = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Disallow: /tmp/*.pdf$\nCrawl-delay: 5\n"
+    )
+    text1 = (
+        "User-agent: mybot\nDisallow: /p/\nCrawl-delay: fast\n"
+        "Crawl-delay: 7\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 99\n"
+    )
+    hosts = (
+        _docs(spark, sf_dir)
+        .select((did % 10).alias("h"))
+        .distinct()
+        .where(F.col("h") % 3 != 2)
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example")).alias("host"),
+        F.when(F.col("h") % 3 == 0, F.lit(text0)).otherwise(F.lit(text1)).alias("text"),
+    )
+    return urls, parse_robots(robots)
+
+
+def _q_robots_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 verdicts (functions/urls.py robots_verdict): exact-
+    agent group supersedes ``*`` wholesale, longest pattern wins,
+    allow wins length ties, wildcard/anchor patterns match as
+    compiled regexes, hosts without robots allow everything. The
+    oracle states the expected verdict CLOSED-FORM per (host-class,
+    path-class) — the full precedence battery value-pinned."""
+    from giraph_spark.functions.urls import robots_verdict
+
+    urls, rules = _robots_fixture(spark, sf_dir)
+    return robots_verdict(urls, rules, "mybot").select(
+        "doc_id", "url", "robots_allowed"
+    )
+
+
+def _q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness rates (functions/urls.py crawl_delays): the
+    governing group's LAST parseable Crawl-delay wins (class 1 plants
+    an invalid 'fast' before the 7), the exact-agent group shadows
+    ``*``'s 99 entirely, hosts without robots emit no row."""
+    from giraph_spark.functions.urls import crawl_delays
+
+    did = F.col("doc_id")
+    hosts = (
+        _docs(spark, sf_dir)
+        .select((did % 10).alias("h"))
+        .distinct()
+        .where(F.col("h") % 3 != 2)
+    )
+    text0 = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Disallow: /tmp/*.pdf$\nCrawl-delay: 5\n"
+    )
+    text1 = (
+        "User-agent: mybot\nDisallow: /p/\nCrawl-delay: fast\n"
+        "Crawl-delay: 7\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 99\n"
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example")).alias("host"),
+        F.when(F.col("h") % 3 == 0, F.lit(text0)).otherwise(F.lit(text1)).alias("text"),
+    )
+    return crawl_delays(robots, "mybot")
+
+
+def _q_cdx_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB pruning lever end-to-end (sources/cdx.py): a CDXJ
+    index fixture is WRITTEN to disk (distributed text write, one
+    line per doc, every field from doc_id arithmetic; every 29th line
+    corrupt), read back through read_cdx, curation-filtered on the
+    index (status 200, error-free), and collapsed to the shard fetch
+    list. The oracle never sees the index bytes — it recomputes the
+    shard groupBy from the same arithmetic, so parsing + error
+    isolation + the aggregation are all value-pinned."""
+    import hashlib
+    import os
+    import tempfile
+
+    from giraph_spark.sources.cdx import cdx_shards, read_cdx
+
+    did = F.col("doc_id")
+    line = F.when(
+        did % 29 == 0, F.concat(F.lit("corrupt line "), did.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("ex,h"), did.cast("string"), F.lit(")/p 20260801093000 "),
+            F.lit('{"url": "https://h'), did.cast("string"),
+            F.lit('.example/p", "status": "'),
+            F.when(did % 4 == 0, F.lit("404")).otherwise(F.lit("200")),
+            F.lit('", "length": "'), (did % 50 + 100).cast("string"),
+            F.lit('", "offset": "'), (did * 1000).cast("string"),
+            F.lit('", "filename": "shards/w'), (did % 7).cast("string"),
+            F.lit('.warc.gz"}'),
+        )
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "giraph_spark_cdx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    _docs(spark, sf_dir).select(line.alias("value")).write.mode(
+        "overwrite"
+    ).text(out)
+    cdx = read_cdx(spark, out)
+    kept = cdx.where(F.col("error").isNull() & (F.col("status") == 200))
+    return cdx_shards(kept)
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export (functions/export.py): write the corpus
+    as 8 portable-hash shards, then account the BYTES ON DISK — per
+    shard row count plus id-membership fingerprints (sum/min/max) read
+    back from the written files, so assignment, the one-task-per-shard
+    write, and layout independence are all pinned. portable=True makes
+    the md5-derived shard math the oracle boundary."""
+    import hashlib
+    import os
+    import tempfile
+
+    from giraph_spark.functions.export import write_training_shards
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "giraph_spark_shards_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    write_training_shards(
+        d, out, n_shards=8, seed=5, portable=True, mode="overwrite"
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    ).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_rows", "sum_ids", "min_id", "max_id",
+    )
+
+
+def _pages_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetched-pages fixture for the web-graph keys: every page links
+    one cross-domain .com target, (3 of 4) one .org target, one
+    root-relative SELF link (must resolve and then drop as
+    intra-domain), and one mailto (must drop as unfetchable)."""
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www.s"), (did % 5).cast("string"),
+        F.lit(".co.uk/p/"), did.cast("string"),
+    )
+    body = F.concat(
+        F.lit('<a href="https://d'), (did % 7).cast("string"),
+        F.lit('.com/x">l1</a>'),
+        F.when(did % 4 == 0, F.lit('<a href="/local/y">self</a>')).otherwise(
+            F.concat(
+                F.lit('<a href="https://e'), (did % 3).cast("string"),
+                F.lit('.org/z">l2</a>'),
+            )
+        ),
+        F.lit('<a href="mailto:a@b.cd">m</a>'),
+    )
+    return _docs(spark, sf_dir).select(url.alias("url"), body.alias("body"))
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered-domain web graph (functions/urls.py host_graph):
+    link extraction + PSL domains on both sides + intra-domain and
+    non-http drops + the (src, dst) count aggregation. The oracle
+    regenerates the edge relation from the fixture arithmetic — it
+    never parses HTML, so extraction and resolution are value-pinned."""
+    from giraph_spark.functions.urls import host_graph
+
+    return host_graph(_pages_fixture(spark, sf_dir))
+
+
+def _q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl tier feeding the graph engine (functions/urls.py
+    domain_authority): weighted dangling PageRank on host_graph's
+    edges via the package's own Pregel kernel — .com/.org targets
+    have no out-links, so the dangling redistribution is exercised
+    every round. The oracle unrolls 8 weighted+dangling rounds over
+    the closed-form edge relation (the pagerank oracle family's
+    form)."""
+    from giraph_spark.functions.urls import domain_authority
+
+    out = domain_authority(_pages_fixture(spark, sf_dir), iterations=8)
+    return out.select(
+        "domain", F.round(F.col("authority"), 6).alias("authority")
+    )
+
+
+def _q_media_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-metadata scrubbing (functions/media_privacy.py) under the
+    driver gate: per-doc payloads built as EXPRESSIONS — a real
+    baseline JPEG with a COM segment of arithmetic-determined length
+    spliced after SOI (even ids), a real PNG with a tEXt chunk (odd
+    ids), a corrupt marker chain every 31st (must pass through with
+    the error set, never fail a task). Everything the scrub reports —
+    segment counts, bytes removed, the cleaned payload's length, the
+    error flag — is closed-form from doc_id, so the oracle pins the
+    structural walk without decoding a byte."""
+    import struct
+    import zlib
+
+    from giraph_spark.functions.media_codecs import (
+        make_jpeg_baseline,
+        make_png,
+    )
+    from giraph_spark.functions.media_privacy import strip_media_metadata
+
+    base_j = make_jpeg_baseline(8, 8)
+    base_p = make_png(2, 2)
+    body = b"Author\x00Nobody"
+    chunk = (
+        struct.pack(">I", len(body))
+        + b"tEXt" + body
+        + struct.pack(">I", zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF)
+    )
+    png_dirty = base_p[:8] + chunk + base_p[8:]
+    did = F.col("doc_id")
+    # COM segment: marker FF FE, big-endian length n+2 (n in [10, 30)
+    # keeps the high length byte zero), n 'x' bytes
+    jpeg = F.concat(
+        F.lit(base_j[:2]),
+        F.lit(b"\xff\xfe\x00"),
+        F.expr("cast(char(doc_id % 20 + 12) as binary)"),
+        F.expr("cast(repeat('x', cast(doc_id % 20 + 10 as int)) as binary)"),
+        F.lit(base_j[2:]),
+    )
+    payload = (
+        F.when(did % 31 == 0, F.lit(b"\xff\xd8garbage"))
+        .when(did % 2 == 1, F.lit(png_dirty))
+        .otherwise(jpeg)
+    )
+    fixture = _docs(spark, sf_dir).select("doc_id", payload.alias("payload"))
+    out = strip_media_metadata(fixture)
+    return out.select(
+        "doc_id",
+        "n_stripped",
+        "stripped_bytes",
+        F.length("payload").cast("long").alias("out_len"),
+        F.col("scrub_error").isNotNull().alias("has_error"),
     )
 
 
@@ -2469,25 +2882,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _ordered_registry(_base_queries())
 
 
-#: QUEUED FOR THE r10 DRIVER WINDOW (VERDICT r8 task 8 capped r9's new
-#: registry keys; these landed in r9 with pytest + in-repo DuckDB
-#: parity instead — see tests/test_pii.py, tests/test_paragraphs.py,
-#: tests/test_datacard.py): `pii_features` + `redact_pii`
-#: (functions/pii.py — RE2∩Java-regex patterns, directly SQL-replayable),
-#: `dedup_paragraphs` (functions/paragraphs.py — window-replay oracle
-#: written and passing in test_dedup_paragraphs_oracle_parity),
-#: `registered_domain_psl` (functions/urls.py — IN-list replay), and
-#: flipping `data_card`'s pii=/paragraphs= flags on with the matching
-#: oracle sections. Register ≤3 per round unless the verdict frees the
-#: window. Later-r9 additions also queued (pytest-only for now, pick
-#: by window budget): `cdx_shards` over a derived CDXJ fixture
-#: (sources/cdx.py — string slicing + JSON, DuckDB-replayable),
-#: `write_training_shards`'s manifest (functions/export.py — pmod/
-#: xxhash64 shard math replays via the portable-hash pattern only if
-#: given a portable mode; otherwise rows-only), `crawl_rounds` /
-#: `host_graph` / `domain_authority` / `crawl_delays` /
-#: `strip_media_metadata` (fixture-driven; authority is
-#: pagerank-oracle material, the scrubs are closed-form).
+#: r10 DRAINED THE r9 QUEUE (VERDICT r9 task 1): redact_pii, pii_rate,
+#: dedup_paragraphs, cap_per_host_psl, robots_verdict, crawl_delays,
+#: cdx_shards, shard_manifest (write_training_shards portable mode),
+#: host_graph, domain_authority all registered with full value-hash
+#: oracles. Still pytest-only (pick by window budget in a later
+#: round): `crawl_rounds` (the loop driver — its fetch callback makes
+#: a SQL oracle awkward; the composition's pieces are all keyed now),
+#: `strip_media_metadata` (closed-form byte accounting is oracle-able
+#: but needs a distributed binary-fixture writer), and
+#: `read_warc_members` (range-fetch parity is proven against
+#: read_warc in tests/test_cdx.py).
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": _q_pagerank(weighted=False, dangling=False),
@@ -2635,6 +3040,18 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_ingest": _q_wet_ingest,
         "data_card": _q_data_card,
         "bpe_merges": _q_bpe_merges,
+        "redact_pii": _q_redact_pii,
+        "pii_features": _q_pii_features,
+        "pii_rate": _q_pii_rate,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "cap_per_host_psl": _q_cap_per_host_psl,
+        "robots_verdict": _q_robots_verdict,
+        "crawl_delays": _q_crawl_delays,
+        "cdx_shards": _q_cdx_shards,
+        "shard_manifest": _q_shard_manifest,
+        "host_graph": _q_host_graph,
+        "domain_authority": _q_domain_authority,
+        "media_scrub": _q_media_scrub,
     }
 
 
@@ -6097,6 +6514,376 @@ UNION ALL SELECT 'embeddings', 'n_null', '', CAST(n_null AS VARCHAR) FROM emb"""
 
     bpe_merges_sql = _bpe_oracle(8)
 
+    # ------------------------------------- r10 crawl/curation oracles --
+
+    # the planted-PII suffix (one kind per residue class) — must stay
+    # textually in lockstep with _pii_fixture
+    _pii_plant = (
+        "CASE WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example now'\n"
+        "     WHEN doc_id % 4 = 1 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'\n"
+        "     WHEN doc_id % 4 = 2 THEN ' call +1 (415) 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')\n"
+        "     ELSE ' ref ' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')"
+        " || '9 done' END"
+    )
+    from giraph_spark.functions.pii import PII_TIERS as _TIERS
+
+    # redact_pii: the same RE2∩Java pattern text, chained — each tier's
+    # count taken on the text AFTER the earlier tiers ran (the scrub's
+    # no-double-billing contract). DuckDB '...' literals pass
+    # backslashes through to RE2 untouched; only quotes double.
+    _pii_parts = [
+        f"WITH base AS (\n  SELECT doc_id, coalesce(text, '') || {_pii_plant} AS t0\n  FROM documents\n)"
+    ]
+    for _i, (_kind, _pat, _token) in enumerate(_TIERS):
+        _p = _pat.replace("'", "''")
+        _src = "base" if _i == 0 else f"s{_i - 1}"
+        _pii_parts.append(
+            f", s{_i} AS (\n  SELECT *,"
+            f" CAST(len(regexp_extract_all(t{_i}, '{_p}')) AS BIGINT)"
+            f" AS n_redacted_{_kind},\n"
+            f"         regexp_replace(t{_i}, '{_p}', '{_token}', 'g') AS t{_i + 1}\n"
+            f"  FROM {_src}\n)"
+        )
+    _pii_parts.append(
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, t{len(_TIERS)} AS text, "
+        + ", ".join(f"n_redacted_{k}" for k, _, _ in _TIERS)
+        + f"\nFROM s{len(_TIERS) - 1}"
+    )
+    redact_pii_sql = "\n".join(_pii_parts)
+
+    # pii_features: independent per-kind counts on the RAW planted
+    # text, n_pii their sum
+    _feat_counts = ",\n       ".join(
+        "CAST(len(regexp_extract_all(t, '{}')) AS BIGINT) AS n_{}".format(
+            pat.replace("'", "''"), kind
+        )
+        for kind, pat, _ in _TIERS
+    )
+    _feat_sum = " + ".join(f"n_{k}" for k, _, _ in _TIERS)
+    pii_features_sql = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') || {_pii_plant} AS t FROM documents
+), c AS (
+  SELECT doc_id,
+       {_feat_counts}
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_email, n_ipv4, n_phone,
+       n_id_number, CAST({_feat_sum} AS BIGINT) AS n_pii
+FROM c"""
+
+    # pii_rate: per-kind counts on the RAW planted text, aggregated by
+    # source (pii_features semantics inside pii_rate)
+    _rate_counts = ",\n         ".join(
+        "CAST(len(regexp_extract_all(t, '{}')) AS BIGINT) AS c_{}".format(
+            pat.replace("'", "''"), kind
+        )
+        for kind, pat, _ in _TIERS
+    )
+    _rate_sum = " + ".join(f"c_{k}" for k, _, _ in _TIERS)
+    pii_rate_sql = f"""
+WITH base AS (
+  SELECT doc_id, source, coalesce(text, '') || {_pii_plant} AS t
+  FROM documents
+), c AS (
+  SELECT source,
+         {_rate_counts},
+         CASE WHEN {_rate_sum} > 0 THEN 1 ELSE 0 END AS has_pii
+  FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_pii) AS BIGINT) AS docs_with_pii,
+       ROUND(CAST(SUM(has_pii) AS DOUBLE) / COUNT(*), 6) AS pii_doc_rate,
+       CAST(SUM(c_email) AS BIGINT) AS n_email,
+       CAST(SUM(c_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(SUM(c_phone) AS BIGINT) AS n_phone,
+       CAST(SUM(c_id_number) AS BIGINT) AS n_id_number
+FROM c GROUP BY source"""
+
+    # data_card's r10 sections: pii (pii_rate on the RAW corpus text,
+    # n_docs dropped — datacard.py's _tall of pii_rate(...).drop) and
+    # paragraphs (duplicate_paragraph_stats), appended to the section
+    # union with the card's printf('%.6f') canonical form
+    _dc_counts = ",\n         ".join(
+        "CAST(len(regexp_extract_all(coalesce(text, ''), '{}')) AS BIGINT)"
+        " AS c_{}".format(pat.replace("'", "''"), kind)
+        for kind, pat, _ in _TIERS
+    )
+    _dc_sum = " + ".join(f"c_{k}" for k, _, _ in _TIERS)
+    data_card_sql = (
+        data_card_sql.replace("WITH corpus AS (", """WITH piid AS (
+  SELECT """ + _dc_counts + f""",
+         CASE WHEN {_dc_sum} > 0 THEN 1 ELSE 0 END AS has_pii
+  FROM documents
+), piia AS (
+  SELECT CAST(SUM(has_pii) AS BIGINT) AS docs_with_pii,
+         printf('%.6f', ROUND(AVG(CAST(has_pii AS DOUBLE)), 6))
+           AS pii_doc_rate,
+         CAST(SUM(c_email) AS BIGINT) AS n_email,
+         CAST(SUM(c_ipv4) AS BIGINT) AS n_ipv4,
+         CAST(SUM(c_phone) AS BIGINT) AS n_phone,
+         CAST(SUM(c_id_number) AS BIGINT) AS n_id_number
+  FROM piid
+), dparts AS (
+  SELECT doc_id,
+         regexp_split_to_array(coalesce(text, ''),
+                               '\\r?\\n[ \\t]*(\\r?\\n)+') AS ps
+  FROM documents
+), dparas AS (
+  SELECT md5(lower(regexp_replace(trim(paragraph), '\\s+', ' ', 'g'))) AS h
+  FROM (SELECT doc_id, unnest(ps) AS paragraph FROM dparts)
+  WHERE trim(paragraph) <> ''
+), dpara AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+         CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_duplicate,
+         printf('%.6f', ROUND(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE)
+                              / COUNT(*), 6)) AS duplicate_fraction
+  FROM dparas
+), corpus AS (""")
+        + """
+UNION ALL SELECT 'pii', 'docs_with_pii', '',
+       CAST(docs_with_pii AS VARCHAR) FROM piia
+UNION ALL SELECT 'pii', 'pii_doc_rate', '', pii_doc_rate FROM piia
+UNION ALL SELECT 'pii', 'n_email', '', CAST(n_email AS VARCHAR) FROM piia
+UNION ALL SELECT 'pii', 'n_ipv4', '', CAST(n_ipv4 AS VARCHAR) FROM piia
+UNION ALL SELECT 'pii', 'n_phone', '', CAST(n_phone AS VARCHAR) FROM piia
+UNION ALL SELECT 'pii', 'n_id_number', '',
+       CAST(n_id_number AS VARCHAR) FROM piia
+UNION ALL SELECT 'paragraphs', 'n_paragraphs', '',
+       CAST(n_paragraphs AS VARCHAR) FROM dpara
+UNION ALL SELECT 'paragraphs', 'n_distinct', '',
+       CAST(n_distinct AS VARCHAR) FROM dpara
+UNION ALL SELECT 'paragraphs', 'n_duplicate', '',
+       CAST(n_duplicate AS VARCHAR) FROM dpara
+UNION ALL SELECT 'paragraphs', 'duplicate_fraction', '',
+       duplicate_fraction FROM dpara"""
+    )
+
+    # dedup_paragraphs: the banner/footer fixture, then the full CCNet
+    # disposition replayed as a window (split with ordinality,
+    # normalize-hash, first-occurrence, ordered reassembly) — the
+    # in-repo parity test's oracle over the driver fixture
+    _para_fix = (
+        "'shared banner ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || chr(10)"
+        " || coalesce(text, 'empty body') || chr(10) || chr(10)"
+        " || 'standard footer ' || CAST(doc_id % 3 AS VARCHAR)"
+    )
+    dedup_paragraphs_sql = (
+        f"WITH fix AS (\n  SELECT doc_id, {_para_fix} AS text FROM documents\n)"
+        r""", parts AS (
+  SELECT doc_id,
+         regexp_split_to_array(coalesce(text, ''),
+                               '\r?\n[ \t]*(\r?\n)+') AS ps
+  FROM fix
+), paras AS (
+  SELECT doc_id,
+         generate_subscripts(ps, 1) - 1 AS para_idx,
+         unnest(ps) AS paragraph
+  FROM parts
+), nonempty AS (
+  SELECT doc_id, para_idx, paragraph,
+         md5(lower(regexp_replace(trim(paragraph), '\s+', ' ', 'g'))) AS h
+  FROM paras WHERE trim(paragraph) <> ''
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY h ORDER BY doc_id, para_idx) AS rn
+  FROM nonempty
+), orig AS (
+  SELECT doc_id, count(*) AS n_paragraphs FROM nonempty GROUP BY doc_id
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+       string_agg(r.paragraph, chr(10) || chr(10)
+                  ORDER BY r.para_idx) AS text,
+       CAST(any_value(o.n_paragraphs) AS BIGINT) AS n_paragraphs,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM ranked r JOIN orig o USING (doc_id)
+WHERE r.rn = 1
+GROUP BY r.doc_id"""
+    )
+
+    # cap_per_host_psl: the registered domain is CLOSED-FORM from the
+    # fixture arithmetic (co.uk / com.au take three labels, www strips)
+    # and the cap's portable-hash rank replays via _bucket_sql — the
+    # url_curation capd pattern keyed on the PSL domain
+    cap_per_host_psl_sql = f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'alpha' || CAST(doc_id % 6 AS VARCHAR) || '.co.uk'
+         WHEN doc_id % 4 = 1 THEN 'beta' || CAST(doc_id % 6 AS VARCHAR) || '.com'
+         WHEN doc_id % 4 = 2 THEN 'gamma' || CAST(doc_id % 6 AS VARCHAR) || '.com.au'
+         ELSE 'delta' || CAST(doc_id % 6 AS VARCHAR) || '.io' END AS dom,
+    CASE WHEN doc_id % 5 = 0 THEN 'www.'
+         ELSE 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.' END AS pre
+  FROM documents
+), built AS (
+  SELECT doc_id, 'https://' || pre || dom || '/p/' || CAST(doc_id AS VARCHAR) AS url, dom
+  FROM u
+), ranked AS (
+  SELECT doc_id, url,
+         ROW_NUMBER() OVER (PARTITION BY dom ORDER BY {_bucket_sql()}, doc_id) AS rnk
+  FROM built
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url FROM ranked WHERE rnk <= 8"""
+
+    # robots_verdict: the RFC battery value-pinned — expected verdict
+    # stated closed-form per (host policy class, path class): class 0
+    # is the * group (prefix deny, longer allow, wildcard+anchor deny),
+    # class 1 is the exact-agent group shadowing a deny-all * group,
+    # class 2 has no robots.txt
+    robots_verdict_sql = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example' ||
+       CASE WHEN doc_id % 5 = 0 THEN '/private/x'
+            WHEN doc_id % 5 = 1 THEN '/private/okay'
+            WHEN doc_id % 5 = 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 5 = 3 THEN '/tmp/' || CAST(doc_id AS VARCHAR) || '.pdf'
+            ELSE '/' END AS url,
+       CASE WHEN (doc_id % 10) % 3 = 2 THEN TRUE
+            WHEN (doc_id % 10) % 3 = 0 THEN (doc_id % 5) NOT IN (0, 3)
+            ELSE (doc_id % 5) <> 2 END AS robots_allowed
+FROM documents"""
+
+    # crawl_delays: class 0's * group sets 5; class 1's exact group
+    # sets 'fast' (dropped) then 7 (last valid wins) and shadows *'s
+    # 99; class 2 has no robots → no row
+    crawl_delays_sql = """
+WITH hn AS (
+  SELECT DISTINCT doc_id % 10 AS h FROM documents
+  WHERE (doc_id % 10) % 3 <> 2
+)
+SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+       CAST(CASE WHEN h % 3 = 0 THEN 5.0 ELSE 7.0 END AS DOUBLE) AS crawl_delay
+FROM hn"""
+
+    # cdx_shards: the oracle never sees an index byte — it recomputes
+    # the filtered shard groupBy from the same line-building arithmetic
+    # (corrupt lines and 404 captures excluded exactly as the index
+    # path excludes them)
+    cdx_shards_sql = """
+SELECT 'shards/w' || CAST(doc_id % 7 AS VARCHAR) || '.warc.gz' AS filename,
+       CAST(COUNT(*) AS BIGINT) AS n_captures,
+       CAST(SUM(doc_id % 50 + 100) AS BIGINT) AS bytes
+FROM documents
+WHERE doc_id % 29 <> 0 AND doc_id % 4 <> 0
+GROUP BY 1"""
+
+    # shard_manifest: portable_hash60 shard assignment replayed (the
+    # md5 boundary), membership pinned by sum/min/max of the ids read
+    # back from the written files
+    shard_manifest_sql = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS shard
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM s GROUP BY 1"""
+
+    # host_graph: the edge relation regenerated from the page-fixture
+    # arithmetic (the oracle never parses HTML — extraction,
+    # resolution, PSL domains, intra-domain and mailto drops are what
+    # the Spark side must reproduce to agree)
+    _host_edges = """
+WITH e0 AS (
+  SELECT 's' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk' AS src,
+         'd' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst
+  FROM documents
+  UNION ALL
+  SELECT 's' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk',
+         'e' || CAST(doc_id % 3 AS VARCHAR) || '.org'
+  FROM documents WHERE doc_id % 4 <> 0
+), edges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight FROM e0 GROUP BY 1, 2
+), vertices AS MATERIALIZED (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+)"""
+    host_graph_sql = (
+        _host_edges + "\nSELECT src, dst, weight FROM edges"
+    )
+
+    # domain_authority: 8 unrolled weighted+dangling PageRank rounds
+    # over the closed-form host edges — the _pagerank_oracle body with
+    # the host graph CTE (string vertex ids)
+    def _host_pr_oracle(iters: int) -> str:
+        parts = [
+            _host_edges.strip(),
+            """, deg AS (
+    SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg, SUM(weight) AS wsum
+    FROM edges GROUP BY src
+), nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices)
+, r0 AS MATERIALIZED (SELECT id, (SELECT 1.0 / n FROM nv) AS val FROM vertices)""",
+        ]
+        for t in range(iters):
+            parts.append(
+                f""", dang{t} AS MATERIALIZED (
+    SELECT COALESCE(SUM(val), 0) AS dm FROM r{t}
+    WHERE id NOT IN (SELECT src FROM deg)
+)"""
+            )
+            parts.append(
+                f""", r{t + 1} AS MATERIALIZED (
+    SELECT v.id,
+           (SELECT 0.15 / n FROM nv)
+           + 0.85 * (COALESCE(m.s, 0) + (SELECT dm FROM dang{t}) / (SELECT n FROM nv)) AS val
+    FROM r{t} v
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.val * e.weight / d.wsum) AS s
+        FROM edges e
+        JOIN r{t} r ON r.id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)"""
+            )
+        # domain_authority's contract is the PROBABILITY (unlike the
+        # pagerank keys, which scale by n in their own select)
+        parts.append(
+            f"SELECT id AS domain, ROUND(val, 6) AS authority FROM r{iters}"
+        )
+        return "\n".join(parts)
+
+    domain_authority_sql = _host_pr_oracle(8)
+
+    # media_scrub: the scrub's byte accounting closed-form — JPEG rows
+    # lose their spliced COM segment (2 marker + 2 length + n body =
+    # n+4 bytes), PNG rows their whole tEXt chunk, corrupt rows pass
+    # through with the error flag; cleaned lengths are the base
+    # fixtures' exact sizes (computed here from the same encoders)
+    import struct as _struct
+    import zlib as _zlib
+
+    from giraph_spark.functions.media_codecs import (
+        make_jpeg_baseline as _mjb,
+        make_png as _mp,
+    )
+
+    _base_j, _base_p = _mjb(8, 8), _mp(2, 2)
+    _body = b"Author\x00Nobody"
+    _chunk_len = 8 + len(_body) + 4
+    del _struct, _zlib
+    media_scrub_sql = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN doc_id % 31 = 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS n_stripped,
+       CAST(CASE WHEN doc_id % 31 = 0 THEN 0
+                 WHEN doc_id % 2 = 1 THEN {_chunk_len}
+                 ELSE doc_id % 20 + 14 END AS BIGINT) AS stripped_bytes,
+       CAST(CASE WHEN doc_id % 31 = 0 THEN 9
+                 WHEN doc_id % 2 = 1 THEN {len(_base_p)}
+                 ELSE {len(_base_j)} END AS BIGINT) AS out_len,
+       doc_id % 31 = 0 AS has_error
+FROM documents"""
+
     return {
         "lpa_communities": lpa_sql,
         "lpa_weighted": lpa_weighted_sql,
@@ -6286,6 +7073,18 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "wet_ingest": wet_ingest_sql,
         "data_card": data_card_sql,
         "bpe_merges": bpe_merges_sql,
+        "redact_pii": redact_pii_sql,
+        "pii_features": pii_features_sql,
+        "pii_rate": pii_rate_sql,
+        "dedup_paragraphs": dedup_paragraphs_sql,
+        "cap_per_host_psl": cap_per_host_psl_sql,
+        "robots_verdict": robots_verdict_sql,
+        "crawl_delays": crawl_delays_sql,
+        "cdx_shards": cdx_shards_sql,
+        "shard_manifest": shard_manifest_sql,
+        "host_graph": host_graph_sql,
+        "domain_authority": domain_authority_sql,
+        "media_scrub": media_scrub_sql,
         "scc": scc_sql,
         "maximal_independent_set": mis_sql,
         "graph_coloring": coloring_sql,

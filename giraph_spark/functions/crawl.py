@@ -19,10 +19,16 @@ new_frontier = message delivery, known set = halted-vertex state.
 
 Scale shape per round: one caller fetch, the profiled
 ``new_frontier`` composition (expression link extraction, broadcast
-robots, one distinct, one anti-join on URL strings), a union into
-the known set, and ONE eager localCheckpoint each for the frontier
-and the known set — O(rounds) checkpoints of slim one-column
-relations; page bytes are never in loop state.
+robots, one distinct, one anti-join on URL strings), and ONE eager
+localCheckpoint of the round's frontier. The known-URL set is
+APPEND-ONLY: it is the union of the per-round frontier checkpoints,
+never re-materialized — r9's shape re-checkpointed the whole set
+every round (O(rounds × |known|) checkpoint IO, flagged in the r9
+verdict); the union of already-checkpointed parts costs the
+anti-join exactly the same and writes each URL to checkpoint storage
+exactly once. Plan size grows one scan per round — bounded by
+``rounds``, the same O(rounds) the loop already is. Page bytes are
+never in loop state.
 """
 
 from __future__ import annotations
@@ -95,7 +101,9 @@ def crawl_rounds(
             frontier, robots, agent, rules_count=rules_count
         )
     frontier = frontier.localCheckpoint(eager=True)
-    known = frontier
+    # append-only known set: each round's frontier is checkpointed
+    # once and the set is their union — no per-round re-checkpoint
+    known_parts: list[DataFrame] = [frontier]
     out: DataFrame | None = None
     for r in range(rounds):
         if frontier.isEmpty():
@@ -115,6 +123,9 @@ def crawl_rounds(
         # pre-robots candidates (anti-joined against known): the same
         # composition new_frontier(…, robots=…) runs, split so the
         # refresh hook can interpose between discovery and the gate
+        known = known_parts[0]
+        for part in known_parts[1:]:
+            known = known.unionByName(part)
         cand = new_frontier(
             tagged.drop("crawl_round"),
             known_urls=known,
@@ -137,7 +148,7 @@ def crawl_rounds(
                 cand, robots, agent, rules_count=rules_count
             )
         frontier = cand.localCheckpoint(eager=True)
-        known = known.unionByName(frontier).localCheckpoint(eager=True)
+        known_parts.append(frontier)
     if out is None:
         # zero fetchable seeds: empty frame with the contract columns
         return frontier.select(
