@@ -322,3 +322,121 @@ def test_msf_matches_kruskal_on_random_graphs(spark, edge_set):
             parent[ru] = rv
             want.add((u, v, w))
     assert got == want
+
+
+# --------------------------- r10: PSL grammar vs a pure-Python model --
+
+_PSL_LABELS = ["a", "b", "site", "co", "uk", "ck", "com", "au", "xn--p1ai"]
+_PSL_HOST = st.lists(
+    st.sampled_from(_PSL_LABELS), min_size=1, max_size=5
+).map(".".join)
+_PSL_RULE = st.one_of(
+    st.lists(st.sampled_from(_PSL_LABELS), min_size=1, max_size=3).map(".".join),
+    st.lists(st.sampled_from(_PSL_LABELS), min_size=1, max_size=2).map(
+        lambda ls: "*." + ".".join(ls)
+    ),
+    st.lists(st.sampled_from(_PSL_LABELS), min_size=2, max_size=3).map(
+        lambda ls: "!" + ".".join(ls)
+    ),
+)
+
+
+def _py_psl_model(host: str, feed) -> str | None:
+    """Pure-Python mirror of registered_domain_psl's documented
+    semantics (exceptions win, then longest exact/wildcard rule, then
+    the default keep-last-two; a matched host with no extra label has
+    no registrable part; substring_index keeps the whole host when it
+    has fewer labels than asked)."""
+    exact, wild, exc = {}, {}, {}
+    for rule in feed:
+        r = rule.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            exc.setdefault(r[1:].count(".") + 1, set()).add(r[1:])
+        elif r.startswith("*."):
+            wild.setdefault(r[2:].count(".") + 1, set()).add(r[2:])
+        else:
+            exact.setdefault(r.count(".") + 1, set()).add(r)
+    labels = host.split(".")
+    n = len(labels)
+
+    def last(k: int) -> str:
+        return ".".join(labels[-k:])
+
+    for k in sorted(exc, reverse=True):
+        if last(k) in exc[k]:
+            return last(k)
+    for pl in sorted({*exact} | {m + 1 for m in wild}, reverse=True):
+        hit = (pl in exact and last(pl) in exact[pl]) or (
+            (pl - 1) in wild and n >= pl and last(pl - 1) in wild[pl - 1]
+        )
+        if hit:
+            return last(pl + 1) if n >= pl + 1 else None
+    return last(2)
+
+
+@given(
+    st.lists(_PSL_HOST, min_size=1, max_size=15),
+    st.lists(_PSL_RULE, min_size=0, max_size=8),
+)
+@settings(**SETTINGS)
+def test_registered_domain_psl_matches_python_model(spark, hosts, feed):
+    """The full PSL grammar (plain/wildcard/exception rules at any
+    depth) against an independent Python model on generated hosts and
+    rule feeds — the grammar's precedence, the no-registrable-part
+    NULLs, and the default rule all pinned on arbitrary inputs."""
+    from giraph_spark.functions.urls import registered_domain_psl
+
+    # 'www' never appears in _PSL_LABELS, so url_host's www-strip is
+    # inert and the model sees the same host the expression does
+    df = spark.createDataFrame(
+        [(f"https://{h}/x", h) for h in hosts], "url string, host string"
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            registered_domain_psl(F.col("url"), tuple(feed)).alias("d")
+        ).collect()
+    ]
+    want = [_py_psl_model(h, feed) for h in hosts]
+    assert got == want, (hosts, feed)
+
+
+@given(
+    st.binary(min_size=0, max_size=200),
+    st.integers(min_value=0, max_value=250),
+    st.integers(min_value=0, max_value=250),
+)
+@settings(**SETTINGS)
+def test_read_warc_members_never_fails_a_task(spark, tmp_path_factory, blob, off, ln):
+    """Range-fetch robustness: arbitrary bytes at arbitrary (offset,
+    length) must yield parsed records or ONE error row per capture —
+    never a task failure (a stale index must not abort the fetch job)."""
+    from giraph_spark.sources.warc import make_warc, read_warc_members
+
+    d = tmp_path_factory.mktemp("fuzz")
+    real = make_warc(
+        [({"WARC-Type": "conversion", "WARC-Record-ID": "<urn:x>"}, b"ok")]
+    )
+    (d / "s.warc.gz").write_bytes(blob + real)
+    caps = spark.createDataFrame(
+        [("s.warc.gz", off, ln), ("s.warc.gz", len(blob), len(real))],
+        "filename string, offset long, length long",
+    )
+    rows = read_warc_members(caps, base_dir=str(d)).collect()
+    # the aligned capture always parses
+    assert any(
+        r["error"] is None
+        and r["offset"] == len(blob)
+        and bytes(r["payload"]) == b"ok"
+        for r in rows
+    )
+    # every row is either a parsed record (fetch_bytes accounted) or
+    # an error row (no payload claimed) — never anything in between
+    assert len(rows) >= 2
+    for r in rows:
+        if r["error"] is None:
+            assert r["fetch_bytes"] is not None and r["payload"] is not None
+        else:
+            assert r["payload"] is None and r["fetch_bytes"] is None
