@@ -2656,6 +2656,81 @@ def _q_cdx_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx_shards(kept)
 
 
+def _q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-side re-crawl collapse (sources/cdx.py
+    latest_cdx_captures): a written CDXJ fixture where ~14 docs share
+    each SURT key at distinct timestamps — one max(struct) per urlkey
+    must keep the newest capture (url string descends as the
+    deterministic tie-break), replayed by the oracle as a window over
+    the same arithmetic. The timestamp survives as its original
+    14-digit string (format → parse → format is timezone-neutral)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from giraph_spark.sources.cdx import latest_cdx_captures, read_cdx
+
+    did = F.col("doc_id")
+    day = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    line = F.concat(
+        F.lit("ex,g"), (did % 37).cast("string"), F.lit(")/p 202608"),
+        day, F.lit("093000 "),
+        F.lit('{"url": "https://g'), did.cast("string"),
+        F.lit('.example/p", "status": "200", "length": "'),
+        (did % 50 + 100).cast("string"),
+        F.lit('", "offset": "'), (did * 1000).cast("string"),
+        F.lit('", "filename": "shards/x'), (did % 5).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "giraph_spark_cdxl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    _docs(spark, sf_dir).select(line.alias("value")).write.mode(
+        "overwrite"
+    ).text(out)
+    latest = latest_cdx_captures(read_cdx(spark, out))
+    return latest.select(
+        "urlkey",
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts"),
+        "url", "length", "offset", "filename",
+    )
+
+
+def _q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (functions/urls.py sitemap_urls): per-doc
+    sitemap XML with page <url> blocks (one plus a conditional second
+    whose <loc> needs whitespace trimming and an &amp; entity decode)
+    and a conditional child-<sitemap> index entry — kinds tagged, all
+    locs closed-form from doc_id arithmetic."""
+    from giraph_spark.functions.urls import sitemap_urls
+
+    did = F.col("doc_id")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://s"), (did % 9).cast("string"),
+        F.lit(".example/p/"), did.cast("string"),
+        F.lit("</loc></url>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<url><loc> https://t"), (did % 5).cast("string"),
+                F.lit(".example/?a=1&amp;b=2 </loc></url>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit("<sitemap><loc>https://s"), (did % 9).cast("string"),
+                F.lit(".example/sm/"), did.cast("string"),
+                F.lit(".xml</loc></sitemap>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    fixture = _docs(spark, sf_dir).select("doc_id", xml.alias("xml"))
+    return sitemap_urls(fixture)
+
+
 def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard export (functions/export.py): write the corpus
     as 8 portable-hash shards, then account the BYTES ON DISK — per
@@ -3048,6 +3123,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_verdict": _q_robots_verdict,
         "crawl_delays": _q_crawl_delays,
         "cdx_shards": _q_cdx_shards,
+        "cdx_latest": _q_cdx_latest,
+        "sitemap_locs": _q_sitemap_locs,
         "shard_manifest": _q_shard_manifest,
         "host_graph": _q_host_graph,
         "domain_authority": _q_domain_authority,
@@ -6772,6 +6849,46 @@ FROM documents
 WHERE doc_id % 29 <> 0 AND doc_id % 4 <> 0
 GROUP BY 1"""
 
+    # cdx_latest: the newest-capture window over the same line-building
+    # arithmetic — ts is a fixed-format digit string, so string DESC is
+    # chronological; url DESC is the (never-reached-at-this-sf but
+    # engine-consistent) tie-break mirroring the max(struct) order
+    cdx_latest_sql = """
+WITH built AS (
+  SELECT doc_id,
+         'ex,g' || CAST(doc_id % 37 AS VARCHAR) || ')/p' AS urlkey,
+         '202608' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || '093000' AS ts,
+         'https://g' || CAST(doc_id AS VARCHAR) || '.example/p' AS url,
+         CAST(doc_id % 50 + 100 AS BIGINT) AS length,
+         CAST(doc_id * 1000 AS BIGINT) AS "offset",
+         'shards/x' || CAST(doc_id % 5 AS VARCHAR) || '.warc.gz' AS filename
+  FROM documents
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY urlkey ORDER BY ts DESC, url DESC) AS rn
+  FROM built
+)
+SELECT urlkey, ts, url, length, "offset", filename
+FROM ranked WHERE rn = 1"""
+
+    # sitemap_locs: the emitted (kind, loc) rows closed-form — the
+    # second url block pins whitespace trimming + &amp; entity decode
+    sitemap_locs_sql = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'url' AS kind,
+       'https://s' || CAST(doc_id % 9 AS VARCHAR) || '.example/p/'
+         || CAST(doc_id AS VARCHAR) AS loc
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'url',
+       'https://t' || CAST(doc_id % 5 AS VARCHAR) || '.example/?a=1&b=2'
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'sitemap',
+       'https://s' || CAST(doc_id % 9 AS VARCHAR) || '.example/sm/'
+         || CAST(doc_id AS VARCHAR) || '.xml'
+FROM documents WHERE doc_id % 7 = 0"""
+
     # shard_manifest: portable_hash60 shard assignment replayed (the
     # md5 boundary), membership pinned by sum/min/max of the ids read
     # back from the written files
@@ -7081,6 +7198,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "robots_verdict": robots_verdict_sql,
         "crawl_delays": crawl_delays_sql,
         "cdx_shards": cdx_shards_sql,
+        "cdx_latest": cdx_latest_sql,
+        "sitemap_locs": sitemap_locs_sql,
         "shard_manifest": shard_manifest_sql,
         "host_graph": host_graph_sql,
         "domain_authority": domain_authority_sql,
