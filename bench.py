@@ -1289,9 +1289,165 @@ def stress_extras() -> None:
     spark.stop()
 
 
+def stress_crawl() -> None:
+    """Crawl-tier throughput (``python bench.py --stress-crawl``): a
+    synthetic at-rest web — page ``i`` on host ``i % H`` links its
+    4-ary-tree children ``4i+1..4i+4`` plus a parent back-link (the
+    no-refetch case) — materialized to parquet, then the loop and the
+    scheduler measured at 1× and K×:
+
+    - ``crawl_rounds``: 3 BFS rounds from every 100th page as a seed,
+      robots-gated (every host's corpus carries a wildcard+anchor
+      ``Disallow: /p/*7$`` and ``Crawl-delay: 1``), fetch = join
+      against the at-rest pages table — the loop's per-round cost is
+      link extraction + canonicalization + the anti-join + the gate;
+    - ``schedule_frontier``: politeness waves over the WHOLE page set
+      with the parsed per-host delays (the per-host window at scale).
+
+    Hosts grow ∝ scale (H = 64·scale) so per-host URL counts — the
+    politeness window's partition size AND the robots relation's
+    per-host fan-out — stay constant; the wall ratio then measures
+    the tier's scaling in pages, not a skew artifact. Size via
+    $SPARK_GRAFT_STRESS_CRAWL_K (default 10)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    k_rep = int(os.environ.get("SPARK_GRAFT_STRESS_CRAWL_K", "10"))
+    n_base = int(os.environ.get("SPARK_GRAFT_STRESS_CRAWL_N", "20000"))
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-stress-crawl")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from giraph_spark.functions.crawl import crawl_rounds, schedule_frontier
+    from giraph_spark.functions.urls import crawl_delays, parse_robots
+
+    workdir = tempfile.mkdtemp(prefix="crawl_stress_")
+
+    def build_web(n: int, hosts: int, path: str):
+        i = F.col("id")
+        url = F.concat(
+            F.lit("https://h"), (i % hosts).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        )
+
+        def link(j):
+            return F.when(
+                j < n,
+                F.concat(
+                    F.lit('<a href="https://h'), (j % hosts).cast("string"),
+                    F.lit(".example/p/"), j.cast("string"),
+                    F.lit('">c</a>'),
+                ),
+            ).otherwise(F.lit(""))
+
+        parent = F.when(i > 0, (i - 1) / 4).otherwise(F.lit(0)).cast("long")
+        body = F.concat(
+            *[link(i * 4 + k) for k in (1, 2, 3, 4)],
+            F.concat(
+                F.lit('<a href="https://h'), (parent % hosts).cast("string"),
+                F.lit(".example/p/"), parent.cast("string"),
+                F.lit('">up</a>'),
+            ),
+        )
+        spark.range(n).select(
+            url.alias("url"), body.alias("body")
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    out: dict[str, dict] = {}
+    for scale in (1, k_rep):
+        n, hosts = n_base * scale, 64 * scale
+        pages = build_web(n, hosts, os.path.join(workdir, f"web{scale}"))
+        robots_txt = (
+            "User-agent: *\nDisallow: /p/*7$\nCrawl-delay: 1\n"
+        )
+        robots = parse_robots(
+            spark.range(hosts).select(
+                F.concat(
+                    F.lit("h"), F.col("id").cast("string"), F.lit(".example")
+                ).alias("host"),
+                F.lit(robots_txt).alias("text"),
+            )
+        )
+        seeds = pages.where(
+            F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") % 100 == 0
+        ).select("url")
+        r: dict[str, float | int] = {"pages": n, "hosts": hosts}
+        t0 = time.monotonic()
+        fetched = crawl_rounds(
+            lambda u: u.join(pages, "url"), seeds, rounds=3, robots=robots
+        )
+        counts = {
+            row["crawl_round"]: row["n"]
+            for row in fetched.groupBy("crawl_round")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        r["crawl_sec"] = round(time.monotonic() - t0, 3)
+        r["fetched"] = int(sum(counts.values()))
+        r["rounds"] = {str(k): int(v) for k, v in sorted(counts.items())}
+        r["crawl_pages_per_sec"] = round(r["fetched"] / r["crawl_sec"])
+        t0 = time.monotonic()
+        sched = schedule_frontier(
+            pages.select("url"), crawl_delays(
+                spark.range(hosts).select(
+                    F.concat(
+                        F.lit("h"), F.col("id").cast("string"),
+                        F.lit(".example"),
+                    ).alias("host"),
+                    F.lit(robots_txt).alias("text"),
+                ),
+                "bot",
+            ),
+            window_s=10.0,
+        )
+        agg = sched.agg(
+            F.count(F.lit(1)).alias("n"), F.max("fetch_wave").alias("w")
+        ).first()
+        r["schedule_sec"] = round(time.monotonic() - t0, 3)
+        r["scheduled"] = int(agg["n"])
+        r["max_wave"] = int(agg["w"])
+        r["sched_urls_per_sec"] = round(agg["n"] / r["schedule_sec"])
+        out[f"x{scale}"] = r
+    shutil.rmtree(workdir, ignore_errors=True)
+    one, big = out["x1"], out[f"x{k_rep}"]
+    ratios = {
+        m: round(big[m] / one[m], 2) if one[m] else None
+        for m in ("crawl_sec", "schedule_sec", "fetched")
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "stress_crawl",
+                "value": round(big["crawl_sec"] + big["schedule_sec"], 3),
+                "unit": "sec",
+                "k": k_rep,
+                "scales": out,
+                "ratios_vs_1x": ratios,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--stress-warc" in sys.argv:
         stress_warc()
+    elif "--stress-crawl" in sys.argv:
+        stress_crawl()
     elif "--stress-stream" in sys.argv:
         stress_stream()
     elif "--stress-extras" in sys.argv:

@@ -89,7 +89,14 @@ def crawl_rounds(
     if robots_refresh_every < 1:
         raise ValueError("crawl_rounds: robots_refresh_every must be >= 1")
     seed_col = seeds.columns[0]
-    # any upper bound is safe for the broadcast gate (urls.robots_verdict)
+    # materialize the rules relation ONCE: parse_robots is a window
+    # over the robots texts, and without the checkpoint every round's
+    # gate would re-run it (measured: the re-parse dominated the
+    # loop's fixed cost on a 64-host corpus). The rules relation is
+    # slim (∝ hosts × rules); its count doubles as the broadcast
+    # gate's fold — any upper bound is safe (urls.robots_verdict)
+    if robots is not None:
+        robots = robots.localCheckpoint(eager=True)
     rules_count = robots.count() if robots is not None else None
     frontier = (
         seeds.select(normalize_url(F.col(seed_col)).alias("url"))
@@ -142,6 +149,8 @@ def crawl_rounds(
                 .distinct()
             )
             robots = robots_refresh(hosts)
+            if robots is not None:
+                robots = robots.localCheckpoint(eager=True)
             rules_count = robots.count() if robots is not None else None
         if robots is not None:
             cand = filter_robots_disallowed(
