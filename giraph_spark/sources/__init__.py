@@ -12,6 +12,7 @@ from .warc import (
     http_records,
     html_to_text,
     read_warc,
+    read_warc_members,
     read_warc_stream,
     warc_documents,
     wet_documents,
@@ -66,6 +67,7 @@ __all__ = [
     "uniform_random_graph",
     "watts_strogatz_graph",
     "read_warc",
+    "read_warc_members",
     "read_warc_stream",
     "wet_documents",
     "cdx_shards",
