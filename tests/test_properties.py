@@ -440,3 +440,93 @@ def test_read_warc_members_never_fails_a_task(spark, tmp_path_factory, blob, off
             assert r["fetch_bytes"] is not None and r["payload"] is not None
         else:
             assert r["payload"] is None and r["fetch_bytes"] is None
+
+
+# ------------------- r10: robots verdict vs a pure-Python RFC model --
+
+_RP_SEG = st.sampled_from(["a", "b", "tmp", "private", "ok.html", "x"])
+_RP_PATTERN = st.builds(
+    lambda segs, wild, anchor: "/"
+    + "/".join(segs)
+    + ("*" if wild else "")
+    + ("$" if anchor else ""),
+    st.lists(_RP_SEG, min_size=1, max_size=3),
+    st.booleans(),
+    st.booleans(),
+)
+_RP_LINE = st.one_of(
+    _RP_PATTERN.map(lambda p: ("disallow", p)),
+    _RP_PATTERN.map(lambda p: ("allow", p)),
+)
+_RP_GROUP = st.tuples(
+    st.lists(st.sampled_from(["*", "mybot", "otherbot"]), min_size=1, max_size=2),
+    st.lists(_RP_LINE, min_size=0, max_size=3),
+)
+_RP_PATH = st.builds(
+    lambda segs, trail: "/" + "/".join(segs) + ("/" if trail else ""),
+    st.lists(_RP_SEG, min_size=0, max_size=3),
+    st.booleans(),
+)
+
+
+def _py_robots_allowed(groups, agent: str, path: str) -> bool:
+    """Pure-Python RFC 9309 model: the exact-agent group(s) govern iff
+    any group names the agent, else the ``*`` group(s); among matching
+    rules longest pattern wins, allow wins a length tie; no matching
+    rule means allowed."""
+    import re as _re
+
+    def governs(agents):
+        return agent in agents
+
+    has_exact = any(governs(a) for a, _ in groups)
+    rules = [
+        (rule, pat)
+        for agents, lines in groups
+        for rule, pat in lines
+        if ((agent in agents) if has_exact else ("*" in agents))
+    ]
+    best = None  # (len, is_allow)
+    for rule, pat in rules:
+        esc = _re.escape(pat).replace(r"\*", ".*")
+        if pat.endswith("$"):
+            esc = esc[: -len(_re.escape("$"))] + "$"
+        if _re.match(esc, path):
+            key = (len(pat), rule == "allow")
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
+
+
+@given(
+    st.lists(_RP_GROUP, min_size=1, max_size=3),
+    st.lists(_RP_PATH, min_size=1, max_size=10),
+)
+@settings(**SETTINGS)
+def test_robots_verdict_matches_python_rfc_model(spark, groups, paths):
+    """parse_robots + robots_verdict against an independent Python
+    RFC 9309 model on generated group files and paths — group
+    selection, longest-match, allow-tie, wildcard/anchor compilation
+    all pinned on arbitrary inputs."""
+    from giraph_spark.functions.urls import parse_robots, robots_verdict
+
+    text = "\n".join(
+        "\n".join([f"User-agent: {a}" for a in agents]
+                  + [f"{r.capitalize()}: {p}" for r, p in lines])
+        + "\n"
+        for agents, lines in groups
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h.example", text)], "host string, text string")
+    )
+    urls = spark.createDataFrame(
+        [(i, f"https://h.example{p}") for i, p in enumerate(paths)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in robots_verdict(urls, rules, "mybot").collect()
+    }
+    for i, p in enumerate(paths):
+        want = _py_robots_allowed(groups, "mybot", p)
+        assert got[i] == want, (text, p, got[i], want)
