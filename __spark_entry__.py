@@ -2519,15 +2519,40 @@ def _q_cap_per_host_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_host(urls, n=8, psl=True)
 
 
+def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (host, text) robots corpus shared by the verdict and delay
+    keys — ONE definition so the two oracles can never drift from
+    each other's policies: ten hosts in three classes — (0) a ``*``
+    group with prefix, longer-allow, and wildcard+anchor rules plus a
+    crawl delay; (1) an exact-agent group (which must SUPERSEDE the
+    host's deny-all ``*`` group) with an invalid then a valid crawl
+    delay (last valid wins); (2) no robots.txt at all."""
+    did = F.col("doc_id")
+    text0 = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Disallow: /tmp/*.pdf$\nCrawl-delay: 5\n"
+    )
+    text1 = (
+        "User-agent: mybot\nDisallow: /p/\nCrawl-delay: fast\n"
+        "Crawl-delay: 7\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 99\n"
+    )
+    hosts = (
+        _docs(spark, sf_dir)
+        .select((did % 10).alias("h"))
+        .distinct()
+        .where(F.col("h") % 3 != 2)
+    )
+    return hosts.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example")).alias("host"),
+        F.when(F.col("h") % 3 == 0, F.lit(text0)).otherwise(F.lit(text1)).alias("text"),
+    )
+
+
 def _robots_fixture(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared robots fixture for the verdict/delay keys: ten hosts in
-    three policy classes — (0) a ``*`` group with prefix, longer-allow,
-    and wildcard+anchor rules plus a crawl delay; (1) an exact-agent
-    group (which must SUPERSEDE the host's deny-all ``*`` group) with
-    an invalid then a valid crawl delay (last valid wins); (2) no
-    robots.txt at all. URLs cover every rule arm per host."""
+    """URLs covering every rule arm per host, plus the parsed
+    :func:`_robots_corpus` rules."""
     from giraph_spark.functions.urls import parse_robots
 
     did = F.col("doc_id")
@@ -2549,25 +2574,7 @@ def _robots_fixture(
     urls = _docs(spark, sf_dir).select(
         "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
     ).localCheckpoint(eager=False)
-    text0 = (
-        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
-        "Disallow: /tmp/*.pdf$\nCrawl-delay: 5\n"
-    )
-    text1 = (
-        "User-agent: mybot\nDisallow: /p/\nCrawl-delay: fast\n"
-        "Crawl-delay: 7\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 99\n"
-    )
-    hosts = (
-        _docs(spark, sf_dir)
-        .select((did % 10).alias("h"))
-        .distinct()
-        .where(F.col("h") % 3 != 2)
-    )
-    robots = hosts.select(
-        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example")).alias("host"),
-        F.when(F.col("h") % 3 == 0, F.lit(text0)).otherwise(F.lit(text1)).alias("text"),
-    )
-    return urls, parse_robots(robots)
+    return urls, parse_robots(_robots_corpus(spark, sf_dir))
 
 
 def _q_robots_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2589,29 +2596,11 @@ def _q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness rates (functions/urls.py crawl_delays): the
     governing group's LAST parseable Crawl-delay wins (class 1 plants
     an invalid 'fast' before the 7), the exact-agent group shadows
-    ``*``'s 99 entirely, hosts without robots emit no row."""
+    ``*``'s 99 entirely, hosts without robots emit no row. Same
+    :func:`_robots_corpus` the verdict key parses."""
     from giraph_spark.functions.urls import crawl_delays
 
-    did = F.col("doc_id")
-    hosts = (
-        _docs(spark, sf_dir)
-        .select((did % 10).alias("h"))
-        .distinct()
-        .where(F.col("h") % 3 != 2)
-    )
-    text0 = (
-        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
-        "Disallow: /tmp/*.pdf$\nCrawl-delay: 5\n"
-    )
-    text1 = (
-        "User-agent: mybot\nDisallow: /p/\nCrawl-delay: fast\n"
-        "Crawl-delay: 7\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 99\n"
-    )
-    robots = hosts.select(
-        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example")).alias("host"),
-        F.when(F.col("h") % 3 == 0, F.lit(text0)).otherwise(F.lit(text1)).alias("text"),
-    )
-    return crawl_delays(robots, "mybot")
+    return crawl_delays(_robots_corpus(spark, sf_dir), "mybot")
 
 
 def _q_cdx_shards(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,9 +108,11 @@ def crawl_rounds(
             frontier, robots, agent, rules_count=rules_count
         )
     frontier = frontier.localCheckpoint(eager=True)
-    # append-only known set: each round's frontier is checkpointed
-    # once and the set is their union — no per-round re-checkpoint
-    known_parts: list[DataFrame] = [frontier]
+    # append-only known set: the running union of the per-round
+    # frontier CHECKPOINTS — each URL hits checkpoint storage exactly
+    # once, and the union's leaves are all materialized RDDs so
+    # lineage never compounds
+    known = frontier
     out: DataFrame | None = None
     for r in range(rounds):
         if frontier.isEmpty():
@@ -130,9 +132,6 @@ def crawl_rounds(
         # pre-robots candidates (anti-joined against known): the same
         # composition new_frontier(…, robots=…) runs, split so the
         # refresh hook can interpose between discovery and the gate
-        known = known_parts[0]
-        for part in known_parts[1:]:
-            known = known.unionByName(part)
         cand = new_frontier(
             tagged.drop("crawl_round"),
             known_urls=known,
@@ -157,7 +156,7 @@ def crawl_rounds(
                 cand, robots, agent, rules_count=rules_count
             )
         frontier = cand.localCheckpoint(eager=True)
-        known_parts.append(frontier)
+        known = known.unionByName(frontier)
     if out is None:
         # zero fetchable seeds: empty frame with the contract columns
         return frontier.select(
@@ -202,7 +201,7 @@ def schedule_frontier(
         )
     clash = {"host", "crawl_delay", "fetch_wave", "_delay"} & set(
         frontier.columns
-    ) - {url_col}
+    )
     if clash:
         # the scheduler appends host/_delay and emits crawl_delay/
         # fetch_wave; a frontier already carrying one would alias into

@@ -763,10 +763,13 @@ def robots_verdict(
     ``plans.gear.bcast_if_small`` gate (driver-memory-derived limit),
     falling back to a plain shuffle hash join keyed on the same slim
     host key. The row count the gate needs is one cheap fold over the
-    rules relation; callers applying one robots relation repeatedly
-    (the crawl loop) pass ``rules_count`` to pay that fold once — any
-    UPPER bound (e.g. the raw robots relation's row count) is safe:
-    overestimating can only skip a broadcast, never force one."""
+    rules relation, which is locally checkpointed first so the fold
+    and the join share one materialization (note: that makes the call
+    EAGER when ``rules_count`` is omitted); callers applying one
+    robots relation repeatedly (the crawl loop) pass ``rules_count``
+    to pay that fold once — any UPPER bound (e.g. the raw robots
+    relation's row count) is safe: overestimating can only skip a
+    broadcast, never force one."""
     from pyspark.sql.window import Window
 
     a = agent.lower()
@@ -815,6 +818,11 @@ def robots_verdict(
     from ..plans.gear import bcast_if_small
 
     if rules_count is None:
+        # checkpoint BEFORE the fold so the count and the join share
+        # one materialization of the slim rules relation — without it
+        # the count would re-run the whole parse_robots window a
+        # second time per call
+        applicable = applicable.localCheckpoint(eager=True)
         rules_count = applicable.count()
     # ~256 B/row: host + rule + pattern + its compiled-regex twin,
     # plus hash-relation overhead — robots patterns are short paths
