@@ -6,7 +6,7 @@ All functions consume/produce DataFrames; formats mirror the reference's
 Spark's job).
 """
 
-from .cdx import cdx_shards, latest_cdx_captures, read_cdx, read_cdx_stream
+from .cdx import cdx_glob, cdx_shards, latest_cdx_captures, read_cdx, read_cdx_stream
 from .generators import uniform_random_graph, watts_strogatz_graph
 from .warc import (
     http_records,
@@ -70,6 +70,7 @@ __all__ = [
     "read_warc_members",
     "read_warc_stream",
     "wet_documents",
+    "cdx_glob",
     "cdx_shards",
     "latest_cdx_captures",
     "read_cdx",

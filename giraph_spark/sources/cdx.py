@@ -155,3 +155,32 @@ def cdx_shards(cdx: DataFrame) -> DataFrame:
             F.sum("length").alias("bytes"),
         )
     )
+
+
+def cdx_glob(shards: DataFrame, max_shards: int = 1000) -> str:
+    """Collapse a :func:`cdx_shards` relation (or any frame with a
+    ``filename`` column) into the ``pathGlobFilter`` string for
+    ``read_warc(path, path_glob=…)`` — the last step of the pruning
+    handoff, so callers don't hand-build brace globs. Shard BASENAMES
+    are used (binaryFile's glob matches file names; index filenames
+    are archive-root-relative paths). The collect is driver-side by
+    design — the PRUNED shard list is the small relation; a selection
+    still naming more than ``max_shards`` shards raises (a glob that
+    long stops being a pushdown — read the whole directory, prune on
+    the records, or go per-member via ``read_warc_members``)."""
+    import os
+
+    rows = shards.select("filename").where(
+        F.col("filename").isNotNull()
+    ).distinct().collect()
+    names = sorted({os.path.basename(r["filename"]) for r in rows})
+    if not names:
+        raise ValueError("cdx_glob: no shards in the relation")
+    if len(names) > max_shards:
+        raise ValueError(
+            f"cdx_glob: {len(names)} shards exceed max_shards="
+            f"{max_shards} — a glob that long is no longer a useful "
+            "pushdown; read the directory and filter records, or use "
+            "read_warc_members for per-member ranges"
+        )
+    return names[0] if len(names) == 1 else "{" + ",".join(names) + "}"

@@ -123,9 +123,15 @@ def test_cdx_prunes_warc_read(spark, tmp_path):
     (tmp_path / "index.cdxj").write_text(idx + "\n")
     cdx = read_cdx(spark, str(tmp_path / "index.cdxj"))
     wanted = cdx.where(F.col("url").startswith("https://keep.org"))
-    names = [r["filename"] for r in cdx_shards(wanted).collect()]
-    assert names == ["s0.wet.gz"]
-    glob = "{" + ",".join(names) + "}" if len(names) > 1 else names[0]
+    pruned = cdx_shards(wanted)
+    assert [r["filename"] for r in pruned.collect()] == ["s0.wet.gz"]
+    from giraph_spark.sources.cdx import cdx_glob
+
+    glob = cdx_glob(pruned)
+    assert glob == "s0.wet.gz"
+    assert cdx_glob(cdx_shards(cdx)) == "{s0.wet.gz,s1.wet.gz}"
+    with pytest.raises(ValueError, match="max_shards"):
+        cdx_glob(cdx_shards(cdx), max_shards=1)
     recs = read_warc(spark, str(shards), path_glob=glob)
     uris = [r["target_uri"] for r in recs.collect()]
     assert uris == ["https://keep.org/1"]
