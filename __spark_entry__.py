@@ -2946,17 +2946,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _ordered_registry(_base_queries())
 
 
-#: r10 DRAINED THE r9 QUEUE (VERDICT r9 task 1): redact_pii, pii_rate,
-#: dedup_paragraphs, cap_per_host_psl, robots_verdict, crawl_delays,
-#: cdx_shards, shard_manifest (write_training_shards portable mode),
-#: host_graph, domain_authority all registered with full value-hash
-#: oracles. Still pytest-only (pick by window budget in a later
-#: round): `crawl_rounds` (the loop driver — its fetch callback makes
-#: a SQL oracle awkward; the composition's pieces are all keyed now),
-#: `strip_media_metadata` (closed-form byte accounting is oracle-able
-#: but needs a distributed binary-fixture writer), and
+#: r10 DRAINED THE r9 QUEUE (VERDICT r9 task 1): redact_pii,
+#: pii_features, pii_rate, dedup_paragraphs, cap_per_host_psl,
+#: robots_verdict, crawl_delays, cdx_shards, cdx_latest, sitemap_locs,
+#: shard_manifest (write_training_shards portable mode), host_graph,
+#: domain_authority, and media_scrub all registered with full
+#: value-hash oracles; data_card gained its pii/paragraphs sections.
+#: Still pytest-only (pick by window budget in a later round):
+#: `crawl_rounds` (the loop driver — its fetch callback makes a SQL
+#: oracle awkward; the composition's pieces are all keyed now) and
 #: `read_warc_members` (range-fetch parity is proven against
-#: read_warc in tests/test_cdx.py).
+#: read_warc in tests/test_cdx.py and fuzzed in test_properties.py).
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": _q_pagerank(weighted=False, dangling=False),
