@@ -2804,6 +2804,30 @@ def _q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_new_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full crawl-loop step (functions/urls.py new_frontier):
+    extract → resolve → canonicalize (www strips, the self link's
+    root-relative resolution) → known-set anti-join → robots gate →
+    distinct, over the same page fixture the web-graph keys use. The
+    oracle builds the surviving canonical URL set from the fixture
+    arithmetic — 15 distinct candidates minus two known minus one
+    disallowed host — never touching HTML."""
+    from giraph_spark.functions.urls import new_frontier, parse_robots
+
+    pages = _pages_fixture(spark, sf_dir)
+    known = spark.createDataFrame(
+        [("https://d0.com/x",), ("https://s1.co.uk/local/y",)],
+        "url string",
+    )
+    robots = parse_robots(
+        spark.createDataFrame(
+            [("e1.org", "User-agent: *\nDisallow: /\n")],
+            "host string, text string",
+        )
+    )
+    return new_frontier(pages, known_urls=known, robots=robots)
+
+
 def _q_media_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-metadata scrubbing (functions/media_privacy.py) under the
     driver gate: per-doc payloads built as EXPRESSIONS — a real
@@ -3117,6 +3141,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _q_shard_manifest,
         "host_graph": _q_host_graph,
         "domain_authority": _q_domain_authority,
+        "new_frontier": _q_new_frontier,
         "media_scrub": _q_media_scrub,
     }
 
@@ -6960,6 +6985,26 @@ WITH e0 AS (
 
     domain_authority_sql = _host_pr_oracle(8)
 
+    # new_frontier: the surviving canonical URL set closed-form from
+    # the page-fixture arithmetic (residues derived FROM documents so
+    # any sf keeps the oracle exact): the .com links, the .org links
+    # (3 of 4 docs), the resolved-and-www-stripped self links (the
+    # other 1 of 4), minus the two known URLs and the disallowed host
+    new_frontier_sql = """
+WITH cand AS (
+  SELECT DISTINCT 'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.com/x' AS url
+  FROM documents
+  UNION
+  SELECT DISTINCT 'https://e' || CAST(doc_id % 3 AS VARCHAR) || '.org/z'
+  FROM documents WHERE doc_id % 4 <> 0
+  UNION
+  SELECT DISTINCT 'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/local/y'
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT url FROM cand
+WHERE url NOT IN ('https://d0.com/x', 'https://s1.co.uk/local/y')
+  AND url NOT LIKE 'https://e1.org/%'"""
+
     # media_scrub: the scrub's byte accounting closed-form — JPEG rows
     # lose their spliced COM segment (2 marker + 2 length + n body =
     # n+4 bytes), PNG rows their whole tEXt chunk, corrupt rows pass
@@ -7192,6 +7237,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "shard_manifest": shard_manifest_sql,
         "host_graph": host_graph_sql,
         "domain_authority": domain_authority_sql,
+        "new_frontier": new_frontier_sql,
         "media_scrub": media_scrub_sql,
         "scc": scc_sql,
         "maximal_independent_set": mis_sql,
