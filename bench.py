@@ -1420,12 +1420,30 @@ def stress_crawl() -> None:
         r["scheduled"] = int(agg["n"])
         r["max_wave"] = int(agg["w"])
         r["sched_urls_per_sec"] = round(agg["n"] / r["schedule_sec"])
+        # robots verdict over the whole page set, both join strategies:
+        # the gate's broadcast path (rules fit) and the forced shuffle
+        # fallback (a declared web-scale rules count) — disallow counts
+        # must agree, walls show the fallback's viability at scale
+        from giraph_spark.functions.urls import robots_verdict
+
+        for label, rc in (("verdict", None), ("verdict_shuffle", 1 << 40)):
+            t0 = time.monotonic()
+            n_dis = (
+                robots_verdict(
+                    pages.select("url"), robots, "bot", rules_count=rc
+                )
+                .where(~F.col("robots_allowed"))
+                .count()
+            )
+            r[f"{label}_sec"] = round(time.monotonic() - t0, 3)
+            r[f"{label}_disallowed"] = int(n_dis)
+        assert r["verdict_disallowed"] == r["verdict_shuffle_disallowed"]
         out[f"x{scale}"] = r
     shutil.rmtree(workdir, ignore_errors=True)
     one, big = out["x1"], out[f"x{k_rep}"]
     ratios = {
         m: round(big[m] / one[m], 2) if one[m] else None
-        for m in ("crawl_sec", "schedule_sec", "fetched")
+        for m in ("crawl_sec", "schedule_sec", "verdict_sec", "fetched")
     }
     print(
         json.dumps(
