@@ -2828,16 +2828,39 @@ def _q_new_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_frontier(pages, known_urls=known, robots=robots)
 
 
+def _webp_fixture() -> tuple[bytes, int]:
+    """Deterministic dirty-WebP fixture shared by the media_scrub key
+    and its oracle's constants: (dirty_bytes, bytes_the_scrub_removes)
+    — a VP8X header with the EXIF flag set, one EXIF chunk, one pixel
+    chunk."""
+    import struct
+
+    vp8x = bytes([0x08]) + b"\x00" * 9
+    exif = b"II*\x00gps 51.5 secret"
+    vp8 = b"\x30\x01\x00\x9d\x01*pix!"
+    body = b"WEBP"
+    removed = 0
+    for fourcc, data in ((b"VP8X", vp8x), (b"EXIF", exif), (b"VP8 ", vp8)):
+        part = fourcc + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            part += b"\x00"
+        body += part
+        if fourcc == b"EXIF":
+            removed = len(part)
+    return b"RIFF" + struct.pack("<I", len(body)) + body, removed
+
+
 def _q_media_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-metadata scrubbing (functions/media_privacy.py) under the
     driver gate: per-doc payloads built as EXPRESSIONS — a real
     baseline JPEG with a COM segment of arithmetic-determined length
-    spliced after SOI (even ids), a real PNG with a tEXt chunk (odd
-    ids), a corrupt marker chain every 31st (must pass through with
-    the error set, never fail a task). Everything the scrub reports —
-    segment counts, bytes removed, the cleaned payload's length, the
-    error flag — is closed-form from doc_id, so the oracle pins the
-    structural walk without decoding a byte."""
+    spliced after SOI, a real PNG with a tEXt chunk, a dirty WebP
+    (RIFF EXIF chunk + VP8X flag), and a corrupt marker chain every
+    31st (must pass through with the error set, never fail a task).
+    Everything the scrub reports — segment counts, bytes removed, the
+    cleaned payload's length, the error flag — is closed-form from
+    doc_id, so the oracle pins the structural walk without decoding a
+    byte."""
     import struct
     import zlib
 
@@ -2856,6 +2879,7 @@ def _q_media_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         + struct.pack(">I", zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF)
     )
     png_dirty = base_p[:8] + chunk + base_p[8:]
+    webp_dirty, _webp_removed = _webp_fixture()
     did = F.col("doc_id")
     # COM segment: marker FF FE, big-endian length n+2 (n in [10, 30)
     # keeps the high length byte zero), n 'x' bytes
@@ -2868,7 +2892,8 @@ def _q_media_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payload = (
         F.when(did % 31 == 0, F.lit(b"\xff\xd8garbage"))
-        .when(did % 2 == 1, F.lit(png_dirty))
+        .when(did % 4 == 1, F.lit(png_dirty))
+        .when(did % 4 == 3, F.lit(webp_dirty))
         .otherwise(jpeg)
     )
     fixture = _docs(spark, sf_dir).select("doc_id", payload.alias("payload"))
@@ -7007,12 +7032,10 @@ WHERE url NOT IN ('https://d0.com/x', 'https://s1.co.uk/local/y')
 
     # media_scrub: the scrub's byte accounting closed-form — JPEG rows
     # lose their spliced COM segment (2 marker + 2 length + n body =
-    # n+4 bytes), PNG rows their whole tEXt chunk, corrupt rows pass
-    # through with the error flag; cleaned lengths are the base
-    # fixtures' exact sizes (computed here from the same encoders)
-    import struct as _struct
-    import zlib as _zlib
-
+    # n+4 bytes), PNG rows their whole tEXt chunk, WebP rows their
+    # RIFF EXIF chunk, corrupt rows pass through with the error flag;
+    # cleaned lengths are the fixtures' exact sizes (computed here
+    # from the same encoders/builders)
     from giraph_spark.functions.media_codecs import (
         make_jpeg_baseline as _mjb,
         make_png as _mp,
@@ -7021,16 +7044,18 @@ WHERE url NOT IN ('https://d0.com/x', 'https://s1.co.uk/local/y')
     _base_j, _base_p = _mjb(8, 8), _mp(2, 2)
     _body = b"Author\x00Nobody"
     _chunk_len = 8 + len(_body) + 4
-    del _struct, _zlib
+    _webp_dirty, _webp_removed = _webp_fixture()
     media_scrub_sql = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN doc_id % 31 = 0 THEN 0 ELSE 1 END AS BIGINT)
          AS n_stripped,
        CAST(CASE WHEN doc_id % 31 = 0 THEN 0
-                 WHEN doc_id % 2 = 1 THEN {_chunk_len}
+                 WHEN doc_id % 4 = 1 THEN {_chunk_len}
+                 WHEN doc_id % 4 = 3 THEN {_webp_removed}
                  ELSE doc_id % 20 + 14 END AS BIGINT) AS stripped_bytes,
        CAST(CASE WHEN doc_id % 31 = 0 THEN 9
-                 WHEN doc_id % 2 = 1 THEN {len(_base_p)}
+                 WHEN doc_id % 4 = 1 THEN {len(_base_p)}
+                 WHEN doc_id % 4 = 3 THEN {len(_webp_dirty) - _webp_removed}
                  ELSE {len(_base_j)} END AS BIGINT) AS out_len,
        doc_id % 31 = 0 AS has_error
 FROM documents"""

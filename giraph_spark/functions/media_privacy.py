@@ -18,7 +18,9 @@ payload yields an unscrubbed passthrough row with ``scrub_error`` set
 scrub it could not perform (the no-fake contract, inverted: the flag
 says what actually happened). PNG gets the same structural treatment
 (tEXt/zTXt/iTXt/eXIf/tIME chunks excised, IDAT untouched, CRCs left
-valid because whole chunks are dropped, never edited). Payloads in
+valid because whole chunks are dropped, never edited), as does WebP
+(RIFF EXIF/'XMP ' chunks excised, the RIFF size field rewritten, the
+VP8X presence flags cleared, pixel chunks byte-identical). Payloads in
 other containers pass through with ``n_stripped = 0`` and no error —
 they keep metadata in places a structural walk can't safely excise
 (video needs a remux).
@@ -122,6 +124,55 @@ def strip_png_metadata(payload: bytes) -> tuple[bytes, int, int]:
     raise ValueError("PNG has no IEND chunk")
 
 
+#: WebP (RIFF) chunks that carry metadata, never pixels. Fourccs are
+#: 4 bytes exactly — 'XMP ' has a trailing space per the spec.
+_WEBP_STRIP_CHUNKS = frozenset({b"EXIF", b"XMP "})
+
+#: VP8X flag bits (byte 0 of the VP8X chunk payload, MSB first:
+#: 2 reserved, ICC, alpha, EXIF, XMP, animation, reserved) — the
+#: EXIF/XMP presence bits must clear when their chunks are excised,
+#: or a strict reader sees a header promising chunks that are gone.
+_VP8X_EXIF_BIT = 0x08
+_VP8X_XMP_BIT = 0x04
+
+
+def strip_webp_metadata(payload: bytes) -> tuple[bytes, int, int]:
+    """Drop metadata chunks from one WebP: returns ``(clean_bytes,
+    n_stripped_chunks, bytes_removed)``. Whole RIFF chunks (fourcc +
+    size + data + odd-pad) are dropped, never edited; the RIFF
+    header's total-size field is rewritten to match, and a VP8X
+    extended header's EXIF/XMP presence flags are cleared when their
+    chunks go — pixel chunks (VP8/VP8L/ALPH/ANMF…) are byte-identical.
+    Raises on non-WebP or a truncated chunk chain."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    out = bytearray(payload[:12])
+    i, n = 12, len(payload)
+    n_stripped = removed = 0
+    vp8x_at = None  # offset of the VP8X flags byte within OUT
+    while i + 8 <= n:
+        fourcc = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        end = i + 8 + size + (size & 1)  # chunks pad to even length
+        if end > n:
+            raise ValueError("truncated WebP chunk")
+        if fourcc in _WEBP_STRIP_CHUNKS:
+            n_stripped += 1
+            removed += end - i
+        else:
+            if fourcc == b"VP8X" and size >= 1:
+                vp8x_at = len(out) + 8
+            out += payload[i:end]
+        i = end
+    if i != n:
+        raise ValueError("trailing garbage after WebP chunks")
+    if n_stripped and vp8x_at is not None:
+        out[vp8x_at] &= ~(_VP8X_EXIF_BIT | _VP8X_XMP_BIT) & 0xFF
+    # RIFF size = bytes after the 8-byte RIFF header
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    return bytes(out), n_stripped, removed
+
+
 def strip_media_metadata(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
@@ -155,6 +206,12 @@ def strip_media_metadata(
                     scrub = strip_jpeg_metadata
                 elif raw is not None and raw[:8] == _PNG_SIG:
                     scrub = strip_png_metadata
+                elif (
+                    raw is not None
+                    and raw[:4] == b"RIFF"
+                    and raw[8:12] == b"WEBP"
+                ):
+                    scrub = strip_webp_metadata
                 else:
                     cleaned.append(payload)
                     n_s.append(0)

@@ -171,3 +171,61 @@ def test_strip_jpeg_skips_fill_bytes():
     kept = clean[:2] + b"\xff" + clean[2:]
     out2, n2, r2 = strip_jpeg_metadata(kept)
     assert (n2, r2) == (0, 0) and out2 == kept
+
+
+def _webp(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WEBP"
+    for fourcc, data in chunks:
+        body += fourcc + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_strip_webp_metadata_structural():
+    """RIFF EXIF/XMP chunk excision: pixel chunks byte-identical, the
+    RIFF size field rewritten, VP8X's EXIF/XMP presence flags cleared,
+    odd-sized chunk padding handled, idempotent, corrupt chains raise."""
+    from giraph_spark.functions.media_privacy import strip_webp_metadata
+
+    vp8x = bytes([0x08 | 0x04 | 0x10]) + b"\x00\x00\x00" + b"\x07\x00\x00\x07\x00\x00"
+    exif = b"II*\x00gps-lat-51.5"          # odd length -> pad byte
+    xmp = b"<x:xmpmeta>who</x:xmpmeta>"
+    vp8 = b"\x10\x00\x00\x9d\x01*pixels-here!"  # even length: no pad
+    dirty = _webp([(b"VP8X", vp8x), (b"EXIF", exif), (b"XMP ", xmp), (b"VP8 ", vp8)])
+    clean_ref = _webp([(b"VP8X", vp8x), (b"VP8 ", vp8)])
+    out, k, removed = strip_webp_metadata(dirty)
+    assert k == 2 and removed == len(dirty) - len(clean_ref)
+    assert b"gps-lat" not in out and b"xmpmeta" not in out
+    assert out[-len(vp8):] == vp8  # pixels byte-identical
+    # RIFF size field matches the new length
+    assert struct.unpack("<I", out[4:8])[0] == len(out) - 8
+    # VP8X EXIF/XMP flags cleared, other flags (alpha 0x10) kept
+    flags = out[12 + 8]
+    assert flags & 0x0C == 0 and flags & 0x10
+    again, k2, _ = strip_webp_metadata(out)
+    assert k2 == 0 and again == out
+    # a metadata-free file is untouched apart from nothing
+    noop, k3, r3 = strip_webp_metadata(clean_ref)
+    assert (k3, r3) == (0, 0)
+    assert noop[12:] == clean_ref[12:]
+    with pytest.raises(ValueError, match="not a WebP"):
+        strip_webp_metadata(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        strip_webp_metadata(dirty[:-3])
+
+
+def test_strip_media_metadata_frame_webp(spark):
+    from giraph_spark.functions.media_privacy import (
+        strip_media_metadata,
+        strip_webp_metadata,
+    )
+
+    dirty = _webp([(b"EXIF", b"II*\x00secret"), (b"VP8 ", b"px")])
+    want, _, _ = strip_webp_metadata(dirty)
+    df = spark.createDataFrame(
+        [(1, bytearray(dirty))], "media_id long, payload binary"
+    )
+    row = strip_media_metadata(df).collect()[0]
+    assert bytes(row["payload"]) == want
+    assert row["n_stripped"] == 1 and row["scrub_error"] is None
