@@ -48,6 +48,13 @@ def parse_jpeg(payload: bytes) -> dict[str, Any]:
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("corrupt JPEG marker chain")
+        # skip legal 0xFF fill-byte padding before the marker byte
+        # (ISO 10918-1 B.1.1.2) — without this a padded file's fill
+        # byte reads as marker 0xFF and misparses the length field
+        while i + 4 <= n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = payload[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2  # standalone marker, no length field
@@ -83,6 +90,52 @@ def parse_gif(payload: bytes) -> dict[str, Any]:
                 i += 9
                 continue
         i += 1
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": max(n_frames, 1),
+        "duration_s": None,
+    }
+
+
+def parse_webp(payload: bytes) -> dict[str, Any]:
+    """Canvas dimensions from the WebP (RIFF) headers, no pixel
+    decode: the VP8X extended header's 24-bit minus-one canvas fields
+    when present, else the VP8 keyframe tag (14-bit fields after the
+    9D 01 2A sync) or the VP8L signature's packed 14-bit fields;
+    ``n_frames`` counts ANMF chunks on animated files (1 for stills).
+    The crawl-curation size gate for the web's third image format —
+    same structural byte math as the PNG/GIF/BMP parsers."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    i, n = 12, len(payload)
+    width = height = None
+    n_frames = 0
+    while i + 8 <= n:
+        fourcc = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        data = payload[i + 8 : i + 8 + size]
+        if len(data) < size:
+            raise ValueError("truncated WebP chunk")
+        if fourcc == b"VP8X" and size >= 10:
+            width = 1 + int.from_bytes(data[4:7], "little")
+            height = 1 + int.from_bytes(data[7:10], "little")
+        elif fourcc == b"VP8 " and width is None and size >= 10:
+            if data[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 keyframe sync code missing")
+            width = struct.unpack("<H", data[6:8])[0] & 0x3FFF
+            height = struct.unpack("<H", data[8:10])[0] & 0x3FFF
+        elif fourcc == b"VP8L" and width is None and size >= 5:
+            if data[0] != 0x2F:
+                raise ValueError("VP8L signature byte missing")
+            bits = int.from_bytes(data[1:5], "little")
+            width = (bits & 0x3FFF) + 1
+            height = ((bits >> 14) & 0x3FFF) + 1
+        elif fourcc == b"ANMF":
+            n_frames += 1
+        i += 8 + size + (size & 1)
+    if width is None:
+        raise ValueError("WebP has no dimension-bearing chunk")
     return {
         "width": width,
         "height": height,
@@ -782,7 +835,7 @@ def mp4_sample_plan(
     return {"timescale": ts, "n_samples": n_samples, "frames": frames}
 
 
-_SNIFFERS = (parse_png, parse_jpeg, parse_gif, parse_bmp, parse_wav, parse_mp4)
+_SNIFFERS = (parse_png, parse_jpeg, parse_gif, parse_webp, parse_bmp, parse_wav, parse_mp4)
 
 
 def decode_media_header(payload: bytes) -> dict[str, Any]:
@@ -1493,6 +1546,11 @@ def parse_jpeg_pixels(payload: bytes):
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("corrupt JPEG marker chain")
+        # legal 0xFF fill-byte padding before the marker (B.1.1.2)
+        while i + 4 <= n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = payload[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
@@ -2515,7 +2573,7 @@ def make_gif_pixels(
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Container name from magic bytes alone (no header parse): 'png' /
-    'jpeg' / 'gif' / 'bmp' / 'wav', or None when no supported magic
+    'jpeg' / 'gif' / 'webp' / 'bmp' / 'wav', or None when no supported magic
     matches. The cheap first tier of decode-coverage accounting — a
     payload can sniff successfully and still fail its header or content
     decode (truncated file, unsupported sub-format), which is exactly
@@ -2531,8 +2589,46 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:2] == b"BM":
         return "bmp"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     return None
+
+
+def make_webp(
+    width: int,
+    height: int,
+    lossless: bool = True,
+    extended: bool = False,
+    metadata: bytes | None = None,
+) -> bytes:
+    """WebP fixture ENCODER (the make_png convention: tests build real
+    headers, the parser proves itself by round-trip): a VP8L
+    signature chunk carrying the packed 14-bit minus-one dimensions
+    (``lossless``) — pixel payload is a placeholder, this builds
+    HEADER-parseable files, not decodable bitstreams; ``extended``
+    prepends a VP8X canvas header; ``metadata`` appends an EXIF chunk
+    (and sets VP8X's EXIF flag when extended)."""
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("webp dimensions must fit 14 bits")
+    chunks: list[tuple[bytes, bytes]] = []
+    if extended:
+        flags = 0x08 if metadata is not None else 0x00
+        vp8x = bytes([flags]) + b"\x00\x00\x00"
+        vp8x += (width - 1).to_bytes(3, "little")
+        vp8x += (height - 1).to_bytes(3, "little")
+        chunks.append((b"VP8X", vp8x))
+    bits = (width - 1) | ((height - 1) << 14)
+    vp8l = bytes([0x2F]) + bits.to_bytes(4, "little") + b"\x00\x00\x00"
+    chunks.append((b"VP8L", vp8l))
+    if metadata is not None:
+        chunks.append((b"EXIF", metadata))
+    body = b"WEBP"
+    for fourcc, data in chunks:
+        body += fourcc + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body

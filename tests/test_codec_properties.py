@@ -542,3 +542,65 @@ def test_jpeg_progressive_color_round_trip():
         ).astype(np.uint8)
         assert (h, w) == (h_img, w_img)
         assert np.array_equal(px, want), (w_img, h_img, sampling)
+
+
+def test_parse_webp_forms_and_sniff():
+    """WebP header parser: VP8L packed fields, VP8X canvas fields
+    (which take precedence), animation frame counts, sniff ordering
+    next to the other RIFF container (WAV), and the metadata scrub
+    leaving parsed dimensions untouched."""
+    import struct
+
+    from giraph_spark.functions.media_codecs import (
+        make_webp,
+        parse_webp,
+        sniff_format,
+    )
+    from giraph_spark.functions.media_privacy import strip_webp_metadata
+
+    simple = make_webp(800, 600)
+    assert sniff_format(simple) == "webp"
+    assert parse_webp(simple) == {
+        "width": 800, "height": 600, "n_frames": 1, "duration_s": None,
+    }
+    ext = make_webp(1, 16384, extended=True, metadata=b"II*\x00loc")
+    assert parse_webp(ext)["height"] == 16384
+    clean, k, _ = strip_webp_metadata(ext)
+    assert k == 1 and parse_webp(clean) == parse_webp(ext)
+    # VP8 lossy keyframe form
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    body = b"WEBP" + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    lossy = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = parse_webp(lossy)
+    assert (m["width"], m["height"]) == (320, 240)
+    # animated: ANMF chunks count as frames
+    anmf = b"\x00" * 16
+    body2 = b"WEBP"
+    for fourcc, data in ((b"ANMF", anmf), (b"ANMF", anmf)):
+        body2 += fourcc + struct.pack("<I", len(data)) + data
+    vp8x = b"\x00" * 4 + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+    body2 = b"WEBP" + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x + body2[4:]
+    anim = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    ma = parse_webp(anim)
+    assert (ma["width"], ma["height"], ma["n_frames"]) == (100, 50, 2)
+    # WAV must still sniff as wav, truncation raises
+    import pytest as _pytest
+
+    from giraph_spark.functions.media_codecs import make_wav
+
+    assert sniff_format(make_wav(8, 100)) == "wav"
+    with _pytest.raises(ValueError):
+        parse_webp(simple[:-3])
+
+
+def test_parse_jpeg_skips_fill_bytes():
+    """Header parser twin of the scrubber's fill-byte fix: a legally
+    padded JPEG must still yield its SOF dimensions."""
+    from giraph_spark.functions.media_codecs import (
+        make_jpeg_baseline,
+        parse_jpeg,
+    )
+
+    clean = make_jpeg_baseline(8, 8)
+    padded = clean[:2] + b"\xff\xff\xff" + clean[2:]
+    assert parse_jpeg(padded) == parse_jpeg(clean)
