@@ -135,3 +135,67 @@ def test_cdx_line_roundtrip_property(spark, keys, lens):
         assert r["urlkey"] == k
         assert r["length"] == lens[i % 8]
         assert r["filename"] == f"s{i}.warc.gz"
+
+
+_webp_fourccs = st.sampled_from(
+    [b"EXIF", b"XMP ", b"ICCP", b"ALPH", b"ANIM", b"ANMF", b"VP8 "]
+)
+_webp_chunks = st.lists(
+    st.tuples(_webp_fourccs, st.binary(min_size=0, max_size=48)),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_webp_chunks, st.binary(min_size=0, max_size=48))
+def test_webp_strip_property(chunks, vp8x_tail):
+    """Random RIFF chunk layouts: strip is idempotent, only
+    EXIF/'XMP ' chunks leave, every other chunk survives byte-exact
+    in order, the RIFF size field always matches, the parsed
+    dimensions survive, and truncation raises instead of misparsing."""
+    from giraph_spark.functions.media_codecs import make_webp, parse_webp
+    from giraph_spark.functions.media_privacy import (
+        _WEBP_STRIP_CHUNKS,
+        strip_webp_metadata,
+    )
+
+    base = make_webp(37, 91, extended=True)
+    # splice the random chunks after the VP8X+VP8L head
+    extra = b""
+    for fourcc, data in chunks:
+        extra += fourcc + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            extra += b"\x00"
+    dirty = base[:8] + base[8:] + extra
+    dirty = dirty[:4] + struct.pack("<I", len(dirty) - 8) + dirty[8:]
+    out, k, removed = strip_webp_metadata(dirty)
+    want_k = sum(1 for f, _ in chunks if f in _WEBP_STRIP_CHUNKS)
+    assert k == want_k
+    assert struct.unpack("<I", out[4:8])[0] == len(out) - 8
+    assert len(out) == len(dirty) - removed
+    # surviving chunk sequence == input minus stripped, in order
+    def walk(b):
+        i, res = 12, []
+        while i + 8 <= len(b):
+            f = b[i:i+4]
+            sz = struct.unpack("<I", b[i+4:i+8])[0]
+            res.append((f, b[i+8:i+8+sz]))
+            i += 8 + sz + (sz & 1)
+        return res
+    kept = [(f, d) for f, d in walk(dirty) if f not in _WEBP_STRIP_CHUNKS]
+    got = walk(out)
+    # VP8X flags byte may have been rewritten; compare modulo it
+    norm = lambda seq: [
+        (f, (bytes([d[0] & ~0x0C]) + d[1:]) if f == b"VP8X" and d else d)
+        for f, d in seq
+    ]
+    assert norm(got) == norm(kept)
+    assert parse_webp(out)["width"] == 37 and parse_webp(out)["height"] == 91
+    again, k2, _ = strip_webp_metadata(out)
+    assert k2 == 0 and again == out
+    if len(dirty) > 13:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            strip_webp_metadata(dirty[:13])
