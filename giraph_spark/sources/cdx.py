@@ -173,7 +173,21 @@ def cdx_glob(shards: DataFrame, max_shards: int = 1000) -> str:
     rows = shards.select("filename").where(
         F.col("filename").isNotNull()
     ).distinct().collect()
-    names = sorted({os.path.basename(r["filename"]) for r in rows})
+    by_base: dict[str, str] = {}
+    for r in rows:
+        full = r["filename"]
+        base = os.path.basename(full)
+        if by_base.setdefault(base, full) != full:
+            # a basename glob cannot distinguish 'a/x.warc.gz' from
+            # 'b/x.warc.gz' — matching both would silently read an
+            # unselected shard (or mask a collapsed selection)
+            raise ValueError(
+                f"cdx_glob: shard basename {base!r} appears under "
+                f"multiple directories ({by_base[base]!r} vs {full!r}) "
+                "— a name glob can't separate them; read per-directory "
+                "or use read_warc_members"
+            )
+    names = sorted(by_base)
     if not names:
         raise ValueError("cdx_glob: no shards in the relation")
     if len(names) > max_shards:

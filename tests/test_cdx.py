@@ -227,3 +227,20 @@ def test_read_warc_members_range_fetch(spark, tmp_path):
     cdx = read_cdx(spark, str(tmp_path / "i.cdxj"))
     via_index = read_warc_members(cdx, base_dir=str(shards)).collect()
     assert [r["target_uri"] for r in via_index] == ["https://b.net/1"]
+
+
+def test_cdx_glob_basename_collision_raises(spark):
+    """A basename glob can't separate same-named shards in different
+    directories — silently matching both would read unselected bytes;
+    the handoff must refuse instead."""
+    from giraph_spark.sources.cdx import cdx_glob
+
+    ok = spark.createDataFrame(
+        [("a/x.warc.gz",), ("a/y.warc.gz",)], "filename string"
+    )
+    assert cdx_glob(ok) == "{x.warc.gz,y.warc.gz}"
+    clash = spark.createDataFrame(
+        [("a/x.warc.gz",), ("b/x.warc.gz",)], "filename string"
+    )
+    with pytest.raises(ValueError, match="multiple directories"):
+        cdx_glob(clash)
