@@ -62,105 +62,191 @@ def main() -> None:
         n = fn()
         return round(time.monotonic() - t0, 3), n
 
-    timings: dict[str, float] = {}
-    # per-query GiraphStats analog (supersteps run, messages sent) — the
-    # reference benchmark drivers report the same counters per job
-    counters: dict[str, dict[str, int]] = {}
-    ms: dict[str, "gs.PregelMetrics"] = {}
+    def measure_once() -> dict:
+        """ONE full pass over the three tiers (kernel, extras,
+        pipeline). A single pass is never the number of record: the
+        record is the per-query MIN of two back-to-back passes (the
+        r10 extras re-measure protocol, made the default — VERDICT r10
+        task 2: four consecutive rounds burned a task re-adjudicating
+        single-run records against shared-box variance; counters are
+        asserted identical between passes, so min is safe — both
+        passes do bit-identical work)."""
+        timings: dict[str, float] = {}
+        # per-query GiraphStats analog (supersteps run, messages sent)
+        # — the reference benchmark drivers report the same counters
+        # per job
+        counters: dict[str, dict[str, int]] = {}
+        ms: dict[str, "gs.PregelMetrics"] = {}
 
-    def m(name):
-        ms[name] = gs.PregelMetrics()
-        return ms[name]
+        def m(name):
+            ms[name] = gs.PregelMetrics()
+            return ms[name]
 
-    timings["pagerank10"], _ = run(
-        lambda: pagerank(g, iterations=10, metrics=m("pagerank10"))
-        .agg(F.sum("rank"))
-        .collect()
-    )
-    timings["pagerank10_weighted"], _ = run(
-        lambda: pagerank(
-            g, iterations=10, weighted=True, metrics=m("pagerank10_weighted")
+        timings["pagerank10"], _ = run(
+            lambda: pagerank(g, iterations=10, metrics=m("pagerank10"))
+            .agg(F.sum("rank"))
+            .collect()
         )
-        .agg(F.sum("rank"))
-        .collect()
-    )
-    timings["sssp"], _ = run(
-        lambda: sssp(g, source=1, max_supersteps=50, metrics=m("sssp"))
-        .where(F.col("distance") < float("inf"))
-        .count()
-    )
-    timings["bfs"], _ = run(
-        lambda: bfs(g, source=1, max_supersteps=50, metrics=m("bfs"))
-        .where("level >= 0")
-        .count()
-    )
-    timings["wcc"], _ = run(
-        lambda: wcc(g, max_supersteps=50, metrics=m("wcc"))
-        .select("component")
-        .distinct()
-        .count()
-    )
-    timings["triangle_count"], _ = run(
-        lambda: triangle_count(nation_graph(spark, SF_DIR)).collect()
-    )
-    for name, metric in ms.items():
-        counters[name] = {
-            "supersteps": metric.num_supersteps,
-            "messages": metric.total_messages,
+        timings["pagerank10_weighted"], _ = run(
+            lambda: pagerank(
+                g,
+                iterations=10,
+                weighted=True,
+                metrics=m("pagerank10_weighted"),
+            )
+            .agg(F.sum("rank"))
+            .collect()
+        )
+        timings["sssp"], _ = run(
+            lambda: sssp(g, source=1, max_supersteps=50, metrics=m("sssp"))
+            .where(F.col("distance") < float("inf"))
+            .count()
+        )
+        timings["bfs"], _ = run(
+            lambda: bfs(g, source=1, max_supersteps=50, metrics=m("bfs"))
+            .where("level >= 0")
+            .count()
+        )
+        timings["wcc"], _ = run(
+            lambda: wcc(g, max_supersteps=50, metrics=m("wcc"))
+            .select("component")
+            .distinct()
+            .count()
+        )
+        timings["triangle_count"], _ = run(
+            lambda: triangle_count(nation_graph(spark, SF_DIR)).collect()
+        )
+        for name, metric in ms.items():
+            counters[name] = {
+                "supersteps": metric.num_supersteps,
+                "messages": metric.total_messages,
+            }
+        # per-superstep profile for the convergence-shaped query (the
+        # tail behavior the adaptive gear-down targets) — mirrors the
+        # reference's ShortestPathsBenchmark per-superstep timing output
+        counters["sssp"]["steps"] = [
+            {
+                "s": s["superstep"],
+                "msgs": s["messages"],
+                "parts": s["partitions"],
+                "sec": round(s["seconds"], 3),
+            }
+            for s in ms["sssp"].supersteps
+        ]
+        # graph-extras tier in the bench of record (VERDICT r6 task 1):
+        # the five standalone round loops, with per-loop round counters.
+        # Kept OUT of "value" so the headline total stays comparable to
+        # the frozen 49.1 s baseline; the extras envelope is frozen
+        # separately in BASELINE.md. An extras failure must degrade to
+        # an error field, never take the headline record down with it.
+        try:
+            extras_q, extras_c = _run_extras(spark, SF_DIR)
+        except Exception as ex:  # pragma: no cover - records, not masks
+            extras_q, extras_c = {}, {"error": f"{type(ex).__name__}: {ex}"}
+        # pipeline tier in the bench of record (VERDICT r7 task 2 — the
+        # extras-tier treatment applied to the remaining tier): per-
+        # operator OUTPUT ROW COUNTS are its counters analog. Same
+        # failure contract: degrade to an error field, never lose the
+        # headline record.
+        try:
+            pipe_q, pipe_rows, pipe_in = _run_pipeline(spark, SF_DIR)
+        except Exception as ex:  # pragma: no cover - records, not masks
+            pipe_q, pipe_rows, pipe_in = (
+                {},
+                {"error": f"{type(ex).__name__}: {ex}"},
+                {},
+            )
+        return {
+            "queries": timings,
+            "counters": counters,
+            "extras": {"queries": extras_q, "counters": extras_c},
+            "pipeline": {
+                "queries": pipe_q,
+                "rows": pipe_rows,
+                "inputs": pipe_in,
+            },
         }
-    # per-superstep profile for the convergence-shaped query (the tail
-    # behavior the adaptive gear-down targets) — mirrors the reference's
-    # ShortestPathsBenchmark per-superstep timing output
-    counters["sssp"]["steps"] = [
-        {
-            "s": s["superstep"],
-            "msgs": s["messages"],
-            "parts": s["partitions"],
-            "sec": round(s["seconds"], 3),
-        }
-        for s in ms["sssp"].supersteps
-    ]
 
+    runs = [measure_once(), measure_once()]
+
+    def min_map(maps: list[dict]) -> dict:
+        """Per-key min across passes — a key missing from a pass (an
+        errored tier) falls back to the passes that measured it."""
+        keys = sorted(set().union(*maps))
+        return {k: min(m[k] for m in maps if k in m) for k in keys}
+
+    def kernel_sig(c: dict) -> dict:
+        # the deterministic part of the kernel counters (per-step
+        # wall seconds legitimately differ between passes)
+        return {
+            name: (v.get("supersteps"), v.get("messages"))
+            for name, v in c.items()
+        }
+
+    timings = min_map([r["queries"] for r in runs])
     total = round(sum(timings.values()), 3)
-    # graph-extras tier in the bench of record (VERDICT r6 task 1): the
-    # five standalone round loops, with per-loop round counters. Kept
-    # OUT of "value" so the headline total stays comparable to the
-    # frozen 49.1 s baseline; the extras envelope is frozen separately
-    # in BASELINE.md. An extras failure must degrade to an error field,
-    # never take the headline record down with it.
-    try:
-        extras_q, extras_c = _run_extras(spark, SF_DIR)
-    except Exception as ex:  # pragma: no cover - records, not masks
-        extras_q, extras_c = {}, {"error": f"{type(ex).__name__}: {ex}"}
-    # pipeline tier in the bench of record (VERDICT r7 task 2 — the
-    # extras-tier treatment applied to the remaining tier): per-operator
-    # OUTPUT ROW COUNTS are its counters analog. Same failure contract:
-    # degrade to an error field, never lose the headline record.
-    try:
-        pipe_q, pipe_rows, pipe_in = _run_pipeline(spark, SF_DIR)
-    except Exception as ex:  # pragma: no cover - records, not masks
-        pipe_q, pipe_rows, pipe_in = (
-            {},
-            {"error": f"{type(ex).__name__}: {ex}"},
-            {},
-        )
+    # counters of record = pass 1's (incl. the sssp step profile);
+    # identity across passes is asserted into the record so a mismatch
+    # is loud evidence, never silently averaged away
+    counters = runs[0]["counters"]
+    counters_identical = kernel_sig(runs[0]["counters"]) == kernel_sig(
+        runs[1]["counters"]
+    ) and runs[0]["extras"]["counters"] == runs[1]["extras"]["counters"] and (
+        runs[0]["pipeline"]["rows"] == runs[1]["pipeline"]["rows"]
+    )
+    extras_counters = next(
+        (
+            r["extras"]["counters"]
+            for r in runs
+            if "error" not in r["extras"]["counters"]
+        ),
+        runs[0]["extras"]["counters"],
+    )
+    extras_q = min_map([r["extras"]["queries"] for r in runs])
+    pipe_q = min_map([r["pipeline"]["queries"] for r in runs])
+    pipe_rows = next(
+        (
+            r["pipeline"]["rows"]
+            for r in runs
+            if "error" not in r["pipeline"]["rows"]
+        ),
+        runs[0]["pipeline"]["rows"],
+    )
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # the record rule of record (frozen in BASELINE.md §protocol):
+        # per-query min of two back-to-back in-session passes
+        "record_rule": "min2",
+        "counters_identical": counters_identical,
         "queries": timings,
         "counters": counters,
         "extras": {
             "total": round(sum(extras_q.values()), 3),
             "queries": extras_q,
-            "counters": extras_c,
+            "counters": extras_counters,
         },
         "pipeline": {
             "total": round(sum(pipe_q.values()), 3),
             "queries": pipe_q,
             "rows": pipe_rows,
-            "inputs": pipe_in,
+            "inputs": runs[0]["pipeline"]["inputs"],
         },
+        # both raw passes, so the record is auditable without rerunning
+        "runs": [
+            {
+                "value": round(sum(r["queries"].values()), 3),
+                "queries": r["queries"],
+                "extras_total": round(
+                    sum(r["extras"]["queries"].values()), 3
+                ),
+                "pipeline_total": round(
+                    sum(r["pipeline"]["queries"].values()), 3
+                ),
+            }
+            for r in runs
+        ],
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": int(CPUS),
     }
@@ -229,6 +315,8 @@ def _compact_summary(detail: dict) -> dict:
         "metric": detail["metric"],
         "value": detail["value"],
         "unit": detail["unit"],
+        "record_rule": detail.get("record_rule"),
+        "counters_identical": detail.get("counters_identical"),
         "queries": detail["queries"],
         "counters": kern,
         "extras": extras_out,

@@ -74,6 +74,7 @@ from .urls import (
     domain_authority,
     filter_blocked_domains,
     host_graph,
+    idna_host,
     normalize_url,
     registered_domain,
     registered_domain_psl,

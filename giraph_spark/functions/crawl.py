@@ -73,9 +73,11 @@ def crawl_rounds(
     the candidate frontier's distinct hosts and must return a FULL
     replacement rules relation (:func:`urls.parse_robots` shape) —
     re-parse what the fleet just refetched for those hosts, union in
-    the cached rest. The refreshed relation gates the very frontier
-    whose hosts it saw, so a mid-crawl disallow takes effect before
-    the next fetch. The rules row count is folded once per relation
+    the cached rest. Returning ``None`` raises: it would silently
+    disable the gate for every remaining round — express "no rules"
+    as an EMPTY rules relation. The refreshed relation gates the very
+    frontier whose hosts it saw, so a mid-crawl disallow takes effect
+    before the next fetch. The rules row count is folded once per relation
     (not per round) and forwarded to the verdict's broadcast gate.
 
     The loop stops early when a frontier comes back empty (the one
@@ -148,9 +150,19 @@ def crawl_rounds(
                 .distinct()
             )
             robots = robots_refresh(hosts)
-            if robots is not None:
-                robots = robots.localCheckpoint(eager=True)
-            rules_count = robots.count() if robots is not None else None
+            if robots is None:
+                # a None here would silently drop the robots gate for
+                # every remaining round — the polite-crawler guarantee
+                # must fail loudly, not un-gate (an intentionally
+                # empty policy is an EMPTY rules relation, not None)
+                raise ValueError(
+                    "crawl_rounds: robots_refresh returned None — the "
+                    "hook must return a FULL replacement rules "
+                    "relation (urls.parse_robots shape); return an "
+                    "empty rules frame to express 'no rules'"
+                )
+            robots = robots.localCheckpoint(eager=True)
+            rules_count = robots.count()
         if robots is not None:
             cand = filter_robots_disallowed(
                 cand, robots, agent, rules_count=rules_count

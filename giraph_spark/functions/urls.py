@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -100,8 +101,48 @@ def _strip_www(h: Column) -> Column:
 
 def url_host(col: Column) -> Column:
     """Lowercased host with any port and a leading ``www.`` stripped —
-    the grouping key for per-site statistics and caps."""
+    the grouping key for per-site statistics and caps. The host is
+    returned AS WRITTEN (a raw-unicode IDN host stays unicode): for
+    keys that must match punycode-encoded PSL rules or blocklists,
+    use :func:`idna_host` / the ``punycode=True`` switch on the
+    PSL-aware operators."""
     return _strip_www(url_parts(col).getField("host"))
+
+
+def idna_host(col: Column) -> Column:
+    """:func:`url_host` brought to IDNA (punycode) ASCII form —
+    ``https://bücher.example/x`` → ``xn--bcher-kva.example`` — THE
+    join/group key when URLs may carry raw-unicode (IDN) hosts:
+    the Public Suffix List, blocklists, and CDX/SURT indexes are all
+    keyed in punycode, and a unicode host compared literally matches
+    none of them (it would silently ride the default PSL rule and
+    sail past blocklists). Already-ASCII hosts pass through untouched
+    on a vectorized fast path, so the codec only runs on the rare IDN
+    rows; un-encodable garbage returns unchanged (it can't match a
+    punycode rule either way, and curation's kept-unless-named
+    semantics want the original, not a NULL collapse).
+
+    The encode is an Arrow-batched pandas UDF (punycode is a stateful
+    per-label algorithm no SQL expression can express); everything
+    around it stays JVM-side. Evaluate it ONCE into a column before
+    heavy reuse — the composition rule every consumer here already
+    follows for :func:`url_parts`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def enc(hosts: pd.Series) -> pd.Series:
+        # fast path: leave the (overwhelmingly common) ASCII hosts
+        # alone, run the stdlib codec only where needed
+        mask = hosts.map(
+            lambda h: isinstance(h, str) and not h.isascii()
+        )
+        if not mask.any():
+            return hosts
+        out = hosts.copy()
+        out[mask] = hosts[mask].map(_idna_ascii)
+        return out
+
+    return enc(url_host(col))
 
 
 def registered_domain(col: Column, levels: int = 2) -> Column:
@@ -176,6 +217,24 @@ PSL_MULTI_SUFFIXES: tuple[str, ...] = tuple(sorted(
 ))
 
 
+def _idna_ascii(name: str) -> str:
+    """Lowercased IDNA (punycode) ASCII form of a dotted name —
+    ``bücher.example`` → ``xn--bcher-kva.example``; already-ASCII
+    names pass through unchanged (zero-cost common case). Names the
+    stdlib codec rejects (empty/overlong labels, stray dots) return
+    unchanged: a name that can't be encoded can't match a
+    punycode-keyed rule either way, and the caller's default-rule /
+    kept-unblocked semantics should see the original, not an error."""
+    if name.isascii():
+        return name
+    try:
+        # the stdlib codec is per-label ToASCII with nameprep
+        # (case-fold included) — exactly the PSL's own encoding
+        return name.encode("idna").decode("ascii")
+    except UnicodeError:
+        return name
+
+
 def _parse_psl_rules(
     suffixes: Sequence[str],
 ) -> tuple[dict[int, list[str]], dict[int, list[str]], dict[int, list[str]]]:
@@ -186,8 +245,11 @@ def _parse_psl_rules(
     suffix is itself a public suffix), and exceptions (``!www.ck`` —
     that host is registrable despite a covering wildcard). Comment
     (``//``) and blank lines are tolerated so a caller can feed the
-    genuine file's lines verbatim; rules are lowercased (the list is
-    already punycode-encoded — IDN hosts compare literally)."""
+    genuine file's lines verbatim; rules are lowercased AND
+    IDNA-encoded (the genuine list stores IDN rules as Unicode
+    U-labels — ``рф``, not ``xn--p1ai``; hosts compare in punycode
+    form, so the rules must be brought to the same encoding or IDN
+    public suffixes would silently never match)."""
     exact: dict[int, list[str]] = {}
     wild: dict[int, list[str]] = {}
     exc: dict[int, list[str]] = {}
@@ -196,12 +258,13 @@ def _parse_psl_rules(
         if not r or r.startswith("//"):
             continue
         if r.startswith("!"):
-            h = r[1:]
+            h = _idna_ascii(r[1:])
             exc.setdefault(h.count(".") + 1, []).append(h)
         elif r.startswith("*."):
-            s = r[2:]
+            s = _idna_ascii(r[2:])
             wild.setdefault(s.count(".") + 1, []).append(s)
         else:
+            r = _idna_ascii(r)
             exact.setdefault(r.count(".") + 1, []).append(r)
     return exact, wild, exc
 
@@ -253,12 +316,18 @@ def _psl_domain_from_host(
         for c in conds[1:]:
             cond = cond | c
         add(cond, F.when(n >= pl + 1, last(pl + 1)))
-    default = F.when(host.isNotNull(), last(2))
+    # default '*' rule: every unlisted TLD is a public suffix, so a
+    # registrable name needs at least two labels — a single-label host
+    # ('localhost') IS its own public suffix and has no registrable
+    # part (NULL), same as a host exactly matching a listed suffix
+    default = F.when(host.isNotNull() & (n >= 2), last(2))
     return default if expr is None else expr.otherwise(default)
 
 
 def registered_domain_psl(
-    col: Column, suffixes: Sequence[str] = PSL_MULTI_SUFFIXES
+    col: Column,
+    suffixes: Sequence[str] = PSL_MULTI_SUFFIXES,
+    punycode: bool = False,
 ) -> Column:
     """Registered domain with public-suffix awareness: the longest
     matching suffix rule decides how many labels the public suffix
@@ -270,12 +339,18 @@ def registered_domain_psl(
     grammar — plain rules at any label depth, wildcards (``*.ck``),
     exceptions (``!www.ck``), comment/blank lines — so mounting the
     genuine ~9k-line list gives genuine semantics
-    (:func:`_parse_psl_rules`). IDN hosts are compared literally in
-    punycode form, matching the list's own encoding. A host that IS a
-    listed suffix (exactly ``co.uk``; any single label under a
-    wildcard) has no registrable part → NULL, matching PSL semantics;
-    hosts matching no rule fall to the default one-label rule (two
-    labels kept).
+    (:func:`_parse_psl_rules`; IDN rules arrive as Unicode U-labels
+    in the real list and are IDNA-encoded at parse). Hosts compare in
+    punycode form: an already-encoded (``xn--``) host matches
+    literally, and ``punycode=True`` runs raw-unicode IDN hosts
+    through :func:`idna_host` first so they match too (off by default
+    — it adds an Arrow-batched codec hop that all-ASCII corpora
+    shouldn't pay). A host that IS a listed suffix (exactly
+    ``co.uk``; any single label under a wildcard) has no registrable
+    part → NULL, matching PSL semantics — as does a single-label host
+    (``localhost``): under the implicit ``*`` default rule every
+    unlisted TLD is itself a public suffix. Multi-label hosts
+    matching no rule fall to that default rule (two labels kept).
 
     Plan-size note (measured): the branch logic needs the host five
     times, and a naive composition inlines the URL-parse tree at
@@ -292,8 +367,9 @@ def registered_domain_psl(
     Catalyst's interpreted path, pennies next to the regexp parse.
     """
     rules = _parse_psl_rules(suffixes)
+    host = idna_host(col) if punycode else url_host(col)
     bound = F.transform(
-        F.array(url_host(col)),
+        F.array(host),
         lambda h: _psl_domain_from_host(h, rules),
     )
     return F.element_at(bound, 1)
@@ -394,14 +470,14 @@ def dedup_by_url(
     return _keep_by_norm(df, url_col, id_col, F.min(id_col))
 
 
-def _domain_fn(url_col: str, levels: int, psl: bool, suffixes):
+def _domain_fn(url_col: str, levels: int, psl: bool, suffixes, punycode=False):
     """Shared registered-domain column picker for the blocklist/cap
     pair. ``psl=True`` ignores ``levels`` by construction (the PSL
     decides label counts) — a caller passing BOTH a non-default
     ``levels`` and ``psl=True`` gets a loud error instead of a
     silently dropped intent; ``suffixes`` forwards a caller-maintained
-    PSL feed (raises when given without ``psl=True`` for the same
-    reason)."""
+    PSL feed and ``punycode`` the IDN-host encode switch (each raises
+    when given without ``psl=True`` for the same reason)."""
     if psl and levels != 2:
         raise ValueError(
             "psl=True derives label counts from the suffix list; the "
@@ -410,10 +486,14 @@ def _domain_fn(url_col: str, levels: int, psl: bool, suffixes):
         )
     if suffixes is not None and not psl:
         raise ValueError("suffixes= requires psl=True")
+    if punycode and not psl:
+        raise ValueError("punycode=True requires psl=True")
     if psl:
         if suffixes is not None:
-            return registered_domain_psl(F.col(url_col), suffixes)
-        return registered_domain_psl(F.col(url_col))
+            return registered_domain_psl(
+                F.col(url_col), suffixes, punycode=punycode
+            )
+        return registered_domain_psl(F.col(url_col), punycode=punycode)
     return registered_domain(F.col(url_col), levels)
 
 
@@ -424,6 +504,7 @@ def filter_blocked_domains(
     levels: int = 2,
     psl: bool = False,
     suffixes: Sequence[str] | None = None,
+    punycode: bool = False,
 ) -> DataFrame:
     """Drop rows whose registered domain is on a blocklist (RefinedWeb
     runs a ~4.6M-entry one). ``blocked``: a Python sequence or a
@@ -432,16 +513,22 @@ def filter_blocked_domains(
     :func:`registered_domain_psl` snapshot instead, so ``bbc.co.uk``
     entries match as intended) — blocklists are small next to the
     corpus; rows with no parseable host are KEPT (the quality gates
-    judge them, a blocklist can only speak about domains it names)."""
+    judge them, a blocklist can only speak about domains it names).
+    ``punycode=True`` (needs ``psl=True``) IDNA-encodes raw-unicode
+    IDN hosts before the match, so ``https://bücher.example/…`` is
+    caught by an ``xn--bcher-kva.example`` blocklist entry; sequence
+    blocklist entries are always encoded driver-side (free for ASCII
+    entries), DataFrame blocklists must already be punycode-keyed."""
     spark = df.sparkSession
     if not isinstance(blocked, DataFrame):
         blocked = spark.createDataFrame(
-            [(d,) for d in blocked], "_blocked_domain string"
+            [(_idna_ascii(d.lower()),) for d in blocked],
+            "_blocked_domain string",
         )
     else:
         blocked = blocked.toDF("_blocked_domain")
     bl = blocked.select(F.lower("_blocked_domain").alias("_blocked_domain"))
-    dom_fn = _domain_fn(url_col, levels, psl, suffixes)
+    dom_fn = _domain_fn(url_col, levels, psl, suffixes, punycode)
     return (
         df.select("*", dom_fn.alias("_dom"))
         .join(
@@ -462,16 +549,20 @@ def cap_per_host(
     n_shards: int = 1,
     psl: bool = False,
     suffixes: Sequence[str] | None = None,
+    punycode: bool = False,
 ) -> DataFrame:
     """At most ``n`` documents per registered domain, hash-ranked —
     the real-host version of ``sampling.cap_per_group`` (same exact
     sharded two-phase top-n underneath, so giant hosts never serialize
     through one task). ``psl=True`` groups by
     :func:`registered_domain_psl` (so ``*.co.uk`` sites aren't all
-    one capped "host"). NULL-host rows pass through uncapped."""
+    one capped "host"); ``punycode=True`` (needs ``psl=True``)
+    IDNA-encodes raw IDN hosts first, so ``bücher.example`` and
+    ``xn--bcher-kva.example`` URLs cap as ONE domain. NULL-host rows
+    pass through uncapped."""
     from .sampling import cap_per_group
 
-    dom_fn = _domain_fn(url_col, levels, psl, suffixes)
+    dom_fn = _domain_fn(url_col, levels, psl, suffixes, punycode)
     with_dom = df.select("*", dom_fn.alias("_dom"))
     hosted = with_dom.where(F.col("_dom").isNotNull())
     kept = cap_per_group(

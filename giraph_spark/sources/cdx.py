@@ -177,6 +177,20 @@ def cdx_glob(shards: DataFrame, max_shards: int = 1000) -> str:
     for r in rows:
         full = r["filename"]
         base = os.path.basename(full)
+        meta = set(base) & set("{},*?[]\\")
+        if meta:
+            # a basename carrying Hadoop-glob metacharacters would
+            # corrupt the '{a,b}' alternation this builds (',' splits
+            # the name into two patterns; '*'/'?'/'[' match MORE than
+            # the named shard) — silently reading unselected shards,
+            # the exact failure the collision guard below defends
+            # against from the other direction
+            raise ValueError(
+                f"cdx_glob: shard basename {base!r} contains glob "
+                f"metacharacter(s) {sorted(meta)} — a pathGlobFilter "
+                "cannot name it literally; read per-directory or use "
+                "read_warc_members"
+            )
         if by_base.setdefault(base, full) != full:
             # a basename glob cannot distinguish 'a/x.warc.gz' from
             # 'b/x.warc.gz' — matching both would silently read an

