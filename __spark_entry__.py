@@ -3051,6 +3051,47 @@ def _q_idna_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT index-key computation (functions/urls.py surt_key): the
+    join key between a URL corpus and a CDX capture index, exercised
+    over four host classes — a mixed-case multi-label host with a
+    port (reversal + lowercase + port strip), a www-prefixed host
+    (strip), a dotted-quad IP (NOT reversed, SURT's own rule), and a
+    raw-unicode IDN host under punycode=True — plus the query
+    canonicalization (tracking param dropped, survivors lowercased
+    and sorted). Every output string is closed-form from doc_id
+    arithmetic; the oracle restates it per class."""
+    from giraph_spark.functions.urls import surt_key
+
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 4 == 0, F.concat(
+            F.lit("Sub"), (did % 3).cast("string"),
+            F.lit(".Alpha"), (did % 5).cast("string"),
+            F.lit(".Example.com:8443"),
+        ))
+        .when(did % 4 == 1, F.concat(
+            F.lit("www.beta"), (did % 5).cast("string"), F.lit(".org")
+        ))
+        .when(did % 4 == 2, F.concat(
+            F.lit("10.0."), (did % 9).cast("string"),
+            F.lit("."), (did % 7).cast("string"),
+        ))
+        .otherwise(F.lit("bücher.example"))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/P/"), did.cast("string"),
+        F.when(did % 2 == 0, F.lit("?b=2&utm_source=x&A=1")).otherwise(
+            F.lit("")
+        ),
+    )
+    urls = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return urls.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        surt_key(F.col("url"), punycode=True).alias("surt"),
+    )
+
+
 def _webp_fixture() -> tuple[bytes, int]:
     """Deterministic dirty-WebP fixture shared by the media_scrub key
     and its oracle's constants: (dirty_bytes, bytes_the_scrub_removes)
@@ -3388,6 +3429,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schedule_frontier": _q_schedule_frontier,
         "warc_members": _q_warc_members,
         "idna_hosts": _q_idna_hosts,
+        "surt_keys": _q_surt_keys,
         "cdx_shards": _q_cdx_shards,
         "cdx_latest": _q_cdx_latest,
         "sitemap_locs": _q_sitemap_locs,
@@ -7183,6 +7225,22 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          ELSE 'xn--bung-zra.example' END AS psl_domain
 FROM documents"""
 
+    # surt_keys: every branch of the SURT form restated per doc_id
+    # class — reversal+lowercase+port-strip, www strip, IP unreversed,
+    # IDN punycode — with the canonical query on even ids
+    surt_keys_sql = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'com,example,alpha' || CAST(doc_id % 5 AS VARCHAR)
+                     || ',sub' || CAST(doc_id % 3 AS VARCHAR)
+         WHEN 1 THEN 'org,beta' || CAST(doc_id % 5 AS VARCHAR)
+         WHEN 2 THEN '10.0.' || CAST(doc_id % 9 AS VARCHAR) || '.'
+                     || CAST(doc_id % 7 AS VARCHAR)
+         ELSE 'example,xn--bcher-kva' END
+       || ')/p/' || CAST(doc_id AS VARCHAR)
+       || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS surt
+FROM documents"""
+
     # cdx_shards: the oracle never sees an index byte — it recomputes
     # the filtered shard groupBy from the same line-building arithmetic
     # (corrupt lines and 404 captures excluded exactly as the index
@@ -7567,6 +7625,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "schedule_frontier": schedule_frontier_sql,
         "warc_members": warc_members_sql,
         "idna_hosts": idna_hosts_sql,
+        "surt_keys": surt_keys_sql,
         "cdx_shards": cdx_shards_sql,
         "cdx_latest": cdx_latest_sql,
         "sitemap_locs": sitemap_locs_sql,

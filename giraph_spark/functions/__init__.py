@@ -78,6 +78,7 @@ from .urls import (
     normalize_url,
     registered_domain,
     registered_domain_psl,
+    surt_key,
     url_host,
     url_parts,
 )

@@ -127,6 +127,13 @@ def idna_host(col: Column) -> Column:
     around it stays JVM-side. Evaluate it ONCE into a column before
     heavy reuse — the composition rule every consumer here already
     follows for :func:`url_parts`."""
+    return _idna_col(url_host(col))
+
+
+def _idna_col(host: Column) -> Column:
+    """The IDNA-encode UDF over an already-extracted host column —
+    :func:`idna_host`'s body, shared with :func:`surt_key` (which
+    extracts the host once itself and must not re-parse the URL)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -142,7 +149,7 @@ def idna_host(col: Column) -> Column:
         out[mask] = hosts[mask].map(_idna_ascii)
         return out
 
-    return enc(url_host(col))
+    return enc(host)
 
 
 def registered_domain(col: Column, levels: int = 2) -> Column:
@@ -431,6 +438,72 @@ def _canonical_from_parts(p: Column) -> Column:
         scheme.isNotNull() & host.isNotNull(),
         F.concat(scheme, F.lit("://"), host, portstr, path, qstr),
     )
+
+
+def surt_key(col: Column, punycode: bool = False) -> Column:
+    """SURT-form index key (Sort-friendly URI Reordering Transform —
+    the key CDX(J) indexes like Common Crawl's are sorted and queried
+    by): host labels reversed and comma-joined, ``)`` separator,
+    lowercased path, canonicalized query —
+    ``https://News.Example.com/A/B?b=2&a=1`` →
+    ``example,news)/a/b?a=1&b=2``. THE join key between a URL corpus
+    and a capture index: ``frontier ⟕ latest_cdx_captures`` on
+    ``surt_key(url) = urlkey`` answers "is this URL already archived"
+    index-side, before any shard byte moves — the companion of
+    :func:`~giraph_spark.sources.cdx.read_cdx` (which carries the
+    index's own ``urlkey``). Expression-only; ``punycode=True`` runs
+    the host through :func:`idna_host`'s encoder first (CDX urlkeys
+    are punycode-keyed, same story as the PSL).
+
+    Canonicalization scope, stated honestly: host is lowercased,
+    ``www.``-stripped, port-stripped (:func:`url_host`'s rule); IP
+    hosts (v4 dotted-quad, bracketless v6) are NOT label-reversed
+    (SURT's own rule); path+query lowercase; query params sort and
+    drop ``TRACKING_PARAMS`` — the same canonical form
+    :func:`normalize_url` deduplicates on, so corpus keys and dedup
+    keys can never disagree. An archive whose canonicalizer diverges
+    further (e.g. jsessionid stripping) should be joined through ITS
+    urlkey column recomputed from the index's ``url`` field instead.
+
+    Plan-size: the parts struct and host bind ONCE through the
+    one-element-array ``transform`` let (the
+    :func:`registered_domain_psl` pattern), so the URL-parse tree is
+    never re-inlined per reference."""
+    p = url_parts(col)
+    host = _strip_www(p.getField("host"))
+    if punycode:
+        host = _idna_col(host)
+
+    def build(s: Column) -> Column:
+        h = s.getField("h")
+        pp = s.getField("p")
+        is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | h.contains(":")
+        rev = F.when(is_ip, h).otherwise(
+            F.array_join(F.reverse(F.split(h, r"\.")), ",")
+        )
+        path = F.lower(F.coalesce(pp.getField("path"), F.lit("/")))
+        params = F.array_sort(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(pp.getField("query"), F.lit(""))),
+                    "&",
+                ),
+                lambda kv: (kv != "")
+                & ~F.substring_index(kv, "=", 1).isin(*TRACKING_PARAMS),
+            )
+        )
+        qstr = F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit(""))
+        return F.when(
+            h.isNotNull(), F.concat(rev, F.lit(")"), path, qstr)
+        )
+
+    bound = F.transform(
+        F.array(F.struct(host.alias("h"), p.alias("p"))), build
+    )
+    return F.element_at(bound, 1)
 
 
 def _keep_by_norm(df: DataFrame, url_col: str, id_col: str, keep_agg):

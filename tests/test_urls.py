@@ -1176,3 +1176,54 @@ def test_robots_verdict_broadcast_gate(spark):
     a = robots_verdict(urls, rules, "mybot").collect()
     b = robots_verdict(urls, rules, "mybot", rules_count=10**9).collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_surt_key_form_and_index_join(spark, tmp_path):
+    """SURT index key: reversed comma-joined host + ')' + lowercased
+    path + canonical query; www/port strip; IP hosts unreversed;
+    punycode=True encodes IDN hosts. The point of the operator: a
+    frontier joined to a CDX index on surt_key(url) = urlkey finds
+    its archived URLs index-side."""
+    from giraph_spark.functions.urls import surt_key
+    from giraph_spark.sources.cdx import read_cdx
+
+    cases = {
+        "https://News.Example.com/A/B?b=2&a=1": "com,example,news)/a/b?a=1&b=2",
+        "https://www.example.com/": "com,example)/",
+        "http://example.com:80/x?utm_source=t&z=9": "com,example)/x?z=9",
+        "https://192.168.0.1/p": "192.168.0.1)/p",
+        "not a url": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["k"]
+        for r in df.select("url", surt_key(F.col("url")).alias("k")).collect()
+    }
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+    # punycode switch: IDN host label encodes, ASCII unchanged
+    idn = spark.createDataFrame(
+        [("https://bücher.example/Path",)], "url string"
+    )
+    [r] = idn.select(
+        surt_key(F.col("url"), punycode=True).alias("k")
+    ).collect()
+    assert r["k"] == "example,xn--bcher-kva)/path"
+    # the join: an index keyed the same way finds the frontier's URL
+    idx = (
+        'org,site)/page 20260801000000 {"url": "https://site.org/page",'
+        ' "status": "200", "length": "10", "offset": "0",'
+        ' "filename": "s.warc.gz"}'
+    )
+    (tmp_path / "i.cdxj").write_text(idx + "\n")
+    cdx = read_cdx(spark, str(tmp_path / "i.cdxj"))
+    frontier = spark.createDataFrame(
+        [("https://www.site.org/page",), ("https://site.org/new",)],
+        "url string",
+    )
+    hits = (
+        frontier.select("url", surt_key(F.col("url")).alias("urlkey"))
+        .join(cdx.select("urlkey"), "urlkey", "left_semi")
+        .collect()
+    )
+    assert [r["url"] for r in hits] == ["https://www.site.org/page"]
