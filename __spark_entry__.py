@@ -3092,6 +3092,35 @@ def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (functions/export.py pack_sequences):
+    docs with arithmetic token counts laid head-to-tail per shard and
+    cut every 2048 tokens — offsets are per-shard running sums in
+    doc_id order and the chunk spans are floor arithmetic, all of
+    which the oracle replays as a SQL window over the same closed
+    forms (the placement is the rare per-ROW map of a stateful-
+    looking operator that stays exactly SQL-expressible)."""
+    from giraph_spark.functions.export import pack_sequences
+
+    did = F.col("doc_id")
+    fixture = _docs(spark, sf_dir).select(
+        "doc_id",
+        (did % 4).cast("int").alias("shard"),
+        # token counts spanning sub-chunk to multi-chunk docs
+        (did % 700 * 7 % 3000 + 1).cast("long").alias("n_tokens"),
+    )
+    out = pack_sequences(
+        fixture, seq_len=2048, shard_col="shard"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("offset").cast("long").alias("offset"),
+        "first_seq", "last_seq", "n_seqs",
+    )
+
+
 def _webp_fixture() -> tuple[bytes, int]:
     """Deterministic dirty-WebP fixture shared by the media_scrub key
     and its oracle's constants: (dirty_bytes, bytes_the_scrub_removes)
@@ -3430,6 +3459,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_members": _q_warc_members,
         "idna_hosts": _q_idna_hosts,
         "surt_keys": _q_surt_keys,
+        "pack_sequences": _q_pack_sequences,
         "cdx_shards": _q_cdx_shards,
         "cdx_latest": _q_cdx_latest,
         "sitemap_locs": _q_sitemap_locs,
@@ -7241,6 +7271,30 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS surt
 FROM documents"""
 
+    # pack_sequences: per-shard running sums in doc_id order + floor
+    # chunk spans, replayed as a SQL window over the same arithmetic
+    pack_sequences_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS INT) AS shard,
+         CAST(doc_id % 700 * 7 % 3000 + 1 AS BIGINT) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS off
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, shard, n_tokens,
+       CAST(off AS BIGINT) AS "offset",
+       CAST(FLOOR(off / 2048) AS BIGINT) AS first_seq,
+       CAST(FLOOR((off + n_tokens - 1) / 2048) AS BIGINT) AS last_seq,
+       CAST(FLOOR((off + n_tokens - 1) / 2048)
+            - FLOOR(off / 2048) + 1 AS BIGINT) AS n_seqs
+FROM placed"""
+
     # cdx_shards: the oracle never sees an index byte — it recomputes
     # the filtered shard groupBy from the same line-building arithmetic
     # (corrupt lines and 404 captures excluded exactly as the index
@@ -7626,6 +7680,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "warc_members": warc_members_sql,
         "idna_hosts": idna_hosts_sql,
         "surt_keys": surt_keys_sql,
+        "pack_sequences": pack_sequences_sql,
         "cdx_shards": cdx_shards_sql,
         "cdx_latest": cdx_latest_sql,
         "sitemap_locs": sitemap_locs_sql,

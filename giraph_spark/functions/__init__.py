@@ -60,7 +60,7 @@ from .sampling import (
 from .bpe import bpe_encode, train_bpe
 from .crawl import crawl_rounds, schedule_frontier
 from .datacard import data_card
-from .export import write_training_shards
+from .export import pack_sequences, write_training_shards
 from .media_privacy import (
     strip_jpeg_metadata,
     strip_media_metadata,

@@ -112,3 +112,75 @@ def write_training_shards(
         .save(out_dir)
     )
     return staged.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the placement map from a
+    token-counted corpus to the fixed-length training sequences a
+    pretraining dataloader feeds the model: documents are laid
+    head-to-tail in deterministic order and the stream is cut every
+    ``seq_len`` tokens (documents straddle cuts — the standard
+    GPT-style packing; padding-free). Returns one row per document
+    with its placement: ``(<input columns>, offset, first_seq,
+    last_seq, n_seqs)`` where ``offset`` is the document's start
+    position in its shard's token stream and
+    ``first_seq``/``last_seq`` the chunk indexes it spans —
+    everything a loader needs to materialize chunk ``k`` (every doc
+    with ``first_seq <= k <= last_seq``), and everything an epoch
+    accountant needs (``max(last_seq)+1`` sequences per shard).
+
+    Order is ``id_col`` ascending within a shard — deterministic and
+    layout-independent like everything in this module, and (unlike
+    the xxhash order :func:`write_training_shards` uses for SHARD
+    contents) replayable by a SQL window, so the placement is
+    oracle-checkable end-to-end. Callers wanting a shuffled pack
+    order should shuffle upstream (assign ids/shards by hash — the
+    export writer's move); the pack itself must stay a pure function
+    of (id, tokens).
+
+    Scale shape: ONE running-sum window per shard — shuffle ∝ the
+    (id, tokens) relation, parallelism = number of shards. With
+    ``shard_col=None`` the whole corpus is one token stream and the
+    window is a single sorted partition: fine for a fixture or one
+    export shard, NOT for a 100 TB corpus — pass the shard column
+    (the export writer's ``shard`` output is the natural one). Docs
+    with zero/NULL tokens occupy no stream space: dropped by default,
+    or kept with NULL placement (``drop_empty=False``) for audit.
+    """
+    from pyspark.sql.window import Window
+
+    if seq_len < 1:
+        raise ValueError(f"pack_sequences: seq_len must be >= 1, got {seq_len}")
+    clash = {"offset", "first_seq", "last_seq", "n_seqs"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"pack_sequences: input already has {sorted(clash)} — rename "
+            "(these are this packer's output names)"
+        )
+    toks = F.col(tokens_col).cast("long")
+    nonempty = toks.isNotNull() & (toks > 0)
+    if drop_empty:
+        df = df.where(nonempty)
+    part = [shard_col] if shard_col is not None else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(F.when(nonempty, toks)).over(w), F.lit(0))
+    first = F.floor(offset / seq_len)
+    last = F.floor((offset + toks - F.lit(1)) / seq_len)
+    return df.select(
+        "*",
+        F.when(nonempty, offset).alias("offset"),
+        F.when(nonempty, first).cast("long").alias("first_seq"),
+        F.when(nonempty, last).cast("long").alias("last_seq"),
+        F.when(nonempty, last - first + 1).cast("long").alias("n_seqs"),
+    )

@@ -158,3 +158,55 @@ def test_portable_mode_duckdb_parity(spark, docs, tmp_path):
     import pandas as pd
 
     assert pd.read_parquet(os.path.join(d0, f0))["doc_id"].iloc[0] == first
+
+
+def test_pack_sequences_placement_closed_form(spark):
+    """Concat-then-chunk packing: offsets are running sums in id
+    order, chunk spans are floor arithmetic, documents straddle cuts,
+    zero-token docs occupy no stream space."""
+    from giraph_spark.functions.export import pack_sequences
+
+    rows = [  # (doc_id, n_tokens): stream cuts every 10 tokens
+        (1, 4),   # [0, 4)   -> seq 0..0
+        (2, 0),   # empty
+        (3, 9),   # [4, 13)  -> seq 0..1 (straddles the cut at 10)
+        (4, 10),  # [13, 23) -> seq 1..2
+        (5, 1),   # [23, 24) -> seq 2..2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["offset"], r["first_seq"], r["last_seq"], r["n_seqs"])
+        for r in pack_sequences(df, seq_len=10).collect()
+    }
+    assert got == {
+        1: (0, 0, 0, 1),
+        3: (4, 0, 1, 2),
+        4: (13, 1, 2, 2),
+        5: (23, 2, 2, 1),
+    }
+    # drop_empty=False keeps the empty doc with NULL placement
+    kept = {
+        r["doc_id"]: r["offset"]
+        for r in pack_sequences(df, seq_len=10, drop_empty=False).collect()
+    }
+    assert 2 in kept and kept[2] is None
+    # per-shard streams are independent
+    sharded = spark.createDataFrame(
+        [(1, 0, 7), (2, 0, 7), (3, 1, 7)],
+        "doc_id long, shard int, n_tokens long",
+    )
+    by_shard = {
+        (r["shard"], r["doc_id"]): r["offset"]
+        for r in pack_sequences(
+            sharded, seq_len=5, shard_col="shard"
+        ).collect()
+    }
+    assert by_shard == {(0, 1): 0, (0, 2): 7, (1, 3): 0}
+    import pytest
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, seq_len=0)
+    with pytest.raises(ValueError, match="output names"):
+        pack_sequences(
+            df.withColumn("offset", F.lit(1)), seq_len=10
+        )
