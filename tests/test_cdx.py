@@ -346,3 +346,53 @@ def test_fetch_members_stream_seam(spark, tmp_path):
         fetch_members_stream(
             captures, checkpoint_dir=str(tmp_path / "c2"),
         )
+
+
+def test_read_warc_members_prune_accounting(spark, tmp_path):
+    """The IO claim of the member-range path, end to end: fetching a
+    SELECTION of captures reads exactly the sum of the selected
+    members' lengths — strictly less than the archive's total bytes —
+    and every fetch_bytes equals its capture's length (the honest
+    accounting column read_warc_members emits)."""
+    from giraph_spark.sources.warc import make_warc, read_warc_members
+
+    def rec(rid, uri, text):
+        return (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Target-URI": uri,
+                "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                "Content-Type": "text/plain",
+            },
+            text.encode(),
+        )
+
+    members = [
+        make_warc([rec(f"r{i}", f"https://h{i}.example/p", "x" * (20 + 7 * i))])
+        for i in range(10)
+    ]
+    shards = tmp_path / "arch"
+    shards.mkdir()
+    # two shards of five members each, offsets = running sums
+    index = []
+    for s in range(2):
+        chunk = members[s * 5:(s + 1) * 5]
+        (shards / f"s{s}.warc.gz").write_bytes(b"".join(chunk))
+        pos = 0
+        for i, m in enumerate(chunk):
+            index.append((f"s{s}.warc.gz", pos, len(m), s * 5 + i))
+            pos += len(m)
+    captures = spark.createDataFrame(
+        index, "filename string, offset long, length long, i int"
+    )
+    selected = captures.where(F.col("i") % 3 == 0)  # i = 0,3,6,9
+    out = read_warc_members(selected, base_dir=str(shards)).collect()
+    assert all(r["error"] is None for r in out)
+    want_bytes = sum(len(members[i]) for i in (0, 3, 6, 9))
+    total_archive = sum(len(m) for m in members)
+    assert sum(r["fetch_bytes"] for r in out) == want_bytes < total_archive
+    # per-capture: fetch_bytes == the index's length, row for row
+    by_uri = {r["target_uri"]: r["fetch_bytes"] for r in out}
+    assert by_uri == {
+        f"https://h{i}.example/p": len(members[i]) for i in (0, 3, 6, 9)
+    }
