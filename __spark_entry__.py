@@ -3121,6 +3121,42 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape curation signals (functions/urls.py url_features +
+    url_wordlist_score): hosts of two label depths, paths with a
+    conditional percent-escape, conditional query params, and a
+    three-term weighted wordlist — every feature recomputed by the
+    oracle with SQL string functions over the SAME constructed URL
+    (lengths, label/segment/param counts, global digit strip, the
+    substring hits as closed-form CASEs)."""
+    from giraph_spark.functions.urls import url_features, url_wordlist_score
+
+    did = F.col("doc_id")
+    host = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("sub"), (did % 3).cast("string"), F.lit(".ex"),
+                 (did % 5).cast("string"), F.lit(".example.com")),
+    ).otherwise(
+        F.concat(F.lit("ex"), (did % 5).cast("string"), F.lit(".org"))
+    )
+    path = F.concat(
+        F.lit("/p"), did.cast("string"),
+        F.when(did % 3 == 0, F.lit("/a%20b")).otherwise(F.lit("/x")),
+    )
+    query = F.when(
+        did % 4 == 0, F.concat(F.lit("?a=1&b="), did.cast("string"))
+    ).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), host, path, query)
+    urls = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    wl = {"ex": 1.0, "p7": 0.25, "casino": 9.0}
+    out = urls.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url_features(F.col("url")).alias("f"),
+        F.round(url_wordlist_score(F.col("url"), wl), 6).alias("wl_score"),
+    )
+    return out.select("doc_id", "f.*", "wl_score")
+
+
 def _webp_fixture() -> tuple[bytes, int]:
     """Deterministic dirty-WebP fixture shared by the media_scrub key
     and its oracle's constants: (dirty_bytes, bytes_the_scrub_removes)
@@ -3403,6 +3439,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "perplexity_buckets": _q_perplexity_buckets,
         "pack_sequences": _q_pack_sequences,
+        "url_features": _q_url_features,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
@@ -3460,6 +3497,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idna_hosts": _q_idna_hosts,
         "surt_keys": _q_surt_keys,
         "pack_sequences": _q_pack_sequences,
+        "url_features": _q_url_features,
         "cdx_shards": _q_cdx_shards,
         "cdx_latest": _q_cdx_latest,
         "sitemap_locs": _q_sitemap_locs,
@@ -7295,6 +7333,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, shard, n_tokens,
             - FLOOR(off / 2048) + 1 AS BIGINT) AS n_seqs
 FROM placed"""
 
+    # url_features: every shape signal recomputed with SQL string
+    # functions over the SAME constructed URL; wordlist hits are
+    # closed-form CASEs ('ex' always via the host, 'p7' iff the id's
+    # decimal form starts with 7, 'casino' never)
+    url_features_sql = """
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+         THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.ex' ||
+              CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+         ELSE 'ex' || CAST(doc_id % 5 AS VARCHAR) || '.org' END AS host,
+    '/p' || CAST(doc_id AS VARCHAR) ||
+      CASE WHEN doc_id % 3 = 0 THEN '/a%20b' ELSE '/x' END AS path,
+    CASE WHEN doc_id % 4 = 0
+         THEN '?a=1&b=' || CAST(doc_id AS VARCHAR) ELSE '' END AS query
+  FROM documents
+), built AS (
+  SELECT doc_id, host, path, query,
+         'https://' || host || path || query AS url
+  FROM u
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(url) AS INT) AS url_len,
+       CAST(length(host) AS INT) AS host_len,
+       CAST(len(string_split(host, '.')) AS INT) AS n_labels,
+       CAST(length(path) AS INT) AS path_len,
+       CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INT)
+         AS path_depth,
+       CAST(CASE WHEN query = '' THEN 0
+                 ELSE len(string_split(substr(query, 2), '&')) END AS INT)
+         AS n_params,
+       ROUND(CAST(length(url) -
+                  length(regexp_replace(url, '[0-9]', '', 'g')) AS DOUBLE)
+             / length(url), 6) AS digit_ratio,
+       CAST(length(url) - length(replace(url, '%', '')) AS INT)
+         AS pct_encoded,
+       ROUND(1.0 + CASE WHEN CAST(doc_id AS VARCHAR) LIKE '7%' THEN 0.25
+                        ELSE 0.0 END, 6) AS wl_score
+FROM built"""
+
     # cdx_shards: the oracle never sees an index byte — it recomputes
     # the filtered shard groupBy from the same line-building arithmetic
     # (corrupt lines and 404 captures excluded exactly as the index
@@ -7584,6 +7662,7 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
             ELSE 'head' END AS bucket
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         "pack_sequences": pack_sequences_sql,
+        "url_features": url_features_sql,
         "kmeans_clusters": kmeans_sql,
         "semdedup": semdedup_sql,
         "semdedup_two_level": semdedup_two_level_sql,
@@ -7681,6 +7760,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "idna_hosts": idna_hosts_sql,
         "surt_keys": surt_keys_sql,
         "pack_sequences": pack_sequences_sql,
+        "url_features": url_features_sql,
         "cdx_shards": cdx_shards_sql,
         "cdx_latest": cdx_latest_sql,
         "sitemap_locs": sitemap_locs_sql,

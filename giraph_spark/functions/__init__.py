@@ -79,8 +79,10 @@ from .urls import (
     registered_domain,
     registered_domain_psl,
     surt_key,
+    url_features,
     url_host,
     url_parts,
+    url_wordlist_score,
 )
 from .pii import pii_features, pii_rate, redact_pii
 from .paragraphs import (

@@ -1166,6 +1166,88 @@ def robots_sitemaps(
     )
 
 
+def url_features(col: Column) -> Column:
+    """URL-shape features for curation classifiers — the signals
+    URL-level quality filters (RefinedWeb's URL scoring, spam/SEO
+    heuristics) cut on before any page byte is fetched:
+    ``struct(url_len, host_len, n_labels, path_len, path_depth,
+    n_params, digit_ratio, pct_encoded)``. All pure expressions over
+    one :func:`url_parts` projection (the one-element-array
+    ``transform`` let binds the parse tree once, the
+    :func:`registered_domain_psl` pattern), so at corpus scale these
+    fuse with the scan. NULL-host URLs yield a NULL struct — garbage
+    has no shape worth scoring.
+
+    ``digit_ratio`` is digits / total characters of the whole URL
+    (SEO-spam URLs are digit-heavy); ``pct_encoded`` counts ``%``
+    escapes; ``path_depth`` counts non-empty ``/`` segments;
+    ``n_params`` counts ``&``-separated query params. Feed the struct
+    to ``quality_buckets`` / a classifier, or threshold directly."""
+    p = url_parts(col)
+
+    def build(s: Column) -> Column:
+        u = s.getField("u")
+        pp = s.getField("p")
+        host = pp.getField("host")
+        path = F.coalesce(pp.getField("path"), F.lit("/"))
+        query = F.coalesce(pp.getField("query"), F.lit(""))
+        digits = F.length(u) - F.length(F.regexp_replace(u, "[0-9]", ""))
+        return F.when(
+            host.isNotNull(),
+            F.struct(
+                F.length(u).cast("int").alias("url_len"),
+                F.length(host).cast("int").alias("host_len"),
+                F.size(F.split(host, r"\.")).cast("int").alias("n_labels"),
+                F.length(path).cast("int").alias("path_len"),
+                F.size(
+                    F.filter(F.split(path, "/"), lambda x: x != "")
+                ).cast("int").alias("path_depth"),
+                F.size(
+                    F.filter(F.split(query, "&"), lambda x: x != "")
+                ).cast("int").alias("n_params"),
+                F.round(digits / F.length(u), 6).alias("digit_ratio"),
+                (
+                    F.length(u) - F.length(F.regexp_replace(u, "%", ""))
+                ).cast("int").alias("pct_encoded"),
+            ),
+        )
+
+    bound = F.transform(
+        F.array(F.struct(col.alias("u"), p.alias("p"))), build
+    )
+    return F.element_at(bound, 1)
+
+
+def url_wordlist_score(col: Column, weights: dict) -> Column:
+    """Weighted substring score of a URL against a caller wordlist —
+    the soft URL filter (RefinedWeb runs one over adult/spam terms):
+    the sum of ``weight`` for every word appearing as a substring of
+    the lowercased URL; 0.0 when none hit, NULL for NULL URLs.
+    Expression-only (one CASE per word folded through ``aggregate``),
+    so it rides the scan like the other curation predicates — sized
+    for curated lists of tens-to-hundreds of terms; a multi-thousand
+    term list should become a tokenize + broadcast-join instead (the
+    blocklist shape). Words match case-insensitively as raw
+    substrings: 'sex' hits 'essex' — curation wordlists weight terms
+    knowing this (it is the standard, documented trade of the
+    technique)."""
+    if not weights:
+        raise ValueError("url_wordlist_score: empty wordlist")
+    low = F.lower(col)
+    terms = F.array(
+        *[
+            F.when(low.contains(str(w).lower()), F.lit(float(wt))).otherwise(
+                F.lit(0.0)
+            )
+            for w, wt in sorted(weights.items())
+        ]
+    )
+    return F.when(
+        col.isNotNull(),
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x),
+    )
+
+
 def sitemap_urls(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     """Sitemap XML → one row per ``<loc>`` entry, tagged ``kind`` =
     ``'url'`` (a page, from ``<url>`` blocks) or ``'sitemap'`` (a

@@ -1227,3 +1227,39 @@ def test_surt_key_form_and_index_join(spark, tmp_path):
         .collect()
     )
     assert [r["url"] for r in hits] == ["https://www.site.org/page"]
+
+
+def test_url_features_and_wordlist_score(spark):
+    """URL-shape curation signals: every field closed-form for one
+    hand-computed URL; garbage yields a NULL struct; the wordlist
+    score sums each hit once, case-insensitively, 0.0 on no hit,
+    NULL for NULL URLs, and raises on an empty list."""
+    from giraph_spark.functions.urls import url_features, url_wordlist_score
+
+    u = "https://a.b.example.com/x/y/z123?a=1&b=2%20c"
+    df = spark.createDataFrame([(u,), ("garbage",), (None,)], "url string")
+    wl = {"EXAMPLE": 1.0, "z12": 0.5, "casino": 9.0}
+    out = {
+        r["url"]: (r["f"], r["s"])
+        for r in df.select(
+            "url",
+            url_features(F.col("url")).alias("f"),
+            url_wordlist_score(F.col("url"), wl).alias("s"),
+        ).collect()
+    }
+    f, s = out[u]
+    assert f.asDict() == {
+        "url_len": len(u),
+        "host_len": len("a.b.example.com"),
+        "n_labels": 4,
+        "path_len": len("/x/y/z123"),
+        "path_depth": 3,
+        "n_params": 2,
+        "digit_ratio": round(sum(c.isdigit() for c in u) / len(u), 6),
+        "pct_encoded": 1,
+    }
+    assert s == 1.5  # EXAMPLE (case-fold) + z12; casino misses
+    assert out["garbage"][0] is None and out["garbage"][1] == 0.0
+    assert out[None] == (None, None)
+    with pytest.raises(ValueError, match="empty wordlist"):
+        url_wordlist_score(F.col("url"), {})
