@@ -3157,6 +3157,72 @@ def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "f.*", "wl_score")
 
 
+def _bmp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 9x8 grayscale BMP per document for the image
+    perceptual-hash keys: pixel (x, y) of doc d is
+    ``(x*m + y*29 + p*7) % 256`` with ``p = d - d%5`` (five docs share
+    a base image) and ``m = 13`` for the first two docs of each group
+    (class 1 additionally perturbs pixel (0,0) by +128 — the
+    near-duplicate), ``13 + (d%5)*6`` otherwise (structurally
+    different gradients). Everything the oracle needs is this
+    arithmetic; the BMP bytes exist only so the REAL decode path runs."""
+
+    def gen(batches):
+        import pandas as _pd
+
+        from giraph_spark.functions.media_codecs import make_bmp
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                k = d % 5
+                p = d - k
+                m = 13 if k <= 1 else 13 + k * 6
+                rows = []
+                for y in range(8):
+                    row = bytearray()
+                    for x in range(9):
+                        v = (x * m + y * 29 + p * 7) % 256
+                        if k == 1 and x == 0 and y == 0:
+                            v = (v + 128) % 256
+                        row += bytes([v, v, v])
+                    rows.append(bytes(row))
+                out.append([d, make_bmp(9, 8, rows=rows)])
+            yield _pd.DataFrame(out, columns=["media_id", "payload"])
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return ids.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (functions/imagehash.py image_dhash):
+    dHash-9x8 over REAL decoded BMP pixels — every 64-bit hash, its
+    two's-complement signed form, and all four 16-bit LSH bands must
+    equal the oracle's pure-arithmetic recomputation of the gradient
+    bits (the fixture grid is closed-form, so the hash is too)."""
+    from giraph_spark.functions.imagehash import image_dhash
+
+    h = image_dhash(_bmp_corpus(spark, sf_dir))
+    return h.select(
+        F.col("media_id").alias("doc_id"),
+        "width", "height", "dhash", "b0", "b1", "b2", "b3",
+    )
+
+
+def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs (functions/imagehash.py
+    dhash_near_duplicates): LSH band candidacy + exact Hamming filter
+    over the :func:`_bmp_corpus` hashes. The oracle replays the WHOLE
+    rule — any-band collision, id_a < id_b, bit_count(xor) <= 6 — on
+    its recomputed hashes, so even incidental band collisions between
+    unrelated images must agree pair for pair."""
+    from giraph_spark.functions.imagehash import dhash_near_duplicates, image_dhash
+
+    h = image_dhash(_bmp_corpus(spark, sf_dir)).localCheckpoint(eager=False)
+    return dhash_near_duplicates(h, max_hamming=6)
+
+
 def _webp_fixture() -> tuple[bytes, int]:
     """Deterministic dirty-WebP fixture shared by the media_scrub key
     and its oracle's constants: (dirty_bytes, bytes_the_scrub_removes)
@@ -3440,6 +3506,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "pack_sequences": _q_pack_sequences,
         "url_features": _q_url_features,
+        "image_dhash": _q_image_dhash,
+        "image_near_dups": _q_image_near_dups,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
@@ -3498,6 +3566,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": _q_surt_keys,
         "pack_sequences": _q_pack_sequences,
         "url_features": _q_url_features,
+        "image_dhash": _q_image_dhash,
+        "image_near_dups": _q_image_near_dups,
         "cdx_shards": _q_cdx_shards,
         "cdx_latest": _q_cdx_latest,
         "sitemap_locs": _q_sitemap_locs,
@@ -7373,6 +7443,68 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
                         ELSE 0.0 END, 6) AS wl_score
 FROM built"""
 
+    # image_dhash: the 9x8 fixture grid is closed-form, so every
+    # gradient bit is too — the signed hash is assembled as two's
+    # complement directly in BIGINT (bit 63 contributes -2^63), the
+    # bands as plain 16-bit sums, and width/height are the fixture's
+    image_dhash_grid = """
+  SELECT d.doc_id, g.r, g.c,
+         ((((g.c + 1) * m + g.r * 29 + p * 7) % 256
+           + CASE WHEN d.doc_id % 5 = 1 AND g.c + 1 = 0 AND g.r = 0
+                  THEN 128 ELSE 0 END) % 256)
+         >
+         (((g.c * m + g.r * 29 + p * 7) % 256
+           + CASE WHEN d.doc_id % 5 = 1 AND g.c = 0 AND g.r = 0
+                  THEN 128 ELSE 0 END) % 256) AS bit
+  FROM (SELECT doc_id,
+               doc_id - doc_id % 5 AS p,
+               CASE WHEN doc_id % 5 <= 1 THEN 13
+                    ELSE 13 + (doc_id % 5) * 6 END AS m
+        FROM documents) d,
+       (SELECT r.r, c.c
+        FROM (SELECT unnest(range(8)) AS r) r,
+             (SELECT unnest(range(8)) AS c) c) g
+"""
+    image_dhash_hashes = f"""
+WITH bits AS ({image_dhash_grid}),
+hashes AS (
+  SELECT doc_id,
+         SUM(CASE WHEN bit AND r * 8 + c < 63
+                  THEN (CAST(1 AS BIGINT) << (r * 8 + c))
+                  WHEN bit AND r * 8 + c = 63
+                  THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE 0 END) AS dhash,
+         SUM(CASE WHEN bit AND r * 8 + c < 16
+                  THEN (1 << (r * 8 + c)) ELSE 0 END) AS b0,
+         SUM(CASE WHEN bit AND r * 8 + c BETWEEN 16 AND 31
+                  THEN (1 << (r * 8 + c - 16)) ELSE 0 END) AS b1,
+         SUM(CASE WHEN bit AND r * 8 + c BETWEEN 32 AND 47
+                  THEN (1 << (r * 8 + c - 32)) ELSE 0 END) AS b2,
+         SUM(CASE WHEN bit AND r * 8 + c BETWEEN 48 AND 63
+                  THEN (1 << (r * 8 + c - 48)) ELSE 0 END) AS b3
+  FROM bits GROUP BY doc_id
+)"""
+    image_dhash_sql = f"""{image_dhash_hashes}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(dhash AS BIGINT) AS dhash,
+       CAST(b0 AS INT) AS b0, CAST(b1 AS INT) AS b1,
+       CAST(b2 AS INT) AS b2, CAST(b3 AS INT) AS b3
+FROM hashes"""
+
+    # image_near_dups: the full near-dup rule replayed — any-band
+    # collision candidates, ordered pair, exact Hamming <= 6 via
+    # two's-complement xor popcount
+    image_near_dups_sql = f"""{image_dhash_hashes}
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(CAST(a.dhash AS BIGINT),
+                          CAST(b.dhash AS BIGINT))) AS INT) AS hamming
+FROM hashes a JOIN hashes b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(CAST(a.dhash AS BIGINT), CAST(b.dhash AS BIGINT))) <= 6"""
+
     # cdx_shards: the oracle never sees an index byte — it recomputes
     # the filtered shard groupBy from the same line-building arithmetic
     # (corrupt lines and 404 captures excluded exactly as the index
@@ -7663,6 +7795,8 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         "pack_sequences": pack_sequences_sql,
         "url_features": url_features_sql,
+        "image_dhash": image_dhash_sql,
+        "image_near_dups": image_near_dups_sql,
         "kmeans_clusters": kmeans_sql,
         "semdedup": semdedup_sql,
         "semdedup_two_level": semdedup_two_level_sql,
@@ -7761,6 +7895,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "surt_keys": surt_keys_sql,
         "pack_sequences": pack_sequences_sql,
         "url_features": url_features_sql,
+        "image_dhash": image_dhash_sql,
+        "image_near_dups": image_near_dups_sql,
         "cdx_shards": cdx_shards_sql,
         "cdx_latest": cdx_latest_sql,
         "sitemap_locs": sitemap_locs_sql,

@@ -61,6 +61,7 @@ from .bpe import bpe_encode, train_bpe
 from .crawl import crawl_rounds, schedule_frontier
 from .datacard import data_card
 from .export import pack_sequences, write_training_shards
+from .imagehash import dhash_near_duplicates, image_dhash
 from .media_privacy import (
     strip_jpeg_metadata,
     strip_media_metadata,

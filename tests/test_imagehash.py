@@ -1,0 +1,92 @@
+"""Perceptual image hashing (dHash) + LSH-banded near-dup pairs:
+closed-form bit checks, resize paths, error-row contract, and the
+band-candidate completeness guarantee at low Hamming distance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.functions.imagehash import (
+    _decode_gray,
+    dhash64,
+    dhash_near_duplicates,
+    image_dhash,
+)
+from giraph_spark.functions.media_codecs import make_bmp
+
+
+def bmp_of(vals):
+    """8 rows x 9 cols of grayscale values -> 24-bit BMP bytes."""
+    rows = [bytes(int(v) for v in row for _ in range(3)) for row in vals]
+    return make_bmp(len(vals[0]), len(vals), rows=rows)
+
+
+def grid(fn, w=9, h=8):
+    return np.array([[fn(x, y) for x in range(w)] for y in range(h)])
+
+
+def test_dhash64_closed_form_bits():
+    """Every bit is the horizontal gradient sign at its (row, col):
+    a strictly increasing ramp sets all 64 bits; a decreasing ramp
+    none; one local bump flips exactly the two adjacent comparisons."""
+    inc = grid(lambda x, y: x * 10)
+    dec = grid(lambda x, y: 200 - x * 10)
+    assert dhash64(inc.astype(float)) == (1 << 64) - 1
+    assert dhash64(dec.astype(float)) == 0
+    bump = dec.astype(float).copy()
+    bump[3, 4] += 25  # now grid[3,4] > grid[3,3] and grid[3,5] < grid[3,4] stays
+    want = 1 << (3 * 8 + 3)  # only bit (r=3, c=3) flips to 1
+    assert dhash64(bump) == want
+
+
+def test_dhash64_resize_paths():
+    """Exact block averaging for integer multiples (18x16 of a linear
+    ramp == the 9x8 ramp's hash); decimation sampling otherwise."""
+    small = grid(lambda x, y: x * 8 + y, 9, 8).astype(float)
+    big = grid(lambda x, y: (x // 2) * 8 + (y // 2), 18, 16).astype(float)
+    assert dhash64(big) == dhash64(small)
+    odd = grid(lambda x, y: x * 5, 13, 11).astype(float)  # falls to sampling
+    assert dhash64(odd) == dhash64(grid(lambda x, y: x * 5, 9, 8).astype(float))
+
+
+def test_decode_gray_bmp_roundtrip():
+    vals = grid(lambda x, y: (x * 13 + y * 29) % 256)
+    g = _decode_gray(bmp_of(vals))
+    assert g.shape == (8, 9)
+    assert np.array_equal(g, vals.astype(float))
+
+
+def test_image_dhash_and_near_duplicates(spark):
+    """The relation: hashes + bands for decodable images, error rows
+    for garbage; a one-pixel perturbation is a near-dup pair at
+    Hamming <= 1 (band candidacy complete at that distance), an
+    inverted image is not a pair."""
+    base = grid(lambda x, y: (x * 13 + y * 29) % 256)
+    near = base.copy()
+    near[0, 0] = (near[0, 0] + 128) % 256
+    far = 255 - base
+    rows = [
+        (1, bmp_of(base)), (2, bmp_of(near)), (3, bmp_of(far)),
+        (4, b"JUNK"), (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = image_dhash(df)
+    got = {r["media_id"]: r for r in h.collect()}
+    assert got[1]["error"] is None and (got[1]["width"], got[1]["height"]) == (9, 8)
+    assert got[4]["error"] is not None and got[4]["dhash"] is None
+    assert got[5]["error"] is not None
+    # band columns reconstruct the unsigned hash
+    u = dhash64(base.astype(float))
+    assert (
+        got[1]["b0"] | (got[1]["b1"] << 16) | (got[1]["b2"] << 32)
+        | (got[1]["b3"] << 48)
+    ) == u
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_duplicates(h, max_hamming=6).collect()
+    }
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] <= 1
+    with pytest.raises(ValueError, match="max_hamming"):
+        dhash_near_duplicates(h, max_hamming=65)
