@@ -3223,6 +3223,72 @@ def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_near_duplicates(h, max_hamming=6)
 
 
+def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 65-frame 8-bit mono WAV per document for the
+    audio fingerprint keys: frame k of doc d holds 8 samples of
+    constant amplitude ``a_k = (k*m + p*3) % 25 - 12`` with
+    ``p = d - d%5`` and ``m = 7`` for the first two docs of each
+    group (class 1 additionally pins frame 0 to amplitude 12 — the
+    near-duplicate), ``7 + (d%5)*2`` otherwise. Constant frames make
+    every frame energy EXACTLY ``(a_k/128)^2`` (no float-summation
+    noise), so the oracle's integer comparison ``a_{k+1}^2 > a_k^2``
+    IS the decoded contour bit."""
+
+    def gen(batches):
+        import pandas as _pd
+
+        from giraph_spark.functions.media_codecs import make_wav
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                k5 = d % 5
+                p = d - k5
+                m = 7 if k5 <= 1 else 7 + k5 * 2
+                amps = [(k * m + p * 3) % 25 - 12 for k in range(65)]
+                if k5 == 1:
+                    amps[0] = 12
+                data = bytes(
+                    b for a in amps for b in bytes([128 + a]) * 8
+                )
+                out.append([d, make_wav(0, data=data)])
+            yield _pd.DataFrame(out, columns=["media_id", "payload"])
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return ids.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def _q_audio_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy-contour fingerprints (functions/audiohash.py
+    audio_fingerprint) over REAL decoded PCM: the 64 gradient bits,
+    the signed hash, and the four LSH bands must equal the oracle's
+    pure integer arithmetic over the fixture's frame amplitudes."""
+    from giraph_spark.functions.audiohash import audio_fingerprint
+
+    fp = audio_fingerprint(_wav_corpus(spark, sf_dir))
+    return fp.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate", "n_samples", "afp", "b0", "b1", "b2", "b3",
+    )
+
+
+def _q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs (functions/audiohash.py
+    audio_near_duplicates): the full rule — any-band collision,
+    ordered pair, Hamming <= 6 — replayed by the oracle on its
+    recomputed fingerprints."""
+    from giraph_spark.functions.audiohash import (
+        audio_fingerprint,
+        audio_near_duplicates,
+    )
+
+    fp = audio_fingerprint(_wav_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    return audio_near_duplicates(fp, max_hamming=6)
+
+
 def _webp_fixture() -> tuple[bytes, int]:
     """Deterministic dirty-WebP fixture shared by the media_scrub key
     and its oracle's constants: (dirty_bytes, bytes_the_scrub_removes)
@@ -3508,6 +3574,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": _q_url_features,
         "image_dhash": _q_image_dhash,
         "image_near_dups": _q_image_near_dups,
+        "audio_afp": _q_audio_afp,
+        "audio_near_dups": _q_audio_near_dups,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
@@ -3568,6 +3636,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": _q_url_features,
         "image_dhash": _q_image_dhash,
         "image_near_dups": _q_image_near_dups,
+        "audio_afp": _q_audio_afp,
+        "audio_near_dups": _q_audio_near_dups,
         "cdx_shards": _q_cdx_shards,
         "cdx_latest": _q_cdx_latest,
         "sitemap_locs": _q_sitemap_locs,
@@ -7505,6 +7575,60 @@ FROM hashes a JOIN hashes b
  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
 WHERE bit_count(xor(CAST(a.dhash AS BIGINT), CAST(b.dhash AS BIGINT))) <= 6"""
 
+    # audio_afp: constant-amplitude frames make the contour bit the
+    # INTEGER comparison a_{k+1}^2 > a_k^2 — no float energies in the
+    # oracle at all; same two's-complement assembly as image_dhash
+    audio_afp_hashes = """
+WITH amps AS (
+  SELECT d.doc_id, g.k,
+         CASE WHEN d.doc_id % 5 = 1 AND g.k = 0 THEN 12
+              ELSE (g.k * m + p * 3) % 25 - 12 END AS a
+  FROM (SELECT doc_id,
+               doc_id - doc_id % 5 AS p,
+               CASE WHEN doc_id % 5 <= 1 THEN 7
+                    ELSE 7 + (doc_id % 5) * 2 END AS m
+        FROM documents) d,
+       (SELECT unnest(range(65)) AS k) g
+), bits AS (
+  SELECT a0.doc_id, a0.k,
+         (a1.a * a1.a) > (a0.a * a0.a) AS bit
+  FROM amps a0 JOIN amps a1
+    ON a0.doc_id = a1.doc_id AND a1.k = a0.k + 1
+  WHERE a0.k < 64
+), hashes AS (
+  SELECT doc_id,
+         SUM(CASE WHEN bit AND k < 63 THEN (CAST(1 AS BIGINT) << k)
+                  WHEN bit AND k = 63
+                  THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE 0 END) AS afp,
+         SUM(CASE WHEN bit AND k < 16 THEN (1 << k) ELSE 0 END) AS b0,
+         SUM(CASE WHEN bit AND k BETWEEN 16 AND 31
+                  THEN (1 << (k - 16)) ELSE 0 END) AS b1,
+         SUM(CASE WHEN bit AND k BETWEEN 32 AND 47
+                  THEN (1 << (k - 32)) ELSE 0 END) AS b2,
+         SUM(CASE WHEN bit AND k BETWEEN 48 AND 63
+                  THEN (1 << (k - 48)) ELSE 0 END) AS b3
+  FROM bits GROUP BY doc_id
+)"""
+    audio_afp_sql = f"""{audio_afp_hashes}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(520 AS BIGINT) AS n_samples,
+       CAST(afp AS BIGINT) AS afp,
+       CAST(b0 AS INT) AS b0, CAST(b1 AS INT) AS b1,
+       CAST(b2 AS INT) AS b2, CAST(b3 AS INT) AS b3
+FROM hashes"""
+
+    audio_near_dups_sql = f"""{audio_afp_hashes}
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(CAST(a.afp AS BIGINT),
+                          CAST(b.afp AS BIGINT))) AS INT) AS hamming
+FROM hashes a JOIN hashes b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(CAST(a.afp AS BIGINT), CAST(b.afp AS BIGINT))) <= 6"""
+
     # cdx_shards: the oracle never sees an index byte — it recomputes
     # the filtered shard groupBy from the same line-building arithmetic
     # (corrupt lines and 404 captures excluded exactly as the index
@@ -7797,6 +7921,8 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         "url_features": url_features_sql,
         "image_dhash": image_dhash_sql,
         "image_near_dups": image_near_dups_sql,
+        "audio_afp": audio_afp_sql,
+        "audio_near_dups": audio_near_dups_sql,
         "kmeans_clusters": kmeans_sql,
         "semdedup": semdedup_sql,
         "semdedup_two_level": semdedup_two_level_sql,
@@ -7897,6 +8023,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "url_features": url_features_sql,
         "image_dhash": image_dhash_sql,
         "image_near_dups": image_near_dups_sql,
+        "audio_afp": audio_afp_sql,
+        "audio_near_dups": audio_near_dups_sql,
         "cdx_shards": cdx_shards_sql,
         "cdx_latest": cdx_latest_sql,
         "sitemap_locs": sitemap_locs_sql,

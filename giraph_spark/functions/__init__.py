@@ -61,7 +61,8 @@ from .bpe import bpe_encode, train_bpe
 from .crawl import crawl_rounds, schedule_frontier
 from .datacard import data_card
 from .export import pack_sequences, write_training_shards
-from .imagehash import dhash_near_duplicates, image_dhash
+from .audiohash import audio_fingerprint, audio_near_duplicates
+from .imagehash import banded_hamming_pairs, dhash_near_duplicates, image_dhash
 from .media_privacy import (
     strip_jpeg_metadata,
     strip_media_metadata,

@@ -1,0 +1,129 @@
+"""Perceptual audio fingerprinting + near-duplicate detection — the
+audio leg of the dedup family (text: ``dedup.py``; images:
+``imagehash.py``): multimodal sets carry the same clip re-sampled or
+re-encoded, and byte hashing can't see through that. The fingerprint
+is an energy-contour hash (the core move of Chromaprint-class
+fingerprinters, reduced to its zero-dependency essence): decode PCM,
+fold to mono, split into 65 equal frames, and emit one bit per
+FRAME-ENERGY gradient sign — 64 bits whose Hamming distance tracks
+how differently two clips' loudness evolves. Deliberately the exact
+shape of the image tier's dHash, so the LSH banding, the pair
+verifier (``imagehash.banded_hamming_pairs``), and the scale story
+are shared — one Arrow-batched decode pass, band-bucket joins,
+nothing all-pairs.
+
+Honest scope: an energy contour is robust to re-encoding, gain
+riding, and container changes, NOT to time-shifts or trims (those
+need overlapping-window chroma features and a real frequency
+transform — out of zero-dep scope, documented here rather than
+faked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .imagehash import banded_hamming_pairs
+
+#: output schema of :func:`audio_fingerprint` — the image tier's
+#: shape with audio-native metadata columns
+AFP_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, afp long, "
+    "b0 int, b1 int, b2 int, b3 int, error string"
+)
+
+N_FRAMES = 65  # 65 frame energies -> 64 gradient bits
+
+
+def energy_contour_hash(samples) -> int:
+    """65-frame energy-gradient hash of a mono float sample array as
+    an UNSIGNED 64-bit int: frames are equal length (tail remainder
+    dropped), frame energy is the mean square, bit ``k`` is set iff
+    ``energy[k+1] > energy[k]``. Raises for clips shorter than one
+    sample per frame."""
+    n = samples.shape[0]
+    f = n // N_FRAMES
+    if f == 0:
+        raise ValueError(f"clip too short: {n} samples < {N_FRAMES} frames")
+    e = (samples[: f * N_FRAMES] ** 2).reshape(N_FRAMES, f).mean(axis=1)
+    val = 0
+    for k in range(N_FRAMES - 1):
+        if e[k + 1] > e[k]:
+            val |= 1 << k
+    return val
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Perceptual fingerprints for an audio relation: ``(media_id,
+    sample_rate, n_samples, afp, b0..b3, error)`` — ``afp`` is the
+    signed-long form of :func:`energy_contour_hash` over REAL decoded
+    PCM (``media_codecs.parse_wav_samples`` — every integer/float
+    layout that decoder supports), channels folded to mono by mean,
+    bands extracted from the unsigned value. One Arrow-batched pass;
+    undecodable/compressed/too-short payloads yield a null-hash row
+    with ``error`` set — the codecs' no-fake contract."""
+    import pandas as pd
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("_payload"),
+    )
+
+    def run(batches):
+        from .media_codecs import parse_wav_samples
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["_payload"]):
+                mid = None if pd.isna(mid) else int(mid)
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    b = bytes(payload)
+                    if len(b) > max_bytes:
+                        raise ValueError(f"payload over {max_bytes} bytes")
+                    rate, nch, samples = parse_wav_samples(b)
+                    mono = samples.reshape(-1, nch).mean(axis=1)
+                    u = energy_contour_hash(mono)
+                    signed = u - (1 << 64) if u >= 1 << 63 else u
+                    rows.append(
+                        [
+                            mid, int(rate), int(mono.shape[0]), signed,
+                            u & 0xFFFF, (u >> 16) & 0xFFFF,
+                            (u >> 32) & 0xFFFF, (u >> 48) & 0xFFFF,
+                            None,
+                        ]
+                    )
+                except Exception as ex:  # noqa: BLE001 - error-row contract
+                    rows.append(
+                        [mid, None, None, None, None, None, None, None,
+                         f"{type(ex).__name__}: {ex}"]
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "afp",
+                    "b0", "b1", "b2", "b3", "error",
+                ],
+            )
+
+    return cols.mapInPandas(run, schema=AFP_SCHEMA)
+
+
+def audio_near_duplicates(
+    fingerprints: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate audio pairs from an :func:`audio_fingerprint`
+    relation — :func:`~giraph_spark.functions.imagehash.
+    banded_hamming_pairs` over the ``afp`` column (same candidacy
+    guarantee and skew note)."""
+    return banded_hamming_pairs(
+        fingerprints, max_hamming=max_hamming, id_col=id_col, hash_col="afp"
+    )

@@ -156,20 +156,39 @@ def dhash_near_duplicates(
 ) -> DataFrame:
     """Near-duplicate image pairs from an :func:`image_dhash`
     relation: ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
-    Hamming distance ≤ ``max_hamming``. Candidates come from the four
-    16-bit band buckets (any-band collision — complete for
-    ``max_hamming`` ≤ 3 by pigeonhole, the standard recall trade
-    above that, identical to the SimHash tier's contract); the exact
-    distance check is one JVM-side ``bit_count(xor)`` per candidate.
-    Shuffle ∝ band-bucket sizes — a degenerate corpus (all-black
-    thumbnails) makes one giant bucket, the same documented skew the
-    text LSH tiers carry."""
+    Hamming distance ≤ ``max_hamming`` —
+    :func:`banded_hamming_pairs` over the ``dhash`` column."""
+    return banded_hamming_pairs(
+        hashes, max_hamming=max_hamming, id_col=id_col, hash_col="dhash"
+    )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate pairs for ANY 64-bit perceptual fingerprint
+    relation carrying ``(id, <hash_col>, b0..b3, error)`` — shared by
+    the image (:func:`image_dhash`) and audio
+    (``audiohash.audio_fingerprint``) tiers: ``(id_a, id_b, hamming)``
+    with ``id_a < id_b`` and Hamming ≤ ``max_hamming``. Candidates
+    come from the four 16-bit band buckets (any-band collision —
+    complete for ``max_hamming`` ≤ 3 by pigeonhole, the standard
+    recall trade above that, identical to the SimHash tier's
+    contract); the exact distance check is one JVM-side
+    ``bit_count(xor)`` per candidate. Shuffle ∝ band-bucket sizes — a
+    degenerate corpus (all-black thumbnails, silence) makes one giant
+    bucket, the same documented skew the text LSH tiers carry."""
     if not 0 <= max_hamming <= 64:
         raise ValueError(
-            f"dhash_near_duplicates: max_hamming in [0, 64], got {max_hamming}"
+            f"banded_hamming_pairs: max_hamming in [0, 64], got {max_hamming}"
         )
     h = hashes.where(F.col("error").isNull()).select(
-        F.col(id_col).alias("_id"), "dhash", "b0", "b1", "b2", "b3"
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("dhash"),
+        "b0", "b1", "b2", "b3",
     )
     pairs = None
     for band in ("b0", "b1", "b2", "b3"):

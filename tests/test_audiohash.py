@@ -1,0 +1,74 @@
+"""Energy-contour audio fingerprint + near-dup pairs: closed-form
+bit checks on constant-amplitude frames, mono fold, error-row
+contract, band candidacy at low Hamming."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from giraph_spark.functions.audiohash import (
+    N_FRAMES,
+    audio_fingerprint,
+    audio_near_duplicates,
+    energy_contour_hash,
+)
+from giraph_spark.functions.media_codecs import make_wav
+
+
+def wav_of(amps, frame=8):
+    """One constant-amplitude 8-bit frame per entry -> WAV bytes.
+    Frame energy is exactly (a/128)^2 — no float summation noise."""
+    data = bytes(
+        b for a in amps for b in bytes([128 + a]) * frame
+    )
+    return make_wav(0, data=data)
+
+
+def amps_of(fn):
+    return [fn(k) for k in range(N_FRAMES)]
+
+
+def test_energy_contour_hash_closed_form():
+    """Bit k is exactly energy[k+1] > energy[k]: rising |amplitude|
+    sets all 64 bits, falling none, one bump flips one bit."""
+    rising = np.repeat(np.arange(N_FRAMES) / 128.0, 8)
+    falling = np.repeat((N_FRAMES - np.arange(N_FRAMES)) / 128.0, 8)
+    assert energy_contour_hash(rising) == (1 << 64) - 1
+    assert energy_contour_hash(falling) == 0
+    with pytest.raises(ValueError, match="too short"):
+        energy_contour_hash(np.zeros(N_FRAMES - 1))
+
+
+def test_audio_fingerprint_and_near_duplicates(spark):
+    base = amps_of(lambda k: (k * 7) % 25 - 12)
+    near = list(base)
+    near[0] = 12  # perturb one frame: flips at most bit 0
+    far = amps_of(lambda k: (k * 11) % 25 - 12)
+    rows = [
+        (1, wav_of(base)), (2, wav_of(near)), (3, wav_of(far)),
+        (4, b"RIFFjunk"), (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    fp = audio_fingerprint(df)
+    got = {r["media_id"]: r for r in fp.collect()}
+    assert got[1]["error"] is None
+    assert got[1]["sample_rate"] == 8000
+    assert got[1]["n_samples"] == N_FRAMES * 8
+    assert got[4]["error"] is not None and got[4]["afp"] is None
+    assert got[5]["error"] is not None
+    # python parity + band reconstruction
+    mono = np.repeat(np.array(base) / 128.0, 8)
+    u = energy_contour_hash(mono)
+    signed = u - (1 << 64) if u >= 1 << 63 else u
+    assert got[1]["afp"] == signed
+    assert (
+        got[1]["b0"] | (got[1]["b1"] << 16) | (got[1]["b2"] << 32)
+        | (got[1]["b3"] << 48)
+    ) == u
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_duplicates(fp, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
