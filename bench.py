@@ -1549,9 +1549,132 @@ def stress_crawl() -> None:
     spark.stop()
 
 
+def stress_hash() -> None:
+    """Perceptual-hash tier throughput (``python bench.py
+    --stress-hash``): the image dHash and audio energy-contour passes
+    plus their banded near-dup joins at x1 / x10 synthetic corpora —
+    the same 10x evidence convention as the other tiers. Fixtures are
+    the driver keys' closed-form BMP/WAV generators scaled up (near
+    pairs ∝ corpus size, so the pair counters must scale exactly 10x
+    while nothing goes all-pairs)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("giraph-spark-stress-hash")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from giraph_spark.functions.audiohash import (
+        audio_fingerprint,
+        audio_near_duplicates,
+    )
+    from giraph_spark.functions.imagehash import (
+        dhash_near_duplicates,
+        image_dhash,
+    )
+
+    n_base = int(os.environ.get("SPARK_GRAFT_STRESS_MEDIA", "20000"))
+
+    def gen_media(ids):
+        def run(batches):
+            import pandas as _pd
+
+            from giraph_spark.functions.media_codecs import make_bmp, make_wav
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["id"]:
+                    d = int(did)
+                    k5, p = d % 5, d - d % 5
+                    m = 13 if k5 <= 1 else 13 + k5 * 6
+                    brows = []
+                    for y in range(8):
+                        row = bytearray()
+                        for x in range(9):
+                            v = (x * m + y * 29 + p * 7) % 256
+                            if k5 == 1 and x == 0 and y == 0:
+                                v = (v + 128) % 256
+                            row += bytes([v, v, v])
+                        brows.append(bytes(row))
+                    ma = 7 if k5 <= 1 else 7 + k5 * 2
+                    amps = [(k * ma + p * 3) % 25 - 12 for k in range(65)]
+                    if k5 == 1:
+                        amps[0] = 12
+                    wav = bytes(
+                        b for a in amps for b in bytes([128 + a]) * 8
+                    )
+                    rows.append(
+                        [d, make_bmp(9, 8, rows=brows), make_wav(0, data=wav)]
+                    )
+                yield _pd.DataFrame(
+                    rows, columns=["media_id", "bmp", "wav"]
+                )
+
+        return ids.mapInPandas(
+            run, schema="media_id long, bmp binary, wav binary"
+        )
+
+    out: dict[str, dict] = {}
+    for scale in (1, 10):
+        n = n_base * scale
+        media = gen_media(spark.range(n).withColumnRenamed("id", "id"))
+        media = media.localCheckpoint(eager=True)
+        r: dict[str, float | int] = {"items": n}
+        t0 = _time.monotonic()
+        ih = image_dhash(media, payload_col="bmp").localCheckpoint(eager=True)
+        r["image_hash_sec"] = round(_time.monotonic() - t0, 3)
+        r["image_hashed"] = ih.where(F.col("error").isNull()).count()
+        t0 = _time.monotonic()
+        r["image_pairs"] = dhash_near_duplicates(ih, max_hamming=6).count()
+        r["image_pairs_sec"] = round(_time.monotonic() - t0, 3)
+        t0 = _time.monotonic()
+        af = audio_fingerprint(media, payload_col="wav").localCheckpoint(
+            eager=True
+        )
+        r["audio_hash_sec"] = round(_time.monotonic() - t0, 3)
+        r["audio_hashed"] = af.where(F.col("error").isNull()).count()
+        t0 = _time.monotonic()
+        r["audio_pairs"] = audio_near_duplicates(af, max_hamming=6).count()
+        r["audio_pairs_sec"] = round(_time.monotonic() - t0, 3)
+        out[f"x{scale}"] = r
+    total = round(
+        sum(v for r in out.values() for k, v in r.items() if k.endswith("_sec")),
+        3,
+    )
+    print(
+        _json.dumps(
+            {
+                "metric": "stress_hash",
+                "value": total,
+                "unit": "sec",
+                "scales": out,
+                "ratios_vs_1x": {
+                    k: round(out["x10"][k] / max(out["x1"][k], 1e-9), 2)
+                    for k in out["x1"]
+                },
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--stress-warc" in sys.argv:
         stress_warc()
+    elif "--stress-hash" in sys.argv:
+        stress_hash()
     elif "--stress-crawl" in sys.argv:
         stress_crawl()
     elif "--stress-stream" in sys.argv:
