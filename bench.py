@@ -1587,6 +1587,26 @@ def stress_hash() -> None:
     n_base = int(os.environ.get("SPARK_GRAFT_STRESS_MEDIA", "20000"))
 
     def gen_media(ids):
+        # DIVERSE hashes are the representative case (real images and
+        # clips rarely collide): each group of 5 items shares ONE
+        # mixer stream (classes 0/1 are the planted near-pair, the
+        # rest get independent streams), so band buckets stay small
+        # and the planted-pair count is the exact scale counter. The
+        # driver keys' additive-arithmetic fixture would be DEGENERATE
+        # here — an additive id barely moves gradient bits, so 200k
+        # items collapse into ~256 distinct hashes and the pair space
+        # goes quadratic (measured; that is a corpus property the
+        # skew note documents, not the throughput case this profiles).
+        def mix(z: int) -> int:
+            # full-avalanche integer finalizer (xor-shift-multiply):
+            # a plain multiplicative hash is LINEAR — adjacent z give
+            # near-constant deltas, gradient bits correlate, and every
+            # image hashes alike (measured: 10% of ALL pairs within
+            # Hamming 6)
+            z = ((z ^ (z >> 16)) * 0x45D9F3B) & 0xFFFFFFFF
+            z = ((z ^ (z >> 16)) * 0x45D9F3B) & 0xFFFFFFFF
+            return z ^ (z >> 16)
+
         def run(batches):
             import pandas as _pd
 
@@ -1596,19 +1616,21 @@ def stress_hash() -> None:
                 rows = []
                 for did in pdf["id"]:
                     d = int(did)
-                    k5, p = d % 5, d - d % 5
-                    m = 13 if k5 <= 1 else 13 + k5 * 6
+                    k5, g = d % 5, d // 5
+                    seed = g if k5 <= 1 else d + 1_000_000_007
                     brows = []
                     for y in range(8):
                         row = bytearray()
                         for x in range(9):
-                            v = (x * m + y * 29 + p * 7) % 256
+                            v = mix(x + 9 * y + 72 * seed) & 0xFF
                             if k5 == 1 and x == 0 and y == 0:
                                 v = (v + 128) % 256
                             row += bytes([v, v, v])
                         brows.append(bytes(row))
-                    ma = 7 if k5 <= 1 else 7 + k5 * 2
-                    amps = [(k * ma + p * 3) % 25 - 12 for k in range(65)]
+                    amps = [
+                        mix(k + 65 * seed + 7_777_777) % 25 - 12
+                        for k in range(65)
+                    ]
                     if k5 == 1:
                         amps[0] = 12
                     wav = bytes(
