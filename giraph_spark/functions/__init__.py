@@ -11,6 +11,7 @@ from .dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     near_dup_clusters,
+    pairs_to_clusters,
     ngram_jaccard_pairs,
     normalize_text,
     portable_hash60,

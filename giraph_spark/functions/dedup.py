@@ -287,13 +287,43 @@ def near_dup_clusters(
         bands,
         verify_threshold,
         portable=portable,
-    ).localCheckpoint(eager=True)
+    )
+    return pairs_to_clusters(
+        pairs, id_col=id_col, max_supersteps=max_supersteps
+    )
+
+
+def pairs_to_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    max_supersteps: int = 64,
+) -> DataFrame:
+    """ANY near-duplicate pair relation → clusters + survivors: the
+    transitive-closure half of :func:`near_dup_clusters`, decoupled
+    from the pair source so every pair generator in the package —
+    :func:`minhash_lsh_pairs`, :func:`simhash_near_pairs`,
+    ``similarity.embedding_near_duplicates``,
+    ``imagehash.dhash_near_duplicates``,
+    ``audiohash.audio_near_duplicates`` — feeds the same keeper
+    decision. Returns ``(doc_id, cluster, is_keeper)`` for every id
+    that appears in some pair; ``cluster`` = min id of the connected
+    group (deterministic survivor).
+
+    Scale shape: pair relations are tiny relative to the corpus (only
+    near-dups survive the generators), so the WCC step runs on the
+    pair-membership subgraph — corpus-size-independent."""
+    from ..algos.components import wcc
+    from ..graph import Graph, vertices_from_edges
+
+    pairs = pairs.localCheckpoint(eager=True)
     # ^ materialize the (tiny) pair relation once: both derivations below
     # (edge relation persisted by the kernel, member-vertex distinct)
-    # would otherwise re-run the banded self-join + signature-compare
+    # would otherwise re-run the generator's banded self-join + compare
     # stage per reference — measured ~2x the whole LSH stage per
     # near_dup_clusters call at sf0.1
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     members = vertices_from_edges(edges)
     comp = wcc(Graph(members, edges), max_supersteps=max_supersteps)
     return comp.select(

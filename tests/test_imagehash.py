@@ -90,3 +90,30 @@ def test_image_dhash_and_near_duplicates(spark):
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] <= 1
     with pytest.raises(ValueError, match="max_hamming"):
         dhash_near_duplicates(h, max_hamming=65)
+
+
+def test_image_pairs_compose_into_clusters(spark):
+    """The dedup composition: image near-dup PAIRS feed the generic
+    pairs_to_clusters (the same WCC keeper decision the text tier
+    uses) — a chain A~B, B~C collapses into ONE cluster with the min
+    id as survivor even though A~C was never a candidate pair."""
+    from giraph_spark.functions.dedup import pairs_to_clusters
+
+    base = grid(lambda x, y: (x * 13 + y * 29) % 256).astype(float)
+    b = base.copy(); b[0, 0] = (b[0, 0] + 60) % 256   # ~1 bit from base
+    c = b.copy(); c[7, 3] = (c[7, 3] + 60) % 256      # ~1 bit from b
+    unrelated = grid(lambda x, y: (x * 37 + y * 5) % 256).astype(float)
+    rows = [
+        (10, bmp_of(base)), (11, bmp_of(b)), (12, bmp_of(c)),
+        (13, bmp_of(unrelated)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = image_dhash(df)
+    pairs = dhash_near_duplicates(h, max_hamming=2)
+    got = {
+        r["doc_id"]: (r["cluster"], r["is_keeper"])
+        for r in pairs_to_clusters(pairs).collect()
+    }
+    assert got[10] == (10, True)
+    assert got[11] == (10, False) and got[12] == (10, False)
+    assert 13 not in got  # never in a pair -> not in the cluster relation
