@@ -899,6 +899,7 @@ def robots_verdict(
     agent: str,
     url_col: str = "url",
     rules_count: int | None = None,
+    punycode: bool = False,
 ) -> DataFrame:
     """Apply a parsed robots rules relation (:func:`parse_robots`) to
     a URL frame: adds ``robots_allowed`` per RFC 9309 precedence —
@@ -933,12 +934,23 @@ def robots_verdict(
     robots relation repeatedly (the crawl loop) pass ``rules_count``
     to pay that fold once — any UPPER bound (e.g. the raw robots
     relation's row count) is safe: overestimating can only skip a
-    broadcast, never force one."""
+    broadcast, never force one.
+
+    ``punycode=True`` IDNA-encodes BOTH host keys — the frontier's
+    and the rules relation's — before the match, so a raw-unicode
+    frontier URL meets a punycode-keyed robots corpus (and vice
+    versa: rules parsed from unicode-host fetches meet xn-- URLs);
+    without it the two spellings silently never join, which for this
+    gate fails OPEN (no rules found → allowed). Same switch, same
+    cost note as the PSL operators."""
     from pyspark.sql.window import Window
 
     a = agent.lower()
+    rhost = _strip_www(F.lower(F.col("host")))
+    if punycode:
+        rhost = _idna_col(rhost)
     named = robots.select(
-        _strip_www(F.lower(F.col("host"))).alias("_rhost"),
+        rhost.alias("_rhost"),
         F.lower(F.col("agent")).alias("_ragent"),
         F.col("rule").alias("_rrule"),
         F.col("pattern").alias("_rpattern"),
@@ -973,8 +985,11 @@ def robots_verdict(
             F.concat(F.lit("?"), p.getField("query")),
         ).otherwise(F.lit("")),
     )
+    uhost = url_host(F.col(url_col))
+    if punycode:
+        uhost = _idna_col(uhost)
     base = df.select(
-        "*", url_host(F.col(url_col)).alias("_uhost"), pathq.alias("_pathq")
+        "*", uhost.alias("_uhost"), pathq.alias("_pathq")
     )
     pairs = base.select("_uhost", "_pathq").where(
         F.col("_uhost").isNotNull()
@@ -1034,14 +1049,15 @@ def filter_robots_disallowed(
     agent: str,
     url_col: str = "url",
     rules_count: int | None = None,
+    punycode: bool = False,
 ) -> DataFrame:
     """Keep only the URLs :func:`robots_verdict` allows for ``agent``
     — the polite-crawler gate between frontier extraction and
-    fetching. ``rules_count`` forwards to the verdict's broadcast
-    gate (see :func:`robots_verdict`)."""
-    return robots_verdict(df, robots, agent, url_col, rules_count).where(
-        F.col("robots_allowed")
-    ).drop("robots_allowed")
+    fetching. ``rules_count`` and ``punycode`` forward to the verdict
+    (see :func:`robots_verdict`)."""
+    return robots_verdict(
+        df, robots, agent, url_col, rules_count, punycode=punycode
+    ).where(F.col("robots_allowed")).drop("robots_allowed")
 
 
 def latest_captures(
