@@ -9,6 +9,7 @@ Spark's job).
 from .cdx import cdx_glob, cdx_shards, latest_cdx_captures, read_cdx, read_cdx_stream
 from .generators import uniform_random_graph, watts_strogatz_graph
 from .warc import (
+    fetch_members_stream,
     http_records,
     html_to_text,
     read_warc,
@@ -68,6 +69,7 @@ __all__ = [
     "watts_strogatz_graph",
     "read_warc",
     "read_warc_members",
+    "fetch_members_stream",
     "read_warc_stream",
     "wet_documents",
     "cdx_glob",
