@@ -345,8 +345,9 @@ def _py_psl_model(host: str, feed) -> str | None:
     """Pure-Python mirror of registered_domain_psl's documented
     semantics (exceptions win, then longest exact/wildcard rule, then
     the default keep-last-two; a matched host with no extra label has
-    no registrable part; substring_index keeps the whole host when it
-    has fewer labels than asked)."""
+    no registrable part — as does a single-label host under the
+    implicit '*' default rule, r11; substring_index keeps the whole
+    host when it has fewer labels than asked)."""
     exact, wild, exc = {}, {}, {}
     for rule in feed:
         r = rule.strip().lower()
@@ -373,7 +374,7 @@ def _py_psl_model(host: str, feed) -> str | None:
         )
         if hit:
             return last(pl + 1) if n >= pl + 1 else None
-    return last(2)
+    return last(2) if n >= 2 else None
 
 
 @given(
