@@ -3092,15 +3092,17 @@ def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-sequence packing (functions/export.py pack_sequences):
+def _q_pack_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunk spans (functions/export.py
+    pack_sequence_spans — the span companion of the r8 sampling-tier
+    pack_sequences plan key):
     docs with arithmetic token counts laid head-to-tail per shard and
     cut every 2048 tokens — offsets are per-shard running sums in
     doc_id order and the chunk spans are floor arithmetic, all of
     which the oracle replays as a SQL window over the same closed
     forms (the placement is the rare per-ROW map of a stateful-
     looking operator that stays exactly SQL-expressible)."""
-    from giraph_spark.functions.export import pack_sequences
+    from giraph_spark.functions.export import pack_sequence_spans
 
     did = F.col("doc_id")
     fixture = _docs(spark, sf_dir).select(
@@ -3109,7 +3111,7 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         # token counts spanning sub-chunk to multi-chunk docs
         (did % 700 * 7 % 3000 + 1).cast("long").alias("n_tokens"),
     )
-    out = pack_sequences(
+    out = pack_sequence_spans(
         fixture, seq_len=2048, shard_col="shard"
     )
     return out.select(
@@ -3571,11 +3573,6 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "perplexity_buckets": _q_perplexity_buckets,
         "pack_sequences": _q_pack_sequences,
-        "url_features": _q_url_features,
-        "image_dhash": _q_image_dhash,
-        "image_near_dups": _q_image_near_dups,
-        "audio_afp": _q_audio_afp,
-        "audio_near_dups": _q_audio_near_dups,
         "identity": _q_identity,
         "graph_mutations": _q_graph_mutations,
         "blocks_two_hop_indegree": _q_blocks_two_hop,
@@ -3632,7 +3629,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_members": _q_warc_members,
         "idna_hosts": _q_idna_hosts,
         "surt_keys": _q_surt_keys,
-        "pack_sequences": _q_pack_sequences,
+        "pack_sequence_spans": _q_pack_sequence_spans,
         "url_features": _q_url_features,
         "image_dhash": _q_image_dhash,
         "image_near_dups": _q_image_near_dups,
@@ -7449,9 +7446,10 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS surt
 FROM documents"""
 
-    # pack_sequences: per-shard running sums in doc_id order + floor
-    # chunk spans, replayed as a SQL window over the same arithmetic
-    pack_sequences_sql = """
+    # pack_sequence_spans: per-shard running sums in doc_id order +
+    # floor chunk spans, replayed as a SQL window over the same
+    # arithmetic
+    pack_sequence_spans_sql = """
 WITH toks AS (
   SELECT doc_id,
          CAST(doc_id % 4 AS INT) AS shard,
@@ -7918,11 +7916,6 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
             ELSE 'head' END AS bucket
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         "pack_sequences": pack_sequences_sql,
-        "url_features": url_features_sql,
-        "image_dhash": image_dhash_sql,
-        "image_near_dups": image_near_dups_sql,
-        "audio_afp": audio_afp_sql,
-        "audio_near_dups": audio_near_dups_sql,
         "kmeans_clusters": kmeans_sql,
         "semdedup": semdedup_sql,
         "semdedup_two_level": semdedup_two_level_sql,
@@ -8019,7 +8012,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "warc_members": warc_members_sql,
         "idna_hosts": idna_hosts_sql,
         "surt_keys": surt_keys_sql,
-        "pack_sequences": pack_sequences_sql,
+        "pack_sequence_spans": pack_sequence_spans_sql,
         "url_features": url_features_sql,
         "image_dhash": image_dhash_sql,
         "image_near_dups": image_near_dups_sql,

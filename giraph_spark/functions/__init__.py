@@ -61,7 +61,7 @@ from .sampling import (
 from .bpe import bpe_encode, train_bpe
 from .crawl import crawl_rounds, schedule_frontier
 from .datacard import data_card
-from .export import pack_sequences, write_training_shards
+from .export import pack_sequence_spans, write_training_shards
 from .audiohash import audio_fingerprint, audio_near_duplicates
 from .imagehash import banded_hamming_pairs, dhash_near_duplicates, image_dhash
 from .media_privacy import (

@@ -114,7 +114,7 @@ def write_training_shards(
     return staged.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
-def pack_sequences(
+def pack_sequence_spans(
     df: DataFrame,
     seq_len: int,
     tokens_col: str = "n_tokens",
@@ -122,12 +122,15 @@ def pack_sequences(
     shard_col: str | None = None,
     drop_empty: bool = True,
 ) -> DataFrame:
-    """Concat-then-chunk sequence packing — the placement map from a
-    token-counted corpus to the fixed-length training sequences a
-    pretraining dataloader feeds the model: documents are laid
-    head-to-tail in deterministic order and the stream is cut every
-    ``seq_len`` tokens (documents straddle cuts — the standard
-    GPT-style packing; padding-free). Returns one row per document
+    """Concat-then-chunk sequence SPANS — the companion of
+    :func:`giraph_spark.functions.sampling.pack_sequences` (which
+    assigns each document the stratified/sharded sequence it STARTS
+    in): documents are laid head-to-tail in deterministic order and
+    the stream is cut every ``seq_len`` tokens (documents straddle
+    cuts — the standard GPT-style packing; padding-free), and this
+    variant reports the FULL chunk span each document covers, which
+    the starts-only plan cannot answer ("which documents do I read to
+    materialize chunk k"). Returns one row per document
     with its placement: ``(<input columns>, offset, first_seq,
     last_seq, n_seqs)`` where ``offset`` is the document's start
     position in its shard's token stream and
@@ -157,12 +160,12 @@ def pack_sequences(
     from pyspark.sql.window import Window
 
     if seq_len < 1:
-        raise ValueError(f"pack_sequences: seq_len must be >= 1, got {seq_len}")
+        raise ValueError(f"pack_sequence_spans: seq_len must be >= 1, got {seq_len}")
     clash = {"offset", "first_seq", "last_seq", "n_seqs"} & set(df.columns)
     if clash:
         raise ValueError(
-            f"pack_sequences: input already has {sorted(clash)} — rename "
-            "(these are this packer's output names)"
+            f"pack_sequence_spans: input already has {sorted(clash)} — "
+            "rename (these are this packer's output names)"
         )
     toks = F.col(tokens_col).cast("long")
     nonempty = toks.isNotNull() & (toks > 0)

@@ -160,11 +160,11 @@ def test_portable_mode_duckdb_parity(spark, docs, tmp_path):
     assert pd.read_parquet(os.path.join(d0, f0))["doc_id"].iloc[0] == first
 
 
-def test_pack_sequences_placement_closed_form(spark):
+def test_pack_sequence_spans_placement_closed_form(spark):
     """Concat-then-chunk packing: offsets are running sums in id
     order, chunk spans are floor arithmetic, documents straddle cuts,
     zero-token docs occupy no stream space."""
-    from giraph_spark.functions.export import pack_sequences
+    from giraph_spark.functions.export import pack_sequence_spans
 
     rows = [  # (doc_id, n_tokens): stream cuts every 10 tokens
         (1, 4),   # [0, 4)   -> seq 0..0
@@ -176,7 +176,7 @@ def test_pack_sequences_placement_closed_form(spark):
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
     got = {
         r["doc_id"]: (r["offset"], r["first_seq"], r["last_seq"], r["n_seqs"])
-        for r in pack_sequences(df, seq_len=10).collect()
+        for r in pack_sequence_spans(df, seq_len=10).collect()
     }
     assert got == {
         1: (0, 0, 0, 1),
@@ -187,7 +187,7 @@ def test_pack_sequences_placement_closed_form(spark):
     # drop_empty=False keeps the empty doc with NULL placement
     kept = {
         r["doc_id"]: r["offset"]
-        for r in pack_sequences(df, seq_len=10, drop_empty=False).collect()
+        for r in pack_sequence_spans(df, seq_len=10, drop_empty=False).collect()
     }
     assert 2 in kept and kept[2] is None
     # per-shard streams are independent
@@ -197,7 +197,7 @@ def test_pack_sequences_placement_closed_form(spark):
     )
     by_shard = {
         (r["shard"], r["doc_id"]): r["offset"]
-        for r in pack_sequences(
+        for r in pack_sequence_spans(
             sharded, seq_len=5, shard_col="shard"
         ).collect()
     }
@@ -205,8 +205,8 @@ def test_pack_sequences_placement_closed_form(spark):
     import pytest
 
     with pytest.raises(ValueError, match="seq_len"):
-        pack_sequences(df, seq_len=0)
+        pack_sequence_spans(df, seq_len=0)
     with pytest.raises(ValueError, match="output names"):
-        pack_sequences(
+        pack_sequence_spans(
             df.withColumn("offset", F.lit(1)), seq_len=10
         )
