@@ -3291,6 +3291,77 @@ def _q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_duplicates(fp, max_hamming=6)
 
 
+def _mp4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 65-sample MP4 per document for the video
+    fingerprint keys: sample k of doc d is
+    ``(k*m + p*11) % 199 + 50`` bytes with ``p = d - d%5`` (five docs
+    share a base stream) and ``m = 13`` for the first two docs of
+    each group (class 1 additionally pins sample 0 to 9999 bytes —
+    the near-duplicate), ``13 + (d%5)*4`` otherwise. The MP4 bytes
+    exist so the REAL box walk runs; every fingerprint bit is the
+    integer comparison of two closed-form sizes."""
+
+    def gen(batches):
+        import pandas as _pd
+
+        from giraph_spark.functions.media_codecs import make_mp4
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                k5 = d % 5
+                p = d - k5
+                m = 13 if k5 <= 1 else 13 + k5 * 4
+                sizes = [(k * m + p * 11) % 199 + 50 for k in range(65)]
+                if k5 == 1:
+                    sizes[0] = 9999
+                out.append(
+                    [
+                        d,
+                        make_mp4(
+                            1.0, width=64, height=48,
+                            n_frames=65, frame_sizes=sizes,
+                        ),
+                    ]
+                )
+            yield _pd.DataFrame(out, columns=["media_id", "payload"])
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return ids.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def _q_video_vfp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural video fingerprints (functions/videohash.py
+    video_fingerprint): gradient bits over the stsz sample-size
+    contour, read through the REAL ISO-BMFF box walk — the signed
+    hash and all four LSH bands must equal the oracle's pure integer
+    arithmetic over the fixture's closed-form sizes."""
+    from giraph_spark.functions.videohash import video_fingerprint
+
+    fp = video_fingerprint(_mp4_corpus(spark, sf_dir))
+    return fp.select(
+        F.col("media_id").alias("doc_id"),
+        "n_frames", "vfp", "b0", "b1", "b2", "b3",
+    )
+
+
+def _q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs (functions/videohash.py
+    video_near_duplicates): any-band candidates + Hamming <= 4 over
+    the :func:`_mp4_corpus` fingerprints, the full rule replayed by
+    the oracle."""
+    from giraph_spark.functions.videohash import (
+        video_fingerprint,
+        video_near_duplicates,
+    )
+
+    fp = video_fingerprint(_mp4_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    return video_near_duplicates(fp, max_hamming=4)
+
+
 def _webp_fixture() -> tuple[bytes, int]:
     """Deterministic dirty-WebP fixture shared by the media_scrub key
     and its oracle's constants: (dirty_bytes, bytes_the_scrub_removes)
@@ -3635,6 +3706,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": _q_image_near_dups,
         "audio_afp": _q_audio_afp,
         "audio_near_dups": _q_audio_near_dups,
+        "video_vfp": _q_video_vfp,
+        "video_near_dups": _q_video_near_dups,
         "cdx_shards": _q_cdx_shards,
         "cdx_latest": _q_cdx_latest,
         "sitemap_locs": _q_sitemap_locs,
@@ -7627,6 +7700,58 @@ FROM hashes a JOIN hashes b
  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
 WHERE bit_count(xor(CAST(a.afp AS BIGINT), CAST(b.afp AS BIGINT))) <= 6"""
 
+    # video_vfp: every fingerprint bit is the integer comparison of
+    # two closed-form stsz sizes — same bits/bands/two's-complement
+    # assembly as the audio tier
+    video_vfp_hashes = """
+WITH vsz AS (
+  SELECT d.doc_id, g.k,
+         CASE WHEN d.doc_id % 5 = 1 AND g.k = 0 THEN 9999
+              ELSE (g.k * m + p * 11) % 199 + 50 END AS s
+  FROM (SELECT doc_id,
+               doc_id - doc_id % 5 AS p,
+               CASE WHEN doc_id % 5 <= 1 THEN 13
+                    ELSE 13 + (doc_id % 5) * 4 END AS m
+        FROM documents) d,
+       (SELECT unnest(range(65)) AS k) g
+), bits AS (
+  SELECT a0.doc_id, a0.k, a1.s > a0.s AS bit
+  FROM vsz a0 JOIN vsz a1
+    ON a0.doc_id = a1.doc_id AND a1.k = a0.k + 1
+  WHERE a0.k < 64
+), hashes AS (
+  SELECT doc_id,
+         SUM(CASE WHEN bit AND k < 63 THEN (CAST(1 AS BIGINT) << k)
+                  WHEN bit AND k = 63
+                  THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE 0 END) AS vfp,
+         SUM(CASE WHEN bit AND k < 16 THEN (1 << k) ELSE 0 END) AS b0,
+         SUM(CASE WHEN bit AND k BETWEEN 16 AND 31
+                  THEN (1 << (k - 16)) ELSE 0 END) AS b1,
+         SUM(CASE WHEN bit AND k BETWEEN 32 AND 47
+                  THEN (1 << (k - 32)) ELSE 0 END) AS b2,
+         SUM(CASE WHEN bit AND k BETWEEN 48 AND 63
+                  THEN (1 << (k - 48)) ELSE 0 END) AS b3
+  FROM bits GROUP BY doc_id
+)"""
+    video_vfp_sql = f"""{video_vfp_hashes}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(65 AS INT) AS n_frames,
+       CAST(vfp AS BIGINT) AS vfp,
+       CAST(b0 AS INT) AS b0, CAST(b1 AS INT) AS b1,
+       CAST(b2 AS INT) AS b2, CAST(b3 AS INT) AS b3
+FROM hashes"""
+
+    video_near_dups_sql = f"""{video_vfp_hashes}
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(CAST(a.vfp AS BIGINT),
+                          CAST(b.vfp AS BIGINT))) AS INT) AS hamming
+FROM hashes a JOIN hashes b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(CAST(a.vfp AS BIGINT), CAST(b.vfp AS BIGINT))) <= 4"""
+
     # cdx_shards: the oracle never sees an index byte — it recomputes
     # the filtered shard groupBy from the same line-building arithmetic
     # (corrupt lines and 404 captures excluded exactly as the index
@@ -8018,6 +8143,8 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "image_near_dups": image_near_dups_sql,
         "audio_afp": audio_afp_sql,
         "audio_near_dups": audio_near_dups_sql,
+        "video_vfp": video_vfp_sql,
+        "video_near_dups": video_near_dups_sql,
         "cdx_shards": cdx_shards_sql,
         "cdx_latest": cdx_latest_sql,
         "sitemap_locs": sitemap_locs_sql,

@@ -63,6 +63,7 @@ from .crawl import crawl_rounds, schedule_frontier
 from .datacard import data_card
 from .export import pack_sequence_spans, write_training_shards
 from .audiohash import audio_fingerprint, audio_near_duplicates
+from .videohash import video_fingerprint, video_near_duplicates
 from .imagehash import banded_hamming_pairs, dhash_near_duplicates, image_dhash
 from .media_privacy import (
     strip_jpeg_metadata,

@@ -1,0 +1,75 @@
+"""Structural video stream fingerprint + near-dup pairs: gradient
+bits over stsz sample sizes, short-clip prefix hashing, error-row
+contract, band candidacy, and the re-mux collision claim."""
+
+from __future__ import annotations
+
+from giraph_spark.functions.media_codecs import make_mp4
+from giraph_spark.functions.videohash import (
+    video_fingerprint,
+    video_near_duplicates,
+)
+
+
+def mp4_of(sizes, **kw):
+    return make_mp4(
+        1.0, width=64, height=48, n_frames=len(sizes),
+        frame_sizes=list(sizes), **kw
+    )
+
+
+def py_hash(sizes):
+    v = 0
+    for k in range(len(sizes) - 1):
+        if sizes[k + 1] > sizes[k]:
+            v |= 1 << k
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_video_fingerprint_and_near_duplicates(spark):
+    base = [(k * 13 % 97) + 100 for k in range(65)]
+    near = list(base); near[0] = 9999         # flips at most bit 0
+    far = [(k * 29 % 97) + 100 for k in range(65)]
+    short = [10, 20, 5]                       # prefix hash, 2 bits
+    rows = [
+        (1, mp4_of(base)), (2, mp4_of(near)), (3, mp4_of(far)),
+        (4, mp4_of([7])),                     # 1 sample: no comparisons
+        (5, b"not an mp4"), (6, None),
+        (7, mp4_of(short)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in video_fingerprint(df).collect()}
+    assert got[1]["vfp"] == py_hash(base) and got[1]["n_frames"] == 65
+    assert got[2]["vfp"] == py_hash(near)
+    assert got[7]["vfp"] == py_hash(short) and got[7]["n_frames"] == 3
+    for bad in (4, 5, 6):
+        assert got[bad]["error"] is not None and got[bad]["vfp"] is None
+    u = py_hash(base) % (1 << 64)
+    assert (
+        got[1]["b0"] | (got[1]["b1"] << 16) | (got[1]["b2"] << 32)
+        | (got[1]["b3"] << 48)
+    ) == u
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in video_near_duplicates(video_fingerprint(df)).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 1
+    assert (1, 3) not in pairs
+
+
+def test_video_fingerprint_remux_invariance(spark):
+    """The structural claim: the SAME sample-size table in a different
+    container shell (different movie timescale + an mdhd media
+    timescale) fingerprints identically — sizes are the identity,
+    container dressing is not."""
+    sizes = [(k * 7 % 50) + 80 for k in range(65)]
+    a = mp4_of(sizes)
+    b = make_mp4(
+        2.0, timescale=90000, width=64, height=48, n_frames=len(sizes),
+        frame_sizes=list(sizes), media_timescale=600,
+    )
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r["vfp"] for r in video_fingerprint(df).collect()}
+    assert got[1] == got[2] == py_hash(sizes)
