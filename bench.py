@@ -1583,6 +1583,10 @@ def stress_hash() -> None:
         dhash_near_duplicates,
         image_dhash,
     )
+    from giraph_spark.functions.videohash import (
+        video_fingerprint,
+        video_near_duplicates,
+    )
 
     n_base = int(os.environ.get("SPARK_GRAFT_STRESS_MEDIA", "20000"))
 
@@ -1610,7 +1614,11 @@ def stress_hash() -> None:
         def run(batches):
             import pandas as _pd
 
-            from giraph_spark.functions.media_codecs import make_bmp, make_wav
+            from giraph_spark.functions.media_codecs import (
+                make_bmp,
+                make_mp4,
+                make_wav,
+            )
 
             for pdf in batches:
                 rows = []
@@ -1636,15 +1644,29 @@ def stress_hash() -> None:
                     wav = bytes(
                         b for a in amps for b in bytes([128 + a]) * 8
                     )
+                    sizes = [
+                        mix(k + 130 * seed + 3_333_333) % 199 + 50
+                        for k in range(65)
+                    ]
+                    if k5 == 1:
+                        sizes[0] = 9999
                     rows.append(
-                        [d, make_bmp(9, 8, rows=brows), make_wav(0, data=wav)]
+                        [
+                            d,
+                            make_bmp(9, 8, rows=brows),
+                            make_wav(0, data=wav),
+                            make_mp4(
+                                1.0, width=64, height=48,
+                                n_frames=65, frame_sizes=sizes,
+                            ),
+                        ]
                     )
                 yield _pd.DataFrame(
-                    rows, columns=["media_id", "bmp", "wav"]
+                    rows, columns=["media_id", "bmp", "wav", "mp4"]
                 )
 
         return ids.mapInPandas(
-            run, schema="media_id long, bmp binary, wav binary"
+            run, schema="media_id long, bmp binary, wav binary, mp4 binary"
         )
 
     out: dict[str, dict] = {}
@@ -1669,6 +1691,15 @@ def stress_hash() -> None:
         t0 = _time.monotonic()
         r["audio_pairs"] = audio_near_duplicates(af, max_hamming=6).count()
         r["audio_pairs_sec"] = round(_time.monotonic() - t0, 3)
+        t0 = _time.monotonic()
+        vf = video_fingerprint(media, payload_col="mp4").localCheckpoint(
+            eager=True
+        )
+        r["video_hash_sec"] = round(_time.monotonic() - t0, 3)
+        r["video_hashed"] = vf.where(F.col("error").isNull()).count()
+        t0 = _time.monotonic()
+        r["video_pairs"] = video_near_duplicates(vf, max_hamming=4).count()
+        r["video_pairs_sec"] = round(_time.monotonic() - t0, 3)
         out[f"x{scale}"] = r
     total = round(
         sum(v for r in out.values() for k, v in r.items() if k.endswith("_sec")),
