@@ -531,3 +531,166 @@ def test_robots_verdict_matches_python_rfc_model(spark, groups, paths):
     for i, p in enumerate(paths):
         want = _py_robots_allowed(groups, "mybot", p)
         assert got[i] == want, (text, p, got[i], want)
+
+
+# ---- r11: SURT keys, sequence spans, banded pairs, IDNA ----
+
+_SURT_LABEL = st.sampled_from(["a", "news", "Example", "co", "uk", "x9"])
+_SURT_SEG = st.sampled_from(["", "A", "p1", "x", "Y2"])
+_SURT_PARAM = st.sampled_from(["a=1", "B=2", "utm_source=x", "z=", "gclid=g"])
+
+
+def _py_surt(host_labels, segs, params) -> str:
+    """Pure-Python mirror of surt_key's documented canonical form
+    (non-IP hosts; the IP branch is pinned by the closed-form test)."""
+    host = ".".join(host_labels).lower()
+    if host.startswith("www."):
+        host = host[4:]
+    rev = ",".join(reversed(host.split(".")))
+    path = ("/" + "/".join(segs)).lower() if segs else "/"
+    tracking = {
+        "utm_source", "utm_medium", "utm_campaign", "utm_term",
+        "utm_content", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
+    }
+    kept = sorted(
+        kv for kv in (p.lower() for p in params)
+        if kv and kv.split("=", 1)[0] not in tracking
+    )
+    q = "?" + "&".join(kept) if kept else ""
+    return f"{rev}){path}{q}"
+
+
+@given(
+    st.lists(_SURT_LABEL, min_size=1, max_size=4),
+    st.lists(_SURT_SEG, min_size=0, max_size=3),
+    st.lists(_SURT_PARAM, min_size=0, max_size=3),
+)
+@settings(**SETTINGS)
+def test_surt_key_matches_python_model(spark, host_labels, segs, params):
+    """surt_key against an independent Python model on generated
+    hosts/paths/queries: reversal, lowercasing, www strip, tracking
+    drop, param sort — all pinned on arbitrary compositions."""
+    from giraph_spark.functions.urls import surt_key
+
+    url = "https://" + ".".join(host_labels)
+    url += "/" + "/".join(segs) if segs else "/"
+    if params:
+        url += "?" + "&".join(params)
+    df = spark.createDataFrame([(url,)], "url string")
+    [r] = df.select(surt_key(F.col("url")).alias("k")).collect()
+    # model path: segs==[] means path "/" which the URL also carries
+    want = _py_surt(host_labels, segs, params)
+    assert r["k"] == want, (url, r["k"], want)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=17),
+)
+@settings(**SETTINGS)
+def test_pack_sequence_spans_matches_python_fold(spark, tokens, seq_len):
+    """pack_sequence_spans against the obvious sequential fold:
+    offsets are exclusive running sums over nonempty docs in id
+    order, spans are floor arithmetic, and the stream is gapless —
+    each nonempty doc starts exactly where the previous one ended."""
+    from giraph_spark.functions.export import pack_sequence_spans
+
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["offset"], r["first_seq"], r["last_seq"], r["n_seqs"])
+        for r in pack_sequence_spans(df, seq_len=seq_len).collect()
+    }
+    pos = 0
+    for i, t in enumerate(tokens):
+        if t <= 0:
+            assert i not in got
+            continue
+        first, last = pos // seq_len, (pos + t - 1) // seq_len
+        assert got[i] == (pos, first, last, last - first + 1), (
+            i, got[i], (pos, first, last)
+        )
+        pos += t
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+    st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+@settings(**SETTINGS)
+def test_banded_pairs_complete_at_low_hamming(spark, base, flip):
+    """The pigeonhole guarantee the imagehash/audiohash/videohash
+    docstrings claim: a pair within Hamming <= 3 ALWAYS collides on
+    at least one of the four 16-bit bands, so banded_hamming_pairs
+    finds it — checked on arbitrary 64-bit values and flip sets."""
+    from giraph_spark.functions.imagehash import banded_hamming_pairs
+
+    other = base
+    for b in flip:
+        other ^= 1 << b
+
+    def row(mid, u):
+        signed = u - (1 << 64) if u >= 1 << 63 else u
+        return (
+            mid, signed,
+            u & 0xFFFF, (u >> 16) & 0xFFFF,
+            (u >> 32) & 0xFFFF, (u >> 48) & 0xFFFF,
+            None,
+        )
+
+    df = spark.createDataFrame(
+        [row(1, base), row(2, other)],
+        "media_id long, dhash long, b0 int, b1 int, b2 int, b3 int, "
+        "error string",
+    )
+    pairs = banded_hamming_pairs(df, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
+        (1, 2, len(flip))
+    ]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll",), max_codepoint=0x45F
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(**SETTINGS)
+def test_idna_host_matches_stdlib(spark, labels):
+    """idna_host against the stdlib codec on generated (latin +
+    cyrillic lowercase) hosts: encodable hosts come back in the
+    codec's ASCII form, un-encodable ones unchanged — never NULL,
+    never an error."""
+    from giraph_spark.functions.urls import idna_host
+
+    host = ".".join(labels)
+    try:
+        want = host.encode("idna").decode("ascii") if not host.isascii() else host
+    except UnicodeError:
+        want = host
+    # url_host strips one leading 'www.'; keep the model identical
+    if want.startswith("www."):
+        want = want[4:]
+    url = f"https://{host}/p"
+    df = spark.createDataFrame([(url,)], "url string")
+    [r] = df.select(idna_host(F.col("url")).alias("h")).collect()
+    got = r["h"]
+    if host.startswith("www."):
+        # the strip happens BEFORE the encode in idna_host
+        stripped = host[4:]
+        try:
+            want = (
+                stripped.encode("idna").decode("ascii")
+                if not stripped.isascii()
+                else stripped
+            )
+        except UnicodeError:
+            want = stripped
+    assert got == want, (host, got, want)
