@@ -493,9 +493,14 @@ def fetch_members_stream(
     (``read_cdx_stream`` output, filtered however the caller prunes —
     run curation predicates on the index columns BEFORE this, the
     same pushdown rule as the batch path). Sink is either ``out_dir``
-    (parquet append — the at-rest handoff) or ``sink(df, batch_id)``
-    (a callable for custom fan-out); exactly one must be given.
-    Returns the started ``StreamingQuery`` — the caller owns
+    (parquet, one ``batch=<id>`` partition OVERWRITTEN per
+    micro-batch — ``foreachBatch`` is at-least-once, so a retried
+    batch must land idempotently; a blind append would duplicate
+    every row of the replayed batch) or ``sink(df, batch_id)`` (a
+    callable for custom fan-out — the same retry contract is then the
+    CALLER's: make it idempotent on ``batch_id`` or dedupe on
+    ``(file, offset, record_index)`` downstream); exactly one must be
+    given. Returns the started ``StreamingQuery`` — the caller owns
     ``awaitTermination``/``stop``. ``trigger_available_now`` drains
     everything present and stops (backfill mode); default is
     continuous micro-batches.
@@ -522,7 +527,11 @@ def fetch_members_stream(
         if sink is not None:
             sink(fetched, batch_id)
         else:
-            fetched.write.mode("append").parquet(out_dir)
+            # one overwritten partition per batch id = a retried
+            # batch REPLACES its own output instead of duplicating it
+            fetched.write.mode("overwrite").parquet(
+                f"{out_dir.rstrip('/')}/batch={batch_id}"
+            )
 
     writer = (
         captures.writeStream.foreachBatch(process)

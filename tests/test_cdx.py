@@ -396,3 +396,65 @@ def test_read_warc_members_prune_accounting(spark, tmp_path):
     assert by_uri == {
         f"https://h{i}.example/p": len(members[i]) for i in (0, 3, 6, 9)
     }
+
+
+def test_fetch_members_stream_parquet_sink_idempotent_layout(spark, tmp_path):
+    """The parquet sink lands one batch=<id> partition per micro-batch
+    (overwrite semantics, so a retried at-least-once batch replaces
+    rather than duplicates) and the union of partitions is the full
+    fetched relation."""
+    import os
+
+    from giraph_spark.sources.cdx import read_cdx_stream
+    from giraph_spark.sources.warc import fetch_members_stream, make_warc
+
+    def rec(rid, uri, text):
+        return (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Target-URI": uri,
+                "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                "Content-Type": "text/plain",
+            },
+            text.encode(),
+        )
+
+    m0 = make_warc([rec("a", "https://a.org/1", "payload one")])
+    m1 = make_warc([rec("b", "https://b.net/1", "payload two")])
+    shards = tmp_path / "arch"
+    shards.mkdir()
+    (shards / "s.warc.gz").write_bytes(m0 + m1)
+
+    def line(key, url, off, ln):
+        return (
+            f'{key} 20260801000000 {{"url": "{url}", "status": "200",'
+            f' "length": "{ln}", "offset": "{off}",'
+            ' "filename": "s.warc.gz"}'
+        )
+
+    idx = tmp_path / "index"
+    idx.mkdir()
+    (idx / "i0.cdxj").write_text(
+        line("org,a)/1", "https://a.org/1", 0, len(m0)) + "\n"
+    )
+    (idx / "i1.cdxj").write_text(
+        line("net,b)/1", "https://b.net/1", len(m0), len(m1)) + "\n"
+    )
+    out = tmp_path / "members"
+    q = fetch_members_stream(
+        read_cdx_stream(spark, str(idx), max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        out_dir=str(out),
+        base_dir=str(shards),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    parts = sorted(
+        p for p in os.listdir(out) if p.startswith("batch=")
+    )
+    assert len(parts) == 2  # one partition per index-file micro-batch
+    got = spark.read.parquet(*(str(out / p) for p in parts))
+    uris = sorted(
+        r["target_uri"] for r in got.collect() if r["error"] is None
+    )
+    assert uris == ["https://a.org/1", "https://b.net/1"]
