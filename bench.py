@@ -204,14 +204,15 @@ def main() -> None:
     )
     extras_q = min_map([r["extras"]["queries"] for r in runs])
     pipe_q = min_map([r["pipeline"]["queries"] for r in runs])
-    pipe_rows = next(
+    pipe_src = next(
         (
-            r["pipeline"]["rows"]
+            r["pipeline"]
             for r in runs
             if "error" not in r["pipeline"]["rows"]
         ),
-        runs[0]["pipeline"]["rows"],
+        runs[0]["pipeline"],
     )
+    pipe_rows = pipe_src["rows"]
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -231,7 +232,9 @@ def main() -> None:
             "total": round(sum(pipe_q.values()), 3),
             "queries": pipe_q,
             "rows": pipe_rows,
-            "inputs": runs[0]["pipeline"]["inputs"],
+            # same pass as the rows map — an errored pass 1 must not
+            # leave an empty inputs map next to pass 2's rows
+            "inputs": pipe_src["inputs"],
         },
         # both raw passes, so the record is auditable without rerunning
         "runs": [

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .imagehash import banded_hamming_pairs
+from .imagehash import banded_hamming_pairs, u64_hash_fields
 
 #: output schema of :func:`audio_fingerprint` — the image tier's
 #: shape with audio-native metadata columns
@@ -89,14 +89,13 @@ def audio_fingerprint(
                         raise ValueError(f"payload over {max_bytes} bytes")
                     rate, nch, samples = parse_wav_samples(b)
                     mono = samples.reshape(-1, nch).mean(axis=1)
-                    u = energy_contour_hash(mono)
-                    signed = u - (1 << 64) if u >= 1 << 63 else u
+                    signed, b0, b1, b2, b3 = u64_hash_fields(
+                        energy_contour_hash(mono)
+                    )
                     rows.append(
                         [
-                            mid, int(rate), int(mono.shape[0]), signed,
-                            u & 0xFFFF, (u >> 16) & 0xFFFF,
-                            (u >> 32) & 0xFFFF, (u >> 48) & 0xFFFF,
-                            None,
+                            mid, int(rate), int(mono.shape[0]),
+                            signed, b0, b1, b2, b3, None,
                         ]
                     )
                 except Exception as ex:  # noqa: BLE001 - error-row contract

@@ -37,6 +37,21 @@ DHASH_SCHEMA = (
 )
 
 
+def u64_hash_fields(u: int) -> tuple:
+    """``(signed, b0, b1, b2, b3)`` of an unsigned 64-bit fingerprint
+    — the one two's-complement + band-extraction rule every tier's
+    Arrow loop (image dHash, audio contour) must agree on; a fix here
+    reaches them all."""
+    signed = u - (1 << 64) if u >= 1 << 63 else u
+    return (
+        signed,
+        u & 0xFFFF,
+        (u >> 16) & 0xFFFF,
+        (u >> 32) & 0xFFFF,
+        (u >> 48) & 0xFFFF,
+    )
+
+
 def _decode_gray(payload: bytes):
     """payload bytes → float grayscale array (h, w): sniff the format
     by magic bytes and decode through the package's zero-dep codecs;
@@ -123,16 +138,8 @@ def image_dhash(
                         raise ValueError(f"payload over {max_bytes} bytes")
                     gray = _decode_gray(b)
                     h, w = gray.shape
-                    u = dhash64(gray)
-                    signed = u - (1 << 64) if u >= 1 << 63 else u
-                    rows.append(
-                        [
-                            mid, w, h, signed,
-                            u & 0xFFFF, (u >> 16) & 0xFFFF,
-                            (u >> 32) & 0xFFFF, (u >> 48) & 0xFFFF,
-                            None,
-                        ]
-                    )
+                    signed, b0, b1, b2, b3 = u64_hash_fields(dhash64(gray))
+                    rows.append([mid, w, h, signed, b0, b1, b2, b3, None])
                 except Exception as ex:  # noqa: BLE001 - error-row contract
                     rows.append(
                         [mid, None, None, None, None, None, None, None,

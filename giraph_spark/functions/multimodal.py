@@ -885,7 +885,11 @@ def mp4_frame_plan(
             for mid, payload in zip(
                 pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()
             ):
-                rows.extend(rows_for(int(mid), payload))
+                # a NULL id arrives as NaN; int(NaN) would abort the
+                # task — the error-row contract covers the id too
+                rows.extend(
+                    rows_for(None if pd.isna(mid) else int(mid), payload)
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select("media_id", "payload").mapInPandas(

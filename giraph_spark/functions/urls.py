@@ -456,14 +456,19 @@ def surt_key(col: Column, punycode: bool = False) -> Column:
     are punycode-keyed, same story as the PSL).
 
     Canonicalization scope, stated honestly: host is lowercased,
-    ``www.``-stripped, port-stripped (:func:`url_host`'s rule); IP
-    hosts (v4 dotted-quad, bracketless v6) are NOT label-reversed
-    (SURT's own rule); path+query lowercase; query params sort and
-    drop ``TRACKING_PARAMS`` — the same canonical form
-    :func:`normalize_url` deduplicates on, so corpus keys and dedup
-    keys can never disagree. An archive whose canonicalizer diverges
-    further (e.g. jsessionid stripping) should be joined through ITS
-    urlkey column recomputed from the index's ``url`` field instead.
+    ``www.``-stripped, port-stripped (:func:`url_host`'s rule — note
+    genuine CDX urlkeys KEEP non-default ports, so port-carrying URLs
+    need the index-side recompute below); IP hosts (v4 dotted-quad,
+    bracketless v6) are NOT label-reversed (SURT's own rule);
+    path+query lowercase; query params sort and drop
+    ``TRACKING_PARAMS`` (the same param rule as
+    :func:`normalize_url`, but the SURT form is strictly COARSER than
+    the dedup key — it also folds path/query case and ports, so
+    distinct normalize_url values can share one surt_key; dedup on
+    normalize_url, join indexes on surt_key). An archive whose
+    canonicalizer diverges further (e.g. jsessionid stripping) should
+    be joined through ITS urlkey column recomputed from the index's
+    ``url`` field instead.
 
     Plan-size: the parts struct and host bind ONCE through the
     one-element-array ``transform`` let (the
@@ -590,13 +595,19 @@ def filter_blocked_domains(
     ``punycode=True`` (needs ``psl=True``) IDNA-encodes raw-unicode
     IDN hosts before the match, so ``https://bücher.example/…`` is
     caught by an ``xn--bcher-kva.example`` blocklist entry; sequence
-    blocklist entries are always encoded driver-side (free for ASCII
-    entries), DataFrame blocklists must already be punycode-keyed."""
+    blocklist entries are then encoded driver-side too (free for
+    ASCII entries), so unicode-spelled entries work. Without the
+    switch BOTH sides stay literal — encoding only one side would
+    silently un-match entries that matched before. DataFrame
+    blocklists must already match the domain column's encoding."""
     spark = df.sparkSession
     if not isinstance(blocked, DataFrame):
+        entries = [
+            _idna_ascii(d.lower()) if punycode else d.lower()
+            for d in blocked
+        ]
         blocked = spark.createDataFrame(
-            [(_idna_ascii(d.lower()),) for d in blocked],
-            "_blocked_domain string",
+            [(d,) for d in entries], "_blocked_domain string"
         )
     else:
         blocked = blocked.toDF("_blocked_domain")

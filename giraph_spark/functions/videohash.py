@@ -54,7 +54,7 @@ def video_fingerprint(
 
     plan = mp4_frame_plan(
         df.select(
-            F.col(id_col).alias("media_id"),
+            F.col(id_col).cast("long").alias("media_id"),
             F.col(payload_col).alias("payload"),
         ),
         every_n=1,
@@ -72,7 +72,6 @@ def video_fingerprint(
                 )
             )
         ).alias("_fs"),
-        F.count(F.lit(1)).alias("_rows"),
     )
     sz = F.transform(F.col("_fs"), lambda s: s.getField("size_bytes"))
     n = F.size(sz)

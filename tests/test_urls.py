@@ -1103,6 +1103,13 @@ def test_blocklist_and_cap_punycode(spark):
         df, blocked=["xn--bcher-kva.example"], psl=True
     )
     assert sorted(r["doc_id"] for r in kept_raw.collect()) == [1, 3]
+    # and WITHOUT the switch both sides stay literal: a unicode entry
+    # still matches the unicode spelling (encoding only the entry side
+    # would silently fail the blocklist open — reviewed regression)
+    kept_lit = filter_blocked_domains(df, blocked=["bücher.example"], psl=True)
+    assert sorted(r["doc_id"] for r in kept_lit.collect()) == [2, 3]
+    kept_lit2 = filter_blocked_domains(df, blocked=["bücher.example"])
+    assert sorted(r["doc_id"] for r in kept_lit2.collect()) == [2, 3]
     # the cap sees ONE domain for both spellings: n=1 keeps one of
     # doc 1/2 (plus the unrelated host)
     capped = cap_per_host(df, n=1, psl=True, punycode=True)

@@ -36,6 +36,7 @@ def test_video_fingerprint_and_near_duplicates(spark):
         (4, mp4_of([7])),                     # 1 sample: no comparisons
         (5, b"not an mp4"), (6, None),
         (7, mp4_of(short)),
+        (None, mp4_of(base)),                 # NULL id: error row, not a crash
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r["media_id"]: r for r in video_fingerprint(df).collect()}
@@ -44,6 +45,10 @@ def test_video_fingerprint_and_near_duplicates(spark):
     assert got[7]["vfp"] == py_hash(short) and got[7]["n_frames"] == 3
     for bad in (4, 5, 6):
         assert got[bad]["error"] is not None and got[bad]["vfp"] is None
+    # the NULL-id row groups under media_id NULL; the job survives —
+    # note mp4_frame_plan itself parses the payload fine, so the row
+    # actually HASHES (ids are metadata, payloads are the identity)
+    assert None in got and (got[None]["vfp"] == got[1]["vfp"])
     u = py_hash(base) % (1 << 64)
     assert (
         got[1]["b0"] | (got[1]["b1"] << 16) | (got[1]["b2"] << 32)
