@@ -3492,35 +3492,45 @@ def _key_revisions() -> dict[str, int]:
     return {k: int(v.get("rev", 0)) for k, v in revs.items()}
 
 
+#: size of the driver's per-round verification prefix; mirrored by
+#: tests/test_registry_order.py (DRIVER_WINDOW) and by the lap-bound
+#: rotation-hygiene test
+_DRIVER_WINDOW = 50
+
+
 def _ordered_registry(base: dict) -> dict:
     """Sort ``base`` so the stalest driver evidence comes first.
 
-    Sort key: (effective last round checked, times checked, insertion
-    index) ascending — never-checked keys (last=0) lead in insertion
-    order, then longest-unchecked keys, then the most recently
-    verified. With staleness as the PRIMARY key the window rotates
-    round-robin: no key waits more than ceil(|registry| / window)
-    rounds between checks.
+    Three priority groups, each internally ordered by (last round
+    checked, times checked, insertion index) ascending:
 
-    CHANGE-AWARE (r6): a key whose implementation fingerprint moved
-    AFTER its last driver check (KEY_REVS.json revision > last checked
-    round) has its driver evidence invalidated — effective last = 0 —
-    so changed keys re-enter the window immediately instead of waiting
-    out their staleness lap (r5 left core_numbers/ego_subgraph/
-    dedup_corpus/community_modularity driver-green on pre-change
-    evidence for a full lap)."""
+    0. OVERDUE — keys whose committed driver evidence would cross the
+       rotation-hygiene lap bound (ceil(|registry| / window) rounds,
+       tests/test_registry_order.py) at the NEXT recorded round. These
+       outrank everything, including changed keys: r11 proved that a
+       heavy-change round (13 new + 37 re-fingerprinted keys) can
+       otherwise consume the whole window and starve plain rotation
+       past the bound (graph_mutations hit 5 rounds stale with a
+       4-round lap). The reserved quota makes that starvation
+       structurally impossible while overdue ∪ changed fits the window.
+    1. CHANGED / NEVER-CHECKED — fingerprint moved after the last
+       driver check (KEY_REVS.json revision > last checked round, the
+       r6 change-aware rule: their evidence covers code that no longer
+       exists), or no driver evidence at all (last = 0).
+    2. the rest, longest-unchecked first, so the window's tail keeps
+       rotating round-robin.
+    """
     hist = _driver_check_history()
     revs = _key_revisions()
     idx = {k: i for i, k in enumerate(base)}
+    latest = max((last for _t, last in hist.values()), default=0)
+    lap = -(-len(base) // _DRIVER_WINDOW)
     def key(k):
         times, last = hist.get(k, (0, 0))
         changed = revs.get(k, 0) > last
-        # changed keys lead (their evidence covers code that no longer
-        # exists), but WITHIN the changed group staleness still ranks —
-        # when more keys change than the window holds (e.g. an edit to
-        # a widely-imported module), the longest-unchecked changed keys
-        # must win the scarce slots
-        return (0 if changed else last, last, times, idx[k])
+        overdue = last > 0 and (latest + 1) - last > lap
+        grp = 0 if overdue else (1 if (changed or last == 0) else 2)
+        return (grp, last, times, idx[k])
     order = sorted(base, key=key)
     return {k: base[k] for k in order}
 

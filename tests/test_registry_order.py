@@ -30,6 +30,19 @@ def _history():
     return hist
 
 
+def _overdue(ks, hist):
+    """Keys whose committed evidence would cross the lap bound at the
+    NEXT recorded round — the reserved-quota cohort (VERDICT r11 task 1)
+    that must outrank even changed keys in the window ordering."""
+    if not hist:
+        return []
+    latest = max(r for rounds in hist.values() for r in rounds)
+    lap = -(-len(ks) // DRIVER_WINDOW)
+    return [
+        k for k in ks if k in hist and (latest + 1) - max(hist[k]) > lap
+    ]
+
+
 def test_every_query_key_has_an_oracle():
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
@@ -137,6 +150,25 @@ def test_no_key_staler_than_window_math_allows():
     )
 
 
+def test_overdue_keys_lead_the_window():
+    """Reserved stale quota (VERDICT r11 task 1): keys whose committed
+    evidence would cross the lap bound at the next recorded round must
+    sit inside the driver window NO MATTER how many keys changed this
+    round — r11 starved rotation by spending all 50 slots on 13 new +
+    37 re-fingerprinted keys, pushing graph_mutations past the bound."""
+    ks = list(entry_mod.queries())
+    hist = _history()
+    over = _overdue(ks, hist)
+    if len(over) > DRIVER_WINDOW:
+        # genuine contention: registry outgrew the window's lap — the
+        # lap-bound test will fail loudly; ordering alone can't save it
+        return
+    late = [k for k in over if ks.index(k) >= DRIVER_WINDOW]
+    assert not late, (
+        f"{len(late)} overdue keys pushed past the driver window: {late}"
+    )
+
+
 def test_changed_keys_reenter_driver_window():
     """Every key whose driver evidence is INVALID — its implementation
     fingerprint moved after its last driver check, in ANY round — must
@@ -157,19 +189,34 @@ def test_changed_keys_reenter_driver_window():
         k for k, v in revs["revs"].items() if v["rev"] > last_checked(k)
     ]
     ks = list(entry_mod.queries())
+    overdue = set(_overdue(ks, hist))
     if len(changed) <= DRIVER_WINDOW:
         late = [k for k in changed if k in ks and ks.index(k) >= DRIVER_WINDOW]
-        assert not late, (
-            f"evidence-invalid keys pushed past the driver window: {late}"
-        )
+        if late:
+            # displacement is legal ONLY by the reserved overdue quota
+            # (keys about to cross the lap bound outrank changed keys);
+            # any other unchanged already-checked key inside the window
+            # while changed keys overflow is a wasted slot
+            window = ks[:DRIVER_WINDOW]
+            filler = [
+                k
+                for k in window
+                if k not in changed and k not in overdue and k in hist
+            ]
+            assert not filler, (
+                f"changed keys pushed past the window ({late}) while "
+                f"non-overdue unchanged keys hold slots: {filler}"
+            )
     else:
         window = ks[:DRIVER_WINDOW]
         stale_unchanged_inside = [
-            k for k in window if k not in changed and k in hist
+            k
+            for k in window
+            if k not in changed and k not in overdue and k in hist
         ]
         assert not stale_unchanged_inside, (
-            "window slots wasted on unchanged already-checked keys while "
-            f"changed keys overflow: {stale_unchanged_inside}"
+            "window slots wasted on unchanged already-checked non-overdue "
+            f"keys while changed keys overflow: {stale_unchanged_inside}"
         )
         # within the changed cohort, the scarce slots go to the
         # longest-unchecked keys
