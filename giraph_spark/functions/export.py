@@ -143,7 +143,15 @@ def pack_sequence_spans(
     layout-independent like everything in this module, and (unlike
     the xxhash order :func:`write_training_shards` uses for SHARD
     contents) replayable by a SQL window, so the placement is
-    oracle-checkable end-to-end. Callers wanting a shuffled pack
+    oracle-checkable end-to-end. PRECONDITION (ADVICE r11):
+    ``id_col`` must be unique within a shard — it is the ONLY sort
+    key, so duplicate ids tie and their relative order (hence the
+    duplicates' own ``offset``/``first_seq``/``last_seq``; docs after
+    the tie are unaffected, the running sum covers both either way)
+    is partition-layout-dependent, breaking the determinism promise.
+    Every upstream id producer in this package (doc_id, the export
+    writer's hash-assigned ids) satisfies this; synthetic callers
+    must too. Callers wanting a shuffled pack
     order should shuffle upstream (assign ids/shards by hash — the
     export writer's move); the pack itself must stay a pure function
     of (id, tokens).

@@ -126,7 +126,9 @@ def idna_host(col: Column) -> Column:
     per-label algorithm no SQL expression can express); everything
     around it stays JVM-side. Evaluate it ONCE into a column before
     heavy reuse — the composition rule every consumer here already
-    follows for :func:`url_parts`."""
+    follows for :func:`url_parts`. The codec dialect is IDNA2003, not
+    UTS46 — see :func:`_idna_ascii` for the deviation-character
+    boundary and its mitigation."""
     return _idna_col(url_host(col))
 
 
@@ -231,12 +233,23 @@ def _idna_ascii(name: str) -> str:
     stdlib codec rejects (empty/overlong labels, stray dots) return
     unchanged: a name that can't be encoded can't match a
     punycode-keyed rule either way, and the caller's default-rule /
-    kept-unblocked semantics should see the original, not an error."""
+    kept-unblocked semantics should see the original, not an error.
+
+    ENCODING DIALECT (ADVICE r11): the stdlib codec implements
+    IDNA2003 (per-label ToASCII with nameprep case-folding), NOT the
+    UTS46/IDNA2008 mapping browsers and registries use today. The two
+    diverge on the deviation characters (``faß.de`` → ``fass.de``
+    under 2003 but ``xn--fa-hia.de`` under UTS46) and on codepoints
+    newer than Unicode 3.2 (the codec raises; the name passes through
+    un-encoded here). For blocklist/PSL/robots matching this means a
+    rule keyed in the UTS46 form of a deviation-character name can be
+    missed — ship such rules in BOTH encodings, or swap in a UTS46
+    encoder via the same per-label seam, if that tail matters to your
+    corpus."""
     if name.isascii():
         return name
     try:
-        # the stdlib codec is per-label ToASCII with nameprep
-        # (case-fold included) — exactly the PSL's own encoding
+        # stdlib = IDNA2003 ToASCII per label (see dialect note above)
         return name.encode("idna").decode("ascii")
     except UnicodeError:
         return name

@@ -45,6 +45,15 @@ def video_fingerprint(
     track, not ISO BMFF) yield a null-hash row with ``error`` set —
     the family's error-row contract.
 
+    Unlike the image/audio tiers (which hash per input ROW), this pass
+    groups by ``id_col`` — so multiple input rows sharing an id (dup
+    ids, or several NULL-id blobs) would interleave their sample
+    tables into one fabricated contour. That collision is DETECTED in
+    the aggregate (duplicate frame indices, or null-plan rows mixed
+    with frame rows — a single input can never produce either) and
+    yields an error row instead of a silent merge; a single NULL-id
+    row still hashes normally.
+
     Plan shape: ONE Arrow-batched box-walk (the frame-plan pass),
     then one partial-aggregated groupBy per media collecting ≤65
     ``(index, size)`` structs, and the hash assembles JVM-side with
@@ -72,6 +81,17 @@ def video_fingerprint(
                 )
             )
         ).alias("_fs"),
+        # id-collision evidence: one input emits EITHER strictly
+        # increasing frame indices (no duplicates) OR exactly one
+        # null-plan row — never both kinds, never a repeated index
+        F.count(F.lit(1)).alias("_rows"),
+        F.count("frame_index").alias("_fi"),
+        F.countDistinct("frame_index").alias("_fid"),
+    )
+    collided = (
+        (F.col("_fi") > F.col("_fid"))
+        | ((F.col("_fi") > 0) & (F.col("_fi") < F.col("_rows")))
+        | ((F.col("_fi") == 0) & (F.col("_rows") > 1))
     )
     sz = F.transform(F.col("_fs"), lambda s: s.getField("size_bytes"))
     n = F.size(sz)
@@ -104,16 +124,24 @@ def video_fingerprint(
         fold_bits(16 * j + 15, 16 * j).cast("int").alias(f"b{j}")
         for j in range(4)
     ]
-    ok = n >= 2
+    ok = (n >= 2) & ~collided
     return agg.select(
         "media_id",
         F.when(ok, n).cast("int").alias("n_frames"),
         F.when(ok, signed).alias("vfp"),
         *[F.when(ok, b).alias(f"b{j}") for j, b in enumerate(bands)],
         F.when(
+            collided,
+            F.lit(
+                "multiple input rows share this media_id — structural "
+                "fingerprint undefined (give each blob a unique id)"
+            ),
+        )
+        .when(
             ~ok,
             F.lit("no usable stsz sample-size table (need >= 2 sized samples)"),
-        ).alias("error"),
+        )
+        .alias("error"),
     )
 
 

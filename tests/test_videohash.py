@@ -62,6 +62,30 @@ def test_video_fingerprint_and_near_duplicates(spark):
     assert (1, 3) not in pairs
 
 
+def test_video_fingerprint_id_collisions_error_not_merge(spark):
+    """Rows sharing a media_id must NOT silently interleave their
+    sample tables into one fabricated contour (ADVICE r11): every
+    collision shape — two decodable blobs, decodable + undecodable,
+    two undecodable, several NULL-id blobs — yields an error row,
+    while unique-id rows in the same relation hash normally."""
+    a = [(k * 13 % 97) + 100 for k in range(65)]
+    b = [(k * 29 % 97) + 100 for k in range(65)]
+    rows = [
+        (1, mp4_of(a)), (1, mp4_of(b)),        # two decodable, same id
+        (2, mp4_of(a)), (2, b"not an mp4"),    # decodable + undecodable
+        (3, b"junk"), (3, None),               # two undecodable
+        (None, mp4_of(a)), (None, mp4_of(b)),  # several NULL-id blobs
+        (9, mp4_of(a)),                        # control: unique id
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in video_fingerprint(df).collect()}
+    assert len(got) == 5
+    for mid in (1, 2, 3, None):
+        assert got[mid]["vfp"] is None and got[mid]["n_frames"] is None
+        assert "share this media_id" in got[mid]["error"]
+    assert got[9]["vfp"] == py_hash(a) and got[9]["error"] is None
+
+
 def test_video_fingerprint_remux_invariance(spark):
     """The structural claim: the SAME sample-size table in a different
     container shell (different movie timescale + an mdhd media
