@@ -1806,6 +1806,35 @@ def _q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode end-to-end (r12, VERDICT r11
+    task 2 — the image tier's WebP blindness closed): solid-color
+    VP8L files whose bitstream FEATURES cycle per id (plain literals /
+    subtract-green / palette with 8-px bundling / predictor / LZ77
+    runs / color cache, plus VP8X containers on odd ids), all decoding
+    through giraph_spark/functions/webp.py's canonical-prefix-code +
+    transform machinery to the SAME closed-form stats as the PNG
+    fixture — so the oracle is literally png_pixel_stats' SQL while
+    the Spark side exercises six structurally different VP8L streams.
+    Decoder registration rides the PUBLIC set_content_decoder seam
+    (a strict superset of the default sniffer: non-WebP payloads
+    delegate to it)."""
+    from giraph_spark.functions.multimodal import (
+        pixel_stats,
+        set_content_decoder,
+    )
+    from giraph_spark.functions.webp import (
+        image_pixel_stats_webp,
+        webp_media_from_docs,
+    )
+
+    set_content_decoder("image", image_pixel_stats_webp)
+    return pixel_stats(webp_media_from_docs(_docs(spark, sf_dir))).select(
+        "media_id", "modality", "width", "height",
+        "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+    )
+
+
 def _q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-FRAME content decode (r7: the pandas-UDF stage
     frame_sample_plan plans for): animated GIFs with 1 + id % 7 solid
@@ -3670,6 +3699,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_coverage": _q_decode_coverage,
         "bmp_pixel_stats": _q_bmp_pixel_stats,
         "png_pixel_stats": _q_png_pixel_stats,
+        "webp_pixel_stats": _q_webp_pixel_stats,
         "mp4_metadata": _q_mp4_metadata,
         "mp4_frame_plan": _q_mp4_frame_plan,
         "jpeg_progressive_pixel_stats": _q_jpeg_progressive_pixel_stats,
@@ -8081,6 +8111,10 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "decode_coverage": decode_coverage_sql,
         "bmp_pixel_stats": bmp_pixel_stats_sql,
         "png_pixel_stats": png_pixel_stats_sql,
+        # the WebP fixture restates the PNG fixture's closed form —
+        # same ids, same solid colors — through six VP8L bitstream
+        # variants, so the oracle is the identical SQL
+        "webp_pixel_stats": png_pixel_stats_sql,
         "mp4_metadata": mp4_metadata_sql,
         "mp4_frame_plan": mp4_frame_plan_sql,
         "jpeg_progressive_pixel_stats": jpeg_pixel_stats_sql,

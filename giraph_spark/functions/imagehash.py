@@ -10,7 +10,8 @@ standard cheap perceptual fingerprint — robust to re-encode/resize,
 Scale shape mirrors the text tier exactly: the hash is ONE
 Arrow-batched ``mapInPandas`` pass over payload bytes (the only place
 Python touches a pixel — decode via the package's own zero-dep BMP/
-PNG/JPEG/GIF codecs, ``media_codecs``), and near-dup candidate
+PNG/JPEG/GIF codecs, ``media_codecs``, plus lossless-WebP VP8L,
+``webp``), and near-dup candidate
 generation is LSH banding — the 64-bit hash splits into four 16-bit
 bands, a pair is a candidate iff it collides on ANY band (guaranteed
 for Hamming ≤ 3 by pigeonhole; overwhelmingly likely for ≤ 8), and
@@ -64,6 +65,7 @@ def _decode_gray(payload: bytes):
         parse_jpeg_pixels,
         parse_png_pixels,
     )
+    from .webp import parse_webp_pixels
 
     if payload[:8] == PNG_SIGNATURE:
         h, w, px = parse_png_pixels(payload)
@@ -71,6 +73,10 @@ def _decode_gray(payload: bytes):
         h, w, px = parse_jpeg_pixels(payload)
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         h, w, px = parse_gif_pixels(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # lossless VP8L decodes (r12); lossy VP8 raises with a clear
+        # out-of-scope message -> error row, never fabricated pixels
+        h, w, px = parse_webp_pixels(payload)
     else:
         h, w, px = parse_bmp_pixels(payload)
     return px.reshape(h, w, -1).mean(axis=2)

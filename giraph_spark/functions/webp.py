@@ -1,0 +1,1155 @@
+"""Zero-dep WebP **VP8L (lossless)** pixel decode — closing the image
+dedup tier's WebP blindness (VERDICT r11 missing #1): the web's most
+common modern image format previously fell through
+``image_dhash``'s sniffer into the BMP parser and became an error row,
+so a WebP-heavy crawl corpus got no perceptual hashes at all.
+
+Implements the public "WebP Lossless Bitstream Specification"
+(RFC 9649 §3, google/libwebp's ``vp8l_dec.c`` is the reference
+implementation — studied for semantics, all code here original):
+
+- LSB-first bitstream; 14-bit packed dimensions; version 0.
+- Canonical prefix codes: *simple* (1-2 symbols) and *normal*
+  (code-length-coded with the 19-entry ``kCodeLengthCodeOrder``,
+  DEFLATE-style 16/17/18 repeats, optional max-symbol limit).
+- Meta-prefix (entropy image) group selection, color cache
+  (``0x1e35a7bd`` multiplicative hash), LZ77 backward references with
+  the 120-entry 2D distance neighborhood + plain distances.
+- All four transforms, inverted in reverse stream order: predictor
+  (14 modes, contiguous-buffer border rules), color (cross-channel
+  ``(int8·int8)>>5`` deltas), subtract-green, color indexing
+  (palette with 1/2/4/8-bit pixel bundling).
+
+Lossy **VP8** stays documented out of scope (it needs a boolean
+arithmetic decoder + loop filter — a different project); such files
+raise with a clear message and become error rows upstream, the
+package's no-fake contract.
+
+``make_webp_pixels`` is the fixture ENCODER (the ``make_png``
+convention: tests build real bitstreams, the decoder proves itself by
+round-trip): literal tokens under balanced normal codes or simple
+codes, plus opt-in subtract-green / predictor / palette / LZ77 runs /
+color cache / color transform / meta-prefix — every decoder feature
+has an encoder switch so round-trip tests reach it.
+
+Scale shape: decoding is per-payload Python inside the image tier's
+existing Arrow ``mapInPandas`` passes (one pass per corpus, payloads
+never shuffle). The entropy loop is per-pixel Python — fine for
+fixtures and thumbnails; for megapixel corpora the documented escape
+is a library decoder via
+:func:`giraph_spark.functions.multimodal.set_content_decoder`.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+# ---------------------------------------------------------------------------
+# bit I/O (LSB-first within each byte, like DEFLATE)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def bits(self, n: int) -> int:
+        p = self.pos
+        if p + n > self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        v = 0
+        data = self.data
+        for i in range(n):
+            q = p + i
+            v |= ((data[q >> 3] >> (q & 7)) & 1) << i
+        self.pos = p + n
+        return v
+
+
+class _BitWriter:
+    __slots__ = ("bytes_", "acc", "n")
+
+    def __init__(self):
+        self.bytes_ = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.bytes_.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def code(self, code: int, length: int) -> None:
+        """Huffman codes go MSB-first into the LSB-first stream."""
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def getvalue(self) -> bytes:
+        out = bytearray(self.bytes_)
+        if self.n:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes (shared by decoder and encoder — one
+# assignment rule, self-consistency by construction)
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the DEFLATE/VP8L canonical rule:
+    shorter codes first, ties broken by ascending symbol."""
+    by_len: dict[int, list[int]] = {}
+    for sym, ln in lengths.items():
+        if ln > 0:
+            by_len.setdefault(ln, []).append(sym)
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for ln in sorted(by_len):
+        code <<= ln - prev_len
+        prev_len = ln
+        for sym in sorted(by_len[ln]):
+            out[sym] = (code, ln)
+            code += 1
+    if out and code != (1 << prev_len):
+        raise ValueError("invalid prefix code (not complete)")
+    return out
+
+
+class _PrefixCode:
+    """Decoder for one canonical prefix code; ``single`` symbols
+    consume zero bits (the spec's 1-symbol simple-code semantics)."""
+
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, lengths: dict[int, int], single: int | None = None):
+        self.single = single
+        self.table: dict[tuple[int, int], int] = {}
+        self.max_len = 0
+        if single is None:
+            nonzero = {s: l for s, l in lengths.items() if l > 0}
+            if len(nonzero) == 1:
+                # a lone length-coded symbol also decodes bit-free
+                self.single = next(iter(nonzero))
+                return
+            for sym, (code, ln) in _canonical_codes(nonzero).items():
+                self.table[(ln, code)] = sym
+                self.max_len = max(self.max_len, ln)
+            if not self.table:
+                raise ValueError("empty prefix code")
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        while True:
+            code = (code << 1) | br.bits(1)
+            length += 1
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+            if length >= self.max_len:
+                raise ValueError("invalid prefix code in VP8L stream")
+
+
+#: spec order in which the code-length code's own 3-bit lengths appear
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+_CL_EXTRA = {16: 2, 17: 3, 18: 7}
+_CL_OFFSET = {16: 3, 17: 3, 18: 11}
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.bits(1):  # simple code: 1 or 2 symbols
+        num_symbols = br.bits(1) + 1
+        first_is_8bit = br.bits(1)
+        sym0 = br.bits(8 if first_is_8bit else 1)
+        if num_symbols == 1:
+            return _PrefixCode({}, single=sym0)
+        sym1 = br.bits(8)
+        if sym0 == sym1:
+            raise ValueError("simple code with duplicate symbols")
+        return _PrefixCode({sym0: 1, sym1: 1})
+    # normal: code-length-coded lengths
+    num_codes = br.bits(4) + 4
+    if num_codes > len(_CL_ORDER):
+        raise ValueError("invalid code-length code count")
+    cl_lengths: dict[int, int] = {}
+    for i in range(num_codes):
+        cl_lengths[_CL_ORDER[i]] = br.bits(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if br.bits(1):  # explicit max-symbol limit
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+        if max_symbol > alphabet_size:
+            raise ValueError("max_symbol exceeds alphabet")
+    else:
+        max_symbol = alphabet_size
+    lengths: dict[int, int] = {}
+    symbol = 0
+    prev_len = 8  # the spec's default for repeat-previous
+    while symbol < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        cl = cl_code.decode(br)
+        if cl < 16:
+            if cl:
+                lengths[symbol] = cl
+                prev_len = cl
+            symbol += 1
+        else:
+            repeat = br.bits(_CL_EXTRA[cl]) + _CL_OFFSET[cl]
+            fill = prev_len if cl == 16 else 0
+            for _ in range(repeat):
+                if symbol >= alphabet_size:
+                    raise ValueError("code-length repeat overflows alphabet")
+                if fill:
+                    lengths[symbol] = fill
+                symbol += 1
+    return _PrefixCode(lengths)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 plumbing
+
+
+def _prefix_decode_value(sym: int, br: _BitReader) -> int:
+    """length/distance prefix coding: 24- and 40-symbol alphabets
+    share it (spec: value = offset + extra + 1)."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _prefix_encode_value(v: int) -> tuple[int, int, int]:
+    """inverse of :func:`_prefix_decode_value`:
+    value -> (symbol, n_extra_bits, extra)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    msb = x.bit_length() - 1
+    extra = msb - 1
+    parity = (x >> extra) & 1
+    sym = 2 * extra + 2 + parity
+    return sym, extra, x & ((1 << extra) - 1)
+
+
+def _distance_map() -> list[tuple[int, int]]:
+    """The 120-entry 2D distance neighborhood: pixels above/left of
+    the current one ordered by Euclidean distance, ties by larger dy
+    then by positive-before-negative dx — reproduces the spec's
+    explicit table (verified against its leading rows)."""
+    cands = []
+    for dy in range(0, 9):
+        for dx in range(-8, 9):
+            if dy == 0 and dx <= 0:
+                continue
+            cands.append((dx, dy))
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+    return cands[:120]
+
+
+_DIST_MAP = _distance_map()
+
+
+def _plane_distance(code: int, width: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    return max(1, dy * width + dx)
+
+
+def _cache_index(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+# ---------------------------------------------------------------------------
+# pixel helpers (ARGB packed in a python int / numpy uint32)
+
+
+def _argb(a: int, r: int, g: int, b: int) -> int:
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _avg2(x: int, y: int) -> int:
+    """per-channel (x + y) >> 1 without unpacking (SWAR)"""
+    return (((x ^ y) & 0xFEFEFEFE) >> 1) + (x & y)
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _select_predictor(l: int, t: int, tl: int) -> int:
+    p_l = 0
+    p_t = 0
+    for shift in (24, 16, 8, 0):
+        cl = (l >> shift) & 0xFF
+        ct = (t >> shift) & 0xFF
+        ctl = (tl >> shift) & 0xFF
+        p = cl + ct - ctl
+        p_l += abs(p - cl)
+        p_t += abs(p - ct)
+    return l if p_l < p_t else t
+
+
+def _clamp_add_subtract_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for shift in (24, 16, 8, 0):
+        c = _clamp(((l >> shift) & 0xFF) + ((t >> shift) & 0xFF) - ((tl >> shift) & 0xFF))
+        out |= c << shift
+    return out
+
+
+def _clamp_add_subtract_half(ave: int, tl: int) -> int:
+    out = 0
+    for shift in (24, 16, 8, 0):
+        a = (ave >> shift) & 0xFF
+        b = (tl >> shift) & 0xFF
+        # C-style truncation toward zero, per the reference decoder
+        d = a - b
+        c = _clamp(a + (d // 2 if d >= 0 else -((-d) // 2)))
+        out |= c << shift
+    return out
+
+
+def _predict(mode: int, l: int, t: int, tr: int, tl: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select_predictor(l, t, tl)
+    if mode == 12:
+        return _clamp_add_subtract_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_subtract_half(_avg2(l, t), tl)
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _add_pixels(pix: int, pred: int) -> int:
+    out = 0
+    for shift in (24, 16, 8, 0):
+        out |= (((pix >> shift) + (pred >> shift)) & 0xFF) << shift
+    return out
+
+
+def _sub_pixels(pix: int, pred: int) -> int:
+    out = 0
+    for shift in (24, 16, 8, 0):
+        out |= (((pix >> shift) - (pred >> shift)) & 0xFF) << shift
+    return out
+
+
+def _i8(v: int) -> int:
+    return v - 256 if v > 127 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    return (_i8(t) * _i8(c)) >> 5
+
+
+# ---------------------------------------------------------------------------
+# transform inverses (decode side) + forwards (encoder side)
+
+
+def _inv_subtract_green(px, w: int, h: int):
+    import numpy as np
+
+    g = (px >> 8) & 0xFF
+    r = ((px >> 16) + g) & 0xFF
+    b = (px + g) & 0xFF
+    return (px & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+def _fwd_subtract_green(px, w: int, h: int):
+    import numpy as np
+
+    g = (px >> 8) & 0xFF
+    r = ((px >> 16) - g) & 0xFF
+    b = (px - g) & 0xFF
+    return (px & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+def _inv_predictor(px, w: int, h: int, size_bits: int, modes):
+    """sequential by construction (each pixel's prediction reads
+    already-reconstructed neighbors). Border rules: (0,0) predicts
+    0xff000000; the top row predicts L; the left column predicts T;
+    TR of the rightmost column is pixel (0, y) — the contiguous-buffer
+    rule the reference decoder canonized."""
+    out = [0] * (w * h)
+    flat = [int(v) for v in px.reshape(-1)]
+    mw = modes.shape[1]
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            i = row + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else out[i - 1]
+            elif x == 0:
+                pred = out[i - w]
+            else:
+                mode = int(modes[y >> size_bits, min(x >> size_bits, mw - 1)])
+                l = out[i - 1]
+                t = out[i - w]
+                tl = out[i - w - 1]
+                tr = out[i - w + 1] if x + 1 < w else out[row]
+                pred = _predict(mode, l, t, tr, tl)
+            out[i] = _add_pixels(flat[i], pred)
+    import numpy as np
+
+    return np.array(out, dtype=np.uint32).reshape(h, w)
+
+
+def _fwd_predictor(px, w: int, h: int, size_bits: int, modes):
+    out = [0] * (w * h)
+    flat = [int(v) for v in px.reshape(-1)]
+    mw = modes.shape[1]
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            i = row + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else flat[i - 1]
+            elif x == 0:
+                pred = flat[i - w]
+            else:
+                mode = int(modes[y >> size_bits, min(x >> size_bits, mw - 1)])
+                l = flat[i - 1]
+                t = flat[i - w]
+                tl = flat[i - w - 1]
+                tr = flat[i - w + 1] if x + 1 < w else flat[row]
+                pred = _predict(mode, l, t, tr, tl)
+            out[i] = _sub_pixels(flat[i], pred)
+    import numpy as np
+
+    return np.array(out, dtype=np.uint32).reshape(h, w)
+
+
+def _cte_of(pix: int) -> tuple[int, int, int]:
+    """color-transform element from its carrier pixel: green_to_red
+    rides the blue channel, green_to_blue the green channel,
+    red_to_blue the red channel."""
+    return pix & 0xFF, (pix >> 8) & 0xFF, (pix >> 16) & 0xFF
+
+
+def _inv_color_transform(px, w: int, h: int, size_bits: int, ctes):
+    out = px.copy()
+    mw = ctes.shape[1]
+    for y in range(h):
+        for x in range(w):
+            g2r, g2b, r2b = _cte_of(int(ctes[y >> size_bits, min(x >> size_bits, mw - 1)]))
+            pix = int(out[y, x])
+            g = (pix >> 8) & 0xFF
+            r = (((pix >> 16) & 0xFF) + _ct_delta(g2r, g)) & 0xFF
+            b = ((pix & 0xFF) + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            out[y, x] = (pix & 0xFF00FF00) | (r << 16) | b
+    return out
+
+
+def _fwd_color_transform(px, w: int, h: int, size_bits: int, ctes):
+    out = px.copy()
+    mw = ctes.shape[1]
+    for y in range(h):
+        for x in range(w):
+            g2r, g2b, r2b = _cte_of(int(ctes[y >> size_bits, min(x >> size_bits, mw - 1)]))
+            pix = int(out[y, x])
+            g = (pix >> 8) & 0xFF
+            r0 = (pix >> 16) & 0xFF
+            r = (r0 - _ct_delta(g2r, g)) & 0xFF
+            b = ((pix & 0xFF) - _ct_delta(g2b, g) - _ct_delta(r2b, r0)) & 0xFF
+            out[y, x] = (pix & 0xFF00FF00) | (r << 16) | b
+    return out
+
+
+def _palette_xbits(n: int) -> int:
+    if n <= 2:
+        return 3
+    if n <= 4:
+        return 2
+    if n <= 16:
+        return 1
+    return 0
+
+
+def _inv_color_indexing(px, full_w: int, h: int, palette, xbits: int):
+    import numpy as np
+
+    n = len(palette)
+    out = np.zeros((h, full_w), dtype=np.uint32)
+    per = 1 << xbits
+    bits = 8 >> xbits
+    mask = (1 << bits) - 1
+    for y in range(h):
+        for x in range(full_w):
+            packed = int(px[y, x >> xbits])
+            idx = ((packed >> 8) >> ((x % per) * bits)) & mask
+            out[y, x] = palette[idx] if idx < n else 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded image streams
+
+
+def _read_codes_group(br: _BitReader, cache_size: int):
+    green = _read_prefix_code(br, 256 + 24 + cache_size)
+    red = _read_prefix_code(br, 256)
+    blue = _read_prefix_code(br, 256)
+    alpha = _read_prefix_code(br, 256)
+    dist = _read_prefix_code(br, 40)
+    return green, red, blue, alpha, dist
+
+
+def _decode_image_stream(br: _BitReader, w: int, h: int, level0: bool):
+    """One VP8L image stream (the main image when ``level0``,
+    otherwise a transform/palette/entropy sub-image) -> uint32 ARGB
+    array (h, w)."""
+    import numpy as np
+
+    transforms: list[tuple[int, Any]] = []
+    cur_w = w
+    if level0:
+        seen: set[int] = set()
+        while br.bits(1):
+            ttype = br.bits(2)
+            if ttype in seen:
+                raise ValueError("duplicate VP8L transform")
+            seen.add(ttype)
+            if ttype == 2:  # subtract green
+                transforms.append((2, (cur_w,)))
+            elif ttype in (0, 1):  # predictor / color
+                size_bits = br.bits(3) + 2
+                bw = (cur_w + (1 << size_bits) - 1) >> size_bits
+                bh = (h + (1 << size_bits) - 1) >> size_bits
+                sub = _decode_image_stream(br, bw, bh, False)
+                transforms.append((ttype, (cur_w, size_bits, sub)))
+            elif ttype == 3:  # color indexing
+                n_colors = br.bits(8) + 1
+                pal_img = _decode_image_stream(br, n_colors, 1, False)
+                # palette entries are componentwise deltas off the
+                # previous entry
+                pal = []
+                prev = 0
+                for i in range(n_colors):
+                    prev = _add_pixels(int(pal_img[0, i]), prev)
+                    pal.append(prev)
+                xbits = _palette_xbits(n_colors)
+                transforms.append((3, (cur_w, pal, xbits)))
+                cur_w = (cur_w + (1 << xbits) - 1) >> xbits
+    cache_bits = 0
+    if br.bits(1):
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"invalid color-cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if level0 and br.bits(1):  # meta prefix codes
+        meta_bits = br.bits(3) + 2
+        ew = (cur_w + (1 << meta_bits) - 1) >> meta_bits
+        eh = (h + (1 << meta_bits) - 1) >> meta_bits
+        eimg = _decode_image_stream(br, ew, eh, False)
+        meta = (eimg >> np.uint32(8)) & np.uint32(0xFFFF)
+        n_groups = int(meta.max()) + 1
+    groups = [_read_codes_group(br, cache_size) for _ in range(n_groups)]
+    cache = [0] * cache_size
+
+    n = cur_w * h
+    out = [0] * n
+    pos = 0
+    group = groups[0]
+    while pos < n:
+        if meta is not None:
+            y, x = divmod(pos, cur_w)
+            group = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        g_sym = group[0].decode(br)
+        if g_sym < 256:
+            # stream order after green is red, blue, alpha — decode
+            # explicitly (argument evaluation order must not decide)
+            red = group[1].decode(br)
+            blue = group[2].decode(br)
+            alpha = group[3].decode(br)
+            pix = _argb(alpha, red, g_sym, blue)
+            out[pos] = pix
+            pos += 1
+            if cache_size:
+                cache[_cache_index(pix, cache_bits)] = pix
+        elif g_sym < 280:
+            length = _prefix_decode_value(g_sym - 256, br)
+            dist_code = _prefix_decode_value(group[4].decode(br), br)
+            dist = _plane_distance(dist_code, cur_w)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                pix = out[pos - dist]
+                out[pos] = pix
+                pos += 1
+                if cache_size:
+                    cache[_cache_index(pix, cache_bits)] = pix
+        else:
+            if g_sym - 280 >= cache_size:
+                raise ValueError("VP8L color-cache symbol out of range")
+            out[pos] = cache[g_sym - 280]
+            pos += 1
+    px = np.array(out, dtype=np.uint32).reshape(h, cur_w)
+
+    for ttype, data in reversed(transforms):
+        if ttype == 2:
+            px = _inv_subtract_green(px, data[0], h)
+        elif ttype == 0:
+            px = _inv_predictor(px, data[0], h, data[1], data[2] >> np.uint32(8) & np.uint32(0xFF))
+        elif ttype == 1:
+            px = _inv_color_transform(px, data[0], h, data[1], data[2])
+        elif ttype == 3:
+            px = _inv_color_indexing(px, data[0], h, data[1], data[2])
+    return px
+
+
+# ---------------------------------------------------------------------------
+# public decode surface
+
+
+def parse_webp_pixels(payload: bytes):
+    """Full CONTENT decode of a lossless (VP8L) WebP: returns
+    ``(height, width, pixels)`` with ``pixels`` uint8 of shape
+    (height, width, 3) for fully opaque images and (height, width, 4)
+    RGBA otherwise — the :func:`~giraph_spark.functions.media_codecs.
+    parse_png_pixels` convention, so every consumer (dHash grayscale
+    fold, pixel stats) treats both formats identically.
+
+    Lossy VP8 (and VP8-with-ALPH) raises ``ValueError`` with an
+    explicit out-of-scope message — callers render that as an error /
+    null-stats row, never fabricated pixels."""
+    import numpy as np
+
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    i = 12
+    vp8l = None
+    saw_lossy = False
+    n = len(payload)
+    while i + 8 <= n:
+        fourcc = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if fourcc == b"VP8L":
+            vp8l = body
+            break
+        if fourcc == b"VP8 ":
+            saw_lossy = True
+        i += 8 + size + (size & 1)
+    if vp8l is None:
+        if saw_lossy:
+            raise ValueError(
+                "lossy VP8 WebP: out of scope for the zero-dep decoder "
+                "(needs a boolean arithmetic decoder); register a library "
+                "codec via set_content_decoder for lossy files"
+            )
+        raise ValueError("no VP8L chunk in WebP")
+    if len(vp8l) < 5 or vp8l[0] != 0x2F:
+        raise ValueError("VP8L signature byte missing")
+    br = _BitReader(vp8l[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha-hint
+    version = br.bits(3)
+    if version != 0:
+        raise ValueError(f"unknown VP8L version {version}")
+    argb = _decode_image_stream(br, w, h, True)
+    a = (argb >> np.uint32(24)).astype(np.uint8)
+    r = (argb >> np.uint32(16)).astype(np.uint8)
+    g = (argb >> np.uint32(8)).astype(np.uint8)
+    b = argb.astype(np.uint8)
+    if bool((a == 255).all()):
+        return h, w, np.stack([r, g, b], axis=2)
+    return h, w, np.stack([r, g, b, a], axis=2)
+
+
+def webp_pixel_stats(payload: bytes) -> dict[str, Any]:
+    """Content-derived metadata for a lossless WebP — the
+    :func:`~giraph_spark.functions.media_codecs.png_pixel_stats` twin:
+    per-channel means in RGB order (alpha excluded) and global pixel
+    extrema over the color channels."""
+    h, w, px = parse_webp_pixels(payload)
+    color = px[:, :, :3]
+    means = color.reshape(-1, 3).mean(axis=0)
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+        "min_px": int(color.min()),
+        "max_px": int(color.max()),
+    }
+
+
+def image_pixel_stats_webp(payload: bytes) -> dict[str, Any]:
+    """WebP-aware image content decoder: RIFF/WEBP payloads decode
+    through :func:`webp_pixel_stats`, everything else falls through to
+    the package's stdlib sniffer
+    (:func:`~giraph_spark.functions.media_codecs.image_pixel_stats` —
+    BMP/PNG/JPEG/GIF). Register it as the image decoder::
+
+        from giraph_spark.functions.multimodal import set_content_decoder
+        set_content_decoder("image", image_pixel_stats_webp)
+
+    (a strict superset of the default, so registration is always
+    safe)."""
+    from .media_codecs import image_pixel_stats
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return webp_pixel_stats(payload)
+    return image_pixel_stats(payload)
+
+
+def webp_media_from_docs(docs):
+    """Deterministic REAL-VP8L media table derived from ``documents``
+    (the :func:`~giraph_spark.functions.multimodal.png_media_from_docs`
+    twin): per doc a solid-color lossless WebP with ``width = 1 +
+    id % 7``, ``height = 1 + id % 4``, RGB ``(id·13 % 256, id·7 % 256,
+    id % 256)`` — the IDENTICAL closed form as the PNG fixture, so the
+    same oracle replays the stats — while the VP8L feature set cycles
+    ``id % 6`` over plain literals / subtract-green / palette(+8px
+    bundling) / predictor / LZ77 runs / color cache, and odd ids get
+    the VP8X extended container: six structurally different bitstreams
+    per color, all decoding to the same solid image."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .multimodal import MEDIA_SCHEMA
+
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"].to_numpy():
+                mid = int(mid)
+                w, h = 1 + mid % 7, 1 + mid % 4
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = mid * 13 % 256
+                px[:, :, 1] = mid * 7 % 256
+                px[:, :, 2] = mid % 256
+                kw: dict = {"extended": mid % 2 == 1}
+                variant = mid % 6
+                if variant == 1:
+                    kw["subtract_green"] = True
+                elif variant == 2:
+                    kw["palette"] = True
+                elif variant == 3:
+                    kw["predictor"] = 7
+                    kw["predictor_size_bits"] = 2
+                elif variant == 4:
+                    kw["lz77"] = True
+                elif variant == 5:
+                    kw["cache_bits"] = 2
+                payloads.append(make_webp_pixels(px, **kw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/webp",
+                    "source": "documents",
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder
+
+
+def _write_prefix_code(
+    bw: _BitWriter, freqs: dict[int, int], alphabet_size: int
+) -> dict[int, tuple[int, int]]:
+    """Write one prefix code for the symbols in ``freqs`` and return
+    the symbol -> (code, length) map for emitting them. Strategy:
+    *simple* codes when 1-2 symbols all fit 8 bits, else a *normal*
+    BALANCED code (every used symbol at length ceil(log2(n)), padded
+    to completeness with never-emitted dummy symbols) — always a
+    valid canonical code, and it exercises the decoder's
+    code-length-code machinery."""
+    syms = sorted(freqs)
+    if not syms:
+        syms = [0]
+    if len(syms) <= 2 and all(s <= 255 for s in syms):
+        bw.bits(1, 1)  # simple
+        bw.bits(len(syms) - 1, 1)
+        if len(syms) == 1:
+            s0 = syms[0]
+            if s0 <= 1:
+                bw.bits(0, 1)
+                bw.bits(s0, 1)
+            else:
+                bw.bits(1, 1)
+                bw.bits(s0, 8)
+            return {s0: (0, 0)}
+        s0, s1 = syms
+        bw.bits(1, 1)
+        bw.bits(s0, 8)
+        bw.bits(s1, 8)
+        codes = _canonical_codes({s0: 1, s1: 1})
+        return codes
+    # balanced normal code
+    n_used = len(syms)
+    depth = max(1, (n_used - 1).bit_length())
+    n_pad = (1 << depth) - n_used
+    used = set(syms)
+    pad = [s for s in range(alphabet_size) if s not in used][:n_pad]
+    if len(pad) < n_pad:
+        raise ValueError("alphabet too small to pad balanced code")
+    lengths = {s: depth for s in syms + pad}
+    bw.bits(0, 1)  # normal
+    # code-length sequence over the full alphabet (literals + zero
+    # repeats), so no max-symbol limit is needed
+    tokens: list[tuple[int, int, int]] = []  # (cl_sym, n_extra, extra)
+    i = 0
+    while i < alphabet_size:
+        if i in lengths:
+            tokens.append((depth, 0, 0))
+            i += 1
+            continue
+        run = 0
+        while i + run < alphabet_size and (i + run) not in lengths:
+            run += 1
+        i += run
+        while run > 0:
+            if run < 3:
+                for _ in range(run):
+                    tokens.append((0, 0, 0))
+                run = 0
+            elif run <= 10:
+                tokens.append((17, 3, run - 3))
+                run = 0
+            else:
+                chunk = min(run, 138)
+                tokens.append((18, 7, chunk - 11))
+                run -= chunk
+    cl_used = sorted({t[0] for t in tokens})
+    cl_depth = max(1, (len(cl_used) - 1).bit_length())
+    cl_pad_n = (1 << cl_depth) - len(cl_used)
+    cl_pad = [s for s in range(19) if s not in cl_used][:cl_pad_n]
+    cl_lengths = {s: cl_depth for s in cl_used + cl_pad}
+    # cover every nonzero entry of the spec's order with the shortest
+    # prefix
+    need = max(
+        idx for idx, sym in enumerate(_CL_ORDER) if sym in cl_lengths
+    ) + 1
+    num_codes = max(4, need)
+    bw.bits(num_codes - 4, 4)
+    for idx in range(num_codes):
+        bw.bits(cl_lengths.get(_CL_ORDER[idx], 0), 3)
+    bw.bits(0, 1)  # no max-symbol limit
+    cl_codes = _canonical_codes(cl_lengths)
+    for sym, n_extra, extra in tokens:
+        c, ln = cl_codes[sym]
+        bw.code(c, ln)
+        if n_extra:
+            bw.bits(extra, n_extra)
+    return _canonical_codes(lengths)
+
+
+def _tokenize(
+    flat: list[int], cache_bits: int, lz77: bool
+) -> list[tuple[str, Any]]:
+    """literal / copy / cache token stream mirroring the decoder's
+    model exactly (cache inserts on every emitted pixel; ``lz77``
+    emits distance-1 runs for repeats)."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+    toks: list[tuple[str, Any]] = []
+    i = 0
+    n = len(flat)
+
+    def emit_pixel(p):
+        if cache_size:
+            cache[_cache_index(p, cache_bits)] = p
+
+    while i < n:
+        pix = flat[i]
+        if cache_size and cache[_cache_index(pix, cache_bits)] == pix:
+            toks.append(("cache", _cache_index(pix, cache_bits)))
+            emit_pixel(pix)
+            i += 1
+            continue
+        if lz77 and i > 0 and flat[i - 1] == pix:
+            run = 0
+            while i + run < n and flat[i + run] == pix:
+                run += 1
+            if run >= 2:
+                toks.append(("copy", (run, 1)))
+                for j in range(run):
+                    emit_pixel(flat[i + j])
+                i += run
+                continue
+        toks.append(("lit", pix))
+        emit_pixel(pix)
+        i += 1
+    return toks
+
+
+def _write_image_stream(
+    bw: _BitWriter,
+    px,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta: bool = False,
+    level0: bool = False,
+) -> None:
+    """Entropy-code one image stream (transform/palette data, or —
+    with ``level0`` — the main image body, which additionally carries
+    the meta-prefix bit; the caller has already written header +
+    transform records)."""
+    h, w = px.shape
+    flat = [int(v) for v in px.reshape(-1)]
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    if level0:
+        if meta:
+            # one-group meta image: solid zero entropy image,
+            # exercising the decoder's recursive stream read
+            bw.bits(1, 1)
+            bw.bits(0, 3)  # meta_bits = 2
+            ew = (w + 3) >> 2
+            eh = (h + 3) >> 2
+            import numpy as np
+
+            _write_image_stream(bw, np.zeros((eh, ew), dtype=np.uint32))
+        else:
+            bw.bits(0, 1)
+    toks = _tokenize(flat, cache_bits, lz77)
+    g_freq: dict[int, int] = {}
+    r_freq: dict[int, int] = {}
+    b_freq: dict[int, int] = {}
+    a_freq: dict[int, int] = {}
+    d_freq: dict[int, int] = {}
+    for kind, val in toks:
+        if kind == "lit":
+            g_freq[(val >> 8) & 0xFF] = g_freq.get((val >> 8) & 0xFF, 0) + 1
+            r_freq[(val >> 16) & 0xFF] = r_freq.get((val >> 16) & 0xFF, 0) + 1
+            b_freq[val & 0xFF] = b_freq.get(val & 0xFF, 0) + 1
+            a_freq[(val >> 24) & 0xFF] = a_freq.get((val >> 24) & 0xFF, 0) + 1
+        elif kind == "copy":
+            length, dist = val
+            ls, _, _ = _prefix_encode_value(length)
+            g_freq[256 + ls] = g_freq.get(256 + ls, 0) + 1
+            ds, _, _ = _prefix_encode_value(dist + 120)
+            d_freq[ds] = d_freq.get(ds, 0) + 1
+        else:
+            g_freq[280 + val] = g_freq.get(280 + val, 0) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    if not r_freq:
+        r_freq = {0: 1}
+    if not b_freq:
+        b_freq = {0: 1}
+    if not a_freq:
+        a_freq = {0: 1}
+    if not d_freq:
+        d_freq = {0: 1}
+    g_codes = _write_prefix_code(bw, g_freq, 256 + 24 + cache_size)
+    r_codes = _write_prefix_code(bw, r_freq, 256)
+    b_codes = _write_prefix_code(bw, b_freq, 256)
+    a_codes = _write_prefix_code(bw, a_freq, 256)
+    d_codes = _write_prefix_code(bw, d_freq, 40)
+
+    def put(codes, sym):
+        c, ln = codes[sym]
+        if ln:
+            bw.code(c, ln)
+
+    for kind, val in toks:
+        if kind == "lit":
+            put(g_codes, (val >> 8) & 0xFF)
+            put(r_codes, (val >> 16) & 0xFF)
+            put(b_codes, val & 0xFF)
+            put(a_codes, (val >> 24) & 0xFF)
+        elif kind == "copy":
+            length, dist = val
+            ls, ln_extra, l_extra = _prefix_encode_value(length)
+            put(g_codes, 256 + ls)
+            if ln_extra:
+                bw.bits(l_extra, ln_extra)
+            ds, dn_extra, d_extra = _prefix_encode_value(dist + 120)
+            put(d_codes, ds)
+            if dn_extra:
+                bw.bits(d_extra, dn_extra)
+        else:
+            put(g_codes, 280 + val)
+
+
+def make_webp_pixels(
+    pixels,
+    subtract_green: bool = False,
+    predictor: int | None = None,
+    predictor_size_bits: int = 4,
+    color_transform: tuple[int, int, int] | None = None,
+    palette: bool = False,
+    lz77: bool = False,
+    cache_bits: int = 0,
+    meta: bool = False,
+    extended: bool = False,
+) -> bytes:
+    """Encode ``pixels`` (uint8 array-like of shape (h, w, 3) RGB or
+    (h, w, 4) RGBA) as a REAL decodable VP8L WebP — the fixture
+    encoder proving :func:`parse_webp_pixels` by round-trip. Feature
+    switches map 1:1 onto decoder paths: ``subtract_green`` /
+    ``predictor`` (one uniform mode id, exercising border rules and
+    the transform sub-image) / ``color_transform`` (one uniform
+    ``(green_to_red, green_to_blue, red_to_blue)`` element) /
+    ``palette`` (color indexing incl. pixel bundling for small
+    palettes) / ``lz77`` (distance-1 runs) / ``cache_bits`` (color
+    cache) / ``meta`` (meta prefix recursion). ``palette`` is
+    mutually exclusive with the pixel-value transforms here (the
+    decoder handles arbitrary stacks; the encoder keeps fixtures
+    simple)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("pixels must be (h, w, 3|4) uint8")
+    h, w = px.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("webp dimensions must fit 14 bits")
+    if palette and (subtract_green or predictor is not None or color_transform):
+        raise ValueError("fixture encoder: palette is exclusive")
+    a = (
+        px[:, :, 3].astype(np.uint32)
+        if px.shape[2] == 4
+        else np.full((h, w), 255, dtype=np.uint32)
+    )
+    argb = (
+        (a << np.uint32(24))
+        | (px[:, :, 0].astype(np.uint32) << np.uint32(16))
+        | (px[:, :, 1].astype(np.uint32) << np.uint32(8))
+        | px[:, :, 2].astype(np.uint32)
+    )
+
+    bw = _BitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1 if px.shape[2] == 4 else 0, 1)  # alpha hint
+    bw.bits(0, 3)  # version
+    body = argb
+    cur_w = w
+    # transforms, in stream order = forward application order
+    if subtract_green:
+        bw.bits(1, 1)
+        bw.bits(2, 2)
+        body = _fwd_subtract_green(body, cur_w, h)
+    if predictor is not None:
+        if not 0 <= predictor <= 13:
+            raise ValueError(f"predictor mode 0..13, got {predictor}")
+        bw.bits(1, 1)
+        bw.bits(0, 2)
+        sb = predictor_size_bits
+        if not 2 <= sb <= 9:
+            raise ValueError("predictor_size_bits in 2..9")
+        bw.bits(sb - 2, 3)
+        bwid = (cur_w + (1 << sb) - 1) >> sb
+        bhei = (h + (1 << sb) - 1) >> sb
+        modes = np.full((bhei, bwid), predictor, dtype=np.uint32)
+        sub = np.uint32(0xFF000000) | (modes << np.uint32(8))
+        _write_image_stream(bw, sub)
+        body = _fwd_predictor(body, cur_w, h, sb, modes)
+    if color_transform is not None:
+        g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+        bw.bits(1, 1)
+        bw.bits(1, 2)
+        sb = predictor_size_bits
+        bw.bits(sb - 2, 3)
+        bwid = (cur_w + (1 << sb) - 1) >> sb
+        bhei = (h + (1 << sb) - 1) >> sb
+        cte = np.full(
+            (bhei, bwid),
+            0xFF000000 | (r2b << 16) | (g2b << 8) | g2r,
+            dtype=np.uint32,
+        )
+        _write_image_stream(bw, cte)
+        body = _fwd_color_transform(body, cur_w, h, sb, cte)
+    if palette:
+        colors: list[int] = []
+        index_of: dict[int, int] = {}
+        for v in body.reshape(-1):
+            v = int(v)
+            if v not in index_of:
+                index_of[v] = len(colors)
+                colors.append(v)
+        if len(colors) > 256:
+            raise ValueError("palette fixture needs <= 256 distinct colors")
+        bw.bits(1, 1)
+        bw.bits(3, 2)
+        bw.bits(len(colors) - 1, 8)
+        deltas = [
+            _sub_pixels(colors[i], colors[i - 1] if i else 0)
+            for i in range(len(colors))
+        ]
+        _write_image_stream(
+            bw, np.array(deltas, dtype=np.uint32).reshape(1, -1)
+        )
+        xbits = _palette_xbits(len(colors))
+        per = 1 << xbits
+        bits = 8 >> xbits
+        packed_w = (cur_w + per - 1) >> xbits
+        packed = np.zeros((h, packed_w), dtype=np.uint32)
+        for y in range(h):
+            for x in range(cur_w):
+                g = int(packed[y, x >> xbits] >> 8) & 0xFF
+                g |= index_of[int(body[y, x])] << ((x % per) * bits)
+                packed[y, x >> xbits] = 0xFF000000 | (g << 8)
+        body = packed
+        cur_w = packed_w
+    bw.bits(0, 1)  # end of transforms
+    _write_image_stream(
+        bw, body, cache_bits=cache_bits, lz77=lz77, meta=meta, level0=True
+    )
+
+    vp8l = bytes([0x2F]) + bw.getvalue()
+    chunks: list[tuple[bytes, bytes]] = []
+    if extended:
+        vp8x = bytes([0x10 if px.shape[2] == 4 else 0x00]) + b"\x00\x00\x00"
+        vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        chunks.append((b"VP8X", vp8x))
+    chunks.append((b"VP8L", vp8l))
+    out = b"WEBP"
+    for fourcc, data in chunks:
+        out += fourcc + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            out += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(out)) + out

@@ -1,0 +1,193 @@
+"""Lossless-WebP (VP8L) decode: encoder/decoder round-trips across
+every bitstream feature, the lossy-VP8 out-of-scope contract, and the
+image tier's cross-format consistency (same pixels as BMP and as WebP
+must produce the SAME perceptual hash)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from giraph_spark.functions.webp import (
+    _DIST_MAP,
+    image_pixel_stats_webp,
+    make_webp_pixels,
+    parse_webp_pixels,
+    webp_pixel_stats,
+)
+
+RNG = np.random.default_rng(20260816)
+
+
+def _roundtrip(px: np.ndarray, **kw) -> None:
+    data = make_webp_pixels(px, **kw)
+    h, w, out = parse_webp_pixels(data)
+    assert (h, w) == px.shape[:2]
+    want = px if px.shape[2] == out.shape[2] else px[:, :, : out.shape[2]]
+    assert np.array_equal(out, want), f"round-trip mismatch for {kw}"
+
+
+def test_literal_roundtrip_various_sizes():
+    for shape in [(1, 1), (2, 3), (8, 9), (16, 16), (5, 31)]:
+        _roundtrip(RNG.integers(0, 256, size=(*shape, 3), dtype=np.uint8))
+
+
+def test_solid_color_uses_simple_codes_and_roundtrips():
+    _roundtrip(np.full((4, 6, 3), 200, dtype=np.uint8))
+
+
+def test_alpha_channel_roundtrip_and_rgba_shape():
+    px = RNG.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    px[0, 0, 3] = 7  # ensure not fully opaque
+    data = make_webp_pixels(px)
+    h, w, out = parse_webp_pixels(data)
+    assert out.shape == (4, 5, 4)
+    assert np.array_equal(out, px)
+
+
+def test_opaque_rgba_input_comes_back_as_rgb():
+    px = RNG.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    px[:, :, 3] = 255
+    _, _, out = parse_webp_pixels(make_webp_pixels(px))
+    assert out.shape == (3, 3, 3)
+    assert np.array_equal(out, px[:, :, :3])
+
+
+def test_subtract_green_transform_roundtrip():
+    _roundtrip(
+        RNG.integers(0, 256, size=(5, 7, 3), dtype=np.uint8),
+        subtract_green=True,
+    )
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_modes_roundtrip(mode):
+    """every predictor mode over a multi-block grid, including the
+    right-border TR rule and top/left border fallbacks"""
+    px = RNG.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    _roundtrip(px, predictor=mode, predictor_size_bits=2)
+
+
+def test_color_transform_roundtrip():
+    _roundtrip(
+        RNG.integers(0, 256, size=(6, 6, 3), dtype=np.uint8),
+        color_transform=(30, 250, 100),
+    )
+
+
+@pytest.mark.parametrize("ncol", [1, 2, 3, 5, 16, 17, 40])
+def test_palette_roundtrip_all_bundling_widths(ncol):
+    """color-indexing transform at every pixel-bundling width:
+    8 px/byte (<=2 colors), 4 px (<=4), 2 px (<=16), none (>16)"""
+    vals = RNG.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    px = vals[RNG.integers(0, ncol, size=(7, 11))]
+    _roundtrip(px, palette=True)
+
+
+def test_lz77_and_color_cache_roundtrip():
+    px = np.repeat(
+        RNG.integers(0, 4, size=(6, 2, 3), dtype=np.uint8) * 80, 8, axis=1
+    )
+    _roundtrip(px, lz77=True)
+    _roundtrip(px, cache_bits=4)
+    _roundtrip(px, lz77=True, cache_bits=6)
+
+
+def test_meta_prefix_recursion_roundtrip():
+    _roundtrip(RNG.integers(0, 256, size=(10, 13, 3), dtype=np.uint8), meta=True)
+
+
+def test_stacked_transforms_roundtrip():
+    _roundtrip(
+        RNG.integers(0, 256, size=(8, 8, 3), dtype=np.uint8),
+        subtract_green=True,
+        predictor=11,
+        lz77=True,
+        cache_bits=3,
+    )
+
+
+def test_distance_map_matches_spec_prefix():
+    """the generated 2D neighborhood must reproduce the spec table's
+    documented leading rows (WebP Lossless Bitstream spec §5.2)"""
+    assert _DIST_MAP[:24] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    ]
+    assert len(_DIST_MAP) == 120
+
+
+def test_lossy_vp8_rejected_with_clear_message():
+    body = b"WEBP" + b"VP8 " + struct.pack("<I", 12) + b"\x00" * 12
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="lossy VP8"):
+        parse_webp_pixels(payload)
+
+
+def test_garbage_rejected():
+    with pytest.raises(ValueError):
+        parse_webp_pixels(b"not a webp at all, nope")
+    with pytest.raises(ValueError):
+        parse_webp_pixels(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_webp_pixel_stats_closed_form():
+    px = np.zeros((3, 5, 3), dtype=np.uint8)
+    px[:, :, 0] = 17
+    px[:, :, 1] = 80
+    px[:, :, 2] = 200
+    s = webp_pixel_stats(make_webp_pixels(px, extended=True))
+    assert s == {
+        "width": 5, "height": 3, "mean_r": 17.0, "mean_g": 80.0,
+        "mean_b": 200.0, "min_px": 17, "max_px": 200,
+    }
+
+
+def test_image_pixel_stats_webp_delegates_other_formats():
+    from giraph_spark.functions.media_codecs import make_bmp
+
+    bmp = make_bmp(4, 2)
+    from giraph_spark.functions.media_codecs import image_pixel_stats
+
+    assert image_pixel_stats_webp(bmp) == image_pixel_stats(bmp)
+    webp = make_webp_pixels(np.full((2, 2, 3), 9, dtype=np.uint8))
+    assert image_pixel_stats_webp(webp)["mean_r"] == 9.0
+
+
+def test_dhash_cross_format_bmp_equals_webp(spark):
+    """the point of the whole tier: the SAME image stored as BMP and
+    as lossless WebP must carry the SAME perceptual hash, so
+    cross-format re-encodes land in one near-dup cluster"""
+    from giraph_spark.functions.imagehash import image_dhash
+    from giraph_spark.functions.media_codecs import make_bmp
+
+    grad = np.zeros((8, 9, 3), dtype=np.uint8)
+    for r in range(8):
+        for c in range(9):
+            grad[r, c] = (r * 13 + c * 29) % 256
+    webp_payload = make_webp_pixels(grad)
+    bgr_rows = [grad[r, :, ::-1].tobytes() for r in range(8)]  # BMP is BGR
+    bmp_payload = make_bmp(9, 8, rows=bgr_rows)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp_payload)), (2, bytearray(webp_payload))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_dhash(df).collect()}
+    assert rows[1]["error"] is None and rows[2]["error"] is None
+    assert rows[1]["dhash"] == rows[2]["dhash"]
+    assert (rows[2]["width"], rows[2]["height"]) == (9, 8)
+
+
+def test_dhash_lossy_webp_yields_error_row(spark):
+    from giraph_spark.functions.imagehash import image_dhash
+
+    body = b"WEBP" + b"VP8 " + struct.pack("<I", 12) + b"\x00" * 12
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = image_dhash(df).collect()[0]
+    assert row["dhash"] is None and "lossy VP8" in row["error"]
