@@ -15,6 +15,7 @@ compare hashes values after sorting columns by name.
 from __future__ import annotations
 
 import os
+import struct
 import sys
 from collections.abc import Callable
 
@@ -3290,6 +3291,128 @@ def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.mapInPandas(gen, schema="media_id long, payload binary")
 
 
+def _media_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality corpus with PLANTED duplicate structure for the
+    end-to-end media dedup key. Per doc id: modality = id % 3 (image /
+    audio / video), perceptual class r = id % 12 (four classes per
+    modality, 64-bit fingerprint H(q) = (15 << q) replicated over the
+    four 16-bit bands, q = (id//3) % 4 — cross-class Hamming >= 8, so
+    bands never collide across classes), and variant v = (id//12) % 4:
+
+    - v 0/1: the byte-identical BASELINE encoding (exact-dup tier),
+    - v 2/3: the same perceptual content in a DIFFERENT encoding
+      (near-dup tier): images re-encode as subtract-green VP8L / BMP,
+      audio re-encodes as 16-bit PCM / 32-bit float (identical
+      normalized energies by construction), video re-muxes with a
+      different movie/media timescale or tkhd dimensions (identical
+      stsz contour).
+
+    Every fingerprint bit is forced by an amplitude/size/pixel WALK
+    (+1 per set bit, -1 per clear bit), so the whole disposition is a
+    closed-form id function the oracle replays without touching a
+    byte."""
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from giraph_spark.functions.media_codecs import (
+            make_bmp,
+            make_mp4,
+            make_wav,
+        )
+        from giraph_spark.functions.webp import make_webp_pixels
+
+        def walk(h, start):
+            vals = [start]
+            for k in range(64):
+                vals.append(vals[-1] + (1 if (h >> k) & 1 else -1))
+            return vals
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                m, q, v = d % 3, (d // 3) % 4, (d // 12) % 4
+                w16 = 15 << q
+                h = w16 | (w16 << 16) | (w16 << 32) | (w16 << 48)
+                if m == 0:  # image: 9x8 grid whose dHash == h
+                    g = _np.zeros((8, 9), dtype=_np.uint8)
+                    for r in range(8):
+                        g[r, 0] = 128
+                        for c in range(8):
+                            bit = (h >> (r * 8 + c)) & 1
+                            g[r, c + 1] = g[r, c] + (1 if bit else -1)
+                    px = _np.stack([g, g, g], axis=2)
+                    if v == 2:
+                        payload = make_webp_pixels(px, subtract_green=True)
+                    elif v == 3:
+                        payload = make_bmp(
+                            9, 8,
+                            rows=[px[r, :, ::-1].tobytes() for r in range(8)],
+                        )
+                    else:
+                        payload = make_webp_pixels(px)
+                elif m == 1:  # audio: 65 constant frames, energy walk
+                    amps = walk(h, 60)
+                    if v == 2:  # 16-bit PCM: a*256/32768 == a/128
+                        data = b"".join(
+                            struct.pack("<h", a * 256) * 8 for a in amps
+                        )
+                        payload = make_wav(0, data=data, bits=16)
+                    elif v == 3:  # float32: exact a/128
+                        data = b"".join(
+                            struct.pack("<f", a / 128.0) * 8 for a in amps
+                        )
+                        payload = make_wav(
+                            0, data=data, bits=32, audio_format=3
+                        )
+                    else:
+                        data = bytes(
+                            b for a in amps for b in bytes([128 + a]) * 8
+                        )
+                        payload = make_wav(0, data=data)
+                else:  # video: 65-sample stsz size walk
+                    sizes = walk(h, 200)
+                    if v == 2:  # re-mux: same sizes, new timescales
+                        payload = make_mp4(
+                            2.0, timescale=90000, width=64, height=48,
+                            n_frames=65, frame_sizes=sizes,
+                            media_timescale=600,
+                        )
+                    elif v == 3:  # re-container: same sizes, new dims
+                        payload = make_mp4(
+                            1.0, width=320, height=240, n_frames=65,
+                            frame_sizes=sizes,
+                        )
+                    else:
+                        payload = make_mp4(
+                            1.0, width=64, height=48, n_frames=65,
+                            frame_sizes=sizes,
+                        )
+                out.append([d, payload])
+            yield _pd.DataFrame(out, columns=["media_id", "payload"])
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return ids.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def _q_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end media dedup disposition (r12, VERDICT r11 task 3 —
+    the media family's dedup_corpus): modality sniff (pure magic-byte
+    expressions) → exact md5 byte tier → per-modality perceptual
+    fingerprints → banded pairs → WCC clusters → keeper policy, one
+    relation (giraph_spark/functions/dedup_media.py). The fixture
+    plants byte-identical copies AND re-encoded near-duplicates in
+    all three modalities (incl. a cross-FORMAT WebP-vs-BMP image
+    pair); the oracle replays the full disposition closed-form —
+    including exact losers resolving THROUGH their byte-keeper's own
+    near-dup fate to the final representative."""
+    from giraph_spark.functions.dedup_media import media_dedup_disposition
+
+    return media_dedup_disposition(_media_dedup_corpus(spark, sf_dir))
+
+
 def _q_audio_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio energy-contour fingerprints (functions/audiohash.py
     audio_fingerprint) over REAL decoded PCM: the 64 gradient bits,
@@ -3746,6 +3869,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": _q_image_near_dups,
         "audio_afp": _q_audio_afp,
         "audio_near_dups": _q_audio_near_dups,
+        "dedup_media": _q_dedup_media,
         "video_vfp": _q_video_vfp,
         "video_near_dups": _q_video_near_dups,
         "cdx_shards": _q_cdx_shards,
@@ -7721,6 +7845,32 @@ WITH amps AS (
                   THEN (1 << (k - 48)) ELSE 0 END) AS b3
   FROM bits GROUP BY doc_id
 )"""
+    # End-to-end media dedup disposition: the fixture's id arithmetic
+    # (class r = id % 12, variant v = (id // 12) % 4) makes the WHOLE
+    # staged outcome closed-form: v 0/1 are byte-identical to the
+    # class baseline (exact tier, keeper = r); v 2/3 are re-encodings
+    # whose FIRST id (r + 24, r + 36) survives the exact tier and then
+    # loses near-dedup to r, while LATER same-variant ids are byte
+    # copies of that first one — exact losers whose keeper resolves
+    # THROUGH the near stage to r.
+    dedup_media_sql = """
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(doc_id AS BIGINT) % 12 AS r,
+         (CAST(doc_id AS BIGINT) // 12) % 4 AS v
+  FROM documents
+)
+SELECT id AS media_id,
+       CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CASE WHEN id = r THEN 'kept'
+            WHEN v IN (0, 1) THEN 'exact_dup'
+            WHEN v = 2 AND id = r + 24 THEN 'near_dup'
+            WHEN v = 3 AND id = r + 36 THEN 'near_dup'
+            ELSE 'exact_dup' END AS status,
+       r AS keeper
+FROM g"""
+
     audio_afp_sql = f"""{audio_afp_hashes}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(8000 AS INT) AS sample_rate,
@@ -8186,6 +8336,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "image_dhash": image_dhash_sql,
         "image_near_dups": image_near_dups_sql,
         "audio_afp": audio_afp_sql,
+        "dedup_media": dedup_media_sql,
         "audio_near_dups": audio_near_dups_sql,
         "video_vfp": video_vfp_sql,
         "video_near_dups": video_near_dups_sql,

@@ -1703,6 +1703,35 @@ def stress_hash() -> None:
         t0 = _time.monotonic()
         r["video_pairs"] = video_near_duplicates(vf, max_hamming=4).count()
         r["video_pairs_sec"] = round(_time.monotonic() - t0, 3)
+        # end-to-end disposition (r12): remix the SAME checkpointed
+        # fixture into one mixed-modality payload column (modality =
+        # group % 3, so each 5-item group stays within one modality
+        # and its planted class-0/1 near pair survives) and run the
+        # full sniff -> exact -> fingerprint -> cluster -> keeper
+        # composition; near_dup count is the 10x counter
+        from giraph_spark.functions.dedup_media import (
+            media_dedup_disposition,
+        )
+
+        t0 = _time.monotonic()
+        grp = F.pmod(F.floor(F.col("media_id") / 5).cast("long"), F.lit(3))
+        mixed = media.select(
+            "media_id",
+            F.when(grp == 0, F.col("bmp"))
+            .when(grp == 1, F.col("wav"))
+            .otherwise(F.col("mp4"))
+            .alias("payload"),
+        )
+        disp = {
+            row["status"]: row["n"]
+            for row in media_dedup_disposition(mixed)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        r["dedup_media_sec"] = round(_time.monotonic() - t0, 3)
+        r["dedup_media_near"] = int(disp.get("near_dup", 0))
+        r["dedup_media_kept"] = int(disp.get("kept", 0))
         out[f"x{scale}"] = r
     total = round(
         sum(v for r in out.values() for k, v in r.items() if k.endswith("_sec")),

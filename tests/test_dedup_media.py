@@ -1,0 +1,106 @@
+"""End-to-end media dedup disposition: modality sniff expressions,
+exact-byte staging, per-modality perceptual near-dup clustering,
+cross-format image dedup, keeper-through-near resolution, and the
+keep_scores policy switch."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from giraph_spark.functions.dedup_media import (
+    dedup_media,
+    media_dedup_disposition,
+    sniff_modality,
+)
+from giraph_spark.functions.media_codecs import make_bmp, make_mp4, make_wav
+from giraph_spark.functions.webp import make_webp_pixels
+
+H1 = 0x0F0F0F0F0F0F0F0F
+H2 = 0x3C3C3C3C3C3C3C3C
+
+
+def img_grid(h):
+    g = np.zeros((8, 9), dtype=np.uint8)
+    for r in range(8):
+        g[r, 0] = 128
+        for c in range(8):
+            g[r, c + 1] = g[r, c] + (1 if (h >> (r * 8 + c)) & 1 else -1)
+    return np.stack([g, g, g], axis=2)
+
+
+def corpus(spark):
+    px1, px2 = img_grid(H1), img_grid(H2)
+    bgr = [px1[r, :, ::-1].tobytes() for r in range(8)]
+    rows = [
+        (0, make_webp_pixels(px1)),                      # image keeper
+        (1, make_webp_pixels(px1)),                      # exact byte copy
+        (2, make_webp_pixels(px1, subtract_green=True)),  # near (re-encode)
+        (3, make_bmp(9, 8, rows=bgr)),                   # near (cross-FORMAT)
+        (4, make_webp_pixels(px2)),                      # distinct image
+        (5, make_wav(0, data=bytes(128 + a for a in [10] * 520))),  # audio
+        (6, None),                                       # null payload
+        (7, b"garbage not media"),                       # unsniffable
+        (8, b"garbage not media"),                       # exact copy of 7
+        (9, make_mp4(1.0, width=64, height=48, n_frames=65,
+                     frame_sizes=list(range(200, 265)))),
+        (10, make_mp4(2.0, timescale=90000, width=64, height=48,
+                      n_frames=65, frame_sizes=list(range(200, 265)),
+                      media_timescale=600)),             # re-mux near dup
+    ]
+    return spark.createDataFrame(
+        [(i, bytearray(p) if p is not None else None) for i, p in rows],
+        "media_id long, payload binary",
+    )
+
+
+def test_sniff_modality_expressions(spark):
+    from pyspark.sql import functions as F
+
+    df = corpus(spark).select(
+        "media_id", sniff_modality(F.col("payload")).alias("m")
+    )
+    got = {r["media_id"]: r["m"] for r in df.collect()}
+    assert got[0] == got[3] == got[4] == "image"
+    assert got[5] == "audio"
+    assert got[9] == got[10] == "video"
+    assert got[6] is None and got[7] is None
+
+
+def test_disposition_stages_and_cross_format(spark):
+    disp = {
+        r["media_id"]: r for r in media_dedup_disposition(corpus(spark)).collect()
+    }
+    assert disp[0]["status"] == "kept" and disp[0]["keeper"] == 0
+    assert disp[1]["status"] == "exact_dup" and disp[1]["keeper"] == 0
+    assert disp[2]["status"] == "near_dup" and disp[2]["keeper"] == 0
+    # the WebP original and its BMP re-encode land in ONE cluster
+    assert disp[3]["status"] == "near_dup" and disp[3]["keeper"] == 0
+    assert disp[4]["status"] == "kept"          # different image class
+    assert disp[5]["status"] == "kept"
+    assert disp[6]["status"] == "kept"          # null payload: untouched
+    # unsniffable payloads still exact-dedup by bytes
+    assert disp[7]["status"] == "kept"
+    assert disp[8]["status"] == "exact_dup" and disp[8]["keeper"] == 7
+    # re-muxed video collapses onto the original
+    assert disp[9]["status"] == "kept"
+    assert disp[10]["status"] == "near_dup" and disp[10]["keeper"] == 9
+
+
+def test_dedup_media_returns_survivors(spark):
+    surv = sorted(r["media_id"] for r in dedup_media(corpus(spark)).collect())
+    assert surv == [0, 4, 5, 6, 7, 9]
+
+
+def test_keep_scores_flips_keeper_and_resolves_through(spark):
+    scores = spark.createDataFrame([(3, 9.0)], "media_id long, score double")
+    disp = {
+        r["media_id"]: r
+        for r in media_dedup_disposition(
+            corpus(spark), keep_scores=scores
+        ).collect()
+    }
+    assert disp[3]["status"] == "kept"
+    assert disp[0]["status"] == "near_dup" and disp[0]["keeper"] == 3
+    # id 1 byte-matched id 0; id 0 then lost near-dedup to 3 — the
+    # exact loser's keeper resolves THROUGH to the final survivor
+    assert disp[1]["status"] == "exact_dup" and disp[1]["keeper"] == 3
