@@ -1,0 +1,8 @@
+"""Legacy-path shim: all metadata lives in pyproject.toml ([project] +
+[tool.setuptools]). This file exists for environments where pip's
+PEP 660 editable path is unavailable (no `wheel` package reachable):
+there, `python setup.py develop` still installs the checkout."""
+
+from setuptools import setup
+
+setup()
