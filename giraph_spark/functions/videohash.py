@@ -7,9 +7,13 @@ is STRUCTURAL, stated honestly: the gradient contour of the first 65
 samples' ENCODED byte sizes from the ``stsz`` table — the keyframe
 pulse pattern of the encoded stream. The same stream re-muxed,
 re-containered, or re-tagged collides (sample sizes ride along
-byte-identical); a re-ENCODE does not — that needs a real frame
-decoder, plug one into the image tier's dHash per sampled frame
-instead.
+byte-identical); a re-ENCODE does not — that needs real frame
+decode. For containers whose frames are JPEG-codable (MJPEG-in-AVI),
+``functions/framehash.py`` implements exactly that escape: sampled
+frames decode through the package's JPEG decoder and hash with the
+image tier's dHash, catching re-encodes this tier provably misses
+(tests/test_framehash.py plants one); H.264-class codecs remain
+documented out of scope there.
 
 Everything is relational: the sample sizes come from the existing
 :func:`~giraph_spark.functions.multimodal.mp4_frame_plan` pass

@@ -1,0 +1,134 @@
+"""Frame-level video fingerprints (MJPEG seam): RIFF walk, per-frame
+JPEG decode + dHash, frame-aligned near-dup pairs — and the claim the
+module exists to prove: a planted RE-ENCODE is caught by the frame
+tier and missed by the structural (stsz-contour) tier."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from giraph_spark.functions.framehash import (
+    frame_near_duplicates,
+    make_mjpeg_avi,
+    mjpeg_frame_hashes,
+    parse_avi_mjpeg_frames,
+)
+from giraph_spark.functions.media_codecs import make_jpeg_baseline
+
+W_BLOCKS, H_BLOCKS = 9, 8  # 72x64 px -> the dHash grid IS the block grid
+
+
+def grid_blocks(h64: int) -> list[int]:
+    """per-block gray values whose 9x8 block-average dHash == h64"""
+    vals = []
+    for r in range(H_BLOCKS):
+        row = [128]
+        for c in range(8):
+            bit = (h64 >> (r * 8 + c)) & 1
+            row.append(row[-1] + (2 if bit else -2))
+        vals.extend(row)
+    return vals
+
+
+def frame_jpeg(h64: int, brightness: int = 0, restart: int = 0) -> bytes:
+    blocks = [v + brightness for v in grid_blocks(h64)]
+    return make_jpeg_baseline(
+        72, 64, blocks=blocks, restart_interval=restart
+    )
+
+
+def content_hash(f: int, variant: int) -> int:
+    w16 = (0x000F << (f % 4)) if variant == 0 else (0x8421 ^ (f * 0x101))
+    w16 &= 0xFFFF
+    return w16 | (w16 << 16) | (w16 << 32) | (w16 << 48)
+
+
+def test_riff_walk_roundtrip():
+    frames = [frame_jpeg(content_hash(f, 0)) for f in range(3)]
+    avi = make_mjpeg_avi(frames, 72, 64)
+    assert parse_avi_mjpeg_frames(avi) == frames
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_frame_hashes_and_reencode_proof(spark):
+    """video A: 65 MJPEG frames. video B: the SAME pictures re-encoded
+    (restart markers, +1 brightness, trailing encoder padding sized so
+    the byte-size contour INVERTS). video C: different content.
+    The structural tier (stsz gradient == videohash's contour) must
+    miss the A~B match; the frame tier must catch it."""
+    from pyspark.sql import functions as F
+
+    from giraph_spark.functions.media_codecs import make_mp4
+    from giraph_spark.functions.videohash import (
+        video_fingerprint,
+        video_near_duplicates,
+    )
+
+    n = 65
+    a_frames = [frame_jpeg(content_hash(f, 0)) for f in range(n)]
+    b_raw = [
+        frame_jpeg(content_hash(f, 0), brightness=1, restart=2)
+        for f in range(n)
+    ]
+    a_sizes = [len(fr) for fr in a_frames]
+    # choose per-frame pad so B's size-gradient is the complement of
+    # A's at every position (vfp Hamming = 64 -> no structural match)
+    big = max(max(a_sizes), max(len(fr) for fr in b_raw)) + 65 * 200
+    t = [big]
+    for f in range(1, n):
+        step = -200 if a_sizes[f] > a_sizes[f - 1] else 200
+        t.append(t[-1] + step)
+    b_frames = [
+        fr + b"\x00" * (t[f] - len(fr)) for f, fr in enumerate(b_raw)
+    ]
+    assert all(len(fr) == t[f] for f, fr in enumerate(b_frames))
+    c_frames = [frame_jpeg(content_hash(f, 1)) for f in range(n)]
+
+    avis = spark.createDataFrame(
+        [
+            (1, bytearray(make_mjpeg_avi(a_frames, 72, 64))),
+            (2, bytearray(make_mjpeg_avi(b_frames, 72, 64))),
+            (3, bytearray(make_mjpeg_avi(c_frames, 72, 64))),
+            (4, bytearray(b"not an avi")),
+        ],
+        "media_id long, payload binary",
+    )
+    hashes = mjpeg_frame_hashes(avis, every_n=8, max_frames=8)
+    rows = hashes.collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 8 and all(r["error"] is None for r in by_id[1])
+    assert by_id[4][0]["error"] is not None
+    # the re-encode preserves every frame hash exactly (constant
+    # brightness shift never flips a gradient sign)
+    h1 = {r["frame_index"]: r["dhash"] for r in by_id[1]}
+    h2 = {r["frame_index"]: r["dhash"] for r in by_id[2]}
+    assert h1 == h2
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in frame_near_duplicates(hashes, min_frames=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)]["worst_hamming"] == 0
+    assert not any(3 in p for p in pairs)
+
+    # the structural tier sees the two encodings' size contours —
+    # complementary gradients, no pair (the documented blindness)
+    mp4s = spark.createDataFrame(
+        [
+            (1, bytearray(make_mp4(1.0, width=72, height=64, n_frames=n,
+                                   frame_sizes=a_sizes))),
+            (2, bytearray(make_mp4(1.0, width=72, height=64, n_frames=n,
+                                   frame_sizes=t))),
+        ],
+        "media_id long, payload binary",
+    )
+    vfp = video_fingerprint(mp4s)
+    structural = video_near_duplicates(vfp).collect()
+    assert structural == []
+    fps = {r["media_id"]: r["vfp"] for r in vfp.collect()}
+    # complement in all 64 gradient bits
+    assert fps[1] is not None and fps[2] == ~fps[1]
