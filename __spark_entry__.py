@@ -3291,6 +3291,67 @@ def _wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.mapInPandas(gen, schema="media_id long, payload binary")
 
 
+def _mjpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-frame MJPEG-in-AVI per document for the frame-level video
+    fingerprint key: frame f of doc d is a REAL 72x64 baseline JPEG
+    whose 9x8 block grid walks the 64-bit pattern W(d,f) replicated
+    over the four 16-bit bands, W = (d*37 + f*11) % 65536 — constant
+    8x8 blocks survive the all-ones-quant DCT round-trip EXACTLY, so
+    each sampled frame's dHash is pure id arithmetic. Byte-level
+    variance that must NOT move the hash: brightness +(d%2) and
+    restart markers every d%3 MCUs."""
+
+    def gen(batches):
+        import pandas as _pd
+
+        from giraph_spark.functions.framehash import make_mjpeg_avi
+        from giraph_spark.functions.media_codecs import make_jpeg_baseline
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = []
+                for f in range(4):
+                    w16 = (d * 37 + f * 11) % 65536
+                    h64 = w16 | (w16 << 16) | (w16 << 32) | (w16 << 48)
+                    blocks = []
+                    for r in range(8):
+                        row = [128]
+                        for c in range(8):
+                            bit = (h64 >> (r * 8 + c)) & 1
+                            row.append(row[-1] + (2 if bit else -2))
+                        blocks.extend(v + d % 2 for v in row)
+                    frames.append(
+                        make_jpeg_baseline(
+                            72, 64, blocks=blocks, restart_interval=d % 3
+                        )
+                    )
+                out.append([d, make_mjpeg_avi(frames, 72, 64)])
+            yield _pd.DataFrame(out, columns=["media_id", "payload"])
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return ids.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def _q_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video fingerprints (r12 — the re-encode-robust
+    complement of video_vfp, giraph_spark/functions/framehash.py):
+    sampled MJPEG frames (0 and 2 of 4, every_n=2/max_frames=2)
+    decode through the real RIFF walk + baseline-JPEG decoder and
+    hash with the image tier's dHash; the oracle replays every hash,
+    band, and the signed two's-complement form from W(d,f) arithmetic
+    without touching a byte."""
+    from giraph_spark.functions.framehash import mjpeg_frame_hashes
+
+    return mjpeg_frame_hashes(
+        _mjpeg_corpus(spark, sf_dir), every_n=2, max_frames=2
+    ).select(
+        "media_id", "frame_index", "width", "height",
+        "dhash", "b0", "b1", "b2", "b3",
+    )
+
+
 def _media_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-modality corpus with PLANTED duplicate structure for the
     end-to-end media dedup key. Per doc id: modality = id % 3 (image /
@@ -3870,6 +3931,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_afp": _q_audio_afp,
         "audio_near_dups": _q_audio_near_dups,
         "dedup_media": _q_dedup_media,
+        "frame_dhash": _q_frame_dhash,
         "video_vfp": _q_video_vfp,
         "video_near_dups": _q_video_near_dups,
         "cdx_shards": _q_cdx_shards,
@@ -7871,6 +7933,35 @@ SELECT id AS media_id,
        r AS keeper
 FROM g"""
 
+    # Frame-level video fingerprints: W(d,f) is the 16-bit band word;
+    # the signed-64 two's-complement of W replicated over all four
+    # bands is s*2^48 + w*(2^32 + 2^16 + 1) with s = w as signed int16
+    # (bit 63 is w's bit 15 — overflow-free BIGINT arithmetic)
+    frame_dhash_sql = """
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, fr
+  FROM documents, (VALUES (0), (2)) t(fr)
+),
+g AS (
+  SELECT id, CAST(fr AS BIGINT) AS fr,
+         (id * 37 + fr * 11) % 65536 AS w
+  FROM f
+)
+SELECT id AS media_id,
+       fr AS frame_index,
+       CAST(72 AS INT) AS width,
+       CAST(64 AS INT) AS height,
+       CAST(
+         (CASE WHEN w >= 32768 THEN w - 65536 ELSE w END)
+           * 281474976710656
+         + w * 4294967296 + w * 65536 + w
+       AS BIGINT) AS dhash,
+       CAST(w AS INT) AS b0,
+       CAST(w AS INT) AS b1,
+       CAST(w AS INT) AS b2,
+       CAST(w AS INT) AS b3
+FROM g"""
+
     audio_afp_sql = f"""{audio_afp_hashes}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(8000 AS INT) AS sample_rate,
@@ -8337,6 +8428,7 @@ FROM vertices v LEFT JOIN two t ON v.id = t.id""",
         "image_near_dups": image_near_dups_sql,
         "audio_afp": audio_afp_sql,
         "dedup_media": dedup_media_sql,
+        "frame_dhash": frame_dhash_sql,
         "audio_near_dups": audio_near_dups_sql,
         "video_vfp": video_vfp_sql,
         "video_near_dups": video_near_dups_sql,
