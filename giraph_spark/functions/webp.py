@@ -638,7 +638,7 @@ def _decode_image_stream(br: _BitReader, w: int, h: int, level0: bool):
 # public decode surface
 
 
-def parse_webp_pixels(payload: bytes):
+def parse_webp_pixels(payload: bytes, max_pixels: int = 1 << 24):
     """Full CONTENT decode of a lossless (VP8L) WebP: returns
     ``(height, width, pixels)`` with ``pixels`` uint8 of shape
     (height, width, 3) for fully opaque images and (height, width, 4)
@@ -648,7 +648,10 @@ def parse_webp_pixels(payload: bytes):
 
     Lossy VP8 (and VP8-with-ALPH) raises ``ValueError`` with an
     explicit out-of-scope message — callers render that as an error /
-    null-stats row, never fabricated pixels."""
+    null-stats row, never fabricated pixels. ``max_pixels`` (default
+    16.7M — the ``_lzw_decode`` bomb-guard convention) bounds the
+    decode loop: a hostile few-byte stream can otherwise declare
+    16383x16383 and LZ77-fill 268M pixels of Python loop."""
     import numpy as np
 
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -684,6 +687,11 @@ def parse_webp_pixels(payload: bytes):
     version = br.bits(3)
     if version != 0:
         raise ValueError(f"unknown VP8L version {version}")
+    if w * h > max_pixels:
+        raise ValueError(
+            f"VP8L image {w}x{h} exceeds max_pixels={max_pixels} "
+            "(decode-bomb guard; raise the cap for trusted inputs)"
+        )
     argb = _decode_image_stream(br, w, h, True)
     a = (argb >> np.uint32(24)).astype(np.uint8)
     r = (argb >> np.uint32(16)).astype(np.uint8)

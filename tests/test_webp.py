@@ -134,6 +134,28 @@ def test_garbage_rejected():
         parse_webp_pixels(b"RIFF\x04\x00\x00\x00WAVE")
 
 
+def test_hostile_streams_fail_fast_not_hang():
+    """truncation and decode-bomb dims must raise quickly, never loop
+    or fabricate pixels"""
+    good = make_webp_pixels(
+        RNG.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    )
+    for cut in (len(good) - 4, len(good) // 2, 25):
+        with pytest.raises(ValueError):
+            parse_webp_pixels(good[:cut])
+    # tiny stream declaring 16383x16383: rejected by the pixel cap
+    # before any decode loop runs
+    bits = 16382 | (16382 << 14)
+    vp8l = bytes([0x2F]) + struct.pack("<I", bits) + b"\x00" * 8
+    body = b"WEBP" + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    bomb = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="max_pixels"):
+        parse_webp_pixels(bomb)
+    # the cap is a parameter, not a format limit
+    with pytest.raises(ValueError, match="truncated|prefix|cache"):
+        parse_webp_pixels(bomb, max_pixels=1 << 30)
+
+
 def test_webp_pixel_stats_closed_form():
     px = np.zeros((3, 5, 3), dtype=np.uint8)
     px[:, :, 0] = 17
