@@ -1820,6 +1820,7 @@ def _q_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decoder registration rides the PUBLIC set_content_decoder seam
     (a strict superset of the default sniffer: non-WebP payloads
     delegate to it)."""
+    from giraph_spark.functions import multimodal as _mm
     from giraph_spark.functions.multimodal import (
         pixel_stats,
         set_content_decoder,
@@ -1829,8 +1830,18 @@ def _q_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         webp_media_from_docs,
     )
 
+    # pixel_stats snapshots the decoder registry at CALL time, so the
+    # registration can be scoped to this plan build and restored —
+    # other keys' results must never depend on whether this key ran
+    # first in the session (r12 self-review)
+    prev = dict(_mm._CONTENT_DECODERS)
     set_content_decoder("image", image_pixel_stats_webp)
-    return pixel_stats(webp_media_from_docs(_docs(spark, sf_dir))).select(
+    try:
+        out = pixel_stats(webp_media_from_docs(_docs(spark, sf_dir)))
+    finally:
+        _mm._CONTENT_DECODERS.clear()
+        _mm._CONTENT_DECODERS.update(prev)
+    return out.select(
         "media_id", "modality", "width", "height",
         "mean_r", "mean_g", "mean_b", "min_px", "max_px",
     )

@@ -30,7 +30,7 @@ import struct
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .imagehash import dhash64, u64_hash_fields
+from .imagehash import banded_hamming_pairs, dhash64, u64_hash_fields
 
 FRAME_DHASH_SCHEMA = (
     "media_id long, frame_index long, width int, height int, dhash long, "
@@ -172,36 +172,18 @@ def frame_near_duplicates(
     banding sliced by frame so re-encoded copies align
     frame-for-frame), and a PAIR is emitted when at least
     ``min_frames`` sampled frames match. ``worst_hamming`` is the
-    largest matched-frame distance — the caller's confidence knob."""
-    if not 0 <= max_hamming <= 64:
-        raise ValueError(
-            f"frame_near_duplicates: max_hamming in [0, 64], got {max_hamming}"
-        )
-    h = hashes.where(F.col("error").isNull()).select(
-        F.col(id_col).alias("_id"), "frame_index", "dhash",
-        "b0", "b1", "b2", "b3",
-    )
-    pairs = None
-    for band in ("b0", "b1", "b2", "b3"):
-        a = h.select(
-            F.col("_id").alias("id_a"), "frame_index",
-            F.col("dhash").alias("_ha"), F.col(band).alias("_k"),
-        )
-        b = h.select(
-            F.col("_id").alias("id_b"), "frame_index",
-            F.col("dhash").alias("_hb"), F.col(band).alias("_k"),
-        )
-        cand = a.join(b, ["frame_index", "_k"]).where(
-            F.col("id_a") < F.col("id_b")
-        )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    matched = (
-        pairs.select(
-            "id_a", "id_b", "frame_index", dist.cast("int").alias("hamming")
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    largest matched-frame distance — the caller's confidence knob.
+
+    Candidates/verification are the image tier's
+    :func:`~giraph_spark.functions.imagehash.banded_hamming_pairs`
+    with ``key_cols=("frame_index",)`` (r12 self-review: one shared
+    banding machine, not a fork); only the per-pair rollup is this
+    tier's own."""
+    matched = banded_hamming_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        key_cols=("frame_index",),
     )
     return (
         matched.groupBy("id_a", "id_b")

@@ -181,6 +181,7 @@ def banded_hamming_pairs(
     max_hamming: int = 6,
     id_col: str = "media_id",
     hash_col: str = "dhash",
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Near-duplicate pairs for ANY 64-bit perceptual fingerprint
     relation carrying ``(id, <hash_col>, b0..b3, error)`` — shared by
@@ -193,13 +194,21 @@ def banded_hamming_pairs(
     contract); the exact distance check is one JVM-side
     ``bit_count(xor)`` per candidate. Shuffle ∝ band-bucket sizes — a
     degenerate corpus (all-black thumbnails, silence) makes one giant
-    bucket, the same documented skew the text LSH tiers carry."""
+    bucket, the same documented skew the text LSH tiers carry.
+
+    ``key_cols`` (r12) restricts candidacy to rows AGREEING on those
+    columns (they join alongside the band key and ride along in the
+    output) — the frame-aligned video tier
+    (``framehash.frame_near_duplicates``) banding per
+    ``frame_index`` through the same machinery instead of a fork."""
     if not 0 <= max_hamming <= 64:
         raise ValueError(
             f"banded_hamming_pairs: max_hamming in [0, 64], got {max_hamming}"
         )
+    keys = list(key_cols)
     h = hashes.where(F.col("error").isNull()).select(
         F.col(id_col).alias("_id"),
+        *keys,
         F.col(hash_col).alias("dhash"),
         "b0", "b1", "b2", "b3",
     )
@@ -207,19 +216,23 @@ def banded_hamming_pairs(
     for band in ("b0", "b1", "b2", "b3"):
         a = h.select(
             F.col("_id").alias("id_a"),
+            *keys,
             F.col("dhash").alias("_ha"),
             F.col(band).alias("_k"),
         )
         b = h.select(
             F.col("_id").alias("id_b"),
+            *keys,
             F.col("dhash").alias("_hb"),
             F.col(band).alias("_k"),
         )
-        cand = a.join(b, "_k").where(F.col("id_a") < F.col("id_b"))
+        cand = a.join(b, [*keys, "_k"]).where(F.col("id_a") < F.col("id_b"))
         pairs = cand if pairs is None else pairs.unionByName(cand)
     dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
     return (
-        pairs.select("id_a", "id_b", dist.cast("int").alias("hamming"))
+        pairs.select(
+            "id_a", "id_b", *keys, dist.cast("int").alias("hamming")
+        )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -244,18 +244,25 @@ def _prefix_encode_value(v: int) -> tuple[int, int, int]:
 
 
 def _distance_map() -> list[tuple[int, int]]:
-    """The 120-entry 2D distance neighborhood: pixels above/left of
-    the current one ordered by Euclidean distance, ties by larger dy
-    then by positive-before-negative dx — reproduces the spec's
-    explicit table (verified against its leading rows)."""
+    """The 120-entry 2D distance neighborhood: the spec encodes each
+    entry as the byte ``(dy << 4) | (8 - dx)``, which bounds the
+    candidate set to dx in [-7, 8], dy in [0, 7] (prior pixels only) —
+    EXACTLY 120 such neighbors exist, so the table is the complete
+    set, ordered by Euclidean distance with ties broken by larger dy
+    then positive-before-negative dx (reproduces the spec table's
+    leading rows byte-for-byte: 0x18 0x07 0x17 0x19 0x28 0x06 ...).
+    An earlier form generated dy=8/dx=-8 candidates the byte encoding
+    cannot express and truncated to 120 — wrong in the tail (caught in
+    the r12 self-review)."""
     cands = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
+    for dy in range(0, 8):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue
             cands.append((dx, dy))
+    assert len(cands) == 120
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
-    return cands[:120]
+    return cands
 
 
 _DIST_MAP = _distance_map()
@@ -919,7 +926,15 @@ def _tokenize(
             while i + run < n and flat[i + run] == pix:
                 run += 1
             if run >= 2:
-                toks.append(("copy", (run, 1)))
+                # the green alphabet carries 24 length symbols -> max
+                # decodable copy length 4096; longer runs must split
+                # or symbol 280 would alias into color-cache space
+                # (caught in the r12 self-review)
+                left = run
+                while left > 0:
+                    chunk = min(left, 4096)
+                    toks.append(("copy", (chunk, 1)))
+                    left -= chunk
                 for j in range(run):
                     emit_pixel(flat[i + j])
                 i += run

@@ -111,13 +111,29 @@ def test_stacked_transforms_roundtrip():
 
 def test_distance_map_matches_spec_prefix():
     """the generated 2D neighborhood must reproduce the spec table's
-    documented leading rows (WebP Lossless Bitstream spec §5.2)"""
+    documented leading BYTES ((dy<<4) | (8-dx) encoding) and stay
+    within that encoding's bounds — the whole 120-candidate set"""
     assert _DIST_MAP[:24] == [
         (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
         (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
         (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
     ]
-    assert len(_DIST_MAP) == 120
+    enc = [((dy << 4) | (8 - dx)) for dx, dy in _DIST_MAP]
+    assert enc[:6] == [0x18, 0x07, 0x17, 0x19, 0x28, 0x06]
+    assert len(_DIST_MAP) == len(set(enc)) == 120
+    assert all(-7 <= dx <= 8 and 0 <= dy <= 7 for dx, dy in _DIST_MAP)
+    d2 = [dx * dx + dy * dy for dx, dy in _DIST_MAP]
+    assert d2 == sorted(d2)
+
+
+def test_lz77_long_run_splits_at_4096():
+    """a uniform run longer than the 24-length-symbol maximum (4096)
+    must split into legal copies, not alias into cache symbol space
+    (r12 self-review)"""
+    px = np.full((66, 64, 3), 9, dtype=np.uint8)  # 4224 px, one run
+    px[0, 0] = (1, 2, 3)
+    _roundtrip(px, lz77=True)
+    _roundtrip(px, lz77=True, cache_bits=4)
 
 
 def test_lossy_vp8_rejected_with_clear_message():
