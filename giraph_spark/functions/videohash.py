@@ -75,27 +75,39 @@ def video_fingerprint(
     )
     # a null-plan row (undecodable) or a plan without sizes (no stsz)
     # cannot fingerprint; fold the verdict per media
+    # ONE aggregation buffer: collect the plan rows UNFILTERED and
+    # derive both the size array and the id-collision evidence from
+    # the ≤65-element array with per-media expressions. Measured forms
+    # at 200k items (min of 4): countDistinct beside the collect_list
+    # forces an Expand over the whole plan relation (22x wall at 10x
+    # in bench --stress-hash); count/max companion aggregates 9.6 s;
+    # a separate evidence agg + join 8.3 s (no exchange reuse — the
+    # box walk runs twice); this single-buffer form 9.3 s; dropping
+    # the evidence entirely 4.4 s. The ~2x is the price of the
+    # fabricated-contour guard (ADVICE r11) — accepted and recorded.
     agg = plan.groupBy("media_id").agg(
+        F.collect_list(F.struct("frame_index", "size_bytes")).alias("_all")
+    )
+    fi_rows = F.filter(
+        F.col("_all"), lambda s: s.getField("frame_index").isNotNull()
+    )
+    agg = agg.select(
+        "media_id",
         F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("frame_index").isNotNull()
-                    & F.col("size_bytes").isNotNull(),
-                    F.struct("frame_index", "size_bytes"),
-                )
+            F.filter(
+                fi_rows, lambda s: s.getField("size_bytes").isNotNull()
             )
         ).alias("_fs"),
-        # id-collision evidence: one input emits EITHER the contiguous
-        # frame indices 0..k-1 (the every_n=1 plan walk) OR exactly
-        # one null-plan row — never both kinds, never more index rows
-        # than max(index)+1. Deliberately max(), NOT countDistinct():
-        # a distinct aggregate beside collect_list forces an Expand
-        # through the whole plan relation (measured 22x wall at 10x
-        # corpus in bench --stress-hash before this form).
-        F.count(F.lit(1)).alias("_rows"),
-        F.count("frame_index").alias("_fi"),
-        F.max("frame_index").alias("_fimax"),
+        F.size("_all").alias("_rows"),
+        F.size(fi_rows).alias("_fi"),
+        F.array_max(
+            F.transform(F.col("_all"), lambda s: s.getField("frame_index"))
+        ).alias("_fimax"),
     )
+    # id-collision evidence: one input emits EITHER the contiguous
+    # frame indices 0..k-1 (the every_n=1 plan walk) OR exactly one
+    # null-plan row — never both kinds, never more index rows than
+    # max(index)+1
     collided = (
         (F.col("_fi") > 0)
         & (
