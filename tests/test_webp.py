@@ -172,6 +172,31 @@ def test_hostile_streams_fail_fast_not_hang():
         parse_webp_pixels(bomb, max_pixels=1 << 30)
 
 
+def test_bitflip_fuzz_never_hangs_or_leaks_exceptions():
+    """deterministic bit-flip fuzz over a real VP8L stream: every
+    corruption must either decode to SOME pixel array or raise
+    ValueError promptly — never hang, never escape another exception
+    type (the mapInPandas error-row contract catches Exception, but
+    a non-ValueError here usually means an unguarded indexing bug)"""
+    px = RNG.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    base = bytearray(make_webp_pixels(px, lz77=True, cache_bits=3))
+    body_start = base.index(b"VP8L") + 8
+    flips = RNG.integers(body_start * 8, len(base) * 8, size=200)
+    outcomes = {"ok": 0, "valueerror": 0}
+    for bitpos in flips:
+        mut = bytearray(base)
+        mut[bitpos // 8] ^= 1 << (bitpos % 8)
+        try:
+            h, w, out = parse_webp_pixels(bytes(mut), max_pixels=1 << 20)
+            assert out.shape[0] == h and out.shape[1] == w
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["valueerror"] += 1
+    assert sum(outcomes.values()) == 200
+    # both outcomes must actually occur, or the fuzz isn't biting
+    assert outcomes["valueerror"] > 0 and outcomes["ok"] > 0
+
+
 def test_webp_pixel_stats_closed_form():
     px = np.zeros((3, 5, 3), dtype=np.uint8)
     px[:, :, 0] = 17
