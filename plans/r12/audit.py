@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""r12 optimization round: capture .explain("formatted") for every
+declared registry key plus plan-shape statistics (Exchange count,
+Python-eval nodes, join strategies, scan pushdown) — guide §1.1/§7.2
+"measure first" evidence.
+
+Usage: python plans/r12/audit.py [sf_dir] [outdir] [key ...]
+Defaults: sf0.001, plans/r12/before, all keys.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import sys
+import time
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+OUTDIR = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "before"
+)
+ONLY = set(sys.argv[3:])
+
+MARKERS = [
+    "Exchange",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInArrow",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Generate",
+    "Window",
+    "Sort",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "InMemoryTableScan",
+    "Scan parquet",
+]
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def stats(plan: str) -> dict:
+    out = {m: len(re.findall(r"\b" + re.escape(m), plan)) for m in MARKERS}
+    out["PushedFilters_nonempty"] = len(
+        [ln for ln in plan.splitlines()
+         if "PushedFilters" in ln and "PushedFilters: []" not in ln]
+    )
+    return {k: v for k, v in out.items() if v}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("r12-plan-audit")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUTDIR, exist_ok=True)
+
+    summary: dict[str, dict] = {}
+    for name, fn in E.queries().items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, SF_DIR)
+            plan = explain_str(df)
+            with open(os.path.join(OUTDIR, f"{name}.txt"), "w") as fh:
+                fh.write(plan)
+            summary[name] = {
+                "build_sec": round(time.monotonic() - t0, 2),
+                **stats(plan),
+            }
+        except Exception as ex:  # noqa: BLE001 - audit records, never dies
+            summary[name] = {
+                "build_sec": round(time.monotonic() - t0, 2),
+                "error": f"{type(ex).__name__}: {ex}"[:300],
+            }
+        print(json.dumps({name: summary[name]}), flush=True)
+    with open(os.path.join(OUTDIR, "_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
