@@ -84,13 +84,19 @@ def graph_coloring(
         # change). It shrinks monotonically; each wave peels the edges
         # into just-colored vertices with an anti-join against the
         # wave's DELTA (map-side broadcast when the delta is small), so
-        # per-wave shuffle INPUT is O(live), never O(E)
-        live, n_live, _ = fresh_checkpoint_count(graph.edges.select(src, dst))
+        # per-wave shuffle INPUT is O(live), never O(E). The peel is
+        # checkpointed LAZILY and materialized inside the NEXT wave's
+        # state job — one action per wave; the gear/byte-gate signal
+        # becomes the exact uncolored-count trajectory scaled by the
+        # initial edge/vertex ratio (width heuristic only, results
+        # unaffected)
+        live, n_live0, _ = fresh_checkpoint_count(graph.edges.select(src, dst))
+        est_live = n_live0
 
         for rnd in range(max_rounds):
             if n_unc == 0:
                 break
-            gear.resize(n_live)
+            gear.resize(est_live)
             if stats is not None:
                 stats["rounds"] = rnd + 1
             # per-uncolored-vertex wave aggregate over its neighbors'
@@ -131,7 +137,9 @@ def graph_coloring(
             state, _, n_unc = fresh_checkpoint_count(
                 state.join(
                     bcast_if_small(
-                        per_v, prev_unc, extra_bytes=ARRAY_ELEM_BYTES * n_live
+                        per_v,
+                        prev_unc,
+                        extra_bytes=ARRAY_ELEM_BYTES * est_live,
                     ),
                     on=id_col,
                     how="left",
@@ -153,14 +161,15 @@ def graph_coloring(
             if n_unc == 0:
                 break
             # peel the edges into just-colored vertices; the delta size
-            # is known exactly (prev_unc − n_unc) before the job runs
+            # is known exactly (prev_unc − n_unc) before the job runs.
+            # Lazy checkpoint — materialized by the next wave's state
+            # job, costing no action of its own
             delta = state.where("_just").select(F.col(id_col).alias(dst))
             state = state.drop("_just")
-            live, n_live, _ = fresh_checkpoint_count(
-                live.join(
-                    bcast_if_small(delta, prev_unc - n_unc),
-                    on=dst,
-                    how="left_anti",
-                )
-            )
+            live = live.join(
+                bcast_if_small(delta, prev_unc - n_unc),
+                on=dst,
+                how="left_anti",
+            ).localCheckpoint(eager=False)
+            est_live = -(-n_live0 * n_unc // max(n_v, 1))
         return state.select(id_col, F.col("_color").alias(color_col))

@@ -56,13 +56,18 @@ def maximal_independent_set(
         # per-round state join disappears entirely. Each round peels
         # the edges incident to newly-decided vertices via anti-joins
         # against that delta (map-side broadcast when small), so
-        # per-round shuffle input is O(live), never O(E)
-        live, n_live, _ = fresh_checkpoint_count(graph.edges.select(src, dst))
+        # per-round shuffle input is O(live), never O(E).
+        # The peel is checkpointed LAZILY and materialized inside the
+        # NEXT round's state job (the round's ONE action — the peel's
+        # own count is dropped; the gear signal becomes the exact
+        # unknown-count trajectory scaled by the initial edge/vertex
+        # ratio, a width heuristic that cannot affect results)
+        live, n_live0, _ = fresh_checkpoint_count(graph.edges.select(src, dst))
 
         for rnd in range(max_rounds):
             if n_unk == 0:
                 break
-            gear.resize(n_live)
+            gear.resize(-(-n_live0 * n_unk // max(n_v, 1)))
             if stats is not None:
                 stats["rounds"] = rnd + 1
             # min INLINE priority among (UNKNOWN) neighbors
@@ -127,25 +132,25 @@ def maximal_independent_set(
             if n_unk == 0:
                 break
             # peel edges incident to this round's decided vertices; the
-            # delta size (prev_unk − n_unk) is known before the job runs
+            # delta size (prev_unk − n_unk) is known before the job runs.
+            # Lazy checkpoint: the next round's state job materializes
+            # it (and caches the blocks), so the peel costs no action
             delta = state.where("_just").select(id_col)
             state = state.drop("_just")
             n_delta = prev_unk - n_unk
-            live, n_live, _ = fresh_checkpoint_count(
-                live.join(
-                    bcast_if_small(
-                        delta.select(F.col(id_col).alias(src)), n_delta
-                    ),
-                    on=src,
-                    how="left_anti",
-                ).join(
-                    bcast_if_small(
-                        delta.select(F.col(id_col).alias(dst)), n_delta
-                    ),
-                    on=dst,
-                    how="left_anti",
-                )
-            )
+            live = live.join(
+                bcast_if_small(
+                    delta.select(F.col(id_col).alias(src)), n_delta
+                ),
+                on=src,
+                how="left_anti",
+            ).join(
+                bcast_if_small(
+                    delta.select(F.col(id_col).alias(dst)), n_delta
+                ),
+                on=dst,
+                how="left_anti",
+            ).localCheckpoint(eager=False)
         return state.select(
             id_col, (F.col("_st") == IN_SET).alias(status_col)
         )

@@ -166,6 +166,33 @@ def max_weight_matching(
         return state.select(id_col, F.col("_mw").alias(match_col))
 
 
+def _assemble_matching(
+    graph: Graph,
+    matched: "list[DataFrame]",
+    id_col: str,
+    src: str,
+    dst: str,
+    match_col: str,
+) -> DataFrame:
+    """(id, matched_with) from the per-round matched-pair deltas: one
+    O(V) left join at the end instead of one per round. The deltas are
+    disjoint (a matched vertex leaves the live graph), so the join is
+    1:1; vertices never matched stay NULL."""
+    ids = graph.vertices.select(id_col)
+    if not matched:
+        return ids.select(
+            id_col, F.lit(None).cast("long").alias(match_col)
+        )
+    pairs = matched[0]
+    for m in matched[1:]:
+        pairs = pairs.unionByName(m)
+    pairs = pairs.select(
+        F.col(src).cast("long").alias(id_col),
+        F.col(dst).cast("long").alias(match_col),
+    )
+    return ids.join(pairs, on=id_col, how="left")
+
+
 def bipartite_matching(
     graph: Graph,
     max_rounds: int = 100,
@@ -189,12 +216,8 @@ def bipartite_matching(
     id_col, src, dst = graph.id_col, graph.src_col, graph.dst_col
 
     with LoopGear(graph.vertices.sparkSession) as gear:
-        state, n_v, _ = fresh_checkpoint_count(
-            graph.vertices.select(
-                id_col, F.lit(None).cast("long").alias("_mw")
-            )
-        )
-        gear.floor_rows = n_v  # the per-cycle O(V) state rewrite
+        n_v = graph.vertices.count()
+        gear.floor_rows = n_v  # the final O(V) label join
         # the live edge relation IS the request set: edges between two
         # still-unmatched vertices, peeled per cycle by anti-joins
         # against the newly-matched delta (see max_weight_matching)
@@ -205,15 +228,20 @@ def bipartite_matching(
             ).dropDuplicates()
         )
         return _bipartite_loop(
-            state, live, n_live, gear, id_col, src, dst, max_rounds,
+            graph, live, n_live, gear, n_v, id_col, src, dst, max_rounds,
             match_col, stats,
         )
 
 
 def _bipartite_loop(
-    state, live, n_live, gear, id_col, src, dst, max_rounds, match_col,
-    stats,
+    graph, live, n_live, gear, n_v, id_col, src, dst, max_rounds,
+    match_col, stats,
 ):
+    # per-cycle matched deltas, assembled once after the loop (see
+    # max_weight_matching — same one-job-per-round shape: the accepted
+    # relation materializes as the peel's lazily checkpointed
+    # broadcast build side)
+    matched: list[DataFrame] = []
     for rnd in range(max_rounds):
         if n_live == 0:
             break
@@ -247,38 +275,36 @@ def _bipartite_loop(
                 ).alias("_m")
             )
             .select(src, F.col("_m._i").alias(dst))
-        )
-        pairs = accepted.select(
-            F.col(src).alias(id_col), F.col(dst).alias("_new")
-        ).unionByName(
-            accepted.select(F.col(dst).alias(id_col), F.col(src).alias("_new"))
-        )
-        state, _, n_matched = fresh_checkpoint_count(
-            state.join(pairs, on=id_col, how="left").select(
-                id_col,
-                F.coalesce("_mw", "_new").alias("_mw"),
-                F.col("_new").isNotNull().alias("_just"),
-            ),
-            flag=F.col("_just"),
-        )
+        ).localCheckpoint(eager=False)
+        matched.append(accepted)
         # every cycle matches ≥ 1 pair while live edges remain (the
-        # smallest-hash left vertex's grant is always accepted), so
-        # n_matched ≥ 2 here; peel the matched vertices' edges
-        delta = state.where("_just").select(id_col)
-        state = state.drop("_just")
+        # smallest-hash left vertex's grant is always accepted); peel
+        # the matched vertices' edges. The delta is the matched-id set
+        # (both endpoints); bound for the broadcast gate: at most one
+        # accepted pair per live edge, at most n_v matched ids
+        delta = accepted.select(F.col(src).alias(id_col)).unionByName(
+            accepted.select(F.col(dst).alias(id_col))
+        )
+        bound = min(n_v, 2 * n_live)
         live, n_live, _ = fresh_checkpoint_count(
             live.join(
                 bcast_if_small(
-                    delta.select(F.col(id_col).alias(src)), n_matched
+                    delta.select(F.col(id_col).alias(src)), bound
                 ),
                 on=src,
                 how="left_anti",
             ).join(
                 bcast_if_small(
-                    delta.select(F.col(id_col).alias(dst)), n_matched
+                    delta.select(F.col(id_col).alias(dst)), bound
                 ),
                 on=dst,
                 how="left_anti",
             )
         )
-    return state.select(id_col, F.col("_mw").alias(match_col))
+    both = [
+        m.select(F.col(src).alias(src), F.col(dst).alias(dst)).unionByName(
+            m.select(F.col(dst).alias(src), F.col(src).alias(dst))
+        )
+        for m in matched
+    ]
+    return _assemble_matching(graph, both, id_col, src, dst, match_col)

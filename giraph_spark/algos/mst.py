@@ -177,7 +177,11 @@ def _msf_loop(
             )
         )
     gear.floor_rows = n_v  # the per-round O(V) label rewrite
-    forest = None
+    # per-round selected-edge frames, unioned ONCE at the end: each
+    # frame derives from that round's EAGERLY checkpointed sel relation,
+    # so the final union is a flat read of cached blocks — the per-round
+    # forest checkpoint job (a growing O(forest) rewrite) disappears
+    picked_frames: list[DataFrame] = []
 
     for rnd in range(max_rounds):
         # the label relation has exactly n_v rows — broadcast-gated
@@ -222,10 +226,7 @@ def _msf_loop(
             .agg(F.min(F.struct("w", "u", "v", "oc")).alias("m"))
             .select("comp", "m.w", "m.u", "m.v", "m.oc")
         )
-        picked = sel.select("u", "v", "w").distinct()
-        forest = fresh_checkpoint(
-            picked if forest is None else forest.unionByName(picked)
-        )
+        picked_frames.append(sel.select("u", "v", "w").distinct())
 
         # component merge: parent(comp) = oc, except the smaller member
         # of each MUTUAL pair roots itself (each merge tree contains
@@ -297,8 +298,11 @@ def _msf_loop(
         # selected again — shrink the live set
         live = le.select("u", "v", "w")
 
-    if forest is None:
+    if not picked_frames:
         return live.select(
             F.col("u"), F.col("v"), F.col("w").alias(weight_col)
         ).limit(0)
+    forest = picked_frames[0]
+    for p in picked_frames[1:]:
+        forest = forest.unionByName(p)
     return forest.select("u", "v", F.col("w").alias(weight_col))

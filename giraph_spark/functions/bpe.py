@@ -117,6 +117,7 @@ def train_bpe(
     num_merges: int = 200,
     text_col: str = "text",
     min_pair_count: int = 2,
+    driver_vocab_limit: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list ``[(a, b), ...]`` — the tokenizer artifact
@@ -124,7 +125,108 @@ def train_bpe(
     plain data). Ties in pair counts break lexicographically, so the
     result is deterministic and partitioning-invariant. Stops early
     when no pair reaches ``min_pair_count`` (merging hapax pairs only
-    memorizes the corpus)."""
+    memorizes the corpus).
+
+    Execution: ONE corpus scan reduces to the word-frequency relation
+    (BPE statistics depend only on word → count). When that relation
+    has at most ``driver_vocab_limit`` rows, the merge loop runs
+    DRIVER-SIDE on the collected table (Sennrich's own formulation:
+    the sequential argmax core is driver state either way, and the
+    per-round pair statistics are vocabulary-sized, not corpus-sized)
+    — paying one Spark job total instead of two jobs per merge. The
+    driver loop is the indexed incremental variant (only words
+    containing the merged pair are recounted; a lazy max-heap holds
+    the candidate pairs), bit-identical to the distributed loop
+    including overlap counting and the lexicographic tie-break. A
+    vocabulary above the limit (or ``driver_vocab_limit=None``) falls
+    back to the distributed per-merge loop, which never collects more
+    than one row per round."""
+    if driver_vocab_limit is not None:
+        head = (
+            _word_freq(df, text_col).limit(driver_vocab_limit + 1).collect()
+        )
+        if len(head) <= driver_vocab_limit:
+            return _train_bpe_driver(
+                [(r["word"], r["freq"]) for r in head],
+                num_merges,
+                min_pair_count,
+            )
+    return _train_bpe_distributed(df, num_merges, text_col, min_pair_count)
+
+
+def _train_bpe_driver(
+    vocab: "list[tuple[str, int]]", num_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """The merge loop on a collected (word, freq) table. Semantics are
+    exactly the distributed loop's: pair counts are per occurrence
+    position (``aaa`` contributes (a,a) twice), the argmax tie-break is
+    (count DESC, a ASC, b ASC) — Python's code-point string order and
+    Spark's UTF-8 binary order agree because UTF-8 preserves code-point
+    order — and merges apply left-to-right non-overlapping."""
+    import heapq
+
+    words: list[list] = [
+        [list(w[:-1]) + [w[-1] + EOW], f] for w, f in vocab if w
+    ]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, f) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + f
+            where.setdefault(p, set()).add(idx)
+    heap = [(-c, p) for p, c in counts.items() if c >= min_pair_count]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        # lazy-invalidation pop: re-push entries whose count moved
+        while heap:
+            nc, p = heap[0]
+            c = counts.get(p, 0)
+            if c == -nc:
+                break
+            heapq.heappop(heap)
+            if c >= min_pair_count:
+                heapq.heappush(heap, (-c, p))
+        if not heap or -heap[0][0] < min_pair_count:
+            break
+        a, b = heap[0][1]
+        merges.append((a, b))
+        merged = a + b
+        touched: set[tuple[str, str]] = set()
+        for idx in where.pop((a, b), set()):
+            syms, f = words[idx]
+            # remove the word's old pair contributions (stale index
+            # entries — words merged past the pair — net to zero here)
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] -= f
+                touched.add(p)
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            words[idx][0] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                counts[p] = counts.get(p, 0) + f
+                where.setdefault(p, set()).add(idx)
+                touched.add(p)
+        for p in touched:
+            c = counts.get(p, 0)
+            if c >= min_pair_count:
+                heapq.heappush(heap, (-c, p))
+    return merges
+
+
+def _train_bpe_distributed(
+    df: DataFrame, num_merges: int, text_col: str, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """The per-merge distributed loop — the over-limit fallback: each
+    round is one pair-count argmax (a 1-row collect) and one
+    aggregate-fold merge projection over the |V|-row symbol relation."""
     import gc
 
     sym = fresh_checkpoint(_symbolize(_word_freq(df, text_col)))
