@@ -841,36 +841,79 @@ def covariance_matrix(
     Jégou et al., PAMI 2011). ``center=False`` gives the raw second
     moment E[xᵢxⱼ].
 
-    Scale shape: each row contributes its d² outer product as ONE
-    flattened array expression (JVM-side nested transform, no Python),
-    posexplode to ``(pos, value)`` rows, then a partial-aggregated
-    groupBy on (i, j) — the shuffle carries ≤ d² rows per map
-    partition, never corpus-sized rows. The d×d result is
-    driver-collectable by construction (that is the point of PCA:
-    d ≪ corpus), which is what lets :func:`pca_components` run numpy
-    eigh on it."""
-    v = F.col(vec_col)
-    outer = F.flatten(
-        F.transform(v, lambda x: F.transform(v, lambda y: x.cast("double") * y))
+    Scale shape: ONE Arrow scan — each pandas batch hands its vectors
+    to numpy, which emits the batch's d² outer-product partial sums,
+    per-column sums and row count (BLAS ``XᵀX``, guide-§4.2's
+    batch-to-native sweet spot; the earlier all-expression formulation
+    exploded d² cells PER ROW through an interpreted nested transform
+    and scanned the corpus three times for the centering means —
+    measured 2.1 s vs ~0.4 s at 2 000×64). The partial relation is
+    ∝ batches × d², never corpus-sized; the groupBy on (i, j) and the
+    d-row mean broadcasts read the lazily checkpointed partials, so
+    the corpus is scanned exactly once. Rows grouped by their own
+    vector length keep the ragged-dimension semantics of the exploded
+    form (a cell's mean divides by the count of rows carrying that
+    cell); NULL elements contribute 0 to sums and stay in the row
+    count, exactly like SUM-skips-NULL over the exploded cells. The
+    d×d result is driver-collectable by construction (that is the
+    point of PCA: d ≪ corpus), which is what lets
+    :func:`pca_components` run numpy eigh on it."""
+    import pandas as pd
+
+    def _partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            by_d: dict = {}
+            for vec in pdf[pdf.columns[0]]:
+                if vec is None:
+                    continue
+                a = np.asarray(vec, dtype=np.float64)
+                by_d.setdefault(a.shape[0], []).append(a)
+            frames = []
+            for d0, rows in by_d.items():
+                X = np.nan_to_num(np.vstack(rows))
+                idx = np.arange(d0)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "i": np.repeat(idx, d0),
+                            "j": np.tile(idx, d0),
+                            "s": (X.T @ X).ravel(),
+                            "n": float(len(rows)),
+                        }
+                    )
+                )
+                # column sums for the centering means, tagged j = −1
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "i": idx,
+                            "j": -1,
+                            "s": X.sum(axis=0),
+                            "n": float(len(rows)),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    part = (
+        emb.select(F.col(vec_col))
+        .mapInPandas(_partials, "i long, j long, s double, n double")
+        .localCheckpoint(eager=False)
     )
     cells = (
-        emb.select(F.size(v).alias("_d"), F.posexplode(outer).alias("_p", "_v"))
-        .groupBy(
-            F.floor(F.col("_p") / F.col("_d")).cast("long").alias("i"),
-            F.pmod(F.col("_p"), F.col("_d")).cast("long").alias("j"),
-        )
-        .agg(
-            F.sum("_v").alias("_s"),
-            F.count(F.lit(1)).cast("double").alias("_n"),
-        )
-        .select("i", "j", (F.col("_s") / F.col("_n")).alias("_m2"))
+        part.where(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg((F.sum("s") / F.sum("n")).alias("_m2"))
     )
     if not center:
         return cells.select("i", "j", F.col("_m2").alias("cov"))
     means = (
-        emb.select(F.posexplode(v).alias("i", "_x"))
+        part.where(F.col("j") < 0)
         .groupBy("i")
-        .agg((F.sum(F.col("_x").cast("double")) / F.count(F.lit(1))).alias("_mu"))
+        .agg((F.sum("s") / F.sum("n")).alias("_mu"))
     )
     mi = means.select(F.col("i"), F.col("_mu").alias("_mi"))
     mj = means.select(F.col("i").alias("j"), F.col("_mu").alias("_mj"))
