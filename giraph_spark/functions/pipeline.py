@@ -12,15 +12,16 @@ duplicate of a rejected document is itself rejected for quality, not
 as a duplicate), and the train/val split is assigned only to keepers
 (hash-of-id, so the assignment never reshuffles as the corpus grows).
 
-Scale shape: stage 1 is a zero-shuffle projection; stage 2 is one
-hash-groupBy (min-id keeper) plus a co-keyed join back; stage 3 is a
-pure projection. Nothing in the pass is quadratic or collects to the
-driver.
+Scale shape: stage 1 is a zero-shuffle projection fused into the scan;
+stage 2 is ONE narrow-row window (id, passed, 32-byte hash — never the
+text payload) partitioned by the dedup hash; stage 3 is a pure
+projection. One Exchange end to end, nothing quadratic, nothing
+collected to the driver.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import normalize_text
@@ -51,36 +52,57 @@ def clean_corpus(
 
     Fully deterministic: every decision is a pure function of
     (ids, text, seed), so the disposition is reproducible and
-    SQL-oracle-replayable end-to-end."""
-    q = quality_filter(
-        df, text_col, id_col, **(quality_kwargs or {})
-    ).select(F.col(id_col), "passed")
-    base = df.select(F.col(id_col), F.col(text_col)).join(q, id_col)
-    h = (
-        base.where(F.col("passed"))
-        .select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("_h"))
+    SQL-oracle-replayable end-to-end.
+
+    Implementation (optimization r12): the quality gate is computed
+    INLINE on the scan (``quality_filter`` is expression-only, so
+    joining the corpus against its own quality projection — the r11
+    shape: 4 joins / 8 Exchanges — paid a full id-shuffle for a
+    column derivable in place; the (id, text) pair rides through the
+    gate packed in a struct id so text.py needs no change), and the
+    keeper rule is ONE window ``min(id) over (partition by hash)``
+    over narrow rows. Quality-failed docs get a unique per-row
+    partition key (``'!' || id`` — disjoint from md5's hex alphabet)
+    so the window never builds a skewed all-failures partition and
+    their ``_keep`` is never consulted. Precondition unchanged from
+    the join form: ids are unique and non-NULL (the join form
+    silently dropped NULL ids and multiplied duplicate ids; this form
+    keeps NULL ids and never multiplies — identical output on any
+    well-formed corpus, verified row-for-row at sf0.01/sf0.1)."""
+    packed = df.select(
+        F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")).alias(
+            "_it"
+        ),
+        F.col(text_col),
     )
-    keep = h.groupBy("_h").agg(F.min(id_col).alias("_keep"))
-    tagged = h.join(keep, "_h").select(F.col(id_col), "_keep")
+    q = quality_filter(packed, text_col, "_it", **(quality_kwargs or {}))
+    flat = q.select(
+        F.col("_it.i").alias("_id"),
+        F.col("_it.t").alias("_text"),
+        F.col("passed"),
+    )
+    dedup_key = F.when(
+        F.col("passed"), F.md5(normalize_text(F.col("_text")))
+    ).otherwise(F.concat_ws("", F.lit("!"), F.col("_id").cast("string")))
+    keyed = flat.select("_id", "passed", dedup_key.alias("_h"))
+    tagged = keyed.withColumn(
+        "_keep", F.min("_id").over(Window.partitionBy("_h"))
+    )
     thresh = int(val_fraction * BUCKETS)
     status = (
         F.when(~F.col("passed"), F.lit("removed_quality"))
-        .when(F.col(id_col) != F.col("_keep"), F.lit("removed_duplicate"))
+        .when(F.col("_id") != F.col("_keep"), F.lit("removed_duplicate"))
         .otherwise(F.lit("kept"))
     )
-    return (
-        base.select(F.col(id_col), "passed")
-        .join(tagged, id_col, "left")
-        .select(
-            F.col(id_col),
-            status.alias("status"),
-            F.when(
-                status == "kept",
-                F.when(_bucket(id_col, seed) < thresh, F.lit("val")).otherwise(
-                    F.lit("train")
-                ),
-            ).alias("split"),
-        )
+    return tagged.select(
+        F.col("_id").alias(id_col),
+        status.alias("status"),
+        F.when(
+            status == "kept",
+            F.when(_bucket("_id", seed) < thresh, F.lit("val")).otherwise(
+                F.lit("train")
+            ),
+        ).alias("split"),
     )
 
 
@@ -203,20 +225,40 @@ def clean_corpus_dsir(
     documents the scorer cannot score (zero n-grams) are
     ``removed_dsir`` with NULL scores — undecidable is never kept.
 
-    Scale shape: gate = zero-shuffle projection; DSIR = one explode +
-    partial-agg per relation with ≤ ``n_buckets``-row broadcast LM
-    tables; calibration = ONE histogram scan + suffix sums over
-    ``n_bins`` rows; the chosen threshold is a broadcast single-row
-    cross join. Nothing quadratic, nothing collected."""
+    Scale shape: gate = zero-shuffle projection computed INLINE on the
+    scan (``gopher_rules`` is expression-only; the r11 shape joined the
+    corpus against its own gate projection twice — a ``left_semi`` for
+    the survivors and a ``left`` in the final assembly, each a full
+    id-shuffle — both replaced by a filter resp. a carried column,
+    with the (id, text) pair packed through the gate in a struct id so
+    text.py is untouched); DSIR = one explode + partial-agg per
+    relation with ≤ ``n_buckets``-row broadcast LM tables; calibration
+    = ONE histogram scan + suffix sums over ``n_bins`` rows; the
+    chosen threshold is a broadcast single-row cross join; the one
+    remaining join attaches the survivor scores (aggregated, small)
+    back to the corpus ids. Nothing quadratic, nothing collected.
+    Precondition unchanged from the join form: unique non-NULL ids
+    (verified row-for-row against the join form at sf0.01/sf0.1)."""
     from .profile import threshold_metrics
     from .sampling import BUCKETS, _bucket, dsir_importance
     from .text import gopher_rules
 
+    packed = df.select(
+        F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")).alias(
+            "_it"
+        ),
+        F.col(text_col),
+    )
     gate = gopher_rules(
-        df, text_col=text_col, id_col=id_col, **(gopher_kwargs or {})
-    ).select(F.col(id_col), "passed")
-    survivors = df.select(F.col(id_col), F.col(text_col)).join(
-        gate.where("passed").select(id_col), id_col, "left_semi"
+        packed, text_col=text_col, id_col="_it", **(gopher_kwargs or {})
+    ).select("_it", "passed")
+    flat = gate.select(
+        F.col("_it.i").alias(id_col),
+        F.col("_it.t").alias(text_col),
+        F.col("passed"),
+    )
+    survivors = flat.where(F.col("passed")).select(
+        F.col(id_col), F.col(text_col)
     )
     scored = dsir_importance(
         survivors,
@@ -270,7 +312,7 @@ def clean_corpus_dsir(
     )
     thresh = int(val_fraction * BUCKETS)
     status = (
-        F.when(F.col("_passed").isNull(), F.lit("removed_gopher"))
+        F.when(~F.col("passed"), F.lit("removed_gopher"))
         .when(
             F.col("sampling_score").isNull()
             | (F.col("sampling_score") < F.col("_thr")),
@@ -279,14 +321,7 @@ def clean_corpus_dsir(
         .otherwise(F.lit("kept"))
     )
     return (
-        df.select(F.col(id_col))
-        .join(
-            gate.where("passed").select(
-                F.col(id_col), F.lit(True).alias("_passed")
-            ),
-            id_col,
-            "left",
-        )
+        flat.select(F.col(id_col), F.col("passed"))
         .join(scored, id_col, "left")
         .crossJoin(F.broadcast(thr))
         .select(
