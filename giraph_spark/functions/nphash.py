@@ -1,0 +1,148 @@
+"""Bit-exact NumPy replicas of Spark's hash expressions, for Arrow passes.
+
+Spark's ``xxhash64`` expression is XXH64 (Collet's public spec, the
+same function ``org.apache.spark.sql.catalyst.expressions.XxHash64``
+evaluates) applied to the UTF-8 bytes of a string operand with seed 42,
+folding each further operand in with the running hash as the seed.
+When an operator moves per-token work into a ``mapInArrow`` batch pass
+(guide §4.2), the Python side must reproduce those hashes BIT FOR BIT
+or the operator's output changes — these kernels are that replica,
+vectorized so the hash is never the per-row bottleneck the move was
+meant to remove.
+
+Verified against ``F.xxhash64`` on randomized inputs (ASCII + multi-
+byte UTF-8, lengths 0–80, all tail-length classes) in
+``tests/test_nphash.py``; the scalar reference implementation the
+vector kernels are tested against lives there too.
+
+Only NumPy is required. Nothing here imports Spark: the module is
+shipped to executors inside UDF closures and must stay import-light.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK = (1 << 64) - 1
+_P1 = np.uint64(11400714785074694791)
+_P2 = np.uint64(14029467366897019727)
+_P3 = np.uint64(1609587929392839161)
+_P4 = np.uint64(9650029242287828579)
+_P5 = np.uint64(2870177450012600261)
+
+#: Spark's default seed for ``xxhash64``/``hash`` expressions
+#: (``XxHash64.seed`` — 42).
+SPARK_SEED = 42
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix(acc: np.ndarray) -> np.ndarray:
+    acc ^= acc >> np.uint64(33)
+    acc = acc * _P2
+    acc ^= acc >> np.uint64(29)
+    acc = acc * _P3
+    acc ^= acc >> np.uint64(32)
+    return acc
+
+
+def _xxh64_same_len(mat8: np.ndarray, n: int, seed: int) -> np.ndarray:
+    """XXH64 of many byte strings of identical length ``n``.
+
+    ``mat8``: ``(rows, ceil(max(n,1)/8)*8)`` uint8, zero-padded past
+    ``n``, C-contiguous. Returns uint64 hashes. Uniform length is what
+    makes the stripe/tail structure identical across rows, so every
+    step is one vector op."""
+    rows = mat8.shape[0]
+    lanes = mat8.view("<u8")
+    i = 0
+    if n >= 32:
+        a1 = np.full(rows, (seed + int(_P1) + int(_P2)) & _MASK, np.uint64)
+        a2 = np.full(rows, (seed + int(_P2)) & _MASK, np.uint64)
+        a3 = np.full(rows, seed & _MASK, np.uint64)
+        a4 = np.full(rows, (seed - int(_P1)) & _MASK, np.uint64)
+        while i + 32 <= n:
+            a1 = _rotl(a1 + lanes[:, i // 8] * _P2, 31) * _P1
+            a2 = _rotl(a2 + lanes[:, i // 8 + 1] * _P2, 31) * _P1
+            a3 = _rotl(a3 + lanes[:, i // 8 + 2] * _P2, 31) * _P1
+            a4 = _rotl(a4 + lanes[:, i // 8 + 3] * _P2, 31) * _P1
+            i += 32
+        acc = _rotl(a1, 1) + _rotl(a2, 7) + _rotl(a3, 12) + _rotl(a4, 18)
+        for a in (a1, a2, a3, a4):
+            acc ^= _rotl(a * _P2, 31) * _P1
+            acc = acc * _P1 + _P4
+    else:
+        acc = np.full(rows, (seed + int(_P5)) & _MASK, np.uint64)
+    acc = acc + np.uint64(n)
+    while i + 8 <= n:
+        k = _rotl(lanes[:, i // 8] * _P2, 31) * _P1
+        acc ^= k
+        acc = _rotl(acc, 27) * _P1 + _P4
+        i += 8
+    if i + 4 <= n:
+        lane8 = lanes[:, i // 8]
+        lane4 = lane8 & np.uint64(0xFFFFFFFF) if i % 8 == 0 else lane8 >> np.uint64(32)
+        acc ^= lane4 * _P1
+        acc = _rotl(acc, 23) * _P2 + _P3
+        i += 4
+    while i < n:
+        acc ^= mat8[:, i].astype(np.uint64) * _P5
+        acc = _rotl(acc, 11) * _P1
+        i += 1
+    return _fmix(acc)
+
+
+def xxh64_bytes(strs: list[bytes], seed: int = SPARK_SEED) -> np.ndarray:
+    """XXH64 of each byte string, Spark-signed (int64), input order
+    preserved. Internally groups by length so each group runs the
+    uniform vector kernel; gram/token vocabularies have few distinct
+    lengths, so the grouping overhead is one dict pass."""
+    out = np.empty(len(strs), dtype=np.int64)
+    by_len: dict[int, list[int]] = {}
+    for idx, s in enumerate(strs):
+        by_len.setdefault(len(s), []).append(idx)
+    for n, idxs in by_len.items():
+        pad = ((n + 7) // 8) * 8 if n else 8
+        buf = bytearray(len(idxs) * pad)
+        for r, idx in enumerate(idxs):
+            buf[r * pad : r * pad + n] = strs[idx]
+        mat = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(len(idxs), pad)
+        out[np.asarray(idxs)] = _xxh64_same_len(mat, n, seed).view(np.int64)
+    return out
+
+
+def xxh64_int32(value: int, seeds: np.ndarray) -> np.ndarray:
+    """XXH64 of one 4-byte int under MANY seeds (int64 in/out) — the
+    fold step of Spark's multi-operand ``xxhash64(col, lit(k))`` where
+    the running hash of ``col`` becomes the seed for the int literal
+    (``XXH64.hashInt``). Vectorized over the seed column so a per-seed
+    hash family (MinHash) costs one vector op per seed."""
+    acc = seeds.view(np.uint64) + (_P5 + np.uint64(4))
+    acc = acc ^ (np.uint64(value & 0xFFFFFFFF) * _P1)
+    acc = _rotl(acc, 23) * _P2 + _P3
+    return _fmix(acc).view(np.int64)
+
+
+def xxh64_int64(value: int, seeds: np.ndarray) -> np.ndarray:
+    """XXH64 of one 8-byte long under MANY seeds (``XXH64.hashLong``),
+    int64 in/out — as :func:`xxh64_int32` for LongType operands."""
+    acc = seeds.view(np.uint64) + (_P5 + np.uint64(8))
+    k1 = _rotl(np.uint64(value & _MASK) * _P2, 31) * _P1
+    acc = acc ^ k1
+    acc = _rotl(acc, 27) * _P1 + _P4
+    return _fmix(acc).view(np.int64)
+
+
+def spark_abs_pmod(h: np.ndarray, m: int) -> np.ndarray:
+    """``pmod(abs(h), m)`` with Java semantics on int64: ``abs`` wraps
+    at ``Long.MIN_VALUE`` (stays negative) and ``pmod`` is the floored
+    modulus — both exactly NumPy's native behavior, stated here so the
+    equivalence is a named, tested fact rather than a coincidence at
+    every call site. (One unreachable boundary: Spark 4's ANSI mode
+    makes the JVM ``abs(Long.MIN_VALUE)`` throw instead of wrap; a
+    xxhash64 output is MIN_VALUE with probability 2^-64, so the
+    expression form being replicated has no defined value there
+    either.)"""
+    return np.abs(h) % np.int64(m)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .hashing import normalize_text, portable_hash60
 
@@ -469,6 +470,78 @@ def pack_sequences(
     )
 
 
+def _dsir_bucket_counts(idc: str, n_buckets: int, portable: bool):
+    """``mapInArrow`` function for :func:`dsir_importance`'s feature
+    pass: rows of ``(id, tokens array<string>)`` → rows of
+    ``(id, bucket, c)``, replicating the expression form exactly —
+    grams = unigrams ++ adjacent bigrams (space-joined), empty grams
+    dropped, bucket = ``pmod(portable_hash60(gram) | abs(xxhash64(
+    gram)), n_buckets)``, ``c`` = occurrences per (document, bucket).
+    Each distinct gram is hashed once per batch (a batch's gram
+    vocabulary is far smaller than its gram occurrences)."""
+
+    def fn(batches):
+        from hashlib import md5
+
+        import pyarrow as pa
+
+        from .nphash import spark_abs_pmod, xxh64_bytes
+
+        for batch in batches:
+            id_type = batch.schema.field(0).type
+            ids = batch.column(0).to_pylist()
+            toks_col = batch.column(1).to_pylist()
+            uniq: dict[str, int] = {}
+            docs: list[tuple[object, dict[int, int]]] = []
+            for idv, toks in zip(ids, toks_col):
+                if toks is None:
+                    continue
+                counts: dict[int, int] = {}
+                for t in toks:
+                    if t != "":
+                        ix = uniq.setdefault(t, len(uniq))
+                        counts[ix] = counts.get(ix, 0) + 1
+                for j in range(len(toks) - 1):
+                    g = toks[j] + " " + toks[j + 1]
+                    if g != "":
+                        ix = uniq.setdefault(g, len(uniq))
+                        counts[ix] = counts.get(ix, 0) + 1
+                docs.append((idv, counts))
+            if portable:
+                bu = [
+                    int(md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    % n_buckets
+                    for g in uniq
+                ]
+            else:
+                bu = spark_abs_pmod(
+                    xxh64_bytes([g.encode("utf-8") for g in uniq]),
+                    n_buckets,
+                ).tolist()
+            out_ids: list = []
+            out_b: list[int] = []
+            out_c: list[float] = []
+            for idv, counts in docs:
+                bc: dict[int, int] = {}
+                for ix, c in counts.items():
+                    b = bu[ix]
+                    bc[b] = bc.get(b, 0) + c
+                for b, c in bc.items():
+                    out_ids.append(idv)
+                    out_b.append(b)
+                    out_c.append(float(c))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=id_type),
+                    pa.array(out_b, type=pa.int64()),
+                    pa.array(out_c, type=pa.float64()),
+                ],
+                names=[idc, "bucket", "c"],
+            )
+
+    return fn
+
+
 def dsir_importance(
     df: DataFrame,
     target: DataFrame,
@@ -505,30 +578,26 @@ def dsir_importance(
     a SQL oracle replays every weight bit-for-bit."""
 
     def feats(rel: DataFrame, idc: str) -> DataFrame:
+        # tokens come from the JVM (normalize_text/split stay bit-exact
+        # with the oracle's replay); the gram build + hash + per-doc
+        # bucket count run in ONE Arrow batch pass (guide §4.2). A
+        # document's grams all live in its own row, so its (id, bucket)
+        # counts are FINAL within the batch — the corpus-wide explode
+        # (Generate) and the (id, bucket) aggregation exchange of the
+        # expression form both disappear from the plan. Hashing is
+        # md5 (hashlib) in portable mode and the tested bit-exact
+        # XXH64 replica (functions/nphash.py) otherwise.
         toks = F.split(normalize_text(F.col(text_col)), " ")
-        uni = F.col("_t")
-        # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so a
-        # single-token doc must short-circuit to an empty bigram list
-        bi = F.when(
-            F.size("_t") >= 2,
-            F.expr(
-                "transform(sequence(1, size(_t) - 1), "
-                "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
-            ),
-        ).otherwise(F.expr("array()"))
-        grams = F.concat(uni, bi)
-        h = (
-            portable_hash60(F.col("gram"))
-            if portable
-            else F.abs(F.xxhash64(F.col("gram")))
+        src = rel.select(F.col(idc), toks.alias("_t"))
+        out_schema = T.StructType(
+            [
+                src.schema.fields[0],
+                T.StructField("bucket", T.LongType(), False),
+                T.StructField("c", T.DoubleType(), False),
+            ]
         )
-        return (
-            rel.select(F.col(idc), toks.alias("_t"))
-            .select(F.col(idc), F.explode(grams).alias("gram"))
-            .where(F.col("gram") != "")
-            .select(idc, F.pmod(h, F.lit(n_buckets)).alias("bucket"))
-            .groupBy(idc, "bucket")
-            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        return src.mapInArrow(
+            _dsir_bucket_counts(idc, n_buckets, portable), out_schema
         )
 
     # referenced by the raw LM and the per-doc probe: materialize once

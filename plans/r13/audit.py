@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""r13 optimization round: capture .explain("formatted") for registry
+keys plus plan-shape statistics (Exchange count, Python-eval nodes,
+join strategies, scan pushdown) — guide §1.1/§7.2 "measure first"
+evidence. With --time, additionally executes each query to the noop
+sink (guide §1.4) min-of-N and records status-API job/task/shuffle
+counters, which stay valid on a throttled box where wall-clock lies.
+
+Usage: python plans/r13/audit.py [--time[=N]] [sf_dir] [outdir] [key ...]
+Defaults: sf0.001, plans/r13/before, all keys.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import sys
+import time
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+TIMED = 0
+for a in sys.argv[1:]:
+    if a.startswith("--time"):
+        TIMED = int(a.split("=", 1)[1]) if "=" in a else 2
+
+SF_DIR = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+OUTDIR = argv[1] if len(argv) > 1 else os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "before"
+)
+ONLY = set(argv[2:])
+
+MARKERS = [
+    "Exchange",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInArrow",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Generate",
+    "Window",
+    "Sort",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "InMemoryTableScan",
+    "Scan parquet",
+]
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def stats(plan: str) -> dict:
+    out = {m: len(re.findall(r"\b" + re.escape(m), plan)) for m in MARKERS}
+    out["PushedFilters_nonempty"] = len(
+        [ln for ln in plan.splitlines()
+         if "PushedFilters" in ln and "PushedFilters: []" not in ln]
+    )
+    return {k: v for k, v in out.items() if v}
+
+
+def run_timed(spark, fn, name: str, n: int) -> dict:
+    """noop-sink executions; wall is min-of-n, counters from the status
+    API are per-execution structural facts (identical across repeats)."""
+    st = spark.sparkContext.statusTracker()
+    best = None
+    jobs = tasks = None
+    for _ in range(n):
+        before_ids = set(st.getJobIdsForGroup() or [])
+        spark.sparkContext.setJobDescription(f"r13-audit: {name}")
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        wall = time.monotonic() - t0
+        spark.sparkContext.setJobDescription(None)
+        ids = [j for j in (st.getJobIdsForGroup() or []) if j not in before_ids]
+        nt = 0
+        for j in ids:
+            ji = st.getJobInfo(j)
+            if ji:
+                for sid in ji.stageIds:
+                    si = st.getStageInfo(sid)
+                    if si:
+                        nt += si.numTasks
+        if best is None or wall < best:
+            best = wall
+        jobs, tasks = len(ids), nt
+    return {"wall_min_sec": round(best, 3), "jobs": jobs, "tasks": tasks}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("r13-plan-audit")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUTDIR, exist_ok=True)
+
+    summary: dict[str, dict] = {}
+    for name, fn in E.queries().items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, SF_DIR)
+            plan = explain_str(df)
+            with open(os.path.join(OUTDIR, f"{name}.txt"), "w") as fh:
+                fh.write(plan)
+            summary[name] = {
+                "build_sec": round(time.monotonic() - t0, 2),
+                **stats(plan),
+            }
+            if TIMED:
+                summary[name].update(run_timed(spark, fn, name, TIMED))
+        except Exception as ex:  # noqa: BLE001 - audit records, never dies
+            summary[name] = {
+                "build_sec": round(time.monotonic() - t0, 2),
+                "error": f"{type(ex).__name__}: {ex}"[:300],
+            }
+        print(json.dumps({name: summary[name]}), flush=True)
+    with open(os.path.join(OUTDIR, "_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""functions/nphash.py: the NumPy XXH64 replica must match Spark's
+``xxhash64`` expression bit for bit — it exists so Arrow batch passes
+can hash exactly like the JVM expressions they replace."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.functions.nphash import (
+    SPARK_SEED,
+    spark_abs_pmod,
+    xxh64_bytes,
+    xxh64_int32,
+    xxh64_int64,
+)
+
+M = (1 << 64) - 1
+P1 = 11400714785074694791
+P2 = 14029467366897019727
+P3 = 1609587929392839161
+P4 = 9650029242287828579
+P5 = 2870177450012600261
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & M
+
+
+def _xxh64_ref(data: bytes, seed: int) -> int:
+    """Scalar XXH64 straight from Collet's public spec — the reference
+    the vector kernels are checked against."""
+    n, i = len(data), 0
+    if n >= 32:
+        accs = [
+            (seed + P1 + P2) & M,
+            (seed + P2) & M,
+            seed & M,
+            (seed - P1) & M,
+        ]
+        while i + 32 <= n:
+            for j in range(4):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                accs[j] = _rotl((accs[j] + lane * P2) & M, 31) * P1 & M
+            i += 32
+        acc = (
+            _rotl(accs[0], 1)
+            + _rotl(accs[1], 7)
+            + _rotl(accs[2], 12)
+            + _rotl(accs[3], 18)
+        ) & M
+        for a in accs:
+            acc ^= _rotl((a * P2) & M, 31) * P1 & M
+            acc = (acc * P1 + P4) & M
+    else:
+        acc = (seed + P5) & M
+    acc = (acc + n) & M
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        acc ^= _rotl((lane * P2) & M, 31) * P1 & M
+        acc = (_rotl(acc, 27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        acc ^= (int.from_bytes(data[i : i + 4], "little") * P1) & M
+        acc = (_rotl(acc, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        acc ^= (data[i] * P5) & M
+        acc = (_rotl(acc, 11) * P1) & M
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * P2) & M
+    acc ^= acc >> 29
+    acc = (acc * P3) & M
+    acc ^= acc >> 32
+    return acc
+
+
+def _signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_vector_kernel_matches_scalar_reference():
+    rng = random.Random(11)
+    strs = [b"", b"a", b"abc", b"x" * 31, b"x" * 32, b"y" * 33, b"z" * 100]
+    strs += [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 90)))
+        for _ in range(400)
+    ]
+    got = xxh64_bytes(strs)
+    for s, g in zip(strs, got):
+        assert int(g) == _signed(_xxh64_ref(s, SPARK_SEED)), s
+
+
+@pytest.mark.parametrize("seeded", [False, True])
+def test_matches_spark_xxhash64_strings(spark, seeded):
+    """Ground truth: Spark's own xxhash64 over mixed ASCII/multi-byte
+    strings, plain and with a folded int operand."""
+    rng = random.Random(5)
+    alphabet = [chr(c) for c in range(32, 127)] + ["é", "ö", "日", "ß"]
+    strs = ["", "a", "hello world", "日本語テキスト", "x" * 40]
+    strs += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i int, s string"
+    )
+    expr = (
+        F.xxhash64("s", F.lit(7)) if seeded else F.xxhash64("s")
+    )
+    want = {
+        r["i"]: r["h"] for r in df.select("i", expr.alias("h")).collect()
+    }
+    h = xxh64_bytes([s.encode("utf-8") for s in strs])
+    if seeded:
+        h = xxh64_int32(7, h)
+    for i in range(len(strs)):
+        assert int(h[i]) == want[i], strs[i]
+
+
+def test_matches_spark_xxhash64_long_fold(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(50)], "i int, s string"
+    )
+    want = [
+        r["h"]
+        for r in df.select(
+            F.xxhash64("s", F.lit(3).cast("long")).alias("h")
+        ).orderBy("i").collect()
+    ]
+    h = xxh64_int64(3, xxh64_bytes([f"tok{i}".encode() for i in range(50)]))
+    assert [int(x) for x in h] == want
+
+
+def test_abs_pmod_java_semantics(spark):
+    # Long.MIN_VALUE is excluded: Spark 4's ANSI mode makes abs() THROW
+    # there (ARITHMETIC_OVERFLOW) rather than wrap, so the expression
+    # form this replica mirrors has no defined value either — a
+    # xxhash64 output is MIN_VALUE with probability 2^-64, never hit.
+    vals = [0, 1, -1, 2**63 - 1, -(2**63) + 1, -4096, 12345, -98765]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    want = [
+        r["b"]
+        for r in df.select(
+            F.pmod(F.abs(F.col("v")), F.lit(4096)).alias("b")
+        ).collect()
+    ]
+    got = spark_abs_pmod(np.array(vals, dtype=np.int64), 4096)
+    assert [int(x) for x in got] == want
+
+
+def test_dsir_feature_pass_matches_expression_form(spark):
+    """The mapInArrow feature pass must reproduce the r12 expression
+    form exactly: same (id, bucket, c) multiset in both hash modes,
+    including unicode, single-token, empty and NULL documents."""
+    from giraph_spark.functions.hashing import normalize_text, portable_hash60
+    from giraph_spark.functions.sampling import _dsir_bucket_counts
+
+    from pyspark.sql import types as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "word"),
+            (3, ""),
+            (4, None),
+            (5, "héllo wörld héllo 日本語 text"),
+            (6, "a a a b b c"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.split(normalize_text(F.col("text")), " ")
+    for portable in (True, False):
+        # the pre-r13 expression form, inlined as the oracle
+        uni = F.col("_t")
+        bi = F.when(
+            F.size("_t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+            ),
+        ).otherwise(F.expr("array()"))
+        h = (
+            portable_hash60(F.col("gram"))
+            if portable
+            else F.abs(F.xxhash64(F.col("gram")))
+        )
+        want = sorted(
+            tuple(r)
+            for r in docs.select("doc_id", toks.alias("_t"))
+            .select("doc_id", F.explode(F.concat(uni, bi)).alias("gram"))
+            .where(F.col("gram") != "")
+            .select("doc_id", F.pmod(h, F.lit(64)).alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+            .collect()
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("bucket", T.LongType(), False),
+                T.StructField("c", T.DoubleType(), False),
+            ]
+        )
+        got = sorted(
+            tuple(r)
+            for r in docs.select("doc_id", toks.alias("_t"))
+            .mapInArrow(
+                _dsir_bucket_counts("doc_id", 64, portable), out_schema
+            )
+            .collect()
+        )
+        assert got == want, f"portable={portable}"
