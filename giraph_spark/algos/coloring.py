@@ -127,11 +127,17 @@ def graph_coloring(
             # joins state with a derivative of itself — the inherited
             # size estimate would square per wave (plans/checkpoint.py).
             # per_v has ≤ n_unc rows, but its _taken arrays make it
-            # wide: each live in-edge contributes at most one element,
-            # so n_live × elem-bytes bounds the array payload exactly —
-            # pass it so the byte gate sees the true size (a row-count
+            # wide. The byte gate must never undershoot (a row-count
             # gate alone would happily broadcast GBs on a high-degree
-            # graph). Broadcast once it fits and the O(V) state side
+            # graph), so bound the array payload by facts, not the
+            # average-degree trajectory est_live (which undershoots on
+            # skewed graphs where high-degree vertices color late):
+            # _taken is a SET of colors and after `rnd` completed waves
+            # at most `rnd` distinct colors exist (wave k's mex ≤ k by
+            # induction), so payload ≤ prev_unc × rnd elements; it is
+            # also ≤ one element per live in-edge ≤ the exact initial
+            # count n_live0 (live shrinks monotonically). Broadcast
+            # once the min of the two fits and the O(V) state side
             # never shuffles at all
             prev_unc = n_unc
             state, _, n_unc = fresh_checkpoint_count(
@@ -139,7 +145,8 @@ def graph_coloring(
                     bcast_if_small(
                         per_v,
                         prev_unc,
-                        extra_bytes=ARRAY_ELEM_BYTES * est_live,
+                        extra_bytes=ARRAY_ELEM_BYTES
+                        * min(n_live0, prev_unc * rnd),
                     ),
                     on=id_col,
                     how="left",

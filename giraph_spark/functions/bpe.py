@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.checkpoint import fresh_checkpoint
+from ..plans.checkpoint import fresh_checkpoint, fresh_checkpoint_count
 from .hashing import normalize_text
 
 #: end-of-word marker (Sennrich's convention) — keeps merges from
@@ -117,7 +117,7 @@ def train_bpe(
     num_merges: int = 200,
     text_col: str = "text",
     min_pair_count: int = 2,
-    driver_vocab_limit: int | None = 1_000_000,
+    driver_vocab_limit: int | None = 500_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list ``[(a, b), ...]`` — the tokenizer artifact
@@ -128,30 +128,36 @@ def train_bpe(
     memorizes the corpus).
 
     Execution: ONE corpus scan reduces to the word-frequency relation
-    (BPE statistics depend only on word → count). When that relation
-    has at most ``driver_vocab_limit`` rows, the merge loop runs
-    DRIVER-SIDE on the collected table (Sennrich's own formulation:
-    the sequential argmax core is driver state either way, and the
-    per-round pair statistics are vocabulary-sized, not corpus-sized)
-    — paying one Spark job total instead of two jobs per merge. The
-    driver loop is the indexed incremental variant (only words
-    containing the merged pair are recounted; a lazy max-heap holds
-    the candidate pairs), bit-identical to the distributed loop
-    including overlap counting and the lexicographic tie-break. A
-    vocabulary above the limit (or ``driver_vocab_limit=None``) falls
-    back to the distributed per-merge loop, which never collects more
-    than one row per round."""
+    (BPE statistics depend only on word → count); it is checkpointed
+    and COUNTED in the same job, so nothing is collected before the
+    vocabulary size is known and the over-limit fallback reuses the
+    materialized relation instead of re-scanning the corpus. When the
+    vocabulary has at most ``driver_vocab_limit`` rows, the merge loop
+    runs DRIVER-SIDE on the collected table (Sennrich's own
+    formulation: the sequential argmax core is driver state either
+    way, and the per-round pair statistics are vocabulary-sized, not
+    corpus-sized) — paying two small Spark jobs total instead of two
+    jobs per merge. The driver loop is the indexed incremental variant
+    (only words containing the merged pair are recounted; a lazy
+    max-heap holds the candidate pairs), bit-identical to the
+    distributed loop including overlap counting and the lexicographic
+    tie-break (``tests/test_bpe.py`` asserts the parity on both
+    fallback triggers). A vocabulary above the limit (or
+    ``driver_vocab_limit=None``) runs the distributed per-merge loop,
+    which never collects more than one row per round — the limit
+    bounds the driver's working set (vocab rows plus the pair-count /
+    occurrence indexes, roughly a few hundred bytes per word)."""
+    wf = _word_freq(df, text_col)
     if driver_vocab_limit is not None:
-        head = (
-            _word_freq(df, text_col).limit(driver_vocab_limit + 1).collect()
-        )
-        if len(head) <= driver_vocab_limit:
-            return _train_bpe_driver(
-                [(r["word"], r["freq"]) for r in head],
-                num_merges,
-                min_pair_count,
-            )
-    return _train_bpe_distributed(df, num_merges, text_col, min_pair_count)
+        wf, n_vocab, _ = fresh_checkpoint_count(wf)
+        if n_vocab <= driver_vocab_limit:
+            vocab = [(r["word"], r["freq"]) for r in wf.collect()]
+            wf.unpersist()
+            return _train_bpe_driver(vocab, num_merges, min_pair_count)
+        merges = _train_bpe_distributed(wf, num_merges, min_pair_count)
+        wf.unpersist()
+        return merges
+    return _train_bpe_distributed(wf, num_merges, min_pair_count)
 
 
 def _train_bpe_driver(
@@ -222,14 +228,16 @@ def _train_bpe_driver(
 
 
 def _train_bpe_distributed(
-    df: DataFrame, num_merges: int, text_col: str, min_pair_count: int
+    word_freq: DataFrame, num_merges: int, min_pair_count: int
 ) -> list[tuple[str, str]]:
     """The per-merge distributed loop — the over-limit fallback: each
     round is one pair-count argmax (a 1-row collect) and one
-    aggregate-fold merge projection over the |V|-row symbol relation."""
+    aggregate-fold merge projection over the |V|-row symbol relation.
+    Takes the word-frequency relation (not the corpus), so the caller
+    decides whether it is already materialized."""
     import gc
 
-    sym = fresh_checkpoint(_symbolize(_word_freq(df, text_col)))
+    sym = fresh_checkpoint(_symbolize(word_freq))
     merges: list[tuple[str, str]] = []
     for rnd in range(num_merges):
         best = (

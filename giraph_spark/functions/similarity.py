@@ -854,53 +854,70 @@ def covariance_matrix(
     vector length keep the ragged-dimension semantics of the exploded
     form (a cell's mean divides by the count of rows carrying that
     cell); NULL elements contribute 0 to sums and stay in the row
-    count, exactly like SUM-skips-NULL over the exploded cells. The
-    d×d result is driver-collectable by construction (that is the
-    point of PCA: d ≪ corpus), which is what lets
+    count, exactly like SUM-skips-NULL over the exploded cells, while
+    NaN/±Inf DATA values propagate into the sums exactly as they did
+    through the expression form (the Arrow validity buffer is what
+    distinguishes a NULL element from a NaN value — a pandas pass
+    cannot). The d×d result is driver-collectable by construction
+    (that is the point of PCA: d ≪ corpus), which is what lets
     :func:`pca_components` run numpy eigh on it."""
-    import pandas as pd
 
     def _partials(batches):
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        for pdf in batches:
+        for batch in batches:
+            lists = batch.column(0)
+            keep = pc.is_valid(lists).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(lists)  # skips NULL rows' slots
+            # float64 BEFORE accumulating: the column is often
+            # array<float> and the expression form summed doubles
+            vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            # NULL elements → 0 (stay in the count); NaN data stays NaN
+            enull = pc.is_null(flat).to_numpy(zero_copy_only=False)
+            vals[enull] = 0.0
+            # null rows make the lengths column nullable (→ float with
+            # NaN in numpy); mask them out first, then back to ints
+            lens = (
+                pc.list_value_length(lists)
+                .to_numpy(zero_copy_only=False)[keep]
+                .astype(np.int64)
+            )
+            bounds = np.cumsum(lens)[:-1] if len(lens) else np.array([])
             by_d: dict = {}
-            for vec in pdf[pdf.columns[0]]:
-                if vec is None:
-                    continue
-                a = np.asarray(vec, dtype=np.float64)
+            for a in np.split(vals, bounds):
                 by_d.setdefault(a.shape[0], []).append(a)
-            frames = []
+            i_out: list = []
+            j_out: list = []
+            s_out: list = []
+            n_out: list = []
             for d0, rows in by_d.items():
-                X = np.nan_to_num(np.vstack(rows))
+                X = np.vstack(rows)
                 idx = np.arange(d0)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "i": np.repeat(idx, d0),
-                            "j": np.tile(idx, d0),
-                            "s": (X.T @ X).ravel(),
-                            "n": float(len(rows)),
-                        }
-                    )
-                )
+                i_out.append(np.repeat(idx, d0))
+                j_out.append(np.tile(idx, d0))
+                s_out.append((X.T @ X).ravel())
+                n_out.append(np.full(d0 * d0, float(len(rows))))
                 # column sums for the centering means, tagged j = −1
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "i": idx,
-                            "j": -1,
-                            "s": X.sum(axis=0),
-                            "n": float(len(rows)),
-                        }
-                    )
+                i_out.append(idx)
+                j_out.append(np.full(d0, -1))
+                s_out.append(X.sum(axis=0))
+                n_out.append(np.full(d0, float(len(rows))))
+            if i_out:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(i_out), type=pa.int64()),
+                        pa.array(np.concatenate(j_out), type=pa.int64()),
+                        pa.array(np.concatenate(s_out), type=pa.float64()),
+                        pa.array(np.concatenate(n_out), type=pa.float64()),
+                    ],
+                    names=["i", "j", "s", "n"],
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
 
     part = (
         emb.select(F.col(vec_col))
-        .mapInPandas(_partials, "i long, j long, s double, n double")
+        .mapInArrow(_partials, "i long, j long, s double, n double")
         .localCheckpoint(eager=False)
     )
     cells = (

@@ -824,6 +824,45 @@ def test_covariance_and_pca_match_numpy(spark):
         assert np.allclose(proj[i], expected[i], atol=1e-6)
 
 
+def test_covariance_null_vs_nan_elements(spark):
+    """The Arrow partials pass must keep the expression form's element
+    semantics: a NULL element contributes 0 to the sums but the row
+    stays in the count (SUM-skips-NULL over exploded cells), while a
+    NaN DATA value poisons every cell it touches — the two are
+    distinguishable only through the Arrow validity buffer."""
+    import math
+
+    from giraph_spark.functions.similarity import covariance_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [3.0, None]),  # NULL element -> counted as 0
+            (3, [5.0, 4.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(df, center=False).collect()
+    }
+    assert got[(0, 0)] == (1.0 + 9.0 + 25.0) / 3.0
+    assert got[(1, 1)] == (4.0 + 0.0 + 16.0) / 3.0
+    assert got[(0, 1)] == (2.0 + 0.0 + 20.0) / 3.0
+
+    nan_df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, float("nan")])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(nan_df, center=False).collect()
+    }
+    assert got[(0, 0)] == 5.0  # untouched dims stay finite
+    assert math.isnan(got[(1, 1)])
+    assert math.isnan(got[(0, 1)])
+
+
 def test_clean_corpus_disposition(spark):
     """Stage-order semantics: quality rejection wins over duplication (a
     duplicate of a rejected doc is 'removed_quality', and a rejected
