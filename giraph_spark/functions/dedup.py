@@ -275,9 +275,6 @@ def near_dup_clusters(
     near-dups), so the component step runs on the pair-membership subgraph
     — corpus-size-independent; the LSH stage is the banded hash-join path
     of :func:`minhash_lsh_pairs`."""
-    from ..graph import Graph, vertices_from_edges
-    from ..algos.components import wcc
-
     pairs = minhash_lsh_pairs(
         df,
         text_col,
@@ -313,19 +310,43 @@ def pairs_to_clusters(
 
     Scale shape: pair relations are tiny relative to the corpus (only
     near-dups survive the generators), so the WCC step runs on the
-    pair-membership subgraph — corpus-size-independent."""
-    from ..algos.components import wcc
-    from ..graph import Graph, vertices_from_edges
+    pair-membership subgraph — corpus-size-independent. The pair count
+    rides the materialization action and sizes the kernel's shuffle
+    width directly (``num_partitions``), so the kernel skips its
+    auto-partition edge-count job; the graph is symmetrized HERE (the
+    same union + dropDuplicates ``wcc``'s prepare step would run) so
+    the member vertex set is derived from the symmetric relation's
+    src column alone — symmetry makes the src set the full endpoint
+    set — instead of a second union-both-endpoints aggregation over
+    the raw pairs."""
+    from ..algos.components import connected_components
+    from ..graph import Graph
+    from ..plans.checkpoint import fresh_checkpoint_count
+    from ..pregel import ROWS_PER_PARTITION
 
-    pairs = pairs.localCheckpoint(eager=True)
-    # ^ materialize the (tiny) pair relation once: both derivations below
-    # (edge relation persisted by the kernel, member-vertex distinct)
+    # materialize the (tiny) pair relation once: the derivations below
     # would otherwise re-run the generator's banded self-join + compare
     # stage per reference — measured ~2x the whole LSH stage per
     # near_dup_clusters call at sf0.1
+    pairs, n_pairs, _ = fresh_checkpoint_count(pairs)
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    members = vertices_from_edges(edges)
-    comp = wcc(Graph(members, edges), max_supersteps=max_supersteps)
+    sym = edges.unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    sym.persist()  # the kernel's edge cache + members read it once each
+    conf_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    nparts = max(1, min(conf_parts, -(-2 * n_pairs // ROWS_PER_PARTITION)))
+    try:
+        members = sym.select(F.col("src").alias("id")).distinct()
+        comp = connected_components(
+            Graph(members, sym),
+            max_supersteps=max_supersteps,
+            num_partitions=nparts,
+        )
+    finally:
+        sym.unpersist()
     return comp.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster"),
