@@ -167,7 +167,26 @@ def main() -> None:
             },
         }
 
-    runs = [measure_once(), measure_once()]
+    def steal_probe_ms() -> float:
+        """~60 ms single-thread pure-Python spin, timed. The shared box
+        intermittently loses CPU to other tenants (r12's sustained-steal
+        windows); a reading at a multiple of the nominal band flags a
+        pass whose wall-clock should not be trusted as a record. Probe
+        only — never alters the timed regions (VERDICT r12 task 1)."""
+        t0 = time.monotonic()
+        x = 0
+        for i in range(2_000_000):
+            x += i
+        return round((time.monotonic() - t0) * 1000, 1)
+
+    # one reading before each pass and one after the last, so the
+    # detail record carries the box condition alongside the timings
+    probes: list[float] = []
+    runs = []
+    for _ in range(2):
+        probes.append(steal_probe_ms())
+        runs.append(measure_once())
+    probes.append(steal_probe_ms())
 
     def min_map(maps: list[dict]) -> dict:
         """Per-key min across passes — a key missing from a pass (an
@@ -250,6 +269,9 @@ def main() -> None:
             }
             for r in runs
         ],
+        # box-condition probe readings: [before pass 1, before pass 2,
+        # after pass 2], milliseconds (nominal ≈ 55-80 on this box)
+        "steal_probe_ms": probes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": int(CPUS),
     }
@@ -466,7 +488,24 @@ def _run_pipeline(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         unigram_logprob,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    # Input layout fix (r13, guide §6/§2.5 — documented in
+    # OPTIMIZATION_r13.md): the sf0.1 documents/embeddings parquet is a
+    # single row group, so the persisted input used to be ONE cached
+    # partition and every map-side stage of the tier (media decodes,
+    # minhash signatures, text gates) ran single-threaded regardless of
+    # core count — under-reporting the engine and making the driver's
+    # low-core/high-core scaling ratios physically unable to move. At
+    # production scale the input arrives in thousands of splits; the
+    # local stand-in is an id-hash repartition to the session core
+    # count ($SPARK_GRAFT_CPUS — scale-adaptive, not a constant), done
+    # HERE, outside every timed region, exactly like the persist
+    # itself. No result changes (ops are partitioning-invariant,
+    # asserted by the rows counters).
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(int(CPUS), "doc_id")
+        .persist()
+    )
     embs = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select(
@@ -475,6 +514,7 @@ def _run_pipeline(spark, sf_dir: str) -> tuple[dict, dict, dict]:
                 "embedding"
             ),
         )
+        .repartition(int(CPUS), "vec_id")
         .persist()
     )
     n_docs, n_embs = docs.count(), embs.count()
