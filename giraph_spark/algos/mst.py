@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import fresh_checkpoint, fresh_checkpoint_count
+from ..plans.checkpoint import (
+    _rewrap,
+    fresh_checkpoint,
+    fresh_checkpoint_count,
+)
 from ..plans.gear import LoopGear, bcast_if_small
 
 
@@ -221,10 +225,17 @@ def _msf_loop(
                 "w",
             )
         )
-        sel = fresh_checkpoint(
+        # LAZY checkpoint (r13, guide §1.2): sel has no convergence
+        # probe of its own — its blocks are materialized by the first
+        # job that reads it (the mutual-pair self-join below / the
+        # first pointer jump), saving one action per round. _rewrap
+        # still resets the inherited stats so the sel ⨝ sel(other)
+        # self-join plans against fresh leaf estimates.
+        sel = _rewrap(
             both.groupBy("comp")
             .agg(F.min(F.struct("w", "u", "v", "oc")).alias("m"))
             .select("comp", "m.w", "m.u", "m.v", "m.oc")
+            .localCheckpoint(eager=False)
         )
         picked_frames.append(sel.select("u", "v", "w").distinct())
 
@@ -240,13 +251,20 @@ def _msf_loop(
             ),
             n_v,
         )
-        parent = fresh_checkpoint(
+        # lazy like sel: the first pointer jump's count job (which
+        # ALWAYS runs) materializes parent together with sel — the
+        # round's three standalone checkpoint actions collapse into
+        # the jump-1 materialization. labels below stays EAGER: the
+        # r12 fully-lazy variant (labels deferred too) measured 37%
+        # slower, so the O(V) state rewrite keeps its own action.
+        parent = _rewrap(
             sel.join(
                 other,
                 (F.col("oc") == F.col("b_comp"))
                 & (F.col("b_oc") == F.col("comp")),
                 "left",
-            ).select(
+            )
+            .select(
                 F.col("comp"),
                 F.when(
                     F.col("b_comp").isNotNull()
@@ -256,6 +274,7 @@ def _msf_loop(
                 .otherwise(F.col("oc"))
                 .alias("par"),
             )
+            .localCheckpoint(eager=False)
         )
         # pointer jumping to the 2-cycle roots: depth halves per jump.
         # The "did any pointer move" probe is carried as a flag column
