@@ -139,18 +139,103 @@ def minhash_signatures(
     small: num_hashes longs per doc). ``portable=True`` swaps xxhash64
     for :func:`portable_hash60` so a SQL oracle can replicate the exact
     signatures."""
+    if not portable:
+        # xxhash64 mode (the production default): a document's
+        # signature depends only on its own shingle set, so the
+        # corpus-wide explode (Generate) + 64-min hash-aggregate
+        # exchange collapse into ONE Arrow batch pass (guide §4.2, the
+        # r13 DSIR pattern). Hashing is bit-exact with the expression
+        # form: functions/nphash.py replicates Spark's
+        # ``xxhash64(shingle, lit(seed))`` fold (string at seed 42,
+        # then hashInt of the int literal), each distinct shingle per
+        # batch hashed once, vectorized by length group; the per-seed
+        # family is one ``xxh64_int32`` vector op per seed.
+        # Precondition (same contract as the portable explode form's
+        # groupBy, stated because the row-local pass cannot merge):
+        # ``id_col`` identifies one document per row — duplicate-id
+        # rows would have had their shingle sets unioned by the old
+        # groupBy and now sign independently.
+        return _minhash_signatures_arrow(df, text_col, id_col, k, num_hashes)
     sh = shingle_df(df, text_col, id_col, k)
-    hfn = (
-        (lambda seed: portable_hash60(F.col("shingle"), seed))
-        if portable
-        else (lambda seed: F.xxhash64(F.col("shingle"), F.lit(seed)))
-    )
+    hfn = lambda seed: portable_hash60(F.col("shingle"), seed)  # noqa: E731
     aggs = [F.min(hfn(seed)).alias(f"h{seed}") for seed in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"),
     )
+
+
+def _minhash_signatures_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int, num_hashes: int
+) -> DataFrame:
+    """xxhash64 MinHash signatures in one ``mapInArrow`` pass — see
+    :func:`minhash_signatures`. Normalization stays in Spark (regex /
+    case semantics unchanged); the batch kernel only slices k-grams
+    (codepoint slicing ≡ ``substring``) and hashes them. A NULL text
+    row keeps the expression form's degenerate signature: ``greatest``
+    ignores the NULL length so ONE NULL shingle survives the explode,
+    and ``xxhash64(NULL, lit(s))`` skips the NULL operand — each seed
+    hashes the int literal with the running hash still at Spark's
+    seed 42."""
+    import pyarrow as pa
+
+    in_df = df.select(
+        F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_n")
+    )
+    out_type = in_df.schema["_id"].dataType.simpleString()
+
+    def batches(it):
+        import numpy as np
+
+        from .nphash import xxh64_bytes, xxh64_int32
+
+        from .nphash import SPARK_SEED
+
+        for rb in it:
+            if rb.num_rows == 0:
+                continue
+            texts = rb.column(1).to_pylist()
+            doc_grams: list[list[int]] = []
+            gram_ix: dict[str | None, int] = {}
+            for t in texts:
+                if t is None:
+                    doc_grams.append([gram_ix.setdefault(None, len(gram_ix))])
+                    continue
+                hi = max(len(t) - k + 1, 1)
+                gs = {t[j : j + k] for j in range(hi)}
+                doc_grams.append(
+                    [gram_ix.setdefault(g, len(gram_ix)) for g in gs]
+                )
+            grams = list(gram_ix)
+            bases = xxh64_bytes(
+                [(g if g is not None else "").encode("utf-8") for g in grams]
+            )  # Spark seed 42, one hash per distinct shingle
+            for i, g in enumerate(grams):
+                if g is None:  # NULL operand skipped: running hash = seed
+                    bases[i] = SPARK_SEED
+            # (num_hashes, n_grams): fold each int seed literal in
+            hmat = np.stack(
+                [xxh64_int32(s, bases) for s in range(num_hashes)]
+            )
+            sigs = [
+                hmat[:, np.asarray(ix, dtype=np.int64)].min(axis=1)
+                for ix in doc_grams
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array(
+                        [s.tolist() for s in sigs],
+                        type=pa.list_(pa.int64()),
+                    ),
+                ],
+                names=["_id", "sig"],
+            )
+
+    return in_df.mapInArrow(
+        batches, schema=f"_id {out_type}, sig array<bigint>"
+    ).select(F.col("_id").alias(id_col), "sig")
 
 
 def minhash_lsh_pairs(

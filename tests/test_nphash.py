@@ -213,3 +213,49 @@ def test_dsir_feature_pass_matches_expression_form(spark):
             .collect()
         )
         assert got == want, f"portable={portable}"
+
+
+def test_minhash_arrow_matches_expression_form(spark):
+    """The xxhash64 MinHash signature pass (r13 Arrow rework of
+    minhash_signatures' non-portable branch) must be bit-identical to
+    the explode + 64-min-aggregate expression form it replaced,
+    including the edge rows: NULL text (one NULL shingle -> the int-fold
+    of each seed at Spark's seed 42), empty text (one '' shingle), text shorter than k (one truncated shingle), and
+    multi-byte UTF-8 (codepoint slicing ≡ substring)."""
+    from giraph_spark.functions.dedup import minhash_signatures, shingle_df
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, None),
+        (3, ""),
+        (4, "ab"),
+        (5, "abcde"),
+        (6, "naïve café über — ünïcödé text with émojis \U0001f600 inside"),
+        (7, "the quick brown fox jumps over the lazy dog"),
+        (8, "punctuation!!! and   WHITESPACE\t\tnormalization?? yes."),
+        (9, "0123456789" * 13),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    num_hashes = 8
+    sh = shingle_df(docs, "text", "doc_id", 5)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    want = {
+        r["doc_id"]: r["sig"]
+        for r in sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"),
+        )
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(
+            docs, num_hashes=num_hashes, portable=False
+        ).collect()
+    }
+    assert got == want
