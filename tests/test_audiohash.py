@@ -40,6 +40,7 @@ def test_energy_contour_hash_closed_form():
         energy_contour_hash(np.zeros(N_FRAMES - 1))
 
 
+@pytest.mark.slow
 def test_audio_fingerprint_and_near_duplicates(spark):
     base = amps_of(lambda k: (k * 7) % 25 - 12)
     near = list(base)

@@ -135,6 +135,7 @@ def test_empty_text_tokens_are_empty_and_intercept_only(spark):
     assert row["a"] == [] and row["b"] == [] and row["c"] == []
 
 
+@pytest.mark.slow
 def test_cross_session_score_determinism(spark, labeled, tmp_path):
     """The documented oracle boundary (VERDICT r8 task 5): HashingTF's
     murmur3 is not in the portable-md5 family the DuckDB oracles

@@ -2,6 +2,8 @@
 subprocess invocation over a real edge list, asserting the metrics JSON
 contract and the result parquet."""
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -10,6 +12,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     # a small weighted digraph with two components
     edge_file = tmp_path / "edges.tsv"

@@ -89,6 +89,7 @@ def test_aggregator_log_and_superstep_output(spark):
     assert lines[0].startswith("0\ttotal=")
 
 
+@pytest.mark.slow
 def test_pagerank_delta_convergence(spark):
     # star + chain: converges well before 50 iterations
     vertices = spark.createDataFrame([(i,) for i in range(6)], "id long")

@@ -53,6 +53,7 @@ def test_bfs_rounds_and_no_refetch(spark, web_df):
     }
 
 
+@pytest.mark.slow
 def test_robots_gate_covers_seeds_and_discovered(spark, web_df):
     from giraph_spark.functions.urls import parse_robots
 
@@ -166,6 +167,7 @@ def test_schedule_frontier_column_collision_raises(spark):
         schedule_frontier(f2, None)
 
 
+@pytest.mark.slow
 def test_robots_refresh_mid_crawl(spark, web_df):
     """RFC 9309 §2.4 cache-expiry hook: the refresh callable is
     invoked with the candidate frontier's distinct hosts and its

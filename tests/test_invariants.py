@@ -109,6 +109,7 @@ def test_triangle_closing_hub_guard(spark):
     assert row[0]["common_neighbors"] == 1
 
 
+@pytest.mark.slow
 def test_kernel_matches_pure_python_bsp_simulator(spark):
     """The pregel kernel vs an independent pure-Python BSP simulator
     implementing the documented contract exactly (active set = not-halted
@@ -194,6 +195,7 @@ def test_kernel_matches_pure_python_bsp_simulator(spark):
     assert got2 == want2
 
 
+@pytest.mark.slow
 def test_driver_keys_partition_invariant(spark, sf_dir):
     """Representative driver keys produce IDENTICAL relations under
     different shuffle-partition counts — no operator may let physical
@@ -228,6 +230,7 @@ def test_driver_keys_partition_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+@pytest.mark.slow
 def test_core_numbers_width_invariant(spark, rnd):
     """The adaptive threshold-count window is a physical knob only:
     every initial_width converges to the same exact coreness (widths

@@ -1,5 +1,7 @@
 """Borůvka minimum spanning forest (algos/mst.py)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from giraph_spark import Graph
@@ -89,6 +91,7 @@ def test_msf_empty_graph(spark):
     assert minimum_spanning_forest(Graph(vertices, edges)).count() == 0
 
 
+@pytest.mark.slow
 def test_msf_bucketed_canonical_input_zero_input_exchange(spark, sf_dir):
     """VERDICT r6 task 7: a canonical-edge table written once by
     save_msf_input enters the MSF loop with ZERO input exchange — the

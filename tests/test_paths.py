@@ -55,6 +55,7 @@ def test_bfs_golden(sssp_toy):
     assert got == {1: -1, 2: 0, 3: 1, 4: 1}
 
 
+@pytest.mark.slow
 def test_adaptive_gear_down_on_frontier_collapse(spark, monkeypatch):
     """The kernel shrinks its shuffle width once the frontier declines
     (lollipop graph: dense head floods early supersteps, then a long tail

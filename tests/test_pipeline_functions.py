@@ -1396,6 +1396,7 @@ def test_ivf_two_level_recall(spark):
         ivf_topk(df, queries, num_cells=8, coarse_cells=2, centroids="kmeans")
 
 
+@pytest.mark.slow
 def test_dedup_corpus_quality_keeper(spark):
     """keep_scores switches keeper selection to highest-score (tie ->
     lowest id) in BOTH the exact and near stages."""

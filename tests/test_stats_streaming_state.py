@@ -29,6 +29,7 @@ def test_partitioning_stats(spark):
     assert row["max_partition_vertices"] == 3
 
 
+@pytest.mark.slow
 def test_user_activity_stream(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = read_events(spark, sf_dir)
@@ -252,6 +253,7 @@ def test_dedup_stream(spark, sf_dir, tmp_path):
     assert got["n"] == got["d"] == want
 
 
+@pytest.mark.slow
 def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming funnel: final per-user snapshot across time-ordered
     micro-batches equals the batch funnel() result (within-window,
@@ -317,6 +319,7 @@ def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
                 assert pd.Timestamp(bv) == sv, (u, sv, bv)
 
 
+@pytest.mark.slow
 def test_near_dup_stream_flags_planted_dups(spark, tmp_path):
     """Streaming MinHash near-dup: a later re-fetch of (nearly) the same
     document is flagged against the first-seen holder, across micro-

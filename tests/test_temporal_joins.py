@@ -1,6 +1,8 @@
 """Temporal joins (as-of, trailing-window range count): hand-built edge
 cases + the plan shapes that make them scale."""
 
+import pytest
+
 import contextlib
 import io
 
@@ -114,6 +116,7 @@ def test_funnel_order_and_window_semantics(spark):
     assert counts == {"view": 3, "click": 1, "purchase": 1}
 
 
+@pytest.mark.slow
 def test_dedup_corpus_end_to_end(spark):
     """dedup_corpus removes exact dups (normalized) and near-dup cluster
     members, keeping the lowest-id survivor of each group."""

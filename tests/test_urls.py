@@ -224,6 +224,7 @@ def test_parse_robots_group_grammar(spark):
     assert by_agent[("empty.org", "*")] == {(None, None, None)}
 
 
+@pytest.mark.slow
 def test_robots_verdict_precedence(spark):
     """Longest pattern wins, allow wins a length tie class, the exact
     agent group overrides '*', '$' anchors, no-robots and unparseable
@@ -319,6 +320,7 @@ def test_extract_links_resolution(spark):
     assert all(r["url"] == "https://ex.com:8080/a/b/page.html" for r in out)
 
 
+@pytest.mark.slow
 def test_extract_links_feeds_curation(spark):
     """The frontier composition: extract → normalize/dedup → robots
     gate, all expression-tier — the crawl loop's inner relation."""
@@ -358,6 +360,7 @@ def test_extract_links_feeds_curation(spark):
     )
 
 
+@pytest.mark.slow
 def test_robots_exemption_group_not_erased(spark):
     """The 'exempt this bot' idiom: an agent-specific group whose only
     directive is the allow-all empty Disallow must still GOVERN that
@@ -386,6 +389,7 @@ def test_robots_exemption_group_not_erased(spark):
     assert other["robots_allowed"] is False
 
 
+@pytest.mark.slow
 def test_parse_robots_strips_utf8_bom(spark):
     """A BOM-prefixed robots.txt (common in the wild) must not corrupt
     the first User-agent key and silently drop the first group."""
@@ -873,6 +877,7 @@ def test_host_graph_closed_form(spark):
     }
 
 
+@pytest.mark.slow
 def test_domain_authority_matches_pagerank_on_host_graph(spark):
     """The composition is exactly weighted+dangling PageRank over
     host_graph's edges — the two halves of the package agreeing. A
@@ -1076,6 +1081,7 @@ def test_idna_host_and_psl_punycode(spark):
         assert hgot[u] == want, (u, hgot[u], want)
 
 
+@pytest.mark.slow
 def test_blocklist_and_cap_punycode(spark):
     """punycode=True end-to-end through the blocklist and the cap: a
     punycode-keyed blocklist entry catches the raw-unicode spelling
@@ -1155,6 +1161,7 @@ def test_psl_levels_conflict_and_suffixes_passthrough(spark):
     assert {r["doc_id"] for r in capped.collect()} == {1, 2, 3}
 
 
+@pytest.mark.slow
 def test_robots_verdict_broadcast_gate(spark):
     """VERDICT r9 task 3: the rules side broadcasts when its
     estimated bytes fit the driver budget (the fixture scale) and
@@ -1272,6 +1279,7 @@ def test_url_features_and_wordlist_score(spark):
         url_wordlist_score(F.col("url"), {})
 
 
+@pytest.mark.slow
 def test_robots_verdict_punycode_hosts(spark):
     """IDN hosts through the robots gate: with punycode=True a
     raw-unicode frontier URL meets a punycode-keyed rules host (and a

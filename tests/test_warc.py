@@ -510,6 +510,7 @@ _ENT_PIECES = st.lists(
 
 @settings(max_examples=80, deadline=None)
 @given(pieces=_ENT_PIECES)
+@pytest.mark.slow
 def test_entity_decode_property(spark, pieces):
     """Mixed named/numeric/invalid references interleaved with literal
     text decode in one left-to-right pass: valid references become
