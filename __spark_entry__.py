@@ -2329,7 +2329,17 @@ def _q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.when(
         did % 29 == 0, F.concat(F.lit("not a url "), did.cast("string"))
     ).otherwise(F.concat(scheme, F.lit("://"), www, host, port, path, query, frag))
-    urls = d.select(did.cast("long").alias("doc_id"), url.alias("url"))
+    # Lazily checkpoint the fixture (r13, guide §1.2/§5): the deep
+    # CASE/concat url expression otherwise re-evaluates under every
+    # downstream branch — 24 documents scans and 24 Window nodes in
+    # the audited plan, and the replicated ~50-node expression tree
+    # drove the optimizer + interpreted eval to a 248 s wall at sf0.1
+    # (plans/r13/url_curation_before.txt). One materialization of the
+    # tiny (doc_id, url) relation fixes the whole family; values are
+    # unchanged (same expression, evaluated once).
+    urls = d.select(
+        did.cast("long").alias("doc_id"), url.alias("url")
+    ).localCheckpoint(eager=False)
     curated = cap_per_host(
         filter_blocked_domains(
             dedup_by_url(urls),
