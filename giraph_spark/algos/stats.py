@@ -244,18 +244,39 @@ def modularity(graph: Graph, communities: DataFrame, community_col: str = "commu
         .join(c.select(F.col("_v").alias("_t"), F.col("_c").alias("_ct")), "_t", "left")
     )
     covered = F.col("_cs").isNotNull() & F.col("_ct").isNotNull()
-    totals = tagged.agg(
-        F.coalesce(F.sum(covered.cast("double")), F.lit(0.0)).alias("_m2"),
+    # ONE pass over the edge-shaped relation (r13, guide §2.4/§6 — the
+    # attribute_assortativity pattern): group uncovered edges too and
+    # lazily checkpoint the ≤ (|communities|+1)² cell counts, so the
+    # totals aggregate and the per-community degree sums read the tiny
+    # relation instead of each re-deriving the trade-graph ⋈
+    # assignment pipeline from parquet.
+    cells = (
+        tagged.groupBy("_cs", "_ct")
+        .agg(F.count(F.lit(1)).alias("_nl"))
+        .localCheckpoint(eager=False)
+    )
+    totals = cells.agg(
         F.coalesce(
-            F.sum((covered & (F.col("_cs") == F.col("_ct"))).cast("double")),
+            F.sum(F.when(covered, F.col("_nl")).otherwise(F.lit(0)).cast("double")),
+            F.lit(0.0),
+        ).alias("_m2"),
+        F.coalesce(
+            F.sum(
+                F.when(covered & (F.col("_cs") == F.col("_ct")), F.col("_nl"))
+                .otherwise(F.lit(0))
+                .cast("double")
+            ),
             F.lit(0.0),
         ).alias("_intra"),
-        F.coalesce(F.sum((~covered).cast("long")), F.lit(0)).alias("_dropped"),
+        F.coalesce(
+            F.sum(F.when(~covered, F.col("_nl")).otherwise(F.lit(0))),
+            F.lit(0)
+        ).alias("_dropped"),
     )
     degs = (
-        tagged.filter(covered)
+        cells.filter(covered)
         .groupBy("_cs")
-        .agg(F.count(F.lit(1)).cast("double").alias("_dc"))
+        .agg(F.sum("_nl").cast("double").alias("_dc"))
     )
     expected = degs.crossJoin(F.broadcast(totals)).agg(
         F.sum((F.col("_dc") / F.col("_m2")) * (F.col("_dc") / F.col("_m2"))).alias(
