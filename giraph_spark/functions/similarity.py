@@ -678,7 +678,17 @@ def ann_recall(
     Returns ``(query_id, n_hit, recall_at_k)``. Both sides are
     deduplicated on (query, id) first so a duplicated row in either
     input can't multiply in the join and push recall past 1.0."""
-    ex = exact_topk.select(query_id_col, id_col).distinct()
+    # lazily checkpoint the deduplicated exact side (r13, guide §2.4):
+    # it is ≤ |queries|·k rows but feeds BOTH the hit intersection and
+    # the per-query base count — without the checkpoint the exact tier
+    # (e.g. brute_force_topk's corpus-wide score-and-rank windows) is
+    # re-derived from parquet for each consumer (18 Window nodes / 12
+    # scans in the audited ann_recall plan).
+    ex = (
+        exact_topk.select(query_id_col, id_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ap = approx_topk.select(query_id_col, id_col).distinct()
     hits = ex.join(ap, [query_id_col, id_col]).groupBy(query_id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_hit")
