@@ -488,35 +488,37 @@ def _run_pipeline(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         unigram_logprob,
     )
 
-    # Input layout fix (r13, guide §6/§2.5 — documented in
+    # Input layout probe (r13, guide §6/§2.5 — documented in
     # OPTIMIZATION_r13.md): the sf0.1 documents/embeddings parquet is a
-    # single row group, so the persisted input used to be ONE cached
-    # partition and every map-side stage of the tier (media decodes,
-    # minhash signatures, text gates) ran single-threaded regardless of
-    # core count — under-reporting the engine and making the driver's
-    # low-core/high-core scaling ratios physically unable to move. At
-    # production scale the input arrives in thousands of splits; the
-    # local stand-in is an id-hash repartition to the session core
-    # count ($SPARK_GRAFT_CPUS — scale-adaptive, not a constant), done
-    # HERE, outside every timed region, exactly like the persist
-    # itself. No result changes (ops are partitioning-invariant,
-    # asserted by the rows counters).
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(int(CPUS), "doc_id")
-        .persist()
+    # single row group, so the persisted input is ONE cached partition
+    # and every map-side stage of the tier runs single-threaded
+    # regardless of core count — which is why the driver's low/high-
+    # core scaling ratios cannot move on this tier. Setting
+    # $SPARK_GRAFT_INPUT_SPLITS (an int, or "cpus" for the session
+    # core count) id-hash-repartitions the inputs HERE, outside every
+    # timed region, to emulate the multi-split layout production
+    # inputs arrive in — the scaling-probe mode. The DEFAULT stays the
+    # raw single-row-group layout: a same-window A/B measured the
+    # 32-way split costing ~25% of the tier wall at sf0.1 (per-task
+    # and per-Arrow-batch fixed costs over tiny partitions), and the
+    # round-over-round pipeline record must stay layout-comparable.
+    # Results are identical either way (partitioning-invariant ops,
+    # pinned by the rows/md5 counters).
+    _splits = os.environ.get("SPARK_GRAFT_INPUT_SPLITS", "")
+    _n_split = int(CPUS) if _splits == "cpus" else int(_splits or 0)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if _n_split > 1:
+        docs = docs.repartition(_n_split, "doc_id")
+    docs = docs.persist()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
     )
-    embs = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias(
-                "embedding"
-            ),
-        )
-        .repartition(int(CPUS), "vec_id")
-        .persist()
-    )
+    if _n_split > 1:
+        embs = embs.repartition(_n_split, "vec_id")
+    embs = embs.persist()
     n_docs, n_embs = docs.count(), embs.count()
 
     def run(fn):

@@ -119,20 +119,24 @@ def xxh64_int32(value: int, seeds: np.ndarray) -> np.ndarray:
     the running hash of ``col`` becomes the seed for the int literal
     (``XXH64.hashInt``). Vectorized over the seed column so a per-seed
     hash family (MinHash) costs one vector op per seed."""
-    acc = seeds.view(np.uint64) + (_P5 + np.uint64(4))
-    acc = acc ^ (np.uint64(value & 0xFFFFFFFF) * _P1)
-    acc = _rotl(acc, 23) * _P2 + _P3
-    return _fmix(acc).view(np.int64)
+    # wraparound is the algorithm; errstate silences numpy's
+    # scalar-overflow RuntimeWarning (array ops already wrap silently)
+    with np.errstate(over="ignore"):
+        acc = seeds.view(np.uint64) + (_P5 + np.uint64(4))
+        acc = acc ^ (np.uint64(value & 0xFFFFFFFF) * _P1)
+        acc = _rotl(acc, 23) * _P2 + _P3
+        return _fmix(acc).view(np.int64)
 
 
 def xxh64_int64(value: int, seeds: np.ndarray) -> np.ndarray:
     """XXH64 of one 8-byte long under MANY seeds (``XXH64.hashLong``),
     int64 in/out — as :func:`xxh64_int32` for LongType operands."""
-    acc = seeds.view(np.uint64) + (_P5 + np.uint64(8))
-    k1 = _rotl(np.uint64(value & _MASK) * _P2, 31) * _P1
-    acc = acc ^ k1
-    acc = _rotl(acc, 27) * _P1 + _P4
-    return _fmix(acc).view(np.int64)
+    with np.errstate(over="ignore"):
+        acc = seeds.view(np.uint64) + (_P5 + np.uint64(8))
+        k1 = _rotl(np.uint64(value & _MASK) * _P2, 31) * _P1
+        acc = acc ^ k1
+        acc = _rotl(acc, 27) * _P1 + _P4
+        return _fmix(acc).view(np.int64)
 
 
 def spark_abs_pmod(h: np.ndarray, m: int) -> np.ndarray:
