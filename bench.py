@@ -82,11 +82,25 @@ def main() -> None:
             ms[name] = gs.PregelMetrics()
             return ms[name]
 
+        # per-query box-condition probes (r13): the r12 per-pass probes
+        # straddle a ~5 min pass, so a minute-scale steal burst that
+        # inflates ONE query is invisible to them (measured 2026-08-18:
+        # probes 83/93/114 ms around a pass whose wcc took 46.9 s, 8×
+        # nominal). One ~60 ms reading BEFORE each kernel query and each
+        # tier — between timed regions, never inside one — lets a reader
+        # attribute a single inflated query to box steal with direct
+        # evidence. Purely additive detail; the timed t0/t1 windows are
+        # untouched.
+        pass_probes: dict[str, float] = {}
+        pass_probe_log.append(pass_probes)
+
+        pass_probes["pagerank10"] = steal_probe_ms()
         timings["pagerank10"], _ = run(
             lambda: pagerank(g, iterations=10, metrics=m("pagerank10"))
             .agg(F.sum("rank"))
             .collect()
         )
+        pass_probes["pagerank10_weighted"] = steal_probe_ms()
         timings["pagerank10_weighted"], _ = run(
             lambda: pagerank(
                 g,
@@ -97,22 +111,26 @@ def main() -> None:
             .agg(F.sum("rank"))
             .collect()
         )
+        pass_probes["sssp"] = steal_probe_ms()
         timings["sssp"], _ = run(
             lambda: sssp(g, source=1, max_supersteps=50, metrics=m("sssp"))
             .where(F.col("distance") < float("inf"))
             .count()
         )
+        pass_probes["bfs"] = steal_probe_ms()
         timings["bfs"], _ = run(
             lambda: bfs(g, source=1, max_supersteps=50, metrics=m("bfs"))
             .where("level >= 0")
             .count()
         )
+        pass_probes["wcc"] = steal_probe_ms()
         timings["wcc"], _ = run(
             lambda: wcc(g, max_supersteps=50, metrics=m("wcc"))
             .select("component")
             .distinct()
             .count()
         )
+        pass_probes["triangle_count"] = steal_probe_ms()
         timings["triangle_count"], _ = run(
             lambda: triangle_count(nation_graph(spark, SF_DIR)).collect()
         )
@@ -139,6 +157,7 @@ def main() -> None:
         # the frozen 49.1 s baseline; the extras envelope is frozen
         # separately in BASELINE.md. An extras failure must degrade to
         # an error field, never take the headline record down with it.
+        pass_probes["extras"] = steal_probe_ms()
         try:
             extras_q, extras_c = _run_extras(spark, SF_DIR)
         except Exception as ex:  # pragma: no cover - records, not masks
@@ -148,6 +167,7 @@ def main() -> None:
         # operator OUTPUT ROW COUNTS are its counters analog. Same
         # failure contract: degrade to an error field, never lose the
         # headline record.
+        pass_probes["pipeline"] = steal_probe_ms()
         try:
             pipe_q, pipe_rows, pipe_in = _run_pipeline(spark, SF_DIR)
         except Exception as ex:  # pragma: no cover - records, not masks
@@ -180,8 +200,11 @@ def main() -> None:
         return round((time.monotonic() - t0) * 1000, 1)
 
     # one reading before each pass and one after the last, so the
-    # detail record carries the box condition alongside the timings
+    # detail record carries the box condition alongside the timings;
+    # pass_probe_log additionally collects the per-query readings taken
+    # inside each pass (see measure_once) — one dict per pass
     probes: list[float] = []
+    pass_probe_log: list[dict[str, float]] = []
     runs = []
     for _ in range(2):
         probes.append(steal_probe_ms())
@@ -272,6 +295,11 @@ def main() -> None:
         # box-condition probe readings: [before pass 1, before pass 2,
         # after pass 2], milliseconds (nominal ≈ 55-80 on this box)
         "steal_probe_ms": probes,
+        # r13: per-query/per-tier probes taken between the timed
+        # regions of each pass (one dict per pass) — minute-scale steal
+        # bursts inflate a single query and are invisible to the
+        # pass-boundary probes above
+        "steal_probe_by_query": pass_probe_log,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": int(CPUS),
     }
